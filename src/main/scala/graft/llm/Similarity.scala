@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact — broadcast the (small) query set against
+  *    the corpus, map-side cosine, per-query top-k. Linear in corpus size,
+  *    no corpus shuffle: the 100 TB-safe exact baseline.
+  *  - [[lshBucketedPairs]]: approximate — sign-random-projection (SRP /
+  *    hyperplane LSH, Charikar 2002) buckets; only intra-bucket pairs are
+  *    scored. Replaces the O(n²) self-join with a bucket-keyed shuffle.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns, computed as one
+    * codegen'd expression fold (no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k nearest neighbors (cosine) of each query vector.
+    * `queries` is expected to be small (it is broadcast); the corpus is
+    * scanned once, partition-parallel. Similarities are rounded before
+    * ranking so ordering is stable across engines/architectures. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rk")
+  }
+
+  /** Sign-random-projection signature: bit i = sign(v · h_i) where h_i is
+    * a deterministic pseudo-random ±1 hyperplane derived from
+    * xxhash64(plane index + offset, dim index) — reproducible with no
+    * stored model. Returned as a long bucket key of `bits` bits. */
+  def srpBucket(vec: Column, bits: Int, offset: Int = 0): Column = {
+    val proj = (0 until bits).map { i =>
+      val dotted = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => when(xxhash64(lit(i + offset), j).bitwiseAND(1) === 1, x).otherwise(-x)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotted > 0, 1L).otherwise(0L)
+    }
+    proj.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
+  }
+
+  /** Approximate near-neighbor pairs: vectors sharing an SRP bucket, scored
+    * exactly within the bucket, kept above `threshold`. Multiple independent
+    * hash tables (`tables`) raise recall; buckets are the shuffle key so
+    * work stays distributed at corpus scale. */
+  def lshBucketedPairs(corpus: DataFrame, threshold: Double, bits: Int = 12,
+                       tables: Int = 4, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // each table offsets the plane index so tables are independent
+    val tabbed = v.select(col("id"), col("v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tab"),
+          srpBucket(col("v"), bits, t * bits).as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.tab"), col("tb.bucket"))
+    val l = tabbed.select(col("tab"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = tabbed.select(col("tab"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("tab", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis kernels for large-scale training-data
+  * pipelines (SURVEY.md §7 M7 / north-star extensions; no reference
+  * analog — the reference's only string kernels are byte-slice parsers,
+  * hive-io-exp-core input/parser/array/BytesParser.java:152-298).
+  *
+  * Everything here is a pure Catalyst expression tree built from
+  * `org.apache.spark.sql.functions` — codegen-friendly, no UDF, no
+  * driver-side state, so every operator scales linearly with input
+  * partitions.
+  */
+object TextOps {
+
+  /** Whitespace-normalized lowercase text — the canonical form used by
+    * fingerprinting and shingling. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalized(text), " ")
+
+  /** Distinct word k-shingles (k consecutive tokens joined by a space).
+    * Empty when the document has fewer than k tokens. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact-dedup / fingerprint hash of the normalized text (rolling-hash
+    * document fingerprint analog; md5 keeps DuckDB-oracle parity). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Jaccard similarity of two pre-distinct string arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Language stopword marker sets (tiny, broadcast as literals). */
+  val StopEn = Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  val StopFr = Seq("le", "la", "les", "et", "un", "une", "est", "pour", "que", "dans")
+  val StopEs = Seq("el", "los", "y", "un", "una", "es", "por", "que", "con", "para")
+
+  private def stopHits(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(stops), t)))
+
+  /** N-gram-heuristic language ID: Han-script detection for zh, else the
+    * language with the highest stopword-hit count (ties broken by fixed
+    * precedence en > de > fr > es — mirrored exactly in the oracle SQL). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val en = stopHits(toks, StopEn); val de = stopHits(toks, StopDe)
+    val fr = stopHits(toks, StopFr); val es = stopHits(toks, StopEs)
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: word pieces + isolated punctuation (the classic
+    * `\w+|[^\w\s]` pre-tokenizer; ASCII \w in both Java regex and RE2). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("\\w+|[^\\w\\s]"))
+
+  /** Punctuation-character ratio (fixed class for oracle parity). */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[.,!?;:]")).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** English-stopword ratio among whitespace tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    stopHits(toks, StopEn).cast("double") / greatest(size(toks), lit(1))
+  }
+
+  /** Composite quality score in [0,1]: length saturation × (1 − punct
+    * excess) × stopword plausibility. Deterministic, documented formula —
+    * the oracle SQL replicates it term by term. */
+  def qualityScore(text: Column): Column = {
+    val lenSat = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopOk = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round(lenSat * (lit(0.5) + lit(0.25) * punctOk + lit(0.25) * stopOk), 4)
+  }
+}

@@ -1,0 +1,239 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.llm.{Dedup, Similarity, TextOps}
+
+/** LLM-training-data pipeline operators (SURVEY.md §7 M7 north star):
+  * dedup family, similarity search, text analysis — each exposed as a
+  * named query over the `documents`/`embeddings` fixtures. SQL-expressible
+  * ones carry a DuckDB oracle; hash-dependent ones (MinHash banding
+  * internals, SimHash, SRP-LSH) get the driver's rows-only check plus
+  * ScalaTest ground-truth specs.
+  */
+object LlmQueries {
+
+  /** Shared normalization SQL fragment (must mirror TextOps.normalized —
+    * note DuckDB regexp_replace needs the explicit 'g' flag). */
+  private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val ToksSql = s"string_split($NormSql, ' ')"
+
+  // ------------------------------------------------------------- dedup
+
+  /** Exact dedup by content fingerprint (hash group-by; one shuffle). */
+  val dedupExact: Q = (s, dir) =>
+    Dedup.exact(Tables.t(s, dir, "documents")).orderBy("keep_id")
+
+  val dedupExactSql: String =
+    s"""SELECT md5($NormSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** Per-document fingerprint (rolling-hash analog; md5 of normalized text). */
+  val docFingerprint: Q = (s, dir) =>
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val docFingerprintSql: String =
+    s"SELECT doc_id, md5($NormSql) AS fp FROM documents ORDER BY doc_id"
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified. The oracle is the
+    * brute-force all-pairs truth: LSH at b=32,r=4 has ≈1-1e-7 recall at
+    * j≥0.8, so candidate generation loses nothing on real corpora while
+    * doing no O(n²) work. */
+  val dedupMinhash: Q = (s, dir) =>
+    Dedup.minhashLsh(Tables.t(s, dir, "documents")).orderBy("doc_a", "doc_b")
+
+  val dedupMinhashSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+       |           for i in range(1, len(toks)-1)]) AS shingles
+       |  FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 3)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+       |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+       |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash near-dup pairs (Hamming ≤ 3 via 4×16-bit block LSH). Depends
+    * on xxhash64 bit patterns — not oracle-expressible; rows-only check +
+    * SimHashSpec ground truth. */
+  val dedupSimhash: Q = (s, dir) =>
+    Dedup.simhashPairs(Tables.t(s, dir, "documents")).orderBy("doc_a", "doc_b")
+
+  // -------------------------------------------------------- similarity
+
+  /** Exact ANN baseline: top-5 cosine neighbors of the first 10 vectors
+    * (broadcast queries, corpus scanned once). */
+  val annTopK: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+      .orderBy("query_id", "rk")
+  }
+
+  val annTopKSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(list_cosine_similarity(qv, cv), 4) AS sim
+      |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    (row_number() OVER (PARTITION BY query_id
+      |                        ORDER BY sim DESC, neighbor_id ASC))::INTEGER AS rk
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, sim, rk FROM ranked
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** Embedding-cosine near-dup with label blocking: exact within blocks —
+    * the blocked-exact complement to the SRP-LSH path below. */
+  val embNearDup: Q = (s, dir) => {
+    val e = Tables.t(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("label"),
+      col("embedding").cast("array<double>").as("v_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"),
+      col("embedding").cast("array<double>").as("v_b"))
+    a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("v_a"), col("v_b")), 4).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  val embNearDupSql: String =
+    """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** SRP-LSH bucketed approximate near-neighbor pairs (the O(n·bucket)
+    * scale path). Hash-dependent → rows-only check + SimilaritySpec. */
+  val annLsh: Q = (s, dir) =>
+    Similarity.lshBucketedPairs(Tables.t(s, dir, "embeddings"),
+        threshold = 0.3, bits = 8, tables = 4)
+      .orderBy("id_a", "id_b")
+
+  /** Per-label embedding stats: count + mean L2 norm (sanity/profiling op). */
+  val embStats: Q = (s, dir) => {
+    val e = Tables.t(s, dir, "embeddings")
+    val v = col("embedding").cast("array<double>")
+    val norm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+    e.select(col("label"), norm.as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg("nrm"), 4).as("avg_norm"))
+      .orderBy("label")
+  }
+
+  val embStatsSql: String =
+    """SELECT label, count(*) AS n,
+      |  round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 4) AS avg_norm
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------ text analysis
+
+  /** Language ID heuristic vs the fixture's ground-truth lang column. */
+  val langId: Q = (s, dir) =>
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))
+      .withColumn("hit", col("lang") === col("lang_pred"))
+      .orderBy("doc_id")
+
+  val langIdSql: String = {
+    def hits(lst: Seq[String]) =
+      s"len(list_filter($ToksSql, t -> list_contains(${lst.mkString("['", "', '", "']")}, t)))"
+    val en = hits(TextOps.StopEn); val de = hits(TextOps.StopDe)
+    val fr = hits(TextOps.StopFr); val es = hits(TextOps.StopEs)
+    s"""SELECT doc_id, lang, lang_pred, lang = lang_pred AS hit FROM (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |         WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+       |         WHEN $de >= $fr AND $de >= $es THEN 'de'
+       |         WHEN $fr >= $es THEN 'fr'
+       |         ELSE 'es' END AS lang_pred
+       |  FROM documents) ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: token counts, punctuation/stopword ratios, composite
+    * score — the standard cheap pre-filters of corpus curation. */
+  val qualityScore: Q = (s, dir) =>
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        round(TextOps.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextOps.stopwordRatio(col("text")), 4).as("stop_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val qualityScoreSql: String = {
+    val nTok = s"len($ToksSql)"
+    val punct = "len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / greatest(length(text), 1)"
+    val stopHits =
+      s"len(list_filter($ToksSql, t -> list_contains(${TextOps.StopEn.mkString("['", "', '", "']")}, t)))"
+    val stopR = s"$stopHits::DOUBLE / greatest($nTok, 1)"
+    s"""SELECT doc_id, $nTok::INTEGER AS n_tokens,
+       |  round($punct, 4) AS punct_ratio,
+       |  round($stopR, 4) AS stop_ratio,
+       |  round(least($nTok::DOUBLE / 50.0, 1.0) *
+       |        (0.5 + 0.25 * (1.0 - least($punct * 5.0, 1.0))
+       |             + 0.25 * least($stopR * 4.0, 1.0)), 4) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex pre-tokenizer count. */
+  val tokenCount: Q = (s, dir) =>
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("bpe_tokens"),
+        length(col("text")).as("n_chars_str"),
+        round(length(col("text")).cast("double") /
+          greatest(TextOps.bpeTokenCount(col("text")), lit(1)), 4).as("chars_per_bpe"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String = {
+    val bpe = "len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))"
+    s"""SELECT doc_id,
+       |  len($ToksSql)::INTEGER AS ws_tokens,
+       |  $bpe::INTEGER AS bpe_tokens,
+       |  length(text)::INTEGER AS n_chars_str,
+       |  round(length(text)::DOUBLE / greatest($bpe, 1), 4) AS chars_per_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "q30_dedup_exact" -> dedupExact,
+    "q31_doc_fingerprint" -> docFingerprint,
+    "q32_dedup_minhash_lsh" -> dedupMinhash,
+    "q33_dedup_simhash" -> dedupSimhash,
+    "q34_ann_topk" -> annTopK,
+    "q35_emb_neardup" -> embNearDup,
+    "q36_ann_lsh" -> annLsh,
+    "q37_emb_stats" -> embStats,
+    "q38_lang_id" -> langId,
+    "q39_quality_score" -> qualityScore,
+    "q40_token_count" -> tokenCount,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_dedup_exact" -> dedupExactSql,
+    "q31_doc_fingerprint" -> docFingerprintSql,
+    "q32_dedup_minhash_lsh" -> dedupMinhashSql,
+    "q34_ann_topk" -> annTopKSql,
+    "q35_emb_neardup" -> embNearDupSql,
+    "q37_emb_stats" -> embStatsSql,
+    "q38_lang_id" -> langIdSql,
+    "q39_quality_score" -> qualityScoreSql,
+    "q40_token_count" -> tokenCountSql,
+  )
+}

@@ -174,7 +174,7 @@ object Relational {
       .agg(count(lit(1)).as("num_rows"), sum("n_chars").as("raw_size"))
 
   val tableStatsSql: String =
-    "SELECT count(*) AS num_rows, sum(n_chars) AS raw_size FROM documents"
+    "SELECT count(*) AS num_rows, sum(n_chars)::BIGINT AS raw_size FROM documents"
 
   // ---------------------------------------------------------------- joins
 
@@ -316,7 +316,7 @@ object Relational {
     """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_custkey
-      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC)::INTEGER AS rk
       |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
 
   /** §2.5 running aggregate: cumulative spend per customer over time.
@@ -428,7 +428,7 @@ object Relational {
       .orderBy("p_partkey")
 
   val scalarStringSql: String =
-    """SELECT p_partkey, upper(p_name) AS uname, length(p_name) AS name_len,
+    """SELECT p_partkey, upper(p_name) AS uname, length(p_name)::INTEGER AS name_len,
       |  substring(p_brand, 7, 2) AS brand_id,
       |  concat_ws('|', p_type, p_brand) AS type_brand,
       |  ltrim(rtrim(p_name)) AS trimmed
@@ -447,10 +447,10 @@ object Relational {
 
   val scalarDateSql: String =
     """SELECT o_orderkey,
-      |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-      |  dayofmonth(o_orderdate) AS dom,
+      |  year(o_orderdate)::INTEGER AS yr, month(o_orderdate)::INTEGER AS mo,
+      |  dayofmonth(o_orderdate)::INTEGER AS dom,
       |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS qtr_start,
-      |  datediff('day', o_orderdate::DATE, DATE '2002-01-01') AS days_to_2002
+      |  datediff('day', o_orderdate::DATE, DATE '2002-01-01')::INTEGER AS days_to_2002
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** §2.8 math functions (rounded — libm ulp differences across engines). */

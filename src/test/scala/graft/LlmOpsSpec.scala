@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Dedup, Similarity, TextOps}
+
+/** Ground-truth specs for the hash-dependent LLM-pipeline operators that
+  * the DuckDB oracle can't express (MinHash banding, SimHash, SRP-LSH). */
+class LlmOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val docs = Tables.t(spark, sf, "documents").cache()
+
+  test("minhash-LSH equals brute-force jaccard truth at threshold 0.8") {
+    val lsh = Dedup.minhashLsh(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+    val sh = docs.select(col("doc_id"),
+        TextOps.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val truth = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .filter(round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4) >= 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+    assert(truth.nonEmpty, "fixture should contain near-dup pairs")
+    assert(lsh === truth)
+  }
+
+  test("simhash: identical docs collide at hamming 0; near-identical stay close") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "the quick brown fox jumps over the lazy cat near the river bank"),
+      (4L, "completely unrelated text about spark catalyst optimizer internals rules")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, maxHamming = 10)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) === 0)
+    assert(pairs.get((1L, 3L)).exists(_ <= 10), "1-word edit should be near")
+    assert(!pairs.contains((1L, 4L)) || pairs((1L, 4L)) > 10)
+  }
+
+  test("simhash pairs on fixture are symmetric-free and within hamming bound") {
+    val got = Dedup.simhashPairs(docs).as[(Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, h) => a < b && h >= 0 && h <= 3 })
+  }
+
+  test("brute-force topk returns k neighbors in descending sim order") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val got = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, 5)
+      .orderBy("rk").as[(Long, Long, Double, Int)].collect()
+    assert(got.length === 5)
+    assert(got.map(_._3).sliding(2).forall(w => w.head >= w.last), "sims descending")
+    assert(got.forall(_._2 != 0L), "self excluded")
+  }
+
+  test("SRP-LSH pairs report exact cosine and respect the threshold") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val got = Similarity.lshBucketedPairs(emb, threshold = 0.3, bits = 8, tables = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, s) => a < b && s >= 0.3 })
+    // spot-check one pair's sim against a direct computation
+    val (a0, b0, s0) = got.head
+    val direct = emb.filter(col("vec_id").isin(a0, b0))
+      .select(col("embedding").cast("array<double>")).as[Seq[Double]].collect()
+    val dot = direct(0).zip(direct(1)).map { case (x, y) => x * y }.sum
+    val exp = dot / (math.sqrt(direct(0).map(x => x * x).sum) * math.sqrt(direct(1).map(x => x * x).sum))
+    assert(math.abs(s0 - exp) < 1e-3)
+  }
+
+  test("langId marks han-script docs zh and anglophone docs en") {
+    val df = Seq(
+      (1L, "the cat and the dog went to the market in the morning"),
+      (2L, "der Hund und die Katze sind nicht mit dem Auto gefahren"),
+      (3L, "你好 世界 这是 一个 测试")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "en"); assert(got(2L) === "de"); assert(got(3L) === "zh")
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "hello worlds")
+    ).toDF("doc_id", "text")
+    val fps = df.select(TextOps.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) === fps(1)); assert(fps(0) !== fps(2))
+  }
+}

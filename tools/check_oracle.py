@@ -38,9 +38,10 @@ def canon(v):
 def frame(con, sql):
     cur = con.sql(sql)
     cols = list(cur.columns)
+    types = [str(t) for t in cur.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = [tuple(canon(r[i]) for i in order) for r in cur.fetchall()]
-    return [cols[i] for i in order], sorted(rows)
+    return [(cols[i], types[i]) for i in order], sorted(rows)
 
 
 def main():
