@@ -1,0 +1,161 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Read-side intent — the Spark analog of `HiveInputDescription`
+  * (reference hive-io-exp-core input/HiveInputDescription.java:41-146):
+  * db+table, optional column projection (empty = all columns, matching
+  * computeColumnIds at HiveApiInputFormat.java:267-269), a partition
+  * predicate (a real `Column`, replacing the reference's metastore-
+  * evaluated HQL filter string at HiveInputDescription.java:49), and a
+  * parallelism hint (`numSplits`, :51,130-146).
+  */
+case class TableSpec(
+    table: String,
+    database: String = "default",
+    columns: Seq[String] = Nil,
+    partitionFilter: Option[Column] = None,
+    numSplits: Option[Int] = None)
+
+/** Write-side intent — analog of `HiveOutputDescription`: static
+  * partition values and the partition-exists policy
+  * (`hive.io.output.drop_partition`, reference output/OutputConf.java +
+  * HiveApiOutputFormat.java:296-320). */
+case class WriteSpec(
+    partitionValues: Map[String, String] = Map.empty,
+    dropExistingPartition: Boolean = false)
+
+/** The engine facade: the reference's two-call surface
+  * (`HiveInput.readTable` / `HiveOutput.writeTable`, input/HiveInput
+  * .java:66, output/HiveOutput.java:50) over a parquet warehouse
+  * directory, with Catalyst standing in for the metastore:
+  *  - partition pruning: partition dirs + `partitionFilter` Column →
+  *    `PruneFileSourcePartitions` (replaces get_partitions_by_filter,
+  *    HiveApiInputFormat.java:290-309);
+  *  - projection pushdown: `.select` → parquet column pruning (replaces
+  *    setReadColumnIds, common/HiveUtils.java:232-249);
+  *  - two-phase commit: Spark's FileCommitProtocol staging + rename and
+  *    `_SUCCESS` marker (replaces HiveApiOutputCommitter.java:78-196).
+  *
+  * Partitioned tables store partition columns as directory keys
+  * (`p=v/`), so at 100 TB a partition-filtered read lists only matching
+  * directories — no full scan, same contract as the reference's
+  * metastore-side pruning.
+  */
+class Engine(spark: SparkSession, warehouse: String) {
+
+  private def path(spec: TableSpec): String =
+    s"$warehouse/${spec.database}/${spec.table}"
+
+  def tableExists(spec: TableSpec): Boolean =
+    Files.exists(Paths.get(path(spec)))
+
+  /** S1: scan with projection + partition-filter pushdown. */
+  def read(spec: TableSpec): DataFrame = {
+    var df = spark.read.parquet(path(spec))
+    for (f <- spec.partitionFilter) df = df.filter(f)
+    if (spec.columns.nonEmpty) df = df.select(spec.columns.map(col).toIndexedSeq: _*)
+    spec.numSplits.fold(df)(n => df.repartition(n))
+  }
+
+  /** S2: typed scan — name-based bean mapping ≈ `Dataset[T]` encoders
+    * (reference bean/UnsafeRowToBean.java:51-55 resolves bean fields by
+    * schema name and throws on a miss; Spark's analyzer does the same). */
+  def readAs[T: Encoder](spec: TableSpec): Dataset[T] = {
+    val enc = implicitly[Encoder[T]]
+    val projected = spec.copy(columns =
+      if (spec.columns.nonEmpty) spec.columns else enc.schema.fieldNames.toSeq)
+    read(projected).as[T]
+  }
+
+  /** S11/S15/S16: write with the reference's precondition semantics:
+    *  - partitioned table ⇒ partition spec arity must match the table's
+    *    partition columns (sanityCheck, HiveApiOutputFormat.java:203-212);
+    *  - target partition already present ⇒ error, unless
+    *    `dropExistingPartition` ⇒ overwrite just that partition
+    *    (checkPartitionInfo :296-320 + drop :417-441);
+    *  - unpartitioned target with data ⇒ error (the reference requires an
+    *    empty table, :332-347);
+    *  - existing table schema ⇒ widening-only assignment
+    *    ([[TypeWidening]], HiveType.checkAndUpgrade parity).
+    */
+  def write(spec: TableSpec, df: DataFrame, ws: WriteSpec = WriteSpec()): Unit = {
+    val target = path(spec)
+    val exists = tableExists(spec)
+
+    val partCols = partitionColumns(spec)
+    if (exists && partCols.nonEmpty && ws.partitionValues.isEmpty)
+      throw new IllegalArgumentException(
+        s"Table ${spec.table} is partitioned by ${partCols.mkString(",")}; " +
+          "write requires partition values")
+    if (exists && partCols.isEmpty && ws.partitionValues.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Table ${spec.table} is not partitioned but partition values given")
+    if (exists && partCols.nonEmpty && ws.partitionValues.keySet != partCols.toSet)
+      throw new IllegalArgumentException(
+        s"Partition spec ${ws.partitionValues.keySet} does not match " +
+          s"table partition columns ${partCols.toSet}")
+
+    if (ws.partitionValues.isEmpty) {
+      val out = if (exists) TypeWidening.widenTo(df, spark.read.parquet(target).schema) else df
+      // reference: unpartitioned target must be empty (ErrorIfExists)
+      out.write.mode(SaveMode.ErrorIfExists).parquet(target)
+    } else {
+      val partitionPath = ws.partitionValues.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("/")
+      val partDir = s"$target/$partitionPath"
+      if (Files.exists(Paths.get(partDir)) && !ws.dropExistingPartition)
+        throw new IllegalArgumentException(
+          s"Partition $partitionPath already exists in ${spec.table} " +
+            "(set dropExistingPartition to overwrite)")
+      val out =
+        if (exists)
+          TypeWidening.widenTo(df,
+            org.apache.spark.sql.types.StructType(
+              spark.read.parquet(target).schema.filterNot(f =>
+                ws.partitionValues.contains(f.name))))
+        else df
+      // static-partition write: data files under the partition dir;
+      // overwrite replaces exactly this partition (drop_partition parity)
+      out.write.mode(SaveMode.Overwrite).parquet(partDir)
+    }
+  }
+
+  /** Partition columns of an existing table, inferred from directory
+    * layout (`k=v` path segments) — the warehouse-as-metastore analog. */
+  def partitionColumns(spec: TableSpec): Seq[String] = {
+    val p = Paths.get(path(spec))
+    if (!Files.exists(p)) return Nil
+    var cols = Vector.empty[String]
+    var cur = p
+    var done = false
+    while (!done) {
+      val sub = Files.list(cur).filter(Files.isDirectory(_))
+        .filter(_.getFileName.toString.contains("=")).findFirst()
+      if (sub.isPresent) {
+        cols :+= sub.get.getFileName.toString.split("=")(0)
+        cur = sub.get
+      } else done = true
+    }
+    cols
+  }
+
+  /** HiveStats parity (common/HiveStats.java:90-107): additive row count
+    * + byte size, from parquet footers instead of metastore params. */
+  def stats(spec: TableSpec): (Long, Long) = {
+    val rows = spark.read.parquet(path(spec)).count()
+    val dir = Paths.get(path(spec))
+    val bytes = Files.walk(dir).filter(Files.isRegularFile(_))
+      .mapToLong(Files.size(_)).sum()
+    (rows, bytes)
+  }
+
+  /** hivetail parity (cmdline tailer/TailerCmd.java): bounded, ordered
+    * sample of a table. */
+  def tail(spec: TableSpec, limit: Int, orderCol: Option[String] = None): Array[Row] = {
+    val df = read(spec)
+    orderCol.fold(df)(c => df.orderBy(col(c))).limit(limit).collect()
+  }
+}

@@ -501,9 +501,30 @@ object Relational {
       |  c_custkey::VARCHAR AS key_str
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ----------------------------------------------------------- write path
+
+  /** S11/S15 write path driven through the correctness gate: aggregate →
+    * Engine.write (two-phase commit, _SUCCESS) → Engine.read → result.
+    * The oracle recomputes the aggregate directly, so a corrupted
+    * round-trip (lost rows, type drift) hash-mismatches. */
+  val writeRoundtrip: Q = (s, dir) => {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-q29").toString
+    val e = new graft.api.Engine(s, wh)
+    val agg = t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    e.write(graft.api.TableSpec("order_summary"), agg)
+    e.read(graft.api.TableSpec("order_summary")).orderBy("o_orderstatus")
+  }
+
+  val writeRoundtripSql: String =
+    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "q29_write_roundtrip" -> writeRoundtrip,
     "q01_scan_projection" -> scanProjection,
     "q02_filter_predicate" -> filterPredicate,
     "q03_topk" -> topK,
@@ -535,6 +556,7 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q29_write_roundtrip" -> writeRoundtripSql,
     "q01_scan_projection" -> scanProjectionSql,
     "q02_filter_predicate" -> filterPredicateSql,
     "q03_topk" -> topKSql,

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.{Engine, TableSpec, TypeWidening, WriteSpec}
+import java.nio.file.Files
+
+/** Reference-parity round-trips: mirrors the shape of the reference's
+  * InputTest/OutputTest/TypeUpgradeTest/BeanInputTest/
+  * CheckOutputSpecsTest (hive-io-exp-core src/test) with a parquet
+  * warehouse + SparkSession replacing LocalHiveServer. */
+class EngineSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshEngine(): Engine =
+    new Engine(spark, Files.createTempDirectory("graft-wh").toString)
+
+  // A1: basic 2-column round-trip (InputTest.testInput / OutputTest)
+  test("unpartitioned write→read round-trip") {
+    val e = freshEngine()
+    val spec = TableSpec("t1")
+    e.write(spec, Seq((1, 1.1), (2, 2.2)).toDF("i1", "d1"))
+    val back = e.read(spec).orderBy("i1").as[(Int, Double)].collect()
+    assert(back.toSeq === Seq((1, 1.1), (2, 2.2)))
+  }
+
+  // reference: unpartitioned table must be empty (HiveApiOutputFormat:332-347)
+  test("second write into unpartitioned table fails") {
+    val e = freshEngine()
+    val spec = TableSpec("t1")
+    e.write(spec, Seq((1, 1.1)).toDF("i1", "d1"))
+    intercept[Exception] { e.write(spec, Seq((2, 2.2)).toDF("i1", "d1")) }
+  }
+
+  // A1 partitioned variant (InputTest.testInputWithPartitions,
+  // OutputTest partitioned + drop_partition)
+  test("partitioned write→read with partition pruning and drop-partition") {
+    val e = freshEngine()
+    val spec = TableSpec("tp")
+    e.write(spec, Seq((1, 1.1), (2, 2.2)).toDF("i1", "d1"),
+      WriteSpec(Map("ds" -> "2026-01-01")))
+    e.write(spec, Seq((3, 3.3)).toDF("i1", "d1"),
+      WriteSpec(Map("ds" -> "2026-01-02")))
+
+    // full read sees both partitions, partition col materialized
+    assert(e.read(spec).count() === 3)
+    // pruned read
+    val pruned = e.read(spec.copy(partitionFilter = Some(col("ds") === "2026-01-02")))
+    assert(pruned.select("i1").as[Int].collect().toSeq === Seq(3))
+
+    // existing partition: error without drop, overwrite with drop
+    intercept[IllegalArgumentException] {
+      e.write(spec, Seq((9, 9.9)).toDF("i1", "d1"), WriteSpec(Map("ds" -> "2026-01-02")))
+    }
+    e.write(spec, Seq((4, 4.4)).toDF("i1", "d1"),
+      WriteSpec(Map("ds" -> "2026-01-02"), dropExistingPartition = true))
+    assert(e.read(spec).count() === 3)
+    assert(e.read(spec.copy(partitionFilter = Some(col("ds") === "2026-01-02")))
+      .select("i1").as[Int].collect().toSeq === Seq(4))
+  }
+
+  // sanityCheck parity (HiveApiOutputFormat.java:203-212, 296-320)
+  test("partition-spec arity preconditions") {
+    val e = freshEngine()
+    val spec = TableSpec("tp2")
+    e.write(spec, Seq((1, 1.1)).toDF("i1", "d1"), WriteSpec(Map("ds" -> "a")))
+    // partitioned table: write without partition values fails
+    intercept[IllegalArgumentException] { e.write(spec, Seq((2, 2.2)).toDF("i1", "d1")) }
+    // wrong partition key name fails
+    intercept[IllegalArgumentException] {
+      e.write(spec, Seq((2, 2.2)).toDF("i1", "d1"), WriteSpec(Map("dt" -> "b")))
+    }
+    // unpartitioned table: partition values fail
+    val spec2 = TableSpec("tu")
+    e.write(spec2, Seq((1, 1.1)).toDF("i1", "d1"))
+    intercept[IllegalArgumentException] {
+      e.write(spec2, Seq((2, 2.2)).toDF("i1", "d1"), WriteSpec(Map("ds" -> "a")))
+    }
+  }
+
+  test("_SUCCESS marker written on commit") {
+    val e = freshEngine()
+    e.write(TableSpec("tm"), Seq((1, 1.1)).toDF("i1", "d1"))
+    val wh = e.read(TableSpec("tm")).inputFiles.head
+    val dir = new java.io.File(new java.net.URI(wh)).getParentFile
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+  }
+
+  // A4: bean mapping (BeanInputTest.java:66-110) — 7-primitive case class
+  test("readAs maps columns to case-class fields by name") {
+    val e = freshEngine()
+    val spec = TableSpec("tb")
+    e.write(spec, Seq(
+      (true, 1.toByte, 2.toShort, 3, 4L, 5.5f, 6.6),
+      (false, 7.toByte, 8.toShort, 9, 10L, 11.11f, 12.12)
+    ).toDF("bo1", "by1", "s1", "i1", "l1", "f1", "d1"))
+    val rows = e.readAs[Row7](spec).collect().sortBy(_.i1)
+    assert(rows(0) === Row7(true, 1, 2, 3, 4L, 5.5f, 6.6))
+    assert(rows(1) === Row7(false, 7, 8, 9, 10L, 11.11f, 12.12))
+  }
+
+  test("column projection in spec limits read schema") {
+    val e = freshEngine()
+    val spec = TableSpec("tc")
+    e.write(spec, Seq((1, 1.1, "x")).toDF("i1", "d1", "s1"))
+    val df = e.read(spec.copy(columns = Seq("s1", "i1")))
+    assert(df.schema.fieldNames.toSeq === Seq("s1", "i1"))
+  }
+
+  test("stats returns row count and positive byte size") {
+    val e = freshEngine()
+    e.write(TableSpec("ts"), Seq((1, 1.1), (2, 2.2), (3, 3.3)).toDF("i1", "d1"))
+    val (rows, bytes) = e.stats(TableSpec("ts"))
+    assert(rows === 3); assert(bytes > 0)
+  }
+
+  test("tail returns bounded ordered sample") {
+    val e = freshEngine()
+    e.write(TableSpec("tt"), (1 to 100).map(i => (i, s"r$i")).toDF("i1", "s1"))
+    val got = e.tail(TableSpec("tt"), 5, Some("i1"))
+    assert(got.length === 5)
+    assert(got.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4, 5))
+  }
+
+  // TypeUpgradeTest parity (output/TypeUpgradeTest.java:60-200)
+  test("widening-only write assignment: widen ok, downgrade throws") {
+    assert(TypeWidening.canWiden(IntegerType, LongType))
+    assert(TypeWidening.canWiden(ByteType, DoubleType))
+    assert(TypeWidening.canWiden(FloatType, DoubleType))
+    assert(!TypeWidening.canWiden(LongType, IntegerType))
+    assert(!TypeWidening.canWiden(DoubleType, FloatType))
+    assert(!TypeWidening.canWiden(StringType, LongType))
+
+    val e = freshEngine()
+    val spec = TableSpec("tw")
+    e.write(spec, Seq((1L, 1.1)).toDF("l1", "d1"))
+    // int widens into long column; table read back still long-typed
+    e.write(spec.copy(table = "tw2"), Seq((5, 5.5)).toDF("l1", "d1"))
+    val widened = TypeWidening.widenTo(Seq((5, 5.5f)).toDF("l1", "d1"),
+      StructType(Seq(StructField("l1", LongType), StructField("d1", DoubleType))))
+    assert(widened.schema("l1").dataType === LongType)
+    assert(widened.schema("d1").dataType === DoubleType)
+    // downgrade double -> float throws
+    intercept[IllegalArgumentException] {
+      TypeWidening.widenTo(Seq((1L, 2.2)).toDF("l1", "d1"),
+        StructType(Seq(StructField("l1", LongType), StructField("d1", FloatType))))
+    }
+  }
+
+  test("nulls round-trip through write and widen") {
+    val e = freshEngine()
+    val spec = TableSpec("tn")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1, null),
+        org.apache.spark.sql.Row(null, 2.2))),
+      StructType(Seq(StructField("i1", IntegerType), StructField("d1", DoubleType))))
+    e.write(spec, df)
+    val back = e.read(spec).orderBy(col("i1").asc_nulls_last).collect()
+    assert(back(0).getInt(0) === 1); assert(back(0).isNullAt(1))
+    assert(back(1).isNullAt(0)); assert(back(1).getDouble(1) === 2.2)
+  }
+}
+
+case class Row7(bo1: Boolean, by1: Byte, s1: Short, i1: Int, l1: Long, f1: Float, d1: Double)
