@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Single-pass hash kernels for the dedup operators.
+  *
+  * The pure-`functions._` formulations (array_min ∘ transform per
+  * permutation, aggregate folds per bit) are semantically fine but Spark
+  * evaluates lambda higher-order functions interpreted — ~7 ms/doc for a
+  * 128-perm signature at sf0.1. These kernels hash each element ONCE
+  * (XXH64, Spark's own hash, seed 42 like `functions.xxhash64`) and
+  * derive all permutations/bits from that base with splitmix64 mixing —
+  * O(elements × perms) ALU ops, no per-perm string re-hash, and they
+  * participate in whole-stage codegen via static calls.
+  */
+object MinHashKernel {
+  private final val Gamma = 0x9e3779b97f4a7c15L
+
+  private def mix(x0: Long): Long = {
+    var z = x0
+    z ^= (z >>> 30); z *= 0xbf58476d1ce4e5b9L
+    z ^= (z >>> 27); z *= 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** numPerms minima of pseudo-random permutations of the string array. */
+  def compute(arr: ArrayData, numPerms: Int): ArrayData = {
+    val mins = new Array[Long](numPerms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var p = 0
+      while (p < numPerms) {
+        val h = mix(base + (p + 1) * Gamma)
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}
+
+object SimHashKernel {
+  /** 64-bit SimHash of the token array, returned as 4 × 16-bit block
+    * values (block b holds bits 16b..16b+15, first bit as MSB — identical
+    * layout to the column-level formulation it replaces). Bit k of a
+    * token's contribution is bit k of xxhash64(token, seed 42). */
+  def compute(arr: ArrayData): ArrayData = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var k = 0
+      while (k < 64) {
+        if (((base >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    val blocks = new Array[Long](4)
+    var b = 0
+    while (b < 4) {
+      var v = 0L
+      var j = 0
+      while (j < 16) {
+        v = v * 2 + (if (votes(b * 16 + j) > 0) 1L else 0L)
+        j += 1
+      }
+      blocks(b) = v
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(blocks)
+  }
+}
+
+object ShingleKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Distinct word k-shingles of whitespace-normalized lowercase text in
+    * one pass (replaces a lower→regexp_replace→split→transform∘slice∘
+    * concat_ws→array_distinct interpreted-HOF chain). First-occurrence
+    * order, matching array_distinct. */
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.toLowerCase.trim.split("\\s+")
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** string → array<string> distinct word k-shingles (see [[ShingleKernel]]). */
+case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.compute($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<string> → array<long> MinHash signature (see [[MinHashKernel]]). */
+case class MinHashSignatureExpr(child: Expression, numPerms: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashKernel.compute(input.asInstanceOf[ArrayData], numPerms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.compute($c, $numPerms)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<string> → array<long> (4 × 16-bit) SimHash blocks. */
+case class SimHashBlocksExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_blocks"
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashKernel.compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashKernel.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the custom expressions. */
+object Hashing {
+  def minhashSignature(c: Column, numPerms: Int): Column =
+    GraftBridge.column(MinHashSignatureExpr(GraftBridge.expression(c), numPerms))
+  def simhashBlocks(c: Column): Column =
+    GraftBridge.column(SimHashBlocksExpr(GraftBridge.expression(c)))
+  def wordShingles(c: Column, k: Int): Column =
+    GraftBridge.column(WordShinglesExpr(GraftBridge.expression(c), k))
+}

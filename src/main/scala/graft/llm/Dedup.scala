@@ -22,13 +22,12 @@ object Dedup {
       .groupBy("fp")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature as array<bigint>: perm i = min over shingles of
-    * xxhash64(shingle, i). numPerms passes over the shingle array, all
-    * map-side (no shuffle); for very wide signatures a single-pass custom
-    * Expression would cut constant factors, not complexity. */
+  /** MinHash signature as array<bigint>: perm i = min over shingles of a
+    * splitmix64-mixed XXH64 base hash — a single-pass custom Catalyst
+    * expression ([[graft.functions.MinHashKernel]]); each shingle is
+    * string-hashed once, all map-side, codegen-friendly. */
   def minhashSignature(shingles: Column, numPerms: Int): Column =
-    array((0 until numPerms).map(i =>
-      array_min(transform(shingles, sh => xxhash64(sh, lit(i))))): _*)
+    graft.functions.Hashing.minhashSignature(shingles, numPerms)
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -44,28 +43,34 @@ object Dedup {
   def minhashLsh(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                  shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
                  threshold: Double = 0.8): DataFrame = {
+    // The shingle table is consumed three times (banding + both verify
+    // legs); persist it so the scan+shingle work runs once. MEMORY_AND_DISK
+    // keeps this safe at corpus scale (spills instead of OOM) — in a real
+    // pipeline the shingle table is the reusable asset.
     val sh = docs
       .select(col(idCol).as("id"), TextOps.wordShingles(col(textCol), shingleK).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val sig = sh.select(col("id"), col("shingles"),
-      minhashSignature(col("shingles"), bands * rowsPerBand).as("sig"))
-
-    val banded = sig.select(col("id"), col("shingles"),
+    // Band keys travel WITHOUT the shingle arrays: the banded shuffle
+    // moves (id, band, hash64) triples only — at corpus scale replicating
+    // each document's shingle set bands× through the exchange is the
+    // dominant cost, not the hashing.
+    val banded = sh
+      .select(col("id"), minhashSignature(col("shingles"), bands * rowsPerBand).as("sig"))
+      .select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))): _*))
-          .as("bb"))
-      .select(col("id"), col("shingles"), col("bb.band"), col("bb.bh"))
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
 
-    val l = banded.select(col("band"), col("bh"), col("id").as("doc_a"), col("shingles").as("sh_a"))
-    val r = banded.select(col("band"), col("bh"), col("id").as("doc_b"), col("shingles").as("sh_b"))
-    val cand = l.join(r, Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = Lsh.bucketPairs(banded, Seq("band", "bh"), "doc_a", "doc_b")
 
-    cand
+    // fetch shingle sets only for surviving candidate pairs (few), then
+    // verify with exact Jaccard
+    val sa = sh.select(col("id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("id").as("doc_b"), col("shingles").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -75,19 +80,8 @@ object Dedup {
     * fingerprint is the sign of Σ_tokens (±1 by bit k of xxhash64(token)).
     * Returned as array of 4 × 16-bit block values (int), which is both the
     * LSH blocking key material and a compact fingerprint encoding. */
-  def simhashBlocks(text: Column): Column = {
-    val toks = TextOps.tokens(text)
-    // per-bit vote: fold tokens into a ±1 sum for each of the 64 bits
-    // (bit index is a Scala literal so shiftright stays a static shift)
-    val bits = (0 until 64).map { k =>
-      val vote = aggregate(toks, lit(0L), (acc, tk) =>
-        acc + when(shiftright(xxhash64(tk), k).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L)))
-      when(vote > 0, 1L).otherwise(0L)
-    }
-    // 4 blocks × 16 bits, each folded into a long block value
-    array((0 until 4).map(b =>
-      bits.slice(b * 16, b * 16 + 16).reduce((a, x) => a * 2 + x)): _*)
-  }
+  def simhashBlocks(text: Column): Column =
+    graft.functions.Hashing.simhashBlocks(TextOps.tokens(text))
 
   /** SimHash near-duplicate pairs: candidates share at least one of the 4
     * 16-bit blocks (catches all pairs with Hamming distance ≤ 3 by
@@ -97,24 +91,21 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val fp = docs.select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blocks"))
 
-    val banded = fp.select(col("id"), col("blocks"),
+    val banded = fp.select(col("id"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"), element_at(col("blocks"), b + 1).as("bv")))).as("bb"))
-      .select(col("id"), col("blocks"), col("bb.band"), col("bb.bv"))
+      .select(col("id"), col("bb.band"), col("bb.bv"))
 
-    val l = banded.select(col("band"), col("bv"), col("id").as("doc_a"), col("blocks").as("bl_a"))
-    val r = banded.select(col("band"), col("bv"), col("id").as("doc_b"), col("blocks").as("bl_b"))
-    val ham = bitCount(element_at(col("bl_a"), 1).bitwiseXOR(element_at(col("bl_b"), 1))) +
-      bitCount(element_at(col("bl_a"), 2).bitwiseXOR(element_at(col("bl_b"), 2))) +
-      bitCount(element_at(col("bl_a"), 3).bitwiseXOR(element_at(col("bl_b"), 3))) +
-      bitCount(element_at(col("bl_a"), 4).bitwiseXOR(element_at(col("bl_b"), 4)))
+    val cand = Lsh.bucketPairs(banded, Seq("band", "bv"), "doc_a", "doc_b")
 
-    l.join(r, Seq("band", "bv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val fa = fp.select(col("id").as("doc_a"), col("blocks").as("bl_a"))
+    val fb = fp.select(col("id").as("doc_b"), col("blocks").as("bl_b"))
+    val ham = (1 to 4).map(i =>
+      bit_count(element_at(col("bl_a"), i).bitwiseXOR(element_at(col("bl_b"), i))))
+      .reduce(_ + _)
+
+    cand.join(fa, "doc_a").join(fb, "doc_b")
       .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
-
-  private def bitCount(c: Column): Column = bit_count(c)
 }

@@ -69,16 +69,15 @@ object Similarity {
                        vecCol: String = "embedding"): DataFrame = {
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     // each table offsets the plane index so tables are independent
-    val tabbed = v.select(col("id"), col("v"),
+    val tabbed = v.select(col("id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tab"),
           srpBucket(col("v"), bits, t * bits).as("bucket"))): _*)).as("tb"))
-      .select(col("id"), col("v"), col("tb.tab"), col("tb.bucket"))
-    val l = tabbed.select(col("tab"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = tabbed.select(col("tab"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("tab", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id"), col("tb.tab"), col("tb.bucket"))
+    val cand = graft.llm.Lsh.bucketPairs(tabbed, Seq("tab", "bucket"), "id_a", "id_b")
+    val va = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vb = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 4).as("sim"))
       .filter(col("sim") >= threshold)
   }

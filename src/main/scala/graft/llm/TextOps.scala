@@ -23,15 +23,13 @@ object TextOps {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalized(text), " ")
 
-  /** Distinct word k-shingles (k consecutive tokens joined by a space).
-    * Empty when the document has fewer than k tokens. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= k,
-      array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word k-shingles (k consecutive tokens joined by a space) of
+    * the normalized text; empty when the document has fewer than k tokens.
+    * Single-pass custom expression ([[graft.functions.ShingleKernel]]) —
+    * the equivalent transform∘slice∘concat_ws∘array_distinct chain is
+    * interpreted and ~10× slower. */
+  def wordShingles(text: Column, k: Int): Column =
+    graft.functions.Hashing.wordShingles(text, k)
 
   /** Exact-dedup / fingerprint hash of the normalized text (rolling-hash
     * document fingerprint analog; md5 keeps DuckDB-oracle parity). */

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal private[sql] bridge so graft's custom Catalyst expressions can
+  * be wrapped as public `Column`s (Spark 4's Column is ColumnNode-backed;
+  * the Expression↔Column converters live in `classic.ExpressionUtils`,
+  * which is private[sql] — same technique used by open-source Spark
+  * extension libraries). */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
