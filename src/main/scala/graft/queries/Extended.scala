@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import graft.llm.TextOps
+
+/** Extended operator coverage: batch windowed-time aggregation (the batch
+  * twin of StreamOps.tumblingAgg), semi-structured JSON access, generator
+  * (UDTF-style) expansion, and the user-function surface (scalar UDF +
+  * typed Aggregator UDAF) — SURVEY.md §2.9/§2.10. */
+object Extended {
+
+  /** Tumbling event-time window aggregation via `window()` — identical
+    * grouping to the streaming path, here over the batch fixture so the
+    * DuckDB oracle (hour truncation) can verify it. */
+  val windowTumbling: Q = (s, dir) =>
+    Tables.t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("w_start", "event_type")
+
+  val windowTumblingSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+      |       event_type, count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  /** Semi-structured access: JSON path extraction from the props column,
+    * both untyped (get_json_object) and schema'd (from_json). */
+  val jsonExtract: Q = (s, dir) =>
+    Tables.t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k_schema"))
+      .orderBy("event_id")
+
+  val jsonExtractSql: String =
+    """SELECT event_id,
+      |  json_extract_string(props, '$.k')::INTEGER AS k_path,
+      |  json_extract_string(props, '$.k')::INTEGER AS k_schema
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Generator/UDTF surface: explode tokens → corpus term frequencies. */
+  val explodeTokenFreq: Q = (s, dir) =>
+    Tables.t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(30)
+
+  val explodeTokenFreqSql: String =
+    """SELECT tok, count(*) AS n FROM (
+      |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents)
+      |WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 30""".stripMargin
+
+  /** User-function surface: a scalar Scala UDF (price banding) and the
+    * GeoMean typed Aggregator as a UDAF, in one aggregate — both run
+    * partial+final like built-ins (UDFs cost codegen opacity; preferred
+    * order is functions._ > custom Expression > UDF, §2.10). */
+  val udfUdaf: Q = (s, dir) => {
+    val band = udf((p: Double) => if (p < 50000) "low" else if (p < 150000) "mid" else "high")
+    val geomean = udaf(graft.functions.GeoMean)
+    Tables.t(s, dir, "orders")
+      .withColumn("band", band(col("o_totalprice")))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), round(geomean(col("o_totalprice")), 4).as("geo_price"))
+      .orderBy("band")
+  }
+
+  val udfUdafSql: String =
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+      |            WHEN o_totalprice < 150000 THEN 'mid'
+      |            ELSE 'high' END AS band,
+      |       count(*) AS n,
+      |       round(exp(avg(ln(o_totalprice))), 4) AS geo_price
+      |FROM orders GROUP BY 1 ORDER BY band""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q41_window_tumbling" -> windowTumbling,
+    "q42_json_extract" -> jsonExtract,
+    "q43_explode_token_freq" -> explodeTokenFreq,
+    "q44_udf_udaf" -> udfUdaf,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q41_window_tumbling" -> windowTumblingSql,
+    "q42_json_extract" -> jsonExtractSql,
+    "q43_explode_token_freq" -> explodeTokenFreqSql,
+    "q44_udf_udaf" -> udfUdafSql,
+  )
+}

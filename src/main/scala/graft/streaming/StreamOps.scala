@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.9/§7 M6 — the reference is
+  * batch-only; streams are this engine's extension surface).
+  *
+  * All transforms are source-agnostic: they accept any DataFrame with the
+  * events schema (event_id, ts timestamp, user_id, event_type, value),
+  * batch or streaming — the standard Structured Streaming contract, which
+  * is also what makes them testable by replaying the parquet fixture
+  * through a file/memory stream.
+  *
+  * Scale: every aggregation below is keyed (window/type/user), so state
+  * is partitioned across executors by key; watermarks bound state size —
+  * nothing accumulates unboundedly.
+  */
+object StreamOps {
+
+  /** Parquet-backed streaming read of the events fixture (schema fixed up
+    * for the TIMESTAMP(NANOS) physical type, as in [[graft.Tables.t]]). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    // the file stream source watches a DIRECTORY; the fixture is a single
+    // parquet file, so stage a symlink dir (no data copy)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts/sums per event type, late data dropped past
+    * the watermark. */
+  def tumblingAgg(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total"))
+
+  /** Sliding-window moving sum (windowLen every slide). */
+  def slidingAgg(events: DataFrame, windowLen: String, slide: String,
+                 watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"), col("n"))
+
+  /** Session windows per user: events separated by less than `gap` fuse
+    * into one session (built-in session_window — state bounded by
+    * watermark). */
+  def sessionAgg(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon
+    * (`dropDuplicates` keyed state — the streaming analog of
+    * [[graft.llm.Dedup.exact]]). */
+  def dedupStream(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
+
+  // ---- custom state: sessionization via flatMapGroupsWithState ----
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  case class UserSession(user_id: Long, start_ms: Long, end_ms: Long,
+                         n_events: Int, total_value: Double)
+
+  /** Custom stateful sessionization: per-user sessions closed after
+    * `gapMs` of processing-time inactivity — the `flatMapGroupsWithState`
+    * extension point (§2.10: arbitrary keyed state the built-in windows
+    * can't express, e.g. emitting only CLOSED sessions). */
+  def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          // batch-replay semantics: fold this micro-batch's events in ts
+          // order, closing sessions whenever the gap exceeds gapMs
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                closed += UserSession(userId, s.start, s.last, s.n, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps
+
+/** Streaming surface specs: replay the events parquet fixture through a
+  * file stream and assert the streaming result equals the same transform
+  * computed in batch — the Structured Streaming unification contract. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  private lazy val batchEvents = Tables.t(spark, sf, "events").cache()
+
+  /** Final watermark of an AvailableNow replay: max event time − delay.
+    * Append mode only emits windows fully below it; the tail windows stay
+    * open in state — the comparisons mirror that semantic. */
+  private lazy val finalWatermark: java.sql.Timestamp = {
+    val maxTs = batchEvents.agg(max("ts")).collect()(0).getTimestamp(0)
+    new java.sql.Timestamp(maxTs.getTime - 10 * 60000L)
+  }
+
+  test("tumbling window agg matches batch computation for closed windows") {
+    val streamed = runToMemory(
+      StreamOps.tumblingAgg(StreamOps.readEventsStream(spark, sf), "1 hour", "10 minutes"),
+      "t_tumbling")
+    val batch = StreamOps.tumblingAgg(batchEvents, "1 hour", "10 minutes")
+      .filter(col("w_start") + expr("INTERVAL 1 HOUR") <= lit(finalWatermark))
+    val a = streamed.orderBy("w_start", "event_type").collect().toSeq
+    val b = batch.orderBy("w_start", "event_type").collect().toSeq
+    assert(a.nonEmpty); assert(a === b)
+  }
+
+  test("sliding window agg produces overlapping windows") {
+    val got = runToMemory(
+      StreamOps.slidingAgg(StreamOps.readEventsStream(spark, sf), "2 hours", "1 hour", "10 minutes"),
+      "t_sliding")
+    val batch = StreamOps.slidingAgg(batchEvents, "2 hours", "1 hour", "10 minutes")
+      .filter(col("w_end") <= lit(finalWatermark))
+    assert(got.count() > 0)
+    assert(got.orderBy("w_start").collect().toSeq ===
+      batch.orderBy("w_start").collect().toSeq)
+    // overlap sanity on the batch side: each event lands in exactly 2 windows
+    val total = StreamOps.slidingAgg(batchEvents, "2 hours", "1 hour", "10 minutes")
+      .agg(sum("n")).as[Long].head()
+    assert(total === 2 * batchEvents.count())
+  }
+
+  test("session windows fuse events within gap") {
+    val streamed = runToMemory(
+      StreamOps.sessionAgg(StreamOps.readEventsStream(spark, sf), "30 minutes", "10 minutes"),
+      "t_session")
+    val batch = StreamOps.sessionAgg(batchEvents, "30 minutes", "10 minutes")
+      .filter(col("session_end") <= lit(finalWatermark))
+    assert(streamed.count() > 0)
+    assert(streamed.orderBy("user_id", "session_start").collect().toSeq ===
+      batch.orderBy("user_id", "session_start").collect().toSeq)
+  }
+
+  test("streaming dedup drops duplicate event ids") {
+    val deduped = runToMemory(
+      StreamOps.dedupStream(StreamOps.readEventsStream(spark, sf), "1 hour"), "t_dedup")
+    assert(deduped.count() === batchEvents.dropDuplicates("event_id").count())
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    // small deterministic fixture: user 1 has two sessions split by a 2h gap
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val evs = Seq(
+      StreamOps.Ev(1, ts(0), 1, "a", 1.0),
+      StreamOps.Ev(2, ts(10), 1, "a", 2.0),
+      StreamOps.Ev(3, ts(140), 1, "a", 3.0),   // 130min gap -> new session
+      StreamOps.Ev(4, ts(5), 2, "b", 4.0)
+    ).toDS()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamOps.Ev](spark)
+    stream.addData(evs.collect().toIndexedSeq: _*)
+    val q = StreamOps.sessionize(stream.toDS(), gapMs = 30 * 60000L)
+      .writeStream.outputMode("append").format("memory").queryName("t_sessionize").start()
+    q.processAllAvailable(); q.stop()
+    val closed = spark.table("t_sessionize").as[StreamOps.UserSession].collect()
+    // only user 1's FIRST session is closed (second stays open in state)
+    assert(closed.length === 1)
+    assert(closed.head === StreamOps.UserSession(1, 0, 10 * 60000L, 2, 3.0))
+  }
+}
