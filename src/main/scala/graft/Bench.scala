@@ -1,5 +1,19 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): one JSON line with per-query seconds
+  * plus the BASELINE.md scan-throughput protocol (the reference's
+  * InputBenchmark shape — full lineitem scan projecting
+  * (l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE), drained;
+  * reference hive-io-exp-cmdline benchmark/InputBenchmark.java:115-140,
+  * published 140 MB/s — BASELINE.md).
+  *
+  * Queries are drained via `queryExecution.toRdd.count()` so every plan
+  * fully materializes its rows: a plain DataFrame.count() lets Catalyst
+  * drop column reads and would overstate scan speed.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +21,40 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def drain(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+
+    // session warmup (parquet reader + codegen + shuffle JIT) so the
+    // first measured query doesn't absorb cold-start costs
+    val li = Tables.t(spark, sfDir, "lineitem")
+    drain(li.select("l_orderkey", "l_partkey", "l_quantity"))
+    drain(li.groupBy("l_returnflag").agg(sum("l_quantity")))
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try drain(fn(spark, sfDir)) catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // BASELINE scan protocol (IdIdSimRow shape): warmup pass, then timed
+    val scanDf = Tables.t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    drain(scanDf) // warmup (JIT + page cache)
+    val t0 = System.nanoTime()
+    val rows = drain(scanDf)
+    val scanSec = (System.nanoTime() - t0) / 1e9
+    val bytes = new java.io.File(s"$sfDir/lineitem.parquet").length()
+    val scan = f"""{"rows":$rows,"sec":$scanSec%.4f,"rows_per_sec":${(rows / scanSec).toLong},"parquet_mb_per_sec":${bytes / 1e6 / scanSec}%.1f}"""
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scan":$scan,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,14 +16,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns, computed as one
-    * codegen'd expression fold (no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
-    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  /** Cosine similarity of two array<double> columns — a single-pass
+    * custom expression ([[graft.functions.CosineKernel]]); same
+    * accumulation order as the equivalent aggregate/zip_with fold, so
+    * results are bit-identical, just not interpreted. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.cosineSim(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -48,17 +46,10 @@ object Similarity {
   /** Sign-random-projection signature: bit i = sign(v · h_i) where h_i is
     * a deterministic pseudo-random ±1 hyperplane derived from
     * xxhash64(plane index + offset, dim index) — reproducible with no
-    * stored model. Returned as a long bucket key of `bits` bits. */
-  def srpBucket(vec: Column, bits: Int, offset: Int = 0): Column = {
-    val proj = (0 until bits).map { i =>
-      val dotted = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => when(xxhash64(lit(i + offset), j).bitwiseAND(1) === 1, x).otherwise(-x)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dotted > 0, 1L).otherwise(0L)
-    }
-    proj.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
-  }
+    * stored model. Returned as a long bucket key of `bits` bits
+    * (single-pass custom expression, [[graft.functions.SrpKernel]]). */
+  def srpBucket(vec: Column, bits: Int, offset: Int = 0): Column =
+    graft.functions.VectorOps.srpBucket(vec, bits, offset)
 
   /** Approximate near-neighbor pairs: vectors sharing an SRP bucket, scored
     * exactly within the bucket, kept above `threshold`. Multiple independent

@@ -45,17 +45,19 @@ object TextOps {
   val StopFr = Seq("le", "la", "les", "et", "un", "une", "est", "pour", "que", "dans")
   val StopEs = Seq("el", "los", "y", "un", "una", "es", "por", "que", "con", "para")
 
-  private def stopHits(toks: Column, stops: Seq[String]): Column =
-    size(filter(toks, t => array_contains(typedLit(stops), t)))
+  /** All per-document scalars in one pass (custom expression; repeated
+    * uses in one projection are deduplicated by codegen subexpression
+    * elimination). */
+  private def stats(text: Column): Column = graft.functions.TextStats(text)
 
   /** N-gram-heuristic language ID: Han-script detection for zh, else the
     * language with the highest stopword-hit count (ties broken by fixed
     * precedence en > de > fr > es — mirrored exactly in the oracle SQL). */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val en = stopHits(toks, StopEn); val de = stopHits(toks, StopDe)
-    val fr = stopHits(toks, StopFr); val es = stopHits(toks, StopEs)
-    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+    val st = stats(text)
+    val en = st.getField("stop_en"); val de = st.getField("stop_de")
+    val fr = st.getField("stop_fr"); val es = st.getField("stop_es")
+    when(st.getField("has_han"), "zh")
       .when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
       .when(fr >= es, "fr")
@@ -63,23 +65,20 @@ object TextOps {
   }
 
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = stats(text).getField("n_tokens")
 
   /** BPE-ish token count: word pieces + isolated punctuation (the classic
     * `\w+|[^\w\s]` pre-tokenizer; ASCII \w in both Java regex and RE2). */
-  def bpeTokenCount(text: Column): Column =
-    regexp_count(text, lit("\\w+|[^\\w\\s]"))
+  def bpeTokenCount(text: Column): Column = stats(text).getField("bpe")
 
   /** Punctuation-character ratio (fixed class for oracle parity). */
   def punctRatio(text: Column): Column =
-    regexp_count(text, lit("[.,!?;:]")).cast("double") /
-      greatest(length(text), lit(1))
+    stats(text).getField("punct").cast("double") / greatest(length(text), lit(1))
 
   /** English-stopword ratio among whitespace tokens. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
-    stopHits(toks, StopEn).cast("double") / greatest(size(toks), lit(1))
-  }
+  def stopwordRatio(text: Column): Column =
+    stats(text).getField("stop_en").cast("double") /
+      greatest(stats(text).getField("n_tokens"), lit(1))
 
   /** Composite quality score in [0,1]: length saturation × (1 − punct
     * excess) × stopword plausibility. Deterministic, documented formula —

@@ -81,11 +81,90 @@ object Extended {
       |       round(exp(avg(ln(o_totalprice))), 4) AS geo_price
       |FROM orders GROUP BY 1 ORDER BY band""".stripMargin
 
+  /** Multimodal metadata path (§7 M7): text packed as binary media +
+    * typed meta struct; the SQL-expressible projection (byte length,
+    * frame count) is oracle-checked — the stubbed decode itself is
+    * covered by MultimodalSpec. */
+  val multimodalMeta: Q = (s, dir) =>
+    graft.multimodal.Multimodal
+      .packText(Tables.t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"),
+        length(col("media")).as("media_bytes"),
+        col("meta.kind").as("kind"),
+        ceil(length(col("media")).cast("double") / 256.0).cast("long").as("n_frames"))
+      .orderBy("doc_id")
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id, octet_length(encode(text))::INTEGER AS media_bytes,
+      |       'text' AS kind,
+      |       CAST(ceil(octet_length(encode(text))::DOUBLE / 256.0) AS BIGINT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Scalar subquery (Catalyst decorrelates to a broadcast of one row):
+    * customers above the global mean balance. */
+  val scalarSubquery: Q = (s, dir) => {
+    Tables.t(s, dir, "customer").createOrReplaceTempView("customer_sq")
+    s.sql(
+      """SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer_sq
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_sq)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val scalarSubquerySql: String =
+    """SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** IN-subquery (decorrelated to a left-semi join). */
+  val inSubquery: Q = (s, dir) => {
+    Tables.t(s, dir, "orders").createOrReplaceTempView("orders_in")
+    Tables.t(s, dir, "lineitem").createOrReplaceTempView("lineitem_in")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders_in
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_in WHERE l_quantity > 48)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val inSubquerySql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 48)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Pivot (conditional aggregation): lineitem counts by returnflag,
+    * pivoted on linestatus. */
+  val pivot: Q = (s, dir) =>
+    Tables.t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .orderBy("l_returnflag")
+
+  val pivotSql: String =
+    """SELECT l_returnflag,
+      |  count(*) FILTER (WHERE l_linestatus = 'F') AS F,
+      |  count(*) FILTER (WHERE l_linestatus = 'O') AS O
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** approx_count_distinct (HLL++) — sketch values differ across engines,
+    * so this is a rows-only check; ApproxSpec bounds the relative error
+    * against the exact count. */
+  val approxDistinct: Q = (s, dir) =>
+    Tables.t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
     "q41_window_tumbling" -> windowTumbling,
     "q42_json_extract" -> jsonExtract,
     "q43_explode_token_freq" -> explodeTokenFreq,
     "q44_udf_udaf" -> udfUdaf,
+    "q45_multimodal_meta" -> multimodalMeta,
+    "q46_scalar_subquery" -> scalarSubquery,
+    "q47_in_subquery" -> inSubquery,
+    "q48_pivot" -> pivot,
+    "q49_approx_distinct" -> approxDistinct,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -93,5 +172,9 @@ object Extended {
     "q42_json_extract" -> jsonExtractSql,
     "q43_explode_token_freq" -> explodeTokenFreqSql,
     "q44_udf_udaf" -> udfUdafSql,
+    "q45_multimodal_meta" -> multimodalMetaSql,
+    "q46_scalar_subquery" -> scalarSubquerySql,
+    "q47_in_subquery" -> inSubquerySql,
+    "q48_pivot" -> pivotSql,
   )
 }

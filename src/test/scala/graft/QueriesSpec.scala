@@ -40,4 +40,15 @@ class QueriesSpec extends AnyFunSuite {
       assert(df.count() > 0, s"$name returned no rows")
     }
   }
+
+  test("approx_count_distinct stays within 10% of exact") {
+    import spark.implicits._
+    val rows = graft.queries.Extended.approxDistinct(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.10,
+        s"$flag: approx=$approx exact=$exact")
+    }
+  }
 }
