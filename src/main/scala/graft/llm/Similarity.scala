@@ -51,6 +51,44 @@ object Similarity {
   def srpBucket(vec: Column, bits: Int, offset: Int = 0): Column =
     graft.functions.VectorOps.srpBucket(vec, bits, offset)
 
+  /** IVF (inverted-file) approximate top-k: the corpus is assigned to
+    * `nlist` cells by nearest centroid; each query probes only its
+    * `nprobe` nearest cells, scoring ~n·nprobe/nlist candidates instead
+    * of n. Centroids here are a deterministic sample (first `nlist` ids)
+    * standing in for offline k-means training — the partition/probe
+    * plumbing (broadcast centroids, map-side assignment, cell-keyed join)
+    * is the part that must scale, and does: no corpus self-join, one
+    * shuffle keyed on cell id. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val centroids = v.orderBy("id").limit(nlist)
+      .select(col("id").as("cell"), col("v").as("cv"))
+
+    def nearestCells(df: DataFrame, keyCol: String, vecName: String, keep: Int) = {
+      val w = Window.partitionBy(keyCol).orderBy(col("csim").desc, col("cell").asc)
+      df.join(broadcast(centroids))
+        .withColumn("csim", cosine(col(vecName), col("cv")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= keep)
+        .drop("cv", "csim", "crk")
+    }
+
+    val assigned = nearestCells(v, "id", "v", 1)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probes = nearestCells(q, "query_id", "qv", nprobe)
+
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(assigned, "cell")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 4).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Approximate near-neighbor pairs: vectors sharing an SRP bucket, scored
     * exactly within the bucket, kept above `threshold`. Multiple independent
     * hash tables (`tables`) raise recall; buckets are the shuffle key so

@@ -121,6 +121,15 @@ object LlmQueries {
         threshold = 0.3, bits = 8, tables = 4)
       .orderBy("id_a", "id_b")
 
+  /** IVF approximate top-k (scale path for ANN; see Similarity.ivfTopK).
+    * Hash-free but centroid-sample-dependent → rows-only check +
+    * recall/exactness assertions in LlmOpsSpec. */
+  val annIvf: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5)
+      .orderBy("query_id", "rk")
+  }
+
   /** Per-label embedding stats: count + mean L2 norm (sanity/profiling op). */
   val embStats: Q = (s, dir) => {
     val e = Tables.t(s, dir, "embeddings")
@@ -219,6 +228,7 @@ object LlmQueries {
     "q34_ann_topk" -> annTopK,
     "q35_emb_neardup" -> embNearDup,
     "q36_ann_lsh" -> annLsh,
+    "q50_ann_ivf" -> annIvf,
     "q37_emb_stats" -> embStats,
     "q38_lang_id" -> langId,
     "q39_quality_score" -> qualityScore,

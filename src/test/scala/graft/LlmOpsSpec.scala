@@ -73,6 +73,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(s0 - exp) < 1e-3)
   }
 
+  test("IVF topk reports exact sims for returned neighbors with nonzero recall") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopK(qs, emb, 5)
+      .as[(Long, Long, Double, Int)].collect()
+    val brute = Similarity.bruteForceTopK(qs, emb, 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ivf.nonEmpty)
+    // every reported sim must equal the exact (rounded) cosine from brute scoring
+    val bruteAll = Similarity.bruteForceTopK(qs, emb, 500)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    ivf.foreach { case (q, n, s, _) => assert(bruteAll((q, n)) === s) }
+    // IVF with nprobe=4/16 cells should recover a decent share of true top-5
+    val recall = ivf.map(r => (r._1, r._2)).toSet
+      .intersect(brute.map(r => (r._1, r._2)).toSet).size.toDouble / brute.length
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
   test("langId marks han-script docs zh and anglophone docs en") {
     val df = Seq(
       (1L, "the cat and the dog went to the market in the morning"),

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality assertions: the optimizations SURVEY.md §4 claims are
+  * "free from Catalyst" must actually appear in the physical plans —
+  * pushdown, pruning, broadcast, top-k. These are the properties that
+  * decide whether the plan survives a 100× scale-up. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02 pushes the row filter into the parquet scan") {
+    val p = plan("q02_filter_predicate")
+    assert(p.contains("PushedFilters: ["), p.take(500))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"),
+      "shipdate predicate should reach the scan")
+  }
+
+  test("q01 prunes columns to the 3-column projection") {
+    val p = plan("q01_scan_projection")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double>"),
+      p.split("ReadSchema").last.take(200))
+  }
+
+  test("q03 plans ORDER BY + LIMIT as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q03_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("q11 broadcasts the dimension tables") {
+    val p = plan("q11_join_inner_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("q05 aggregates with a partial (map-side) phase") {
+    val p = plan("q05_agg_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(600))
+  }
+
+  test("Engine partition filter prunes partitions at plan time") {
+    import spark.implicits._
+    val e = new graft.api.Engine(spark,
+      java.nio.file.Files.createTempDirectory("graft-wh-plan").toString)
+    val spec = graft.api.TableSpec("tpart")
+    e.write(spec, Seq((1, 1.1)).toDF("i1", "d1"), graft.api.WriteSpec(Map("ds" -> "a")))
+    e.write(spec, Seq((2, 2.2)).toDF("i1", "d1"), graft.api.WriteSpec(Map("ds" -> "b")))
+    val pruned = e.read(spec.copy(partitionFilter = Some(col("ds") === "b")))
+    // the partition predicate must land in PartitionFilters (directory
+    // pruning), not DataFilters (row filtering after a full scan)
+    val p = pruned.queryExecution.executedPlan.toString
+    val partFilters = p.split("PartitionFilters: ").last.split("]").head
+    assert(partFilters.contains("ds"), p.take(600))
+    assert(pruned.count() === 1)
+  }
+
+  test("custom hash kernels run inside whole-stage codegen") {
+    val df = Tables.t(spark, sf, "documents")
+      .select(graft.functions.Hashing.minhashSignature(
+        graft.llm.TextOps.wordShingles(col("text"), 3), 16).as("sig"))
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in plan strings
+    assert(p.contains("*(1) Project [minhash_signature"), p.take(400))
+  }
+}
