@@ -1,12 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Single-pass hash kernels for the dedup operators.
   *
@@ -119,7 +120,9 @@ object ShingleKernel {
 
 /** string → array<string> distinct word k-shingles (see [[ShingleKernel]]). */
 case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName, child.dataType == StringType, "STRING", child.dataType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
   override protected def nullSafeEval(input: Any): Any =
     ShingleKernel.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
@@ -132,6 +135,8 @@ case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
 /** array<string> → array<long> MinHash signature (see [[MinHashKernel]]). */
 case class MinHashSignatureExpr(child: Expression, numPerms: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName, GraftTypeCheck.isStringArray(child.dataType), "ARRAY<STRING>", child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
   override protected def nullSafeEval(input: Any): Any =
@@ -144,6 +149,8 @@ case class MinHashSignatureExpr(child: Expression, numPerms: Int)
 
 /** array<string> → array<long> (4 × 16-bit) SimHash blocks. */
 case class SimHashBlocksExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName, GraftTypeCheck.isStringArray(child.dataType), "ARRAY<STRING>", child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "simhash_blocks"
   override protected def nullSafeEval(input: Any): Any =

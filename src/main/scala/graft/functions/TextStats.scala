@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.unsafe.types.UTF8String
@@ -75,6 +76,8 @@ object TextStatsKernel {
 
 /** string → struct of per-document text statistics (see [[TextStatsKernel]]). */
 case class TextStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName, child.dataType == StringType, "STRING", child.dataType)
   override def dataType: DataType = TextStatsKernel.schema
   override def prettyName: String = "text_stats"
   override protected def nullSafeEval(input: Any): Any =

@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Vector kernels for similarity search over array<double> embeddings.
   * Same left-to-right accumulation order as the `aggregate`/`zip_with`
@@ -53,6 +54,10 @@ object SrpKernel {
 
 /** (array<double>, array<double>) → double cosine similarity. */
 case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName,
+    GraftTypeCheck.isDoubleArray(left.dataType) && GraftTypeCheck.isDoubleArray(right.dataType),
+    "ARRAY<DOUBLE>, ARRAY<DOUBLE>", left.dataType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -65,6 +70,8 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
 
 /** array<double> → long SRP bucket key of `bits` bits. */
 case class SrpBucketExpr(child: Expression, bits: Int, offset: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName, GraftTypeCheck.isDoubleArray(child.dataType), "ARRAY<DOUBLE>", child.dataType)
   override def dataType: DataType = LongType
   override def prettyName: String = "srp_bucket"
   override protected def nullSafeEval(v: Any): Any =

@@ -521,9 +521,76 @@ object Relational {
     """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // -------------------------------------------------- classic query shapes
+
+  /** TPC-H Q3 shape (shipping priority): 3-way join, filtered both sides,
+    * broadcast customer dim, grouped revenue, top-10. */
+  val tpchQ3: Q = (s, dir) => {
+    val cutoff = lit("1997-06-01").cast("timestamp")
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val tpchQ3Sql: String =
+    """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-06-01'
+      |  AND l_shipdate > TIMESTAMP '1997-06-01'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape (local supplier volume): 6-way join through region →
+    * nation → customer → orders → lineitem → supplier with the
+    * same-nation constraint; dims broadcast, facts shuffle on join keys
+    * only. */
+  val tpchQ5: Q = (s, dir) => {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1997)
+    val l = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+        su("s_nationkey") === c("c_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val tpchQ5Sql: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
+      |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "q51_tpch_q3" -> tpchQ3,
+    "q52_tpch_q5" -> tpchQ5,
     "q29_write_roundtrip" -> writeRoundtrip,
     "q01_scan_projection" -> scanProjection,
     "q02_filter_predicate" -> filterPredicate,
@@ -556,6 +623,8 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q51_tpch_q3" -> tpchQ3Sql,
+    "q52_tpch_q5" -> tpchQ5Sql,
     "q29_write_roundtrip" -> writeRoundtripSql,
     "q01_scan_projection" -> scanProjectionSql,
     "q02_filter_predicate" -> filterPredicateSql,
