@@ -37,6 +37,8 @@ object GraftFunctions {
     "srp_bucket" -> (es => SrpBucketExpr(es.head,
       intArg(es(1), "srp_bucket"), if (es.length > 2) intArg(es(2), "srp_bucket") else 0)),
     "text_stats" -> (es => TextStatsExpr(es.head)),
+    "char_ngrams" -> (es => CharNgramsExpr(es.head, intArg(es(1), "char_ngrams"))),
+    "jaccard_sim" -> (es => JaccardExpr(es.head, es(1))),
   )
 
   /** Register into an existing session's function registry. */

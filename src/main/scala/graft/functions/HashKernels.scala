@@ -118,6 +118,39 @@ object ShingleKernel {
   }
 }
 
+object CharNgramKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Distinct character n-grams of the whitespace-normalized lowercase
+    * text (first-occurrence order). Empty when shorter than n chars. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString.toLowerCase.trim.replaceAll("\\s+", " ")
+    if (s.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= s.length - n) { seen.add(s.substring(i, i + n)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** string → array<string> distinct character n-grams (see [[CharNgramKernel]]). */
+case class CharNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName, child.dataType == StringType, "STRING", child.dataType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+  override protected def nullSafeEval(input: Any): Any =
+    CharNgramKernel.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharNgramKernel.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** string → array<string> distinct word k-shingles (see [[ShingleKernel]]). */
 case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
@@ -161,6 +194,42 @@ case class SimHashBlocksExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object JaccardKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** |A ∩ B| / |A ∪ B| of two string arrays (inputs assumed distinct, as
+    * produced by the shingle/ngram kernels). One hash-set pass instead of
+    * interpreted array_intersect + array_union. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return Double.NaN
+    val set = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var shared = 0
+    var j = 0
+    while (j < nb) { if (set.contains(b.getUTF8String(j))) shared += 1; j += 1 }
+    shared.toDouble / (na + nb - shared)
+  }
+}
+
+/** (array<string>, array<string>) → double Jaccard similarity. */
+case class JaccardExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName,
+    GraftTypeCheck.isStringArray(left.dataType) && GraftTypeCheck.isStringArray(right.dataType),
+    "ARRAY<STRING>, ARRAY<STRING>", left.dataType)
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaccard_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardKernel.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaccardKernel.compute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level entry points for the custom expressions. */
 object Hashing {
   def minhashSignature(c: Column, numPerms: Int): Column =
@@ -169,4 +238,8 @@ object Hashing {
     GraftBridge.column(SimHashBlocksExpr(GraftBridge.expression(c)))
   def wordShingles(c: Column, k: Int): Column =
     GraftBridge.column(WordShinglesExpr(GraftBridge.expression(c), k))
+  def charNgrams(c: Column, n: Int): Column =
+    GraftBridge.column(CharNgramsExpr(GraftBridge.expression(c), n))
+  def jaccardSim(a: Column, b: Column): Column =
+    GraftBridge.column(JaccardExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -35,9 +35,10 @@ object TextOps {
     * document fingerprint analog; md5 keeps DuckDB-oracle parity). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
-  /** Jaccard similarity of two pre-distinct string arrays. */
+  /** Jaccard similarity of two pre-distinct string arrays (single-pass
+    * custom expression, [[graft.functions.JaccardKernel]]). */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    graft.functions.Hashing.jaccardSim(a, b)
 
   /** Language stopword marker sets (tiny, broadcast as literals). */
   val StopEn = Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")

@@ -155,7 +155,46 @@ object Extended {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Exact interpolated percentiles per group (§2.4 breadth). */
+  val percentiles: Q = (s, dir) =>
+    Tables.t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(transform(
+        percentile(col("o_totalprice"), typedLit(Seq(0.25, 0.5, 0.75))),
+        x => round(x, 4)).as("pct"))
+      .orderBy("o_orderstatus")
+
+  val percentilesSql: String =
+    """SELECT o_orderstatus,
+      |  [round(x, 4) for x in quantile_cont(o_totalprice, [0.25, 0.5, 0.75])] AS pct
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** String/range predicate battery (§2.8): LIKE anchors, substring
+    * containment, IN-list, BETWEEN. */
+  val predicates: Q = (s, dir) =>
+    Tables.t(s, dir, "part")
+      .select(col("p_partkey"),
+        col("p_name").like("%part%").as("has_part"),
+        col("p_name").startsWith("name").as("starts_name"),
+        col("p_name").endsWith("0").as("ends_zero"),
+        col("p_name").contains("a").as("has_a"),
+        col("p_size").isin(5, 10, 15).as("size_in"),
+        col("p_retailprice").between(500, 1500).as("price_band"))
+      .orderBy("p_partkey")
+
+  val predicatesSql: String =
+    """SELECT p_partkey,
+      |  p_name LIKE '%part%' AS has_part,
+      |  p_name LIKE 'name%' AS starts_name,
+      |  p_name LIKE '%0' AS ends_zero,
+      |  contains(p_name, 'a') AS has_a,
+      |  p_size IN (5, 10, 15) AS size_in,
+      |  p_retailprice BETWEEN 500 AND 1500 AS price_band
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q54_percentiles" -> percentiles,
+    "q55_predicates" -> predicates,
     "q41_window_tumbling" -> windowTumbling,
     "q42_json_extract" -> jsonExtract,
     "q43_explode_token_freq" -> explodeTokenFreq,
@@ -168,6 +207,8 @@ object Extended {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q54_percentiles" -> percentilesSql,
+    "q55_predicates" -> predicatesSql,
     "q41_window_tumbling" -> windowTumblingSql,
     "q42_json_extract" -> jsonExtractSql,
     "q43_explode_token_freq" -> explodeTokenFreqSql,

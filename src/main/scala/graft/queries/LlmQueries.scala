@@ -146,6 +146,37 @@ object LlmQueries {
       |  round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 4) AS avg_norm
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
+  /** Exact character-n-gram Jaccard scoring: a small query set (broadcast)
+    * against the corpus — the exact complement to the MinHash-LSH
+    * discovery path (which finds corpus-wide pairs without O(n²) work). */
+  val ngramJaccard: Q = (s, dir) => {
+    val g = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), graft.functions.Hashing.charNgrams(col("text"), 4).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val qset = g.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
+    val corpus = g.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
+    corpus.join(broadcast(qset), col("doc_b") > col("doc_a"))
+      .select(col("doc_a"), col("doc_b"),
+        round(TextOps.jaccard(col("g_a"), col("g_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct([nt[i:i+3] for i in range(1, len(nt)-2)]) AS grams
+      |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      |        FROM documents)
+      |  WHERE len(nt) >= 4)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+      |        len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+      |FROM g a JOIN g b ON a.doc_id < 20 AND b.doc_id > a.doc_id
+      |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+      |        len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------ text analysis
 
   /** Language ID heuristic vs the fixture's ground-truth lang column. */
@@ -229,6 +260,7 @@ object LlmQueries {
     "q35_emb_neardup" -> embNearDup,
     "q36_ann_lsh" -> annLsh,
     "q50_ann_ivf" -> annIvf,
+    "q53_ngram_jaccard" -> ngramJaccard,
     "q37_emb_stats" -> embStats,
     "q38_lang_id" -> langId,
     "q39_quality_score" -> qualityScore,
@@ -240,6 +272,7 @@ object LlmQueries {
     "q31_doc_fingerprint" -> docFingerprintSql,
     "q32_dedup_minhash_lsh" -> dedupMinhashSql,
     "q34_ann_topk" -> annTopKSql,
+    "q53_ngram_jaccard" -> ngramJaccardSql,
     "q35_emb_neardup" -> embNearDupSql,
     "q37_emb_stats" -> embStatsSql,
     "q38_lang_id" -> langIdSql,
