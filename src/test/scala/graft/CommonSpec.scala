@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.common.{Backoff, ScanMetrics}
+
+/** Parity specs for the reference's fault-tolerance + observer machinery
+  * (FaultyCheckOutputSpecsTest / MetricsObserver shapes). */
+class CommonSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("backoff retry succeeds within budget, counting attempts") {
+    var calls = 0
+    val got = Backoff.retry(Backoff.Policy(maxTries = 5, initialDelayMs = 1)) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      42
+    }
+    assert(got === 42); assert(calls === 3)
+  }
+
+  test("backoff retry exhausts budget and rethrows, counting attempts") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      Backoff.retry(Backoff.Policy(maxTries = 4, initialDelayMs = 1)) {
+        calls += 1
+        throw new RuntimeException(s"always-fails-$calls")
+      }
+    }
+    assert(calls === 4)
+    assert(e.getMessage === "always-fails-4")
+  }
+
+  test("no retry on first-try success") {
+    var calls = 0
+    Backoff.retry() { calls += 1 }
+    assert(calls === 1)
+  }
+
+  test("query execution listener observes scan rows and bytes") {
+    val m = ScanMetrics.attach(spark)
+    try {
+      Tables.t(spark, sf, "nation").collect()
+      // listener events deliver asynchronously; poll briefly
+      var waited = 0
+      while (m.stats.isEmpty && waited < 50) { Thread.sleep(100); waited += 1 }
+      assert(m.stats.nonEmpty, "listener should have observed the collect")
+      assert(m.stats.exists(_.scanBytes > 0), m.stats.toString)
+    } finally spark.listenerManager.unregister(m)
+  }
+
+  // InputTest.checkGets parity (reference input/InputTest.java:175-190):
+  // wrong-typed access must throw, not silently coerce
+  test("wrong-typed dataset access fails at analysis") {
+    import spark.implicits._
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Tables.t(spark, sf, "nation").as[(Long, Long, Long)].collect() // n_name is a string
+    }
+    assert(e.getMessage.contains("n_name") || e.getMessage.toLowerCase.contains("cannot up cast"))
+  }
+}
