@@ -87,6 +87,41 @@ object Dedup {
     * 16-bit blocks (catches all pairs with Hamming distance ≤ 3 by
     * pigeonhole); verified by exact Hamming distance over the 64 bits.
     * Returns (doc_a, doc_b, hamming) with doc_a < doc_b, hamming ≤ maxHamming. */
+  /** Duplicate-cluster assignment: connected components over a near-dup
+    * pair graph by iterative min-label propagation (each node adopts the
+    * smallest label among itself and its neighbors until fixpoint —
+    * converges in ≤ diameter iterations, each one distributed join +
+    * aggregate; `localCheckpoint` truncates lineage so plans stay flat).
+    * This is the step after pair discovery in a dedup pipeline: keep
+    * cluster_id == doc_id, drop the rest.
+    *
+    * Returns (doc_id, cluster_id) for every node that appears in a pair;
+    * cluster_id is the smallest doc_id reachable from the node. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("c", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges.join(labels, edges("v") === labels("id"))
+        .groupBy("u").agg(min("c").as("nc"))
+      val next = labels.join(prop, labels("id") === prop("u"), "left")
+        .select(labels("id"),
+          least(labels("c"), coalesce(col("nc"), labels("c"))).as("c"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.c") =!= col("o.c")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("c").as("cluster_id"))
+  }
+
   def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    maxHamming: Int = 3): DataFrame = {
     val fp = docs.select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blocks"))

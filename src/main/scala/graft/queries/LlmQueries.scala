@@ -65,6 +65,34 @@ object LlmQueries {
   val dedupSimhash: Q = (s, dir) =>
     Dedup.simhashPairs(Tables.t(s, dir, "documents")).orderBy("doc_a", "doc_b")
 
+  /** Duplicate clusters: MinHash-LSH pairs → connected components
+    * (min-label propagation). Oracle: recursive-CTE transitive closure
+    * over the brute-force pair truth. */
+  val dedupClusters: Q = (s, dir) =>
+    Dedup.connectedComponents(
+        Dedup.minhashLsh(Tables.t(s, dir, "documents")))
+      .orderBy("doc_id")
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+       |           for i in range(1, len(toks)-1)]) AS shingles
+       |  FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 3),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+       |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.8),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id)
+       |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------- similarity
 
   /** Exact ANN baseline: top-5 cosine neighbors of the first 10 vectors
@@ -261,6 +289,7 @@ object LlmQueries {
     "q36_ann_lsh" -> annLsh,
     "q50_ann_ivf" -> annIvf,
     "q53_ngram_jaccard" -> ngramJaccard,
+    "q56_dedup_clusters" -> dedupClusters,
     "q37_emb_stats" -> embStats,
     "q38_lang_id" -> langId,
     "q39_quality_score" -> qualityScore,
@@ -273,6 +302,7 @@ object LlmQueries {
     "q32_dedup_minhash_lsh" -> dedupMinhashSql,
     "q34_ann_topk" -> annTopKSql,
     "q53_ngram_jaccard" -> ngramJaccardSql,
+    "q56_dedup_clusters" -> dedupClustersSql,
     "q35_emb_neardup" -> embNearDupSql,
     "q37_emb_stats" -> embStatsSql,
     "q38_lang_id" -> langIdSql,

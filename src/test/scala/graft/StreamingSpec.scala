@@ -73,6 +73,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(deduped.count() === batchEvents.dropDuplicates("event_id").count())
   }
 
+  test("file sink with checkpoint recovers without duplicating output") {
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    def run(): Unit = {
+      val q = StreamOps.tumblingAgg(StreamOps.readEventsStream(spark, sf), "1 hour", "10 minutes")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst > 0)
+    // restart against the same checkpoint: no new input → no new rows
+    run()
+    assert(spark.read.parquet(out).count() === afterFirst,
+      "restart from checkpoint must not duplicate committed output")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     // small deterministic fixture: user 1 has two sessions split by a 2h gap
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
