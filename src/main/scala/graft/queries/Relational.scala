@@ -586,11 +586,45 @@ object Relational {
       |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
       |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin
 
+  /** TPC-H Q18 shape (large-volume customers): HAVING over a grouped
+    * subquery feeding a semi-join, then a re-aggregation — exercises
+    * HAVING, IN-subquery decorrelation, and multi-key grouping. */
+  val tpchQ18: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val bigOrders = li.groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("qty"))
+      .filter(col("qty") > 150) // HAVING
+      .select("l_orderkey")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(bigOrders, o("o_orderkey") === bigOrders("l_orderkey"), "left_semi")
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+      .agg(round(sum("l_quantity"), 2).as("total_qty"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("total_qty"))
+      .orderBy(col("price").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
+  val tpchQ18Sql: String =
+    """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+      |       round(sum(l_quantity), 2) AS total_qty
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+      |GROUP BY c_custkey, o_orderkey, o_totalprice
+      |ORDER BY price DESC, o_orderkey ASC LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "q51_tpch_q3" -> tpchQ3,
     "q52_tpch_q5" -> tpchQ5,
+    "q57_tpch_q18" -> tpchQ18,
     "q29_write_roundtrip" -> writeRoundtrip,
     "q01_scan_projection" -> scanProjection,
     "q02_filter_predicate" -> filterPredicate,
@@ -625,6 +659,7 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q51_tpch_q3" -> tpchQ3Sql,
     "q52_tpch_q5" -> tpchQ5Sql,
+    "q57_tpch_q18" -> tpchQ18Sql,
     "q29_write_roundtrip" -> writeRoundtripSql,
     "q01_scan_projection" -> scanProjectionSql,
     "q02_filter_predicate" -> filterPredicateSql,

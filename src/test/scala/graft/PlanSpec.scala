@@ -58,6 +58,19 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.count() === 1)
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    import org.apache.spark.sql.functions.sum
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    val agg = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_orderkey").agg(sum("l_quantity"))
+    // tiny shuffle at sf0.001: AQE should fuse the configured partitions
+    // down to far fewer than spark.sql.shuffle.partitions
+    val partitionsAfter = agg.rdd.getNumPartitions
+    val configured = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(partitionsAfter < configured || configured == 1,
+      s"AQE left $partitionsAfter partitions (configured $configured)")
+  }
+
   test("custom hash kernels run inside whole-stage codegen") {
     val df = Tables.t(spark, sf, "documents")
       .select(graft.functions.Hashing.minhashSignature(

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.TypeWidening
+import graft.llm.TextOps
+
+/** Property-based tests (SURVEY §5 strategy item 5): type-widening
+  * lattice laws and similarity-kernel invariants over random inputs.
+  * Uses raw ScalaCheck (scalatestplus isn't in the offline cache). */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def check(prop: Prop, cases: Int = 30): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val numericTypes: Gen[DataType] = Gen.oneOf(
+    ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+
+  test("widening is reflexive-by-equality, antisymmetric, transitive") {
+    check(Prop.forAll(numericTypes, numericTypes, numericTypes) { (a, b, c) =>
+      val refl = TypeWidening.canWiden(a, a)
+      val anti = a == b || !(TypeWidening.canWiden(a, b) && TypeWidening.canWiden(b, a))
+      val trans = !(TypeWidening.canWiden(a, b) && TypeWidening.canWiden(b, c)) ||
+        TypeWidening.canWiden(a, c)
+      refl && anti && trans
+    }, cases = 100)
+  }
+
+  test("widening never accepts a non-numeric source or target") {
+    check(Prop.forAll(numericTypes) { n =>
+      !TypeWidening.canWiden(StringType, n) && !TypeWidening.canWiden(n, StringType)
+    }, cases = 20)
+  }
+
+  private val word: Gen[String] = Gen.choose(1, 6).flatMap(n =>
+    Gen.stringOfN(n, Gen.alphaLowerChar))
+  private val doc: Gen[String] = Gen.choose(2, 30).flatMap(n =>
+    Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  test("jaccard kernel: bounded, symmetric, self-similarity 1") {
+    check(Prop.forAll(Gen.listOfN(8, doc)) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .withColumn("sh", TextOps.wordShingles(col("text"), 2))
+        .filter(size(col("sh")) > 0)
+      val a = df.select(col("id").as("ia"), col("sh").as("sa"))
+      val b = df.select(col("id").as("ib"), col("sh").as("sb"))
+      val sims = a.crossJoin(b)
+        .select(col("ia"), col("ib"), TextOps.jaccard(col("sa"), col("sb")).as("j"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      sims.forall { case ((x, y), j) =>
+        j >= 0.0 && j <= 1.0 &&
+          math.abs(j - sims((y, x))) < 1e-12 &&
+          (x != y || j == 1.0)
+      }
+    }, cases = 10)
+  }
+
+  test("minhash signature similarity estimates jaccard within tolerance") {
+    // near-dup construction: doc B = doc A with `edits` words replaced
+    val gen = for {
+      words <- Gen.listOfN(25, word)
+      edits <- Gen.choose(0, 5)
+    } yield (words, edits)
+    check(Prop.forAll(gen) { case (words, edits) =>
+      val a = words.mkString(" ")
+      val b = (words.drop(edits) ++ Seq.fill(edits)("zzz")).mkString(" ")
+      val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+        .select(col("id"),
+          graft.functions.Hashing.minhashSignature(
+            TextOps.wordShingles(col("text"), 2), 256).as("sig"),
+          TextOps.wordShingles(col("text"), 2).as("sh"))
+      val rows = df.collect().sortBy(_.getLong(0))
+      val sigA = rows(0).getSeq[Long](1); val sigB = rows(1).getSeq[Long](1)
+      val est = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / 256
+      val shA = rows(0).getSeq[String](2).toSet
+      val shB = rows(1).getSeq[String](2).toSet
+      val exact = shA.intersect(shB).size.toDouble / shA.union(shB).size
+      math.abs(est - exact) < 0.2
+    }, cases = 10)
+  }
+
+  test("cosine kernel: bounded and symmetric on random vectors") {
+    val vec: Gen[List[Double]] = Gen.listOfN(16, Gen.choose(-1.0, 1.0))
+    check(Prop.forAll(vec, vec) { (u, v) =>
+      (!u.exists(_ != 0.0) || !v.exists(_ != 0.0)) || {
+        val df = Seq((u, v)).toDF("u", "v")
+        val s1 = df.select(graft.llm.Similarity.cosine(col("u"), col("v"))).as[Double].head()
+        val s2 = df.select(graft.llm.Similarity.cosine(col("v"), col("u"))).as[Double].head()
+        s1 >= -1.0 - 1e-9 && s1 <= 1.0 + 1e-9 && math.abs(s1 - s2) < 1e-12
+      }
+    }, cases = 10)
+  }
+
+  test("kernels propagate null inputs as null results") {
+    val df = Seq((1L, Option.empty[String]), (2L, Some("a b c d"))).toDF("id", "text")
+    val got = df.select(col("id"),
+      TextOps.wordShingles(col("text"), 2).as("sh"),
+      graft.functions.TextStats(col("text")).as("st"),
+      TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("id").collect()
+    assert(got(0).isNullAt(1) && got(0).isNullAt(2) && got(0).isNullAt(3))
+    assert(!got(1).isNullAt(1) && !got(1).isNullAt(2) && !got(1).isNullAt(3))
+  }
+}
