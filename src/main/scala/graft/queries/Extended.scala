@@ -192,7 +192,29 @@ object Extended {
       |  p_retailprice BETWEEN 500 AND 1500 AS price_band
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Array-function battery (§2.8 collections): sort, slice, contains,
+    * distinct-count over token arrays. */
+  val arrayFuncs: Q = (s, dir) =>
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        slice(sort_array(TextOps.tokens(col("text"))), 1, 5).as("first5"),
+        array_contains(TextOps.tokens(col("text")), "the").as("has_the"),
+        size(TextOps.tokens(col("text"))).as("n_toks"),
+        size(array_distinct(TextOps.tokens(col("text")))).as("n_uniq"))
+      .orderBy("doc_id")
+
+  val arrayFuncsSql: String = {
+    val toks = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+    s"""SELECT doc_id,
+       |  (list_sort($toks))[1:5] AS first5,
+       |  list_contains($toks, 'the') AS has_the,
+       |  len($toks)::INTEGER AS n_toks,
+       |  len(list_distinct($toks))::INTEGER AS n_uniq
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q58_array_funcs" -> arrayFuncs,
     "q54_percentiles" -> percentiles,
     "q55_predicates" -> predicates,
     "q41_window_tumbling" -> windowTumbling,
@@ -207,6 +229,7 @@ object Extended {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q58_array_funcs" -> arrayFuncsSql,
     "q54_percentiles" -> percentilesSql,
     "q55_predicates" -> predicatesSql,
     "q41_window_tumbling" -> windowTumblingSql,
