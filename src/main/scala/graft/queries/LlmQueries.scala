@@ -93,6 +93,62 @@ object LlmQueries {
        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
        |GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** End-to-end corpus curation (the capstone pipeline): drop near-dup
+    * non-canonical docs (MinHash-LSH → connected components, keep
+    * cluster representative), keep English docs above a quality
+    * threshold — the selection query a training-data pipeline actually
+    * runs. Every stage is individually oracle-proven (q32/q56/q38/q39);
+    * this composes them under one oracle. */
+  val corpusFilter: Q = (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+    val clusters = Dedup.connectedComponents(Dedup.minhashLsh(docs))
+    val drops = clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .filter(TextOps.langId(col("text")) === "en")
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+      .select("doc_id", "quality")
+      .orderBy("doc_id")
+  }
+
+  val corpusFilterSql: String = {
+    def hits(lst: Seq[String]) =
+      s"len(list_filter($ToksSql, t -> list_contains(${lst.mkString("['", "', '", "']")}, t)))"
+    val en = hits(TextOps.StopEn); val de = hits(TextOps.StopDe)
+    val fr = hits(TextOps.StopFr); val es = hits(TextOps.StopEs)
+    val nTok = s"len($ToksSql)"
+    val punct = "len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / greatest(length(text), 1)"
+    val stopR = s"$en::DOUBLE / greatest($nTok, 1)"
+    val quality =
+      s"""round(least($nTok::DOUBLE / 50.0, 1.0) *
+         |      (0.5 + 0.25 * (1.0 - least($punct * 5.0, 1.0))
+         |           + 0.25 * least($stopR * 4.0, 1.0)), 4)""".stripMargin
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+       |           for i in range(1, len(toks)-1)]) AS shingles
+       |  FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 3),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+       |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.8),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+       |drops AS (
+       |  SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> min(r))
+       |SELECT doc_id, $quality AS quality FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+       |  AND NOT regexp_matches(text, '[\\x{4e00}-\\x{9fff}]')
+       |  AND $en >= $de AND $en >= $fr AND $en >= $es
+       |  AND $quality >= 0.5
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------- similarity
 
   /** Exact ANN baseline: top-5 cosine neighbors of the first 10 vectors
@@ -290,6 +346,7 @@ object LlmQueries {
     "q50_ann_ivf" -> annIvf,
     "q53_ngram_jaccard" -> ngramJaccard,
     "q56_dedup_clusters" -> dedupClusters,
+    "q59_corpus_filter" -> corpusFilter,
     "q37_emb_stats" -> embStats,
     "q38_lang_id" -> langId,
     "q39_quality_score" -> qualityScore,
@@ -303,6 +360,7 @@ object LlmQueries {
     "q34_ann_topk" -> annTopKSql,
     "q53_ngram_jaccard" -> ngramJaccardSql,
     "q56_dedup_clusters" -> dedupClustersSql,
+    "q59_corpus_filter" -> corpusFilterSql,
     "q35_emb_neardup" -> embNearDupSql,
     "q37_emb_stats" -> embStatsSql,
     "q38_lang_id" -> langIdSql,
