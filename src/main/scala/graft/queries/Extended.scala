@@ -213,7 +213,35 @@ object Extended {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** As-of join (custom temporal operator, graft.operators.AsOf): for
+    * each click event, the user's most recent purchase at or before the
+    * click. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val asofJoin: Q = (s, dir) => {
+    val ev = Tables.t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    graft.operators.AsOf.join(clicks, purchases, key = "user_id",
+        leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("purchase_id", "purchase_value"), rightTieBreak = "purchase_id")
+      .select(col("event_id"), col("user_id"), col("purchase_id"),
+        col("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT c.event_id, c.user_id, p.purchase_id, p.purchase_value
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS purchase_id,
+      |                       value AS purchase_value
+      |                FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q60_asof_join" -> asofJoin,
     "q58_array_funcs" -> arrayFuncs,
     "q54_percentiles" -> percentiles,
     "q55_predicates" -> predicates,
@@ -229,6 +257,7 @@ object Extended {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q60_asof_join" -> asofJoinSql,
     "q58_array_funcs" -> arrayFuncsSql,
     "q54_percentiles" -> percentilesSql,
     "q55_predicates" -> predicatesSql,
