@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.llm.TextOps
 
 /** Extended operator coverage: batch windowed-time aggregation (the batch
@@ -240,7 +241,49 @@ object Extended {
       |  ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** Batch sessionization via gaps-and-islands: a session breaks after
+    * 30 min of inactivity; session id = running count of breaks. The
+    * batch twin of StreamOps.sessionAgg/sessionize, fully
+    * SQL-expressible so the oracle can verify it (session_window has no
+    * DuckDB analog). */
+  val sessionizeBatch: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.t(s, dir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("brk").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeBatchSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR datediff('second',
+      |                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+      |  FROM marked)
+      |SELECT user_id, session_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  count(*) AS n_events, round(sum(value), 2) AS session_value
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q61_sessionize_batch" -> sessionizeBatch,
     "q60_asof_join" -> asofJoin,
     "q58_array_funcs" -> arrayFuncs,
     "q54_percentiles" -> percentiles,
@@ -257,6 +300,7 @@ object Extended {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q61_sessionize_batch" -> sessionizeBatchSql,
     "q60_asof_join" -> asofJoinSql,
     "q58_array_funcs" -> arrayFuncsSql,
     "q54_percentiles" -> percentilesSql,
