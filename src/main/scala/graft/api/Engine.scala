@@ -99,9 +99,14 @@ class Engine(spark: SparkSession, warehouse: String) {
           s"table partition columns ${partCols.toSet}")
 
     if (ws.partitionValues.isEmpty) {
-      val out = if (exists) TypeWidening.widenTo(df, spark.read.parquet(target).schema) else df
-      // reference: unpartitioned target must be empty (ErrorIfExists)
-      out.write.mode(SaveMode.ErrorIfExists).parquet(target)
+      // reference precondition: an unpartitioned target must be empty
+      // (HiveApiOutputFormat.java:332-347) — so an existing table is an
+      // error up front, with the engine's own message (widening applies
+      // only on partitioned writes into an existing table)
+      if (exists) throw new IllegalArgumentException(
+        s"Unpartitioned table ${spec.table} already has data; " +
+          "the reference semantics require an empty target")
+      df.write.mode(SaveMode.ErrorIfExists).parquet(target)
     } else {
       val partitionPath = ws.partitionValues.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=$v" }.mkString("/")
@@ -132,8 +137,11 @@ class Engine(spark: SparkSession, warehouse: String) {
     var cur = p
     var done = false
     while (!done) {
-      val sub = Files.list(cur).filter(Files.isDirectory(_))
-        .filter(_.getFileName.toString.contains("=")).findFirst()
+      val stream = Files.list(cur)
+      val sub =
+        try stream.filter(Files.isDirectory(_))
+          .filter(_.getFileName.toString.contains("=")).findFirst()
+        finally stream.close()
       if (sub.isPresent) {
         cols :+= sub.get.getFileName.toString.split("=")(0)
         cur = sub.get
@@ -147,8 +155,10 @@ class Engine(spark: SparkSession, warehouse: String) {
   def stats(spec: TableSpec): (Long, Long) = {
     val rows = spark.read.parquet(path(spec)).count()
     val dir = Paths.get(path(spec))
-    val bytes = Files.walk(dir).filter(Files.isRegularFile(_))
-      .mapToLong(Files.size(_)).sum()
+    val walk = Files.walk(dir)
+    val bytes =
+      try walk.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+      finally walk.close()
     (rows, bytes)
   }
 

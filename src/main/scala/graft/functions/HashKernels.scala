@@ -94,7 +94,7 @@ object ShingleKernel {
     * concat_ws→array_distinct interpreted-HOF chain). First-occurrence
     * order, matching array_distinct. */
   def compute(text: UTF8String, k: Int): ArrayData = {
-    val toks = text.toString.toLowerCase.trim.split("\\s+")
+    val toks = Norm.tokens(text.toString)
     if (toks.length < k) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
@@ -125,7 +125,7 @@ object CharNgramKernel {
     * text, SORTED (binary order) so pairwise set ops can merge instead
     * of hash. Empty when shorter than n chars. */
   def compute(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString.toLowerCase.trim.replaceAll("\\s+", " ")
+    val s = Norm.normalized(text.toString)
     if (s.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.TreeSet[String]()
     var i = 0

@@ -49,7 +49,7 @@ object TextStatsKernel {
       i += Character.charCount(cp)
     }
     var nTok = 0; var en = 0; var de = 0; var fr = 0; var es = 0
-    val toks = s.toLowerCase.trim.split("\\s+")
+    val toks = Norm.tokens(s)
     nTok = toks.length
     var t = 0
     while (t < toks.length) {

@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The one live shingle cache (see minhashLsh); bounded to a single
+    * table per session. */
+  @volatile private var lastShingleCache: Option[DataFrame] = None
+
   /** Exact dedup: group by content fingerprint, keep the smallest doc_id
     * as canonical. One map-side-combinable shuffle on the 128-bit hash. */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
@@ -46,11 +50,16 @@ object Dedup {
     // The shingle table is consumed three times (banding + both verify
     // legs); persist it so the scan+shingle work runs once. MEMORY_AND_DISK
     // keeps this safe at corpus scale (spills instead of OOM) — in a real
-    // pipeline the shingle table is the reusable asset.
+    // pipeline the shingle table is the reusable asset. Each call evicts
+    // the previous call's cache so a session holds at most one.
     val sh = docs
       .select(col(idCol).as("id"), TextOps.wordShingles(col(textCol), shingleK).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.synchronized {
+      lastShingleCache.foreach(_.unpersist(blocking = false))
+      lastShingleCache = Some(sh)
+    }
 
     // Band keys travel WITHOUT the shingle arrays: the banded shuffle
     // moves (id, band, hash64) triples only — at corpus scale replicating

@@ -30,7 +30,6 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String,
            rightCols: Seq[String], rightTieBreak: String): DataFrame = {
-    val leftPayload = left.columns.filterNot(_ == key).toSeq
     val l = left.select(
       col(key).as("_k"), col(leftTs).cast("timestamp").as("_ts"),
       lit(1).as("_is_left"), lit(null).cast("long").as("_tie"),

@@ -21,8 +21,11 @@ object Skew {
   /** Equi-join `big ⋈ small` on `key`, salted against skew in big's key
     * distribution. Result equals the plain inner join. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
-    // deterministic per-row salt: hash of the whole row spreads identical
-    // hot-key rows across buckets (xxhash64 over all columns)
+    // per-row salt: row-content hash mixed with the row position so even
+    // IDENTICAL hot-key rows spread across buckets. The position term
+    // (monotonically_increasing_id) depends on partition layout, so salt
+    // values are not stable across different reads — results are correct
+    // regardless since the small side carries every salt value.
     val salted = big.withColumn("_salt",
       pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*), monotonically_increasing_id()),
         lit(salts)).cast("int"))

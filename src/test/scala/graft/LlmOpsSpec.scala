@@ -103,6 +103,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(1L) === "en"); assert(got(2L) === "de"); assert(got(3L) === "zh")
   }
 
+  test("kernel tokenization matches SQL column semantics on control-char framing") {
+    // SQL trim strips spaces ONLY; \t/\n framing must produce the same
+    // (empty-token-including) splits in kernels as in the column path
+    val tricky = Seq(
+      (1L, "\nhello world\t"), (2L, " a  b "), (3L, ""), (4L, "x"),
+      (5L, "\t\n mixed \r framing \n")
+    ).toDF("doc_id", "text")
+    val got = tricky.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("kernel_n"),           // TextStats kernel
+      size(split(TextOps.normalized(col("text")), " ")).as("column_n"), // pure column path
+      size(TextOps.wordShingles(col("text"), 2)).as("kernel_shingles"))
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2),
+        s"doc ${r.getLong(0)}: kernel=${r.getInt(1)} column=${r.getInt(2)}")
+    }
+    // "\nhello world\t" normalizes to " hello world " -> 4 tokens incl. empties
+    assert(got(0).getInt(1) === 4)
+  }
+
   test("fingerprint is whitespace/case-insensitive but content-sensitive") {
     val df = Seq(
       (1L, "Hello   World"), (2L, "hello world"), (3L, "hello worlds")
