@@ -52,12 +52,39 @@ class Engine(spark: SparkSession, warehouse: String) {
   def tableExists(spec: TableSpec): Boolean =
     Files.exists(Paths.get(path(spec)))
 
-  /** S1: scan with projection + partition-filter pushdown. */
+  /** S1: scan with projection + partition-filter pushdown.
+    *
+    * `numSplits` is honored the way the reference honors it — as split
+    * *arithmetic*, not a shuffle (HiveInputDescription.java:130-146
+    * divides table bytes by the hint to size splits): table bytes /
+    * numSplits becomes `spark.sql.files.maxPartitionBytes` on a child
+    * session (own SQLConf, shared SparkContext), so the parquet scan
+    * itself produces ≈numSplits partitions and the plan carries no
+    * Exchange. Works both directions: a small hint packs files together,
+    * a large hint splits row groups finer. */
   def read(spec: TableSpec): DataFrame = {
-    var df = spark.read.parquet(path(spec))
+    val session = spec.numSplits.fold(spark) { n =>
+      require(n > 0, s"numSplits must be positive, got $n")
+      val s2 = spark.newSession()
+      val target = math.max(64L * 1024L, tableBytes(spec) / n)
+      s2.conf.set("spark.sql.files.maxPartitionBytes", target.toString)
+      s2.conf.set("spark.sql.files.openCostInBytes", "0")
+      s2
+    }
+    var df = session.read.parquet(path(spec))
     for (f <- spec.partitionFilter) df = df.filter(f)
     if (spec.columns.nonEmpty) df = df.select(spec.columns.map(col).toIndexedSeq: _*)
-    spec.numSplits.fold(df)(n => df.repartition(n))
+    df
+  }
+
+  /** Total on-disk bytes of a table (driver-side directory walk — the
+    * same listing the scan planner performs). */
+  private def tableBytes(spec: TableSpec): Long = {
+    val dir = Paths.get(path(spec))
+    if (!Files.exists(dir)) return 0L
+    val walk = Files.walk(dir)
+    try walk.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+    finally walk.close()
   }
 
   /** S2: typed scan — name-based bean mapping ≈ `Dataset[T]` encoders
@@ -152,15 +179,8 @@ class Engine(spark: SparkSession, warehouse: String) {
 
   /** HiveStats parity (common/HiveStats.java:90-107): additive row count
     * + byte size, from parquet footers instead of metastore params. */
-  def stats(spec: TableSpec): (Long, Long) = {
-    val rows = spark.read.parquet(path(spec)).count()
-    val dir = Paths.get(path(spec))
-    val walk = Files.walk(dir)
-    val bytes =
-      try walk.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
-      finally walk.close()
-    (rows, bytes)
-  }
+  def stats(spec: TableSpec): (Long, Long) =
+    (spark.read.parquet(path(spec)).count(), tableBytes(spec))
 
   /** hivetail parity (cmdline tailer/TailerCmd.java): bounded, ordered
     * sample of a table. */

@@ -86,6 +86,55 @@ object SimHashKernel {
   }
 }
 
+object Md5SimHashKernel {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit SimHash like [[SimHashKernel]] but with the per-token hash
+    * drawn from MD5 (first 8 digest bytes, big-endian — the value of
+    * `('0x' || substr(md5(tok),1,16))::UBIGINT` in ANSI-ish SQL), and the
+    * zero-vote tie resolved to bit 1 (`>= 0`). Both choices exist so an
+    * external SQL engine can replay the fingerprint bit-for-bit: MD5 is
+    * universally available where xxhash64 is not, which turns the SimHash
+    * dedup path from "trust the spec" into "hash-compare against an
+    * independent oracle". ~3× slower than the XXH64 kernel per token —
+    * use that one when cross-engine parity is not needed. */
+  def compute(arr: ArrayData): ArrayData = {
+    val votes = new Array[Int](64)
+    val digestFn = md5.get()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      digestFn.reset()
+      val digest = digestFn.digest(arr.getUTF8String(i).getBytes)
+      var base = 0L
+      var b = 0
+      while (b < 8) { base = (base << 8) | (digest(b) & 0xffL); b += 1 }
+      var k = 0
+      while (k < 64) {
+        if (((base >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    val blocks = new Array[Long](4)
+    var b = 0
+    while (b < 4) {
+      var v = 0L
+      var j = 0
+      while (j < 16) {
+        v = v * 2 + (if (votes(b * 16 + j) >= 0) 1L else 0L)
+        j += 1
+      }
+      blocks(b) = v
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(blocks)
+  }
+}
+
 object ShingleKernel {
   import org.apache.spark.unsafe.types.UTF8String
 
@@ -195,6 +244,21 @@ case class SimHashBlocksExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** array<string> → array<long> (4 × 16-bit) MD5-based SimHash blocks
+  * (see [[Md5SimHashKernel]] — the oracle-replayable variant). */
+case class Md5SimHashBlocksExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName, GraftTypeCheck.isStringArray(child.dataType), "ARRAY<STRING>", child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_simhash_blocks"
+  override protected def nullSafeEval(input: Any): Any =
+    Md5SimHashKernel.compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5SimHashKernel.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object JaccardKernel {
   import org.apache.spark.unsafe.types.UTF8String
 
@@ -238,6 +302,8 @@ object Hashing {
     GraftBridge.column(MinHashSignatureExpr(GraftBridge.expression(c), numPerms))
   def simhashBlocks(c: Column): Column =
     GraftBridge.column(SimHashBlocksExpr(GraftBridge.expression(c)))
+  def md5SimhashBlocks(c: Column): Column =
+    GraftBridge.column(Md5SimHashBlocksExpr(GraftBridge.expression(c)))
   def wordShingles(c: Column, k: Int): Column =
     GraftBridge.column(WordShinglesExpr(GraftBridge.expression(c), k))
   def charNgrams(c: Column, n: Int): Column =

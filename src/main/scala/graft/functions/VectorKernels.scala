@@ -27,6 +27,19 @@ object CosineKernel {
   }
 }
 
+object DotKernel {
+  /** Plain dot product (left-to-right accumulation — matches both the
+    * `aggregate`/`zip_with` fold and typical SQL `list_dot_product`
+    * implementations up to float associativity). */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dot
+  }
+}
+
 object SrpKernel {
   /** Sign-random-projection bucket: bit i = sign of Σ_j ±v_j where the
     * sign is the parity of xxhash64(i+offset, j) — the exact chained-hash
@@ -68,6 +81,22 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
+/** (array<double>, array<double>) → double dot product. */
+case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName,
+    GraftTypeCheck.isDoubleArray(left.dataType) && GraftTypeCheck.isDoubleArray(right.dataType),
+    "ARRAY<DOUBLE>, ARRAY<DOUBLE>", left.dataType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotKernel.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotKernel.compute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** array<double> → long SRP bucket key of `bits` bits. */
 case class SrpBucketExpr(child: Expression, bits: Int, offset: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
@@ -87,4 +116,6 @@ object VectorOps {
     GraftBridge.column(CosineSimExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
   def srpBucket(v: Column, bits: Int, offset: Int): Column =
     GraftBridge.column(SrpBucketExpr(GraftBridge.expression(v), bits, offset))
+  def dotProduct(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

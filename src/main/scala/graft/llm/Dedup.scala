@@ -18,6 +18,14 @@ object Dedup {
     * table per session. */
   @volatile private var lastShingleCache: Option[DataFrame] = None
 
+  /** LSH buckets dropped so far this session by the size cap
+    * ([[Lsh.DefaultMaxBucket]]). Nonzero means a corpus had degenerate
+    * buckets (usually mass-duplicate documents — run [[exact]] first);
+    * also visible in the Spark UI as accumulator
+    * "graft.lsh.droppedBuckets". */
+  def droppedLshBuckets(spark: org.apache.spark.sql.SparkSession): Long =
+    Lsh.droppedBuckets(spark)
+
   /** Exact dedup: group by content fingerprint, keep the smallest doc_id
     * as canonical. One map-side-combinable shuffle on the 128-bit hash. */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
@@ -92,6 +100,14 @@ object Dedup {
   def simhashBlocks(text: Column): Column =
     graft.functions.Hashing.simhashBlocks(TextOps.tokens(text))
 
+  /** SimHash fingerprint with the per-token hash drawn from MD5 instead
+    * of xxhash64 ([[graft.functions.Md5SimHashKernel]]): bit-for-bit
+    * reproducible by any SQL engine with `md5()`, so the whole near-dup
+    * pair set is independently oracle-checkable. Slightly slower per
+    * token; same LSH/blocking behavior. */
+  def md5SimhashBlocks(text: Column): Column =
+    graft.functions.Hashing.md5SimhashBlocks(TextOps.tokens(text))
+
   /** SimHash near-duplicate pairs: candidates share at least one of the 4
     * 16-bit blocks (catches all pairs with Hamming distance ≤ 3 by
     * pigeonhole); verified by exact Hamming distance over the 64 bits.
@@ -131,9 +147,21 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("c").as("cluster_id"))
   }
 
+  /** @param tokenHash "xxh64" (default, fastest) or "md5"
+    *        ([[md5SimhashBlocks]] — oracle-replayable). The 4×16-bit
+    *        block LSH is pigeonhole-complete for `maxHamming` ≤ 3: every
+    *        pair within that radius shares at least one block, so the
+    *        output is exactly the all-pairs Hamming-≤3 set with no
+    *        O(n²) scan. Larger radii still work but become best-effort
+    *        (a pair differing in all four blocks is never a candidate). */
   def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                   maxHamming: Int = 3): DataFrame = {
-    val fp = docs.select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blocks"))
+                   maxHamming: Int = 3, tokenHash: String = "xxh64"): DataFrame = {
+    val blocksOf = tokenHash match {
+      case "xxh64" => simhashBlocks _
+      case "md5"   => md5SimhashBlocks _
+      case other   => throw new IllegalArgumentException(s"unknown tokenHash: $other")
+    }
+    val fp = docs.select(col(idCol).as("id"), blocksOf(col(textCol)).as("blocks"))
 
     val banded = fp.select(col("id"),
       explode(transform(sequence(lit(0), lit(3)),

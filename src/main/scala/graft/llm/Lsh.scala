@@ -1,7 +1,10 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 
 /** Shared LSH candidate generation.
   *
@@ -15,16 +18,54 @@ import org.apache.spark.sql.functions._
   * pairs only, never signatures or shingle sets. */
 private[llm] object Lsh {
 
+  /** Degenerate-bucket guard: a bucket above this size is dropped rather
+    * than expanded. An adversarial or pathological corpus (e.g. millions
+    * of byte-identical documents all landing in one band bucket) would
+    * otherwise materialize one giant id array on a single executor and
+    * explode into O(|bucket|²) pairs. Members of such a bucket are by
+    * construction near-identical to *everything* in it — exact dedup
+    * (hash group-by, [[Dedup.exact]]) is the right tool for them, so
+    * dropping the bucket loses only pairs the cheaper exact pass already
+    * finds. */
+  val DefaultMaxBucket = 1000
+
+  /** One dropped-bucket accumulator per session, visible in the Spark UI
+    * as "graft.lsh.droppedBuckets". An accumulator (not an `observe`
+    * metric) because AQE's empty-relation propagation can prune a
+    * CollectMetrics node out of the final plan in exactly the degenerate
+    * case the counter exists for. Cumulative per session; task retries
+    * may over-count (standard accumulator caveat) — it is a diagnostic,
+    * not data. */
+  private val accumulators = new ConcurrentHashMap[SparkSession, LongAccumulator]()
+
+  private def accFor(spark: SparkSession): LongAccumulator =
+    accumulators.computeIfAbsent(spark,
+      s => s.sparkContext.longAccumulator("graft.lsh.droppedBuckets"))
+
+  /** Total LSH buckets dropped by the size cap in this session so far. */
+  def droppedBuckets(spark: SparkSession): Long = accFor(spark).value
+
   /** Distinct ordered candidate pairs (aName < bName) from rows of
-    * (bucket key columns ++ an `id` column). */
+    * (bucket key columns ++ an `id` column). Buckets larger than
+    * `maxBucket` are dropped (see [[DefaultMaxBucket]]) and counted in
+    * [[droppedBuckets]]. */
   def bucketPairs(banded: DataFrame, keys: Seq[String],
-                  aName: String, bName: String): DataFrame =
+                  aName: String, bName: String,
+                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val acc = accFor(banded.sparkSession)
+    val keep = udf { (n: Int) =>
+      val ok = n <= maxBucket
+      if (!ok) acc.add(1L)
+      ok
+    }
     banded.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .filter(keep(size(col("ids"))))
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
           struct(x.as(aName), y.as(bName)))))).as("p"))
       .select(col(s"p.$aName"), col(s"p.$bName"))
       .dropDuplicates(aName, bName)
+  }
 }

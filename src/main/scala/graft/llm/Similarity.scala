@@ -51,33 +51,95 @@ object Similarity {
   def srpBucket(vec: Column, bits: Int, offset: Int = 0): Column =
     graft.functions.VectorOps.srpBucket(vec, bits, offset)
 
+  /** The per-cell sort key for nearest-centroid selection: similarities
+    * are rounded (6 dp) and ties broken by cell id ascending, so the
+    * assignment is deterministic and engine-portable. */
+  private def cellRanks(vecName: String, centroids: Array[(Long, Array[Double])]): Column =
+    array(centroids.map { case (cell, cv) =>
+      struct((-round(cosine(col(vecName), typedLit(cv.toSeq)), 6)).as("negsim"),
+        lit(cell).as("cell"))
+    }.toIndexedSeq: _*)
+
+  /** Map-side nearest-cell assignment: centroids are a small model
+    * (nlist ≪ corpus) embedded as broadcast literals, so each row picks
+    * its cell with per-row arithmetic only — no join, no window, no
+    * Exchange between the corpus scan and the assignment (PlanSpec pins
+    * this). At 100 TB this is the difference between a free map stage
+    * and a corpus×nlist shuffle. */
+  def assignCells(df: DataFrame, centroids: Array[(Long, Array[Double])],
+                  vecName: String = "v"): DataFrame =
+    df.withColumn("cell", array_min(cellRanks(vecName, centroids)).getField("cell"))
+
+  /** Deterministic "first-N" centroids: the vectors of the `nlist`
+    * smallest ids. A placeholder for trained centroids that has the
+    * virtue of being exactly reproducible in plain SQL (the q50 oracle
+    * replays it); swap in [[trainCentroids]] for real cell balance. */
+  def firstNCentroids(corpus: DataFrame, nlist: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Double])] =
+    corpus.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .orderBy("id").limit(nlist).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** Sampled spherical k-means centroids: Lloyd iterations over a
+    * bounded, deterministic sample (first `sampleN` ids) collected to
+    * the driver — the standard offline-training step for IVF (the
+    * sample, not the corpus, bounds the work; assignment of the full
+    * corpus stays map-side). Initialization is the first `nlist` sample
+    * vectors, so the result is reproducible run-to-run. */
+  def trainCentroids(corpus: DataFrame, nlist: Int, sampleN: Int = 4096,
+                     iters: Int = 5, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Array[(Long, Array[Double])] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val sample = corpus.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .orderBy("id").limit(sampleN).collect()
+      .map(r => normalize(r.getSeq[Double](1).toArray))
+    require(sample.length >= nlist, s"need >= $nlist sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    var cents = sample.take(nlist).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      for (v <- sample) {
+        var best = 0; var bestDot = Double.MinValue
+        for (c <- 0 until nlist) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += v(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c)))
+    }
+    cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is assigned to
     * `nlist` cells by nearest centroid; each query probes only its
     * `nprobe` nearest cells, scoring ~n·nprobe/nlist candidates instead
-    * of n. Centroids here are a deterministic sample (first `nlist` ids)
-    * standing in for offline k-means training — the partition/probe
-    * plumbing (broadcast centroids, map-side assignment, cell-keyed join)
-    * is the part that must scale, and does: no corpus self-join, one
-    * shuffle keyed on cell id. */
+    * of n. Centroids (default [[firstNCentroids]]; pass
+    * [[trainCentroids]] output for k-means cells) are broadcast as
+    * literals and assignment is map-side ([[assignCells]]) — the only
+    * shuffle in the whole plan is the probe⋈corpus join keyed on cell
+    * id. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
+    val cents = centroids.getOrElse(firstNCentroids(corpus, nlist, idCol, vecCol))
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val centroids = v.orderBy("id").limit(nlist)
-      .select(col("id").as("cell"), col("v").as("cv"))
+    val assigned = assignCells(v, cents, "v")
 
-    def nearestCells(df: DataFrame, keyCol: String, vecName: String, keep: Int) = {
-      val w = Window.partitionBy(keyCol).orderBy(col("csim").desc, col("cell").asc)
-      df.join(broadcast(centroids))
-        .withColumn("csim", cosine(col(vecName), col("cv")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= keep)
-        .drop("cv", "csim", "crk")
-    }
-
-    val assigned = nearestCells(v, "id", "v", 1)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val probes = nearestCells(q, "query_id", "qv", nprobe)
+    val probes = q
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(cellRanks("qv", cents)), 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("qv"), col("pc.cell").as("cell"))
 
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     probes.join(assigned, "cell")
@@ -88,6 +150,47 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
+
+  /** SRP-LSH pairs with *explicit* hyperplanes: like [[lshBucketedPairs]]
+    * but the planes are literal vectors chosen by the caller (e.g. the
+    * first `tables·bits` corpus vectors via [[firstNPlanes]]) instead of
+    * hash-derived pseudo-random ones. Two properties follow:
+    *  - bucketing is plain arithmetic (`sign(v · p_j)`) that any SQL
+    *    engine can replay, so the full pipeline — bucket, intra-bucket
+    *    pair, exact-cosine verify — is independently oracle-checkable;
+    *  - bucket bits are computed map-side against broadcast literals, so
+    *    the only shuffle is the bucket-keyed candidate grouping.
+    * Plane `t·bits + j` supplies bit j of table t's bucket key. */
+  def planeSrpPairs(corpus: DataFrame, planes: Array[Array[Double]], bits: Int,
+                    threshold: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(planes.length % bits == 0, s"planes (${planes.length}) must be tables*bits")
+    val tables = planes.length / bits
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val tabbed = v.select(col("id"),
+      explode(array((0 until tables).map { t =>
+        val bucket = (0 until bits).map { j =>
+          val dot = graft.functions.VectorOps.dotProduct(col("v"), typedLit(planes(t * bits + j).toSeq))
+          when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(t).as("tab"), bucket.as("bucket"))
+      }.toIndexedSeq: _*)).as("tb"))
+      .select(col("id"), col("tb.tab"), col("tb.bucket"))
+    val cand = Lsh.bucketPairs(tabbed, Seq("tab", "bucket"), "id_a", "id_b")
+    val va = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vb = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Deterministic plane set for [[planeSrpPairs]]: the embedding vectors
+    * of the `n` smallest ids (position in id order = plane index). */
+  def firstNPlanes(corpus: DataFrame, n: Int, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Array[Array[Double]] =
+    corpus.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .orderBy("id").limit(n).collect()
+      .map(_.getSeq[Double](1).toArray)
 
   /** Approximate near-neighbor pairs: vectors sharing an SRP bucket, scored
     * exactly within the bucket, kept above `threshold`. Multiple independent

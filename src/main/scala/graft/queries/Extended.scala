@@ -146,28 +146,44 @@ object Extended {
       |  count(*) FILTER (WHERE l_linestatus = 'O') AS O
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** approx_count_distinct (HLL++) — sketch values differ across engines,
-    * so this is a rows-only check; ApproxSpec bounds the relative error
-    * against the exact count. */
+  /** approx_count_distinct (HLL++) — raw sketch values differ across
+    * engines, so the oracle-checkable face is the exact count plus a
+    * boolean asserting the sketch landed within HLL++'s error envelope
+    * (rsd default 0.05): DuckDB computes the exact side and expects TRUE.
+    * ApproxSpec additionally bounds the raw relative error. */
   val approxDistinct: Q = (s, dir) =>
     Tables.t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
 
-  /** Exact interpolated percentiles per group (§2.4 breadth). */
+  val approxDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |       TRUE AS within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Exact interpolated percentiles per group (§2.4 breadth). One sort-based
+    * percentile agg computes all three quantiles in a single pass; the array
+    * is flattened to scalar columns so downstream tooling can hash rows. */
   val percentiles: Q = (s, dir) =>
     Tables.t(s, dir, "orders")
       .groupBy("o_orderstatus")
-      .agg(transform(
-        percentile(col("o_totalprice"), typedLit(Seq(0.25, 0.5, 0.75))),
-        x => round(x, 4)).as("pct"))
+      .agg(percentile(col("o_totalprice"), typedLit(Seq(0.25, 0.5, 0.75))).as("pcts"))
+      .select(col("o_orderstatus"),
+        round(element_at(col("pcts"), 1), 4).as("p25"),
+        round(element_at(col("pcts"), 2), 4).as("p50"),
+        round(element_at(col("pcts"), 3), 4).as("p75"))
       .orderBy("o_orderstatus")
 
   val percentilesSql: String =
     """SELECT o_orderstatus,
-      |  [round(x, 4) for x in quantile_cont(o_totalprice, [0.25, 0.5, 0.75])] AS pct
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** String/range predicate battery (§2.8): LIKE anchors, substring
@@ -194,11 +210,12 @@ object Extended {
       |FROM part ORDER BY p_partkey""".stripMargin
 
   /** Array-function battery (§2.8 collections): sort, slice, contains,
-    * distinct-count over token arrays. */
+    * distinct-count over token arrays. The sliced array is joined into a
+    * single string column so downstream tooling can hash rows. */
   val arrayFuncs: Q = (s, dir) =>
     Tables.t(s, dir, "documents")
       .select(col("doc_id"),
-        slice(sort_array(TextOps.tokens(col("text"))), 1, 5).as("first5"),
+        concat_ws(" ", slice(sort_array(TextOps.tokens(col("text"))), 1, 5)).as("first5"),
         array_contains(TextOps.tokens(col("text")), "the").as("has_the"),
         size(TextOps.tokens(col("text"))).as("n_toks"),
         size(array_distinct(TextOps.tokens(col("text")))).as("n_uniq"))
@@ -207,7 +224,7 @@ object Extended {
   val arrayFuncsSql: String = {
     val toks = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
     s"""SELECT doc_id,
-       |  (list_sort($toks))[1:5] AS first5,
+       |  array_to_string((list_sort($toks))[1:5], ' ') AS first5,
        |  list_contains($toks, 'the') AS has_the,
        |  len($toks)::INTEGER AS n_toks,
        |  len(list_distinct($toks))::INTEGER AS n_uniq
@@ -313,5 +330,6 @@ object Extended {
     "q46_scalar_subquery" -> scalarSubquerySql,
     "q47_in_subquery" -> inSubquerySql,
     "q48_pivot" -> pivotSql,
+    "q49_approx_distinct" -> approxDistinctSql,
   )
 }

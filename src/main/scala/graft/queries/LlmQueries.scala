@@ -59,11 +59,34 @@ object LlmQueries {
        |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** SimHash near-dup pairs (Hamming ≤ 3 via 4×16-bit block LSH). Depends
-    * on xxhash64 bit patterns — not oracle-expressible; rows-only check +
-    * SimHashSpec ground truth. */
+  /** SimHash near-dup pairs (Hamming ≤ 3 via 4×16-bit block LSH), with
+    * the MD5-based token hash so the oracle can replay the fingerprint
+    * bit-for-bit. The block LSH is pigeonhole-complete for Hamming ≤ 3,
+    * so the output provably equals the oracle's all-pairs computation —
+    * at any scale, with no O(n²) work on the Spark side. */
   val dedupSimhash: Q = (s, dir) =>
-    Dedup.simhashPairs(Tables.t(s, dir, "documents")).orderBy("doc_a", "doc_b")
+    Dedup.simhashPairs(Tables.t(s, dir, "documents"), tokenHash = "md5")
+      .orderBy("doc_a", "doc_b")
+
+  val dedupSimhashSql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+       |  FROM (SELECT doc_id, unnest($ToksSql) AS tok FROM documents)),
+       |bits AS (
+       |  SELECT doc_id, k.k,
+       |    sum(CASE WHEN (h >> k.k) & 1 = 1 THEN 1 ELSE -1 END) AS w
+       |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS k) k
+       |  GROUP BY doc_id, k.k),
+       |fp AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN w >= 0 AND k < 32 THEN (1::BIGINT << k) ELSE 0 END)::BIGINT AS lo,
+       |    sum(CASE WHEN w >= 0 AND k >= 32 THEN (1::BIGINT << (k - 32)) ELSE 0 END)::BIGINT AS hi
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INTEGER AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Duplicate clusters: MinHash-LSH pairs → connected components
     * (min-label propagation). Oracle: recursive-CTE transitive closure
@@ -199,20 +222,81 @@ object LlmQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   /** SRP-LSH bucketed approximate near-neighbor pairs (the O(n·bucket)
-    * scale path). Hash-dependent → rows-only check + SimilaritySpec. */
-  val annLsh: Q = (s, dir) =>
-    Similarity.lshBucketedPairs(Tables.t(s, dir, "embeddings"),
-        threshold = 0.3, bits = 8, tables = 4)
+    * scale path), with explicit first-32-vector hyperplanes so the
+    * bucketing arithmetic — and therefore the whole candidate set — is
+    * replayable in plain SQL: the oracle runs the same LSH, not a
+    * brute-force stand-in, so the hash-compare covers bucketing,
+    * candidate generation, and exact-cosine verification end to end.
+    * (The hash-derived-plane variant stays as [[Similarity.lshBucketedPairs]],
+    * spec-covered in LlmOpsSpec.) */
+  val annLsh: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+    Similarity.planeSrpPairs(emb, Similarity.firstNPlanes(emb, 32),
+        bits = 8, threshold = 0.3)
       .orderBy("id_a", "id_b")
+  }
+
+  val annLshSql: String =
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |planes AS (
+      |  SELECT (row_number() OVER (ORDER BY id) - 1)::INTEGER AS pid, v AS pv
+      |  FROM (SELECT id, v FROM v ORDER BY id LIMIT 32)),
+      |bucketed AS (
+      |  SELECT v.id, (p.pid // 8)::INTEGER AS tab,
+      |    sum(CASE WHEN list_dot_product(v.v, p.pv) >= 0
+      |             THEN (1::BIGINT << (p.pid % 8)) ELSE 0 END)::BIGINT AS bucket
+      |  FROM v CROSS JOIN planes p
+      |  GROUP BY v.id, p.pid // 8),
+      |cand AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM bucketed a JOIN bucketed b
+      |    ON a.tab = b.tab AND a.bucket = b.bucket AND a.id < b.id
+      |  GROUP BY 1, 2)
+      |SELECT c.id_a, c.id_b,
+      |  round(list_cosine_similarity(va.v, vb.v), 4) AS sim
+      |FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
+      |WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** IVF approximate top-k (scale path for ANN; see Similarity.ivfTopK).
-    * Hash-free but centroid-sample-dependent → rows-only check +
-    * recall/exactness assertions in LlmOpsSpec. */
+    * Deterministic first-N centroids + map-side assignment make the whole
+    * index-build-and-probe pipeline oracle-replayable in SQL. */
   val annIvf: Q = (s, dir) => {
     val emb = Tables.t(s, dir, "embeddings")
     Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5)
       .orderBy("query_id", "rk")
   }
+
+  val annIvfSql: String =
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT id AS cell, v AS cv FROM v
+      |         WHERE id IN (SELECT id FROM v ORDER BY id LIMIT 16)),
+      |assigned AS (
+      |  SELECT id, v, cell FROM (
+      |    SELECT v.id, v.v, c.cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY round(list_cosine_similarity(v.v, c.cv), 6) DESC, c.cell ASC) AS ark
+      |    FROM v CROSS JOIN cent c) WHERE ark = 1),
+      |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |      FROM embeddings WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT query_id, qv, cell FROM (
+      |    SELECT q.query_id, q.qv, c.cell,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell ASC) AS crk
+      |    FROM q CROSS JOIN cent c) WHERE crk <= 4),
+      |scored AS (
+      |  SELECT DISTINCT p.query_id, a.id AS neighbor_id,
+      |    round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell
+      |  WHERE p.query_id <> a.id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    (row_number() OVER (PARTITION BY query_id
+      |                        ORDER BY sim DESC, neighbor_id ASC))::INTEGER AS rk
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, sim, rk FROM ranked
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   /** Per-label embedding stats: count + mean L2 norm (sanity/profiling op). */
   val embStats: Q = (s, dir) => {
@@ -357,6 +441,9 @@ object LlmQueries {
     "q30_dedup_exact" -> dedupExactSql,
     "q31_doc_fingerprint" -> docFingerprintSql,
     "q32_dedup_minhash_lsh" -> dedupMinhashSql,
+    "q33_dedup_simhash" -> dedupSimhashSql,
+    "q36_ann_lsh" -> annLshSql,
+    "q50_ann_ivf" -> annIvfSql,
     "q34_ann_topk" -> annTopKSql,
     "q53_ngram_jaccard" -> ngramJaccardSql,
     "q56_dedup_clusters" -> dedupClustersSql,

@@ -221,6 +221,24 @@ object Relational {
       |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
+  /** §2.3 right outer join: supplier counts per nation with every nation
+    * preserved (the symmetric complement of joinLeftOuter). */
+  val joinRightOuter: Q = (s, dir) => {
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    su.join(n, su("s_nationkey") === n("n_nationkey"), "right_outer")
+      .groupBy("n_nationkey", "n_name")
+      .agg(count(col("s_suppkey")).as("n_supp"),
+        round(coalesce(sum("s_acctbal"), lit(0.0)), 2).as("total_bal"))
+      .orderBy("n_nationkey")
+  }
+
+  val joinRightOuterSql: String =
+    """SELECT n_nationkey, n_name, count(s_suppkey) AS n_supp,
+      |       round(coalesce(sum(s_acctbal), 0), 2) AS total_bal
+      |FROM supplier RIGHT OUTER JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin
+
   /** §2.3 full outer join of two aggregates (customers vs suppliers per
     * nation) — aggregate-before-join keeps both sides tiny. */
   val joinFullOuter: Q = (s, dir) => {
@@ -508,8 +526,17 @@ object Relational {
     * The oracle recomputes the aggregate directly, so a corrupted
     * round-trip (lost rows, type drift) hash-mismatches. */
   val writeRoundtrip: Q = (s, dir) => {
-    val wh = java.nio.file.Files.createTempDirectory("graft-wh-q29").toString
-    val e = new graft.api.Engine(s, wh)
+    // fixed per-process scratch dir, wiped at every invocation: repeated
+    // verify/bench runs reuse one directory instead of leaking tempdirs
+    val wh = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-wh-q29")
+    if (java.nio.file.Files.exists(wh)) {
+      val walk = java.nio.file.Files.walk(wh)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+    val e = new graft.api.Engine(s, wh.toString)
     val agg = t(s, dir, "orders")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
@@ -638,6 +665,7 @@ object Relational {
     "q10_table_stats" -> tableStats,
     "q11_join_inner_revenue" -> joinInnerRevenue,
     "q12_join_left_outer" -> joinLeftOuter,
+    "q62_join_right_outer" -> joinRightOuter,
     "q13_join_full_outer" -> joinFullOuter,
     "q14_join_semi" -> joinSemi,
     "q15_join_anti" -> joinAnti,
@@ -673,6 +701,7 @@ object Relational {
     "q10_table_stats" -> tableStatsSql,
     "q11_join_inner_revenue" -> joinInnerRevenueSql,
     "q12_join_left_outer" -> joinLeftOuterSql,
+    "q62_join_right_outer" -> joinRightOuterSql,
     "q13_join_full_outer" -> joinFullOuterSql,
     "q14_join_semi" -> joinSemiSql,
     "q15_join_anti" -> joinAntiSql,

@@ -149,6 +149,51 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  // reference InputTest.checkGets exercises ARRAY<BIGINT> and
+  // MAP<STRING,FLOAT> end-to-end (hive-io-exp-core src/test/java/com/
+  // facebook/hiveio/input/InputTest.java:100-190); SURVEY §1.2 maps
+  // LIST/MAP/STRUCT. Parquet + Catalyst carry all three natively.
+  test("complex types round-trip: ARRAY<BIGINT>, MAP<STRING,FLOAT>, STRUCT") {
+    val e = freshEngine()
+    val spec = TableSpec("tcplx")
+    val df = Seq(
+      ComplexRow(1L, Seq(1L, 2L, 3L), Map("a" -> 1.0f, "b" -> 2.5f), Inner("x", 7)),
+      ComplexRow(2L, Seq.empty, Map.empty, Inner("y", 8))).toDS().toDF()
+    e.write(spec, df)
+
+    val back = e.read(spec)
+    assert(back.schema("arr").dataType === ArrayType(LongType))
+    assert(back.schema("m").dataType === MapType(StringType, FloatType))
+    assert(back.schema("st").dataType.isInstanceOf[StructType])
+    // typed read (bean path) preserves element values
+    val rows = e.readAs[ComplexRow](spec).collect().sortBy(_.id)
+    assert(rows(0) === ComplexRow(1L, Seq(1L, 2L, 3L), Map("a" -> 1.0f, "b" -> 2.5f), Inner("x", 7)))
+    assert(rows(1) === ComplexRow(2L, Seq.empty, Map.empty, Inner("y", 8)))
+    // and the untyped path can compute over them
+    assert(back.select(sum(size(col("arr")))).as[Long].head() === 3L)
+  }
+
+  // multi-profile parity: the reference reads several distinct table
+  // descriptions in one job via profile ids (HiveApiInputFormat.java:
+  // 145-172; README.md:152-158 — the Giraph vertex+edge case). The Spark
+  // analog: two TableSpecs read in one session and consumed by ONE job.
+  test("multi-profile: two table specs consumed in a single job") {
+    val e = freshEngine()
+    e.write(TableSpec("vertices"),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "vlabel"))
+    e.write(TableSpec("edges"),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst"))
+    val v = e.read(TableSpec("vertices"))
+    val edges = e.read(TableSpec("edges"))
+    // one action spanning both "profiles": per-vertex out-degree join
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .join(v, col("src") === col("id"))
+      .select("vlabel", "outdeg")
+      .orderBy("vlabel")
+      .as[(String, Long)].collect()
+    assert(deg.toSeq === Seq(("a", 2L), ("b", 1L), ("c", 1L)))
+  }
+
   test("nulls round-trip through write and widen") {
     val e = freshEngine()
     val spec = TableSpec("tn")
@@ -165,3 +210,6 @@ class EngineSpec extends AnyFunSuite {
 }
 
 case class Row7(bo1: Boolean, by1: Byte, s1: Short, i1: Int, l1: Long, f1: Float, d1: Double)
+
+case class Inner(name: String, n: Int)
+case class ComplexRow(id: Long, arr: Seq[Long], m: Map[String, Float], st: Inner)

@@ -92,6 +92,48 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("LSH bucket cap drops degenerate buckets instead of exploding") {
+    // 10k byte-identical docs: every band hashes all ids into ONE bucket,
+    // which uncapped would expand to ~50M pairs on one executor. The cap
+    // drops those buckets (exact dedup owns identical docs) and reports it.
+    val degenerate = spark.range(1, 10001)
+      .select(col("id").as("doc_id"),
+        lit("identical corpus body that defeats banding entirely").as("text"))
+    val before = Dedup.droppedLshBuckets(spark)
+    val pairs = Dedup.minhashLsh(degenerate)
+    assert(pairs.count() === 0)
+    assert(Dedup.droppedLshBuckets(spark) > before,
+      "dropped-bucket count should be surfaced")
+  }
+
+  test("plane-SRP LSH deterministically finds same-direction vectors") {
+    // v1 = 2·v0 ⇒ sign(v·p) identical for every plane ⇒ same bucket in
+    // every table, cosine exactly 1.0 — found with probability 1
+    val dim = 8
+    val mk = (seed: Int) => Array.tabulate(dim)(i => math.sin(seed * 31 + i + 1))
+    val rows = Seq(
+      (0L, mk(1).toSeq), (1L, mk(1).map(_ * 2.0).toSeq),
+      (2L, mk(2).toSeq), (3L, mk(3).toSeq), (4L, mk(4).toSeq),
+      (5L, mk(5).toSeq), (6L, mk(6).toSeq), (7L, mk(7).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val planes = Similarity.firstNPlanes(df, 8)
+    val got = Similarity.planeSrpPairs(df, planes, bits = 4, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(got.exists { case (a, b, s) => a == 0L && b == 1L && s == 1.0 },
+      s"planted pair missing from ${got.toSeq}")
+  }
+
+  test("trainCentroids is deterministic and drives ivfTopK end to end") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val c1 = Similarity.trainCentroids(emb, nlist = 8, sampleN = 256, iters = 3)
+    val c2 = Similarity.trainCentroids(emb, nlist = 8, sampleN = 256, iters = 3)
+    assert(c1.length === 8)
+    assert(c1.map(_._2.toSeq).toSeq === c2.map(_._2.toSeq).toSeq, "k-means must be deterministic")
+    val res = Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, 5,
+      nlist = 8, nprobe = 3, centroids = Some(c1))
+    assert(res.count() === 25)
+  }
+
   test("langId marks han-script docs zh and anglophone docs en") {
     val df = Seq(
       (1L, "the cat and the dog went to the market in the morning"),

@@ -71,6 +71,33 @@ class PlanSpec extends AnyFunSuite {
       s"AQE left $partitionsAfter partitions (configured $configured)")
   }
 
+  test("IVF cell assignment is map-side: no Exchange above the corpus scan") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val cents = graft.llm.Similarity.firstNCentroids(emb, 8)
+    val v = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val assigned = graft.llm.Similarity.assignCells(v, cents, "v")
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"cell assignment must not shuffle the corpus: ${p.take(600)}")
+  }
+
+  test("numSplits read is split arithmetic, not a shuffle") {
+    import spark.implicits._
+    val e = new graft.api.Engine(spark,
+      java.nio.file.Files.createTempDirectory("graft-wh-splits").toString)
+    val spec = graft.api.TableSpec("tsplit")
+    e.write(spec, spark.range(200000).select(col("id"),
+      rand(7).as("x"), concat(lit("row-"), col("id")).as("s")))
+    val hinted = e.read(spec.copy(numSplits = Some(3)))
+    val p = hinted.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"numSplits must not introduce an exchange: ${p.take(600)}")
+    val parts = hinted.rdd.getNumPartitions
+    assert(parts >= 2 && parts <= 6, s"expected ≈3 scan partitions, got $parts")
+    assert(hinted.count() === 200000)
+  }
+
   test("custom hash kernels run inside whole-stage codegen") {
     val df = Tables.t(spark, sf, "documents")
       .select(graft.functions.Hashing.minhashSignature(
