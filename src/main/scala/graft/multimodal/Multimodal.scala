@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * resize/frame-sample run via `Dataset.mapPartitions` (the Scala-native
   * equivalent of PySpark's `mapInPandas` batch UDF shape — an iterator of
   * rows per partition, so a real decoder could batch onto an accelerator).
-  * The actual image/audio codecs are STUBBED with deterministic fakes
-  * (this container ships no media libs); the Spark-side plumbing —
-  * schema, encoders, partitioning, batch iteration — is real and tested.
+  * The image path is REAL: `javax.imageio` ships with the JVM (PNG/
+  * JPEG/BMP/GIF, headless-safe), so [[decodeImageFeatures]] and
+  * [[resizeImage]] decode actual pixels. Audio/video codecs are still
+  * STUBBED with deterministic fakes (no such libs in the JVM); the
+  * Spark-side plumbing — schema, encoders, partitioning, batch
+  * iteration — is identical and tested for both.
   *
   * At 100 TB: binary columns stay columnar in parquet (no row-group
   * bloat for metadata-only readers since parquet prunes unprojected
@@ -58,6 +61,101 @@ object Multimodal {
         FeatureRow(r.id, feats)
       }
     }
+  }
+
+  private def readImage(id: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null)
+      throw new IllegalArgumentException(s"undecodable image bytes for id=$id")
+    img
+  }
+
+  /** REAL image decode + feature extraction (javax.imageio — pure JVM,
+    * no native libs): decodes the compressed bytes to pixels and emits
+    * per-grid-cell mean RGB as a `gridW·gridH·3` float vector in [0,1],
+    * row-major, channels innermost. The standard cheap visual signature
+    * for near-dup blocking / quality filtering before a learned encoder
+    * exists. Partition-parallel, no shuffle. */
+  def decodeImageFeatures(ds: Dataset[MediaRow], gridW: Int = 4, gridH: Int = 4): Dataset[FeatureRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val img = readImage(r.id, r.media)
+        val w = img.getWidth; val h = img.getHeight
+        val cells = gridW * gridH
+        val sums = Array.ofDim[Long](cells, 3)
+        val counts = new Array[Long](cells)
+        var y = 0
+        while (y < h) {
+          val gy = math.min(gridH - 1, y * gridH / h)
+          var x = 0
+          while (x < w) {
+            val gx = math.min(gridW - 1, x * gridW / w)
+            val rgb = img.getRGB(x, y)
+            val cell = gy * gridW + gx
+            sums(cell)(0) += (rgb >> 16) & 0xff
+            sums(cell)(1) += (rgb >> 8) & 0xff
+            sums(cell)(2) += rgb & 0xff
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val feats = new Array[Float](cells * 3)
+        var c = 0
+        while (c < cells) {
+          var ch = 0
+          while (ch < 3) {
+            feats(c * 3 + ch) =
+              if (counts(c) == 0) 0f
+              else (sums(c)(ch).toDouble / counts(c) / 255.0).toFloat
+            ch += 1
+          }
+          c += 1
+        }
+        FeatureRow(r.id, feats)
+      }
+    }
+  }
+
+  /** REAL image resize: decode → bilinear rescale to targetW×targetH →
+    * re-encode (`format`: png/bmp/jpg — whatever ImageIO writes).
+    * Headless-safe; metadata updated to the output geometry. */
+  def resizeImage(ds: Dataset[MediaRow], targetW: Int, targetH: Int,
+                  format: String = "png"): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val img = readImage(r.id, r.media)
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, format, bos)
+        MediaRow(r.id, bos.toByteArray,
+          r.meta.copy(kind = s"image/$format", width = targetW, height = targetH))
+      }
+    }
+  }
+
+  /** Deterministic test/fixture image: rgbFn(x, y) → packed 0xRRGGBB. */
+  def pngBytes(width: Int, height: Int, rgbFn: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgbFn(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** STUB resize: truncate/zero-pad media bytes to `targetBytes` (a real

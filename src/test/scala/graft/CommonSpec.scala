@@ -57,4 +57,17 @@ class CommonSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("n_name") || e.getMessage.toLowerCase.contains("cannot up cast"))
   }
+
+  // conf-options CLI parity (reference conf/AllOptions.java:40-70 +
+  // cmdline/ConfOptionsCmd.java:28-33)
+  test("conf-options registry is unique-keyed and renders grouped") {
+    import graft.common.ConfOptions
+    val keys = ConfOptions.all.map(o => s"${o.group}.${o.key}")
+    assert(keys.distinct.size === keys.size, "duplicate option keys")
+    val out = ConfOptions.render
+    assert(out.startsWith("All Options:"))
+    for (g <- ConfOptions.all.map(_.group).distinct)
+      assert(out.contains(s"$g:\n"), s"missing group $g")
+    assert(out.contains("TableSpec.numSplits"))
+  }
 }

@@ -50,6 +50,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real PNG decode: grid features read actual pixel values") {
+    // left half pure red, right half pure blue — 2×1 grid must separate them
+    val png = Multimodal.pngBytes(64, 32,
+      (x, _) => if (x < 32) 0xff0000 else 0x0000ff)
+    val ds = Seq(MediaRow(7L, png, MediaMeta("image/png", 64, 32, 0L))).toDS()
+    val f = Multimodal.decodeImageFeatures(ds, gridW = 2, gridH = 1).head()
+    assert(f.features.length === 6)
+    val Array(lr, lg, lb, rr, rg, rb) = f.features
+    assert(lr === 1.0f && lg === 0.0f && lb === 0.0f, s"left cell ${f.features.toSeq}")
+    assert(rr === 0.0f && rg === 0.0f && rb === 1.0f, s"right cell ${f.features.toSeq}")
+  }
+
+  test("real PNG resize: output re-decodes at the target geometry") {
+    val png = Multimodal.pngBytes(40, 40, (_, _) => 0x00ff00)
+    val ds = Seq(MediaRow(9L, png, MediaMeta("image/png", 40, 40, 0L))).toDS()
+    val out = Multimodal.resizeImage(ds, 10, 5).head()
+    assert(out.meta === MediaMeta("image/png", 10, 5, 0L))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.media))
+    assert(back.getWidth === 10 && back.getHeight === 5)
+    // solid green survives the bilinear rescale exactly
+    assert((back.getRGB(4, 2) & 0xffffff) === 0x00ff00)
+  }
+
+  test("undecodable bytes fail loudly with the row id") {
+    val ds = Seq(MediaRow(3L, Array[Byte](1, 2, 3), MediaMeta("image/png", 0, 0, 0L))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImageFeatures(ds).collect()
+    }
+    assert(e.getMessage.contains("id=3") ||
+      Option(e.getCause).exists(_.getMessage.contains("id=3")))
+  }
+
   test("partition parallelism is preserved through mapPartitions") {
     val repart = media.repartition(7)
     assert(Multimodal.decodeFeatures(repart, 4).rdd.getNumPartitions === 7)
