@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.llm.TextOps
@@ -299,7 +300,86 @@ object Extended {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Bucketized range join (graft.operators.RangeJoin): shipments whose
+    * ship date falls in a sampled order's first week — a PURE range
+    * predicate (no equi key), planned as an equi-join on time bins
+    * instead of a nested-loop product (PlanSpec pins this). */
+  val rangeJoin: Q = (s, dir) => {
+    val week = 7L * 86400
+    val o = Tables.t(s, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("lo"),
+        (unix_timestamp(col("o_orderdate")) + week).as("hi"))
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_quantity"), unix_timestamp(col("l_shipdate")).as("pt"))
+    graft.operators.RangeJoin.pointInInterval(li, o, "pt", "lo", "hi", binWidth = week)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_ship"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("o_orderkey")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT o_orderkey, count(*) AS n_ship, round(sum(l_quantity), 2) AS qty
+      |FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 97 = 0) o
+      |JOIN lineitem
+      |  ON l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
+  /** Batch twin of the stream-stream interval join
+    * (graft.streaming.StreamOps.intervalJoin — StreamingSpec proves the
+    * streaming replay equals this): purchases within 30 minutes after a
+    * click by the same user. */
+  val intervalJoinBatch: Q = (s, dir) => {
+    val ev = Tables.t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    graft.streaming.StreamOps.intervalJoin(clicks, purchases, "30 minutes")
+      .orderBy("click_id", "purchase_id")
+  }
+
+  val intervalJoinBatchSql: String =
+    """SELECT c.event_id AS click_id, c.user_id AS user_id,
+      |       p.event_id AS purchase_id, p.value AS purchase_value
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT event_id, user_id, ts, value FROM events
+      |      WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY click_id, purchase_id""".stripMargin
+
+  /** Scale path for q54: percentile_approx (GK sketch, mergeable — the
+    * 100 TB answer where exact grouped percentiles need a full sort).
+    * Oracle face: the exact values plus booleans asserting the sketch
+    * landed within 5% relative error. */
+  val approxPercentiles: Q = (s, dir) => {
+    def withinPct(a: Column, e: Column): Column =
+      abs(a - e) / e <= 0.05
+    Tables.t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(percentile(col("o_totalprice"), typedLit(Seq(0.25, 0.5, 0.75))).as("pcts"),
+        percentile_approx(col("o_totalprice"), typedLit(Seq(0.25, 0.5, 0.75)),
+          lit(1000)).as("apcts"))
+      .select(col("o_orderstatus"),
+        round(element_at(col("pcts"), 2), 4).as("p50_exact"),
+        withinPct(element_at(col("apcts"), 1), element_at(col("pcts"), 1)).as("p25_ok"),
+        withinPct(element_at(col("apcts"), 2), element_at(col("pcts"), 2)).as("p50_ok"),
+        withinPct(element_at(col("apcts"), 3), element_at(col("pcts"), 3)).as("p75_ok"))
+      .orderBy("o_orderstatus")
+  }
+
+  val approxPercentilesSql: String =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.50), 4) AS p50_exact,
+      |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q63_range_join" -> rangeJoin,
+    "q64_interval_join" -> intervalJoinBatch,
+    "q65_approx_percentiles" -> approxPercentiles,
     "q61_sessionize_batch" -> sessionizeBatch,
     "q60_asof_join" -> asofJoin,
     "q58_array_funcs" -> arrayFuncs,
@@ -317,6 +397,9 @@ object Extended {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q63_range_join" -> rangeJoinSql,
+    "q64_interval_join" -> intervalJoinBatchSql,
+    "q65_approx_percentiles" -> approxPercentilesSql,
     "q61_sessionize_batch" -> sessionizeBatchSql,
     "q60_asof_join" -> asofJoinSql,
     "q58_array_funcs" -> arrayFuncsSql,

@@ -69,6 +69,26 @@ object StreamOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join: each left event pairs with right
+    * events of the same user whose timestamp falls in
+    * [left.ts, left.ts + horizon]. On streaming inputs pass `watermark`
+    * — the time-range condition plus both watermarks lets the join
+    * evict state (a right row can be dropped once the left watermark
+    * passes rt − horizon, the canonical bounded-state stream join). On
+    * batch inputs (watermark = None) the same plan is an equi+range
+    * join, which is what the oracle checks. */
+  def intervalJoin(left: DataFrame, right: DataFrame, horizon: String,
+                   watermark: Option[String] = None): DataFrame = {
+    val c = watermark.fold(left)(w => left.withWatermark("ts", w)).alias("c")
+    val p = watermark.fold(right)(w => right.withWatermark("ts", w)).alias("p")
+    c.join(p,
+        col("c.user_id") === col("p.user_id") &&
+        col("p.ts") >= col("c.ts") &&
+        col("p.ts") <= col("c.ts") + expr(s"INTERVAL $horizon"))
+      .select(col("c.event_id").as("click_id"), col("c.user_id").as("user_id"),
+        col("p.event_id").as("purchase_id"), col("p.value").as("purchase_value"))
+  }
+
   /** Streaming exact dedup on event_id within the watermark horizon
     * (`dropDuplicates` keyed state — the streaming analog of
     * [[graft.llm.Dedup.exact]]). */

@@ -98,6 +98,13 @@ class PlanSpec extends AnyFunSuite {
     assert(hinted.count() === 200000)
   }
 
+  test("range join plans as a binned equi-join, not a nested-loop product") {
+    val p = plan("q63_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pure range predicate must not fall back to a product join: ${p.take(800)}")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("custom hash kernels run inside whole-stage codegen") {
     val df = Tables.t(spark, sf, "documents")
       .select(graft.functions.Hashing.minhashSignature(

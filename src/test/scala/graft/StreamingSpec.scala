@@ -67,6 +67,21 @@ class StreamingSpec extends AnyFunSuite {
       batch.orderBy("user_id", "session_start").collect().toSeq)
   }
 
+  test("stream-stream interval join matches the batch twin") {
+    val src = StreamOps.readEventsStream(spark, sf)
+    val clicks = src.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val streamed = runToMemory(
+      StreamOps.intervalJoin(clicks, purchases, "30 minutes", Some("10 minutes")),
+      "t_interval_join")
+    val batch = graft.queries.Extended.intervalJoinBatch(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.orderBy("click_id", "purchase_id").collect().toSeq ===
+      batch.collect().toSeq)
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val deduped = runToMemory(
       StreamOps.dedupStream(StreamOps.readEventsStream(spark, sf), "1 hour"), "t_dedup")
