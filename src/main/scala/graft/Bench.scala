@@ -55,6 +55,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scan":$scan,"sf":"$sfDir"}""")
+    graft.llm.Dedup.clearShingleCache()
     spark.stop()
   }
 }

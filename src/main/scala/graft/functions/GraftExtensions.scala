@@ -32,6 +32,8 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_signature" -> (es => MinHashSignatureExpr(es.head, intArg(es(1), "minhash_signature"))),
     "simhash_blocks" -> (es => SimHashBlocksExpr(es.head)),
+    "md5_simhash_blocks" -> (es => Md5SimHashBlocksExpr(es.head)),
+    "dot_product" -> (es => DotProductExpr(es.head, es(1))),
     "word_shingles" -> (es => WordShinglesExpr(es.head, intArg(es(1), "word_shingles"))),
     "cosine_sim" -> (es => CosineSimExpr(es.head, es(1))),
     "srp_bucket" -> (es => SrpBucketExpr(es.head,
@@ -39,6 +41,8 @@ object GraftFunctions {
     "text_stats" -> (es => TextStatsExpr(es.head)),
     "char_ngrams" -> (es => CharNgramsExpr(es.head, intArg(es(1), "char_ngrams"))),
     "jaccard_sim" -> (es => JaccardExpr(es.head, es(1))),
+    "gram_hashes" -> (es => GramHashesExpr(es.head, intArg(es(1), "gram_hashes"))),
+    "jaccard_sim_hashed" -> (es => JaccardLongExpr(es.head, es(1))),
   )
 
   /** Register into an existing session's function registry. */

@@ -259,6 +259,64 @@ case class Md5SimHashBlocksExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object GramHashKernel {
+  import org.apache.spark.unsafe.Platform
+
+  /** Sorted distinct XXH64 hashes (seed 42) of the character n-grams of
+    * the whitespace-normalized lowercase text. The 64-bit hash stands in
+    * for the gram itself in set arithmetic ([[JaccardLongKernel]]):
+    * per-document hashing happens ONCE here, so pairwise scoring never
+    * touches strings again — the string-set Jaccard builds a hash set
+    * per PAIR, which dominates broadcast scoring runs. Collision risk at
+    * 64 bits is ~|A|·|B|/2⁶⁴ per pair — negligible against rounded
+    * similarity output. Zero per-gram allocation: each window's chars
+    * are written into one reused byte buffer and hashed in place. */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val s = Norm.normalized(text.toString)
+    if (s.length < n) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val m = s.length - n + 1
+    val tmp = new Array[Long](m)
+    val buf = new Array[Byte](2 * n)
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < n) {
+        val c = s.charAt(i + j)
+        buf(2 * j) = (c >> 8).toByte
+        buf(2 * j + 1) = c.toByte
+        j += 1
+      }
+      tmp(i) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, 2 * n, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(tmp)
+    var out = 1
+    var k = 1
+    while (k < m) {
+      if (tmp(k) != tmp(k - 1)) { tmp(out) = tmp(k); out += 1 }
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(tmp, out))
+  }
+}
+
+object JaccardLongKernel {
+  /** |A ∩ B| / |A ∪ B| of two SORTED distinct long arrays — a primitive
+    * merge, no hashing, no object churn. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return Double.NaN
+    var i = 0; var j = 0; var shared = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { shared += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    shared.toDouble / (na + nb - shared)
+  }
+}
+
 object JaccardKernel {
   import org.apache.spark.unsafe.types.UTF8String
 
@@ -277,6 +335,38 @@ object JaccardKernel {
     while (j < nb) { if (set.contains(b.getUTF8String(j))) shared += 1; j += 1 }
     shared.toDouble / (na + nb - shared)
   }
+}
+
+/** string → array<long> sorted distinct char-n-gram hashes (see
+  * [[GramHashKernel]]). */
+case class GramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName, child.dataType == StringType, "STRING", child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    GramHashKernel.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramHashKernel.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** (array<long>, array<long>) → double Jaccard over sorted hash sets. */
+case class JaccardLongExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName,
+    left.dataType == ArrayType(LongType, false) || left.dataType == ArrayType(LongType, true),
+    "ARRAY<BIGINT>, ARRAY<BIGINT>", left.dataType)
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaccard_sim_hashed"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardLongKernel.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaccardLongKernel.compute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** (array<string>, array<string>) → double Jaccard similarity. */
@@ -310,4 +400,8 @@ object Hashing {
     GraftBridge.column(CharNgramsExpr(GraftBridge.expression(c), n))
   def jaccardSim(a: Column, b: Column): Column =
     GraftBridge.column(JaccardExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def gramHashes(c: Column, n: Int): Column =
+    GraftBridge.column(GramHashesExpr(GraftBridge.expression(c), n))
+  def jaccardSimHashed(a: Column, b: Column): Column =
+    GraftBridge.column(JaccardLongExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -18,6 +18,14 @@ object Dedup {
     * table per session. */
   @volatile private var lastShingleCache: Option[DataFrame] = None
 
+  /** Release the cached shingle table — call when a dedup workload is
+    * done with a table (driver mains call it on exit; long-lived
+    * services should call it between corpora). */
+  def clearShingleCache(): Unit = Dedup.synchronized {
+    lastShingleCache.foreach(_.unpersist(blocking = false))
+    lastShingleCache = None
+  }
+
   /** LSH buckets dropped so far this session by the size cap
     * ([[Lsh.DefaultMaxBucket]]). Nonzero means a corpus had degenerate
     * buckets (usually mass-duplicate documents — run [[exact]] first);

@@ -318,15 +318,19 @@ object LlmQueries {
     * against the corpus — the exact complement to the MinHash-LSH
     * discovery path (which finds corpus-wide pairs without O(n²) work). */
   val ngramJaccard: Q = (s, dir) => {
+    // grams are hashed to sorted long sets ONCE per document
+    // (GramHashKernel), so the broadcast scoring loop is a primitive
+    // merge per pair — no per-pair string hashing (that per-pair HashSet
+    // build dominated this query before)
     val g = Tables.t(s, dir, "documents")
-      .select(col("doc_id"), graft.functions.Hashing.charNgrams(col("text"), 4).as("grams"))
+      .select(col("doc_id"), graft.functions.Hashing.gramHashes(col("text"), 4).as("grams"))
       .filter(size(col("grams")) > 0)
     val qset = g.filter(col("doc_id") < 20)
       .select(col("doc_id").as("doc_a"), col("grams").as("g_a"))
     val corpus = g.select(col("doc_id").as("doc_b"), col("grams").as("g_b"))
     corpus.join(broadcast(qset), col("doc_b") > col("doc_a"))
       .select(col("doc_a"), col("doc_b"),
-        round(TextOps.jaccard(col("g_a"), col("g_b")), 4).as("jaccard"))
+        round(graft.functions.Hashing.jaccardSimHashed(col("g_a"), col("g_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
       .orderBy("doc_a", "doc_b")
   }

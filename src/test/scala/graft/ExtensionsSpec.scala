@@ -19,6 +19,10 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT text_stats('the cat and the dog.').n_tokens AS n")
       .as[Int].head() === 5)
     assert(spark.sql("SELECT srp_bucket(array(1.0D, -1.0D), 4, 0) AS b").as[Long].head() >= 0L)
+    assert(spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head() === 11.0)
+    assert(spark.sql("SELECT size(md5_simhash_blocks(array('a', 'b'))) AS n")
+      .as[Int].head() === 4)
     // SQL results agree with the Column API on real data
     Tables.t(spark, sf, "documents").limit(20).createOrReplaceTempView("docs_ext")
     val viaSql = spark.sql("SELECT doc_id, simhash_blocks(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')) AS b FROM docs_ext")

@@ -134,6 +134,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(res.count() === 25)
   }
 
+  test("hashed-gram jaccard equals string-gram jaccard on real documents") {
+    import graft.functions.Hashing
+    val d = docs.limit(30)
+      .select(col("doc_id"),
+        Hashing.charNgrams(col("text"), 4).as("g"),
+        Hashing.gramHashes(col("text"), 4).as("hg"))
+      .filter(size(col("g")) > 0)
+    val a = d.select(col("doc_id").as("ia"), col("g").as("g_a"), col("hg").as("hg_a"))
+    val b = d.select(col("doc_id").as("ib"), col("g").as("g_b"), col("hg").as("hg_b"))
+    val cmp = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(
+        round(TextOps.jaccard(col("g_a"), col("g_b")), 6).as("js"),
+        round(Hashing.jaccardSimHashed(col("hg_a"), col("hg_b")), 6).as("jh"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("langId marks han-script docs zh and anglophone docs en") {
     val df = Seq(
       (1L, "the cat and the dog went to the market in the morning"),
