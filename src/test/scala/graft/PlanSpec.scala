@@ -105,6 +105,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("RangeJoinRewrite rule converts a pure range theta-join into a binned equi-join") {
+    import spark.implicits._
+    val points = (0L until 2000L).map(i => (i, i * 13 % 10000)).toDF("pid", "pt")
+    val intervals = (0L until 50L).map(i => (i, i * 200, i * 200 + 399)).toDF("iid", "lo", "hi")
+    def joined = points.join(intervals,
+      points("pt") >= intervals("lo") && points("pt") <= intervals("hi"))
+
+    // without the rule: nested-loop product
+    val before = joined.queryExecution.executedPlan.toString
+    assert(before.contains("BroadcastNestedLoopJoin") || before.contains("CartesianProduct"))
+    val expected = joined.orderBy("pid", "iid").collect().toSeq
+
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "400")
+    try {
+      val after = joined.queryExecution.executedPlan.toString
+      assert(!after.contains("BroadcastNestedLoopJoin") && !after.contains("CartesianProduct"),
+        s"rule should remove the product join: ${after.take(800)}")
+      // same rows, same schema — the rewrite is semantics-preserving
+      assert(joined.orderBy("pid", "iid").collect().toSeq === expected)
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq graft.plans.RangeJoinRewrite)
+    }
+  }
+
   test("custom hash kernels run inside whole-stage codegen") {
     val df = Tables.t(spark, sf, "documents")
       .select(graft.functions.Hashing.minhashSignature(
