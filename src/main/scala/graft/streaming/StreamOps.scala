@@ -76,15 +76,21 @@ object StreamOps {
     * evict state (a right row can be dropped once the left watermark
     * passes rt − horizon, the canonical bounded-state stream join). On
     * batch inputs (watermark = None) the same plan is an equi+range
-    * join, which is what the oracle checks. */
+    * join, which is what the oracle checks.
+    *
+    * `joinType` "left_outer" emits unmatched left rows (null right
+    * columns) once the watermark passes left.ts + horizon — the
+    * abandoned-cart shape; requires `watermark` on streaming inputs. */
   def intervalJoin(left: DataFrame, right: DataFrame, horizon: String,
-                   watermark: Option[String] = None): DataFrame = {
+                   watermark: Option[String] = None,
+                   joinType: String = "inner"): DataFrame = {
     val c = watermark.fold(left)(w => left.withWatermark("ts", w)).alias("c")
     val p = watermark.fold(right)(w => right.withWatermark("ts", w)).alias("p")
     c.join(p,
         col("c.user_id") === col("p.user_id") &&
         col("p.ts") >= col("c.ts") &&
-        col("p.ts") <= col("c.ts") + expr(s"INTERVAL $horizon"))
+        col("p.ts") <= col("c.ts") + expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("c.event_id").as("click_id"), col("c.user_id").as("user_id"),
         col("p.event_id").as("purchase_id"), col("p.value").as("purchase_value"))
   }

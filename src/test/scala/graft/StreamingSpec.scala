@@ -82,6 +82,48 @@ class StreamingSpec extends AnyFunSuite {
       batch.collect().toSeq)
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched rows after watermark") {
+    val src = StreamOps.readEventsStream(spark, sf)
+    val clicks = src.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val streamed = runToMemory(
+      StreamOps.intervalJoin(clicks, purchases, "30 minutes",
+        Some("10 minutes"), "left_outer"),
+      "t_interval_loj")
+
+    val bc = batchEvents.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val bp = batchEvents.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val batch = StreamOps.intervalJoin(bc, bp, "30 minutes", None, "left_outer")
+
+    // null-emission for a click is only DETERMINED once the GLOBAL
+    // watermark (min over both branch watermarks, each maxTs − delay
+    // over the rows that branch saw) passes click.ts + horizon; compare
+    // the settled region on both sides, backed off 1 minute so
+    // boundary-inequality strictness can't flip a row
+    val maxClickTs = batchEvents.filter(col("event_type") === "click")
+      .agg(max("ts")).collect()(0).getTimestamp(0)
+    val maxPurchTs = batchEvents.filter(col("event_type") === "purchase")
+      .agg(max("ts")).collect()(0).getTimestamp(0)
+    val wm = new java.sql.Timestamp(
+      math.min(maxClickTs.getTime, maxPurchTs.getTime) - 10 * 60000L)
+    val settled = lit(wm) - expr("INTERVAL 31 minutes")
+    def determined(df: org.apache.spark.sql.DataFrame) = {
+      val clickTs = batchEvents.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("c_ts"))
+      df.join(clickTs, "click_id").filter(col("c_ts") < settled)
+        .select("click_id", "user_id", "purchase_id", "purchase_value")
+    }
+    val a = determined(streamed).orderBy("click_id", "purchase_id").collect().toSeq
+    val b = determined(batch).orderBy("click_id", "purchase_id").collect().toSeq
+    assert(a.nonEmpty)
+    assert(a.exists(_.isNullAt(2)), "some clicks should have no purchase within horizon")
+    assert(a === b)
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val deduped = runToMemory(
       StreamOps.dedupStream(StreamOps.readEventsStream(spark, sf), "1 hour"), "t_dedup")
