@@ -133,6 +133,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // fresh session: thresholds lowered so fixture-scale skew triggers
+    // the same OptimizeSkewedJoin path that saves a 100 TB shuffle
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    // left: one hot key carrying ~95% of rows, with an incompressible
+    // payload so the hot shuffle partition is genuinely large
+    val left = s2.range(0, 200000)
+      .select(when(col("id") % 20 === 0, col("id") % 100).otherwise(0L).as("k"),
+        md5(concat(lit("payload-"), col("id"))).as("v"))
+    val right = s2.range(0, 100).select(col("id").as("k"), col("id").as("attr"))
+    // global agg over v (keeps the payload through the shuffle; a groupBy
+    // on the join key would pin the partitioning and veto the skew split)
+    val joined = left.join(right, "k").agg(sum(length(col("v"))).as("n"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"expected AQE to mark the skewed SMJ partition: ${p.take(900)}")
+  }
+
   test("custom hash kernels run inside whole-stage codegen") {
     val df = Tables.t(spark, sf, "documents")
       .select(graft.functions.Hashing.minhashSignature(
