@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,6 +20,15 @@ import java.util
   * (seed, id) via splitmix64, so any slice of the table is reproducible
   * on any executor with no data movement — `planInputPartitions` is the
   * `getSplits` analog, `createReader` the `RecordReader`.
+  *
+  * Pushdown surface (the part the reference does metastore-side,
+  * HiveApiInputFormat.java:290-309 + HiveUtils.java:232-249):
+  *  - column pruning (`SupportsPushDownRequiredColumns`) — readers emit
+  *    only requested fields;
+  *  - id-range filter pushdown (`SupportsPushDownFilters`) — =, <, <=,
+  *    >, >= on `id` shrink the generated range BEFORE split planning,
+  *    so out-of-range splits are never created (split elimination, not
+  *    row filtering).
   *
   * Usage:
   *   spark.read.format("graft.sources.SynthSource")
@@ -70,22 +80,75 @@ class SynthTable(rows: Long, partitions: Int, seed: Long) extends Table with Sup
 }
 
 class SynthScan(rows: Long, partitions: Int, seed: Long)
-    extends ScanBuilder with Scan with Batch {
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var requiredSchema: StructType = SynthSource.Schema
+  private var lower: Long = 0L         // inclusive id bound
+  private var upper: Long = rows       // exclusive id bound
+  private var pushed: Array[Filter] = Array.empty
+
   override def build(): Scan = this
-  override def readSchema(): StructType = SynthSource.Schema
+  override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
 
-  /** getSplits analog: contiguous id ranges, one per partition. */
+  override def pruneColumns(s: StructType): Unit = requiredSchema = s
+
+  /** Exact id-range pushdown: accepted filters shrink [lower, upper)
+    * before split planning, so they need NO post-scan re-evaluation —
+    * the returned residual excludes them. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def asLong(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue)
+      case _ => None
+    }
+    val residual = filters.filter {
+      case EqualTo("id", v) => asLong(v) match {
+        case Some(x) => lower = math.max(lower, x); upper = math.min(upper, x + 1); false
+        case None => true
+      }
+      case GreaterThan("id", v) => asLong(v) match {
+        case Some(x) => lower = math.max(lower, x + 1); false
+        case None => true
+      }
+      case GreaterThanOrEqual("id", v) => asLong(v) match {
+        case Some(x) => lower = math.max(lower, x); false
+        case None => true
+      }
+      case LessThan("id", v) => asLong(v) match {
+        case Some(x) => upper = math.min(upper, x); false
+        case None => true
+      }
+      case LessThanOrEqual("id", v) => asLong(v) match {
+        case Some(x) => upper = math.min(upper, x + 1); false
+        case None => true
+      }
+      case _ => true
+    }
+    pushed = filters.diff(residual)
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** getSplits analog: contiguous id ranges over the (possibly
+    * filter-shrunk) span — eliminated splits are never planned. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val per = (rows + partitions - 1) / partitions
-    (0 until partitions).map { p =>
-      SynthPartition(p * per, math.min((p + 1) * per, rows), seed): InputPartition
+    val span = math.max(0L, upper - lower)
+    if (span == 0) return Array.empty
+    // split size is fixed by the table geometry (rows/partitions), so a
+    // range filter ELIMINATES splits rather than re-slicing the remainder
+    val per = math.max(1L, (rows + partitions - 1) / partitions)
+    val splits = ((span + per - 1) / per).toInt
+    (0 until splits).map { p =>
+      SynthPartition(lower + p * per, math.min(lower + (p + 1) * per, upper), seed,
+        requiredSchema.fieldNames): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = SynthReaderFactory
 }
 
-case class SynthPartition(start: Long, end: Long, seed: Long) extends InputPartition
+case class SynthPartition(start: Long, end: Long, seed: Long,
+                          fields: Array[String]) extends InputPartition
 
 object SynthReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -96,9 +159,13 @@ object SynthReaderFactory extends PartitionReaderFactory {
       override def get(): InternalRow = {
         val h = SynthSource.mix(p.seed ^ id)
         // fields drawn from disjoint bit ranges so they are uncorrelated
-        InternalRow(id, ((h >>> 33) & 0x7fffffff).toInt % 10,
-          ((h >>> 11) & 0xfffff).toDouble / 1048576.0,
-          UTF8String.fromString(if ((h & 1) == 0) "even" else "odd"))
+        val values: Array[Any] = p.fields.map {
+          case "id" => id
+          case "grp" => ((h >>> 33) & 0x7fffffff).toInt % 10
+          case "value" => ((h >>> 11) & 0xfffff).toDouble / 1048576.0
+          case "tag" => UTF8String.fromString(if ((h & 1) == 0) "even" else "odd")
+        }
+        InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(values))
       }
       override def close(): Unit = ()
     }

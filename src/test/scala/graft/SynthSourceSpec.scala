@@ -35,6 +35,36 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(narrow.toSeq === wide.toSeq)
   }
 
+  test("id-range filters eliminate splits at planning time") {
+    // rows 0..9999 over 8 splits of 1250; id >= 8750 leaves one split's
+    // worth of ids — the other ranges must never be planned
+    val pruned = synth(10000, 8).filter(col("id") >= 8750)
+    assert(pruned.rdd.getNumPartitions === 1, "out-of-range splits should not exist")
+    assert(pruned.count() === 1250)
+    // equality with the unpruned computation
+    val viaFull = synth(10000, 8).collect().filter(_.getLong(0) >= 8750)
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ===
+      viaFull.map(_.getLong(0)).sorted.toSeq)
+    // point lookup plans a single one-row split
+    val point = synth(10000, 8).filter(col("id") === 4321)
+    assert(point.rdd.getNumPartitions === 1)
+    assert(point.count() === 1)
+    // non-id filters stay residual and still evaluate correctly
+    val mixed = synth(10000, 8).filter(col("id") < 100 && col("tag") === "even")
+    assert(mixed.collect().forall(r => r.getLong(0) < 100 && r.getString(3) == "even"))
+  }
+
+  test("column pruning reaches the reader") {
+    val df = synth(1000, 4).select("grp", "value")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scan.contains("tag"), s"pruned column still read: $scan")
+    assert(df.columns.toSeq === Seq("grp", "value"))
+    assert(df.distinct().count() > 0)
+    // pruned read agrees with the full read
+    val full = synth(1000, 4).select("grp", "value").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(df.collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq === full.toSeq)
+  }
+
   test("standard operators compose over the custom source") {
     val agg = synth(10000, 8)
       .filter(col("tag") === "even")
