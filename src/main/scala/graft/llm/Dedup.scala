@@ -80,14 +80,13 @@ object Dedup {
     // Band keys travel WITHOUT the shingle arrays: the banded shuffle
     // moves (id, band, hash64) triples only — at corpus scale replicating
     // each document's shingle set bands× through the exchange is the
-    // dominant cost, not the hashing.
+    // dominant cost, not the hashing. Signature + banding are fused in
+    // one kernel pass (the per-band slice copies dominated otherwise).
     val banded = sh
-      .select(col("id"), minhashSignature(col("shingles"), bands * rowsPerBand).as("sig"))
       .select(col("id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bh"))
+        posexplode(graft.functions.Hashing.minhashBands(
+          col("shingles"), bands, rowsPerBand)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
 
     val cand = Lsh.bucketPairs(banded, Seq("band", "bh"), "doc_a", "doc_b")
 
