@@ -155,6 +155,29 @@ class Engine(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** Spark-idiomatic extension beyond the reference's one-static-
+    * partition-per-job writes: write `df` partitioned by `partitionCols`
+    * with DYNAMIC partition overwrite — only the partitions present in
+    * `df` are replaced, untouched partitions survive. This is the bulk
+    * backfill shape at 100 TB (a day's re-run replaces that day only);
+    * the reference would need one job per partition. */
+  def writePartitioned(spec: TableSpec, df: DataFrame, partitionCols: Seq[String],
+                       overwrite: Boolean = false): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned requires partition columns")
+    val target = path(spec)
+    if (tableExists(spec)) {
+      val existing = partitionColumns(spec)
+      if (existing != partitionCols)
+        throw new IllegalArgumentException(
+          s"Table ${spec.table} is partitioned by $existing, not $partitionCols")
+    }
+    df.write
+      .partitionBy(partitionCols: _*)
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(target)
+  }
+
   /** Partition columns of an existing table, inferred from directory
     * layout (`k=v` path segments) — the warehouse-as-metastore analog. */
   def partitionColumns(spec: TableSpec): Seq[String] = {

@@ -376,7 +376,30 @@ object Extended {
       |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Salted skew join (graft.operators.Skew): lineitem⋈orders forced
+    * through the salt path (broadcast disabled via hint-free SMJ would
+    * hide it, so we join the raw frames). The oracle is the plain join —
+    * salting must be result-invariant. */
+  val saltedJoin: Q = (s, dir) => {
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val o = Tables.t(s, dir, "orders")
+      .filter(col("o_orderkey") % 61 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    graft.operators.Skew.saltedJoin(li, o, "o_orderkey", salts = 8)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  val saltedJoinSql: String =
+    """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderkey % 61 = 0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q66_salted_join" -> saltedJoin,
     "q63_range_join" -> rangeJoin,
     "q64_interval_join" -> intervalJoinBatch,
     "q65_approx_percentiles" -> approxPercentiles,
@@ -397,6 +420,7 @@ object Extended {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q66_salted_join" -> saltedJoinSql,
     "q63_range_join" -> rangeJoinSql,
     "q64_interval_join" -> intervalJoinBatchSql,
     "q65_approx_percentiles" -> approxPercentilesSql,

@@ -194,6 +194,32 @@ class EngineSpec extends AnyFunSuite {
     assert(deg.toSeq === Seq(("a", 2L), ("b", 1L), ("c", 1L)))
   }
 
+  // dynamic partition overwrite: the bulk-backfill shape (untouched
+  // partitions survive; only partitions present in the new data change)
+  test("writePartitioned replaces only the partitions present in the data") {
+    val e = freshEngine()
+    val spec = TableSpec("tdyn")
+    e.writePartitioned(spec,
+      Seq((1, "2026-01-01"), (2, "2026-01-01"), (3, "2026-01-02")).toDF("i1", "ds"),
+      Seq("ds"))
+    assert(e.read(spec).count() === 3)
+    // re-run of day 2 only: day 1 must survive, day 2 replaced
+    e.writePartitioned(spec,
+      Seq((30, "2026-01-02"), (31, "2026-01-02")).toDF("i1", "ds"),
+      Seq("ds"), overwrite = true)
+    val back = e.read(spec).orderBy("i1").select("i1").as[Int].collect()
+    assert(back.toSeq === Seq(1, 2, 30, 31))
+    // wrong partition-column arity is refused (reference sanityCheck spirit)
+    intercept[IllegalArgumentException] {
+      e.writePartitioned(spec, Seq((9, "x", "y")).toDF("i1", "ds", "extra"),
+        Seq("ds", "extra"), overwrite = true)
+    }
+    // non-overwrite into an existing table errors
+    intercept[Exception] {
+      e.writePartitioned(spec, Seq((7, "2026-01-03")).toDF("i1", "ds"), Seq("ds"))
+    }
+  }
+
   test("nulls round-trip through write and widen") {
     val e = freshEngine()
     val spec = TableSpec("tn")
