@@ -17,7 +17,8 @@ case class TableSpec(
     database: String = "default",
     columns: Seq[String] = Nil,
     partitionFilter: Option[Column] = None,
-    numSplits: Option[Int] = None)
+    numSplits: Option[Int] = None,
+    format: String = "parquet")
 
 /** Write-side intent — analog of `HiveOutputDescription`: static
   * partition values and the partition-exists policy
@@ -52,6 +53,20 @@ class Engine(spark: SparkSession, warehouse: String) {
   def tableExists(spec: TableSpec): Boolean =
     Files.exists(Paths.get(path(spec)))
 
+  /** S17 storage-format plug-in (reference HiveTableSchema's serde
+    * abstraction): any Spark file format by name — parquet (default,
+    * per BASELINE), orc, json, csv… CSV gets header+inference defaults
+    * so round-trips keep names/types where the format allows. */
+  private def reader(session: SparkSession, format: String) = {
+    val r = session.read.format(format)
+    if (format == "csv") r.option("header", "true").option("inferSchema", "true") else r
+  }
+
+  private def writer(df: DataFrame, format: String) = {
+    val w = df.write.format(format)
+    if (format == "csv") w.option("header", "true") else w
+  }
+
   /** S1: scan with projection + partition-filter pushdown.
     *
     * `numSplits` is honored the way the reference honors it — as split
@@ -71,7 +86,7 @@ class Engine(spark: SparkSession, warehouse: String) {
       s2.conf.set("spark.sql.files.openCostInBytes", "0")
       s2
     }
-    var df = session.read.parquet(path(spec))
+    var df = reader(session, spec.format).load(path(spec))
     for (f <- spec.partitionFilter) df = df.filter(f)
     if (spec.columns.nonEmpty) df = df.select(spec.columns.map(col).toIndexedSeq: _*)
     df
@@ -133,7 +148,7 @@ class Engine(spark: SparkSession, warehouse: String) {
       if (exists) throw new IllegalArgumentException(
         s"Unpartitioned table ${spec.table} already has data; " +
           "the reference semantics require an empty target")
-      df.write.mode(SaveMode.ErrorIfExists).parquet(target)
+      writer(df, spec.format).mode(SaveMode.ErrorIfExists).save(target)
     } else {
       val partitionPath = ws.partitionValues.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=$v" }.mkString("/")
@@ -146,12 +161,12 @@ class Engine(spark: SparkSession, warehouse: String) {
         if (exists)
           TypeWidening.widenTo(df,
             org.apache.spark.sql.types.StructType(
-              spark.read.parquet(target).schema.filterNot(f =>
+              reader(spark, spec.format).load(target).schema.filterNot(f =>
                 ws.partitionValues.contains(f.name))))
         else df
       // static-partition write: data files under the partition dir;
       // overwrite replaces exactly this partition (drop_partition parity)
-      out.write.mode(SaveMode.Overwrite).parquet(partDir)
+      writer(out, spec.format).mode(SaveMode.Overwrite).save(partDir)
     }
   }
 
@@ -175,7 +190,8 @@ class Engine(spark: SparkSession, warehouse: String) {
       .partitionBy(partitionCols: _*)
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .option("partitionOverwriteMode", "dynamic")
-      .parquet(target)
+      .format(spec.format)
+      .save(target)
   }
 
   /** Partition columns of an existing table, inferred from directory
@@ -203,7 +219,7 @@ class Engine(spark: SparkSession, warehouse: String) {
   /** HiveStats parity (common/HiveStats.java:90-107): additive row count
     * + byte size, from parquet footers instead of metastore params. */
   def stats(spec: TableSpec): (Long, Long) =
-    (spark.read.parquet(path(spec)).count(), tableBytes(spec))
+    (reader(spark, spec.format).load(path(spec)).count(), tableBytes(spec))
 
   /** hivetail parity (cmdline tailer/TailerCmd.java): bounded, ordered
     * sample of a table. */

@@ -220,6 +220,25 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  // S17 storage-format plug-in: same Engine surface over other formats
+  test("format plug-in: orc and json round-trip through the same API") {
+    val e = freshEngine()
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    for (fmt <- Seq("orc", "json")) {
+      val spec = TableSpec(s"tfmt_$fmt", format = fmt)
+      e.write(spec, df)
+      val back = e.read(spec).orderBy("id")
+        .select("id", "name", "score").as[(Long, String, Double)].collect()
+      assert(back.toSeq === Seq((1L, "a", 1.5), (2L, "b", 2.5)), fmt)
+    }
+    // partitioned write + pruning works for non-parquet formats too
+    val pspec = TableSpec("tfmt_part", format = "orc")
+    e.write(pspec, df, WriteSpec(Map("ds" -> "d1")))
+    e.write(pspec, df, WriteSpec(Map("ds" -> "d2")))
+    val pruned = e.read(pspec.copy(partitionFilter = Some(col("ds") === "d2")))
+    assert(pruned.count() === 2)
+  }
+
   test("nulls round-trip through write and widen") {
     val e = freshEngine()
     val spec = TableSpec("tn")
