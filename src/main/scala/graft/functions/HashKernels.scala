@@ -368,6 +368,63 @@ object JaccardLongKernel {
   }
 }
 
+object RollingChunkKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private final val Window = 16
+  private final val Base = 1000003L
+  private final val BasePowW: Long = {
+    var p = 1L
+    var i = 0
+    while (i < Window) { p *= Base; i += 1 }
+    p
+  }
+
+  /** Content-defined chunk fingerprints (Rabin-style): a polynomial
+    * rolling hash over a FIXED sliding window of the last [[Window]]
+    * chars decides boundaries (`hash & mask == 0` ends a chunk, expected
+    * chunk length ≈ mask+1); each chunk ≥ minChunk chars is
+    * fingerprinted with XXH64. Because the boundary condition depends
+    * only on local content — never on offsets or chunk starts — two
+    * documents resynchronize on identical boundaries within one window
+    * of entering shared text: shared boilerplate produces identical
+    * interior chunk fingerprints wherever it appears. Output is the
+    * sorted distinct fingerprint set (merge-friendly, like
+    * [[GramHashKernel]]). */
+  def compute(text: UTF8String, minChunk: Int, mask: Long): ArrayData = {
+    val s = Norm.normalized(text.toString)
+    val n = s.length
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val out = new Array[Long](n / math.max(1, minChunk) + 1)
+    var count = 0
+    var h = 0L
+    var start = 0
+    var i = 0
+    while (i < n) {
+      h = h * Base + s.charAt(i)
+      if (i >= Window) h -= BasePowW * s.charAt(i - Window)
+      val len = i - start + 1
+      if ((len >= minChunk && (h & mask) == 0L) || i == n - 1) {
+        val bytes = s.substring(start, i + 1).getBytes("UTF-8")
+        out(count) = XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+        count += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val trimmed = java.util.Arrays.copyOf(out, count)
+    java.util.Arrays.sort(trimmed)
+    var uniq = if (count == 0) 0 else 1
+    var k = 1
+    while (k < count) {
+      if (trimmed(k) != trimmed(k - 1)) { trimmed(uniq) = trimmed(k); uniq += 1 }
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(trimmed, uniq))
+  }
+}
+
 object JaccardKernel {
   import org.apache.spark.unsafe.types.UTF8String
 
@@ -420,6 +477,23 @@ case class JaccardLongExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** string → array<long> content-defined chunk fingerprints (see
+  * [[RollingChunkKernel]]). */
+case class RollingChunksExpr(child: Expression, minChunk: Int, mask: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName, child.dataType == StringType, "STRING", child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_chunks"
+  override protected def nullSafeEval(input: Any): Any =
+    RollingChunkKernel.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], minChunk, mask)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingChunkKernel.compute($c, $minChunk, ${mask}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** (array<string>, array<string>) → double Jaccard similarity. */
 case class JaccardExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -457,4 +531,6 @@ object Hashing {
     GraftBridge.column(GramHashesExpr(GraftBridge.expression(c), n))
   def jaccardSimHashed(a: Column, b: Column): Column =
     GraftBridge.column(JaccardLongExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def rollingChunks(c: Column, minChunk: Int, mask: Long): Column =
+    GraftBridge.column(RollingChunksExpr(GraftBridge.expression(c), minChunk, mask))
 }

@@ -161,6 +161,32 @@ object Dedup {
     *        output is exactly the all-pairs Hamming-≤3 set with no
     *        O(n²) scan. Larger radii still work but become best-effort
     *        (a pair differing in all four blocks is never a candidate). */
+  /** Partial-duplicate pairs via content-defined chunking (Rabin-style
+    * rolling hash, [[graft.functions.RollingChunkKernel]]): documents
+    * sharing at least `minSharedChunks` chunk fingerprints — catches
+    * SUBSTRING-level duplication (shared boilerplate, quoted blocks)
+    * that whole-doc or shingle-set measures dilute. Discovery is by
+    * chunk-fingerprint bucket join (each shared chunk is a bucket key),
+    * so work is proportional to actual sharing, never all-pairs; the
+    * expected chunk length is `mask+1` chars (mask = 2^k − 1).
+    *
+    * Returns (doc_a, doc_b, shared_chunks) with doc_a < doc_b. */
+  def partialDupPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                      minChunk: Int = 64, mask: Long = 0xff, minSharedChunks: Int = 2): DataFrame = {
+    val chunked = docs.select(col(idCol).as("id"),
+      graft.functions.Hashing.rollingChunks(col(textCol), minChunk, mask).as("chunks"))
+    val exploded = chunked.select(col("id"), explode(col("chunks")).as("ch"))
+    // each chunk fingerprint is a bucket; in-bucket pairs share that chunk
+    val pairs = Lsh.bucketPairs(exploded.select(col("id"), col("ch")), Seq("ch"), "doc_a", "doc_b")
+    // count DISTINCT shared chunks per candidate pair via re-join
+    val ca = chunked.select(col("id").as("doc_a"), col("chunks").as("ch_a"))
+    val cb = chunked.select(col("id").as("doc_b"), col("chunks").as("ch_b"))
+    pairs.join(ca, "doc_a").join(cb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ch_a"), col("ch_b"))).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minSharedChunks)
+  }
+
   def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    maxHamming: Int = 3, tokenHash: String = "xxh64"): DataFrame = {
     val blocksOf = tokenHash match {

@@ -134,6 +134,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(res.count() === 25)
   }
 
+  // non-periodic synthetic text: CDC boundary density matches random
+  // content (a repeated phrase would alias the rolling window period)
+  private def words(seed: Int, n: Int): String =
+    (1 to n).map(i => s"tok${(seed * 2654435761L + i * 40503L) % 99991}").mkString(" ")
+
+  test("partial-dup pairs find shared boilerplate, not unrelated docs") {
+    val boiler = words(777, 200)
+    def noise(seed: Int) = words(seed, 60)
+    val df = Seq(
+      (1L, noise(1) + " " + boiler + " " + noise(2)),
+      (2L, noise(3) + " " + boiler + " " + noise(4)),   // same boilerplate, different position
+      (3L, noise(5) + " " + noise(6)),                  // unrelated
+      (4L, noise(7) + " " + noise(8))                   // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.partialDupPairs(df, minChunk = 32, mask = 0x3f)
+      .as[(Long, Long, Int)].collect()
+    assert(got.exists { case (a, b, n) => a == 1L && b == 2L && n >= 2 },
+      s"boilerplate pair missing: ${got.toSeq}")
+    assert(!got.exists { case (a, b, _) => (a, b) == (3L, 4L) },
+      s"unrelated docs must not pair: ${got.toSeq}")
+  }
+
+  test("content-defined chunks are position-independent") {
+    import graft.functions.Hashing
+    val core = words(42, 200)
+    val df = Seq((1L, words(9, 10) + " " + core), (2L, core + " " + words(11, 10))).toDF("doc_id", "text")
+    val chunks = df.select(col("doc_id"),
+        Hashing.rollingChunks(col("text"), 32, 0x3f).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // interior chunks of the shared core must coincide despite the shift
+    val shared = chunks(1L).toSet.intersect(chunks(2L).toSet)
+    assert(shared.size >= 2, s"expected shared interior chunks, got ${shared.size}")
+  }
+
   test("hashed-gram jaccard equals string-gram jaccard on real documents") {
     import graft.functions.Hashing
     val d = docs.limit(30)
