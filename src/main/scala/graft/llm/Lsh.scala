@@ -1,6 +1,5 @@
 package graft.llm
 
-import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -36,11 +35,19 @@ private[llm] object Lsh {
     * case the counter exists for. Cumulative per session; task retries
     * may over-count (standard accumulator caveat) — it is a diagnostic,
     * not data. */
-  private val accumulators = new ConcurrentHashMap[SparkSession, LongAccumulator]()
+  private val accumulators =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, LongAccumulator]())
 
   private def accFor(spark: SparkSession): LongAccumulator =
-    accumulators.computeIfAbsent(spark,
-      s => s.sparkContext.longAccumulator("graft.lsh.droppedBuckets"))
+    accumulators.synchronized {
+      var acc = accumulators.get(spark)
+      if (acc == null) {
+        acc = spark.sparkContext.longAccumulator("graft.lsh.droppedBuckets")
+        accumulators.put(spark, acc)
+      }
+      acc
+    }
 
   /** Total LSH buckets dropped by the size cap in this session so far. */
   def droppedBuckets(spark: SparkSession): Long = accFor(spark).value
