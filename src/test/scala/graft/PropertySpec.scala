@@ -99,6 +99,47 @@ class PropertySpec extends AnyFunSuite {
     }, cases = 10)
   }
 
+  test("hashed-gram jaccard equals string-gram jaccard on random texts") {
+    val word: Gen[String] = Gen.chooseNum(0, 400).map(n => s"w$n")
+    val text: Gen[String] = Gen.listOfN(25, word).map(_.mkString(" "))
+    check(Prop.forAll(text, text) { (ta, tb) =>
+      val df = Seq((ta, tb)).toDF("a", "b")
+      import graft.functions.Hashing
+      val r = df.select(
+        graft.llm.TextOps.jaccard(
+          Hashing.charNgrams(col("a"), 4), Hashing.charNgrams(col("b"), 4)).as("js"),
+        Hashing.jaccardSimHashed(
+          Hashing.gramHashes(col("a"), 4), Hashing.gramHashes(col("b"), 4)).as("jh"))
+        .as[(Double, Double)].head()
+      (r._1.isNaN && r._2.isNaN) || math.abs(r._1 - r._2) < 1e-12
+    }, cases = 15)
+  }
+
+  test("rolling chunks: deterministic, sorted-distinct, and cover the text") {
+    val word: Gen[String] = Gen.chooseNum(0, 4000).map(n => s"t$n")
+    val text: Gen[String] = Gen.listOfN(80, word).map(_.mkString(" "))
+    check(Prop.forAll(text) { t =>
+      val df = Seq(Tuple1(t)).toDF("text")
+      def run() = df.select(graft.functions.Hashing.rollingChunks(col("text"), 32, 0x3f))
+        .as[Seq[Long]].head()
+      val c1 = run(); val c2 = run()
+      c1 == c2 && c1.nonEmpty && c1 == c1.sorted && c1.distinct == c1
+    }, cases = 15)
+  }
+
+  test("md5-simhash: identical token arrays collide; blocks stay in 16-bit range") {
+    val word: Gen[String] = Gen.chooseNum(0, 300).map(n => s"m$n")
+    val toks: Gen[List[String]] = Gen.nonEmptyListOf(word).map(_.take(40))
+    check(Prop.forAll(toks) { ts =>
+      val df = Seq((ts, ts)).toDF("a", "b")
+      import graft.functions.Hashing
+      val r = df.select(Hashing.md5SimhashBlocks(col("a")).as("ba"),
+          Hashing.md5SimhashBlocks(col("b")).as("bb"))
+        .as[(Seq[Long], Seq[Long])].head()
+      r._1 == r._2 && r._1.length == 4 && r._1.forall(v => v >= 0L && v < 65536L)
+    }, cases = 15)
+  }
+
   test("kernels propagate null inputs as null results") {
     val df = Seq((1L, Option.empty[String]), (2L, Some("a b c d"))).toDF("id", "text")
     val got = df.select(col("id"),
