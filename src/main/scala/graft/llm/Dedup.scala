@@ -161,6 +161,33 @@ object Dedup {
     *        output is exactly the all-pairs Hamming-≤3 set with no
     *        O(n²) scan. Larger radii still work but become best-effort
     *        (a pair differing in all four blocks is never a candidate). */
+  /** Partial-duplicate pairs by ALIGNED fixed-size blocks: md5 of each
+    * `blockLen`-char block of the normalized text; pairs sharing at
+    * least `minShared` block fingerprints. The position-aligned sibling
+    * of [[partialDupPairs]]: weaker against insertions (no boundary
+    * resync), but every step is plain SQL, so an external engine can
+    * replay it exactly — this is the oracle-gated face of partial
+    * dedup. Discovery is a fingerprint bucket join; work is
+    * proportional to sharing, never all-pairs. */
+  def alignedBlockPairs(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", blockLen: Int = 64,
+                        minShared: Int = 2): DataFrame = {
+    val nt = docs.select(col(idCol).as("id"),
+      regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("s"))
+    val blocks = nt
+      .select(col("id"), explode(split(col("s"), s"(?<=\\G.{$blockLen})")).as("block"))
+      .filter(length(col("block")) === blockLen)
+      .select(col("id"), md5(col("block").cast("binary")).as("fp"))
+    val perDoc = blocks.groupBy("id").agg(sort_array(collect_set(col("fp"))).as("fps"))
+    val cand = Lsh.bucketPairs(blocks, Seq("fp"), "doc_a", "doc_b")
+    val fa = perDoc.select(col("id").as("doc_a"), col("fps").as("f_a"))
+    val fb = perDoc.select(col("id").as("doc_b"), col("fps").as("f_b"))
+    cand.join(fa, "doc_a").join(fb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("f_a"), col("f_b"))).as("shared_blocks"))
+      .filter(col("shared_blocks") >= minShared)
+  }
+
   /** Partial-duplicate pairs via content-defined chunking (Rabin-style
     * rolling hash, [[graft.functions.RollingChunkKernel]]): documents
     * sharing at least `minSharedChunks` chunk fingerprints — catches

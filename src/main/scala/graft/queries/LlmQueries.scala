@@ -116,6 +116,31 @@ object LlmQueries {
        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
        |GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Partial-duplicate pairs by ALIGNED fixed-size blocks: md5 of each
+    * 64-char block of the normalized text; pairs sharing ≥ 2 block
+    * fingerprints. The position-aligned little sibling of
+    * [[Dedup.partialDupPairs]] (content-defined chunking, spec-tested):
+    * weaker against insertions, but every step is plain SQL so the
+    * oracle replays it exactly. Discovery is a fingerprint bucket join —
+    * work proportional to sharing, never all-pairs. */
+  val partialDupAligned: Q = (s, dir) =>
+    Dedup.alignedBlockPairs(Tables.t(s, dir, "documents"))
+      .orderBy("doc_a", "doc_b")
+
+  val partialDupAlignedSql: String =
+    s"""WITH nt AS (SELECT doc_id AS id, $NormSql AS s FROM documents),
+       |blocks AS (
+       |  SELECT id, md5(substr(s, 1 + k * 64, 64)) AS fp
+       |  FROM (SELECT id, s, unnest(range(0, (length(s) + 63) // 64)) AS k FROM nt)
+       |  WHERE length(substr(s, 1 + k * 64, 64)) = 64),
+       |pairs AS (
+       |  SELECT a.id AS doc_a, b.id AS doc_b,
+       |         count(DISTINCT a.fp)::INTEGER AS shared_blocks
+       |  FROM blocks a JOIN blocks b ON a.fp = b.fp AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared_blocks FROM pairs
+       |WHERE shared_blocks >= 2 ORDER BY doc_a, doc_b""".stripMargin
+
   /** End-to-end corpus curation (the capstone pipeline): drop near-dup
     * non-canonical docs (MinHash-LSH → connected components, keep
     * cluster representative), keep English docs above a quality
@@ -426,6 +451,7 @@ object LlmQueries {
   val queries: Map[String, Q] = Map(
     "q30_dedup_exact" -> dedupExact,
     "q31_doc_fingerprint" -> docFingerprint,
+    "q67_partial_dup_aligned" -> partialDupAligned,
     "q32_dedup_minhash_lsh" -> dedupMinhash,
     "q33_dedup_simhash" -> dedupSimhash,
     "q34_ann_topk" -> annTopK,
@@ -444,6 +470,7 @@ object LlmQueries {
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" -> dedupExactSql,
     "q31_doc_fingerprint" -> docFingerprintSql,
+    "q67_partial_dup_aligned" -> partialDupAlignedSql,
     "q32_dedup_minhash_lsh" -> dedupMinhashSql,
     "q33_dedup_simhash" -> dedupSimhashSql,
     "q36_ann_lsh" -> annLshSql,
