@@ -119,6 +119,46 @@ object Similarity {
     cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
   }
 
+  /** Distributed spherical k-means: each Lloyd iteration is map-side
+    * cell assignment over broadcast centroids ([[assignCells]], no
+    * corpus shuffle) followed by ONE map-combinable aggregation for the
+    * per-cell per-dimension sums — the shape that trains on the full
+    * corpus at 100 TB (only nlist×dim numbers return to the driver per
+    * iteration). Deterministic: first-N init, fixed iteration count. */
+  def trainCentroidsDistributed(corpus: DataFrame, nlist: Int, iters: Int = 5,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): Array[(Long, Array[Double])] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    var cents = firstNCentroids(corpus, nlist, idCol, vecCol)
+      .map { case (i, cv) => (i, normalize(cv)) }
+    val dim = cents.head._2.length
+    for (_ <- 0 until iters) {
+      // per-(cell, dim) sums in one map-combinable aggregation; for a
+      // SPHERICAL centroid normalize(sum) == normalize(mean), so the
+      // count never needs to leave the executors
+      val sums = assignCells(v, cents, "v")
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos")
+        .agg(sum("col").as("s"))
+        .collect()
+      val byCell = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (c, old) =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val total = new Array[Double](dim)
+            rows.foreach(r => total(r.getInt(1)) = r.getDouble(2))
+            (c, normalize(total))
+          case None => (c, old) // empty cell keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is assigned to
     * `nlist` cells by nearest centroid; each query probes only its
     * `nprobe` nearest cells, scoring ~n·nprobe/nlist candidates instead

@@ -186,6 +186,25 @@ class LlmOpsSpec extends AnyFunSuite {
     cmp.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("distributed k-means matches its own determinism and drives IVF") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val c1 = Similarity.trainCentroidsDistributed(emb, nlist = 8, iters = 2)
+    val c2 = Similarity.trainCentroidsDistributed(emb, nlist = 8, iters = 2)
+    assert(c1.length === 8)
+    // repeatable up to float-sum merge order (shuffle merge order can
+    // permute the partial sums, so exact bit equality is not guaranteed)
+    c1.zip(c2).foreach { case ((_, a), (_, b)) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+    // centroids are unit-norm (spherical)
+    c1.foreach { case (_, v) =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    val res = Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, 5,
+      nlist = 8, nprobe = 3, centroids = Some(c1))
+    assert(res.count() === 25)
+  }
+
   test("langId marks han-script docs zh and anglophone docs en") {
     val df = Seq(
       (1L, "the cat and the dog went to the market in the morning"),
