@@ -78,6 +78,9 @@ class Engine(spark: SparkSession, warehouse: String) {
     * Exchange. Works both directions: a small hint packs files together,
     * a large hint splits row groups finer. */
   def read(spec: TableSpec): DataFrame = {
+    if (!tableExists(spec))
+      throw new IllegalArgumentException(
+        s"Table ${spec.database}.${spec.table} does not exist under $warehouse")
     val session = spec.numSplits.fold(spark) { n =>
       require(n > 0, s"numSplits must be positive, got $n")
       val s2 = spark.newSession()

@@ -45,6 +45,16 @@ class ExtensionsSpec extends AnyFunSuite {
       val one = s2.sql("SELECT cosine_sim(array(3.0D, 0.0D), array(7.0D, 0.0D)) AS s")
         .collect()(0).getDouble(0)
       assert(one === 1.0)
+      // the injected optimizer rule fires on this session when enabled
+      import s2.implicits._
+      s2.conf.set("spark.graft.rangeJoin.binWidth", "100")
+      val pts = (0L until 500L).map(i => (i, i % 1000)).toDF("pid", "pt")
+      val iv = (0L until 10L).map(i => (i, i * 100, i * 100 + 99)).toDF("iid", "lo", "hi")
+      val joined = pts.join(iv, pts("pt") >= iv("lo") && pts("pt") <= iv("hi"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"extensions-injected RangeJoinRewrite should apply: ${plan.take(600)}")
+      assert(joined.count() === 500)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(orig)
       org.apache.spark.sql.SparkSession.setActiveSession(orig)
