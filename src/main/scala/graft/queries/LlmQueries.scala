@@ -323,6 +323,24 @@ object LlmQueries {
       |SELECT query_id, neighbor_id, sim, rk FROM ranked
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** Per-label embedding centroids (class prototypes): element-wise mean
+    * per label via posexplode → one map-combinable (label, pos) agg —
+    * the distributed array-aggregation shape (also the inner step of
+    * [[Similarity.trainCentroidsDistributed]]). Flattened to
+    * (label, pos, m) rows so the oracle can hash it. */
+  val labelCentroids: Q = (s, dir) =>
+    Tables.t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy("label", "pos")
+      .agg(round(avg("col"), 4).as("m"))
+      .orderBy("label", "pos")
+
+  val labelCentroidsSql: String =
+    """SELECT label, k::INTEGER AS pos,
+      |       round(avg((embedding::DOUBLE[])[k + 1]), 4) AS m
+      |FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS k)
+      |GROUP BY label, k ORDER BY label, pos""".stripMargin
+
   /** Per-label embedding stats: count + mean L2 norm (sanity/profiling op). */
   val embStats: Q = (s, dir) => {
     val e = Tables.t(s, dir, "embeddings")
@@ -452,6 +470,7 @@ object LlmQueries {
     "q30_dedup_exact" -> dedupExact,
     "q31_doc_fingerprint" -> docFingerprint,
     "q67_partial_dup_aligned" -> partialDupAligned,
+    "q68_label_centroids" -> labelCentroids,
     "q32_dedup_minhash_lsh" -> dedupMinhash,
     "q33_dedup_simhash" -> dedupSimhash,
     "q34_ann_topk" -> annTopK,
@@ -471,6 +490,7 @@ object LlmQueries {
     "q30_dedup_exact" -> dedupExactSql,
     "q31_doc_fingerprint" -> docFingerprintSql,
     "q67_partial_dup_aligned" -> partialDupAlignedSql,
+    "q68_label_centroids" -> labelCentroidsSql,
     "q32_dedup_minhash_lsh" -> dedupMinhashSql,
     "q33_dedup_simhash" -> dedupSimhashSql,
     "q36_ann_lsh" -> annLshSql,

@@ -646,12 +646,54 @@ object Relational {
       |GROUP BY c_custkey, o_orderkey, o_totalprice
       |ORDER BY price DESC, o_orderkey ASC LIMIT 20""".stripMargin
 
+  /** TPC-H Q7 shape (volume shipping): 6-way join with a symmetric
+    * nation-pair predicate and per-year conditional aggregation; both
+    * nation legs broadcast, facts shuffle on join keys only. */
+  val tpchQ7: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+    val su = t(s, dir, "supplier")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation").select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+    li.join(su, li("l_suppkey") === su("s_suppkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), su("s_nationkey") === col("nk1"))
+      .join(broadcast(n2), c("c_nationkey") === col("nk2"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val tpchQ7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |             year(l_shipdate)::INTEGER AS l_year,
+      |             l_extendedprice * (1 - l_discount) AS volume
+      |      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      |      JOIN orders ON o_orderkey = l_orderkey
+      |      JOIN customer ON c_custkey = o_custkey
+      |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "q51_tpch_q3" -> tpchQ3,
     "q52_tpch_q5" -> tpchQ5,
     "q57_tpch_q18" -> tpchQ18,
+    "q69_tpch_q7" -> tpchQ7,
     "q29_write_roundtrip" -> writeRoundtrip,
     "q01_scan_projection" -> scanProjection,
     "q02_filter_predicate" -> filterPredicate,
@@ -688,6 +730,7 @@ object Relational {
     "q51_tpch_q3" -> tpchQ3Sql,
     "q52_tpch_q5" -> tpchQ5Sql,
     "q57_tpch_q18" -> tpchQ18Sql,
+    "q69_tpch_q7" -> tpchQ7Sql,
     "q29_write_roundtrip" -> writeRoundtripSql,
     "q01_scan_projection" -> scanProjectionSql,
     "q02_filter_predicate" -> filterPredicateSql,
