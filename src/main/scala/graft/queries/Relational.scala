@@ -663,8 +663,8 @@ object Relational {
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n1), su("s_nationkey") === col("nk1"))
       .join(broadcast(n2), c("c_nationkey") === col("nk2"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .filter((col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_3") ||
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_2"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -681,8 +681,8 @@ object Relational {
       |      JOIN customer ON c_custkey = o_custkey
       |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
       |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |      WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3')
+      |          OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2'))
       |        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
       |GROUP BY supp_nation, cust_nation, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
