@@ -332,12 +332,14 @@ object LlmQueries {
     Tables.t(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding").cast("array<double>")))
       .groupBy("label", "pos")
-      .agg(round(avg("col"), 4).as("m"))
+      // + 0.0 folds IEEE negative zero into positive zero, which the two
+      // engines otherwise produce on opposite sides of round()
+      .agg((round(avg("col"), 4) + lit(0.0)).as("m"))
       .orderBy("label", "pos")
 
   val labelCentroidsSql: String =
     """SELECT label, k::INTEGER AS pos,
-      |       round(avg((embedding::DOUBLE[])[k + 1]), 4) AS m
+      |       round(avg((embedding::DOUBLE[])[k + 1]), 4) + 0.0 AS m
       |FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS k)
       |GROUP BY label, k ORDER BY label, pos""".stripMargin
 
