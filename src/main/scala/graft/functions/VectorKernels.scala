@@ -40,6 +40,47 @@ object DotKernel {
   }
 }
 
+object NearestCellKernel {
+  /** Argmax-cosine cell assignment in one pass: semantics IDENTICAL to
+    * ranking `round(cosine(v, c_i), 6)` descending with ties broken by
+    * the smallest cell id (the formulation the q50 oracle replays) —
+    * rounding uses the same HALF_UP decimal rule as Spark's `round`,
+    * NaN similarities (zero vectors) are never selected unless every
+    * cell is NaN. One kernel call replaces nlist separate cosine
+    * expressions + an array_min over structs. */
+  def compute(v: ArrayData, cells: Array[Long], centroids: Array[Array[Double]]): Long = {
+    val n = v.numElements()
+    var bestCell = cells(0)
+    var bestSim = Double.NaN
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val m = math.min(n, cv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val x = v.getDouble(i); val y = cv(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (!sim.isNaN) {
+        // valueOf (not the exact-binary constructor) matches Spark's
+        // Round, which goes through the decimal string representation
+        val r = java.math.BigDecimal.valueOf(sim)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (bestSim.isNaN || r > bestSim ||
+          (r == bestSim && cells(c) < bestCell)) {
+          bestSim = r
+          bestCell = cells(c)
+        }
+      }
+      c += 1
+    }
+    bestCell
+  }
+}
+
 object SrpKernel {
   /** Sign-random-projection bucket: bit i = sign of Σ_j ±v_j where the
     * sign is the parity of xxhash64(i+offset, j) — the exact chained-hash
@@ -111,6 +152,23 @@ case class SrpBucketExpr(child: Expression, bits: Int, offset: Int) extends Unar
     copy(child = newChild)
 }
 
+/** array<double> → long id of the nearest centroid (see
+  * [[NearestCellKernel]]). Centroids ride inside the expression as
+  * plain arrays — broadcast-as-literal, evaluated in one call. */
+case class NearestCellExpr(child: Expression, cells: Array[Long],
+                           centroids: Array[Array[Double]]) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(cells.length == centroids.length && cells.nonEmpty)
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName, GraftTypeCheck.isDoubleArray(child.dataType), "ARRAY<DOUBLE>", child.dataType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_cell"
+  override protected def nullSafeEval(v: Any): Any =
+    NearestCellKernel.compute(v.asInstanceOf[ArrayData], cells, centroids)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorOps {
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -118,4 +176,6 @@ object VectorOps {
     GraftBridge.column(SrpBucketExpr(GraftBridge.expression(v), bits, offset))
   def dotProduct(a: Column, b: Column): Column =
     GraftBridge.column(DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def nearestCell(v: Column, cells: Array[Long], centroids: Array[Array[Double]]): Column =
+    GraftBridge.column(NearestCellExpr(GraftBridge.expression(v), cells, centroids))
 }

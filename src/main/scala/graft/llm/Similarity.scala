@@ -68,7 +68,8 @@ object Similarity {
     * and a corpus×nlist shuffle. */
   def assignCells(df: DataFrame, centroids: Array[(Long, Array[Double])],
                   vecName: String = "v"): DataFrame =
-    df.withColumn("cell", array_min(cellRanks(vecName, centroids)).getField("cell"))
+    df.withColumn("cell", graft.functions.VectorOps.nearestCell(col(vecName),
+      centroids.map(_._1), centroids.map(_._2)))
 
   /** Deterministic "first-N" centroids: the vectors of the `nlist`
     * smallest ids. A placeholder for trained centroids that has the
