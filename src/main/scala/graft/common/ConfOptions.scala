@@ -45,8 +45,9 @@ object ConfOptions {
       "pair radius; 4x16-bit block LSH is complete for <= 3"),
     ConfOption("dedup", "simhashPairs.tokenHash", "string", "xxh64",
       "xxh64 (fastest) or md5 (replayable by external SQL engines)"),
-    ConfOption("dedup", "Lsh.maxBucket", "int", "1000",
-      "degenerate-bucket cap; drops counted in accumulator graft.lsh.droppedBuckets"),
+    ConfOption("dedup", "spark.graft.lsh.maxBucket", "int", "unset (uncapped)",
+      "opt-in degenerate-bucket cap (recommended 1000 in production); " +
+        "drops counted in accumulator graft.lsh.droppedBuckets"),
     ConfOption("similarity", "lshBucketedPairs.bits/tables", "int/int", "12/4",
       "SRP hyperplanes per table / independent tables"),
     ConfOption("similarity", "ivfTopK.nlist/nprobe", "int/int", "16/4",

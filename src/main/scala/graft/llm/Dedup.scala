@@ -26,8 +26,8 @@ object Dedup {
     lastShingleCache = None
   }
 
-  /** LSH buckets dropped so far this session by the size cap
-    * ([[Lsh.DefaultMaxBucket]]). Nonzero means a corpus had degenerate
+  /** LSH buckets dropped so far this session by the opt-in size cap
+    * ([[Lsh.MaxBucketConf]]). Nonzero means a corpus had degenerate
     * buckets (usually mass-duplicate documents — run [[exact]] first);
     * also visible in the Spark UI as accumulator
     * "graft.lsh.droppedBuckets". */
@@ -154,13 +154,6 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("c").as("cluster_id"))
   }
 
-  /** @param tokenHash "xxh64" (default, fastest) or "md5"
-    *        ([[md5SimhashBlocks]] — oracle-replayable). The 4×16-bit
-    *        block LSH is pigeonhole-complete for `maxHamming` ≤ 3: every
-    *        pair within that radius shares at least one block, so the
-    *        output is exactly the all-pairs Hamming-≤3 set with no
-    *        O(n²) scan. Larger radii still work but become best-effort
-    *        (a pair differing in all four blocks is never a candidate). */
   /** Partial-duplicate pairs by ALIGNED fixed-size blocks: md5 of each
     * `blockLen`-char block of the normalized text; pairs sharing at
     * least `minShared` block fingerprints. The position-aligned sibling
@@ -214,6 +207,15 @@ object Dedup {
       .filter(col("shared_chunks") >= minSharedChunks)
   }
 
+  /** SimHash near-dup pairs via 4×16-bit block LSH.
+    *
+    * @param tokenHash "xxh64" (default, fastest) or "md5"
+    *        ([[md5SimhashBlocks]] — oracle-replayable). The 4×16-bit
+    *        block LSH is pigeonhole-complete for `maxHamming` ≤ 3: every
+    *        pair within that radius shares at least one block, so the
+    *        output is exactly the all-pairs Hamming-≤3 set with no
+    *        O(n²) scan. Larger radii still work but become best-effort
+    *        (a pair differing in all four blocks is never a candidate). */
   def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    maxHamming: Int = 3, tokenHash: String = "xxh64"): DataFrame = {
     val blocksOf = tokenHash match {

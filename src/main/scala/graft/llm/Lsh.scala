@@ -15,18 +15,32 @@ import org.apache.spark.util.LongAccumulator
   * bounded by LSH design (that's the point of banding), so the per-group
   * pair expansion is small; at 100 TB the shuffle carries (key, id)
   * pairs only, never signatures or shingle sets. */
-private[llm] object Lsh {
+object Lsh {
 
-  /** Degenerate-bucket guard: a bucket above this size is dropped rather
-    * than expanded. An adversarial or pathological corpus (e.g. millions
-    * of byte-identical documents all landing in one band bucket) would
-    * otherwise materialize one giant id array on a single executor and
-    * explode into O(|bucket|²) pairs. Members of such a bucket are by
+  /** Recommended degenerate-bucket guard for production pipelines: a
+    * bucket above this size is dropped rather than expanded. An
+    * adversarial or pathological corpus (e.g. millions of byte-identical
+    * documents all landing in one band bucket) would otherwise
+    * materialize one giant id array on a single executor and explode
+    * into O(|bucket|²) pairs. Members of such a bucket are by
     * construction near-identical to *everything* in it — exact dedup
     * (hash group-by, [[Dedup.exact]]) is the right tool for them, so
     * dropping the bucket loses only pairs the cheaper exact pass already
-    * finds. */
-  val DefaultMaxBucket = 1000
+    * finds.
+    *
+    * The cap is OPT-IN (default uncapped): dropping buckets makes the
+    * output a strict subset of the uncapped all-pairs semantics, so a
+    * silent default would diverge from any exact external replay of the
+    * same algorithm (the DuckDB oracles for q32/q33/q36/q67 replay
+    * candidate generation with no cap). Enable it per call
+    * (`maxBucket = Lsh.RecommendedMaxBucket`) or session-wide via
+    * `spark.conf.set(Lsh.MaxBucketConf, "1000")`. */
+  val RecommendedMaxBucket = 1000
+
+  /** Session conf key for an LSH bucket-size cap applied by every
+    * [[bucketPairs]] call that does not pass an explicit `maxBucket`.
+    * Unset means uncapped (exact candidate generation). */
+  val MaxBucketConf = "spark.graft.lsh.maxBucket"
 
   /** One dropped-bucket accumulator per session, visible in the Spark UI
     * as "graft.lsh.droppedBuckets". An accumulator (not an `observe`
@@ -53,22 +67,33 @@ private[llm] object Lsh {
   def droppedBuckets(spark: SparkSession): Long = accFor(spark).value
 
   /** Distinct ordered candidate pairs (aName < bName) from rows of
-    * (bucket key columns ++ an `id` column). Buckets larger than
-    * `maxBucket` are dropped (see [[DefaultMaxBucket]]) and counted in
-    * [[droppedBuckets]]. */
+    * (bucket key columns ++ an `id` column). When a cap is in force —
+    * an explicit positive `maxBucket`, else the [[MaxBucketConf]]
+    * session conf — buckets larger than it are dropped (see
+    * [[RecommendedMaxBucket]]) and counted in [[droppedBuckets]];
+    * otherwise every bucket expands (exact candidate generation). */
   def bucketPairs(banded: DataFrame, keys: Seq[String],
                   aName: String, bName: String,
-                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val acc = accFor(banded.sparkSession)
-    val keep = udf { (n: Int) =>
-      val ok = n <= maxBucket
-      if (!ok) acc.add(1L)
-      ok
-    }
-    banded.groupBy(keys.map(col): _*)
+                  maxBucket: Int = 0): DataFrame = {
+    val cap =
+      if (maxBucket > 0) maxBucket
+      else banded.sparkSession.conf.getOption(MaxBucketConf)
+        .map(_.toInt).getOrElse(Int.MaxValue)
+    val grouped = banded.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .filter(keep(size(col("ids"))))
+    val capped =
+      if (cap == Int.MaxValue) grouped
+      else {
+        val acc = accFor(banded.sparkSession)
+        val keep = udf { (n: Int) =>
+          val ok = n <= cap
+          if (!ok) acc.add(1L)
+          ok
+        }
+        grouped.filter(keep(size(col("ids"))))
+      }
+    capped
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
           struct(x.as(aName), y.as(bName)))))).as("p"))

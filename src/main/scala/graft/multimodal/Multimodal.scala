@@ -136,7 +136,9 @@ object Multimodal {
           g.drawImage(img, 0, 0, targetW, targetH, null)
         } finally g.dispose()
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, format, bos)
+        if (!javax.imageio.ImageIO.write(out, format, bos))
+          throw new IllegalArgumentException(
+            s"no ImageIO writer for format=$format")
         MediaRow(r.id, bos.toByteArray,
           r.meta.copy(kind = s"image/$format", width = targetW, height = targetH))
       }

@@ -149,9 +149,12 @@ object Extended {
 
   /** approx_count_distinct (HLL++) — raw sketch values differ across
     * engines, so the oracle-checkable face is the exact count plus a
-    * boolean asserting the sketch landed within HLL++'s error envelope
-    * (rsd default 0.05): DuckDB computes the exact side and expects TRUE.
-    * ApproxSpec additionally bounds the raw relative error. */
+    * boolean asserting the sketch landed within 3× HLL++'s default rsd
+    * (0.05 is one standard deviation, not a bound — a group can
+    * legitimately exceed it on other data, so the oracle-gated envelope
+    * is 3σ = 0.15): DuckDB computes the exact side and expects TRUE.
+    * ApproxSpec additionally bounds the raw relative error tightly on
+    * the fixture data. */
   val approxDistinct: Q = (s, dir) =>
     Tables.t(s, dir, "lineitem")
       .groupBy("l_returnflag")
@@ -159,12 +162,12 @@ object Extended {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("approx_parts") - col("exact_parts")).cast("double") /
-          col("exact_parts") <= 0.05).as("within_5pct"))
+          col("exact_parts") <= 0.15).as("within_3rsd"))
       .orderBy("l_returnflag")
 
   val approxDistinctSql: String =
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
-      |       TRUE AS within_5pct
+      |       TRUE AS within_3rsd
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Exact interpolated percentiles per group (§2.4 breadth). One sort-based

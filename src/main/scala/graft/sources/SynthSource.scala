@@ -102,13 +102,17 @@ class SynthScan(rows: Long, partitions: Int, seed: Long)
       case n: Number => Some(n.longValue)
       case _ => None
     }
+    // saturating increment: x + 1 at Long.MaxValue would wrap negative and
+    // turn an always-true bound into an empty scan. Ids are < rows, so
+    // saturating at MaxValue keeps the bound exact.
+    def inc(x: Long): Long = if (x == Long.MaxValue) x else x + 1
     val residual = filters.filter {
       case EqualTo("id", v) => asLong(v) match {
-        case Some(x) => lower = math.max(lower, x); upper = math.min(upper, x + 1); false
+        case Some(x) => lower = math.max(lower, x); upper = math.min(upper, inc(x)); false
         case None => true
       }
       case GreaterThan("id", v) => asLong(v) match {
-        case Some(x) => lower = math.max(lower, x + 1); false
+        case Some(x) => lower = math.max(lower, inc(x)); false
         case None => true
       }
       case GreaterThanOrEqual("id", v) => asLong(v) match {
@@ -120,7 +124,7 @@ class SynthScan(rows: Long, partitions: Int, seed: Long)
         case None => true
       }
       case LessThanOrEqual("id", v) => asLong(v) match {
-        case Some(x) => upper = math.min(upper, x + 1); false
+        case Some(x) => upper = math.min(upper, inc(x)); false
         case None => true
       }
       case _ => true

@@ -92,18 +92,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
-  test("LSH bucket cap drops degenerate buckets instead of exploding") {
+  test("LSH bucket cap (opt-in) drops degenerate buckets instead of exploding") {
     // 10k byte-identical docs: every band hashes all ids into ONE bucket,
     // which uncapped would expand to ~50M pairs on one executor. The cap
-    // drops those buckets (exact dedup owns identical docs) and reports it.
+    // (opt-in via session conf, so oracle-gated paths stay exact) drops
+    // those buckets (exact dedup owns identical docs) and reports it.
     val degenerate = spark.range(1, 10001)
       .select(col("id").as("doc_id"),
         lit("identical corpus body that defeats banding entirely").as("text"))
     val before = Dedup.droppedLshBuckets(spark)
-    val pairs = Dedup.minhashLsh(degenerate)
-    assert(pairs.count() === 0)
-    assert(Dedup.droppedLshBuckets(spark) > before,
-      "dropped-bucket count should be surfaced")
+    spark.conf.set(graft.llm.Lsh.MaxBucketConf, graft.llm.Lsh.RecommendedMaxBucket.toString)
+    try {
+      val pairs = Dedup.minhashLsh(degenerate)
+      assert(pairs.count() === 0)
+      assert(Dedup.droppedLshBuckets(spark) > before,
+        "dropped-bucket count should be surfaced")
+    } finally spark.conf.unset(graft.llm.Lsh.MaxBucketConf)
   }
 
   test("plane-SRP LSH deterministically finds same-direction vectors") {
