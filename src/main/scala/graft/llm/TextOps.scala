@@ -81,6 +81,32 @@ object TextOps {
     stats(text).getField("stop_en").cast("double") /
       greatest(stats(text).getField("n_tokens"), lit(1))
 
+  /** Email-address pattern (ASCII, lowercase input assumed for the local
+    * part; `#` included because fixture names contain it). Identical
+    * semantics in Java regex and RE2 — no backrefs, no lookaround. */
+  val EmailRe = "[a-z0-9.#_%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** Phone-shaped digit run: optional `+`, then ≥7 digits/dashes
+    * bracketed by digits. Applied AFTER email redaction so an address's
+    * digits are not double-counted. */
+  val PhoneRe = "\\+?[0-9][0-9-]{5,}[0-9]"
+
+  /** PII redaction: emails → `<EMAIL>`, then phone-shaped digit runs →
+    * `<PHONE>`. Order matters (emails often contain digit runs). Pure
+    * codegen'd regexp_replace chain — scales linearly, no UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of email matches in the raw text. */
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+
+  /** Count of phone-shaped runs AFTER email redaction (mirrors
+    * [[redactPii]]'s pass order). */
+  def phoneCount(text: Column): Column =
+    regexp_count(regexp_replace(text, EmailRe, "<EMAIL>"), lit(PhoneRe))
+
   /** Composite quality score in [0,1]: length saturation × (1 − punct
     * excess) × stopword plausibility. Deterministic, documented formula —
     * the oracle SQL replicates it term by term. */

@@ -1,0 +1,332 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.llm.TextOps
+import graft.operators.Merge
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline utilities beyond the dedup/similarity core
+  * (no reference analog — the reference stops at I/O,
+  * hive-io-exp-core/src/main/java/com/facebook/hiveio/input/HiveApiInputFormat.java):
+  * PII redaction, deterministic dataset splits, fuzzy (edit-distance)
+  * near-dup, TF-IDF terms, repetition-based quality filters, keyed
+  * upsert, stratified sampling, and embedding quantization. Every query
+  * is oracle-gated; float arithmetic is arranged so both engines compute
+  * identical doubles (exact IEEE ops on parquet-loaded values, integer
+  * ratios, floor instead of decimal rounding where a boundary could
+  * flip).
+  */
+object Pipeline {
+
+  private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val ToksSql = s"string_split($NormSql, ' ')"
+
+  // -------------------------------------------------------------- q70
+
+  /** PII redaction over a contact string derived from `customer` rows
+    * (the fixtures carry no raw PII, so both engines construct the same
+    * contact line, then the operator under test — the regex redaction
+    * chain — runs on it). Emails are redacted before phone-shaped digit
+    * runs so an address's digits are not double-counted. */
+  val piiRedact: Q = (s, dir) => {
+    val contact = concat(
+      lit("segment "), lower(col("c_mktsegment")), lit(" reach "),
+      lower(col("c_name")), lit(" at "), lower(col("c_name")),
+      lit("@example.com or +1-555-"),
+      lpad(col("c_custkey").cast("string"), 4, "0"))
+    Tables.t(s, dir, "customer")
+      .select(col("c_custkey"), contact.as("contact"))
+      .select(col("c_custkey"),
+        TextOps.redactPii(col("contact")).as("redacted"),
+        TextOps.emailCount(col("contact")).as("n_emails"),
+        TextOps.phoneCount(col("contact")).as("n_phones"))
+      .orderBy("c_custkey")
+  }
+
+  val piiRedactSql: String = {
+    // DuckDB single-quoted strings pass backslashes through verbatim, so
+    // the Java-regex pattern strings embed unchanged (both are RE2-safe).
+    val email = TextOps.EmailRe
+    val phone = TextOps.PhoneRe
+    s"""WITH c AS (
+       |  SELECT c_custkey,
+       |    'segment ' || lower(c_mktsegment) || ' reach ' || lower(c_name) ||
+       |    ' at ' || lower(c_name) || '@example.com or +1-555-' ||
+       |    lpad(c_custkey::VARCHAR, 4, '0') AS contact
+       |  FROM customer)
+       |SELECT c_custkey,
+       |  regexp_replace(regexp_replace(contact, '$email', '<EMAIL>', 'g'),
+       |                 '$phone', '<PHONE>', 'g') AS redacted,
+       |  len(regexp_extract_all(contact, '$email'))::INTEGER AS n_emails,
+       |  len(regexp_extract_all(regexp_replace(contact, '$email', '<EMAIL>', 'g'),
+       |                         '$phone'))::INTEGER AS n_phones
+       |FROM c ORDER BY c_custkey""".stripMargin
+  }
+
+  // -------------------------------------------------------------- q71
+
+  /** Deterministic train/val/test split (80/10/10) by md5 of the doc id —
+    * the reproducible, engine-independent way to partition a corpus: the
+    * assignment is a pure function of the key, so any engine (and any
+    * rerun at any scale) derives the identical split. */
+  val splitAssign: Q = (s, dir) =>
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).cast("int").as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  val splitAssignSql: String =
+    """SELECT doc_id,
+      |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)::INTEGER AS bucket,
+      |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+      |       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- q72
+
+  /** Fuzzy near-dup pairs by edit distance on the 64-char normalized
+    * prefix, blocked on (lang, source, length band) so the pair space is
+    * per-block quadratic, never corpus-quadratic — the block key bounds
+    * each bucket (fixture max ~25 docs/block) and the 64-char cap bounds
+    * each DP to 64×64 regardless of document length, so cost per pair is
+    * O(1) at any corpus size. */
+  val fuzzyPairs: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents").select(
+      col("doc_id"), col("lang"), col("source"),
+      floor(col("n_chars") / 64).as("band"),
+      substring(TextOps.normalized(col("text")), 1, 64).as("p"))
+    val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+      col("band"), col("p").as("p_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
+      col("band"), col("p").as("p_b"))
+    val lev = levenshtein(col("p_a"), col("p_b"))
+    val sim = round(lit(1.0) -
+      lev.cast("double") / greatest(length(col("p_a")), length(col("p_b"))), 4)
+    a.join(b, Seq("lang", "source", "band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lev.as("lev"), sim.as("sim"))
+      .filter(col("sim") >= 0.35)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val fuzzyPairsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source, n_chars // 64 AS band,
+       |         substr($NormSql, 1, 64) AS p
+       |  FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  levenshtein(a.p, b.p)::INTEGER AS lev,
+       |  round(1.0 - levenshtein(a.p, b.p)::DOUBLE /
+       |        greatest(length(a.p), length(b.p)), 4) AS sim
+       |FROM d a JOIN d b
+       |  ON a.lang = b.lang AND a.source = b.source AND a.band = b.band
+       |  AND a.doc_id < b.doc_id
+       |WHERE round(1.0 - levenshtein(a.p, b.p)::DOUBLE /
+       |        greatest(length(a.p), length(b.p)), 4) >= 0.35
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------- q73
+
+  /** Top-3 TF-IDF terms per document. idf is the raw inverse document
+    * frequency ratio N/df (log-free on purpose: tf·N/df is a ratio of
+    * exact integers, so the double score is bit-identical across
+    * engines, while log(N/df) is one libm ulp away from portable).
+    * Ranking ties break on term ascending. */
+  val tfidfTopTerms: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    val tf = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val score = round((col("tf") * col("n")).cast("double") / col("df"), 4)
+    tf.join(df, "term").crossJoin(n)
+      .select(col("doc_id"), col("term"), score.as("tfidf"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term").asc)).cast("int"))
+      .filter(col("rk") <= 3)
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    round((tf.tf * n.n)::DOUBLE / df.df, 4) AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, tfidf,
+       |    (row_number() OVER (PARTITION BY doc_id
+       |       ORDER BY tfidf DESC, term ASC))::INTEGER AS rk
+       |  FROM scored)
+       |SELECT doc_id, term, tfidf, rk FROM ranked
+       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  // -------------------------------------------------------------- q74
+
+  /** Repetition-based quality signals (the Gopher-style filters): the
+    * most-frequent-token fraction and the duplicate-2-gram fraction,
+    * plus the resulting keep/drop flag. Every ratio is a quotient of
+    * exact integers — bit-identical across engines. */
+  val repetitionQuality: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    val base = d.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).as("n_tok"),
+      size(TextOps.wordShingles(col("text"), 2)).as("d2"))
+    val maxTf = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id").agg(max(col("tf")).as("max_tf"))
+    val topFrac = round(col("max_tf").cast("double") / col("n_tok"), 4)
+    val dup2 = when(col("n_tok") >= 2,
+      round(lit(1.0) - col("d2").cast("double") / (col("n_tok") - 1), 4))
+      .otherwise(0.0)
+    base.join(maxTf, "doc_id")
+      .select(col("doc_id"), col("n_tok"),
+        topFrac.as("top_tok_frac"), dup2.as("dup_2gram_frac"))
+      .withColumn("flagged",
+        col("top_tok_frac") > 0.2 || col("dup_2gram_frac") > 0.5)
+      .orderBy("doc_id")
+  }
+
+  val repetitionQualitySql: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |base AS (
+       |  SELECT doc_id, len(toks)::INTEGER AS n_tok,
+       |    len(list_distinct([array_to_string(toks[i:i+1], ' ')
+       |      for i in range(1, len(toks))]))::INTEGER AS d2
+       |  FROM t),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+       |mx AS (SELECT doc_id, max(tf) AS max_tf FROM tf GROUP BY 1)
+       |SELECT base.doc_id, base.n_tok,
+       |  round(mx.max_tf::DOUBLE / base.n_tok, 4) AS top_tok_frac,
+       |  CASE WHEN base.n_tok >= 2
+       |       THEN round(1.0 - base.d2::DOUBLE / (base.n_tok - 1), 4)
+       |       ELSE 0.0 END AS dup_2gram_frac,
+       |  (round(mx.max_tf::DOUBLE / base.n_tok, 4) > 0.2 OR
+       |   CASE WHEN base.n_tok >= 2
+       |        THEN round(1.0 - base.d2::DOUBLE / (base.n_tok - 1), 4)
+       |        ELSE 0.0 END > 0.5) AS flagged
+       |FROM base JOIN mx USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- q75
+
+  /** Keyed upsert (CDC apply): an update batch (even keys, price bumped,
+    * status 'U') applied over a base snapshot (keys not divisible by 3).
+    * Matched keys take the whole update row; unmatched updates insert.
+    * The price delta is an exact IEEE add (no decimal rounding), so the
+    * merged doubles are bit-identical across engines. */
+  val mergeUpsert: Q = (s, dir) => {
+    val orders = Tables.t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+    val updates = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 10.0).as("o_totalprice"))
+    Merge.upsert(base, updates, Seq("o_orderkey")).orderBy("o_orderkey")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |upd AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus,
+      |         o_totalprice + 10.0::DOUBLE AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+      |       ELSE b.o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+      |       ELSE b.o_totalprice END AS o_totalprice
+      |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- q76
+
+  /** Stratified fixed-size sample: exactly 10 documents per source,
+    * chosen by md5-of-id order — a deterministic stand-in for per-stratum
+    * uniform sampling (the md5 order is uncorrelated with content), so
+    * the "random" subset is reproducible on any engine. One window per
+    * stratum; no global shuffle beyond the partitionBy. */
+  val stratifiedSample: Q = (s, dir) =>
+    Tables.t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        row_number().over(Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .cast("int").as("rk"))
+      .filter(col("rk") <= 10)
+      .orderBy("source", "rk")
+
+  val stratifiedSampleSql: String =
+    """SELECT source, doc_id, rk FROM (
+      |  SELECT source, doc_id,
+      |    (row_number() OVER (PARTITION BY source
+      |       ORDER BY md5(doc_id::VARCHAR), doc_id))::INTEGER AS rk
+      |  FROM documents)
+      |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
+  // -------------------------------------------------------------- q77
+
+  /** Int8 scalar quantization of embedding dims 0–3: per-dim global
+    * min/max (a 4-row broadcast), then q = floor(norm·255) − 128 ∈
+    * [−128, 127]. floor of a shared IEEE double is bit-deterministic
+    * (unlike decimal rounding), so the quantized codes hash-match across
+    * engines. The same plan quantizes all 64 dims at 100 TB: one
+    * map-combinable per-dim agg + a broadcast join — no corpus shuffle.
+    * QuantizeSpec bounds the reconstruction error. */
+  val quantizeInt8: Q = (s, dir) => {
+    val e = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .filter(col("pos") < 4)
+    val stats = e.groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+    e.join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"),
+        (floor((col("v") - col("mn")) / (col("mx") - col("mn")) * 255) - 128)
+          .cast("int").as("q"))
+      .orderBy("vec_id", "pos")
+  }
+
+  val quantizeInt8Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, k.k::INTEGER AS pos, embedding[k.k + 1]::DOUBLE AS v
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(4)) AS k) k),
+      |st AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY pos)
+      |SELECT e.vec_id, e.pos,
+      |  (floor((e.v - st.mn) / (st.mx - st.mn) * 255)::BIGINT - 128)::INTEGER AS q
+      |FROM e JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "q70_pii_redact" -> piiRedact,
+    "q71_split_assign" -> splitAssign,
+    "q72_fuzzy_pairs" -> fuzzyPairs,
+    "q73_tfidf_topterms" -> tfidfTopTerms,
+    "q74_repetition_quality" -> repetitionQuality,
+    "q75_merge_upsert" -> mergeUpsert,
+    "q76_stratified_sample" -> stratifiedSample,
+    "q77_quantize_int8" -> quantizeInt8)
+
+  val oracleSql: Map[String, String] = Map(
+    "q70_pii_redact" -> piiRedactSql,
+    "q71_split_assign" -> splitAssignSql,
+    "q72_fuzzy_pairs" -> fuzzyPairsSql,
+    "q73_tfidf_topterms" -> tfidfTopTermsSql,
+    "q74_repetition_quality" -> repetitionQualitySql,
+    "q75_merge_upsert" -> mergeUpsertSql,
+    "q76_stratified_sample" -> stratifiedSampleSql,
+    "q77_quantize_int8" -> quantizeInt8Sql)
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.TextOps
+import graft.operators.Merge
+
+/** Ground-truth specs for the pipeline utilities (Pipeline.scala):
+  * upsert semantics, PII redaction, split determinism, quantization
+  * error bounds, repetition flags, TF-IDF ranking, stratified-sample
+  * shape. Value-level parity with DuckDB is driven by the oracle gate. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("upsert: matched keys replaced row-level, inserts appended, base preserved") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val updates = Seq((2L, "B", 99.0), (9L, "new", 1.0)).toDF("k", "s", "v")
+    val out = Merge.upsert(base, updates, Seq("k"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(out === Set((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0),
+      (9L, "new", 1.0)))
+  }
+
+  test("upsert: an update's null non-key column wins (row replace, not coalesce)") {
+    val base = Seq((1L, "keep"), (2L, "old")).toDF("k", "s")
+    val updates = Seq((2L, null.asInstanceOf[String])).toDF("k", "s")
+    val out = Merge.upsert(base, updates, Seq("k"))
+      .as[(Long, Option[String])].collect().toSet
+    assert(out === Set((1L, Some("keep")), (2L, None)))
+  }
+
+  test("redactPii masks emails before phone-shaped runs and counts each once") {
+    val df = Seq(
+      "mail bob.smith@corp.example.org or call +1-555-0100 then 8005551234",
+      "no pii here at all").toDF("t")
+      .select(TextOps.redactPii(col("t")).as("r"),
+        TextOps.emailCount(col("t")).as("e"),
+        TextOps.phoneCount(col("t")).as("p"))
+    val rows = df.as[(String, Int, Int)].collect()
+    assert(rows(0) === (("mail <EMAIL> or call <PHONE> then <PHONE>", 1, 2)))
+    assert(rows(1) === (("no pii here at all", 0, 0)))
+  }
+
+  test("split assignment is a pure function of the key with sane proportions") {
+    val once = graft.queries.Pipeline.splitAssign(spark, sf)
+      .as[(Long, Int, String)].collect()
+    val again = graft.queries.Pipeline.splitAssign(spark, sf)
+      .as[(Long, Int, String)].collect()
+    assert(once.toSeq === again.toSeq, "split must be deterministic")
+    assert(once.forall { case (_, b, s) =>
+      b >= 0 && b < 100 &&
+        ((s == "train" && b < 80) || (s == "val" && b >= 80 && b < 90) ||
+          (s == "test" && b >= 90))
+    })
+    val frac = once.count(_._3 == "train").toDouble / once.length
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac far from 0.8")
+  }
+
+  test("int8 quantization stays in range and reconstructs within one step") {
+    val q = graft.queries.Pipeline.quantizeInt8(spark, sf)
+    assert(q.filter(col("q") < -128 || col("q") > 127).count() === 0)
+    // reconstruction: v ∈ [mn + step·(q+128), mn + step·(q+129)) by floor
+    val e = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "v")))
+      .filter(col("pos") < 4)
+    val stats = e.groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+    val bad = q.join(e, Seq("vec_id", "pos")).join(stats, "pos")
+      .withColumn("step", (col("mx") - col("mn")) / 255)
+      .withColumn("recon", col("mn") + (col("q") + lit(128)) * col("step"))
+      .filter(abs(col("v") - col("recon")) > col("step") * 1.000001)
+      .count()
+    assert(bad === 0, "every value must reconstruct within one quantization step")
+  }
+
+  test("repetition quality flags a degenerate all-same-token document") {
+    val docs = Seq((1L, "spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).as("n_tok"),
+      size(TextOps.wordShingles(col("text"), 2)).as("d2"))
+    val row = base.filter(col("doc_id") === 1).head()
+    assert(row.getInt(1) === 5)
+    assert(row.getInt(2) === 1, "all 2-grams identical → one distinct shingle")
+    // top fraction 5/5 = 1.0 > 0.2 and dup2 = 1 - 1/4 = 0.75 > 0.5 → flagged
+  }
+
+  test("tfidf ranks a document's rare term above corpus-wide terms") {
+    val top = graft.queries.Pipeline.tfidfTopTerms(spark, sf)
+    // rank 1..3 per doc, no duplicate (doc, rank)
+    assert(top.groupBy("doc_id").count().filter(col("count") > 3).count() === 0)
+    assert(top.filter(col("rk") < 1 || col("rk") > 3).count() === 0)
+    // scores within a doc are non-increasing with rank
+    val viol = top.as[(Long, String, Double, Int)].collect()
+      .groupBy(_._1).values.count { rows =>
+        val byRk = rows.sortBy(_._4).map(_._3)
+        byRk.zip(byRk.drop(1)).exists { case (a, b) => a < b }
+      }
+    assert(viol === 0, "tfidf must be non-increasing in rank")
+  }
+
+  test("stratified sample takes exactly min(10, stratum size) per source") {
+    val docs = Tables.t(spark, sf, "documents")
+    val sizes = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val got = graft.queries.Pipeline.stratifiedSample(spark, sf)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(got.keySet === sizes.keySet)
+    got.foreach { case (src, n) =>
+      assert(n === math.min(10L, sizes(src)), s"stratum $src")
+    }
+  }
+
+  test("fuzzy pairs are ordered, thresholded, and block-consistent") {
+    val rows = graft.queries.Pipeline.fuzzyPairs(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, lev, sim) =>
+      assert(a < b)
+      assert(lev >= 0)
+      assert(sim >= 0.35 && sim <= 1.0)
+    }
+  }
+}
