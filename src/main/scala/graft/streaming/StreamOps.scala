@@ -101,6 +101,48 @@ object StreamOps {
   def dedupStream(events: DataFrame, watermark: String): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** Incremental snapshot maintenance: apply each micro-batch of change
+    * rows to a keyed parquet snapshot via [[graft.operators.Merge.upsert]]
+    * inside `foreachBatch` — the streaming face of CDC apply. Within a
+    * batch, duplicate keys resolve to the latest row by `seqCol` (ties by
+    * the remaining columns' order is irrelevant: row_number over the seq
+    * desc is deterministic only if seq is unique per key per batch — the
+    * caller supplies a monotonic sequence such as an event id).
+    *
+    * Scale: each micro-batch is one keyed full-outer join against the
+    * snapshot plus a full rewrite of the snapshot files. At 100 TB the
+    * rewrite is the cost that matters — partition the snapshot on a key
+    * prefix and rewrite only the partitions a batch touches (dynamic
+    * partition overwrite, as in `Engine.writePartitioned`); the
+    * read–merge–write skeleton here stays identical. Restart-safe:
+    * foreachBatch re-delivers a batch id after failure, and re-applying
+    * the same upsert batch is idempotent (last-writer-wins by key). */
+  def upsertSink(changes: DataFrame, snapshotDir: String, keys: Seq[String],
+                 seqCol: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    changes.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val merged =
+          if (new java.io.File(snapshotDir).exists()) {
+            val snap = spark.read.parquet(snapshotDir)
+            graft.operators.Merge.upsert(snap, latest.select(
+              snap.columns.map(col).toSeq: _*), keys)
+          } else latest
+        // materialize before overwriting the input path
+        val staged = merged.localCheckpoint(true)
+        staged.write.mode("overwrite").parquet(snapshotDir)
+        ()
+      }
+      .start()
+  }
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -168,4 +168,23 @@ class PlanSpec extends AnyFunSuite {
     // "*(n)" prefixes mark WholeStageCodegen stages in plan strings
     assert(p.contains("*(1) Project [minhash_signature"), p.take(400))
   }
+
+  test("q73 top-3 terms use WindowGroupLimit (rank pushed below the window)") {
+    val p = plan("q73_tfidf_topterms")
+    assert(p.contains("WindowGroupLimit"),
+      "row_number <= k should prune per-group rows before the full window: " + p.take(600))
+  }
+
+  test("q75 upsert is one full-outer join on the key, no extra exchanges") {
+    val p = plan("q75_merge_upsert")
+    assert(p.contains("FullOuter"), p.take(600))
+    // one exchange per join side + the final presentation range sort
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"upsert should not add exchanges beyond the keyed join: $exchanges\n${p.take(900)}")
+  }
+
+  test("q77 quantization broadcasts the per-dim stats (no corpus-side shuffle join)") {
+    val p = plan("q77_quantize_int8")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
 }

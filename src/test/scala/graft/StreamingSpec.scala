@@ -168,4 +168,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.length === 1)
     assert(closed.head === StreamOps.UserSession(1, 0, 10 * 60000L, 2, 3.0))
   }
+
+  test("streaming upsert sink maintains a last-writer-wins snapshot across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toFile
+    val snapDir = new java.io.File(dir, "snap").getPath
+    val ckDir = new java.io.File(dir, "ck").getPath
+    try {
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Double)](spark)
+      val changes = stream.toDS().toDF("k", "seq", "s", "v")
+      val q = StreamOps.upsertSink(changes, snapDir, Seq("k"), "seq", ckDir)
+      // batch 1: inserts, including an in-batch duplicate key (seq 2 wins)
+      stream.addData((1L, 1L, "a", 1.0), (2L, 1L, "b", 2.0), (2L, 2L, "b2", 2.5))
+      q.processAllAvailable()
+      // batch 2: update key 1, insert key 3
+      stream.addData((1L, 3L, "a2", 9.0), (3L, 1L, "c", 3.0))
+      q.processAllAvailable(); q.stop()
+      val snap = spark.read.parquet(snapDir)
+        .select("k", "seq", "s", "v").as[(Long, Long, String, Double)]
+        .collect().toSet
+      assert(snap === Set((1L, 3L, "a2", 9.0), (2L, 2L, "b2", 2.5), (3L, 1L, "c", 3.0)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
