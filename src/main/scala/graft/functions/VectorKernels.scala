@@ -169,6 +169,114 @@ case class NearestCellExpr(child: Expression, cells: Array[Long],
     copy(child = newChild)
 }
 
+object PqKernel {
+  private def round6(d: Double): Double =
+    // valueOf (decimal-string repr) matches Spark's Round semantics;
+    // the exact-binary BigDecimal constructor does NOT
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Squared L2 between block `b` of `v` and block `b` of centroid `cv`,
+    * accumulated left-to-right over the block dims — the order an
+    * explicit `(x1-c1)*(x1-c1) + … + (xs-cs)*(xs-cs)` SQL chain uses, so
+    * an external engine replays it bit-for-bit. */
+  private def blockDist(v: ArrayData, cv: Array[Double], b: Int, sub: Int): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < sub) {
+      val x = v.getDouble(b * sub + i) - cv(b * sub + i)
+      d += x * x
+      i += 1
+    }
+    d
+  }
+
+  /** Product-quantization encode: for each of `m` equal blocks, the ID of
+    * the codebook vector whose block is nearest in rounded (6 dp) squared
+    * L2, ties to the smallest id. Codebook rides inside the expression
+    * (broadcast-as-literal) — pure map-side, no join, no shuffle. */
+  def encode(v: ArrayData, ids: Array[Long], cents: Array[Array[Double]], m: Int): ArrayData = {
+    val dim = v.numElements()
+    val sub = dim / m
+    val out = new Array[Long](m)
+    var b = 0
+    while (b < m) {
+      var bestId = 0L
+      var bestD = Double.NaN
+      var c = 0
+      while (c < cents.length) {
+        val r = round6(blockDist(v, cents(c), b, sub))
+        if (bestD.isNaN || r < bestD || (r == bestD && ids(c) < bestId)) {
+          bestD = r; bestId = ids(c)
+        }
+        c += 1
+      }
+      out(b) = bestId
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance computation: Σ over blocks of the rounded (6 dp)
+    * squared L2 between the query block and the centroid block the code
+    * points at — blocks accumulate in ascending order (left-assoc `+`
+    * chain in SQL). */
+  def adc(q: ArrayData, codes: ArrayData, ids: Array[Long],
+          cents: Array[Array[Double]], m: Int): Double = {
+    val sub = q.numElements() / m
+    var s = 0.0
+    var b = 0
+    while (b < m) {
+      val code = codes.getLong(b)
+      var c = 0
+      var idx = -1
+      while (idx < 0 && c < ids.length) {
+        if (ids(c) == code) idx = c
+        c += 1
+      }
+      s += round6(blockDist(q, cents(idx), b, sub))
+      b += 1
+    }
+    s
+  }
+}
+
+/** array<double> → array<long> of per-block nearest codebook-vector ids
+  * (see [[PqKernel.encode]]). */
+case class PqEncodeExpr(child: Expression, ids: Array[Long],
+                        cents: Array[Array[Double]], m: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(ids.length == cents.length && ids.nonEmpty)
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName, GraftTypeCheck.isDoubleArray(child.dataType), "ARRAY<DOUBLE>", child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override protected def nullSafeEval(v: Any): Any =
+    PqKernel.encode(v.asInstanceOf[ArrayData], ids, cents, m)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** (array<double> query, array<long> codes) → double approximate squared
+  * L2 (see [[PqKernel.adc]]). */
+case class PqAdcExpr(left: Expression, right: Expression, ids: Array[Long],
+                     cents: Array[Array[Double]], m: Int) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(ids.length == cents.length && ids.nonEmpty)
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName,
+    GraftTypeCheck.isDoubleArray(left.dataType) &&
+      right.dataType.isInstanceOf[ArrayType] &&
+      right.dataType.asInstanceOf[ArrayType].elementType == LongType,
+    "(ARRAY<DOUBLE>, ARRAY<BIGINT>)", left.dataType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override protected def nullSafeEval(q: Any, codes: Any): Any =
+    PqKernel.adc(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], ids, cents, m)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -178,4 +286,9 @@ object VectorOps {
     GraftBridge.column(DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
   def nearestCell(v: Column, cells: Array[Long], centroids: Array[Array[Double]]): Column =
     GraftBridge.column(NearestCellExpr(GraftBridge.expression(v), cells, centroids))
+  def pqEncode(v: Column, ids: Array[Long], cents: Array[Array[Double]], m: Int): Column =
+    GraftBridge.column(PqEncodeExpr(GraftBridge.expression(v), ids, cents, m))
+  def pqAdc(q: Column, codes: Column, ids: Array[Long],
+            cents: Array[Array[Double]], m: Int): Column =
+    GraftBridge.column(PqAdcExpr(GraftBridge.expression(q), GraftBridge.expression(codes), ids, cents, m))
 }

@@ -192,6 +192,43 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Product-quantization approximate top-k (the FAISS-style IVF
+    * companion: where IVF prunes the candidate SET, PQ compresses the
+    * candidate VECTORS). The corpus is encoded once into `m` per-block
+    * codebook ids (map-side kernel, no shuffle — at rest the codes are
+    * m small ints per vector, a 32× compression of a 64-dim float
+    * embedding); queries score candidates by asymmetric distance (ADC):
+    * the sum of per-block distances from the query block to the centroid
+    * block each code points at — never touching the original corpus
+    * vectors.
+    *
+    * Codebook default is the deterministic first-`codes` vectors (same
+    * replayability contract as [[firstNCentroids]]; the q78 oracle
+    * replays encode + ADC bit-for-bit); swap in trained sub-codebooks for
+    * real recall. Per-query top-k runs through a row_number window that
+    * Spark rewrites with WindowGroupLimit — each map task pre-prunes to
+    * its local top-k, so the shuffle carries O(tasks·k) slim rows, not
+    * the corpus. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 8,
+             codes: Int = 16, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val cb = firstNCentroids(corpus, codes, idCol, vecCol)
+    val ids = cb.map(_._1)
+    val cents = cb.map(_._2)
+    val encoded = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("codes", graft.functions.VectorOps.pqEncode(col("v"), ids, cents, m))
+      .select("neighbor_id", "codes")
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = encoded.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.VectorOps.pqAdc(col("qv"), col("codes"), ids, cents, m), 4)
+          .as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+  }
+
   /** SRP-LSH pairs with *explicit* hyperplanes: like [[lshBucketedPairs]]
     * but the planes are literal vectors chosen by the caller (e.g. the
     * first `tables·bits` corpus vectors via [[firstNPlanes]]) instead of

@@ -323,6 +323,73 @@ object LlmQueries {
       |SELECT query_id, neighbor_id, sim, rk FROM ranked
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** One PQ block distance as an explicit left-assoc 8-term SQL sum —
+    * the exact accumulation order of [[graft.functions.PqKernel]], so
+    * the oracle replays the kernel bit-for-bit. `b.b` is the block index
+    * column from the `blocks` CTE; indexes are 1-based. */
+  private def pqBlockDistSql(xCol: String, cCol: String): String =
+    (0 until 8).map { i =>
+      val idx = s"b.b*8 + ${i + 1}"
+      s"($xCol[$idx]::DOUBLE - $cCol[$idx]::DOUBLE) * ($xCol[$idx]::DOUBLE - $cCol[$idx]::DOUBLE)"
+    }.mkString(" + ")
+
+  /** Product-quantization approximate top-k (the compression half of the
+    * FAISS-style ANN stack; q50 IVF is the pruning half). Deterministic
+    * first-16 codebook + rounded block distances make encode AND ADC
+    * scoring fully SQL-replayable — the oracle runs the same PQ, not a
+    * brute-force stand-in. */
+  val annPq: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+    Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, 5)
+      .orderBy("query_id", "rk")
+  }
+
+  val annPqSql: String = {
+    val vDist = pqBlockDistSql("v.embedding", "cb.cv")
+    val qDist = pqBlockDistSql("q.qv", "cb.cv")
+    s"""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+       |cb AS (SELECT id AS code, embedding AS cv FROM v
+       |       WHERE id IN (SELECT id FROM v ORDER BY id LIMIT 16)),
+       |blocks AS (SELECT unnest(range(8)) AS b),
+       |bd AS (
+       |  SELECT v.id, cb.code, b.b AS b, round($vDist, 6) AS d2
+       |  FROM v CROSS JOIN cb CROSS JOIN blocks b),
+       |codes AS (
+       |  SELECT id, b, code FROM (
+       |    SELECT id, b, code,
+       |      row_number() OVER (PARTITION BY id, b ORDER BY d2 ASC, code ASC) AS rn
+       |    FROM bd) WHERE rn = 1),
+       |q AS (SELECT id AS query_id, embedding AS qv FROM v WHERE id < 10),
+       |qbd AS (
+       |  SELECT q.query_id, cb.code, b.b AS b, round($qDist, 6) AS d2
+       |  FROM q CROSS JOIN cb CROSS JOIN blocks b),
+       |blk AS (
+       |  SELECT qbd.query_id, codes.id, codes.b, qbd.d2
+       |  FROM codes JOIN qbd ON qbd.code = codes.code AND qbd.b = codes.b),
+       |pv AS (
+       |  SELECT query_id, id,
+       |    max(CASE WHEN b = 0 THEN d2 END) AS d0,
+       |    max(CASE WHEN b = 1 THEN d2 END) AS d1,
+       |    max(CASE WHEN b = 2 THEN d2 END) AS d2,
+       |    max(CASE WHEN b = 3 THEN d2 END) AS d3,
+       |    max(CASE WHEN b = 4 THEN d2 END) AS d4,
+       |    max(CASE WHEN b = 5 THEN d2 END) AS d5,
+       |    max(CASE WHEN b = 6 THEN d2 END) AS d6,
+       |    max(CASE WHEN b = 7 THEN d2 END) AS d7
+       |  FROM blk GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |    round(d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, 4) AS adist
+       |  FROM pv WHERE query_id <> id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    (row_number() OVER (PARTITION BY query_id
+       |       ORDER BY adist ASC, neighbor_id ASC))::INTEGER AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adist, rk FROM ranked
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
   /** Per-label embedding centroids (class prototypes): element-wise mean
     * per label via posexplode → one map-combinable (label, pos) agg —
     * the distributed array-aggregation shape (also the inner step of
@@ -479,6 +546,7 @@ object LlmQueries {
     "q35_emb_neardup" -> embNearDup,
     "q36_ann_lsh" -> annLsh,
     "q50_ann_ivf" -> annIvf,
+    "q78_ann_pq" -> annPq,
     "q53_ngram_jaccard" -> ngramJaccard,
     "q56_dedup_clusters" -> dedupClusters,
     "q59_corpus_filter" -> corpusFilter,
@@ -497,6 +565,7 @@ object LlmQueries {
     "q33_dedup_simhash" -> dedupSimhashSql,
     "q36_ann_lsh" -> annLshSql,
     "q50_ann_ivf" -> annIvfSql,
+    "q78_ann_pq" -> annPqSql,
     "q34_ann_topk" -> annTopKSql,
     "q53_ngram_jaccard" -> ngramJaccardSql,
     "q56_dedup_clusters" -> dedupClustersSql,

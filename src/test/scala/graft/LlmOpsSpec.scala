@@ -110,6 +110,41 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.llm.Lsh.MaxBucketConf)
   }
 
+  test("PQ encode maps each codebook vector to its own id in every block") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val cb = Similarity.firstNCentroids(emb, 16)
+    val ids = cb.map(_._1); val cents = cb.map(_._2)
+    val selfCodes = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"),
+        graft.functions.VectorOps.pqEncode(
+          col("embedding").cast("array<double>"), ids, cents, 8).as("codes"))
+      .as[(Long, Seq[Long])].collect()
+    selfCodes.foreach { case (id, codes) =>
+      assert(codes.forall(_ == id),
+        s"vector $id block distance to itself is 0 → every code must be $id ($codes)")
+    }
+  }
+
+  test("PQ top-k recalls a usable fraction of the exact L2 neighbors") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val pq = Similarity.pqTopK(queries, emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // exact squared-L2 truth (PQ approximates L2, not cosine)
+    val v = emb.select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val q = v.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val d2 = expr("aggregate(zip_with(qv, v, (a, b) -> (a - b) * (a - b)), 0d, (acc, x) -> acc + x)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d").asc, col("id").asc)
+    val truth = v.crossJoin(broadcast(q)).filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), round(d2, 6).as("d"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("query_id", "id").as[(Long, Long)].collect()
+    val recall = pq.toSet.intersect(truth.toSet).size.toDouble / truth.length
+    assert(recall >= 0.2, s"recall=$recall with the crude first-16 codebook")
+  }
+
   test("plane-SRP LSH deterministically finds same-direction vectors") {
     // v1 = 2·v0 ⇒ sign(v·p) identical for every plane ⇒ same bucket in
     // every table, cosine exactly 1.0 — found with probability 1
