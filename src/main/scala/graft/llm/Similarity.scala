@@ -229,6 +229,44 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** IVF+PQ composed (the full FAISS-style ANN stack): IVF prunes each
+    * query's candidate set to its `nprobe` nearest cells, PQ scores the
+    * survivors by asymmetric distance against compressed codes — the
+    * original vectors are touched only at index build. Cell assignment
+    * AND code encoding are map-side kernels over broadcast literals, so
+    * index build adds zero shuffles to the corpus scan; the only shuffle
+    * is the probe⋈cell join, and it carries (id, cell, 8 codes) rows —
+    * at 100 TB that is the whole point: the exchange moves ~1/32nd of
+    * the embedding bytes and 1/(nlist/nprobe) of the rows. Deterministic
+    * first-N cells/codebook keep the entire pipeline oracle-replayable
+    * (q79). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = firstNCentroids(corpus, nlist, idCol, vecCol)
+    val cb = firstNCentroids(corpus, codes, idCol, vecCol)
+    val ids = cb.map(_._1)
+    val cvecs = cb.map(_._2)
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val indexed = assignCells(v, cents, "v")
+      .withColumn("codes", graft.functions.VectorOps.pqEncode(col("v"), ids, cvecs, m))
+      .select("id", "cell", "codes")
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probes = q
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(cellRanks("qv", cents)), 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("qv"), col("pc.cell").as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    probes.join(indexed, "cell")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(graft.functions.VectorOps.pqAdc(col("qv"), col("codes"), ids, cvecs, m), 4)
+          .as("adist"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+  }
+
   /** SRP-LSH pairs with *explicit* hyperplanes: like [[lshBucketedPairs]]
     * but the planes are literal vectors chosen by the caller (e.g. the
     * first `tables·bits` corpus vectors via [[firstNPlanes]]) instead of

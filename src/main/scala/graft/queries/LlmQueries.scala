@@ -390,6 +390,82 @@ object LlmQueries {
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
   }
 
+  /** IVF+PQ composed top-k: q50's cell pruning feeding q78's compressed
+    * scoring — the full FAISS-style stack, replayed end to end by the
+    * oracle (cosine cell assignment + probes, L2 block codes, ADC). */
+  val annIvfPq: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, 5)
+      .orderBy("query_id", "rk")
+  }
+
+  val annIvfPqSql: String = {
+    val vDist = pqBlockDistSql("v.embedding", "cb.cv")
+    val qDist = pqBlockDistSql("q.qv", "cb.cv")
+    s"""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+       |cent AS (SELECT id AS cell, embedding::DOUBLE[] AS cv FROM v
+       |         WHERE id IN (SELECT id FROM v ORDER BY id LIMIT 16)),
+       |assigned AS (
+       |  SELECT id, cell FROM (
+       |    SELECT v.id, c.cell,
+       |      row_number() OVER (PARTITION BY v.id
+       |        ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], c.cv), 6) DESC,
+       |                 c.cell ASC) AS ark
+       |    FROM v CROSS JOIN cent c) WHERE ark = 1),
+       |cb AS (SELECT id AS code, embedding AS cv FROM v
+       |       WHERE id IN (SELECT id FROM v ORDER BY id LIMIT 16)),
+       |blocks AS (SELECT unnest(range(8)) AS b),
+       |bd AS (
+       |  SELECT v.id, cb.code, b.b AS b, round($vDist, 6) AS d2
+       |  FROM v CROSS JOIN cb CROSS JOIN blocks b),
+       |codes AS (
+       |  SELECT id, b, code FROM (
+       |    SELECT id, b, code,
+       |      row_number() OVER (PARTITION BY id, b ORDER BY d2 ASC, code ASC) AS rn
+       |    FROM bd) WHERE rn = 1),
+       |q AS (SELECT id AS query_id, embedding AS qv FROM v WHERE id < 10),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv::DOUBLE[], c.cv), 6) DESC,
+       |                 c.cell ASC) AS crk
+       |    FROM q CROSS JOIN cent c) WHERE crk <= 4),
+       |qbd AS (
+       |  SELECT q.query_id, cb.code, b.b AS b, round($qDist, 6) AS d2
+       |  FROM q CROSS JOIN cb CROSS JOIN blocks b),
+       |cand AS (
+       |  SELECT p.query_id, a.id FROM probes p JOIN assigned a ON p.cell = a.cell
+       |  WHERE p.query_id <> a.id),
+       |blk AS (
+       |  SELECT c.query_id, c.id, codes.b, qbd.d2
+       |  FROM cand c JOIN codes ON codes.id = c.id
+       |  JOIN qbd ON qbd.query_id = c.query_id AND qbd.code = codes.code
+       |          AND qbd.b = codes.b),
+       |pv AS (
+       |  SELECT query_id, id,
+       |    max(CASE WHEN b = 0 THEN d2 END) AS d0,
+       |    max(CASE WHEN b = 1 THEN d2 END) AS d1,
+       |    max(CASE WHEN b = 2 THEN d2 END) AS d2,
+       |    max(CASE WHEN b = 3 THEN d2 END) AS d3,
+       |    max(CASE WHEN b = 4 THEN d2 END) AS d4,
+       |    max(CASE WHEN b = 5 THEN d2 END) AS d5,
+       |    max(CASE WHEN b = 6 THEN d2 END) AS d6,
+       |    max(CASE WHEN b = 7 THEN d2 END) AS d7
+       |  FROM blk GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |    round(d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, 4) AS adist
+       |  FROM pv),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    (row_number() OVER (PARTITION BY query_id
+       |       ORDER BY adist ASC, neighbor_id ASC))::INTEGER AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adist, rk FROM ranked
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
   /** Per-label embedding centroids (class prototypes): element-wise mean
     * per label via posexplode → one map-combinable (label, pos) agg —
     * the distributed array-aggregation shape (also the inner step of
@@ -547,6 +623,7 @@ object LlmQueries {
     "q36_ann_lsh" -> annLsh,
     "q50_ann_ivf" -> annIvf,
     "q78_ann_pq" -> annPq,
+    "q79_ann_ivfpq" -> annIvfPq,
     "q53_ngram_jaccard" -> ngramJaccard,
     "q56_dedup_clusters" -> dedupClusters,
     "q59_corpus_filter" -> corpusFilter,
@@ -566,6 +643,7 @@ object LlmQueries {
     "q36_ann_lsh" -> annLshSql,
     "q50_ann_ivf" -> annIvfSql,
     "q78_ann_pq" -> annPqSql,
+    "q79_ann_ivfpq" -> annIvfPqSql,
     "q34_ann_topk" -> annTopKSql,
     "q53_ngram_jaccard" -> ngramJaccardSql,
     "q56_dedup_clusters" -> dedupClustersSql,

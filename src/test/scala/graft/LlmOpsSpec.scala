@@ -145,6 +145,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall with the crude first-16 codebook")
   }
 
+  test("IVF+PQ composition returns k rows per query from probed cells only") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val out = Similarity.ivfPqTopK(queries, emb, 5)
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)].collect()
+    assert(out.groupBy(_._1).forall(_._2.length == 5), "5 neighbors per query")
+    // every returned neighbor must live in one of the query's probed cells
+    val cents = Similarity.firstNCentroids(emb, 16)
+    val v = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cellOf = Similarity.assignCells(v, cents, "v")
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    val probeRk = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("cell").asc)
+    val probed = v.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+      .crossJoin(spark.createDataFrame(cents.toSeq.map(c => (c._1, c._2.toSeq)))
+        .toDF("cell", "cv"))
+      .select(col("query_id"), col("cell"),
+        round(Similarity.cosine(col("qv"), col("cv")), 6).as("sim"))
+      .withColumn("crk", row_number().over(probeRk)).filter(col("crk") <= 4)
+      .select("query_id", "cell").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { case (q, n, _) =>
+      assert(probed(q).contains(cellOf(n)),
+        s"neighbor $n of query $q is outside the probed cells")
+    }
+  }
+
   test("plane-SRP LSH deterministically finds same-direction vectors") {
     // v1 = 2·v0 ⇒ sign(v·p) identical for every plane ⇒ same bucket in
     // every table, cosine exactly 1.0 — found with probability 1
