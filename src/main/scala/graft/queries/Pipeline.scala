@@ -308,6 +308,78 @@ object Pipeline {
       |  (floor((e.v - st.mn) / (st.mx - st.mn) * 255)::BIGINT - 128)::INTEGER AS q
       |FROM e JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin
 
+  // -------------------------------------------------------------- q80
+
+  /** Event-funnel analysis: how many users progressed view → click →
+    * purchase, each step strictly after the previous step's first
+    * occurrence and the purchase within 7 days of the first view. Three
+    * keyed aggregations + two keyed joins on user_id — all
+    * map-combinable, no step is corpus-quadratic; the sequence
+    * constraint lives in per-user timestamp predicates, not in ordering
+    * whole partitions. */
+  val funnelSteps: Q = (s, dir) => {
+    val ev = Tables.t(s, dir, "events").select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") >= col("t2") &&
+        col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def cnt(df: org.apache.spark.sql.DataFrame, step: String) =
+      df.agg(count(lit(1)).as("users")).withColumn("step", lit(step))
+    cnt(s1, "1_view").unionByName(cnt(s2, "2_click")).unionByName(cnt(s3, "3_purchase"))
+      .select("step", "users").orderBy("step")
+  }
+
+  val funnelStepsSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+      |    AND e.ts <= s2.t1 + INTERVAL 7 DAY
+      |  GROUP BY 1)
+      |SELECT step, users FROM (
+      |  SELECT '1_view' AS step, count(*) AS users FROM s1
+      |  UNION ALL SELECT '2_click', count(*) FROM s2
+      |  UNION ALL SELECT '3_purchase', count(*) FROM s3)
+      |ORDER BY step""".stripMargin
+
+  // -------------------------------------------------------------- q81
+
+  /** Latest-record-per-key compaction (the read side of CDC): keep each
+    * (user, event_type)'s most recent event, ties by highest event_id.
+    * The rank-1 window compiles to WindowGroupLimit, so each map task
+    * pre-prunes to one row per key before the exchange — at 100 TB the
+    * shuffle approaches one row per distinct key, which is the floor. */
+  val latestPerKey: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val latestPerKeySql: String =
+    """SELECT user_id, event_type, event_id, round(value, 2) AS value FROM (
+      |  SELECT user_id, event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -318,7 +390,9 @@ object Pipeline {
     "q74_repetition_quality" -> repetitionQuality,
     "q75_merge_upsert" -> mergeUpsert,
     "q76_stratified_sample" -> stratifiedSample,
-    "q77_quantize_int8" -> quantizeInt8)
+    "q77_quantize_int8" -> quantizeInt8,
+    "q80_funnel_steps" -> funnelSteps,
+    "q81_latest_per_key" -> latestPerKey)
 
   val oracleSql: Map[String, String] = Map(
     "q70_pii_redact" -> piiRedactSql,
@@ -328,5 +402,7 @@ object Pipeline {
     "q74_repetition_quality" -> repetitionQualitySql,
     "q75_merge_upsert" -> mergeUpsertSql,
     "q76_stratified_sample" -> stratifiedSampleSql,
-    "q77_quantize_int8" -> quantizeInt8Sql)
+    "q77_quantize_int8" -> quantizeInt8Sql,
+    "q80_funnel_steps" -> funnelStepsSql,
+    "q81_latest_per_key" -> latestPerKeySql)
 }

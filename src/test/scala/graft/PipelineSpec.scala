@@ -113,6 +113,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel step counts are monotonically non-increasing") {
+    val steps = graft.queries.Pipeline.funnelSteps(spark, sf)
+      .as[(String, Long)].collect().sortBy(_._1).map(_._2)
+    assert(steps.length === 3)
+    assert(steps(0) >= steps(1) && steps(1) >= steps(2),
+      s"each funnel step can only lose users: ${steps.mkString(",")}")
+    assert(steps(0) > 0)
+  }
+
+  test("latest-per-key keeps exactly one row per (user, type) with the max ts") {
+    val ev = Tables.t(spark, sf, "events")
+    val out = graft.queries.Pipeline.latestPerKey(spark, sf)
+    val dupes = out.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count()
+    assert(dupes === 0)
+    assert(out.count() ===
+      ev.select("user_id", "event_type").distinct().count())
+    // spot-check: the kept event_id's ts is the key's max ts
+    val joined = out.join(ev.groupBy("user_id", "event_type")
+      .agg(max("ts").as("mx")), Seq("user_id", "event_type"))
+      .join(ev.select(col("event_id"), col("ts")), "event_id")
+      .filter(col("ts") =!= col("mx")).count()
+    assert(joined === 0, "kept row must carry the key's max timestamp")
+  }
+
   test("fuzzy pairs are ordered, thresholded, and block-consistent") {
     val rows = graft.queries.Pipeline.fuzzyPairs(spark, sf)
       .as[(Long, Long, Int, Double)].collect()
