@@ -169,6 +169,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1) Project [minhash_signature"), p.take(400))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // the AQE runtime-filter rewrite: a selective predicate on the small
+    // side injects bloom_filter_might_contain onto the fact scan, so fact
+    // rows failing the filter die before the shuffle — at 100 TB this is
+    // the difference between shuffling the whole fact table and shuffling
+    // the ~matching fraction. Thresholds lowered so fixture-sized tables
+    // qualify; production defaults trigger on real sizes.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.t(spark, sf, "lineitem")
+      val part = Tables.t(spark, sf, "part").filter(col("p_size") === 1)
+      val p = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_size").count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("might_contain"),
+        "selective dim filter should inject a runtime bloom filter: " + p.take(800))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q73 top-3 terms use WindowGroupLimit (rank pushed below the window)") {
     val p = plan("q73_tfidf_topterms")
     assert(p.contains("WindowGroupLimit"),

@@ -140,6 +140,52 @@ class PropertySpec extends AnyFunSuite {
     }, cases = 15)
   }
 
+  test("upsert is idempotent and base/update-absorbing over random batches") {
+    val row = for {
+      k <- Gen.choose(0L, 20L)
+      s <- Gen.alphaStr.map(_.take(5))
+      v <- Gen.choose(-100.0, 100.0)
+    } yield (k, s, v)
+    // distinct keys within each side: Merge.upsert requires pre-resolved
+    // update batches (and a keyed base snapshot is unique by construction)
+    val side = Gen.listOfN(8, row).map(_.groupBy(_._1).map(_._2.head).toSeq)
+    check(Prop.forAll(side, side) { (b, u) =>
+      val base = b.toDF("k", "s", "v")
+      val upd = u.toDF("k", "s", "v")
+      val once = graft.operators.Merge.upsert(base, upd, Seq("k"))
+      val twice = graft.operators.Merge.upsert(once, upd, Seq("k"))
+      val o = once.as[(Long, String, Double)].collect().toSet
+      val t = twice.as[(Long, String, Double)].collect().toSet
+      val keys = o.map(_._1)
+      // idempotent; result covers exactly base ∪ update keys; update rows win
+      o == t &&
+        keys == (b.map(_._1) ++ u.map(_._1)).toSet &&
+        u.toSet.subsetOf(o)
+    }, cases = 15)
+  }
+
+  test("pq encode/adc: self-distance is minimal and adc is nonnegative") {
+    val vec = Gen.listOfN(16, Gen.choose(-1.0, 1.0)).map(_.toArray)
+    check(Prop.forAll(Gen.listOfN(4, vec)) { vs =>
+      val ids = vs.indices.map(_.toLong).toArray
+      val cents = vs.toArray
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+        .toDF("id", "v")
+      val out = df.select(col("id"),
+        graft.functions.VectorOps.pqEncode(col("v"), ids, cents, 4).as("codes"),
+        graft.functions.VectorOps.pqAdc(col("v"),
+          graft.functions.VectorOps.pqEncode(col("v"), ids, cents, 4),
+          ids, cents, 4).as("selfd"))
+        .as[(Long, Seq[Long], Double)].collect()
+      out.forall { case (id, codes, selfd) =>
+        // own block distance is exactly 0 → every block picks a 0-distance
+        // centroid (own id unless an identical block ties lower) and the
+        // total self ADC is 0
+        codes.length == 4 && selfd == 0.0
+      }
+    }, cases = 10)
+  }
+
   test("kernels propagate null inputs as null results") {
     val df = Seq((1L, Option.empty[String]), (2L, Some("a b c d"))).toDF("id", "text")
     val got = df.select(col("id"),
