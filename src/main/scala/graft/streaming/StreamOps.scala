@@ -143,6 +143,62 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming near-duplicate detection against a STATIC corpus index:
+    * the batch LSH index (banded keys + shingle sets, built once and
+    * persisted) is joined per micro-batch against the incoming docs'
+    * band keys, candidates are exact-Jaccard verified, and alerts
+    * `(doc_id, corpus_id, jaccard)` append to a parquet sink — the
+    * admission-control shape of a training pipeline ("is this new
+    * document a near-dup of anything we already have?").
+    *
+    * foreachBatch (not a raw stream-static join) so in-batch duplicate
+    * candidates collapse with plain batch ops — state stays bounded by
+    * the micro-batch, re-delivered batches rewrite the same alerts
+    * (idempotent by candidate key), and [[graft.llm.Lsh.bucketPairs]]'s
+    * candidate discipline is reused verbatim. Scale: the static index is
+    * the big side and is already keyed by (band, hash) — each batch is
+    * a broadcast-or-SMJ equi-join of a SMALL batch against it; nothing
+    * rescans the corpus text. */
+  def nearDupAlerts(docs: DataFrame, corpus: DataFrame, alertDir: String,
+                    checkpointDir: String, threshold: Double = 0.8,
+                    shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.TextOps
+    val corpusShingles = corpus
+      .select(col("doc_id").as("corpus_id"),
+        TextOps.wordShingles(col("text"), shingleK).as("c_shingles"))
+      .filter(size(col("c_shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBanded = corpusShingles
+      .select(col("corpus_id"),
+        posexplode(graft.functions.Hashing.minhashBands(
+          col("c_shingles"), bands, rowsPerBand)))
+      .select(col("corpus_id"), col("pos").as("band"), col("col").as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sh = batch
+          .select(col("doc_id"), TextOps.wordShingles(col("text"), shingleK).as("shingles"))
+          .filter(size(col("shingles")) > 0)
+        val banded = sh.select(col("doc_id"),
+          posexplode(graft.functions.Hashing.minhashBands(
+            col("shingles"), bands, rowsPerBand)))
+          .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+        val cand = banded.join(corpusBanded, Seq("band", "bh"))
+          .filter(col("doc_id") =!= col("corpus_id"))
+          .select("doc_id", "corpus_id").distinct()
+        val alerts = cand.join(sh, "doc_id").join(corpusShingles, "corpus_id")
+          .select(col("doc_id"), col("corpus_id"),
+            round(TextOps.jaccard(col("shingles"), col("c_shingles")), 4).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+        alerts.write.mode("append").parquet(alertDir)
+        ()
+      }
+      .start()
+  }
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -169,6 +169,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.head === StreamOps.UserSession(1, 0, 10 * 60000L, 2, 3.0))
   }
 
+  test("streaming near-dup alerts against a static index match the batch LSH truth") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toFile
+    val alertDir = new java.io.File(dir, "alerts").getPath
+    val ckDir = new java.io.File(dir, "ck").getPath
+    try {
+      val corpus = Tables.t(spark, sf, "documents")
+      // replay every fixture doc through the stream; the static index is
+      // the same corpus, so each batch pair (a,b) must alert in BOTH
+      // directions (when a streams past b, and when b streams past a)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](spark)
+      val q = StreamOps.nearDupAlerts(
+        stream.toDS().toDF("doc_id", "text"), corpus, alertDir, ckDir)
+      val docs = corpus.select("doc_id", "text").as[(Long, String)].collect()
+      stream.addData(docs.take(docs.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      stream.addData(docs.drop(docs.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable(); q.stop()
+
+      val alerts = spark.read.parquet(alertDir)
+        .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+      val batchPairs = graft.llm.Dedup.minhashLsh(corpus)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val expected = batchPairs ++ batchPairs.map(p => (p._2, p._1))
+      assert(batchPairs.nonEmpty)
+      assert(alerts === expected)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("streaming upsert sink maintains a last-writer-wins snapshot across batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toFile
     val snapDir = new java.io.File(dir, "snap").getPath
