@@ -230,4 +230,34 @@ class Engine(spark: SparkSession, warehouse: String) {
     val df = read(spec)
     orderCol.fold(df)(c => df.orderBy(col(c))).limit(limit).collect()
   }
+
+  /** Small-file compaction (table maintenance the reference lacks but a
+    * streaming/upsert workload needs constantly — every micro-batch
+    * write fragments the table): rewrite the table into
+    * ceil(bytes / targetBytes) files via `coalesce` (a NARROW
+    * repartition — existing files are concatenated by tasks, no
+    * shuffle), staged to a temp dir then swapped in, so readers never
+    * see a half-compacted table and content is byte-preserved.
+    * Returns (filesBefore, filesAfter). */
+  def compact(spec: TableSpec, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(tableExists(spec), s"no such table: ${spec.table}")
+    val p = path(spec)
+    def dataFiles(dir: String): Seq[java.io.File] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = dataFiles(p)
+    val bytes = before.map(_.length()).sum
+    val files = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    val tmp = p + ".compact-tmp"
+    writer(reader(spark, spec.format).load(p).coalesce(files), spec.format)
+      .mode(SaveMode.Overwrite).save(tmp)
+    val bak = p + ".compact-old"
+    Files.move(Paths.get(p), Paths.get(bak))
+    Files.move(Paths.get(tmp), Paths.get(p))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(bak))
+    (before.size, dataFiles(p).size)
+  }
 }

@@ -54,6 +54,18 @@ object ConfOptions {
       "IVF cells / cells probed per query"),
     ConfOption("similarity", "trainCentroids.sampleN/iters", "int/int", "4096/5",
       "k-means sample size (driver-side) and Lloyd iterations"),
+    ConfOption("similarity", "pqTopK.m/codes", "int/int", "8/16",
+      "PQ blocks per vector / codebook size per block"),
+    ConfOption("similarity", "ivfPqTopK.nlist/nprobe/m", "int/int/int", "16/4/8",
+      "composed IVF pruning + PQ scoring parameters"),
+    ConfOption("maintenance", "Merge.upsert keys", "seq", "-",
+      "row-replace upsert join keys; updates must be key-unique"),
+    ConfOption("maintenance", "ZOrder.writeZOrdered files", "int", "-",
+      "output file count for the Morton-curve layout rewrite"),
+    ConfOption("streaming", "upsertSink.seqCol", "string", "-",
+      "in-batch last-writer-wins resolution column"),
+    ConfOption("streaming", "nearDupAlerts.threshold", "double", "0.8",
+      "exact-Jaccard alert threshold against the static LSH index"),
     ConfOption("session", "spark.sql.shuffle.partitions", "int", "#cores",
       "set to the core count on local[N]; cluster deployments size to data"),
     ConfOption("session", "spark.sql.adaptive.enabled", "boolean", "true",

@@ -380,6 +380,43 @@ object Pipeline {
       |  FROM events)
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  // -------------------------------------------------------------- q82
+
+  /** Unigram-LM quality signals (the CCNet/RefinedWeb-style frequency
+    * filter, log-free): per document, the fraction of tokens inside the
+    * top-10 corpus vocabulary and the mean corpus count of its tokens.
+    * Both are integer sums divided once at the end, so the doubles are
+    * order-independent and bit-identical across engines (a true
+    * per-token log-prob mean would be a float sum whose shuffle order
+    * is not reproducible). Vocabulary selection is top-k over the
+    * aggregated term counts — TakeOrderedAndProject, no global sort. */
+  val lmScore: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    val toks = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val cnt = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val vocab = cnt.orderBy(col("cnt").desc, col("term").asc).limit(10)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(cnt, "term").join(vocab, Seq("term"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_tok"),
+        round(sum(coalesce(col("in_vocab"), lit(0))).cast("double") /
+          count(lit(1)), 4).as("common_frac"),
+        round(sum(col("cnt")).cast("double") / count(lit(1)), 4).as("mean_tok_count"))
+      .orderBy("doc_id")
+  }
+
+  val lmScoreSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+       |cnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+       |vocab AS (
+       |  SELECT term, 1 AS in_vocab FROM cnt
+       |  ORDER BY cnt DESC, term ASC LIMIT 10)
+       |SELECT t.doc_id, count(*)::INTEGER AS n_tok,
+       |  round(sum(coalesce(v.in_vocab, 0))::DOUBLE / count(*), 4) AS common_frac,
+       |  round(sum(c.cnt)::DOUBLE / count(*), 4) AS mean_tok_count
+       |FROM tok t JOIN cnt c USING (term) LEFT JOIN vocab v USING (term)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -392,7 +429,8 @@ object Pipeline {
     "q76_stratified_sample" -> stratifiedSample,
     "q77_quantize_int8" -> quantizeInt8,
     "q80_funnel_steps" -> funnelSteps,
-    "q81_latest_per_key" -> latestPerKey)
+    "q81_latest_per_key" -> latestPerKey,
+    "q82_lm_score" -> lmScore)
 
   val oracleSql: Map[String, String] = Map(
     "q70_pii_redact" -> piiRedactSql,
@@ -404,5 +442,6 @@ object Pipeline {
     "q76_stratified_sample" -> stratifiedSampleSql,
     "q77_quantize_int8" -> quantizeInt8Sql,
     "q80_funnel_steps" -> funnelStepsSql,
-    "q81_latest_per_key" -> latestPerKeySql)
+    "q81_latest_per_key" -> latestPerKeySql,
+    "q82_lm_score" -> lmScoreSql)
 }

@@ -567,6 +567,58 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q10 shape (returned-item reporting): which customers returned
+    * the most revenue in a quarter — fact⋈fact on orderkey, dims
+    * broadcast, top-20 by revenue. Same plan discipline as Q3: the
+    * lineitem side never broadcasts, ranking is TakeOrderedAndProject.
+    *
+    * Revenue is summed AND rounded in exact integer arithmetic (prices
+    * and discounts carry 2 decimals, so ep·100 and disc·100 are
+    * integers): a plain double sum's result depends on shuffle merge
+    * order, and the exact sums routinely land on .xx5 cents where the
+    * two engines' decimal round() of a double disagree — so half-up
+    * happens as `(sum + 50) div 100` on the integer sum and the final
+    * /100 division of identical integers yields identical doubles with
+    * no further rounding. Fits a BIGINT through ~sf100 (DECIMAL is the
+    * escape hatch beyond). */
+  val tpchQ10: Q = (s, dir) => {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val cents = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(cents).as("rc"))
+      .withColumn("revenue", expr("CAST((rc + 50) DIV 100 AS DOUBLE) / 100"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val tpchQ10Sql: String =
+    """SELECT c_custkey, c_name,
+      |  ((sum(round(l_extendedprice * 100)::BIGINT *
+      |        (100 - round(l_discount * 100)::BIGINT))::BIGINT + 50) // 100)::DOUBLE
+      |    / 100 AS revenue,
+      |  c_acctbal, n_name
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+
   val tpchQ3Sql: String =
     """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
       |       strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority
@@ -694,6 +746,7 @@ object Relational {
     "q52_tpch_q5" -> tpchQ5,
     "q57_tpch_q18" -> tpchQ18,
     "q69_tpch_q7" -> tpchQ7,
+    "q83_tpch_q10" -> tpchQ10,
     "q29_write_roundtrip" -> writeRoundtrip,
     "q01_scan_projection" -> scanProjection,
     "q02_filter_predicate" -> filterPredicate,
@@ -731,6 +784,7 @@ object Relational {
     "q52_tpch_q5" -> tpchQ5Sql,
     "q57_tpch_q18" -> tpchQ18Sql,
     "q69_tpch_q7" -> tpchQ7Sql,
+    "q83_tpch_q10" -> tpchQ10Sql,
     "q29_write_roundtrip" -> writeRoundtripSql,
     "q01_scan_projection" -> scanProjectionSql,
     "q02_filter_predicate" -> filterPredicateSql,

@@ -252,6 +252,19 @@ class EngineSpec extends AnyFunSuite {
     assert(back(0).getInt(0) === 1); assert(back(0).isNullAt(1))
     assert(back(1).isNullAt(0)); assert(back(1).getDouble(1) === 2.2)
   }
+
+  test("compact merges fragmented files without changing content") {
+    val e = freshEngine()
+    val spec = TableSpec("tfrag")
+    // 16-way write fragments the table the way micro-batch appends do
+    e.write(spec, spark.range(0, 1000).toDF("i1").repartition(16))
+    val expected = e.read(spec).as[Long].collect().sorted.toSeq
+    val (before, after) = e.compact(spec)
+    assert(before >= 16)
+    assert(after === 1, "1000 longs fit one 128MB-target file")
+    val back = e.read(spec).as[Long].collect().sorted.toSeq
+    assert(back === expected, "compaction must be byte-content-preserving")
+  }
 }
 
 case class Row7(bo1: Boolean, by1: Byte, s1: Short, i1: Int, l1: Long, f1: Float, d1: Double)
