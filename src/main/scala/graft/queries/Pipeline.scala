@@ -417,6 +417,85 @@ object Pipeline {
        |FROM tok t JOIN cnt c USING (term) LEFT JOIN vocab v USING (term)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q84
+
+  /** Equal-width histogram of order totals (data profiling / optimizer
+    * stats shape): 10 buckets over the global min/max — one min/max agg
+    * broadcast back, bucket index by floor of an identical IEEE double
+    * (the cross-engine-safe discretizer; decimal round is not), one
+    * map-combinable count per bucket. */
+  val histogram: Q = (s, dir) => {
+    val o = Tables.t(s, dir, "orders")
+    val mm = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+    o.crossJoin(broadcast(mm))
+      .select(least(lit(9), floor((col("o_totalprice") - col("mn")) /
+        (col("mx") - col("mn")) * 10)).cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  val histogramSql: String =
+    """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+      |SELECT least(9, floor((o_totalprice - mn) / (mx - mn) * 10))::INTEGER AS bucket,
+      |       count(*) AS n
+      |FROM orders CROSS JOIN mm
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q85
+
+  /** Pearson correlation + stddevs of (quantity, price) per return flag —
+    * the stats-function surface. The five moment sums are exact,
+    * order-independent BIGINTs (quantity in hundredths — 2-decimal data;
+    * price in whole dollars so Σy² stays in 63 bits through ~sf10;
+    * DECIMAL is the escape hatch beyond), then the closed-form formula
+    * runs once in double over those identical integers with identical
+    * op order — deterministic across engines. The built-in
+    * corr()/stddev() are streaming float accumulators whose result is
+    * merge-order-dependent: fine in one engine, unreproducible in two. */
+  val corrStats: Q = (s, dir) => {
+    val x = round(col("l_quantity") * 100).cast("long")
+    val y = round(col("l_extendedprice")).cast("long")
+    val d = (c: String) => col(c).cast("double")
+    Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((d("n") * d("sxy") - d("sx") * d("sy")) /
+          sqrt(d("n") * d("sxx") - d("sx") * d("sx")) /
+          sqrt(d("n") * d("syy") - d("sy") * d("sy")), 6).as("corr_qty_price"),
+        round(sqrt(d("n") * d("sxx") - d("sx") * d("sx")) / d("n") / 100, 4)
+          .as("sd_qty"),
+        round(sqrt(d("n") * d("syy") - d("sy") * d("sy")) / d("n"), 4)
+          .as("sd_price_usd"))
+      .orderBy("l_returnflag")
+  }
+
+  val corrStatsSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+      |    sum(y * y)::BIGINT AS syy
+      |  FROM (SELECT l_returnflag,
+      |          round(l_quantity * 100)::BIGINT AS x,
+      |          round(l_extendedprice)::BIGINT AS y
+      |        FROM lineitem)
+      |  GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+      |        sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) /
+      |        sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE), 6)
+      |    AS corr_qty_price,
+      |  round(sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      |        / n::DOUBLE / 100, 4) AS sd_qty,
+      |  round(sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+      |        / n::DOUBLE, 4) AS sd_price_usd
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -430,7 +509,9 @@ object Pipeline {
     "q77_quantize_int8" -> quantizeInt8,
     "q80_funnel_steps" -> funnelSteps,
     "q81_latest_per_key" -> latestPerKey,
-    "q82_lm_score" -> lmScore)
+    "q82_lm_score" -> lmScore,
+    "q84_histogram" -> histogram,
+    "q85_corr_stats" -> corrStats)
 
   val oracleSql: Map[String, String] = Map(
     "q70_pii_redact" -> piiRedactSql,
@@ -443,5 +524,7 @@ object Pipeline {
     "q77_quantize_int8" -> quantizeInt8Sql,
     "q80_funnel_steps" -> funnelStepsSql,
     "q81_latest_per_key" -> latestPerKeySql,
-    "q82_lm_score" -> lmScoreSql)
+    "q82_lm_score" -> lmScoreSql,
+    "q84_histogram" -> histogramSql,
+    "q85_corr_stats" -> corrStatsSql)
 }
