@@ -466,6 +466,59 @@ object LlmQueries {
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
   }
 
+  /** Hybrid text+vector retrieval (the RAG-serving capstone): rank the
+    * corpus against a query document by term overlap (integer hits vs
+    * the query's distinct tokens, a BM25-ish lexical leg) combined with
+    * embedding cosine (the semantic leg), `hybrid = hits + 2·cos`. Both
+    * query legs broadcast; the corpus is scanned once; ranking is
+    * top-k. The score arithmetic is an integer plus a rounded double —
+    * deterministic across engines. */
+  val hybridSearch: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    val e = Tables.t(s, dir, "embeddings")
+    val qTerms = d.filter(col("doc_id") === 0)
+      .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    val docTerms = d.select(col("doc_id"),
+      explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+    val textScore = docTerms.join(broadcast(qTerms), "term")
+      .groupBy("doc_id").agg(count(lit(1)).cast("int").as("text_hits"))
+    d.select(col("doc_id"))
+      .join(textScore, Seq("doc_id"), "left")
+      .join(e.select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("v")), "doc_id")
+      .crossJoin(broadcast(qVec))
+      .select(col("doc_id"),
+        coalesce(col("text_hits"), lit(0)).as("text_hits"),
+        round(Similarity.cosine(col("v"), col("qv")), 4).as("vec_sim"))
+      .filter(col("doc_id") =!= 0)
+      .withColumn("hybrid", col("text_hits") + col("vec_sim") * 2)
+      .orderBy(col("hybrid").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val hybridSearchSql: String =
+    s"""WITH qt AS (
+       |  SELECT DISTINCT unnest(list_distinct($ToksSql)) AS term
+       |  FROM documents WHERE doc_id = 0),
+       |dt AS (
+       |  SELECT doc_id, unnest(list_distinct($ToksSql)) AS term FROM documents),
+       |th AS (
+       |  SELECT dt.doc_id, count(*)::INTEGER AS text_hits
+       |  FROM dt JOIN qt USING (term) GROUP BY 1),
+       |qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT d.doc_id, coalesce(th.text_hits, 0) AS text_hits,
+       |  round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qv), 4) AS vec_sim,
+       |  coalesce(th.text_hits, 0) +
+       |    round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qv), 4) * 2 AS hybrid
+       |FROM documents d
+       |JOIN embeddings e ON e.vec_id = d.doc_id
+       |CROSS JOIN qv
+       |LEFT JOIN th ON th.doc_id = d.doc_id
+       |WHERE d.doc_id <> 0
+       |ORDER BY hybrid DESC, d.doc_id ASC LIMIT 20""".stripMargin
+
   /** Per-label embedding centroids (class prototypes): element-wise mean
     * per label via posexplode → one map-combinable (label, pos) agg —
     * the distributed array-aggregation shape (also the inner step of
@@ -624,6 +677,7 @@ object LlmQueries {
     "q50_ann_ivf" -> annIvf,
     "q78_ann_pq" -> annPq,
     "q79_ann_ivfpq" -> annIvfPq,
+    "q86_hybrid_search" -> hybridSearch,
     "q53_ngram_jaccard" -> ngramJaccard,
     "q56_dedup_clusters" -> dedupClusters,
     "q59_corpus_filter" -> corpusFilter,
@@ -644,6 +698,7 @@ object LlmQueries {
     "q50_ann_ivf" -> annIvfSql,
     "q78_ann_pq" -> annPqSql,
     "q79_ann_ivfpq" -> annIvfPqSql,
+    "q86_hybrid_search" -> hybridSearchSql,
     "q34_ann_topk" -> annTopKSql,
     "q53_ngram_jaccard" -> ngramJaccardSql,
     "q56_dedup_clusters" -> dedupClustersSql,

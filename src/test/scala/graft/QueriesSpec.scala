@@ -41,14 +41,14 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("approx_count_distinct lands inside the 5% envelope it reports") {
+  test("approx_count_distinct lands inside the 3-sigma envelope it reports") {
     import spark.implicits._
     val rows = graft.queries.Extended.approxDistinct(spark, sf)
       .as[(String, Long, Boolean)].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (flag, exact, within) =>
       assert(exact > 0, s"$flag: exact=$exact")
-      assert(within, s"$flag: sketch outside 5% of exact=$exact")
+      assert(within, s"$flag: sketch outside 3-sigma of exact=$exact")
     }
   }
 }
