@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * rows per partition, so a real decoder could batch onto an accelerator).
   * The image path is REAL: `javax.imageio` ships with the JVM (PNG/
   * JPEG/BMP/GIF, headless-safe), so [[decodeImageFeatures]] and
-  * [[resizeImage]] decode actual pixels. Audio/video codecs are still
-  * STUBBED with deterministic fakes (no such libs in the JVM); the
+  * [[resizeImage]] decode actual pixels. The audio path is REAL for
+  * WAV/PCM: `javax.sound.sampled` also ships with the JVM, so
+  * [[decodeAudioFeatures]] decodes actual samples. Compressed
+  * audio (MP3/AAC) and video codecs are still STUBBED with
+  * deterministic fakes (no such decoder exists in the JVM); the
   * Spark-side plumbing — schema, encoders, partitioning, batch
-  * iteration — is identical and tested for both.
+  * iteration — is identical and tested for all paths.
   *
   * At 100 TB: binary columns stay columnar in parquet (no row-group
   * bloat for metadata-only readers since parquet prunes unprojected
@@ -157,6 +160,81 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: WAV/PCM via `javax.sound.sampled` — ships with
+    * the JVM (same `java.desktop` module as ImageIO, headless-safe).
+    * Decodes to 16-bit PCM, mixes channels to mono, and emits
+    * `[duration_sec, rms, peak, zero_cross_rate]` with amplitudes
+    * normalized to full scale — the standard audio-quality filter
+    * features. Compressed codecs (MP3/AAC) have no JVM decoder and
+    * still need an external service; the WAV path proves the real
+    * decode plumbing end to end (MultimodalSpec checks a synthesized
+    * sine's RMS ≈ A/√2, peak ≈ A, and zero-cross rate ≈ 2f/sr). */
+  def decodeAudioFeatures(ds: Dataset[MediaRow]): Dataset[FeatureRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        try {
+          val fmt = in.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
+            fmt.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          val bytes = {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = pcm.read(buf)
+            while (n > 0) { bos.write(buf, 0, n); n = pcm.read(buf) }
+            bos.toByteArray
+          }
+          val ch = target.getChannels
+          val nFrames = bytes.length / (2 * ch)
+          var sumSq = 0.0; var peak = 0.0; var crossings = 0L; var prev = 0.0
+          var i = 0
+          while (i < nFrames) {
+            var s = 0.0; var c = 0
+            while (c < ch) {
+              val off = (i * ch + c) * 2
+              s += (((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort) / 32768.0
+              c += 1
+            }
+            s /= ch
+            sumSq += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (i > 0 && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0))) crossings += 1
+            prev = s
+            i += 1
+          }
+          val durSec = nFrames / target.getSampleRate.toDouble
+          val rms = if (nFrames == 0) 0.0 else math.sqrt(sumSq / nFrames)
+          val zcr = if (nFrames <= 1) 0.0 else crossings.toDouble / (nFrames - 1)
+          FeatureRow(r.id,
+            Array(durSec.toFloat, rms.toFloat, peak.toFloat, zcr.toFloat))
+        } finally in.close()
+      }
+    }
+  }
+
+  /** Deterministic test/fixture audio: mono 16-bit little-endian PCM WAV. */
+  def wavBytes(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 

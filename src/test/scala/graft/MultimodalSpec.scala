@@ -86,4 +86,29 @@ class MultimodalSpec extends AnyFunSuite {
     val repart = media.repartition(7)
     assert(Multimodal.decodeFeatures(repart, 4).rdd.getNumPartitions === 7)
   }
+
+  test("real WAV decode: sine features match signal theory") {
+    val sr = 8000f
+    val freq = 440.0
+    val amp = 0.5
+    val n = 8000 // exactly 1 second
+    val samples = Array.tabulate(n)(i =>
+      (amp * 32767.0 * math.sin(2 * math.Pi * freq * i / sr)).toShort)
+    val wav = Multimodal.wavBytes(samples, sr)
+    val rows = Seq(MediaRow(1L, wav, MediaMeta("audio/wav", 0, 0, 1000L))).toDS()
+    val f = Multimodal.decodeAudioFeatures(rows).collect().head.features
+    assert(math.abs(f(0) - 1.0f) < 1e-3, s"duration ${f(0)}")
+    assert(math.abs(f(1) - amp / math.sqrt(2)) < 0.01, s"rms ${f(1)}")
+    assert(math.abs(f(2) - amp) < 0.01, s"peak ${f(2)}")
+    // a 440 Hz sine crosses zero 2·440 times/sec → rate 880/8000 = 0.11
+    assert(math.abs(f(3) - 2 * freq / sr) < 0.005, s"zcr ${f(3)}")
+  }
+
+  test("real WAV decode: silence has zero rms/peak and exact duration") {
+    val wav = Multimodal.wavBytes(new Array[Short](4000), 8000f)
+    val rows = Seq(MediaRow(2L, wav, MediaMeta("audio/wav", 0, 0, 500L))).toDS()
+    val f = Multimodal.decodeAudioFeatures(rows).collect().head.features
+    assert(f(0) === 0.5f)
+    assert(f(1) === 0f && f(2) === 0f && f(3) === 0f)
+  }
 }
