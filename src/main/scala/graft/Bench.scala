@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   * Queries are drained via `queryExecution.toRdd.count()` so every plan
   * fully materializes its rows: a plain DataFrame.count() lets Catalyst
   * drop column reads and would overstate scan speed.
+  *
+  * Per-query seconds are the MIN of `SPARK_GRAFT_REPS` (default 2)
+  * full executions — the same steady-state estimator the scan protocol
+  * uses (min of 3). The first execution of each query is dominated by
+  * its whole-stage-codegen compile + JIT (a per-plan driver-side
+  * constant, 1–2 s, independent of data volume); min-of-N reports the
+  * data-dependent cost that actually scales. Set SPARK_GRAFT_REPS=1 for
+  * the old single-pass (cold) numbers.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,10 +43,13 @@ object Bench {
     drain(li.select("l_orderkey", "l_partkey", "l_quantity"))
     drain(li.groupBy("l_returnflag").agg(sum("l_quantity")))
 
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try drain(fn(spark, sfDir)) catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try drain(fn(spark, sfDir)) catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
     }
 
     // BASELINE scan protocol (IdIdSimRow shape): warmup pass, then the
