@@ -45,10 +45,12 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // a crashing query must surface as -1, not as its (fast) failure
+      // latency — which min-of-reps would otherwise select as the winner
       name -> (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try drain(fn(spark, sfDir)) catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { drain(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       }.min
     }
 

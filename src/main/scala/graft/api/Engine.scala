@@ -236,27 +236,41 @@ class Engine(spark: SparkSession, warehouse: String) {
     * write fragments the table): rewrite the table into
     * ceil(bytes / targetBytes) files via `coalesce` (a NARROW
     * repartition — existing files are concatenated by tasks, no
-    * shuffle), staged to a temp dir then swapped in, so readers never
-    * see a half-compacted table and content is byte-preserved.
-    * Returns (filesBefore, filesAfter). */
+    * shuffle), staged to a temp dir then swapped in. The swap is two
+    * directory renames — near-instant but not atomic as a pair: a crash
+    * between them leaves the data intact in `.compact-old` (recovered
+    * automatically by the next compact); true single-rename atomicity
+    * needs a table format with a metadata pointer, out of scope here.
+    * Unpartitioned tables only: a coalesce rewrite of a partitioned
+    * table would flatten its partition directories. Returns
+    * (filesBefore, filesAfter). */
   def compact(spec: TableSpec, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    require(tableExists(spec), s"no such table: ${spec.table}")
     val p = path(spec)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    val tmp = p + ".compact-tmp"
+    val bak = p + ".compact-old"
+    // recover from a previous crashed compact BEFORE any existence check:
+    // a .compact-old without a table dir means the swap never completed —
+    // its content is the authoritative table
+    if (!Files.exists(Paths.get(p)) && Files.exists(Paths.get(bak)))
+      Files.move(Paths.get(bak), Paths.get(p))
+    rm(new java.io.File(tmp)); rm(new java.io.File(bak))
+    require(tableExists(spec), s"no such table: ${spec.table}")
+    require(partitionColumns(spec).isEmpty,
+      s"compact supports unpartitioned tables only; ${spec.table} is " +
+        s"partitioned by ${partitionColumns(spec)} — compact per partition instead")
     def dataFiles(dir: String): Seq[java.io.File] =
       Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
     val before = dataFiles(p)
     val bytes = before.map(_.length()).sum
     val files = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
-    val tmp = p + ".compact-tmp"
     writer(reader(spark, spec.format).load(p).coalesce(files), spec.format)
       .mode(SaveMode.Overwrite).save(tmp)
-    val bak = p + ".compact-old"
     Files.move(Paths.get(p), Paths.get(bak))
     Files.move(Paths.get(tmp), Paths.get(p))
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
     rm(new java.io.File(bak))
     (before.size, dataFiles(p).size)
   }

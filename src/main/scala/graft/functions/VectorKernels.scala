@@ -234,6 +234,9 @@ object PqKernel {
         if (ids(c) == code) idx = c
         c += 1
       }
+      require(idx >= 0,
+        s"unknown PQ code $code in block $b: codes were encoded with a " +
+          "different codebook than the one passed to pq_adc")
       s += round6(blockDist(q, cents(idx), b, sub))
       b += 1
     }

@@ -75,10 +75,13 @@ object Lsh {
   def bucketPairs(banded: DataFrame, keys: Seq[String],
                   aName: String, bName: String,
                   maxBucket: Int = 0): DataFrame = {
+    // conf values <= 0 mean "uncapped", mirroring the parameter
+    // convention — otherwise setting the conf to "0" to disable the cap
+    // would drop every bucket
     val cap =
       if (maxBucket > 0) maxBucket
       else banded.sparkSession.conf.getOption(MaxBucketConf)
-        .map(_.toInt).getOrElse(Int.MaxValue)
+        .map(_.toInt).filter(_ > 0).getOrElse(Int.MaxValue)
     val grouped = banded.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)

@@ -243,8 +243,11 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = firstNCentroids(corpus, nlist, idCol, vecCol)
-    val cb = firstNCentroids(corpus, codes, idCol, vecCol)
+    // one collect serves both models (cells + codebook are prefixes of
+    // the same first-N id ordering)
+    val firstN = firstNCentroids(corpus, math.max(nlist, codes), idCol, vecCol)
+    val cents = firstN.take(nlist)
+    val cb = firstN.take(codes)
     val ids = cb.map(_._1)
     val cvecs = cb.map(_._2)
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))

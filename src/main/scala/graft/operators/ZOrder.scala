@@ -24,13 +24,18 @@ object ZOrder {
   val BitsPerDim = 8
 
   /** Interleave the low [[BitsPerDim]] bits of per-column equal-width
-    * bucket indices; column i contributes bit k to z-bit k·dims + i. */
+    * bucket indices; column i contributes bit k to z-bit k·dims + i.
+    * Built in LongType: with int arithmetic, 4 dims puts the top bit at
+    * position 31 (the int sign bit → negative keys sort first) and ≥5
+    * dims aliases through Java's mod-32 shift. Long supports up to
+    * 63 / BitsPerDim dims. */
   def zValue(buckets: Seq[Column]): Column = {
     val dims = buckets.size
+    require(dims * BitsPerDim < 64, s"z-value overflows a long for $dims dims")
     val parts = for {
       k <- 0 until BitsPerDim
       (b, i) <- buckets.zipWithIndex
-    } yield shiftleft(shiftright(b, k).bitwiseAND(lit(1)), k * dims + i)
+    } yield shiftleft(shiftright(b.cast("long"), k).bitwiseAND(lit(1L)), k * dims + i)
     parts.reduce((a, b) => a.bitwiseOR(b))
   }
 

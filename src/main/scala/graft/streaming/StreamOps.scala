@@ -129,8 +129,13 @@ object StreamOps {
           .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
         val latest = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
+        // existence via the Hadoop FS API: a java.io.File check is always
+        // false for hdfs://-s3a://-style paths, which would silently turn
+        // every batch into a full overwrite losing all previous keys
+        val snapPath = new org.apache.hadoop.fs.Path(snapshotDir)
+        val fs = snapPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          if (new java.io.File(snapshotDir).exists()) {
+          if (fs.exists(snapPath)) {
             val snap = spark.read.parquet(snapshotDir)
             graft.operators.Merge.upsert(snap, latest.select(
               snap.columns.map(col).toSeq: _*), keys)
@@ -158,7 +163,12 @@ object StreamOps {
     * candidate discipline is reused verbatim. Scale: the static index is
     * the big side and is already keyed by (band, hash) — each batch is
     * a broadcast-or-SMJ equi-join of a SMALL batch against it; nothing
-    * rescans the corpus text. */
+    * rescans the corpus text.
+    *
+    * Alerts land in a per-batch subdirectory (`batch=<id>`) written with
+    * overwrite mode, so a re-delivered batch after failure REWRITES its
+    * own directory instead of appending duplicates — that is what makes
+    * the sink idempotent. */
   def nearDupAlerts(docs: DataFrame, corpus: DataFrame, alertDir: String,
                     checkpointDir: String, threshold: Double = 0.8,
                     shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4)
@@ -178,7 +188,7 @@ object StreamOps {
 
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sh = batch
           .select(col("doc_id"), TextOps.wordShingles(col("text"), shingleK).as("shingles"))
           .filter(size(col("shingles")) > 0)
@@ -193,7 +203,7 @@ object StreamOps {
           .select(col("doc_id"), col("corpus_id"),
             round(TextOps.jaccard(col("shingles"), col("c_shingles")), 4).as("jaccard"))
           .filter(col("jaccard") >= threshold)
-        alerts.write.mode("append").parquet(alertDir)
+        alerts.write.mode("overwrite").parquet(s"$alertDir/batch=$batchId")
         ()
       }
       .start()

@@ -253,6 +253,24 @@ class EngineSpec extends AnyFunSuite {
     assert(back(1).isNullAt(0)); assert(back(1).getDouble(1) === 2.2)
   }
 
+  test("compact recovers a crashed swap and rejects partitioned tables") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val e = new Engine(spark, wh)
+    val spec = TableSpec("tcrash")
+    e.write(spec, spark.range(0, 100).toDF("i1").repartition(4))
+    // simulate a crash between the two swap renames: table dir moved
+    // aside, swap never completed
+    val p = java.nio.file.Paths.get(s"$wh/default/tcrash")
+    Files.move(p, java.nio.file.Paths.get(s"$wh/default/tcrash.compact-old"))
+    val (_, after) = e.compact(spec)
+    assert(after === 1)
+    assert(e.read(spec).count() === 100, "recovery must restore the full table")
+    // partitioned tables are rejected (a coalesce rewrite would flatten them)
+    val ps = TableSpec("tpartd")
+    e.write(ps, Seq((1, 1.0)).toDF("i1", "d1"), WriteSpec(Map("ds" -> "2026-01-01")))
+    intercept[IllegalArgumentException] { e.compact(ps) }
+  }
+
   test("compact merges fragmented files without changing content") {
     val e = freshEngine()
     val spec = TableSpec("tfrag")

@@ -20,6 +20,19 @@ class ZOrderSpec extends AnyFunSuite {
     spans.sum / spans.length / globalSpan
   }
 
+  test("z-values stay positive and injective at 4 dimensions (long arithmetic)") {
+    // 4 dims × 8 bits puts the top interleaved bit at position 31 — the
+    // int sign bit; the long-typed build must keep keys non-negative and
+    // distinct bucket tuples distinct
+    val df = Seq((255, 255, 255, 255), (255, 255, 255, 254), (0, 0, 0, 0))
+      .toDF("a", "b", "c", "d")
+    val z = df.select(ZOrder.zValue(Seq(col("a"), col("b"), col("c"), col("d")))
+      .as("z")).as[Long].collect()
+    assert(z.forall(_ >= 0L), s"z-keys must not overflow into the sign bit: ${z.toSeq}")
+    assert(z.distinct.length === 3)
+    assert(z(0) === (1L << 32) - 1, "all-255 buckets set all 32 interleaved bits")
+  }
+
   test("z-ordered files have narrow ranges in BOTH dimensions; linear sort does not") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toFile
     try {
