@@ -244,14 +244,37 @@ class Engine(spark: SparkSession, warehouse: String) {
     * Unpartitioned tables only: a coalesce rewrite of a partitioned
     * table would flatten its partition directories. Returns
     * (filesBefore, filesAfter). */
-  def compact(spec: TableSpec, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+  /** Table OPTIMIZE: compaction plus optional multi-column Z-order
+    * clustering in one rewrite (the modern table-maintenance verb).
+    * With `zorderBy` empty this is [[compact]]; with ≥2 columns the
+    * rewrite routes through [[graft.operators.ZOrder]] so every output
+    * file covers a narrow range of every clustered column (min-max
+    * pruning on all of them), sized to ceil(bytes / targetBytes) files.
+    * Same staged-swap crash story as [[compact]]. */
+  def optimize(spec: TableSpec, zorderBy: Seq[String] = Nil,
+               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    if (zorderBy.isEmpty) return compact(spec, targetBytes)
+    require(zorderBy.size >= 2, "z-ordering needs >= 2 columns (else just sort)")
+    rewrite(spec, targetBytes) { (df, files) =>
+      graft.operators.ZOrder.zOrdered(df, zorderBy, files)
+    }
+  }
+
+  def compact(spec: TableSpec, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    rewrite(spec, targetBytes)((df, files) => df.coalesce(files))
+
+  /** Shared staged-rewrite machinery for [[compact]]/[[optimize]]:
+    * recover a crashed swap, size the target file count from current
+    * bytes, apply `xform`, stage, swap. */
+  private def rewrite(spec: TableSpec, targetBytes: Long)
+                     (xform: (DataFrame, Int) => DataFrame): (Int, Int) = {
     val p = path(spec)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
     }
     val tmp = p + ".compact-tmp"
     val bak = p + ".compact-old"
-    // recover from a previous crashed compact BEFORE any existence check:
+    // recover from a previous crashed rewrite BEFORE any existence check:
     // a .compact-old without a table dir means the swap never completed —
     // its content is the authoritative table
     if (!Files.exists(Paths.get(p)) && Files.exists(Paths.get(bak)))
@@ -259,15 +282,15 @@ class Engine(spark: SparkSession, warehouse: String) {
     rm(new java.io.File(tmp)); rm(new java.io.File(bak))
     require(tableExists(spec), s"no such table: ${spec.table}")
     require(partitionColumns(spec).isEmpty,
-      s"compact supports unpartitioned tables only; ${spec.table} is " +
-        s"partitioned by ${partitionColumns(spec)} — compact per partition instead")
+      s"rewrite supports unpartitioned tables only; ${spec.table} is " +
+        s"partitioned by ${partitionColumns(spec)} — rewrite per partition instead")
     def dataFiles(dir: String): Seq[java.io.File] =
       Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
     val before = dataFiles(p)
     val bytes = before.map(_.length()).sum
     val files = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
-    writer(reader(spark, spec.format).load(p).coalesce(files), spec.format)
+    writer(xform(reader(spark, spec.format).load(p), files), spec.format)
       .mode(SaveMode.Overwrite).save(tmp)
     Files.move(Paths.get(p), Paths.get(bak))
     Files.move(Paths.get(tmp), Paths.get(p))

@@ -47,12 +47,10 @@ object ZOrder {
       floor((c.cast("double") - mn) / (mx - mn) * n)).cast("int")
   }
 
-  /** Rewrite `df` into `files` files z-ordered on `cols` at `path`
-    * (parquet). Each output file covers a narrow range of EVERY
-    * clustered column — ZOrderSpec measures the per-file span shrink vs
-    * a single-column sort. */
-  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
-                    files: Int): Unit = {
+  /** `df` redistributed into `files` range partitions of the Morton key
+    * over `cols` (each sorted by it) — the transform behind
+    * [[writeZOrdered]] and `Engine.optimize(zorderBy = …)`. */
+  def zOrdered(df: DataFrame, cols: Seq[String], files: Int): DataFrame = {
     require(cols.size >= 2, "z-ordering needs at least two columns")
     val bounds = df.agg(
       cols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
@@ -66,6 +64,13 @@ object ZOrder {
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
+
+  /** Rewrite `df` into `files` files z-ordered on `cols` at `path`
+    * (parquet). Each output file covers a narrow range of EVERY
+    * clustered column — ZOrderSpec measures the per-file span shrink vs
+    * a single-column sort. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                    files: Int): Unit =
+    zOrdered(df, cols, files).write.mode("overwrite").parquet(path)
 }

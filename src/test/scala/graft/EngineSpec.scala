@@ -271,6 +271,32 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { e.compact(ps) }
   }
 
+  test("optimize with zorderBy clusters the table in both dimensions") {
+    val e = freshEngine()
+    val spec = TableSpec("topt")
+    val df = spark.range(0, 4096)
+      .select((col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+      .repartition(32)
+    e.write(spec, df)
+    // target ~16 files so the z-curve forms a ~4x4 grid over (a, b)
+    val bytesPerFile = {
+      val total = e.stats(spec)._2
+      math.max(1L, total / 16)
+    }
+    val (before, after) = e.optimize(spec, zorderBy = Seq("a", "b"), targetBytes = bytesPerFile)
+    assert(before === 32)
+    assert(after > 1, "should produce multiple z-ordered files")
+    assert(e.read(spec).count() === 4096, "content preserved")
+    // every file must span less than the full range of BOTH columns
+    val spans = e.read(spec)
+      .withColumn("__f", input_file_name())
+      .groupBy("__f")
+      .agg((max(col("a")) - min(col("a"))).as("sa"), (max(col("b")) - min(col("b"))).as("sb"))
+      .collect()
+    assert(spans.forall(r => r.getLong(1) < 63 && r.getLong(2) < 63),
+      "each z-ordered file must cover a strict sub-range of both dimensions")
+  }
+
   test("compact merges fragmented files without changing content") {
     val e = freshEngine()
     val spec = TableSpec("tfrag")
