@@ -197,6 +197,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q79 IVF+PQ index build is one map-side projection over the corpus scan") {
+    val p = plan("q79_ann_ivfpq")
+    // cell assignment + code encoding fuse into a single Project directly
+    // above the corpus FileScan — no Exchange in the index-build path
+    val idx = p.indexOf("pq_encode")
+    assert(idx >= 0, "corpus must be PQ-encoded in the plan")
+    val encodeLine = p.split("\n").find(_.contains("pq_encode")).get
+    assert(encodeLine.contains("nearest_cell"),
+      "cell assignment and encoding should share one Project: " + encodeLine)
+    val belowEncode = p.substring(idx)
+    val scanAt = belowEncode.indexOf("FileScan parquet")
+    assert(scanAt >= 0)
+    assert(!belowEncode.substring(0, scanAt).contains("Exchange"),
+      "no Exchange between the corpus scan and the index-build projection")
+  }
+
   test("q73 top-3 terms use WindowGroupLimit (rank pushed below the window)") {
     val p = plan("q73_tfidf_topterms")
     assert(p.contains("WindowGroupLimit"),
