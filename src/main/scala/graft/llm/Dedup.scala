@@ -137,17 +137,30 @@ object Dedup {
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("c", col("id"))
       .localCheckpoint(true)
+    def prop(e: DataFrame, l: DataFrame): DataFrame =
+      e.join(l, e("v") === l("id"))
+        .groupBy("u").agg(min("c").as("nc"))
+
     var changed = 1L
     var iter = 0
+    val spark = pairs.sparkSession
     while (changed > 0 && iter < maxIter) {
-      val prop = edges.join(labels, edges("v") === labels("id"))
-        .groupBy("u").agg(min("c").as("nc"))
-      val next = labels.join(prop, labels("id") === prop("u"), "left")
+      // the changed-label count piggybacks on the checkpoint
+      // materialization via an accumulator instead of a second join+count
+      // job per iteration (an accumulator, not observe/CollectMetrics,
+      // because AQE empty-relation propagation can prune metric nodes;
+      // task retries can only OVER-count, which merely runs a redundant
+      // extra iteration — convergence stays correct)
+      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
+      val bump = udf { (chg: Boolean) => if (chg) acc.add(1L); true }
+      val next = labels.join(prop(edges, labels), labels("id") === col("u"), "left")
         .select(labels("id"),
-          least(labels("c"), coalesce(col("nc"), labels("c"))).as("c"))
-        .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.c") =!= col("o.c")).count()
+          least(labels("c"), coalesce(col("nc"), labels("c"))).as("c"),
+          (least(labels("c"), coalesce(col("nc"), labels("c"))) =!= labels("c")).as("chg"))
+        .filter(bump(col("chg")))
+        .select("id", "c")
+        .localCheckpoint(true) // eager: acc is complete after this returns
+      changed = acc.value
       labels = next
       iter += 1
     }
