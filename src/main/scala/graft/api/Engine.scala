@@ -231,19 +231,6 @@ class Engine(spark: SparkSession, warehouse: String) {
     orderCol.fold(df)(c => df.orderBy(col(c))).limit(limit).collect()
   }
 
-  /** Small-file compaction (table maintenance the reference lacks but a
-    * streaming/upsert workload needs constantly — every micro-batch
-    * write fragments the table): rewrite the table into
-    * ceil(bytes / targetBytes) files via `coalesce` (a NARROW
-    * repartition — existing files are concatenated by tasks, no
-    * shuffle), staged to a temp dir then swapped in. The swap is two
-    * directory renames — near-instant but not atomic as a pair: a crash
-    * between them leaves the data intact in `.compact-old` (recovered
-    * automatically by the next compact); true single-rename atomicity
-    * needs a table format with a metadata pointer, out of scope here.
-    * Unpartitioned tables only: a coalesce rewrite of a partitioned
-    * table would flatten its partition directories. Returns
-    * (filesBefore, filesAfter). */
   /** Table OPTIMIZE: compaction plus optional multi-column Z-order
     * clustering in one rewrite (the modern table-maintenance verb).
     * With `zorderBy` empty this is [[compact]]; with ≥2 columns the
@@ -260,12 +247,25 @@ class Engine(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** Small-file compaction (table maintenance the reference lacks but a
+    * streaming/upsert workload needs constantly — every micro-batch
+    * write fragments the table): rewrite the table into
+    * ceil(bytes / targetBytes) files via `coalesce` (a NARROW
+    * repartition — existing files are concatenated by tasks, no
+    * shuffle). Returns (filesBefore, filesAfter); see [[rewrite]] for
+    * the staged-swap crash story and the unpartitioned-only rule. */
   def compact(spec: TableSpec, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
     rewrite(spec, targetBytes)((df, files) => df.coalesce(files))
 
   /** Shared staged-rewrite machinery for [[compact]]/[[optimize]]:
     * recover a crashed swap, size the target file count from current
-    * bytes, apply `xform`, stage, swap. */
+    * bytes, apply `xform`, stage to a temp dir, swap. The swap is two
+    * directory renames — near-instant but not atomic as a pair: a crash
+    * between them leaves the data intact in `.compact-old` (recovered
+    * automatically by the next rewrite); true single-rename atomicity
+    * needs a table format with a metadata pointer, out of scope here.
+    * Unpartitioned tables only: a whole-table rewrite of a partitioned
+    * table would flatten its partition directories. */
   private def rewrite(spec: TableSpec, targetBytes: Long)
                      (xform: (DataFrame, Int) => DataFrame): (Int, Int) = {
     val p = path(spec)
@@ -282,8 +282,8 @@ class Engine(spark: SparkSession, warehouse: String) {
     rm(new java.io.File(tmp)); rm(new java.io.File(bak))
     require(tableExists(spec), s"no such table: ${spec.table}")
     require(partitionColumns(spec).isEmpty,
-      s"rewrite supports unpartitioned tables only; ${spec.table} is " +
-        s"partitioned by ${partitionColumns(spec)} — rewrite per partition instead")
+      s"compact/optimize support unpartitioned tables only; ${spec.table} is " +
+        s"partitioned by ${partitionColumns(spec)} — run them per partition instead")
     def dataFiles(dir: String): Seq[java.io.File] =
       Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))

@@ -153,10 +153,13 @@ object Dedup {
       // extra iteration — convergence stays correct)
       val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
       val bump = udf { (chg: Boolean) => if (chg) acc.add(1L); true }
+      // null-safe inequality: a plain =!= yields null for null labels,
+      // which the primitive-Boolean udf would short-circuit to null and
+      // the filter would silently DROP the node
       val next = labels.join(prop(edges, labels), labels("id") === col("u"), "left")
         .select(labels("id"),
           least(labels("c"), coalesce(col("nc"), labels("c"))).as("c"),
-          (least(labels("c"), coalesce(col("nc"), labels("c"))) =!= labels("c")).as("chg"))
+          not(least(labels("c"), coalesce(col("nc"), labels("c"))) <=> labels("c")).as("chg"))
         .filter(bump(col("chg")))
         .select("id", "c")
         .localCheckpoint(true) // eager: acc is complete after this returns

@@ -57,6 +57,11 @@ object ZOrder {
         .head, cols.flatMap(c =>
         Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).tail: _*)
       .head()
+    // empty table (or all-null clustered column) has null bounds: there
+    // is nothing to cluster — degrade to a plain coalesce instead of
+    // crashing on Row.getDouble
+    if (cols.indices.exists(i => bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)))
+      return df.coalesce(files)
     val buckets = cols.zipWithIndex.map { case (c, i) =>
       bucketOf(col(c), bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
     }

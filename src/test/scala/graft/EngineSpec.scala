@@ -297,6 +297,16 @@ class EngineSpec extends AnyFunSuite {
       "each z-ordered file must cover a strict sub-range of both dimensions")
   }
 
+  test("optimize with zorderBy degrades to compaction on an empty table") {
+    val e = freshEngine()
+    val spec = TableSpec("tempty")
+    e.write(spec, spark.range(0, 10).toDF("a")
+      .withColumn("b", col("a") * 2).filter(col("a") < 0))
+    val (_, after) = e.optimize(spec, zorderBy = Seq("a", "b"))
+    assert(after <= 1)
+    assert(e.read(spec).count() === 0)
+  }
+
   test("compact merges fragmented files without changing content") {
     val e = freshEngine()
     val spec = TableSpec("tfrag")

@@ -92,6 +92,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("connected components label chains correctly and keep null-id nodes") {
+    val pairs = Seq[(java.lang.Long, java.lang.Long)]((1L, 2L), (2L, 3L), (null, 9L))
+      .toDF("doc_a", "doc_b")
+    val rows = Dedup.connectedComponents(pairs).collect()
+    // every node appearing in a pair must be labeled — including a null id
+    // (the convergence-side-effect filter must not silently drop it)
+    assert(rows.length === 5, s"expected 5 labeled nodes, got ${rows.toSeq}")
+    assert(rows.exists(_.isNullAt(0)), "null-id node must be retained")
+    val label = rows.filterNot(_.isNullAt(0))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(label(1L) === 1L && label(2L) === 1L && label(3L) === 1L,
+      "the 1-2-3 chain must collapse to the minimum label")
+  }
+
   test("LSH bucket cap (opt-in) drops degenerate buckets instead of exploding") {
     // 10k byte-identical docs: every band hashes all ids into ONE bucket,
     // which uncapped would expand to ~50M pairs on one executor. The cap
