@@ -68,10 +68,29 @@ object Bench {
     val bytes = new java.io.File(s"$sfDir/lineitem.parquet").length()
     val scan = f"""{"rows":$rows,"sec":$scanSec%.4f,"rows_per_sec":${(rows / scanSec).toLong},"parquet_mb_per_sec":${bytes / 1e6 / scanSec}%.1f}"""
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver keeps only the last ~2000 chars of stdout and parses the
+    // JSON line out of that tail; sbt's "[success] ..." trailer eats ~80 of
+    // them. Full query names at full double precision made the line ~3 KB,
+    // so its head was truncated and the parse failed every round. Emit the
+    // tail-safe line with short keys (q01..qNN, the stable name prefix) and
+    // millisecond precision (~13 B/query), and write the full-name version
+    // to BENCH_FULL.json for humans.
+    def f3(v: Double) = f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scan":$scan,"sf":"$sfDir"}""")
+    val full = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$full,"scan":$scan,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // best-effort; cwd may be read-only
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"scan":$scan,"sf":"$sfDir"}""")
     graft.llm.Dedup.clearShingleCache()
     spark.stop()
   }
