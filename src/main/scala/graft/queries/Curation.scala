@@ -1,0 +1,288 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.llm.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 corpus-curation + analytics operators (no reference analog —
+  * the reference stops at table I/O,
+  * hive-io-exp-core/src/main/java/com/facebook/hiveio/input/HiveInput.java:66):
+  * benchmark decontamination, cohort retention, time-range window
+  * frames, ntile profiling, incremental partial-aggregate merge, URL
+  * canonicalization dedup, and per-group feature standardization.
+  * Determinism discipline matches `Pipeline`: integer-sum moments,
+  * floor instead of round at discretization boundaries, stable final
+  * ORDER BY, identical double op-order in both engines.
+  */
+object Curation {
+
+  private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val ToksSql = s"string_split($NormSql, ' ')"
+
+  /** md5-of-id split bucket 0..99 (shared with q71 — the split assignment
+    * and the decontamination gate must agree on the partitioning). */
+  private def bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+    .cast("long") % 100).cast("int")
+  private val BucketSql =
+    "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)::INTEGER"
+
+  // -------------------------------------------------------------- q87
+
+  /** Benchmark decontamination (the GPT-3/Llama train-set hygiene step):
+    * flag train-split documents sharing any word 8-gram with the held-out
+    * test split. The test side collapses to a distinct shingle set —
+    * vanishingly small next to the corpus — and broadcasts, so the
+    * train-side scan never shuffles: at 100 TB this is one map-side
+    * semi-join per doc-shingle plus a keyed count. Shingles are distinct
+    * per doc ([[TextOps.wordShingles]]), so count(*) IS the distinct
+    * overlap count. */
+  val decontam: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), bucket.as("bucket"))
+    val trainSh = d.filter(col("bucket") < 80)
+      .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 8)).as("sh"))
+    val testSh = d.filter(col("bucket") >= 90)
+      .select(explode(TextOps.wordShingles(col("text"), 8)).as("sh")).distinct()
+    trainSh.join(broadcast(testSh), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  val decontamSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $ToksSql AS toks, $BucketSql AS bucket
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, bucket,
+       |    unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+       |      for i in range(1, len(toks) - 6)])) AS sh
+       |  FROM t),
+       |tst AS (SELECT DISTINCT sh FROM sh WHERE bucket >= 90)
+       |SELECT s.doc_id, count(*)::INTEGER AS n_overlap
+       |FROM sh s JOIN tst USING (sh)
+       |WHERE s.bucket < 80
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q88
+
+  /** Cohort retention: users grouped by first-activity day, counted at
+    * each day offset they return. Two keyed aggregations and one keyed
+    * join on user_id — map-combinable throughout; the distinct
+    * (user, day) dedup bounds the final shuffle at one row per active
+    * user-day regardless of raw event volume. */
+  val cohortRetention: Q = (s, dir) => {
+    val e = Tables.t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val f = e.groupBy("user_id").agg(min("day").as("cohort"))
+    e.join(f, "user_id")
+      .select(col("user_id"), col("cohort"),
+        datediff(col("day"), col("cohort")).as("offset_days"))
+      .distinct()
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH e AS (SELECT user_id, ts::DATE AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+      |ud AS (SELECT DISTINCT e.user_id, f.cohort,
+      |         date_diff('day', f.cohort, e.day)::INTEGER AS offset_days
+      |       FROM e JOIN f USING (user_id))
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, offset_days,
+      |       count(*) AS users
+      |FROM ud GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------- q89
+
+  /** Time-range window frame: per event, count and sum of the same
+    * user's events in the trailing hour — RANGE BETWEEN on an epoch-
+    * seconds key, the only frame kind whose result is independent of
+    * tie order (every row with the same key is in the frame), which is
+    * what makes it hash-comparable across engines. Value sums ride as
+    * exact integer cents. One shuffle on user_id, sorted once. */
+  val rangeFrameHour: Q = (s, dir) => {
+    val e = Tables.t(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      col("ts").cast("long").as("sec"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("sec")
+      .rangeBetween(-3600, Window.currentRow)
+    e.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).cast("int").as("n_hour"),
+        (sum("cents").over(w).cast("double") / 100).as("sum_hour"))
+      .orderBy("event_id")
+  }
+
+  val rangeFrameHourSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |    (epoch_ns(ts) // 1000000000) AS sec,
+      |    round(value * 100)::BIGINT AS cents
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  (count(*) OVER w)::INTEGER AS n_hour,
+      |  (sum(cents) OVER w)::DOUBLE / 100 AS sum_hour
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------- q90
+
+  /** Decile profile of customer balances via ntile(10). The global-order
+    * window is the textbook form (fine to ~10^8 rows: one total sort);
+    * the 100 TB path is cut points from approx_percentile broadcast into
+    * a map-side bucket lookup — same output contract, documented here so
+    * the scale swap is mechanical. Per-decile sums are exact cents. */
+  val ntileDeciles: Q = (s, dir) => {
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(10).over(w).as("decile"))
+      .groupBy("decile").agg(
+        count(lit(1)).as("n"),
+        round(min("c_acctbal"), 2).as("min_bal"),
+        round(max("c_acctbal"), 2).as("max_bal"),
+        (sum(round(col("c_acctbal") * 100).cast("long")).cast("double") / 100)
+          .as("sum_bal"))
+      .orderBy("decile")
+  }
+
+  val ntileDecilesSql: String =
+    """WITH d AS (
+      |  SELECT c_custkey, c_acctbal,
+      |    (ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC))::INTEGER AS decile
+      |  FROM customer)
+      |SELECT decile, count(*) AS n,
+      |  round(min(c_acctbal), 2) AS min_bal,
+      |  round(max(c_acctbal), 2) AS max_bal,
+      |  sum(round(c_acctbal * 100)::BIGINT)::DOUBLE / 100 AS sum_bal
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q91
+
+  /** Incremental aggregate maintenance: a base snapshot's partial
+    * aggregates merged with a delta batch's — the sum/count pairs are
+    * associative, so merging partials equals recomputing from scratch
+    * (which is exactly what the oracle does). This is the pattern that
+    * turns a 100 TB daily full recompute into an O(delta) update; exact
+    * integer cents make the merge order irrelevant. */
+  val incrementalAgg: Q = (s, dir) => {
+    val o = Tables.t(s, dir, "orders").select(
+      col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderdate"))
+    val cut = lit("1997-01-01").cast("date")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("st").agg(count(lit(1)).as("n"), sum("cents").as("c"))
+    partial(o.filter(col("o_orderdate") < cut))
+      .unionByName(partial(o.filter(col("o_orderdate") >= cut)))
+      .groupBy("st").agg(
+        sum("n").as("n_orders"),
+        (sum("c").cast("double") / 100).as("total"))
+      .orderBy("st")
+  }
+
+  val incrementalAggSql: String =
+    """SELECT o_orderstatus AS st, count(*) AS n_orders,
+      |  sum(round(o_totalprice * 100)::BIGINT)::DOUBLE / 100 AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q92
+
+  /** URL canonicalization + dedup (web-corpus curation): lowercase, strip
+    * query/fragment, strip trailing slashes, then keep one doc per
+    * canonical URL. The fixtures carry no URLs, so both engines derive
+    * the same synthetic URL per doc (the q70 pattern) and the operator
+    * under test is the canonicalization chain — pure codegen'd regex,
+    * one keyed agg; at 100 TB the group count is the distinct-URL count. */
+  val urlCanonical: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    val url = concat(lit("https://WWW."), col("source"), lit(".Example.com/"),
+      col("lang"), lit("/page-"), (col("doc_id") % 50).cast("string"),
+      lit("/?utm_source=feed&ref="), col("doc_id").cast("string"), lit("#frag"))
+    d.select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(lower(col("url")), "[?#].*$", ""), "/+$", "")
+          .as("canonical"))
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+      .orderBy("canonical")
+  }
+
+  val urlCanonicalSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://WWW.' || source || '.Example.com/' || lang || '/page-' ||
+      |    (doc_id % 50)::VARCHAR || '/?utm_source=feed&ref=' ||
+      |    doc_id::VARCHAR || '#frag' AS url
+      |  FROM documents)
+      |SELECT regexp_replace(regexp_replace(lower(url), '[?#].*$', ''),
+      |                      '/+$', '') AS canonical,
+      |  count(*) AS n_docs, min(doc_id) AS keeper
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q93
+
+  /** Per-label z-score standardization of embedding dims 0–3 (feature
+    * normalization for training): moments as exact integer sums over
+    * floor-quantized values (the q85/q77 determinism discipline), then
+    * one closed-form double pass with identical op order in both
+    * engines. The stats table is |labels|×dims rows — broadcast; the
+    * corpus never shuffles. */
+  val zscoreNorm: Q = (s, dir) => {
+    val e = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .filter(col("pos") < 4)
+      .select(col("vec_id"), col("label"), col("pos"),
+        floor(col("v") * 10000).cast("long").as("x"))
+    val st = e.groupBy("label", "pos").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    val d = (c: String) => col(c).cast("double")
+    e.join(broadcast(st), Seq("label", "pos"))
+      .select(col("vec_id"), col("pos"),
+        round((d("x") - d("sx") / d("n")) /
+          (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) / d("n")), 4).as("z"))
+      .orderBy("vec_id", "pos")
+  }
+
+  val zscoreNormSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, k.k::INTEGER AS pos,
+      |    floor(embedding[k.k + 1]::DOUBLE * 10000)::BIGINT AS x
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(4)) AS k) k),
+      |st AS (SELECT label, pos, count(*) AS n, sum(x)::BIGINT AS sx,
+      |         sum(x * x)::BIGINT AS sxx
+      |       FROM e GROUP BY 1, 2)
+      |SELECT e.vec_id, e.pos,
+      |  round((e.x::DOUBLE - st.sx::DOUBLE / st.n::DOUBLE) /
+      |        (sqrt(st.n::DOUBLE * st.sxx::DOUBLE - st.sx::DOUBLE * st.sx::DOUBLE)
+      |         / st.n::DOUBLE), 4) AS z
+      |FROM e JOIN st USING (label, pos) ORDER BY vec_id, pos""".stripMargin
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "q87_decontam_ngram" -> decontam,
+    "q88_cohort_retention" -> cohortRetention,
+    "q89_window_range_frame" -> rangeFrameHour,
+    "q90_ntile_deciles" -> ntileDeciles,
+    "q91_incremental_agg" -> incrementalAgg,
+    "q92_url_canonical" -> urlCanonical,
+    "q93_zscore_norm" -> zscoreNorm)
+
+  val oracleSql: Map[String, String] = Map(
+    "q87_decontam_ngram" -> decontamSql,
+    "q88_cohort_retention" -> cohortRetentionSql,
+    "q89_window_range_frame" -> rangeFrameHourSql,
+    "q90_ntile_deciles" -> ntileDecilesSql,
+    "q91_incremental_agg" -> incrementalAggSql,
+    "q92_url_canonical" -> urlCanonicalSql,
+    "q93_zscore_norm" -> zscoreNormSql)
+}

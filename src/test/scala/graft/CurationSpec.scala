@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.TextOps
+
+/** Ground-truth specs for the round-4 curation/analytics operators
+  * (Curation.scala). Value-level parity with DuckDB is driven by the
+  * oracle gate; here we pin the semantic invariants and the plan shapes
+  * that keep these operators scale-safe. */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("decontam only flags train docs, with overlap counts matching brute force") {
+    val d = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).cast("int").as("bucket"))
+    val buckets = d.select("doc_id", "bucket").as[(Long, Int)].collect().toMap
+    // brute force: distinct 8-gram sets per doc, intersect train × test-union
+    val sh = d.select(col("doc_id"),
+        TextOps.wordShingles(col("text"), 8).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val testUnion = sh.collect {
+      case (id, g) if buckets(id) >= 90 => g.toSet
+    }.fold(Set.empty[String])(_ ++ _)
+    val expect = sh.collect {
+      case (id, g) if buckets(id) < 80 && g.toSet.intersect(testUnion).nonEmpty =>
+        id -> g.toSet.intersect(testUnion).size
+    }.toMap
+    val got = graft.queries.Curation.decontam(spark, sf)
+      .as[(Long, Int)].collect().toMap
+    assert(got === expect)
+  }
+
+  test("decontam broadcasts the test-shingle set (no corpus-side shuffle join)") {
+    val p = graft.queries.Curation.decontam(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), "test-set join must not sort-merge")
+  }
+
+  test("cohort retention: offset-0 users per cohort equals cohort sizes") {
+    val ret = graft.queries.Curation.cohortRetention(spark, sf)
+      .as[(String, Int, Long)].collect()
+    assert(ret.forall(_._2 >= 0), "offsets are non-negative")
+    // every user appears at offset 0 of exactly their own cohort
+    val zeroSum = ret.filter(_._2 == 0).map(_._3).sum
+    val nUsers = Tables.t(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(zeroSum === nUsers,
+      s"offset-0 across cohorts ($zeroSum) must cover every user ($nUsers)")
+    // retention at any offset never exceeds the cohort's size
+    val cohortSize = ret.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    assert(ret.forall(r => r._3 <= cohortSize(r._1)))
+  }
+
+  test("range-frame hour matches a brute-force count for the busiest user") {
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"))
+    val busiest = ev.groupBy("user_id").count()
+      .orderBy(col("count").desc).head().getLong(0)
+    val times = ev.filter(col("user_id") === busiest)
+      .select("event_id", "sec").as[(Long, Long)].collect()
+    val expect = times.map { case (id, s0) =>
+      id -> times.count { case (_, s) => s >= s0 - 3600 && s <= s0 }
+    }.toMap
+    val got = graft.queries.Curation.rangeFrameHour(spark, sf)
+      .filter(col("user_id") === busiest)
+      .select("event_id", "n_hour").as[(Long, Int)].collect().toMap
+    assert(got === expect)
+  }
+
+  test("ntile deciles partition the table into 10 near-equal ordered slices") {
+    val rows = graft.queries.Curation.ntileDeciles(spark, sf)
+      .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to 10))
+    val total = Tables.t(spark, sf, "customer").count()
+    assert(rows.map(_._2).sum === total)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1, "ntile balance")
+    rows.foreach { case (_, _, mn, mx, _) => assert(mn <= mx) }
+    // deciles are ordered: each decile's max <= next decile's min
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"decile ${a._1} overlaps ${b._1}")
+      case _ =>
+    }
+  }
+
+  test("incremental partial-agg merge equals a full recompute") {
+    val o = Tables.t(spark, sf, "orders")
+    val full = o.groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100)
+          .as("total"))
+      .as[(String, Long, Double)].collect().toSet
+    val merged = graft.queries.Curation.incrementalAgg(spark, sf)
+      .as[(String, Long, Double)].collect().toSet
+    assert(merged === full)
+  }
+
+  test("canonical urls carry no scheme-noise, query, fragment, or trailing slash") {
+    val rows = graft.queries.Curation.urlCanonical(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, n, _) =>
+      assert(u == u.toLowerCase, s"not lowercased: $u")
+      assert(!u.contains("?") && !u.contains("#"), s"query/fragment kept: $u")
+      assert(!u.endsWith("/"), s"trailing slash kept: $u")
+      assert(n >= 1)
+    }
+    assert(rows.map(_._2).sum === Tables.t(spark, sf, "documents").count(),
+      "every doc lands in exactly one canonical group")
+  }
+
+  test("z-scores standardize each (label, dim) group to mean≈0, sd≈1") {
+    val e = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val z = graft.queries.Curation.zscoreNorm(spark, sf)
+      .join(e, "vec_id")
+    val stats = z.groupBy("label", "pos")
+      .agg(avg("z").as("m"), stddev_pop("z").as("sd"))
+      .as[(Int, Int, Double, Double)].collect()
+    assert(stats.nonEmpty)
+    stats.foreach { case (l, p, m, sd) =>
+      assert(math.abs(m) < 0.01, s"label=$l pos=$p mean=$m")
+      assert(math.abs(sd - 1.0) < 0.01, s"label=$l pos=$p sd=$sd")
+    }
+  }
+
+  test("z-score stats join is broadcast (corpus side never shuffles)") {
+    val p = graft.queries.Curation.zscoreNorm(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+}
