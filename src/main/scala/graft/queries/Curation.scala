@@ -266,6 +266,44 @@ object Curation {
       |         / st.n::DOUBLE), 4) AS z
       |FROM e JOIN st USING (label, pos) ORDER BY vec_id, pos""".stripMargin
 
+  // -------------------------------------------------------------- q94
+
+  /** Sequence packing for LLM training: docs stream in a deterministic
+    * md5 order within each source and are assigned to fixed 2048-token
+    * training sequences by running token total (the streaming
+    * approximation of greedy bin packing — each source packs
+    * independently, so at 100 TB the window shuffles once on source and
+    * no partition sees more than its own source's docs; a global-order
+    * pack would serialize the corpus through one task). Integer cumsum,
+    * integer division — bit-identical across engines. */
+  val sequencePack: Q = (s, dir) => {
+    val budget = 2048
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("source"), col("n_tok").cast("int").as("n_tok"),
+        floor((col("cum") - col("n_tok")) / budget).cast("int").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  val sequencePackSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, len($ToksSql)::BIGINT AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY source
+       |      ORDER BY md5(doc_id::VARCHAR), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d)
+       |SELECT doc_id, source, n_tok::INTEGER AS n_tok,
+       |  ((cum - n_tok) // 2048)::INTEGER AS pack_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -275,7 +313,8 @@ object Curation {
     "q90_ntile_deciles" -> ntileDeciles,
     "q91_incremental_agg" -> incrementalAgg,
     "q92_url_canonical" -> urlCanonical,
-    "q93_zscore_norm" -> zscoreNorm)
+    "q93_zscore_norm" -> zscoreNorm,
+    "q94_sequence_pack" -> sequencePack)
 
   val oracleSql: Map[String, String] = Map(
     "q87_decontam_ngram" -> decontamSql,
@@ -284,5 +323,6 @@ object Curation {
     "q90_ntile_deciles" -> ntileDecilesSql,
     "q91_incremental_agg" -> incrementalAggSql,
     "q92_url_canonical" -> urlCanonicalSql,
-    "q93_zscore_norm" -> zscoreNormSql)
+    "q93_zscore_norm" -> zscoreNormSql,
+    "q94_sequence_pack" -> sequencePackSql)
 }

@@ -128,6 +128,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packs are dense per source and respect the running budget") {
+    val rows = graft.queries.Curation.sequencePack(spark, sf)
+      .as[(Long, String, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      val packs = docs.map(_._4).distinct.sorted
+      assert(packs.head === 0, s"$src packs must start at 0")
+      assert(packs === (packs.head to packs.last).toSeq, s"$src packs dense")
+      // a doc's pack is its preceding cumulative total / 2048: totals of
+      // packs 0..k-1 must each have crossed the budget boundary
+      val byPack = docs.groupBy(_._4).map { case (p, d) => p -> d.map(_._3.toLong).sum }
+      packs.dropRight(1).foreach { p =>
+        val through = byPack.filterKeys(_ <= p).values.sum
+        assert(through > p.toLong * 2048,
+          s"$src pack $p closed before crossing its boundary")
+      }
+    }
+  }
+
   test("z-score stats join is broadcast (corpus side never shuffles)") {
     val p = graft.queries.Curation.zscoreNorm(spark, sf)
       .queryExecution.executedPlan.toString
