@@ -25,9 +25,10 @@ object PlanInv {
         val smj = "SortMergeJoin".r.findAllIn(p).size
         val bhj = "BroadcastHashJoin".r.findAllIn(p).size
         val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+        val single = "Exchange SinglePartition".r.findAllIn(p).size
         val wgl = if (p.contains("WindowGroupLimit")) 1 else 0
         val top = if (p.contains("TakeOrderedAndProject")) 1 else 0
-        println(s"INV|$n|hash=$ex|range=$rp|bcast=$bc|smj=$smj|bhj=$bhj|bnlj=$bnlj|wgl=$wgl|topk=$top")
+        println(s"INV|$n|hash=$ex|range=$rp|single=$single|bcast=$bc|smj=$smj|bhj=$bhj|bnlj=$bnlj|wgl=$wgl|topk=$top")
       } catch { case e: Throwable => println(s"INV|$n|ERR ${e.getMessage.take(60)}") }
     }
     spark.stop()
