@@ -148,6 +148,39 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming decontamination admission control (the online twin of
+    * q87, `queries/Curation.decontam`): each incoming micro-batch of
+    * docs is screened against a STATIC held-out benchmark's distinct
+    * word-k-gram set, and only clean docs are admitted to the sink.
+    * The benchmark shingle set is computed once, persisted, and
+    * broadcast into each batch's semi-join — the batch never shuffles
+    * and the benchmark is never rescanned. Admitted docs land in a
+    * per-batch subdirectory written with overwrite mode (same
+    * idempotence contract as [[nearDupAlerts]]: a re-delivered batch
+    * rewrites its own directory). */
+  def decontamFilter(docs: DataFrame, benchmark: DataFrame, outDir: String,
+                     checkpointDir: String, shingleK: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.TextOps
+    val benchShingles = benchmark
+      .select(explode(TextOps.wordShingles(col("text"), shingleK)).as("sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val contaminated = batch
+          .select(col("doc_id"),
+            explode(TextOps.wordShingles(col("text"), shingleK)).as("sh"))
+          .join(broadcast(benchShingles), "sh")
+          .select("doc_id").distinct()
+        batch.join(contaminated, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Streaming near-duplicate detection against a STATIC corpus index:
     * the batch LSH index (banded keys + shingle sets, built once and
     * persisted) is joined per micro-batch against the incoming docs'

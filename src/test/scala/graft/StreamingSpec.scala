@@ -169,6 +169,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.head === StreamOps.UserSession(1, 0, 10 * 60000L, 2, 3.0))
   }
 
+  test("streaming decontamination admits exactly the docs batch q87 would keep") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-decontam").toFile
+    val outDir = new java.io.File(dir, "clean").getPath
+    val ckDir = new java.io.File(dir, "ck").getPath
+    try {
+      val d = Tables.t(spark, sf, "documents")
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100).cast("int")
+      val benchmark = d.filter(bucket >= 90)
+      val train = d.filter(bucket < 80)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](spark)
+      val q = StreamOps.decontamFilter(
+        stream.toDS().toDF("doc_id", "text"), benchmark, outDir, ckDir)
+      stream.addData(train.take(train.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      stream.addData(train.drop(train.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable(); q.stop()
+
+      val admitted = spark.read.parquet(outDir)
+        .select("doc_id").as[Long].collect().toSet
+      val contaminated = graft.queries.Curation.decontam(spark, sf)
+        .select("doc_id").as[Long].collect().toSet
+      assert(contaminated.nonEmpty, "fixture must contain cross-split overlap")
+      assert(admitted === train.map(_._1).toSet -- contaminated,
+        "stream must admit exactly the clean train docs")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("streaming near-dup alerts against a static index match the batch LSH truth") {
     val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toFile
     val alertDir = new java.io.File(dir, "alerts").getPath
