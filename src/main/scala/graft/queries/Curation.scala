@@ -304,6 +304,63 @@ object Curation {
        |  ((cum - n_tok) // 2048)::INTEGER AS pack_id
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q95
+
+  /** Correlated EXISTS subquery (TPC-H Q4 shape, adapted to the fixture
+    * schema: "orders with a lineitem shipped >30 days after ordering").
+    * Catalyst decorrelates to a left-semi join on the equi part with the
+    * inequality as residual — one keyed shuffle pair, no per-row
+    * re-execution, which is what makes EXISTS usable at 100 TB. */
+  val existsSubquery: Q = (s, dir) => {
+    Tables.t(s, dir, "orders").createOrReplaceTempView("orders_ex")
+    Tables.t(s, dir, "lineitem").createOrReplaceTempView("lineitem_ex")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders_ex
+        |WHERE EXISTS (SELECT 1 FROM lineitem_ex
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAYS)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val existsSubquerySql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------- q96
+
+  /** NOT IN subquery (TPC-H Q16 shape via the lineitem bridge): distinct
+    * suppliers per brand, excluding a subquery-defined supplier set. NOT
+    * IN is the null-aware anti join — a different Catalyst path from
+    * NOT EXISTS/anti (q15): one null on either side changes the answer,
+    * so the planner must broadcast the exclusion set whole. The
+    * exclusion side here is tiny (it always is in the Q16 shape); the
+    * fact side never shuffles for it. */
+  val notInSubquery: Q = (s, dir) => {
+    Tables.t(s, dir, "lineitem").createOrReplaceTempView("lineitem_ni")
+    Tables.t(s, dir, "part").createOrReplaceTempView("part_ni")
+    Tables.t(s, dir, "supplier").createOrReplaceTempView("supplier_ni")
+    s.sql(
+      """SELECT p_brand, count(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem_ni JOIN part_ni ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |  AND l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier_ni WHERE s_acctbal < 0)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
+  val notInSubquerySql: String =
+    """SELECT p_brand, count(DISTINCT l_suppkey) AS n_supp
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#13'
+      |  AND l_suppkey NOT IN
+      |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -314,7 +371,9 @@ object Curation {
     "q91_incremental_agg" -> incrementalAgg,
     "q92_url_canonical" -> urlCanonical,
     "q93_zscore_norm" -> zscoreNorm,
-    "q94_sequence_pack" -> sequencePack)
+    "q94_sequence_pack" -> sequencePack,
+    "q95_exists_subquery" -> existsSubquery,
+    "q96_notin_subquery" -> notInSubquery)
 
   val oracleSql: Map[String, String] = Map(
     "q87_decontam_ngram" -> decontamSql,
@@ -324,5 +383,7 @@ object Curation {
     "q91_incremental_agg" -> incrementalAggSql,
     "q92_url_canonical" -> urlCanonicalSql,
     "q93_zscore_norm" -> zscoreNormSql,
-    "q94_sequence_pack" -> sequencePackSql)
+    "q94_sequence_pack" -> sequencePackSql,
+    "q95_exists_subquery" -> existsSubquerySql,
+    "q96_notin_subquery" -> notInSubquerySql)
 }

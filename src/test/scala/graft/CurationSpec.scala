@@ -147,6 +147,16 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("EXISTS decorrelates to a semi join; NOT IN plans null-aware anti") {
+    val pExists = graft.queries.Curation.existsSubquery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pExists.contains("Semi"), pExists.take(600))
+    val pNotIn = graft.queries.Curation.notInSubquery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pNotIn.contains("NullAwareAnti") || pNotIn.contains("LeftAnti"),
+      pNotIn.take(600))
+  }
+
   test("z-score stats join is broadcast (corpus side never shuffles)") {
     val p = graft.queries.Curation.zscoreNorm(spark, sf)
       .queryExecution.executedPlan.toString
