@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-facing truth gate for the queries whose DuckDB oracle is
+  * all-pairs-quadratic and therefore impractical past sf0.01 (q32
+  * MinHash-LSH pairs, q56 dup clusters): recompute the ground truth
+  * with Spark itself — brute-force Jaccard over every doc pair via the
+  * codegen'd [[graft.functions.Hashing.jaccardSim]] kernel — and
+  * compare the LSH path's answer set against it exactly. This is the
+  * reproducible form of the sf0.1 re-verification (round 3 did it
+  * ad-hoc); run with `sbt "runMain graft.TruthCheck /root/testdata/sf0.1"`.
+  *
+  * The brute force is O(n²/2) Jaccard evaluations and exists ONLY here,
+  * as the verifier; the shipped operators never do this.
+  */
+object TruthCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val docs = Tables.t(spark, sfDir, "documents")
+    val sh = docs.select(col("doc_id").as("id"),
+        graft.llm.TextOps.wordShingles(col("text"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // brute-force truth: every (a < b) pair, exact Jaccard >= 0.8
+    val a = sh.select(col("id").as("doc_a"), col("s").as("sa"))
+    val b = sh.select(col("id").as("doc_b"), col("s").as("sb"))
+    val truthPairs = a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.Hashing.jaccardSim(col("sa"), col("sb")).as("j"))
+      .filter(col("j") >= 0.8)
+      .select("doc_a", "doc_b")
+    val truth = truthPairs.as[(Long, Long)].collect().toSet
+
+    val lsh = graft.llm.Dedup.minhashLsh(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val missed = truth -- lsh
+    val extra = lsh -- truth
+    println(s"TRUTH|q32|truth=${truth.size}|lsh=${lsh.size}|missed=${missed.size}|extra=${extra.size}|" +
+      (if (missed.isEmpty && extra.isEmpty) "PASS" else s"FAIL missed=$missed extra=$extra"))
+
+    // cluster truth: connected components of the brute-force pair graph,
+    // canonicalized as (member -> min id of its component)
+    def components(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val truthComp = components(truth)
+    val got = graft.llm.Dedup.connectedComponents(
+        graft.llm.Dedup.minhashLsh(docs))
+      .as[(Long, Long)].collect().toMap
+    // compare only docs that appear in some pair (singletons are trivial)
+    val diff = truthComp.keySet.filter(k => got.get(k) != truthComp.get(k))
+    println(s"TRUTH|q56|members=${truthComp.size}|clusters=${truthComp.values.toSet.size}|" +
+      (if (diff.isEmpty && got.keySet == truthComp.keySet) "PASS"
+       else s"FAIL diff=${diff.take(5)} extraMembers=${(got.keySet -- truthComp.keySet).take(5)}"))
+
+    sh.unpersist()
+    spark.stop()
+  }
+}
