@@ -361,6 +361,110 @@ object Curation {
       |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // -------------------------------------------------------------- q97
+
+  /** Time-series gap filling with forward fill: each user's daily value
+    * series densified to a full day spine (sequence + explode — no
+    * driver-side calendar) and gaps carried forward. The fill uses the
+    * portable two-window form — a running non-null count partitions the
+    * series into fill groups, then one max per group — instead of
+    * `last_value IGNORE NULLS`, whose support and semantics differ
+    * across engines. Two windows on the same (user, day) sort — one
+    * exchange. Day totals ride as exact cents. */
+  val forwardFill: Q = (s, dir) => {
+    val e = Tables.t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id", "day").agg(sum("cents").as("cents"))
+    val spine = e.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(e, Seq("user_id", "day"), "left")
+      .withColumn("grp", count("cents").over(w))
+      .withColumn("filled",
+        (max("cents").over(Window.partitionBy("user_id", "grp")).cast("double") / 100)
+          .as("filled"))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cents").isNull.as("is_gap"), col("filled"))
+      .orderBy("user_id", "day")
+  }
+
+  val forwardFillSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts::DATE AS day,
+      |         sum(round(value * 100)::BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1)),
+      |j AS (
+      |  SELECT s.user_id, s.day, e.cents,
+      |    count(e.cents) OVER (PARTITION BY s.user_id ORDER BY s.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM spine s LEFT JOIN e ON s.user_id = e.user_id AND s.day = e.day)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      |  (cents IS NULL) AS is_gap,
+      |  (max(cents) OVER (PARTITION BY user_id, grp))::DOUBLE / 100 AS filled
+      |FROM j ORDER BY user_id, day""".stripMargin
+
+  // -------------------------------------------------------------- q98
+
+  /** Distribution-rank battery: dense_rank, percent_rank, cume_dist over
+    * orders within status — the remaining window-rank surface beyond
+    * q18's rank. The sort key is (price, orderkey), so every rank is
+    * tie-free and the rank-derived doubles are ratios of identical
+    * integers. One exchange on the partition key. */
+  val rankBattery: Q = (s, dir) => {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.t(s, dir, "orders")
+      .filter(col("o_orderkey") % 29 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dense_rank().over(w).cast("int").as("drk"),
+        round(percent_rank().over(w), 6).as("prk"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
+  val rankBatterySql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  (dense_rank() OVER w)::INTEGER AS drk,
+      |  round(percent_rank() OVER w, 6) AS prk,
+      |  round(cume_dist() OVER w, 6) AS cd
+      |FROM orders
+      |WHERE o_orderkey % 29 = 0
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- q99
+
+  /** Ordered string aggregation (LISTAGG): per nation, the
+    * alphabetized roster of high-balance customers. Spark builds it as
+    * sort_array(collect_list) + concat_ws — collect order is
+    * nondeterministic but the explicit sort canonicalizes it, which is
+    * the only portable LISTAGG contract (and the map-combinable one:
+    * lists merge associatively, the sort runs once per group). */
+  val stringAgg: Q = (s, dir) => {
+    val c = Tables.t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+    val n = Tables.t(s, dir, "nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).cast("int").as("n_cust"),
+        concat_ws(",", sort_array(collect_list(col("c_name")))).as("roster"))
+      .orderBy("n_name")
+  }
+
+  val stringAggSql: String =
+    """SELECT n_name, count(*)::INTEGER AS n_cust,
+      |  string_agg(c_name, ',' ORDER BY c_name) AS roster
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > 9000
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -373,7 +477,10 @@ object Curation {
     "q93_zscore_norm" -> zscoreNorm,
     "q94_sequence_pack" -> sequencePack,
     "q95_exists_subquery" -> existsSubquery,
-    "q96_notin_subquery" -> notInSubquery)
+    "q96_notin_subquery" -> notInSubquery,
+    "q97_forward_fill" -> forwardFill,
+    "q98_rank_battery" -> rankBattery,
+    "q99_string_agg" -> stringAgg)
 
   val oracleSql: Map[String, String] = Map(
     "q87_decontam_ngram" -> decontamSql,
@@ -385,5 +492,8 @@ object Curation {
     "q93_zscore_norm" -> zscoreNormSql,
     "q94_sequence_pack" -> sequencePackSql,
     "q95_exists_subquery" -> existsSubquerySql,
-    "q96_notin_subquery" -> notInSubquerySql)
+    "q96_notin_subquery" -> notInSubquerySql,
+    "q97_forward_fill" -> forwardFillSql,
+    "q98_rank_battery" -> rankBatterySql,
+    "q99_string_agg" -> stringAggSql)
 }

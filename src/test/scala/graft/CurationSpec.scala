@@ -147,6 +147,56 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("forward fill densifies each user's day span and carries values over gaps") {
+    val out = graft.queries.Curation.forwardFill(spark, sf)
+      .as[(Long, String, Boolean, Double)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (user, rows) =>
+      val days = rows.map(_._2).sorted
+      // dense day spine: consecutive ISO dates
+      val parsed = days.map(java.time.LocalDate.parse)
+      parsed.sliding(2).foreach {
+        case Array(a, b) => assert(a.plusDays(1) === b, s"user $user gap $a->$b")
+        case _ =>
+      }
+      // first day is never a gap (spine starts at the user's first event)
+      assert(!rows.minBy(_._2)._3, s"user $user first day must be real")
+      // gap rows repeat the previous day's filled value
+      val byDay = rows.sortBy(_._2)
+      byDay.sliding(2).foreach {
+        case Array(prev, cur) if cur._3 =>
+          assert(cur._4 === prev._4, s"user $user day ${cur._2} fill mismatch")
+        case _ =>
+      }
+    }
+  }
+
+  test("rank battery: percent_rank in [0,1], cume_dist positive, ranks tie-free") {
+    val rows = graft.queries.Curation.rankBattery(spark, sf)
+      .as[(Long, String, Int, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, drk, prk, cd) =>
+      assert(drk >= 1)
+      assert(prk >= 0.0 && prk <= 1.0)
+      assert(cd > 0.0 && cd <= 1.0)
+    }
+    // tie-free ordering key → dense_rank is a permutation of 1..n per status
+    rows.groupBy(_._2).foreach { case (st, g) =>
+      assert(g.map(_._3).sorted.toSeq === (1 to g.length), s"status $st")
+    }
+  }
+
+  test("string agg roster is the alphabetized high-balance customer list") {
+    val rows = graft.queries.Curation.stringAgg(spark, sf)
+      .as[(String, Int, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, roster) =>
+      val names = roster.split(",").toSeq
+      assert(names.length === n)
+      assert(names === names.sorted, "roster must be alphabetized")
+    }
+  }
+
   test("EXISTS decorrelates to a semi join; NOT IN plans null-aware anti") {
     val pExists = graft.queries.Curation.existsSubquery(spark, sf)
       .queryExecution.executedPlan.toString
