@@ -465,6 +465,94 @@ object Curation {
       |WHERE c_acctbal > 9000
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // -------------------------------------------------------------- q100
+
+  /** The training-data pipeline capstone: split assignment (q71) →
+    * exact dedup (q30) → quality gate (q39) → decontamination of the
+    * train split against the surviving test split (q87) → per-split
+    * sequence packing (q94), reported as per-(split, source) doc /
+    * token / pack counts. Every stage is individually oracle-proven;
+    * this query proves the COMPOSITION end to end. Plan shape: linear
+    * scans + keyed windows + one broadcast semi-join — nothing
+    * quadratic, nothing driver-side; the same DAG runs at 100 TB. */
+  val pipelineCapstone: Q = (s, dir) => {
+    val budget = 2048
+    val d = Tables.t(s, dir, "documents").select(
+      col("doc_id"), col("text"), col("source"), bucket.as("bucket"))
+    val base = d.select(col("doc_id"), col("text"), col("source"),
+      when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+        .otherwise("test").as("split"),
+      TextOps.fingerprint(col("text")).as("fp"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    val deduped = base
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keeper") && col("quality") >= 0.3)
+    val testSh = deduped.filter(col("split") === "test")
+      .select(explode(TextOps.wordShingles(col("text"), 8)).as("sh")).distinct()
+    val contaminated = deduped.filter(col("split") === "train")
+      .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 8)).as("sh"))
+      .join(broadcast(testSh), "sh").select("doc_id").distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val packed = clean.withColumn("cum", sum("n_tok").over(
+        Window.partitionBy("split", "source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pack_id", floor((col("cum") - col("n_tok")) / budget))
+    packed.groupBy("split", "source").agg(
+        count(lit(1)).cast("int").as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        (max("pack_id") + 1).cast("int").as("n_packs"))
+      .orderBy("split", "source")
+  }
+
+  val pipelineCapstoneSql: String = {
+    val nTok = s"len($ToksSql)"
+    val punct = "len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / greatest(length(text), 1)"
+    val stopHits =
+      s"len(list_filter($ToksSql, t -> list_contains(${TextOps.StopEn.mkString("['", "', '", "']")}, t)))"
+    val stopR = s"$stopHits::DOUBLE / greatest($nTok, 1)"
+    val quality =
+      s"""round(least($nTok::DOUBLE / 50.0, 1.0) *
+         |        (0.5 + 0.25 * (1.0 - least($punct * 5.0, 1.0))
+         |             + 0.25 * least($stopR * 4.0, 1.0)), 4)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id, text, source,
+       |    CASE WHEN $BucketSql < 80 THEN 'train'
+       |         WHEN $BucketSql < 90 THEN 'val' ELSE 'test' END AS split,
+       |    md5($NormSql) AS fp,
+       |    $quality AS quality,
+       |    $nTok::BIGINT AS n_tok,
+       |    $ToksSql AS toks
+       |  FROM documents),
+       |deduped AS (
+       |  SELECT * FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM base)
+       |  WHERE doc_id = keeper AND quality >= 0.3),
+       |tst AS (
+       |  SELECT DISTINCT unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+       |    for i in range(1, len(toks) - 6)])) AS sh
+       |  FROM deduped WHERE split = 'test'),
+       |bad AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+       |      for i in range(1, len(toks) - 6)])) AS sh
+       |    FROM deduped WHERE split = 'train') t
+       |  JOIN tst USING (sh)),
+       |clean AS (
+       |  SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+       |packed AS (
+       |  SELECT split, source, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY split, source
+       |      ORDER BY md5(doc_id::VARCHAR), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM clean)
+       |SELECT split, source, count(*)::INTEGER AS n_docs,
+       |  sum(n_tok)::BIGINT AS n_tokens,
+       |  (max((cum - n_tok) // 2048) + 1)::INTEGER AS n_packs
+       |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -480,7 +568,8 @@ object Curation {
     "q96_notin_subquery" -> notInSubquery,
     "q97_forward_fill" -> forwardFill,
     "q98_rank_battery" -> rankBattery,
-    "q99_string_agg" -> stringAgg)
+    "q99_string_agg" -> stringAgg,
+    "q100_pipeline_capstone" -> pipelineCapstone)
 
   val oracleSql: Map[String, String] = Map(
     "q87_decontam_ngram" -> decontamSql,
@@ -495,5 +584,6 @@ object Curation {
     "q96_notin_subquery" -> notInSubquerySql,
     "q97_forward_fill" -> forwardFillSql,
     "q98_rank_battery" -> rankBatterySql,
-    "q99_string_agg" -> stringAggSql)
+    "q99_string_agg" -> stringAggSql,
+    "q100_pipeline_capstone" -> pipelineCapstoneSql)
 }

@@ -207,6 +207,23 @@ class CurationSpec extends AnyFunSuite {
       pNotIn.take(600))
   }
 
+  test("pipeline capstone accounting is consistent across its stages") {
+    val rows = graft.queries.Curation.pipelineCapstone(spark, sf)
+      .as[(String, String, Int, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(rows.map(_._3.toLong).sum <= total, "stages only drop docs")
+    assert(rows.map(_._1).distinct.sorted.toSeq.forall(
+      Set("train", "val", "test").contains))
+    rows.foreach { case (split, src, nDocs, nTok, nPacks) =>
+      assert(nDocs >= 1 && nTok >= nDocs, s"$split/$src token floor")
+      assert(nPacks >= 1 && nPacks <= nDocs, s"$split/$src pack bounds")
+      // running-total packing can overshoot a boundary by at most one
+      // doc per pack, so the pack count is at least the full-budget floor
+      assert(nPacks >= (nTok / (2048 * 2)).toInt, s"$split/$src pack floor")
+    }
+  }
+
   test("z-score stats join is broadcast (corpus side never shuffles)") {
     val p = graft.queries.Curation.zscoreNorm(spark, sf)
       .queryExecution.executedPlan.toString
