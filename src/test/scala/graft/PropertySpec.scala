@@ -186,6 +186,43 @@ class PropertySpec extends AnyFunSuite {
     }, cases = 10)
   }
 
+  test("forward-fill window form equals a sequential last-non-null scan") {
+    // the portable running-count + per-group max trick (Curation q97)
+    // must equal the obvious sequential carry-forward on any series
+    val series: Gen[List[Option[Long]]] = Gen.choose(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.option(Gen.choose(0L, 100L))))
+    check(Prop.forAll(series) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("i")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val got = df.withColumn("grp", count("v").over(w))
+        .withColumn("filled", max("v").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("grp")))
+        .orderBy("i").select("filled").as[Option[Long]].collect().toList
+      val expect = vs.scanLeft(Option.empty[Long])((acc, v) => v.orElse(acc)).tail
+      got == expect
+    }, cases = 15)
+  }
+
+  test("sequence packing assigns floor(prefix-sum / budget) with dense packs") {
+    val lens: Gen[List[Long]] = Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1L, 600L)))
+    val budget = 1000L
+    check(Prop.forAll(lens) { ls =>
+      val df = ls.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("i", "n")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("i")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val got = df.withColumn("cum", sum("n").over(w))
+        .withColumn("pack", floor((col("cum") - col("n")) / budget).cast("long"))
+        .orderBy("i").select("pack").as[Long].collect().toList
+      val prefix = ls.scanLeft(0L)(_ + _).init
+      val expect = prefix.map(_ / budget)
+      val dense = got.distinct.sorted == (got.head to got.max).toList
+      got == expect && got.head == 0L && dense &&
+        got.zip(got.tail).forall { case (a, b) => a <= b }
+    }, cases = 15)
+  }
+
   test("kernels propagate null inputs as null results") {
     val df = Seq((1L, Option.empty[String]), (2L, Some("a b c d"))).toDF("id", "text")
     val got = df.select(col("id"),
