@@ -553,6 +553,70 @@ object Curation {
        |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // -------------------------------------------------------------- q101
+
+  /** Unpivot / melt (wide → long reshaping): lineitem's four measure
+    * columns to (metric, value) rows via `Dataset.unpivot` — the
+    * inverse of q48's pivot. Map-side row explosion, no shuffle beyond
+    * the presentation sort; at 100 TB output is a fixed 4× of the
+    * filtered input. */
+  val unpivotMeasures: Q = (s, dir) =>
+    Tables.t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 997 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  val unpivotMeasuresSql: String =
+    """SELECT l_orderkey, l_linenumber, metric, value
+      |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |             l_discount, l_tax
+      |      FROM lineitem WHERE l_orderkey % 997 = 0)
+      |UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice,
+      |                              l_discount, l_tax))
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  // -------------------------------------------------------------- q102
+
+  /** Map-typed column surface: per nation, build a segment→count map
+    * (map_from_entries over the sorted per-segment counts) and consume
+    * it with element_at / size / map_keys — then emit ONLY scalars,
+    * because hash-comparing nested map columns across engines (and
+    * through the driver's pandas compare) is where determinism goes to
+    * die. The oracle computes the same scalars relationally; the map
+    * construction under test lives on the Spark side. */
+  val mapFunctions: Q = (s, dir) => {
+    val c = Tables.t(s, dir, "customer")
+    val n = Tables.t(s, dir, "nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("n_name")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("c_mktsegment"), col("cnt"))))).as("m"))
+      .select(col("n_name"),
+        size(col("m")).as("n_segments"),
+        coalesce(element_at(col("m"), "BUILDING"), lit(0L)).as("building_cnt"),
+        concat_ws(",", map_keys(col("m"))).as("segments"))
+      .orderBy("n_name")
+  }
+
+  val mapFunctionsSql: String =
+    """WITH sc AS (
+      |  SELECT n_name, c_mktsegment AS seg, count(*) AS cnt
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name,
+      |  count(*)::INTEGER AS n_segments,
+      |  coalesce(sum(cnt) FILTER (WHERE seg = 'BUILDING'), 0)::BIGINT AS building_cnt,
+      |  string_agg(seg, ',' ORDER BY seg) AS segments
+      |FROM sc GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -569,7 +633,9 @@ object Curation {
     "q97_forward_fill" -> forwardFill,
     "q98_rank_battery" -> rankBattery,
     "q99_string_agg" -> stringAgg,
-    "q100_pipeline_capstone" -> pipelineCapstone)
+    "q100_pipeline_capstone" -> pipelineCapstone,
+    "q101_unpivot" -> unpivotMeasures,
+    "q102_map_functions" -> mapFunctions)
 
   val oracleSql: Map[String, String] = Map(
     "q87_decontam_ngram" -> decontamSql,
@@ -585,5 +651,7 @@ object Curation {
     "q97_forward_fill" -> forwardFillSql,
     "q98_rank_battery" -> rankBatterySql,
     "q99_string_agg" -> stringAggSql,
-    "q100_pipeline_capstone" -> pipelineCapstoneSql)
+    "q100_pipeline_capstone" -> pipelineCapstoneSql,
+    "q101_unpivot" -> unpivotMeasuresSql,
+    "q102_map_functions" -> mapFunctionsSql)
 }

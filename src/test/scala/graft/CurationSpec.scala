@@ -224,6 +224,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("unpivot yields exactly 4 metric rows per source row") {
+    val src = Tables.t(spark, sf, "lineitem")
+      .filter(col("l_orderkey") % 997 === 0).count()
+    val out = graft.queries.Curation.unpivotMeasures(spark, sf)
+    assert(out.count() === src * 4)
+    assert(out.select("metric").distinct().count() === 4)
+  }
+
+  test("map functions report sorted segment keys consistent with the counts") {
+    val rows = graft.queries.Curation.mapFunctions(spark, sf)
+      .as[(String, Int, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nSeg, bld, segs) =>
+      val keys = segs.split(",").toSeq
+      assert(keys.length === nSeg)
+      assert(keys === keys.sorted, "map built from sorted entries")
+      assert(bld >= 0)
+      assert(keys.contains("BUILDING") === (bld > 0))
+    }
+  }
+
   test("z-score stats join is broadcast (corpus side never shuffles)") {
     val p = graft.queries.Curation.zscoreNorm(spark, sf)
       .queryExecution.executedPlan.toString
