@@ -245,6 +245,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile bucketing matches exact ntile deciles and adds no exchange") {
+    val cust = Tables.t(spark, sf, "customer")
+    val out = graft.operators.Quantiles
+      .bucketByQuantiles(cust, "c_acctbal", 10, relErr = 0.0001)
+    // shuffle-free: the bucket assignment plan has no Exchange at all
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(500))
+    // agreement with the exact global ntile everywhere but sketch-error
+    // boundary ties
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val exact = cust.select(col("c_custkey"), ntile(10).over(w).as("ex"))
+    val joined = out.select(col("c_custkey"), col("bucket")).join(exact, "c_custkey")
+    val n = joined.count()
+    val agree = joined.filter(col("bucket") === col("ex")).count()
+    assert(agree.toDouble / n > 0.99, s"agreement ${agree.toDouble / n}")
+    // buckets near-balanced: each within 5% of n/10
+    val sizes = out.groupBy("bucket").count().as[(Int, Long)].collect().toMap
+    assert(sizes.keySet === (1 to 10).toSet)
+    sizes.values.foreach(c =>
+      assert(math.abs(c - n / 10.0) <= n * 0.05, s"bucket size $c vs ${n / 10}"))
+  }
+
   test("z-score stats join is broadcast (corpus side never shuffles)") {
     val p = graft.queries.Curation.zscoreNorm(spark, sf)
       .queryExecution.executedPlan.toString
