@@ -617,6 +617,78 @@ object Curation {
       |  string_agg(seg, ',' ORDER BY seg) AS segments
       |FROM sc GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // -------------------------------------------------------------- q103
+
+  /** Time-bucketed distinct cardinality (the telemetry workhorse):
+    * events per 6-hour bucket with distinct users. Buckets are integer
+    * epoch-seconds division — portable across engines by construction
+    * (window()/time_bucket() origins differ between engines; integer
+    * math doesn't). count_distinct expands to the classic two-exchange
+    * expand+regroup; at 100 TB cardinalities beyond memory swap to the
+    * oracle-gated HLL path (q49) with the same query shape. */
+  val windowedDistinct: Q = (s, dir) =>
+    Tables.t(s, dir, "events")
+      .select((col("ts").cast("long") / 21600).cast("long").as("bucket"),
+        col("user_id"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+      .select(from_unixtime(col("bucket") * 21600, "yyyy-MM-dd HH:mm").as("bucket_start"),
+        col("n_events"), col("n_users"))
+      .orderBy("bucket_start")
+
+  val windowedDistinctSql: String =
+    """SELECT strftime(to_timestamp((epoch_ns(ts) // 1000000000) // 21600 * 21600),
+      |                '%Y-%m-%d %H:%M') AS bucket_start,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q104
+
+  /** Robust outlier stats per group: median, MAD (median absolute
+    * deviation), and the |x − med| > 3·MAD outlier count — the
+    * heavy-tail-safe alternative to q85's stddev. Exact percentiles
+    * over integer cents (the interpolation arithmetic is identical
+    * integer-derived doubles in both engines, proven by q54); two
+    * keyed aggregations, map-combinable except the percentile state,
+    * which is the documented trade — approx_percentile (q65) is the
+    * sketch path at extreme group sizes. */
+  val madOutliers: Q = (s, dir) => {
+    val e = Tables.t(s, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(c, 0.5)").as("med"))
+    val mad = e.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"), abs(col("c") - col("med")).as("ad"))
+      .groupBy("event_type")
+      .agg(min("med").as("med"), expr("percentile(ad, 0.5)").as("mad"))
+    e.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(min("med") / 100, 4).as("median"),
+        round(min("mad") / 100, 4).as("mad"),
+        sum(when(abs(col("c") - col("med")) > col("mad") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val madOutliersSql: String =
+    """WITH e AS (
+      |  SELECT event_type, round(value * 100)::BIGINT AS c FROM events),
+      |med AS (
+      |  SELECT event_type, quantile_cont(c, 0.5) AS med FROM e GROUP BY 1),
+      |mad AS (
+      |  SELECT e.event_type, min(med.med) AS med,
+      |         quantile_cont(abs(e.c - med.med), 0.5) AS mad
+      |  FROM e JOIN med USING (event_type) GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n,
+      |  round(min(mad.med) / 100, 4) AS median,
+      |  round(min(mad.mad) / 100, 4) AS mad,
+      |  sum(CASE WHEN abs(e.c - mad.med) > mad.mad * 3 THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_outliers
+      |FROM e JOIN mad USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -635,7 +707,9 @@ object Curation {
     "q99_string_agg" -> stringAgg,
     "q100_pipeline_capstone" -> pipelineCapstone,
     "q101_unpivot" -> unpivotMeasures,
-    "q102_map_functions" -> mapFunctions)
+    "q102_map_functions" -> mapFunctions,
+    "q103_windowed_distinct" -> windowedDistinct,
+    "q104_mad_outliers" -> madOutliers)
 
   val oracleSql: Map[String, String] = Map(
     "q87_decontam_ngram" -> decontamSql,
@@ -653,5 +727,7 @@ object Curation {
     "q99_string_agg" -> stringAggSql,
     "q100_pipeline_capstone" -> pipelineCapstoneSql,
     "q101_unpivot" -> unpivotMeasuresSql,
-    "q102_map_functions" -> mapFunctionsSql)
+    "q102_map_functions" -> mapFunctionsSql,
+    "q103_windowed_distinct" -> windowedDistinctSql,
+    "q104_mad_outliers" -> madOutliersSql)
 }
