@@ -75,7 +75,9 @@ object Bench {
     // tail-safe line with short keys (q01..qNN, the stable name prefix) and
     // millisecond precision (~13 B/query), and write the full-name version
     // to BENCH_FULL.json for humans.
-    def f3(v: Double) = f"$v%.3f"
+    // Locale.ROOT: the f interpolator uses the default locale, which on
+    // comma-decimal locales would emit "1,234" and break the JSON parse
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
       .mkString("{", ",", "}")

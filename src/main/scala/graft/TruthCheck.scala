@@ -35,15 +35,19 @@ object TruthCheck {
     // brute-force truth: every (a < b) pair, exact Jaccard >= 0.8
     val a = sh.select(col("id").as("doc_a"), col("s").as("sa"))
     val b = sh.select(col("id").as("doc_b"), col("s").as("sb"))
+    // same predicate as the operator (Dedup.scala filters on
+    // round(j, 4) >= threshold) — an unrounded >= here would misreport
+    // boundary pairs like j = 0.79999 as `extra`
     val truthPairs = a.join(b, col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         graft.functions.Hashing.jaccardSim(col("sa"), col("sb")).as("j"))
-      .filter(col("j") >= 0.8)
+      .filter(round(col("j"), 4) >= 0.8)
       .select("doc_a", "doc_b")
     val truth = truthPairs.as[(Long, Long)].collect().toSet
 
-    val lsh = graft.llm.Dedup.minhashLsh(docs)
-      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lshDf = graft.llm.Dedup.minhashLsh(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lsh = lshDf.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val missed = truth -- lsh
     val extra = lsh -- truth
     println(s"TRUTH|q32|truth=${truth.size}|lsh=${lsh.size}|missed=${missed.size}|extra=${extra.size}|" +
@@ -64,9 +68,9 @@ object TruthCheck {
       parent.keys.map(k => k -> find(k)).toMap
     }
     val truthComp = components(truth)
-    val got = graft.llm.Dedup.connectedComponents(
-        graft.llm.Dedup.minhashLsh(docs))
+    val got = graft.llm.Dedup.connectedComponents(lshDf)
       .as[(Long, Long)].collect().toMap
+    lshDf.unpersist()
     // compare only docs that appear in some pair (singletons are trivial)
     val diff = truthComp.keySet.filter(k => got.get(k) != truthComp.get(k))
     println(s"TRUTH|q56|members=${truthComp.size}|clusters=${truthComp.values.toSet.size}|" +

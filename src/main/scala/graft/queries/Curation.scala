@@ -18,15 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-  private val ToksSql = s"string_split($NormSql, ' ')"
+  private val NormSql = Fragments.NormSql
+  private val ToksSql = Fragments.ToksSql
 
-  /** md5-of-id split bucket 0..99 (shared with q71 — the split assignment
-    * and the decontamination gate must agree on the partitioning). */
-  private def bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-    .cast("long") % 100).cast("int")
-  private val BucketSql =
-    "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)::INTEGER"
+  /** md5-of-id split bucket 0..99 — single definition in [[Fragments]],
+    * shared with q71 so the split assignment and the decontamination
+    * gate agree on the partitioning by construction. */
+  private def bucket = Fragments.splitBucket(col("doc_id"))
+  private val BucketSql = Fragments.BucketSql
 
   // -------------------------------------------------------------- q87
 
@@ -235,10 +234,12 @@ object Curation {
     * engines. The stats table is |labels|×dims rows — broadcast; the
     * corpus never shuffles. */
   val zscoreNorm: Q = (s, dir) => {
+    // slice before exploding: exploding all dims and filtering pos < 4
+    // would materialize dims/4 times the needed rows in the scan stage
     val e = Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
-        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
-      .filter(col("pos") < 4)
+        posexplode(slice(col("embedding").cast("array<double>"), 1, 4))
+          .as(Seq("pos", "v")))
       .select(col("vec_id"), col("label"), col("pos"),
         floor(col("v") * 10000).cast("long").as("x"))
     val st = e.groupBy("label", "pos").agg(
@@ -508,14 +509,7 @@ object Curation {
 
   val pipelineCapstoneSql: String = {
     val nTok = s"len($ToksSql)"
-    val punct = "len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / greatest(length(text), 1)"
-    val stopHits =
-      s"len(list_filter($ToksSql, t -> list_contains(${TextOps.StopEn.mkString("['", "', '", "']")}, t)))"
-    val stopR = s"$stopHits::DOUBLE / greatest($nTok, 1)"
-    val quality =
-      s"""round(least($nTok::DOUBLE / 50.0, 1.0) *
-         |        (0.5 + 0.25 * (1.0 - least($punct * 5.0, 1.0))
-         |             + 0.25 * least($stopR * 4.0, 1.0)), 4)""".stripMargin
+    val quality = Fragments.qualitySql
     s"""WITH base AS (
        |  SELECT doc_id, text, source,
        |    CASE WHEN $BucketSql < 80 THEN 'train'
@@ -637,8 +631,12 @@ object Curation {
         col("n_events"), col("n_users"))
       .orderBy("bucket_start")
 
+  // make_timestamp(micros) yields a NAIVE timestamp, so strftime is
+  // timezone-independent — to_timestamp() would return TIMESTAMPTZ and
+  // render in the host's local zone, breaking the compare off-UTC.
   val windowedDistinctSql: String =
-    """SELECT strftime(to_timestamp((epoch_ns(ts) // 1000000000) // 21600 * 21600),
+    """SELECT strftime(make_timestamp(
+      |          ((epoch_ns(ts) // 1000000000) // 21600 * 21600) * 1000000),
       |                '%Y-%m-%d %H:%M') AS bucket_start,
       |  count(*) AS n_events,
       |  count(DISTINCT user_id) AS n_users

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared query fragments whose Spark and DuckDB forms MUST stay in
+  * lockstep across modules: the md5 split bucket (q71's assignment is
+  * also q87/q100's decontamination gate and the specs' ground truth)
+  * and the text-normalization / quality-formula oracle SQL (q39's
+  * formula is recomputed verbatim inside q100's capstone oracle). One
+  * definition each — duplication here previously left the agreement
+  * enforced only by copy-paste discipline.
+  */
+private[graft] object Fragments {
+
+  /** Deterministic split bucket 0..99: first 8 hex chars of
+    * md5(doc_id) mod 100 — a pure function of the key, identical in
+    * any engine and at any scale. */
+  def splitBucket(docId: Column): Column =
+    (conv(substring(md5(docId.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100).cast("int")
+
+  /** DuckDB twin of [[splitBucket]] over the `doc_id` column. */
+  val BucketSql: String =
+    "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)::INTEGER"
+
+  /** DuckDB twin of [[graft.llm.TextOps.normalized]] over `text`. */
+  val NormSql: String = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** DuckDB twin of [[graft.llm.TextOps.tokens]] over `text`. */
+  val ToksSql: String = s"string_split($NormSql, ' ')"
+
+  /** DuckDB rendering of [[graft.llm.TextOps.qualityScore]] term by
+    * term (q39's oracle; also composed inside q100's capstone). */
+  def qualitySql: String = {
+    val nTok = s"len($ToksSql)"
+    val punct = "len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / greatest(length(text), 1)"
+    val stopHits =
+      s"len(list_filter($ToksSql, t -> list_contains(${graft.llm.TextOps.StopEn.mkString("['", "', '", "']")}, t)))"
+    val stopR = s"$stopHits::DOUBLE / greatest($nTok, 1)"
+    s"""round(least($nTok::DOUBLE / 50.0, 1.0) *
+       |        (0.5 + 0.25 * (1.0 - least($punct * 5.0, 1.0))
+       |             + 0.25 * least($stopR * 4.0, 1.0)), 4)""".stripMargin
+  }
+}

@@ -14,10 +14,11 @@ import graft.llm.{Dedup, Similarity, TextOps}
   */
 object LlmQueries {
 
-  /** Shared normalization SQL fragment (must mirror TextOps.normalized —
-    * note DuckDB regexp_replace needs the explicit 'g' flag). */
-  private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-  private val ToksSql = s"string_split($NormSql, ' ')"
+  /** Shared normalization SQL fragments (must mirror TextOps.normalized —
+    * note DuckDB regexp_replace needs the explicit 'g' flag); single
+    * definitions in [[Fragments]], shared with Curation's capstone. */
+  private val NormSql = Fragments.NormSql
+  private val ToksSql = Fragments.ToksSql
 
   // ------------------------------------------------------------- dedup
 
@@ -164,13 +165,7 @@ object LlmQueries {
       s"len(list_filter($ToksSql, t -> list_contains(${lst.mkString("['", "', '", "']")}, t)))"
     val en = hits(TextOps.StopEn); val de = hits(TextOps.StopDe)
     val fr = hits(TextOps.StopFr); val es = hits(TextOps.StopEs)
-    val nTok = s"len($ToksSql)"
-    val punct = "len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / greatest(length(text), 1)"
-    val stopR = s"$en::DOUBLE / greatest($nTok, 1)"
-    val quality =
-      s"""round(least($nTok::DOUBLE / 50.0, 1.0) *
-         |      (0.5 + 0.25 * (1.0 - least($punct * 5.0, 1.0))
-         |           + 0.25 * least($stopR * 4.0, 1.0)), 4)""".stripMargin
+    val quality = Fragments.qualitySql
     s"""WITH RECURSIVE sh AS (
        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
        |           for i in range(1, len(toks)-1)]) AS shingles
@@ -635,9 +630,7 @@ object LlmQueries {
     s"""SELECT doc_id, $nTok::INTEGER AS n_tokens,
        |  round($punct, 4) AS punct_ratio,
        |  round($stopR, 4) AS stop_ratio,
-       |  round(least($nTok::DOUBLE / 50.0, 1.0) *
-       |        (0.5 + 0.25 * (1.0 - least($punct * 5.0, 1.0))
-       |             + 0.25 * least($stopR * 4.0, 1.0)), 4) AS quality
+       |  ${Fragments.qualitySql} AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 

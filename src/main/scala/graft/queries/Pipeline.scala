@@ -72,9 +72,7 @@ object Pipeline {
     * rerun at any scale) derives the identical split. */
   val splitAssign: Q = (s, dir) =>
     Tables.t(s, dir, "documents")
-      .select(col("doc_id"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100).cast("int").as("bucket"))
+      .select(col("doc_id"), Fragments.splitBucket(col("doc_id")).as("bucket"))
       .select(col("doc_id"), col("bucket"),
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
@@ -82,12 +80,12 @@ object Pipeline {
       .orderBy("doc_id")
 
   val splitAssignSql: String =
-    """SELECT doc_id,
-      |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)::INTEGER AS bucket,
-      |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
-      |       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
-      |       ELSE 'test' END AS split
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  ${Fragments.BucketSql} AS bucket,
+       |  CASE WHEN ${Fragments.BucketSql} < 80 THEN 'train'
+       |       WHEN ${Fragments.BucketSql} < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------- q72
 
@@ -289,8 +287,8 @@ object Pipeline {
   val quantizeInt8: Q = (s, dir) => {
     val e = Tables.t(s, dir, "embeddings")
       .select(col("vec_id"),
-        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
-      .filter(col("pos") < 4)
+        posexplode(slice(col("embedding").cast("array<double>"), 1, 4))
+          .as(Seq("pos", "v")))
     val stats = e.groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
     e.join(broadcast(stats), "pos")
       .select(col("vec_id"), col("pos"),

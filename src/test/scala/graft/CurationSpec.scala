@@ -15,8 +15,7 @@ class CurationSpec extends AnyFunSuite {
   test("decontam only flags train docs, with overlap counts matching brute force") {
     val d = Tables.t(spark, sf, "documents")
       .select(col("doc_id"), col("text"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100).cast("int").as("bucket"))
+        graft.queries.Fragments.splitBucket(col("doc_id")).as("bucket"))
     val buckets = d.select("doc_id", "bucket").as[(Long, Int)].collect().toMap
     // brute force: distinct 8-gram sets per doc, intersect train × test-union
     val sh = d.select(col("doc_id"),
@@ -266,6 +265,44 @@ class CurationSpec extends AnyFunSuite {
     assert(sizes.keySet === (1 to 10).toSet)
     sizes.values.foreach(c =>
       assert(math.abs(c - n / 10.0) <= n * 0.05, s"bucket size $c vs ${n / 10}"))
+  }
+
+  test("windowed distinct: bucket totals reconcile with the raw event stream") {
+    val rows = graft.queries.Curation.windowedDistinct(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.t(spark, sf, "events")
+    assert(rows.map(_._2).sum === ev.count(), "buckets partition all events")
+    rows.foreach { case (start, n, u) =>
+      assert(u >= 1 && u <= n, s"$start distinct users bounded by events")
+      // bucket starts sit on 6-hour boundaries
+      assert(start.endsWith("00:00") || start.endsWith("06:00") ||
+        start.endsWith("12:00") || start.endsWith("18:00"), start)
+    }
+    val maxUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).max <= maxUsers)
+  }
+
+  test("MAD outliers: median/mad from a driver-side recompute, outliers counted") {
+    val got = graft.queries.Curation.madOutliers(spark, sf)
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(got.nonEmpty)
+    val raw = Tables.t(spark, sf, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    got.foreach { case (tpe, n, med, mad, outliers) =>
+      val cs = raw(tpe).map(_._2.toDouble)
+      assert(n === cs.length)
+      val m = medianOf(cs)
+      assert(math.abs(med - m / 100) < 1e-9, s"$tpe median")
+      val madRef = medianOf(cs.map(c => math.abs(c - m)))
+      assert(math.abs(mad - madRef / 100) < 1e-9, s"$tpe mad")
+      assert(outliers === cs.count(c => math.abs(c - m) > madRef * 3), s"$tpe outliers")
+    }
   }
 
   test("z-score stats join is broadcast (corpus side never shuffles)") {

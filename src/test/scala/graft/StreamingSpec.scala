@@ -175,8 +175,7 @@ class StreamingSpec extends AnyFunSuite {
     val ckDir = new java.io.File(dir, "ck").getPath
     try {
       val d = Tables.t(spark, sf, "documents")
-      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100).cast("int")
+      val bucket = graft.queries.Fragments.splitBucket(col("doc_id"))
       val benchmark = d.filter(bucket >= 90)
       val train = d.filter(bucket < 80)
         .select("doc_id", "text").as[(Long, String)].collect()
