@@ -18,7 +18,13 @@ case class TableSpec(
     columns: Seq[String] = Nil,
     partitionFilter: Option[Column] = None,
     numSplits: Option[Int] = None,
-    format: String = "parquet")
+    format: String = "parquet",
+    // schema evolution on read: union the per-partition parquet schemas
+    // (absent columns null-filled) instead of trusting the first file —
+    // the reference's metastore-fixed schema has no such notion
+    // (schema/HiveTableSchemaImpl.java:99-121 walks one SerDe), but a
+    // long-lived partitioned warehouse accretes columns over time
+    mergeSchema: Boolean = false)
 
 /** Write-side intent — analog of `HiveOutputDescription`: static
   * partition values and the partition-exists policy
@@ -26,7 +32,12 @@ case class TableSpec(
   * HiveApiOutputFormat.java:296-320). */
 case class WriteSpec(
     partitionValues: Map[String, String] = Map.empty,
-    dropExistingPartition: Boolean = false)
+    dropExistingPartition: Boolean = false,
+    // opt-in schema evolution: allow columns absent from the existing
+    // table schema to append (readers see them via TableSpec.mergeSchema);
+    // known columns still widen-check. Default keeps the reference's
+    // fixed-schema contract (writes must match the declared schema)
+    allowNewColumns: Boolean = false)
 
 /** The engine facade: the reference's two-call surface
   * (`HiveInput.readTable` / `HiveOutput.writeTable`, input/HiveInput
@@ -89,7 +100,9 @@ class Engine(spark: SparkSession, warehouse: String) {
       s2.conf.set("spark.sql.files.openCostInBytes", "0")
       s2
     }
-    var df = reader(session, spec.format).load(path(spec))
+    val rdr = reader(session, spec.format)
+    if (spec.mergeSchema) rdr.option("mergeSchema", "true")
+    var df = rdr.load(path(spec))
     for (f <- spec.partitionFilter) df = df.filter(f)
     if (spec.columns.nonEmpty) df = df.select(spec.columns.map(col).toIndexedSeq: _*)
     df
@@ -165,7 +178,8 @@ class Engine(spark: SparkSession, warehouse: String) {
           TypeWidening.widenTo(df,
             org.apache.spark.sql.types.StructType(
               reader(spark, spec.format).load(target).schema.filterNot(f =>
-                ws.partitionValues.contains(f.name))))
+                ws.partitionValues.contains(f.name))),
+            allowNew = ws.allowNewColumns)
         else df
       // static-partition write: data files under the partition dir;
       // overwrite replaces exactly this partition (drop_partition parity)

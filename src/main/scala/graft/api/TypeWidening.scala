@@ -35,17 +35,21 @@ object TypeWidening {
     * widening columns up, throw on any narrowing or unknown column —
     * the Spark analog of the reference throwing IllegalArgumentException
     * from checkAndUpgrade on downgrade. */
-  def widenTo(df: DataFrame, target: StructType): DataFrame = {
+  def widenTo(df: DataFrame, target: StructType, allowNew: Boolean = false): DataFrame = {
     val targetByName = target.fields.map(f => f.name -> f).toMap
     val cols = df.schema.fields.map { f =>
-      val t = targetByName.getOrElse(f.name,
-        throw new IllegalArgumentException(
-          s"Column ${f.name} not present in target schema ${target.simpleString}"))
-      if (f.dataType == t.dataType) col(f.name)
-      else if (canWiden(f.dataType, t.dataType)) col(f.name).cast(t.dataType).as(f.name)
-      else throw new IllegalArgumentException(
-        s"Cannot downgrade column ${f.name}: ${f.dataType.simpleString} -> " +
-          s"${t.dataType.simpleString} (widening-only writes)")
+      targetByName.get(f.name) match {
+        case None if allowNew => col(f.name) // opt-in schema evolution
+        case None =>
+          throw new IllegalArgumentException(
+            s"Column ${f.name} not present in target schema ${target.simpleString}")
+        case Some(t) =>
+          if (f.dataType == t.dataType) col(f.name)
+          else if (canWiden(f.dataType, t.dataType)) col(f.name).cast(t.dataType).as(f.name)
+          else throw new IllegalArgumentException(
+            s"Cannot downgrade column ${f.name}: ${f.dataType.simpleString} -> " +
+              s"${t.dataType.simpleString} (widening-only writes)")
+      }
     }
     // missing columns in df (present in target) are an arity error, as in
     // the reference's serializer which walks the full inspector

@@ -61,6 +61,25 @@ class EngineSpec extends AnyFunSuite {
       .select("i1").as[Int].collect().toSeq === Seq(4))
   }
 
+  test("mergeSchema read unions evolved partition schemas, null-filling old rows") {
+    val e = freshEngine()
+    val spec = TableSpec("tevo")
+    e.write(spec, Seq((1, 1.1)).toDF("i1", "d1"), WriteSpec(Map("ds" -> "a")))
+    // fixed-schema contract: a new column is rejected unless opted in
+    intercept[IllegalArgumentException] {
+      e.write(spec, Seq((2, 2.2, "x")).toDF("i1", "d1", "s1"), WriteSpec(Map("ds" -> "b")))
+    }
+    e.write(spec, Seq((2, 2.2, "x")).toDF("i1", "d1", "s1"),
+      WriteSpec(Map("ds" -> "b"), allowNewColumns = true))
+    // default read trusts a single footer — s1 may be absent
+    val merged = e.read(spec.copy(mergeSchema = true))
+    assert(merged.columns.toSet === Set("i1", "d1", "s1", "ds"))
+    val rows = merged.select("i1", "s1").as[(Int, Option[String])]
+      .collect().toMap
+    assert(rows === Map(1 -> None, 2 -> Some("x")),
+      "old partition null-fills the new column")
+  }
+
   // sanityCheck parity (HiveApiOutputFormat.java:203-212, 296-320)
   test("partition-spec arity preconditions") {
     val e = freshEngine()
