@@ -121,6 +121,72 @@ object Multimodal {
     }
   }
 
+  /** REAL perceptual hash (aHash): decode → 8×8 luminance grid → one
+    * bit per cell (above/below the grid mean) → 64-bit fingerprint.
+    * Computed map-side per partition; the standard cheap image
+    * near-dup signature (robust to re-encode, resize, light edits). */
+  def imageAHash(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val img = readImage(r.id, r.media)
+        val w = img.getWidth; val h = img.getHeight
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val gy = math.min(7, y * 8 / h)
+          var x = 0
+          while (x < w) {
+            val gx = math.min(7, x * 8 / w)
+            val rgb = img.getRGB(x, y)
+            // integer ITU-R 601 luma: (299 R + 587 G + 114 B) / 1000
+            val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            val cell = gy * 8 + gx
+            sums(cell) += lum; counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val means = Array.tabulate(64)(c =>
+          if (counts(c) == 0) 0.0 else sums(c).toDouble / counts(c))
+        val avg = means.sum / 64
+        var hash = 0L
+        var c = 0
+        while (c < 64) { if (means(c) > avg) hash |= (1L << c); c += 1 }
+        (r.id, hash)
+      }
+    }.toDF("id", "ahash")
+  }
+
+  /** Image near-dup pairs by aHash block-LSH: the 64-bit hash splits
+    * into four 16-bit blocks; by pigeonhole, any pair within Hamming
+    * distance 3 agrees on at least one block, so candidates come from a
+    * block-keyed equi-join (the SimHash discipline from
+    * [[graft.llm.Dedup.simhashPairs]], applied to pixels) and are
+    * verified with an exact popcount. No all-pairs stage; the shuffle
+    * carries (block, id) pairs only. */
+  def imageNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    val hashed = imageAHash(ds)
+    val blocks = hashed.select(col("id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("ahash"), b * 16).bitwiseAND(0xffffL).as("bv"))): _*))
+        .as("b"))
+      .select(col("id"), col("ahash"), col("b.blk"), col("b.bv"))
+    val a = blocks.select(col("id").as("id_a"), col("ahash").as("h_a"),
+      col("blk"), col("bv"))
+    val b = blocks.select(col("id").as("id_b"), col("ahash").as("h_b"),
+      col("blk"), col("bv"))
+    a.join(b, Seq("blk", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** REAL image resize: decode → bilinear rescale to targetW×targetH →
     * re-encode (`format`: png/bmp/jpg — whatever ImageIO writes).
     * Headless-safe; metadata updated to the output geometry. */

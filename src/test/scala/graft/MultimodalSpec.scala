@@ -82,6 +82,34 @@ class MultimodalSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("id=3")))
   }
 
+  test("image aHash: re-encode-stable, edit-tolerant, content-sensitive") {
+    // base: half dark / half bright; near-dup: same with a small bright
+    // patch; different: checkerboard
+    def base(x: Int, y: Int) = if (x < 32) 0x101010 else 0xf0f0f0
+    val basePng = Multimodal.pngBytes(64, 64, base)
+    val nearPng = Multimodal.pngBytes(64, 64,
+      (x, y) => if (x < 4 && y < 4) 0xffffff else base(x, y))
+    val diffPng = Multimodal.pngBytes(64, 64,
+      (x, y) => if ((x / 8 + y / 8) % 2 == 0) 0x000000 else 0xffffff)
+    val ds = Seq(
+      MediaRow(1L, basePng, MediaMeta("image/png", 64, 64, 0L)),
+      MediaRow(2L, nearPng, MediaMeta("image/png", 64, 64, 0L)),
+      MediaRow(3L, diffPng, MediaMeta("image/png", 64, 64, 0L))).toDS()
+    val hashes = Multimodal.imageAHash(ds)
+      .as[(Long, Long)].collect().toMap
+    assert(hashes(1L) !== hashes(3L), "different content, different hash")
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hashes(1L), hashes(2L)) <= 3,
+      s"small edit stays near: ${hamming(hashes(1L), hashes(2L))}")
+    assert(hamming(hashes(1L), hashes(3L)) > 3,
+      s"unrelated images stay far: ${hamming(hashes(1L), hashes(3L))}")
+
+    val pairs = Multimodal.imageNearDupPairs(ds)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)),
+      s"only the near-dup pair alerts: ${pairs.toSeq}")
+  }
+
   test("partition parallelism is preserved through mapPartitions") {
     val repart = media.repartition(7)
     assert(Multimodal.decodeFeatures(repart, 4).rdd.getNumPartitions === 7)
