@@ -160,15 +160,15 @@ object Multimodal {
     }.toDF("id", "ahash")
   }
 
-  /** Image near-dup pairs by aHash block-LSH: the 64-bit hash splits
-    * into four 16-bit blocks; by pigeonhole, any pair within Hamming
-    * distance 3 agrees on at least one block, so candidates come from a
-    * block-keyed equi-join (the SimHash discipline from
-    * [[graft.llm.Dedup.simhashPairs]], applied to pixels) and are
-    * verified with an exact popcount. No all-pairs stage; the shuffle
-    * carries (block, id) pairs only. */
-  def imageNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
-    val hashed = imageAHash(ds)
+  /** Near-dup pairs over any 64-bit perceptual hash column by block
+    * LSH: the hash splits into four 16-bit blocks; by pigeonhole, any
+    * pair within Hamming distance 3 agrees on at least one block, so
+    * candidates come from a block-keyed equi-join (the SimHash
+    * discipline from [[graft.llm.Dedup.simhashPairs]], applied to
+    * media fingerprints) and are verified with an exact popcount. No
+    * all-pairs stage; the shuffle carries (block, id) pairs only.
+    * `hashed` must have columns (id, ahash). */
+  def nearDupPairsByHash(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
     val blocks = hashed.select(col("id"), col("ahash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("blk"),
@@ -185,6 +185,65 @@ object Multimodal {
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Image near-dup pairs: [[imageAHash]] + [[nearDupPairsByHash]]. */
+  def imageNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    nearDupPairsByHash(imageAHash(ds), maxHamming)
+
+  /** REAL audio perceptual fingerprint: decode to PCM (same conversion
+    * as [[decodeAudioFeatures]]), split into 64 equal windows, one bit
+    * per window (RMS above/below the mean window RMS) — the energy-
+    * envelope twin of [[imageAHash]], robust to gain changes that scale
+    * every window together. Pairs via [[nearDupPairsByHash]]. */
+  def audioFingerprint(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        try {
+          val fmt = in.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
+            fmt.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          val bytes = {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = pcm.read(buf)
+            while (n > 0) { bos.write(buf, 0, n); n = pcm.read(buf) }
+            bos.toByteArray
+          }
+          val ch = target.getChannels
+          val nFrames = bytes.length / (2 * ch)
+          val win = math.max(1, nFrames / 64)
+          val sumSq = new Array[Double](64)
+          val counts = new Array[Long](64)
+          var i = 0
+          while (i < nFrames) {
+            val w = math.min(63, i / win)
+            var s = 0.0; var c = 0
+            while (c < ch) {
+              val off = (i * ch + c) * 2
+              s += (((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort) / 32768.0
+              c += 1
+            }
+            s /= ch
+            sumSq(w) += s * s; counts(w) += 1
+            i += 1
+          }
+          val rms = Array.tabulate(64)(w =>
+            if (counts(w) == 0) 0.0 else math.sqrt(sumSq(w) / counts(w)))
+          val avg = rms.sum / 64
+          var hash = 0L
+          var w = 0
+          while (w < 64) { if (rms(w) > avg) hash |= (1L << w); w += 1 }
+          (r.id, hash)
+        } finally in.close()
+      }
+    }.toDF("id", "ahash")
   }
 
   /** REAL image resize: decode → bilinear rescale to targetW×targetH →

@@ -110,6 +110,28 @@ class MultimodalSpec extends AnyFunSuite {
       s"only the near-dup pair alerts: ${pairs.toSeq}")
   }
 
+  test("audio fingerprint: gain-invariant, pattern-sensitive, pairs via block LSH") {
+    val sr = 8000f
+    // base: loud first half, quiet second half; gain-scaled copy keeps
+    // the envelope shape; different: alternating loud/quiet eighths
+    def env(i: Int, n: Int, pattern: Int => Double) =
+      (pattern(i * 64 / n) * 20000).toShort
+    val n = 8000
+    val base = Array.tabulate(n)(i =>
+      env(i, n, w => if (w < 32) math.sin(i * 0.5) else 0.05 * math.sin(i * 0.5)))
+    val gained = base.map(s => (s * 0.5).toShort)
+    val diff = Array.tabulate(n)(i =>
+      env(i, n, w => if ((w / 8) % 2 == 0) math.sin(i * 0.5) else 0.05 * math.sin(i * 0.5)))
+    val ds = Seq(
+      MediaRow(1L, Multimodal.wavBytes(base, sr), MediaMeta("audio/wav", 0, 0, 1000L)),
+      MediaRow(2L, Multimodal.wavBytes(gained, sr), MediaMeta("audio/wav", 0, 0, 1000L)),
+      MediaRow(3L, Multimodal.wavBytes(diff, sr), MediaMeta("audio/wav", 0, 0, 1000L))).toDS()
+    val pairs = Multimodal.nearDupPairsByHash(Multimodal.audioFingerprint(ds))
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)),
+      s"gain-scaled copy alerts, different envelope doesn't: ${pairs.toSeq}")
+  }
+
   test("partition parallelism is preserved through mapPartitions") {
     val repart = media.repartition(7)
     assert(Multimodal.decodeFeatures(repart, 4).rdd.getNumPartitions === 7)
