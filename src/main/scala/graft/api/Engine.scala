@@ -166,6 +166,14 @@ class Engine(spark: SparkSession, warehouse: String) {
           "the reference semantics require an empty target")
       writer(df, spec.format).mode(SaveMode.ErrorIfExists).save(target)
     } else {
+      // a data column named like a partition column would be written
+      // into the files AND re-derived from the directory on read —
+      // ambiguous; reject up front (the widen-check used to catch this
+      // incidentally, but allowNewColumns would wave it through)
+      val clash = df.columns.toSet.intersect(ws.partitionValues.keySet)
+      if (clash.nonEmpty)
+        throw new IllegalArgumentException(
+          s"Data columns collide with partition columns: $clash")
       val partitionPath = ws.partitionValues.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=$v" }.mkString("/")
       val partDir = s"$target/$partitionPath"
@@ -175,10 +183,14 @@ class Engine(spark: SparkSession, warehouse: String) {
             "(set dropExistingPartition to overwrite)")
       val out =
         if (exists)
+          // mergeSchema: after an evolved write, a single parquet footer
+          // is no longer authoritative — without it the widen target
+          // would depend on file listing order
           TypeWidening.widenTo(df,
             org.apache.spark.sql.types.StructType(
-              reader(spark, spec.format).load(target).schema.filterNot(f =>
-                ws.partitionValues.contains(f.name))),
+              reader(spark, spec.format).option("mergeSchema", "true")
+                .load(target).schema.filterNot(f =>
+                  ws.partitionValues.contains(f.name))),
             allowNew = ws.allowNewColumns)
         else df
       // static-partition write: data files under the partition dir;

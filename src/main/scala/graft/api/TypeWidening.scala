@@ -52,9 +52,12 @@ object TypeWidening {
       }
     }
     // missing columns in df (present in target) are an arity error, as in
-    // the reference's serializer which walks the full inspector
+    // the reference's serializer which walks the full inspector — except
+    // in schema-evolution mode, where an old-schema writer may omit
+    // later-added columns (the files simply lack them; a mergeSchema
+    // read null-fills)
     val missing = target.fieldNames.toSet -- df.schema.fieldNames.toSet
-    if (missing.nonEmpty)
+    if (missing.nonEmpty && !allowNew)
       throw new IllegalArgumentException(s"Missing columns for write: $missing")
     df.select(cols.toIndexedSeq: _*)
   }

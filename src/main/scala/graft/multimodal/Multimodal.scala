@@ -169,19 +169,23 @@ object Multimodal {
     * all-pairs stage; the shuffle carries (block, id) pairs only.
     * `hashed` must have columns (id, ahash). */
   def nearDupPairsByHash(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val blocks = hashed.select(col("id"), col("ahash"),
+    // persist: candidate generation and both hash-lookup joins read the
+    // hashed frame, and its upstream is a media DECODE — a naive bucket
+    // self-join would re-decode every blob per leg (see Lsh's header).
+    // Candidates route through Lsh.bucketPairs, which also applies the
+    // session-wide degenerate-bucket cap + droppedBuckets accumulator
+    // (a corpus of N byte-identical blobs shares one hash and would
+    // otherwise expand O(N²)).
+    val h = hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = h.select(col("id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("blk"),
           shiftright(col("ahash"), b * 16).bitwiseAND(0xffffL).as("bv"))): _*))
         .as("b"))
-      .select(col("id"), col("ahash"), col("b.blk"), col("b.bv"))
-    val a = blocks.select(col("id").as("id_a"), col("ahash").as("h_a"),
-      col("blk"), col("bv"))
-    val b = blocks.select(col("id").as("id_b"), col("ahash").as("h_b"),
-      col("blk"), col("bv"))
-    a.join(b, Seq("blk", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .select(col("b.blk"), col("b.bv"), col("id"))
+    graft.llm.Lsh.bucketPairs(banded, Seq("blk", "bv"), "id_a", "id_b")
+      .join(h.select(col("id").as("id_a"), col("ahash").as("h_a")), "id_a")
+      .join(h.select(col("id").as("id_b"), col("ahash").as("h_b")), "id_b")
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -200,48 +204,32 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.media))
-        try {
-          val fmt = in.getFormat
-          val target = new javax.sound.sampled.AudioFormat(
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-            fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
-            fmt.getSampleRate, false)
-          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
-          val bytes = {
-            val bos = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](8192)
-            var n = pcm.read(buf)
-            while (n > 0) { bos.write(buf, 0, n); n = pcm.read(buf) }
-            bos.toByteArray
+        val (bytes, ch, _) = decodePcm(r.media)
+        val nFrames = bytes.length / (2 * ch)
+        val sumSq = new Array[Double](64)
+        val counts = new Array[Long](64)
+        var i = 0
+        while (i < nFrames) {
+          // proportional binning (like the image grid) — a floor-based
+          // window width would dump all remainder frames into bin 63
+          val w = ((i.toLong * 64) / nFrames).toInt
+          var s = 0.0; var c = 0
+          while (c < ch) {
+            val off = (i * ch + c) * 2
+            s += (((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort) / 32768.0
+            c += 1
           }
-          val ch = target.getChannels
-          val nFrames = bytes.length / (2 * ch)
-          val win = math.max(1, nFrames / 64)
-          val sumSq = new Array[Double](64)
-          val counts = new Array[Long](64)
-          var i = 0
-          while (i < nFrames) {
-            val w = math.min(63, i / win)
-            var s = 0.0; var c = 0
-            while (c < ch) {
-              val off = (i * ch + c) * 2
-              s += (((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort) / 32768.0
-              c += 1
-            }
-            s /= ch
-            sumSq(w) += s * s; counts(w) += 1
-            i += 1
-          }
-          val rms = Array.tabulate(64)(w =>
-            if (counts(w) == 0) 0.0 else math.sqrt(sumSq(w) / counts(w)))
-          val avg = rms.sum / 64
-          var hash = 0L
-          var w = 0
-          while (w < 64) { if (rms(w) > avg) hash |= (1L << w); w += 1 }
-          (r.id, hash)
-        } finally in.close()
+          s /= ch
+          sumSq(w) += s * s; counts(w) += 1
+          i += 1
+        }
+        val rms = Array.tabulate(64)(w =>
+          if (counts(w) == 0) 0.0 else math.sqrt(sumSq(w) / counts(w)))
+        val avg = rms.sum / 64
+        var hash = 0L
+        var w = 0
+        while (w < 64) { if (rms(w) > avg) hash |= (1L << w); w += 1 }
+        (r.id, hash)
       }
     }.toDF("id", "ahash")
   }
@@ -297,27 +285,36 @@ object Multimodal {
     * still need an external service; the WAV path proves the real
     * decode plumbing end to end (MultimodalSpec checks a synthesized
     * sine's RMS ≈ A/√2, peak ≈ A, and zero-cross rate ≈ 2f/sr). */
+  /** Shared decode-to-PCM: any javax.sound-supported container/encoding
+    * to little-endian signed 16-bit interleaved frames. Returns
+    * (pcmBytes, channels, sampleRate). Single definition — both the
+    * feature extractor and the fingerprint consume it. */
+  private def decodePcm(media: Array[Byte]): (Array[Byte], Int, Float) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(media))
+    try {
+      val fmt = in.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
+        fmt.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = pcm.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = pcm.read(buf) }
+        (bos.toByteArray, target.getChannels, target.getSampleRate)
+      } finally pcm.close()
+    } finally in.close()
+  }
+
   def decodeAudioFeatures(ds: Dataset[MediaRow]): Dataset[FeatureRow] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.media))
-        try {
-          val fmt = in.getFormat
-          val target = new javax.sound.sampled.AudioFormat(
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-            fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
-            fmt.getSampleRate, false)
-          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
-          val bytes = {
-            val bos = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](8192)
-            var n = pcm.read(buf)
-            while (n > 0) { bos.write(buf, 0, n); n = pcm.read(buf) }
-            bos.toByteArray
-          }
-          val ch = target.getChannels
+        {
+          val (bytes, ch, sampleRate) = decodePcm(r.media)
           val nFrames = bytes.length / (2 * ch)
           var sumSq = 0.0; var peak = 0.0; var crossings = 0L; var prev = 0.0
           var i = 0
@@ -335,12 +332,12 @@ object Multimodal {
             prev = s
             i += 1
           }
-          val durSec = nFrames / target.getSampleRate.toDouble
+          val durSec = nFrames / sampleRate.toDouble
           val rms = if (nFrames == 0) 0.0 else math.sqrt(sumSq / nFrames)
           val zcr = if (nFrames <= 1) 0.0 else crossings.toDouble / (nFrames - 1)
           FeatureRow(r.id,
             Array(durSec.toFloat, rms.toFloat, peak.toFloat, zcr.toFloat))
-        } finally in.close()
+        }
       }
     }
   }

@@ -78,6 +78,25 @@ class EngineSpec extends AnyFunSuite {
       .collect().toMap
     assert(rows === Map(1 -> None, 2 -> Some("x")),
       "old partition null-fills the new column")
+
+    // post-evolution the merged schema is authoritative: a strict write
+    // omitting s1 fails DETERMINISTICALLY (not by file-listing luck)...
+    val e2 = intercept[IllegalArgumentException] {
+      e.write(spec, Seq((3, 3.3)).toDF("i1", "d1"), WriteSpec(Map("ds" -> "c")))
+    }
+    assert(e2.getMessage.contains("s1"))
+    // ...while an evolution-mode writer may still omit later columns
+    e.write(spec, Seq((3, 3.3)).toDF("i1", "d1"),
+      WriteSpec(Map("ds" -> "c"), allowNewColumns = true))
+    assert(e.read(spec.copy(mergeSchema = true)).count() === 3)
+
+    // a data column colliding with the partition column is rejected even
+    // in evolution mode (it would conflict with partition discovery)
+    val e3 = intercept[IllegalArgumentException] {
+      e.write(spec, Seq((4, "d")).toDF("i1", "ds"),
+        WriteSpec(Map("ds" -> "d"), allowNewColumns = true))
+    }
+    assert(e3.getMessage.contains("partition"))
   }
 
   // sanityCheck parity (HiveApiOutputFormat.java:203-212, 296-320)
