@@ -687,6 +687,86 @@ object Curation {
       |    AS n_outliers
       |FROM e JOIN mad USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q105
+
+  /** explode_outer: the null-preserving generator — docs too short for
+    * an 80-token shingle keep one NULL row instead of vanishing (the
+    * plain-explode data-loss foot-gun). The fixture straddles the
+    * boundary, so both branches carry rows. DuckDB has no OUTER unnest;
+    * the oracle's left-join-to-exploded form is the relational
+    * identity. */
+  val explodeOuter: Q = (s, dir) =>
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode_outer(TextOps.wordShingles(col("text"), 80)).as("sh"))
+      .orderBy(col("doc_id"), col("sh").asc_nulls_first)
+
+  val explodeOuterSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(toks[i:i+79], ' ')
+       |      for i in range(1, len(toks) - 78)]) AS sh
+       |  FROM (SELECT doc_id, $ToksSql AS toks FROM documents)),
+       |x AS (SELECT doc_id, unnest(sh) AS sh FROM t)
+       |SELECT t.doc_id, x.sh
+       |FROM t LEFT JOIN x USING (doc_id)
+       |ORDER BY t.doc_id, x.sh ASC NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------- q106
+
+  /** Boolean aggregates (every / any): per order status, whether every
+    * order clears a floor and whether any crosses a ceiling — plus the
+    * count they summarize. Map-combinable bit aggregation. */
+  val boolAgg: Q = (s, dir) =>
+    Tables.t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_totalprice") > 400000).as("any_over_400k"))
+      .orderBy("o_orderstatus")
+
+  val boolAggSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  bool_and(o_totalprice > 1000) AS all_over_1k,
+      |  bool_or(o_totalprice > 400000) AS any_over_400k
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q107
+
+  /** Argument extremes (max_by / min_by ≈ DuckDB arg_max/arg_min): per
+    * status, which order carries the highest and lowest total. The
+    * (price, orderkey) struct makes ties deterministic — bare
+    * max_by(value, price) ties are engine-arbitrary, the classic
+    * nondeterminism trap in this aggregate. */
+  val argExtremes: Q = (s, dir) =>
+    Tables.t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+        max(col("o_totalprice")).as("top_price"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("bottom_order"),
+        min(col("o_totalprice")).as("bottom_price"))
+      .orderBy("o_orderstatus")
+
+  // DuckDB 1.0's arg_max/arg_min reject struct ordering keys, so the
+  // oracle derives the same deterministic winners via row_number
+  val argExtremesSql: String =
+    """WITH r AS (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rd,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS ra
+      |  FROM orders)
+      |SELECT o_orderstatus,
+      |  max(CASE WHEN rd = 1 THEN o_orderkey END) AS top_order,
+      |  max(CASE WHEN rd = 1 THEN o_totalprice END) AS top_price,
+      |  max(CASE WHEN ra = 1 THEN o_orderkey END) AS bottom_order,
+      |  max(CASE WHEN ra = 1 THEN o_totalprice END) AS bottom_price
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -707,7 +787,10 @@ object Curation {
     "q101_unpivot" -> unpivotMeasures,
     "q102_map_functions" -> mapFunctions,
     "q103_windowed_distinct" -> windowedDistinct,
-    "q104_mad_outliers" -> madOutliers)
+    "q104_mad_outliers" -> madOutliers,
+    "q105_explode_outer" -> explodeOuter,
+    "q106_bool_agg" -> boolAgg,
+    "q107_arg_extremes" -> argExtremes)
 
   val oracleSql: Map[String, String] = Map(
     "q87_decontam_ngram" -> decontamSql,
@@ -727,5 +810,8 @@ object Curation {
     "q101_unpivot" -> unpivotMeasuresSql,
     "q102_map_functions" -> mapFunctionsSql,
     "q103_windowed_distinct" -> windowedDistinctSql,
-    "q104_mad_outliers" -> madOutliersSql)
+    "q104_mad_outliers" -> madOutliersSql,
+    "q105_explode_outer" -> explodeOuterSql,
+    "q106_bool_agg" -> boolAggSql,
+    "q107_arg_extremes" -> argExtremesSql)
 }
