@@ -1,0 +1,34 @@
+#!/usr/bin/env python3
+"""Regenerate QUERIES.md: registry index of every qNN query with its
+implementation site and verification tier. Run from the repo root."""
+import re, json
+
+mods = {
+ 'Relational': 'src/main/scala/graft/queries/Relational.scala',
+ 'LlmQueries': 'src/main/scala/graft/queries/LlmQueries.scala',
+ 'Extended': 'src/main/scala/graft/queries/Extended.scala',
+ 'Pipeline': 'src/main/scala/graft/queries/Pipeline.scala',
+ 'Curation': 'src/main/scala/graft/queries/Curation.scala'}
+entries = {}
+for mod, path in mods.items():
+    src = open(path).read()
+    for m in re.finditer(r'"(q\d+_\w+)"\s*->\s*(\w+)', src):
+        key, val = m.groups()
+        if key.endswith('Sql') or val.endswith('Sql'):
+            continue
+        dm = re.search(rf'^\s*val {val}: Q', src, re.M)
+        line = src[:dm.start()].count('\n') + 1 if dm else ''
+        entries.setdefault(key, (mod, path, line, val))
+quad = {'q32_dedup_minhash_lsh', 'q56_dedup_clusters', 'q59_corpus_filter'}
+lines = ['# QUERIES — registry index (generated; regenerate with tools/gen_queries_md.py)', '',
+         'Every registered query with its implementation site and verification tier.',
+         'Tiers: **sf0.01** = DuckDB-oracle hash-match (the driver gate);',
+         '**sf0.1** = re-verified at 10× scale (DuckDB, or `TruthCheck` Spark',
+         'brute-force for the quadratic-oracle three).', '',
+         '| query | impl | verified |', '|---|---|---|']
+for key in sorted(entries, key=lambda k: int(k[1:].split('_')[0])):
+    mod, path, line, val = entries[key]
+    tier = 'sf0.01 + TruthCheck@sf0.1' if key in quad else 'sf0.01 + sf0.1'
+    lines.append(f'| {key} | `{path}:{line}` | {tier} |')
+open('QUERIES.md', 'w').write('\n'.join(lines) + '\n')
+print(len(entries), 'queries indexed')
