@@ -1,0 +1,434 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.llm.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 analytics + pipeline-prep operators (no reference analog —
+  * the reference stops at table I/O,
+  * hive-io-exp-core/src/main/java/com/facebook/hiveio/input/HiveInput.java:66):
+  * sliding-window chunking, document-frequency profiling, incremental
+  * corpus dedup, mergeable HLL sketch algebra, higher-moment statistics,
+  * calendar/regex batteries, deterministic mode/median, and an
+  * integer-arithmetic PageRank (the iterative-graph family next to
+  * [[graft.llm.Dedup.connectedComponents]]).
+  *
+  * Determinism discipline matches [[Pipeline]]/[[Curation]]: exact
+  * integer moments, integer thresholds, stable final ORDER BY, and
+  * double math only as a last step over identical integers with
+  * identical op order in both engines. No `pow` anywhere — `x*sqrt(x)`
+  * and explicit products instead, because IEEE 754 guarantees correctly
+  * rounded `+ - * / sqrt` but NOT `pow`, so `pow` results may differ
+  * between the JVM and DuckDB's libm.
+  */
+object Analytics {
+
+  private val NormSql = Fragments.NormSql
+  private val ToksSql = Fragments.ToksSql
+
+  // -------------------------------------------------------------- q108
+
+  /** Sliding-window chunking (training/RAG sequence prep): window of 64
+    * tokens, stride 32 — each doc explodes into ceil(n/32) half-
+    * overlapping chunks. Entirely map-side (generate offsets → slice),
+    * so 100 TB chunks at scan speed with zero shuffles; the only
+    * exchange is the presentation sort. Chunk content is carried as an
+    * md5 fingerprint so the output stays hashable and narrow. */
+  val chunkSliding: Q = (s, dir) => {
+    val chunk = slice(col("toks"), col("st") + 1, lit(64))
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(32))).as("st"))
+      .select(col("doc_id"),
+        (col("st") / 32).cast("int").as("chunk_idx"),
+        size(chunk).as("n_tok"),
+        md5(concat_ws(" ", chunk)).as("fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkSlidingSql: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, toks,
+       |        unnest(range(0, greatest(len(toks), 1), 32)) AS st FROM t)
+       |SELECT doc_id, (st // 32)::INT AS chunk_idx,
+       |  len(toks[st+1:st+64])::INT AS n_tok,
+       |  md5(array_to_string(toks[st+1:st+64], ' ')) AS fp
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // -------------------------------------------------------------- q109
+
+  /** Document-frequency heavy hitters (stopword discovery): tokens
+    * present in ≥ half the corpus documents. DF, not TF — the q43
+    * term-frequency twin answers "most used", this answers "least
+    * informative", the signal curation pipelines use to build stopword
+    * and boilerplate lists. The threshold compare is integer
+    * (`2·df ≥ n_docs`), so no float boundary can disagree between
+    * engines. Per-doc distinct explode → one map-combinable count
+    * shuffle; the doc-count scalar broadcasts. */
+  val docFrequency: Q = (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    docs.select(explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") * 2 >= col("nd"))
+      .select(col("tok"), col("df"),
+        round(col("df").cast("double") / col("nd"), 4).as("df_ratio"))
+      .orderBy(desc("df"), col("tok"))
+  }
+
+  val docFrequencySql: String =
+    s"""WITH d AS (SELECT unnest(list_distinct($ToksSql)) AS tok FROM documents),
+       |n AS (SELECT count(*) AS nd FROM documents)
+       |SELECT tok, count(*) AS df,
+       |  round(count(*)::DOUBLE / max(nd), 4) AS df_ratio
+       |FROM d, n GROUP BY tok HAVING count(*) * 2 >= max(nd)
+       |ORDER BY df DESC, tok""".stripMargin
+
+  // -------------------------------------------------------------- q110
+
+  /** Incremental corpus dedup (the nightly-ingest shape): the newest
+    * source batch is admitted only where its bag-of-words fingerprint
+    * (md5 of the sorted distinct token set — order-insensitive, so
+    * shuffled near-copies still collide) is unseen in the accumulated
+    * corpus; within-batch dups keep the lowest doc_id. At scale the
+    * corpus side reduces to a distinct fingerprint set — one shuffle on
+    * fp for the anti-join, never on document text; a bloom filter over
+    * base fingerprints is the standard pre-filter when even that set is
+    * large. */
+  val incrementalDedup: Q = (s, dir) => {
+    val fp = md5(concat_ws(" ",
+      array_sort(array_distinct(TextOps.tokens(col("text"))))))
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), fp.as("fp"))
+    val base = d.filter(col("source") =!= "src19").select("fp").distinct()
+    val batch = d.filter(col("source") === "src19")
+    batch
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .join(base, Seq("fp"), "left_anti")
+      .select("doc_id", "lang", "fp")
+      .orderBy("doc_id")
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, lang,
+       |    md5(array_to_string(list_sort(list_distinct($ToksSql)), ' ')) AS fp
+       |  FROM documents),
+       |base AS (SELECT DISTINCT fp FROM d WHERE source <> 'src19'),
+       |batch AS (
+       |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |  FROM d WHERE source = 'src19')
+       |SELECT doc_id, lang, fp FROM batch
+       |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM base)
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- q111
+
+  /** Mergeable-sketch algebra (Apache DataSketches HLL): per
+    * (status, month) partial sketches built map-side, then
+    * `hll_union_agg` merges them per status — the two-level shape that
+    * makes distinct-counting reaggregatable: at 100 TB the partials are
+    * one sketch per group per task (KB each), and any rollup level can
+    * be served from stored sketches without rescanning. Verified like
+    * q49: the estimate must land within 5% of the exact count (HLL
+    * lgK=12 has ~1.6% RSD), and the exact side is what the oracle
+    * replays. */
+  val hllSketchUnion: Q = (s, dir) => {
+    val o = Tables.t(s, dir, "orders")
+    val merged = o
+      .groupBy(col("o_orderstatus"), month(col("o_orderdate")).as("m"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .groupBy("o_orderstatus")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = o.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("exact_cnt"))
+    merged.join(exact, "o_orderstatus")
+      .select(col("o_orderstatus"), col("exact_cnt"),
+        (abs(col("est") - col("exact_cnt")).cast("double") <=
+          col("exact_cnt") * 0.05).as("within_5pct"))
+      .orderBy("o_orderstatus")
+  }
+
+  val hllSketchUnionSql: String =
+    """SELECT o_orderstatus,
+      |  count(DISTINCT o_custkey)::BIGINT AS exact_cnt,
+      |  TRUE AS within_5pct
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q112
+
+  /** Higher-moment statistics per group: skewness and excess kurtosis
+    * of quantity, plus the price~quantity regression line — the
+    * distribution-profiling surface past q85's corr/stddev. The four
+    * power sums are exact BIGINTs (x ≤ 50, so Σx⁴ fits 63 bits through
+    * ~sf10⁴); the closed-form double math then runs once over those
+    * identical integers with identical op order. Built-in
+    * skewness()/kurtosis() are streaming float accumulators whose
+    * result is merge-order-dependent — fine in one engine,
+    * unreproducible across two. */
+  val distMoments: Q = (s, dir) => {
+    val d = (c: String) => col(c).cast("double")
+    // every moment is used as mN = sN/n; bind those first so the Spark
+    // and DuckDB expression trees are structurally identical
+    val n = d("n"); val m1 = d("s1") / n; val m2r = d("s2") / n
+    val m3r = d("s3") / n; val m4r = d("s4") / n
+    val v = m2r - m1 * m1 // central m2 (variance)
+    val m3 = m3r - lit(3.0) * m1 * m2r + lit(2.0) * m1 * m1 * m1
+    val m4 = m4r - lit(4.0) * m1 * m3r + lit(6.0) * m1 * m1 * m2r -
+      lit(3.0) * m1 * m1 * m1 * m1
+    val slope = (n * d("sxy") - d("s1") * d("sy")) /
+      (n * d("s2") - d("s1") * d("s1"))
+    Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"),
+        sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round(m3 / (v * sqrt(v)), 6).as("skew_qty"),
+        round(m4 / (v * v) - lit(3.0), 6).as("kurt_qty"),
+        round(slope, 6).as("slope_price_qty"),
+        round((d("sy") - slope * d("s1")) / n, 4).as("intercept_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val distMomentsSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(x)::BIGINT AS s1, sum(x*x)::BIGINT AS s2,
+      |    sum(x*x*x)::BIGINT AS s3, sum(x*x*x*x)::BIGINT AS s4,
+      |    sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy
+      |  FROM (SELECT l_returnflag, round(l_quantity)::BIGINT AS x,
+      |               round(l_extendedprice)::BIGINT AS y FROM lineitem)
+      |  GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  round(((s3::DOUBLE / n::DOUBLE)
+      |      - 3.0 * (s1::DOUBLE / n::DOUBLE) * (s2::DOUBLE / n::DOUBLE)
+      |      + 2.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+      |            * (s1::DOUBLE / n::DOUBLE))
+      |    / (((s2::DOUBLE / n::DOUBLE)
+      |        - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE))
+      |       * sqrt((s2::DOUBLE / n::DOUBLE)
+      |          - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE))), 6)
+      |    AS skew_qty,
+      |  round(((s4::DOUBLE / n::DOUBLE)
+      |      - 4.0 * (s1::DOUBLE / n::DOUBLE) * (s3::DOUBLE / n::DOUBLE)
+      |      + 6.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+      |            * (s2::DOUBLE / n::DOUBLE)
+      |      - 3.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+      |            * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE))
+      |    / (((s2::DOUBLE / n::DOUBLE)
+      |        - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE))
+      |       * ((s2::DOUBLE / n::DOUBLE)
+      |          - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)))
+      |    - 3.0, 6) AS kurt_qty,
+      |  round((n::DOUBLE * sxy::DOUBLE - s1::DOUBLE * sy::DOUBLE)
+      |    / (n::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE), 6)
+      |    AS slope_price_qty,
+      |  round((sy::DOUBLE - (n::DOUBLE * sxy::DOUBLE - s1::DOUBLE * sy::DOUBLE)
+      |    / (n::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE) * s1::DOUBLE)
+      |    / n::DOUBLE, 4) AS intercept_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------- q113
+
+  /** Calendar-function battery (§2.8 breadth): extraction fields, ISO
+    * week, Monday-based weekday, month boundaries, month arithmetic and
+    * day/month distances — per-row map work, zero shuffles. Weekday is
+    * emitted Monday=0 because the engines' raw conventions differ
+    * (Spark dayofweek is Sunday=1, DuckDB isodow is Monday=1); the
+    * month distance is pure integer year·12+month arithmetic rather
+    * than months_between, whose fractional-day semantics are
+    * engine-specific. */
+  val datetimeBattery: Q = (s, dir) =>
+    Tables.t(s, dir, "orders").filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        weekday(col("o_orderdate")).as("dow_mon0"),
+        last_day(col("o_orderdate")).as("month_end"),
+        add_months(col("o_orderdate"), 3).as("plus3mo"),
+        trunc(col("o_orderdate"), "quarter").as("qtr_start"),
+        datediff(lit("1998-08-02").cast("date"), col("o_orderdate"))
+          .as("days_to_end"),
+        (lit(1998 * 12 + 8) -
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))))
+          .as("months_to_end"))
+      .orderBy("o_orderkey")
+
+  val datetimeBatterySql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  year(o_orderdate)::INT AS yr, quarter(o_orderdate)::INT AS qtr,
+      |  month(o_orderdate)::INT AS mo, day(o_orderdate)::INT AS dom,
+      |  dayofyear(o_orderdate)::INT AS doy,
+      |  weekofyear(o_orderdate)::INT AS iso_week,
+      |  (isodow(o_orderdate) - 1)::INT AS dow_mon0,
+      |  last_day(o_orderdate) AS month_end,
+      |  (o_orderdate + INTERVAL 3 MONTH)::DATE AS plus3mo,
+      |  date_trunc('quarter', o_orderdate)::DATE AS qtr_start,
+      |  date_diff('day', o_orderdate::DATE, DATE '1998-08-02')::INT
+      |    AS days_to_end,
+      |  ((1998 * 12 + 8) - (year(o_orderdate) * 12 + month(o_orderdate)))::INT
+      |    AS months_to_end
+      |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- q114
+
+  /** Regex battery (§2.8 breadth): capture-group extraction, match
+    * counting via extract-all, global replacement, and anchored match
+    * predicates — the JSON-adjacent string mangling real event
+    * pipelines do. Patterns stay in the RE2 ∩ java.util.regex common
+    * dialect (character classes, groups, anchors — no backrefs or
+    * lookarounds) so both engines compile them identically. Map-side
+    * only. */
+  val regexBattery: Q = (s, dir) =>
+    Tables.t(s, dir, "events").filter(col("event_id") < 2000)
+      .select(col("event_id"), col("props"),
+        regexp_extract(col("props"), "([0-9]+)", 1).cast("int").as("k_num"),
+        size(expr("regexp_extract_all(props, '[0-9]+', 0)")).as("n_num"),
+        regexp_replace(col("event_type"), "[aeiou]", "*").as("masked_type"),
+        col("event_type").rlike("^(click|view)$").as("is_engagement"))
+      .orderBy("event_id")
+
+  val regexBatterySql: String =
+    """SELECT event_id, props,
+      |  regexp_extract(props, '([0-9]+)', 1)::INT AS k_num,
+      |  len(regexp_extract_all(props, '[0-9]+'))::INT AS n_num,
+      |  regexp_replace(event_type, '[aeiou]', '*', 'g') AS masked_type,
+      |  regexp_matches(event_type, '^(click|view)$') AS is_engagement
+      |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------- q115
+
+  /** Deterministic mode + exact median per event type. The mode is NOT
+    * the built-in `mode()` — both engines leave its tie order
+    * unspecified — but an explicit count → row_number(count DESC, key)
+    * derivation whose winner is unique by construction. The median is
+    * the exact interpolated percentile (the q54-proven
+    * percentile/quantile_cont pairing). Two count shuffles, one
+    * grouped-sort median — all partial-aggregated. */
+  val modeMedian: Q = (s, dir) => {
+    val e = Tables.t(s, dir, "events")
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    val med = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+      round(percentile(col("value"), lit(0.5)), 4).as("median_value"))
+    val mo = e.groupBy("event_type", "k").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(desc("c"), col("k"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("k").as("mode_k"), col("c").as("mode_n"))
+    med.join(mo, "event_type")
+      .select("event_type", "n", "median_value", "mode_k", "mode_n")
+      .orderBy("event_type")
+  }
+
+  val modeMedianSql: String =
+    """WITH e AS (
+      |  SELECT event_type, value, json_extract(props, 'k')::INT AS k
+      |  FROM events),
+      |med AS (SELECT event_type, count(*) AS n,
+      |          round(quantile_cont(value, 0.5), 4) AS median_value
+      |        FROM e GROUP BY 1),
+      |kc AS (SELECT event_type, k, count(*) AS c FROM e GROUP BY 1, 2),
+      |mo AS (SELECT event_type, k AS mode_k, c AS mode_n,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY c DESC, k) AS rn
+      |       FROM kc)
+      |SELECT m.event_type, m.n, m.median_value, mo.mode_k, mo.mode_n
+      |FROM med m JOIN mo ON m.event_type = mo.event_type AND mo.rn = 1
+      |ORDER BY m.event_type""".stripMargin
+
+  // -------------------------------------------------------------- q116
+
+  /** PageRank, 5 power iterations over the bipartite click graph
+    * (users ↔ property keys, mirrored to undirected). All-integer
+    * arithmetic — ranks start at 10⁶, each step is
+    * `150000 + Σ (r·85) div (100·deg)` — so the result is exact and
+    * order-independent: no floating accumulation to diverge between
+    * engines or between shuffle orders. Per iteration: one broadcast-
+    * able rank join + one map-combinable sum shuffle, the same scaling
+    * shape as connected components ([[graft.llm.Dedup]]); the edge set
+    * never rebuilds. The oracle replays the identical recurrence as
+    * five unrolled CTEs. */
+  val pagerank: Q = (s, dir) => {
+    val clicks = Tables.t(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("u"),
+        (get_json_object(col("props"), "$.k").cast("long") + 10000L).as("v"))
+      .distinct()
+    val edges = clicks.union(clicks.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "u").persist()
+    var ranks = deg.select(col("u").as("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to 5) {
+      ranks = e.join(ranks, col("u") === col("id"))
+        .groupBy(col("v"))
+        .agg(sum(expr("(r * 85) div (100 * deg)")).as("contrib"))
+        .select(col("v").as("id"), (col("contrib") + 150000L).as("r"))
+    }
+    val out = ranks.orderBy("id")
+    out.count() // materialize before unpersisting the shared edge set
+    e.unpersist()
+    out
+  }
+
+  val pagerankSql: String = {
+    val head =
+      """WITH ed AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    10000 + json_extract(props, 'k')::BIGINT AS v
+        |  FROM events WHERE event_type = 'click'),
+        |edges AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+        |deg AS (SELECT u, count(*)::BIGINT AS deg FROM edges GROUP BY u),
+        |e AS (SELECT edges.u, edges.v, deg.deg FROM edges JOIN deg USING (u)),
+        |r0 AS (SELECT u AS id, 1000000::BIGINT AS r FROM deg)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s""",
+         |r$i AS (SELECT e.v AS id,
+         |  (150000 + sum((r.r * 85) // (100 * e.deg)))::BIGINT AS r
+         |  FROM e JOIN r${i - 1} r ON e.u = r.id GROUP BY e.v)""".stripMargin
+    }.mkString
+    head + iters + "\nSELECT id, r FROM r5 ORDER BY id"
+  }
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "q108_chunk_sliding" -> chunkSliding,
+    "q109_doc_frequency" -> docFrequency,
+    "q110_incremental_dedup" -> incrementalDedup,
+    "q111_hll_sketch_union" -> hllSketchUnion,
+    "q112_dist_moments" -> distMoments,
+    "q113_datetime_battery" -> datetimeBattery,
+    "q114_regex_battery" -> regexBattery,
+    "q115_mode_median" -> modeMedian,
+    "q116_pagerank" -> pagerank)
+
+  val oracleSql: Map[String, String] = Map(
+    "q108_chunk_sliding" -> chunkSlidingSql,
+    "q109_doc_frequency" -> docFrequencySql,
+    "q110_incremental_dedup" -> incrementalDedupSql,
+    "q111_hll_sketch_union" -> hllSketchUnionSql,
+    "q112_dist_moments" -> distMomentsSql,
+    "q113_datetime_battery" -> datetimeBatterySql,
+    "q114_regex_battery" -> regexBatterySql,
+    "q115_mode_median" -> modeMedianSql,
+    "q116_pagerank" -> pagerankSql)
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.TextOps
+
+/** Ground-truth specs for the round-5 analytics operators
+  * (queries/Analytics.scala). Value-level parity with DuckDB is driven
+  * by the oracle gate; here we pin semantic invariants against local
+  * brute force plus the plan shapes that keep the operators scale-safe. */
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docTokens: Map[Long, Seq[String]] =
+    Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+
+  test("chunk_sliding matches brute-force windows (size 64, stride 32)") {
+    val got = graft.queries.Analytics.chunkSliding(spark, sf)
+      .as[(Long, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._3, c._4)).toSeq).toMap
+    val expect = docTokens.view.mapValues { toks =>
+      (0 to math.max(toks.size - 1, 0) by 32).map { st =>
+        val chunk = toks.slice(st, st + 64)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(chunk.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (chunk.size, digest)
+      }
+    }.toMap
+    assert(got === expect)
+  }
+
+  test("chunk_sliding covers every token and never shuffles the corpus") {
+    // coverage: last chunk of each doc reaches the final token
+    val last = graft.queries.Analytics.chunkSliding(spark, sf)
+      .groupBy("doc_id").agg(max(col("chunk_idx") * 32 + col("n_tok")).as("end"))
+      .as[(Long, Int)].collect().toMap
+    docTokens.foreach { case (id, toks) =>
+      assert(last(id) === toks.size, s"doc $id chunks must end at ${toks.size}")
+    }
+    val plan = graft.queries.Analytics.chunkSliding(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "chunking is map-side; only the presentation sort may exchange")
+  }
+
+  test("doc_frequency matches brute-force document frequencies") {
+    val toks = docTokens
+    val nd = toks.size
+    val expect = toks.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).filter(_._2 * 2 >= nd).toMap
+    val got = graft.queries.Analytics.docFrequency(spark, sf)
+      .select("tok", "df").as[(String, Long)].collect().toMap
+    assert(got.view.mapValues(_.toInt).toMap === expect)
+  }
+
+  test("incremental_dedup admits exactly the unseen-fingerprint batch docs") {
+    val fps = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", array_sort(array_distinct(TextOps.tokens(col("text"))))))
+          .as("fp"))
+      .as[(Long, String, String)].collect()
+    val base = fps.filter(_._2 != "src19").map(_._3).toSet
+    val expect = fps.filter(_._2 == "src19").groupBy(_._3).toSeq
+      .collect { case (fp, ds) if !base.contains(fp) => ds.map(_._1).min }
+      .sorted
+    val got = graft.queries.Analytics.incrementalDedup(spark, sf)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got === expect)
+    // and some batch docs are actually rejected at the sf0.01 gate scale,
+    // proving the anti-join fires (sf0.001 may legitimately admit all)
+    val batchN = fps.count(_._2 == "src19")
+    assert(got.size <= batchN)
+  }
+
+  test("hll_sketch_union estimate stays inside the 5% envelope") {
+    val rows = graft.queries.Analytics.hllSketchUnion(spark, sf)
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.nonEmpty && rows.forall(_._3),
+      s"HLL estimate drifted >5% from exact: ${rows.mkString(",")}")
+  }
+
+  test("dist_moments matches direct double computation within 1e-6") {
+    val xs = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), round(col("l_quantity")).cast("long").as("x"))
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = graft.queries.Analytics.distMoments(spark, sf)
+      .select("l_returnflag", "skew_qty", "kurt_qty")
+      .as[(String, Double, Double)].collect()
+      .map { case (f, sk, ku) => f -> (sk, ku) }.toMap
+    xs.foreach { case (flag, v) =>
+      val n = v.size.toDouble
+      val mean = v.sum / n
+      val m2 = v.map(x => (x - mean) * (x - mean)).sum / n
+      val m3 = v.map(x => (x - mean) * (x - mean) * (x - mean)).sum / n
+      val m4 = v.map(x => (x - mean) * (x - mean) * (x - mean) * (x - mean)).sum / n
+      val (gs, gk) = got(flag)
+      assert(math.abs(gs - m3 / (m2 * math.sqrt(m2))) < 1e-6, s"skew($flag)")
+      assert(math.abs(gk - (m4 / (m2 * m2) - 3.0)) < 1e-6, s"kurt($flag)")
+    }
+  }
+
+  test("datetime_battery fields are internally consistent") {
+    val rows = graft.queries.Analytics.datetimeBattery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (yr, qtr, mo) = (r.getAs[Int]("yr"), r.getAs[Int]("qtr"), r.getAs[Int]("mo"))
+      assert(qtr === (mo - 1) / 3 + 1)
+      assert((0 to 6).contains(r.getAs[Int]("dow_mon0")))
+      assert(r.getAs[Int]("months_to_end") === (1998 * 12 + 8) - (yr * 12 + mo))
+      val me = r.getAs[java.sql.Date]("month_end").toLocalDate
+      assert(me.getDayOfMonth === me.lengthOfMonth, "month_end is the last day")
+    }
+  }
+
+  test("regex battery extraction agrees with JSON parsing of props") {
+    val rows = graft.queries.Analytics.regexBattery(spark, sf)
+      .withColumn("k_json", get_json_object(col("props"), "$.k").cast("int"))
+      .select("k_num", "k_json", "n_num").as[(Int, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (kNum, kJson, nNum) =>
+      assert(kNum === kJson); assert(nNum === 1)
+    }
+  }
+
+  test("mode_median mode is the true argmax count with min-key ties") {
+    val ks = Tables.t(spark, sf, "events")
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int"))
+      .as[(String, Int)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).groupBy(identity).view.mapValues(_.size).toMap).toMap
+    val got = graft.queries.Analytics.modeMedian(spark, sf)
+      .select("event_type", "mode_k", "mode_n").as[(String, Int, Long)].collect()
+    got.foreach { case (t, k, n) =>
+      val counts = ks(t)
+      val maxN = counts.values.max
+      assert(n === maxN, s"mode_n($t)")
+      assert(k === counts.filter(_._2 == maxN).keys.min, s"tie-break($t)")
+    }
+  }
+
+  test("pagerank is deterministic, covers all nodes, and conserves teleport floor") {
+    val clicks = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long"))
+      .as[(Long, Long)].collect().distinct
+    val nNodes = clicks.map(_._1).distinct.size + clicks.map(_._2).distinct.size
+    val r1 = graft.queries.Analytics.pagerank(spark, sf).as[(Long, Long)].collect()
+    val r2 = graft.queries.Analytics.pagerank(spark, sf).as[(Long, Long)].collect()
+    assert(r1.toSeq === r2.toSeq, "integer PageRank must be bit-identical across runs")
+    assert(r1.length === nNodes)
+    assert(r1.forall(_._2 >= 150000L), "every node keeps the teleport mass")
+    // rank mass is bounded by the lossless-float total (div flooring only loses)
+    assert(r1.map(_._2).sum <= nNodes * 1000000L)
+  }
+}

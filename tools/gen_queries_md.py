@@ -8,7 +8,8 @@ mods = {
  'LlmQueries': 'src/main/scala/graft/queries/LlmQueries.scala',
  'Extended': 'src/main/scala/graft/queries/Extended.scala',
  'Pipeline': 'src/main/scala/graft/queries/Pipeline.scala',
- 'Curation': 'src/main/scala/graft/queries/Curation.scala'}
+ 'Curation': 'src/main/scala/graft/queries/Curation.scala',
+ 'Analytics': 'src/main/scala/graft/queries/Analytics.scala'}
 entries = {}
 for mod, path in mods.items():
     src = open(path).read()
