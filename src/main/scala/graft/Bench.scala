@@ -23,6 +23,34 @@ import org.apache.spark.sql.functions._
   * the old single-pass (cold) numbers.
   */
 object Bench {
+
+  private[graft] def f3(v: Double) =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Compact per-query JSON map with a hard size budget: short keys
+    * (the qNN prefix) at millisecond precision; if even that exceeds
+    * `budget` chars, keep the slowest queries and fold the rest into
+    * one `omitted_sec` remainder so the total stays reconstructible.
+    * The driver parses the line out of a 2000-char stdout tail — an
+    * oversized line loses its HEAD, which is the un-recoverable part. */
+  private[graft] def compactQueries(results: Map[String, Double],
+      budget: Int = 1550): String = {
+    val shortKv = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => ("\"" + k.takeWhile(_ != '_') + "\":" + f3(v), v) }
+    if (shortKv.map(_._1.length + 1).sum <= budget)
+      shortKv.map(_._1).mkString("{", ",", "}")
+    else {
+      val keep = shortKv.sortBy(-_._2)
+        .scanLeft(("", 0.0, 0)) { case ((_, _, len), (kv, v)) =>
+          (kv, v, len + kv.length + 1)
+        }
+        .drop(1).takeWhile(_._3 <= budget - 30).map(_._1).toSet
+      val omitted = shortKv.filterNot(p => keep(p._1))
+      (shortKv.collect { case (kv, _) if keep(kv) => kv } :+
+        ("\"omitted_sec\":" + f3(omitted.map(_._2).sum))).mkString("{", ",", "}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -77,10 +105,7 @@ object Bench {
     // to BENCH_FULL.json for humans.
     // Locale.ROOT: the f interpolator uses the default locale, which on
     // comma-decimal locales would emit "1,234" and break the JSON parse
-    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    val qs = compactQueries(results)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }

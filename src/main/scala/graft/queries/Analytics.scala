@@ -378,15 +378,18 @@ object Analytics {
     val e = edges.join(deg, "u").persist()
     var ranks = deg.select(col("u").as("id"), lit(1000000L).as("r"))
     for (_ <- 1 to 5) {
+      // eager localCheckpoint per iteration (the connected-components
+      // pattern, llm/Dedup.scala): keeps the plan flat instead of a
+      // 5-deep join lineage, and leaves the final frame independent of
+      // the cached edge set so it can be released here
       ranks = e.join(ranks, col("u") === col("id"))
         .groupBy(col("v"))
         .agg(sum(expr("(r * 85) div (100 * deg)")).as("contrib"))
         .select(col("v").as("id"), (col("contrib") + 150000L).as("r"))
+        .localCheckpoint(true)
     }
-    val out = ranks.orderBy("id")
-    out.count() // materialize before unpersisting the shared edge set
     e.unpersist()
-    out
+    ranks.orderBy("id")
   }
 
   val pagerankSql: String = {

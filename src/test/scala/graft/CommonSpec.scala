@@ -70,4 +70,28 @@ class CommonSpec extends AnyFunSuite {
       assert(out.contains(s"$g:\n"), s"missing group $g")
     assert(out.contains("TableSpec.numSplits"))
   }
+
+  // Bench stdout contract: the driver parses the JSON line from a
+  // 2000-char stdout tail, so the query map must stay under its budget
+  // no matter how many queries are registered
+  test("bench compact query map respects the tail budget at any registry size") {
+    val small = (1 to 20).map(i => f"q$i%02d_name" -> i * 0.01).toMap
+    val smallOut = Bench.compactQueries(small)
+    assert(smallOut.length <= 1550)
+    assert(!smallOut.contains("omitted_sec"), "small registries keep all keys")
+    assert(smallOut.contains("\"q07\":0.070"))
+    val big = (1 to 400).map(i => f"q$i%03d_long_query_name" -> i * 0.013).toMap
+    val bigOut = Bench.compactQueries(big)
+    assert(bigOut.length <= 1550, s"len=${bigOut.length}")
+    assert(bigOut.contains("omitted_sec"), "oversized registries fold the fast tail")
+    assert(bigOut.contains("\"q400\":5.200"), "slowest query always reported")
+    // total is reconstructible: kept values + omitted_sec == full sum
+    val kvs = bigOut.stripPrefix("{").stripSuffix("}").split(",")
+      .map(_.split(":")).map(a => a(0).replaceAll("\"", "") -> a(1).toDouble).toMap
+    assert(math.abs(kvs.values.sum - big.values.sum) < 0.01 * big.size)
+    // current registry fits without folding
+    val current = SparkEntry.queries.keys.map(_ -> 1.234).toMap
+    assert(!Bench.compactQueries(current).contains("omitted_sec"),
+      "the live registry should still fit the tail budget outright")
+  }
 }
