@@ -411,6 +411,75 @@ object Analytics {
     head + iters + "\nSELECT id, r FROM r5 ORDER BY id"
   }
 
+  // -------------------------------------------------------------- q117
+
+  /** Heavy hitters by sketch + exact rescue: a Misra–Gries pass
+    * ([[graft.functions.MisraGries]], k=128) yields ≤128 candidates —
+    * a guaranteed superset of every token above 1% support since
+    * n/(k+1) < 1% — then only candidate tokens are re-counted exactly
+    * (broadcast semi-join before the count shuffle) and filtered by the
+    * integer support test. Net effect: exact heavy hitters while the
+    * shuffle carries candidate rows instead of the full token stream —
+    * at 100 TB the difference between a 128-key exchange and a
+    * vocabulary-wide one. */
+  val heavyHitters: Q = (s, dir) => {
+    val toks = Tables.t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val mg = udaf(graft.functions.MisraGries(128))
+    val cand = toks.agg(mg(col("tok")).as("cand"))
+      .select(explode(map_keys(col("cand"))).as("tok"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(cand), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * 100 >= col("total"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(desc("cnt"), col("tok"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH t AS (SELECT unnest($ToksSql) AS tok FROM documents),
+       |n AS (SELECT count(*) AS total FROM t)
+       |SELECT tok, count(*) AS cnt
+       |FROM t, n GROUP BY tok HAVING count(*) * 100 >= max(total)
+       |ORDER BY cnt DESC, tok""".stripMargin
+
+  // -------------------------------------------------------------- q118
+
+  /** Character-diversity quality profile: Gini impurity and
+    * top-character share per document — the gibberish/repetition signal
+    * next to q74's token-level repetition score. One custom-kernel pass
+    * per row ([[graft.functions.CharDiversity]]) instead of the
+    * explode-100×-rows-and-shuffle formulation; the measures are pure
+    * rational arithmetic (no log), so both engines compute identical
+    * doubles from identical integer counts. */
+  val charDiversity: Q = (s, dir) => {
+    val n = col("cd.n_chars").cast("double")
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.CharDiversity(TextOps.normalized(col("text"))).as("cd"))
+      .filter(col("cd.n_chars") > 0)
+      .select(col("doc_id"),
+        col("cd.n_chars").cast("int").as("n_chars"),
+        col("cd.distinct_chars").as("distinct_chars"),
+        round(lit(1.0) - col("cd.sum_sq").cast("double") / (n * n), 6).as("gini"),
+        round(col("cd.max_count").cast("double") / n, 6).as("top_share"))
+      .orderBy("doc_id")
+  }
+
+  val charDiversitySql: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id, unnest(string_split($NormSql, '')) AS c
+       |  FROM documents WHERE length($NormSql) > 0),
+       |cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, sum(k)::BIGINT AS n, count(*)::INT AS dc,
+       |          sum(k * k)::BIGINT AS ss, max(k)::INT AS mx
+       |        FROM cc GROUP BY 1)
+       |SELECT doc_id, n::INT AS n_chars, dc AS distinct_chars,
+       |  round(1.0 - ss::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) AS gini,
+       |  round(mx::DOUBLE / n::DOUBLE, 6) AS top_share
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -422,7 +491,9 @@ object Analytics {
     "q113_datetime_battery" -> datetimeBattery,
     "q114_regex_battery" -> regexBattery,
     "q115_mode_median" -> modeMedian,
-    "q116_pagerank" -> pagerank)
+    "q116_pagerank" -> pagerank,
+    "q117_heavy_hitters" -> heavyHitters,
+    "q118_char_diversity" -> charDiversity)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -433,5 +504,7 @@ object Analytics {
     "q113_datetime_battery" -> datetimeBatterySql,
     "q114_regex_battery" -> regexBatterySql,
     "q115_mode_median" -> modeMedianSql,
-    "q116_pagerank" -> pagerankSql)
+    "q116_pagerank" -> pagerankSql,
+    "q117_heavy_hitters" -> heavyHittersSql,
+    "q118_char_diversity" -> charDiversitySql)
 }

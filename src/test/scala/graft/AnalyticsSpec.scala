@@ -141,6 +141,64 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("misra-gries candidates are a superset of true heavy hitters on a skewed stream") {
+    import org.apache.spark.sql.functions.udaf
+    // vocabulary (400) ≫ capacity (16): the decrement/merge paths genuinely
+    // fire. Zipf-ish skew: item i appears 40000/(i+1) times (deterministic).
+    val stream = (0 until 400).flatMap(i => Seq.fill(40000 / (i + 1))(s"w$i"))
+    val ds = spark.createDataset(stream).repartition(7) // force multi-buffer merge
+    val k = 16
+    val mg = udaf(graft.functions.MisraGries(k))
+    val cand = ds.toDF("tok")
+      .agg(mg(col("tok")).as("m"))
+      .select(explode(map_keys(col("m"))).as("t")).as[String].collect().toSet
+    assert(cand.size <= k, s"at most $k counters survive")
+    val n = stream.size
+    val exact = stream.groupBy(identity).view.mapValues(_.size)
+    val mustSurvive = exact.collect {
+      case (t, c) if c.toLong * (k + 1) > n => t
+    }.toSet
+    assert(mustSurvive.nonEmpty, "fixture must contain true heavy hitters")
+    assert(mustSurvive.subsetOf(cand),
+      s"missing guaranteed heavy hitters: ${mustSurvive -- cand}")
+  }
+
+  test("heavy_hitters equals exact 1%-support counts and broadcasts candidates") {
+    val toks = docTokens.values.flatten.toSeq
+    val total = toks.size
+    val expect = toks.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 * 100 >= total).toMap
+    val got = graft.queries.Analytics.heavyHitters(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(got.view.mapValues(_.toInt).toMap === expect)
+    val plan = graft.queries.Analytics.heavyHitters(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "candidate rescue must broadcast, not shuffle the token stream")
+  }
+
+  test("char_diversity matches brute-force histograms and stays in codegen") {
+    val got = graft.queries.Analytics.charDiversity(spark, sf)
+      .as[(Long, Int, Int, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val norm = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.normalized(col("text")).as("s"))
+      .as[(Long, String)].collect()
+    norm.filter(_._2.nonEmpty).foreach { case (id, s) =>
+      val counts = s.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+      val n = s.length.toDouble
+      val sumSq = counts.values.map(c => c.toLong * c.toLong).sum
+      val (nc, dc, gini, top) = got(id)
+      assert(nc === s.length); assert(dc === counts.size)
+      assert(math.abs(gini - (1.0 - sumSq / (n * n))) < 1e-6, s"gini($id)")
+      assert(math.abs(top - counts.values.max / n) < 1e-6, s"top($id)")
+    }
+    val plan = graft.queries.Analytics.charDiversity(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "kernel formulation must not explode+shuffle character rows")
+  }
+
   test("pagerank is deterministic, covers all nodes, and conserves teleport floor") {
     val clicks = Tables.t(spark, sf, "events")
       .filter(col("event_type") === "click")
