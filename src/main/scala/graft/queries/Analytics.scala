@@ -480,6 +480,113 @@ object Analytics {
        |  round(mx::DOUBLE / n::DOUBLE, 6) AS top_share
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q119
+
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): every supplier walks its
+    * binary-coded ancestor chain (parent = suppkey div 2 — an implicit
+    * tree, so UNION ALL recursion terminates without cycle detection)
+    * and aggregates chain length. The declarative twin of the iterative
+    * connected-components/PageRank loops: the ENGINE drives the
+    * fixpoint. Depth is log₂(n) — 10⁹ suppliers still recurse only ~30
+    * levels, each level one self-join of the frontier. */
+  val recursiveCte: Q = (s, dir) => {
+    Tables.t(s, dir, "supplier").createOrReplaceTempView("supplier_rc")
+    s.sql(
+      """WITH RECURSIVE anc(suppkey, a, depth) AS (
+        |  SELECT s_suppkey, s_suppkey, 0 FROM supplier_rc
+        |  UNION ALL
+        |  SELECT suppkey, a DIV 2, depth + 1 FROM anc WHERE a > 0
+        |)
+        |SELECT suppkey, count(*) AS n_anc, max(depth) AS depth_to_root
+        |FROM anc GROUP BY suppkey ORDER BY suppkey""".stripMargin)
+  }
+
+  val recursiveCteSql: String =
+    """WITH RECURSIVE anc(suppkey, a, depth) AS (
+      |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+      |  UNION ALL
+      |  SELECT suppkey, a // 2, depth + 1 FROM anc WHERE a > 0
+      |)
+      |SELECT suppkey, count(*) AS n_anc, max(depth)::INT AS depth_to_root
+      |FROM anc GROUP BY suppkey ORDER BY suppkey""".stripMargin
+
+  // -------------------------------------------------------------- q120
+
+  /** Correlated LATERAL subquery: per region, the top-2 nations by
+    * total customer balance — the "top-n per group via lateral"
+    * formulation (the SQL-surface twin of the WindowGroupLimit rank
+    * path, q81/q98). Balances sum exactly in cents (BIGINT), ties break
+    * on name, so the LIMIT cut is deterministic in both engines. */
+  val lateralTopN: Q = (s, dir) => {
+    Tables.t(s, dir, "nation").createOrReplaceTempView("nation_lat")
+    Tables.t(s, dir, "customer").createOrReplaceTempView("customer_lat")
+    s.sql(
+      """SELECT r.n_regionkey AS regionkey, t.n_name, t.bal_cents
+        |FROM (SELECT DISTINCT n_regionkey FROM nation_lat) r,
+        |LATERAL (
+        |  SELECT na.n_name,
+        |    CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |      AS bal_cents
+        |  FROM nation_lat na JOIN customer_lat c
+        |    ON c.c_nationkey = na.n_nationkey
+        |  WHERE na.n_regionkey = r.n_regionkey
+        |  GROUP BY na.n_name
+        |  ORDER BY bal_cents DESC, na.n_name LIMIT 2) t
+        |ORDER BY regionkey, bal_cents DESC, n_name""".stripMargin)
+  }
+
+  val lateralTopNSql: String =
+    """SELECT r.n_regionkey AS regionkey, t.n_name, t.bal_cents
+      |FROM (SELECT DISTINCT n_regionkey FROM nation) r,
+      |LATERAL (
+      |  SELECT na.n_name,
+      |    sum(round(c.c_acctbal * 100)::BIGINT)::BIGINT AS bal_cents
+      |  FROM nation na JOIN customer c ON c.c_nationkey = na.n_nationkey
+      |  WHERE na.n_regionkey = r.n_regionkey
+      |  GROUP BY na.n_name
+      |  ORDER BY bal_cents DESC, na.n_name LIMIT 2) t
+      |ORDER BY regionkey, bal_cents DESC, n_name""".stripMargin
+
+  // -------------------------------------------------------------- q121
+
+  /** Null-semantics battery (§2.8 breadth): coalesce fallbacks,
+    * null-safe equality, NULLIF, two-valued NVL2 branching, and
+    * null-propagating arithmetic — over the naturally null-bearing side
+    * of a left join (customers without HIGH-VALUE orders; the price
+    * floor guarantees null rows at every scale factor). The foot-gun
+    * this pins: `tot + 1` is NULL for them while `coalesce` rescues,
+    * and `<=>` (IS NOT DISTINCT FROM) is TRUE where `=` would be NULL. */
+  val nullBattery: Q = (s, dir) => {
+    val o = Tables.t(s, dir, "orders")
+      .filter(col("o_totalprice") > 300000)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("tot"))
+    Tables.t(s, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("tot"), lit(-1L)).as("tot_or_neg1"),
+        col("tot").isNull.as("no_orders"),
+        (col("tot") <=> lit(null)).as("nullsafe_eq_null"),
+        expr("nullif(c_nationkey, 0)").as("nation_nz"),
+        expr("nvl2(tot, 'has', 'none')").as("order_flag"),
+        (col("tot") + lit(1)).as("tot_plus1"))
+      .orderBy("c_custkey")
+  }
+
+  val nullBatterySql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT) AS tot
+      |  FROM orders WHERE o_totalprice > 300000 GROUP BY 1)
+      |SELECT c_custkey,
+      |  coalesce(tot, -1)::BIGINT AS tot_or_neg1,
+      |  tot IS NULL AS no_orders,
+      |  tot IS NOT DISTINCT FROM NULL AS nullsafe_eq_null,
+      |  nullif(c_nationkey, 0) AS nation_nz,
+      |  CASE WHEN tot IS NOT NULL THEN 'has' ELSE 'none' END AS order_flag,
+      |  (tot + 1)::BIGINT AS tot_plus1
+      |FROM customer LEFT JOIN o ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -493,7 +600,10 @@ object Analytics {
     "q115_mode_median" -> modeMedian,
     "q116_pagerank" -> pagerank,
     "q117_heavy_hitters" -> heavyHitters,
-    "q118_char_diversity" -> charDiversity)
+    "q118_char_diversity" -> charDiversity,
+    "q119_recursive_cte" -> recursiveCte,
+    "q120_lateral_topn" -> lateralTopN,
+    "q121_null_battery" -> nullBattery)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -506,5 +616,8 @@ object Analytics {
     "q115_mode_median" -> modeMedianSql,
     "q116_pagerank" -> pagerankSql,
     "q117_heavy_hitters" -> heavyHittersSql,
-    "q118_char_diversity" -> charDiversitySql)
+    "q118_char_diversity" -> charDiversitySql,
+    "q119_recursive_cte" -> recursiveCteSql,
+    "q120_lateral_topn" -> lateralTopNSql,
+    "q121_null_battery" -> nullBatterySql)
 }

@@ -199,6 +199,49 @@ class AnalyticsSpec extends AnyFunSuite {
       "kernel formulation must not explode+shuffle character rows")
   }
 
+  test("recursive CTE ancestor chains match closed-form binary-tree depth") {
+    val rows = graft.queries.Analytics.recursiveCte(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, nAnc, depth) =>
+      val expectDepth =
+        if (k == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(k) // floor(log2)+1
+      assert(depth === expectDepth, s"depth($k)")
+      assert(nAnc === depth + 1, s"chain length($k)")
+    }
+  }
+
+  test("lateral top-n per region matches window-rank brute force") {
+    val bals = Tables.t(spark, sf, "nation")
+      .join(Tables.t(spark, sf, "customer"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_regionkey", "n_name")
+      .agg(sum(round(col("c_acctbal") * 100).cast("long")).as("bal"))
+      .as[(Long, String, Long)].collect()
+    val expect = bals.groupBy(_._1).view.mapValues(
+      _.sortBy(r => (-r._3, r._2)).take(2).map(r => (r._2, r._3)).toSeq).toMap
+    val got = graft.queries.Analytics.lateralTopN(spark, sf)
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq).toMap
+    assert(got === expect)
+  }
+
+  test("null battery columns are mutually consistent") {
+    val rows = graft.queries.Analytics.nullBattery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var sawNull = false
+    rows.foreach { r =>
+      val noOrders = r.getAs[Boolean]("no_orders")
+      sawNull |= noOrders
+      assert(r.getAs[Boolean]("nullsafe_eq_null") === noOrders)
+      assert((r.getAs[Long]("tot_or_neg1") == -1L) === noOrders)
+      assert(r.isNullAt(r.fieldIndex("tot_plus1")) === noOrders,
+        "arithmetic must propagate NULL exactly for order-less customers")
+      assert(r.getAs[String]("order_flag") === (if (noOrders) "none" else "has"))
+    }
+    assert(sawNull, "fixture must include customers without orders")
+  }
+
   test("pagerank is deterministic, covers all nodes, and conserves teleport floor") {
     val clicks = Tables.t(spark, sf, "events")
       .filter(col("event_type") === "click")
