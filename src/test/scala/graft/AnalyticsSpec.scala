@@ -226,6 +226,13 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("lateral top-n decorrelates to a rank pushdown, not per-group re-execution") {
+    val plan = graft.queries.Analytics.lateralTopN(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "the correlated LIMIT must plan as a WindowGroupLimit rank pushdown")
+  }
+
   test("null battery columns are mutually consistent") {
     val rows = graft.queries.Analytics.nullBattery(spark, sf).collect()
     assert(rows.nonEmpty)
