@@ -587,6 +587,44 @@ object Analytics {
       |FROM customer LEFT JOIN o ON c_custkey = o_custkey
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------- q122
+
+  /** Higher-order array-function battery (§2.8 lambdas, past q58's
+    * scalar array ops): filter / transform+aggregate fold / exists /
+    * forall / zip_with over the embedding vectors — all codegen'd
+    * map-side work, zero shuffles. Both engines fold the lambda sums
+    * sequentially in list order over identical float→double casts, so
+    * the doubles agree; results still round to 6 as a guard. */
+  val higherOrder: Q = (s, dir) => {
+    val e = col("embedding")
+    val d = (x: org.apache.spark.sql.Column) => x.cast("double")
+    Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        size(filter(e, x => x > 0)).as("n_pos"),
+        round(aggregate(transform(e, x => d(x) * d(x)),
+          lit(0.0), (acc, v) => acc + v), 6).as("l2sq"),
+        exists(e, x => x > 0.5).as("any_gt_half"),
+        forall(e, x => abs(x) < 1.0).as("all_lt_one"),
+        round(array_max(e).cast("double"), 6).as("max_elem"),
+        round(aggregate(zip_with(e, reverse(e), (x, y) => d(x) * d(y)),
+          lit(0.0), (acc, v) => acc + v), 6).as("dot_rev"))
+      .orderBy("vec_id")
+  }
+
+  val higherOrderSql: String =
+    """SELECT vec_id,
+      |  len(list_filter(embedding, x -> x > 0))::INT AS n_pos,
+      |  round(list_aggregate(
+      |    list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'), 6)
+      |    AS l2sq,
+      |  len(list_filter(embedding, x -> x > 0.5)) > 0 AS any_gt_half,
+      |  len(list_filter(embedding, x -> abs(x) >= 1.0)) = 0 AS all_lt_one,
+      |  round(list_max(embedding)::DOUBLE, 6) AS max_elem,
+      |  round(list_aggregate(
+      |    list_transform(list_zip(embedding, list_reverse(embedding)),
+      |      p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum'), 6) AS dot_rev
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -603,7 +641,8 @@ object Analytics {
     "q118_char_diversity" -> charDiversity,
     "q119_recursive_cte" -> recursiveCte,
     "q120_lateral_topn" -> lateralTopN,
-    "q121_null_battery" -> nullBattery)
+    "q121_null_battery" -> nullBattery,
+    "q122_higher_order" -> higherOrder)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -619,5 +658,6 @@ object Analytics {
     "q118_char_diversity" -> charDiversitySql,
     "q119_recursive_cte" -> recursiveCteSql,
     "q120_lateral_topn" -> lateralTopNSql,
-    "q121_null_battery" -> nullBatterySql)
+    "q121_null_battery" -> nullBatterySql,
+    "q122_higher_order" -> higherOrderSql)
 }

@@ -249,6 +249,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(sawNull, "fixture must include customers without orders")
   }
 
+  test("higher-order battery matches scalar brute force and stays map-side") {
+    val q = graft.queries.Analytics.higherOrder(spark, sf)
+    val vecs = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val got = q.as[(Long, Int, Double, Boolean, Boolean, Double, Double)]
+      .collect()
+    assert(got.length === vecs.size)
+    got.foreach { case (id, nPos, l2sq, anyGt, allLt, maxE, dotRev) =>
+      val v = vecs(id).map(_.toDouble)
+      assert(nPos === v.count(_ > 0))
+      assert(math.abs(l2sq - v.map(x => x * x).sum) < 1e-6)
+      assert(anyGt === v.exists(_ > 0.5))
+      assert(allLt === v.forall(x => math.abs(x) < 1.0))
+      assert(math.abs(maxE - v.max) < 1e-6)
+      assert(math.abs(dotRev - v.zip(v.reverse).map { case (a, b) => a * b }.sum) < 1e-6)
+    }
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "lambda battery is per-row work; only the presentation sort may exchange")
+  }
+
   test("pagerank is deterministic, covers all nodes, and conserves teleport floor") {
     val clicks = Tables.t(spark, sf, "events")
       .filter(col("event_type") === "click")
