@@ -625,6 +625,36 @@ object Analytics {
       |      p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum'), 6) AS dot_rev
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // -------------------------------------------------------------- q123
+
+  /** Fuzzy name matching by Jaro–Winkler similarity
+    * ([[graft.functions.JaroWinkler]], the transposition-tolerant
+    * complement to q72's edit distance): every customer scored against
+    * a 10-name broadcast probe set, keeping strong matches. Linear in
+    * the corpus — probes broadcast, the big side never shuffles; the
+    * kernel's float op order is bit-identical to DuckDB's
+    * jaro_winkler_similarity, so the oracle compares at full double
+    * precision with no rounding guard. */
+  val fuzzyJw: Q = (s, dir) => {
+    val c = Tables.t(s, dir, "customer").select("c_custkey", "c_name")
+    val probes = c.filter(col("c_custkey") < 10)
+      .select(col("c_custkey").as("probe_key"), col("c_name").as("probe_name"))
+    val jw = graft.functions.JaroWinkler(col("c_name"), col("probe_name"))
+    c.crossJoin(broadcast(probes))
+      .filter(col("c_custkey") > col("probe_key"))
+      .select(col("c_custkey"), col("probe_key"), jw.as("jw"))
+      .filter(col("jw") > 0.9)
+      .orderBy("c_custkey", "probe_key")
+  }
+
+  val fuzzyJwSql: String =
+    """SELECT c.c_custkey, p.c_custkey AS probe_key,
+      |  jaro_winkler_similarity(c.c_name, p.c_name) AS jw
+      |FROM customer c JOIN customer p
+      |  ON p.c_custkey < 10 AND c.c_custkey > p.c_custkey
+      |WHERE jaro_winkler_similarity(c.c_name, p.c_name) > 0.9
+      |ORDER BY c.c_custkey, probe_key""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -642,7 +672,8 @@ object Analytics {
     "q119_recursive_cte" -> recursiveCte,
     "q120_lateral_topn" -> lateralTopN,
     "q121_null_battery" -> nullBattery,
-    "q122_higher_order" -> higherOrder)
+    "q122_higher_order" -> higherOrder,
+    "q123_fuzzy_jw" -> fuzzyJw)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -659,5 +690,6 @@ object Analytics {
     "q119_recursive_cte" -> recursiveCteSql,
     "q120_lateral_topn" -> lateralTopNSql,
     "q121_null_battery" -> nullBatterySql,
-    "q122_higher_order" -> higherOrderSql)
+    "q122_higher_order" -> higherOrderSql,
+    "q123_fuzzy_jw" -> fuzzyJwSql)
 }

@@ -271,6 +271,31 @@ class AnalyticsSpec extends AnyFunSuite {
       "lambda battery is per-row work; only the presentation sort may exchange")
   }
 
+  test("jaro-winkler kernel matches textbook values, symmetry, and bounds") {
+    import graft.functions.JaroWinklerKernel.{similarity => jw}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // classic published examples (Winkler 1990 convention, boost>0.7)
+    assert(math.abs(jw(u("MARTHA"), u("MARHTA")) - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw(u("DWAYNE"), u("DUANE")) - 0.84) < 1e-12)
+    assert(math.abs(jw(u("DIXON"), u("DICKSONX")) - 0.8133333333333332) < 1e-12)
+    assert(jw(u("abc"), u("abc")) === 1.0)
+    assert(jw(u("abc"), u("xyz")) === 0.0)
+    assert(jw(u(""), u("abc")) === 0.0)
+    // symmetry + bounds over fixture name pairs
+    val names = Tables.t(spark, sf, "customer")
+      .select("c_name").as[String].take(30)
+    for (a <- names; b <- names) {
+      val s1 = jw(u(a), u(b)); val s2 = jw(u(b), u(a))
+      assert(s1 === s2, s"symmetry($a,$b)")
+      assert(s1 >= 0.0 && s1 <= 1.0)
+    }
+    // probe-set query: broadcast plan, no corpus shuffle
+    val plan = graft.queries.Analytics.fuzzyJw(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), "probe set must broadcast")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("pagerank is deterministic, covers all nodes, and conserves teleport floor") {
     val clicks = Tables.t(spark, sf, "events")
       .filter(col("event_type") === "click")
