@@ -94,7 +94,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
     val bytes = new java.io.File(s"$sfDir/lineitem.parquet").length()
-    val scan = f"""{"rows":$rows,"sec":$scanSec%.4f,"rows_per_sec":${(rows / scanSec).toLong},"parquet_mb_per_sec":${bytes / 1e6 / scanSec}%.1f}"""
+    // Locale.ROOT like the query map — the f interpolator would emit
+    // comma decimals on comma-decimal locales and break the JSON parse
+    def f4(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def f1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val scan = s"""{"rows":$rows,"sec":${f4(scanSec)},"rows_per_sec":${(rows / scanSec).toLong},"parquet_mb_per_sec":${f1(bytes / 1e6 / scanSec)}}"""
 
     // The driver keeps only the last ~2000 chars of stdout and parses the
     // JSON line out of that tail; sbt's "[success] ..." trailer eats ~80 of

@@ -22,9 +22,11 @@ import org.apache.spark.sql.types._
 object JaroWinklerKernel {
 
   def jaro(a: String, b: String): Double = {
-    if (a == b) return 1.0
+    // empties first: DuckDB defines jaro('','') = 0, so the equality
+    // shortcut must not see the empty-empty pair
     val l1 = a.length; val l2 = b.length
     if (l1 == 0 || l2 == 0) return 0.0
+    if (a == b) return 1.0
     val md = math.max(math.max(l1, l2) / 2 - 1, 0)
     val m1 = new Array[Boolean](l1)
     val m2 = new Array[Boolean](l2)

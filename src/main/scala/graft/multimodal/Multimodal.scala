@@ -168,6 +168,16 @@ object Multimodal {
     * media fingerprints) and are verified with an exact popcount. No
     * all-pairs stage; the shuffle carries (block, id) pairs only.
     * `hashed` must have columns (id, ahash). */
+  // release path for the per-call hash cache below (the Dedup
+  // lastShingleCache discipline): each call swaps the previous cached
+  // frame out, and callers done with media pairing can drop the last one
+  @volatile private var lastHashCache: Option[DataFrame] = None
+
+  def clearHashCache(): Unit = Multimodal.synchronized {
+    lastHashCache.foreach(_.unpersist(blocking = false))
+    lastHashCache = None
+  }
+
   def nearDupPairsByHash(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
     // persist: candidate generation and both hash-lookup joins read the
     // hashed frame, and its upstream is a media DECODE — a naive bucket
@@ -177,6 +187,10 @@ object Multimodal {
     // (a corpus of N byte-identical blobs shares one hash and would
     // otherwise expand O(N²)).
     val h = hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Multimodal.synchronized {
+      lastHashCache.foreach(_.unpersist(blocking = false))
+      lastHashCache = Some(h)
+    }
     val banded = h.select(col("id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("blk"),

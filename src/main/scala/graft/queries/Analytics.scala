@@ -329,9 +329,13 @@ object Analytics {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
     val med = e.groupBy("event_type").agg(count(lit(1)).as("n"),
       round(percentile(col("value"), lit(0.5)), 4).as("median_value"))
+    // asc_nulls_last: Spark's ASC default is NULLS FIRST but DuckDB's
+    // is NULLS LAST — under a missing-"k" props a null group tying for
+    // the top count would otherwise win in one engine only
     val mo = e.groupBy("event_type", "k").agg(count(lit(1)).as("c"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("event_type").orderBy(desc("c"), col("k"))))
+        Window.partitionBy("event_type")
+          .orderBy(desc("c"), col("k").asc_nulls_last)))
       .filter(col("rn") === 1)
       .select(col("event_type"), col("k").as("mode_k"), col("c").as("mode_n"))
     med.join(mo, "event_type")
@@ -349,7 +353,7 @@ object Analytics {
       |kc AS (SELECT event_type, k, count(*) AS c FROM e GROUP BY 1, 2),
       |mo AS (SELECT event_type, k AS mode_k, c AS mode_n,
       |         row_number() OVER (PARTITION BY event_type
-      |           ORDER BY c DESC, k) AS rn
+      |           ORDER BY c DESC, k ASC NULLS LAST) AS rn
       |       FROM kc)
       |SELECT m.event_type, m.n, m.median_value, mo.mode_k, mo.mode_n
       |FROM med m JOIN mo ON m.event_type = mo.event_type AND mo.rn = 1
@@ -370,8 +374,11 @@ object Analytics {
   val pagerank: Q = (s, dir) => {
     val clicks = Tables.t(s, dir, "events")
       .filter(col("event_type") === "click")
+      // key nodes live in the negative id space (-1-k): disjoint from
+      // any non-negative user_id at ANY scale, unlike an additive
+      // offset a large corpus's user ids would eventually collide with
       .select(col("user_id").as("u"),
-        (get_json_object(col("props"), "$.k").cast("long") + 10000L).as("v"))
+        (lit(-1L) - get_json_object(col("props"), "$.k").cast("long")).as("v"))
       .distinct()
     val edges = clicks.union(clicks.select(col("v").as("u"), col("u").as("v")))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
@@ -396,7 +403,7 @@ object Analytics {
     val head =
       """WITH ed AS (
         |  SELECT DISTINCT user_id AS u,
-        |    10000 + json_extract(props, 'k')::BIGINT AS v
+        |    -1 - json_extract(props, 'k')::BIGINT AS v
         |  FROM events WHERE event_type = 'click'),
         |edges AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
         |deg AS (SELECT u, count(*)::BIGINT AS deg FROM edges GROUP BY u),
@@ -426,12 +433,18 @@ object Analytics {
     val toks = Tables.t(s, dir, "documents")
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
     val mg = udaf(graft.functions.MisraGries(128))
-    val cand = toks.agg(mg(col("tok")).as("cand"))
-      .select(explode(map_keys(col("cand"))).as("tok"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    // total rides the sketch aggregate so the corpus is tokenized twice
+    // (sketch+total, then rescue), not three times; persisting the
+    // exploded token stream instead would cache O(corpus) rows — worse
+    // than the rescan at the 100 TB target. The one-row result is
+    // eagerly checkpointed so its two consumers don't re-run the pass.
+    val sketch = toks
+      .agg(mg(col("tok")).as("cand"), count(lit(1)).as("total"))
+      .localCheckpoint(true)
+    val cand = sketch.select(explode(map_keys(col("cand"))).as("tok"))
     toks.join(broadcast(cand), "tok")
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(sketch.select(col("total"))))
       .filter(col("cnt") * 100 >= col("total"))
       .select(col("tok"), col("cnt"))
       .orderBy(desc("cnt"), col("tok"))

@@ -281,6 +281,7 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(jw(u("abc"), u("abc")) === 1.0)
     assert(jw(u("abc"), u("xyz")) === 0.0)
     assert(jw(u(""), u("abc")) === 0.0)
+    assert(jw(u(""), u("")) === 0.0, "DuckDB parity: jaro('','') is 0")
     // symmetry + bounds over fixture name pairs
     val names = Tables.t(spark, sf, "customer")
       .select("c_name").as[String].take(30)
