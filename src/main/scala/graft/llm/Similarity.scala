@@ -54,7 +54,7 @@ object Similarity {
   /** The per-cell sort key for nearest-centroid selection: similarities
     * are rounded (6 dp) and ties broken by cell id ascending, so the
     * assignment is deterministic and engine-portable. */
-  private def cellRanks(vecName: String, centroids: Array[(Long, Array[Double])]): Column =
+  private[llm] def cellRanks(vecName: String, centroids: Array[(Long, Array[Double])]): Column =
     array(centroids.map { case (cell, cv) =>
       struct((-round(cosine(col(vecName), typedLit(cv.toSeq)), 6)).as("negsim"),
         lit(cell).as("cell"))

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{AnnIndex, Similarity}
+
+/** Persisted ANN index lifecycle (llm/AnnIndex): the on-disk index must
+  * reproduce the in-memory IVF-PQ results exactly, and the serving
+  * lookup must prove static partition pruning over the cell layout. */
+class AnnIndexSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("annindex").toString
+    AnnIndex.build(Tables.t(spark, sf, "embeddings"), d)
+    d
+  }
+
+  test("batch topK over the persisted index equals in-memory ivfPqTopK") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val fromIndex = AnnIndex.topK(queries, dir, k = 10)
+      .select("query_id", "neighbor_id", "adist", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val inMemory = Similarity.ivfPqTopK(queries, emb, k = 10)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("adist"), col("rk"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(fromIndex === inMemory)
+  }
+
+  test("index layout: codes partitioned by cell, no vectors materialized") {
+    val idx = spark.read.parquet(s"$dir/index")
+    assert(idx.columns.sorted.toSeq === Seq("cell", "codes", "id"))
+    val cellDirs = new java.io.File(s"$dir/index").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "index must be laid out as cell= partitions")
+    // index carries PQ codes (m small ints), never the original vectors
+    assert(!idx.schema("codes").dataType.simpleString.contains("double"))
+  }
+
+  test("serving lookup statically prunes to the probed cell partitions") {
+    val q = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].head().toArray
+    val res = AnnIndex.lookup(spark, dir, q, k = 5, nprobe = 4)
+    val rows = res.collect()
+    assert(rows.length === 5)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe cells must prune partitions statically:\n${plan.take(800)}")
+    // scores agree with the batch path for the same vector
+    val viaBatch = AnnIndex.topK(
+      Tables.t(spark, sf, "embeddings").filter(col("vec_id") === 7), dir, k = 5)
+      .select("neighbor_id", "adist").as[(Long, Double)].collect().toMap
+    rows.foreach { r =>
+      val n = r.getAs[Long]("neighbor_id")
+      // the batch path excludes self-matches; the raw lookup may include it
+      if (viaBatch.contains(n))
+        assert(viaBatch(n) === r.getAs[Double]("adist"))
+    }
+  }
+}
