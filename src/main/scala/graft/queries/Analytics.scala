@@ -668,6 +668,134 @@ object Analytics {
       |WHERE jaro_winkler_similarity(c.c_name, p.c_name) > 0.9
       |ORDER BY c.c_custkey, probe_key""".stripMargin
 
+  // -------------------------------------------------------------- q124
+
+  /** SCD Type-2 dimension build (history-keeping upsert, next to q81's
+    * latest-only compaction): collapse each customer's order-priority
+    * stream into change rows with [valid_from, valid_to) intervals and
+    * an is_current flag — the warehouse-dimension shape CDC pipelines
+    * materialize. Two windows over one (custkey, date, orderkey) sort;
+    * the change filter runs between them, so the second window sees
+    * only change rows. Ties on the same date break by order key,
+    * making the interval chain deterministic. */
+  val scd2: Q = (s, dir) => {
+    val ord = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val chg = Tables.t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority").as("prio"),
+        col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag("prio", 1).over(ord))
+      .filter(col("prev").isNull || col("prio") =!= col("prev"))
+      .select(col("o_custkey"), col("prio"),
+        col("o_orderdate").as("valid_from"), col("o_orderkey"))
+    val chain = Window.partitionBy("o_custkey")
+      .orderBy("valid_from", "o_orderkey")
+    chg.withColumn("valid_to", lead("valid_from", 1).over(chain))
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("prio"), col("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+      .orderBy("o_custkey", "valid_from", "prio")
+  }
+
+  val scd2Sql: String =
+    """WITH h AS (
+      |  SELECT o_custkey, o_orderpriority AS prio, o_orderdate, o_orderkey,
+      |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |chg AS (
+      |  SELECT o_custkey, prio, o_orderdate AS valid_from, o_orderkey
+      |  FROM h WHERE prev IS NULL OR prio <> prev),
+      |scd AS (
+      |  SELECT o_custkey, prio, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY o_custkey
+      |      ORDER BY valid_from, o_orderkey) AS valid_to
+      |  FROM chg)
+      |SELECT o_custkey, prio, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM scd WHERE o_custkey < 200
+      |ORDER BY o_custkey, valid_from, prio""".stripMargin
+
+  // -------------------------------------------------------------- q125
+
+  /** Event-transition matrix (first-order Markov over user journeys):
+    * per-user lag pairs → global (prev → next) counts → row-normalized
+    * probabilities. One keyed window sort + one map-combinable count;
+    * the transition matrix is |types|² rows regardless of event volume.
+    * Probabilities are one double division of exact counts. */
+  val eventTransitions: Q = (s, dir) => {
+    val seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val t = Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag("event_type", 1).over(seq))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = t.groupBy("prev").agg(sum("cnt").as("total"))
+    t.join(tot, "prev")
+      .select(col("prev"), col("next"), col("cnt"),
+        round(col("cnt").cast("double") / col("total").cast("double"), 6).as("p"))
+      .orderBy("prev", "next")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |t AS (SELECT prev, event_type AS next, count(*) AS cnt FROM s
+      |      WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev, sum(cnt) AS total FROM t GROUP BY 1)
+      |SELECT t.prev, t.next, t.cnt::BIGINT AS cnt,
+      |  round(t.cnt::DOUBLE / tot.total::DOUBLE, 6) AS p
+      |FROM t JOIN tot ON t.prev = tot.prev
+      |ORDER BY t.prev, t.next""".stripMargin
+
+  // -------------------------------------------------------------- q126
+
+  /** Bigram language model (the conditional-probability step past q82's
+    * unigram frequencies): corpus bigram counts → per-prefix top-3
+    * continuations with P(next | w1). Bigrams explode map-side from
+    * consecutive token pairs; the count shuffle carries (w1, next)
+    * pairs; the top-3 cut is a WindowGroupLimit rank. */
+  val bigramLm: Q = (s, dir) => {
+    val toks = TextOps.tokens(col("text"))
+    val c = Tables.t(s, dir, "documents")
+      .select(toks.as("toks"))
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS nxt))"))
+        .as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.nxt").as("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = c.groupBy("w1").agg(sum("cnt").as("total"))
+    c.join(tot, "w1")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("w1").orderBy(desc("cnt"), col("nxt"))).cast("int"))
+      .filter(col("rk") <= 3)
+      .select(col("w1"), col("nxt"), col("cnt"),
+        round(col("cnt").cast("double") / col("total").cast("double"), 6).as("p"),
+        col("rk"))
+      .orderBy("w1", "rk")
+  }
+
+  val bigramLmSql: String =
+    s"""WITH b AS (
+       |  SELECT unnest([toks[i] || ' ' || toks[i+1]
+       |    for i in range(1, len(toks))]) AS bg
+       |  FROM (SELECT $ToksSql AS toks FROM documents)),
+       |c AS (SELECT string_split(bg, ' ')[1] AS w1,
+       |        string_split(bg, ' ')[2] AS nxt, count(*) AS cnt
+       |      FROM b GROUP BY 1, 2),
+       |tot AS (SELECT w1, sum(cnt) AS total FROM c GROUP BY 1),
+       |rk AS (SELECT c.w1, c.nxt, c.cnt, tot.total,
+       |         row_number() OVER (PARTITION BY c.w1
+       |           ORDER BY c.cnt DESC, c.nxt) AS rk
+       |       FROM c JOIN tot ON c.w1 = tot.w1)
+       |SELECT w1, nxt, cnt::BIGINT AS cnt,
+       |  round(cnt::DOUBLE / total::DOUBLE, 6) AS p, rk::INT AS rk
+       |FROM rk WHERE rk <= 3 ORDER BY w1, rk""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -686,7 +814,10 @@ object Analytics {
     "q120_lateral_topn" -> lateralTopN,
     "q121_null_battery" -> nullBattery,
     "q122_higher_order" -> higherOrder,
-    "q123_fuzzy_jw" -> fuzzyJw)
+    "q123_fuzzy_jw" -> fuzzyJw,
+    "q124_scd2" -> scd2,
+    "q125_event_transitions" -> eventTransitions,
+    "q126_bigram_lm" -> bigramLm)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -704,5 +835,8 @@ object Analytics {
     "q120_lateral_topn" -> lateralTopNSql,
     "q121_null_battery" -> nullBatterySql,
     "q122_higher_order" -> higherOrderSql,
-    "q123_fuzzy_jw" -> fuzzyJwSql)
+    "q123_fuzzy_jw" -> fuzzyJwSql,
+    "q124_scd2" -> scd2Sql,
+    "q125_event_transitions" -> eventTransitionsSql,
+    "q126_bigram_lm" -> bigramLmSql)
 }

@@ -297,6 +297,58 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("scd2 intervals chain contiguously with exactly one current row per key") {
+    val rows = graft.queries.Analytics.scd2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byKey.foreach { case (k, rs) =>
+      assert(rs.count(_.getAs[Boolean]("is_current")) === 1,
+        s"custkey $k must have exactly one open interval")
+      val sorted = rs.sortBy(r =>
+        r.getAs[java.time.LocalDateTime]("valid_from").toString)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.time.LocalDateTime]("valid_to") ===
+            b.getAs[java.time.LocalDateTime]("valid_from"),
+            s"intervals must chain for custkey $k")
+        case _ =>
+      }
+      // consecutive intervals always change the tracked attribute
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("prio") !== b.getAs[String]("prio"))
+        case _ =>
+      }
+    }
+  }
+
+  test("event transitions row-normalize and conserve the transition count") {
+    val rows = graft.queries.Analytics.eventTransitions(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (prev, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4, s"P(next|$prev) sums to 1")
+    }
+    val ev = Tables.t(spark, sf, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === nEvents - nUsers,
+      "each user contributes exactly (events - 1) transitions")
+  }
+
+  test("bigram LM top-3 matches brute-force conditional counts") {
+    val bigrams = docTokens.values.flatMap(t => t.zip(t.drop(1))).toSeq
+    val counts = bigrams.groupBy(identity).view.mapValues(_.size).toMap
+    val expect = counts.groupBy(_._1._1).map { case (w1, m) =>
+      w1 -> m.toSeq.map { case ((_, nxt), c) => (nxt, c) }
+        .sortBy { case (nxt, c) => (-c, nxt) }.take(3)
+    }
+    val got = graft.queries.Analytics.bigramLm(spark, sf)
+      .as[(String, String, Long, Double, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._5).map(r => (r._2, r._3.toInt)).toSeq).toMap
+    assert(got === expect.toMap.view.mapValues(_.toSeq).toMap)
+  }
+
   test("pagerank is deterministic, covers all nodes, and conserves teleport floor") {
     val clicks = Tables.t(spark, sf, "events")
       .filter(col("event_type") === "click")
