@@ -796,6 +796,87 @@ object Analytics {
        |  round(cnt::DOUBLE / total::DOUBLE, 6) AS p, rk::INT AS rk
        |FROM rk WHERE rk <= 3 ORDER BY w1, rk""".stripMargin
 
+  // -------------------------------------------------------------- q127
+
+  /** Sweep-line interval concurrency: how many orders are in flight
+    * (placed but not fully shipped) on each day. Intervals collapse to
+    * ±1 boundary events, boundary events aggregate per day, and one
+    * global running sum yields the concurrency curve — O(distinct days)
+    * window rows no matter how many billions of intervals, which is why
+    * sweep-line beats an interval self-join for this shape. The final
+    * day nets to zero (every opened interval closes), spec-pinned. */
+  val sweepLine: Q = (s, dir) => {
+    // greatest(close, open): the synthetic data ships some lines before
+    // the order date; clamping keeps every interval well-formed so the
+    // curve is non-negative and ends at zero (spec-pinned invariants)
+    val iv = Tables.t(s, dir, "orders").as("o")
+      .join(Tables.t(s, dir, "lineitem").as("l"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .groupBy(col("o.o_orderkey"), col("o.o_orderdate").cast("date").as("open_day"))
+      .agg(max(col("l.l_shipdate").cast("date")).as("close_day"))
+      .withColumn("close_day", greatest(col("close_day"), col("open_day")))
+    val deltas = iv.groupBy(col("open_day").as("day"))
+      .agg(count(lit(1)).as("delta"))
+      .union(iv.groupBy(col("close_day").as("day"))
+        .agg((-count(lit(1))).as("delta")))
+    deltas.groupBy("day").agg(sum("delta").as("net"))
+      .withColumn("in_flight",
+        sum("net").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("net"), col("in_flight"))
+      .orderBy("day")
+  }
+
+  val sweepLineSql: String =
+    """WITH iv AS (
+      |  SELECT o.o_orderkey, o.o_orderdate::DATE AS open_day,
+      |    greatest(max(l.l_shipdate)::DATE, o.o_orderdate::DATE) AS close_day
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT open_day AS day, count(*)::BIGINT AS delta FROM iv GROUP BY 1
+      |  UNION ALL
+      |  SELECT close_day AS day, -count(*)::BIGINT FROM iv GROUP BY 1),
+      |net AS (SELECT day, sum(delta)::BIGINT AS net FROM d GROUP BY 1)
+      |SELECT day, net,
+      |  sum(net) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |    AS in_flight
+      |FROM net ORDER BY day""".stripMargin
+
+  // -------------------------------------------------------------- q128
+
+  /** Ratio-to-report (percent-of-total window analytics): each nation's
+    * share of its region's customer balance. The denominator is a
+    * window sum over the aggregated rows — |nations| rows, not the
+    * customer table — and balances sum exactly in cents, so the share
+    * is one double division of exact integers. */
+  val ratioToReport: Q = (s, dir) => {
+    val cents = sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents")
+    Tables.t(s, dir, "customer")
+      .join(Tables.t(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.t(s, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name", "r_name")
+      .agg(cents)
+      .withColumn("share_of_region",
+        round(col("bal_cents").cast("double") /
+          sum("bal_cents").over(Window.partitionBy("r_name")).cast("double"), 6))
+      .select("n_name", "r_name", "bal_cents", "share_of_region")
+      .orderBy("r_name", "n_name")
+  }
+
+  val ratioToReportSql: String =
+    """SELECT n.n_name, r.r_name,
+      |  sum(round(c.c_acctbal * 100)::BIGINT)::BIGINT AS bal_cents,
+      |  round(sum(round(c.c_acctbal * 100)::BIGINT)::DOUBLE /
+      |    (sum(sum(round(c.c_acctbal * 100)::BIGINT))
+      |       OVER (PARTITION BY r.r_name))::DOUBLE, 6) AS share_of_region
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -817,7 +898,9 @@ object Analytics {
     "q123_fuzzy_jw" -> fuzzyJw,
     "q124_scd2" -> scd2,
     "q125_event_transitions" -> eventTransitions,
-    "q126_bigram_lm" -> bigramLm)
+    "q126_bigram_lm" -> bigramLm,
+    "q127_sweep_line" -> sweepLine,
+    "q128_ratio_to_report" -> ratioToReport)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -838,5 +921,7 @@ object Analytics {
     "q123_fuzzy_jw" -> fuzzyJwSql,
     "q124_scd2" -> scd2Sql,
     "q125_event_transitions" -> eventTransitionsSql,
-    "q126_bigram_lm" -> bigramLmSql)
+    "q126_bigram_lm" -> bigramLmSql,
+    "q127_sweep_line" -> sweepLineSql,
+    "q128_ratio_to_report" -> ratioToReportSql)
 }

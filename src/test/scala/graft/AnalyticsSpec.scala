@@ -349,6 +349,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === expect.toMap.view.mapValues(_.toSeq).toMap)
   }
 
+  test("sweep line conserves mass: curve never negative, ends at zero, peak matches brute force") {
+    val rows = graft.queries.Analytics.sweepLine(spark, sf)
+      .select("net", "in_flight").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0), "concurrency can never be negative")
+    assert(rows.last._2 === 0L, "every opened interval must close")
+    assert(rows.map(_._1).sum === 0L, "deltas must conserve")
+    // peak equals brute-force max concurrency over interval endpoints
+    val iv = Tables.t(spark, sf, "orders").as("o")
+      .join(Tables.t(spark, sf, "lineitem").as("l"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .groupBy(col("o.o_orderkey"), col("o.o_orderdate").cast("date").as("od"))
+      .agg(max(col("l.l_shipdate").cast("date")).as("cd"))
+      .select(col("od").cast("string"),
+        greatest(col("cd"), col("od")).cast("string"))
+      .as[(String, String)].collect()
+    val brute = iv.map { case (od, _) =>
+      iv.count { case (o2, c2) => o2 <= od && od < c2 }
+    }.max
+    assert(rows.map(_._2).max === brute)
+  }
+
+  test("ratio-to-report shares sum to 1 per region") {
+    val rows = graft.queries.Analytics.ratioToReport(spark, sf)
+      .select("r_name", "share_of_region").as[(String, Double)].collect()
+    rows.groupBy(_._1).foreach { case (r, rs) =>
+      assert(math.abs(rs.map(_._2).sum - 1.0) < 1e-4, s"shares($r) must sum to 1")
+    }
+  }
+
   test("pagerank is deterministic, covers all nodes, and conserves teleport floor") {
     val clicks = Tables.t(spark, sf, "events")
       .filter(col("event_type") === "click")
