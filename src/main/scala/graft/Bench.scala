@@ -27,16 +27,22 @@ object Bench {
   private[graft] def f3(v: Double) =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  private[graft] def f2(v: Double) =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
   /** Compact per-query JSON map with a hard size budget: short keys
-    * (the qNN prefix) at millisecond precision; if even that exceeds
+    * (the qNN prefix) at centisecond precision; if even that exceeds
     * `budget` chars, keep the slowest queries and fold the rest into
     * one `omitted_sec` remainder so the total stays reconstructible.
     * The driver parses the line out of a 2000-char stdout tail — an
-    * oversized line loses its HEAD, which is the un-recoverable part. */
+    * oversized line loses its HEAD, which is the un-recoverable part.
+    * Budget accounting: tail 2000 − sbt "[success] …" trailer ~75 −
+    * metric/scan/sf line overhead ~190 ⇒ ≤1735 safe for the map;
+    * 1700 keeps slack. ~11.5 B/query ⇒ ~148 queries fit outright. */
   private[graft] def compactQueries(results: Map[String, Double],
-      budget: Int = 1550): String = {
+      budget: Int = 1700): String = {
     val shortKv = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => ("\"" + k.takeWhile(_ != '_') + "\":" + f3(v), v) }
+      .map { case (k, v) => ("\"" + k.takeWhile(_ != '_') + "\":" + f2(v), v) }
     if (shortKv.map(_._1.length + 1).sum <= budget)
       shortKv.map(_._1).mkString("{", ",", "}")
     else {
@@ -47,7 +53,7 @@ object Bench {
         .drop(1).takeWhile(_._3 <= budget - 30).map(_._1).toSet
       val omitted = shortKv.filterNot(p => keep(p._1))
       (shortKv.collect { case (kv, _) if keep(kv) => kv } :+
-        ("\"omitted_sec\":" + f3(omitted.map(_._2).sum))).mkString("{", ",", "}")
+        ("\"omitted_sec\":" + f2(omitted.map(_._2).sum))).mkString("{", ",", "}")
     }
   }
 
