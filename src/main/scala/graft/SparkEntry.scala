@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.LlmQueries.queries ++
       graft.queries.Extended.queries ++ graft.queries.Pipeline.queries ++
-      graft.queries.Curation.queries ++ graft.queries.Analytics.queries
+      graft.queries.Curation.queries ++ graft.queries.Analytics.queries ++
+      graft.queries.Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++ graft.queries.LlmQueries.oracleSql ++
       graft.queries.Extended.oracleSql ++ graft.queries.Pipeline.oracleSql ++
-      graft.queries.Curation.oracleSql ++ graft.queries.Analytics.oracleSql
+      graft.queries.Curation.oracleSql ++ graft.queries.Analytics.oracleSql ++
+      graft.queries.Advanced.oracleSql
 }

@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join via prefix filtering — the AllPairs /
+  * PPJoin family (Bayardo et al. WWW'07, Xiao et al. WWW'08). This is
+  * the EXACT counterpart to [[Dedup.minhashLsh]]'s approximate candidate
+  * generation over the same shingle space: instead of banded MinHash
+  * buckets, candidates are pairs whose *prefixes* (the globally rarest
+  * tokens of each set) intersect, which provably loses no qualifying
+  * pair. No reference analog — hive-io stops at table I/O
+  * (hive-io-exp-core/src/main/java/com/facebook/hiveio/input/HiveInput.java:66).
+  *
+  * Scale shape (the reason to prefer this over an O(n²) join at 100 TB):
+  *  - one shuffle to compute global token document frequencies;
+  *  - one shuffle to re-sort each set rarest-token-first;
+  *  - the candidate join's fan-out is Σ_tok df_prefix(tok)², bounded by
+  *    construction because prefixes keep only each set's RAREST tokens
+  *    (a stopword shared by millions of docs lands in almost no
+  *    prefixes, so it never becomes a join key hot spot);
+  *  - verification touches candidates only, with exact integer
+  *    intersection counts — no doubles anywhere until the caller
+  *    divides.
+  */
+object SetSimilarity {
+
+  /** All (id_a < id_b) pairs whose token-set Jaccard is >= num/den,
+    * with exact intersection and union sizes. `sets` must provide
+    * (`id`, `toks`) where `toks` has distinct elements.
+    *
+    * Prefix length for a set of n tokens is n - ceil(num*n/den) + 1: a
+    * qualifying pair shares at least ceil(num*n/den) tokens, so the two
+    * prefixes must intersect under any fixed global token order
+    * (rare-first minimizes candidate fan-out). The Jaccard length
+    * filter num*max(na,nb) <= den*min(na,nb) is applied in exact
+    * integers at candidate time.
+    */
+  def selfJoinPairs(sets: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num > 0 && num <= den, s"threshold $num/$den must be in (0,1]")
+    val base = sets.select(col("id"), col("toks")).filter(size(col("toks")) > 0)
+
+    // global document frequency; (df asc, token asc) is the total order
+    val tok = base.select(col("id"), explode(col("toks")).as("tok"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+
+    val sorted = tok.join(dfreq, "tok")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ranked"))
+      .select(col("id"),
+        transform(col("ranked"), r => r.getField("tok")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      // ceil(num*n/den) = (num*n + den - 1) div den; the double division
+      // below is exact-safe (operands are small exact integers and
+      // truncation of a correctly-rounded quotient can't cross an
+      // integer boundary)
+      .withColumn("plen",
+        col("n") - ((col("n") * num + lit(den - 1)) / den).cast("int") + 1)
+
+    val pre = sorted.select(col("id"), col("n"),
+      explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
+
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          col("b.n") * den >= col("a.n") * num &&
+          col("a.n") * den >= col("b.n") * num)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+
+    val payload = sorted.select(col("id"), col("toks"), col("n"))
+    cand
+      .join(payload.select(col("id").as("doc_a"), col("toks").as("ta"),
+        col("n").as("na")), "doc_a")
+      .join(payload.select(col("id").as("doc_b"), col("toks").as("tb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * den >= col("uni") * num)
+      .select("doc_a", "doc_b", "inter", "uni")
+  }
+}

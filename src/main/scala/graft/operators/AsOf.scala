@@ -56,6 +56,28 @@ object AsOf {
     matched.select((outLeft ++ outRight): _*)
   }
 
+  /** As-of join with a match tolerance (pandas `merge_asof(tolerance=)`
+    * / kdb window-join flavor): like [[join]], but a right row more than
+    * `tolMillis` older than the left timestamp does not count — the left
+    * row survives with nulls. Same single-shuffle window plan; the
+    * tolerance is a map-side post-filter that nulls out stale matches,
+    * so the scale profile is identical to [[join]]. */
+  def joinWithin(left: DataFrame, right: DataFrame, key: String,
+                 leftTs: String, rightTs: String, tolMillis: Long,
+                 rightCols: Seq[String], rightTieBreak: String): DataFrame = {
+    val tsAlias = "_asof_rts"
+    val r2 = right.withColumn(tsAlias, col(rightTs))
+    val joined = join(left, r2, key, leftTs, rightTs,
+      rightCols :+ tsAlias, rightTieBreak)
+    // millisecond floor on both sides: identical truncation semantics in
+    // any engine regardless of the stored timestamp precision
+    val inTol = col(tsAlias).isNotNull &&
+      unix_millis(col(leftTs)) - unix_millis(col(tsAlias)) <= tolMillis
+    rightCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(inTol, col(c)))
+    }.drop(tsAlias)
+  }
+
   private def structType(df: DataFrame, cols: Seq[String]) =
     org.apache.spark.sql.types.StructType(cols.map(c => df.schema(c)))
 }

