@@ -486,6 +486,155 @@ object Advanced {
       |  ON c.user_id = v.user_id AND c.ts >= v.ts
       |ORDER BY c.event_id""".stripMargin
 
+  // -------------------------------------------------------------- q141
+
+  /** Relational Count-Min sketch (Cormode & Muthukrishnan 2005): the
+    * sketch IS a (depth, bucket) → count table — built with one
+    * map-combinable groupBy, merged by addition, O(d·w) rows total no
+    * matter the corpus size. Estimates for the top-20 exact tokens come
+    * from a broadcast join against the sketch; the CMS overestimate
+    * guarantee (est >= exact, always) is emitted as a checkable boolean.
+    * Hashes are md5-derived (the [[Fragments.splitBucket]] trick) so the
+    * oracle replays the sketch bit-for-bit. */
+  val countMin: Q = (s, dir) => {
+    val depth = 4
+    val width = 1024
+    def bucket(d: Int, tok: org.apache.spark.sql.Column) =
+      (conv(substring(md5(concat(lit(d.toString), lit(":"), tok)), 1, 8), 16, 10)
+        .cast("long") % width).cast("int")
+    val toks = t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val rows = (0 until depth).map { d =>
+      toks.select(lit(d).as("d"), bucket(d, col("tok")).as("b"))
+    }.reduce(_.unionByName(_))
+    val sk = rows.groupBy("d", "b").agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+    val top = exact.orderBy(col("exact").desc, col("tok").asc).limit(20)
+    val probes = (0 until depth).map { d =>
+      top.select(col("tok"), col("exact"), lit(d).as("d"),
+        bucket(d, col("tok")).as("b"))
+    }.reduce(_.unionByName(_))
+    probes.join(broadcast(sk), Seq("d", "b"))
+      .groupBy("tok", "exact").agg(min("c").as("cms_est"))
+      .withColumn("never_under", col("cms_est") >= col("exact"))
+      .orderBy(col("exact").desc, col("tok").asc)
+  }
+
+  val countMinSql: String = {
+    def bucketSql(tokExpr: String) =
+      s"(('0x' || substr(md5(d.d::VARCHAR || ':' || $tokExpr), 1, 8))::BIGINT % 1024)::INT"
+    s"""WITH toks AS (SELECT unnest(${Fragments.ToksSql}) AS tok FROM documents),
+       |d AS (SELECT unnest([0, 1, 2, 3]) AS d),
+       |sk AS (
+       |  SELECT d.d, ${bucketSql("tok")} AS b, count(*)::BIGINT AS c
+       |  FROM toks CROSS JOIN d GROUP BY 1, 2),
+       |exact AS (SELECT tok, count(*)::BIGINT AS exact FROM toks GROUP BY 1
+       |          ORDER BY exact DESC, tok ASC LIMIT 20),
+       |probe AS (
+       |  SELECT exact.tok, exact.exact, d.d, ${bucketSql("exact.tok")} AS b
+       |  FROM exact CROSS JOIN d)
+       |SELECT p.tok, p.exact, min(sk.c)::BIGINT AS cms_est,
+       |       min(sk.c) >= p.exact AS never_under
+       |FROM probe p JOIN sk ON p.d = sk.d AND p.b = sk.b
+       |GROUP BY 1, 2 ORDER BY exact DESC, tok ASC""".stripMargin
+  }
+
+  // -------------------------------------------------------------- q142
+
+  /** Per-group winsorization at explicit integer order statistics: the
+    * p05/p95 cut points are the ceil(n/20)-th and ceil(19n/20)-th
+    * smallest cents values — rank arithmetic, not quantile functions, so
+    * both engines pick the IDENTICAL element with no interpolation
+    * doubles anywhere. Clipped sums stay exact BIGINTs. */
+  val winsorize: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_mktsegment"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val wseg = Window.partitionBy("c_mktsegment")
+    val wrank = wseg.orderBy(col("cents").asc)
+    val ranked = c
+      .withColumn("rk", row_number().over(wrank))
+      .withColumn("n", count(lit(1)).over(wseg))
+      .withColumn("lo_rk", ((col("n") + 19) / 20).cast("long"))
+      .withColumn("hi_rk", ((col("n") * 19 + 19) / 20).cast("long"))
+    val cuts = ranked
+      .groupBy("c_mktsegment")
+      .agg(max(when(col("rk") === col("lo_rk"), col("cents"))).as("lo"),
+        max(when(col("rk") === col("hi_rk"), col("cents"))).as("hi"))
+    c.join(broadcast(cuts), "c_mktsegment")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        max("lo").as("lo_cents"), max("hi").as("hi_cents"),
+        sum(greatest(col("lo"), least(col("cents"), col("hi")))).as("clipped_sum"),
+        sum(when(col("cents") < col("lo") || col("cents") > col("hi"), 1L)
+          .otherwise(0L)).as("n_clipped"))
+      .orderBy("c_mktsegment")
+  }
+
+  val winsorizeSql: String =
+    """WITH c AS (SELECT c_mktsegment,
+      |                  round(c_acctbal * 100)::BIGINT AS cents FROM customer),
+      |r AS (
+      |  SELECT c_mktsegment, cents,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents ASC) AS rk,
+      |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM c),
+      |cuts AS (
+      |  SELECT c_mktsegment,
+      |    max(CASE WHEN rk = (n + 19) // 20 THEN cents END) AS lo,
+      |    max(CASE WHEN rk = (n * 19 + 19) // 20 THEN cents END) AS hi
+      |  FROM r GROUP BY 1)
+      |SELECT c.c_mktsegment, count(*)::BIGINT AS n,
+      |  max(cuts.lo)::BIGINT AS lo_cents, max(cuts.hi)::BIGINT AS hi_cents,
+      |  sum(greatest(cuts.lo, least(c.cents, cuts.hi)))::BIGINT AS clipped_sum,
+      |  sum(CASE WHEN c.cents < cuts.lo OR c.cents > cuts.hi
+      |           THEN 1 ELSE 0 END)::BIGINT AS n_clipped
+      |FROM c JOIN cuts USING (c_mktsegment)
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
+  // -------------------------------------------------------------- q143
+
+  /** Inverted-index build (keyword-search complement to the ANN index
+    * [[graft.llm.AnnIndex]]): per token, document frequency, total term
+    * frequency, and a HEAD-CAPPED posting list (first 8 doc ids). The
+    * cap is applied with a per-token rank BEFORE any list is collected,
+    * so no executor ever materializes a stopword's full posting list —
+    * the classic unbounded-collect trap at 100 TB. Only tokens with
+    * df >= 5 are emitted (index pruning). */
+  val invertedIndex: Q = (s, dir) => {
+    val pairs = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val stats = pairs.groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 5)
+    val head = pairs.select("tok", "doc_id").distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("tok").orderBy(col("doc_id").asc)))
+      .filter(col("rk") <= 8)
+      .groupBy("tok")
+      .agg(concat_ws(",", sort_array(collect_list(col("doc_id")))).as("head"))
+    stats.join(head, "tok")
+      .select("tok", "df", "tf", "head")
+      .orderBy("tok")
+  }
+
+  val invertedIndexSql: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_id, unnest(${Fragments.ToksSql}) AS tok FROM documents),
+       |stats AS (
+       |  SELECT tok, count(*)::BIGINT AS tf,
+       |         count(DISTINCT doc_id)::BIGINT AS df
+       |  FROM pairs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+       |ranked AS (
+       |  SELECT DISTINCT tok, doc_id FROM pairs),
+       |head AS (
+       |  SELECT tok, array_to_string(list_sort(list(doc_id)), ',') AS head
+       |  FROM (SELECT tok, doc_id,
+       |          row_number() OVER (PARTITION BY tok ORDER BY doc_id ASC) AS rk
+       |        FROM ranked) WHERE rk <= 8 GROUP BY tok)
+       |SELECT s.tok, s.df, s.tf, h.head
+       |FROM stats s JOIN head h ON s.tok = h.tok
+       |ORDER BY s.tok""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -501,6 +650,9 @@ object Advanced {
     "q138_window_anomaly" -> windowAnomaly,
     "q139_rerank_cascade" -> rerankCascade,
     "q140_asof_tolerance" -> asofTolerance,
+    "q141_countmin_sketch" -> countMin,
+    "q142_winsorize" -> winsorize,
+    "q143_inverted_index" -> invertedIndex,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -516,5 +668,8 @@ object Advanced {
     "q138_window_anomaly" -> windowAnomalySql,
     "q139_rerank_cascade" -> rerankCascadeSql,
     "q140_asof_tolerance" -> asofToleranceSql,
+    "q141_countmin_sketch" -> countMinSql,
+    "q142_winsorize" -> winsorizeSql,
+    "q143_inverted_index" -> invertedIndexSql,
   )
 }

@@ -166,4 +166,48 @@ class AdvancedSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan.take(500))
   }
+
+  test("q141 count-min estimates never underestimate and are tight on heavy keys") {
+    val rows = Advanced.countMin(spark, sf)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_._4), "CMS must never underestimate")
+    // with w=1024 and d=4 on this corpus, heavy-hitter estimates should
+    // be within a small additive error of truth (eps*N with N ~ 1e4-1e5)
+    rows.foreach { case (tok, exact, est, _) =>
+      assert(est - exact <= exact + 1000, s"$tok est=$est exact=$exact")
+    }
+  }
+
+  test("q142 winsorize: cut points are real order statistics and clipping bounds hold") {
+    val rows = Advanced.winsorize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getAs[Long]("n"), r.getAs[Long]("lo_cents"),
+        r.getAs[Long]("hi_cents"))
+      val clipped = r.getAs[Long]("clipped_sum")
+      assert(lo <= hi)
+      assert(clipped >= n * lo && clipped <= n * hi)
+      assert(r.getAs[Long]("n_clipped") < n)
+    }
+  }
+
+  test("q143 inverted index: heads are sorted prefixes of true postings") {
+    val out = Advanced.invertedIndex(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byTok = out.map(r => r.getAs[String]("tok") -> r).toMap
+    // spot-check one common token against a direct computation
+    val tok = out.maxBy(_.getAs[Long]("df")).getAs[String]("tok")
+    val truth = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .filter(col("t") === tok).select("doc_id").distinct()
+      .as[Long].collect().sorted
+    val head = byTok(tok).getAs[String]("head").split(",").map(_.toLong)
+    assert(head.toSeq === truth.take(8).toSeq)
+    assert(byTok(tok).getAs[Long]("df") === truth.length.toLong)
+    out.foreach { r =>
+      assert(r.getAs[String]("head").split(",").length <= 8)
+      assert(r.getAs[Long]("df") >= 5)
+    }
+  }
 }

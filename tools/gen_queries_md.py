@@ -9,7 +9,8 @@ mods = {
  'Extended': 'src/main/scala/graft/queries/Extended.scala',
  'Pipeline': 'src/main/scala/graft/queries/Pipeline.scala',
  'Curation': 'src/main/scala/graft/queries/Curation.scala',
- 'Analytics': 'src/main/scala/graft/queries/Analytics.scala'}
+ 'Analytics': 'src/main/scala/graft/queries/Analytics.scala',
+ 'Advanced': 'src/main/scala/graft/queries/Advanced.scala'}
 entries = {}
 for mod, path in mods.items():
     src = open(path).read()
