@@ -504,10 +504,13 @@ object Advanced {
         .cast("long") % width).cast("int")
     val toks = t(s, dir, "documents")
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
-    val rows = (0 until depth).map { d =>
-      toks.select(lit(d).as("d"), bucket(d, col("tok")).as("b"))
-    }.reduce(_.unionByName(_))
-    val sk = rows.groupBy("d", "b").agg(count(lit(1)).as("c"))
+    // one pass over the tokens: each occurrence fans out to its d
+    // (depth, bucket) cells map-side, then one map-combinable groupBy
+    val sk = toks
+      .select(explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"), bucket(d, col("tok")).as("b"))): _*)).as("db"))
+      .select(col("db.d").as("d"), col("db.b").as("b"))
+      .groupBy("d", "b").agg(count(lit(1)).as("c"))
     val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
     val top = exact.orderBy(col("exact").desc, col("tok").asc).limit(20)
     val probes = (0 until depth).map { d =>
@@ -635,6 +638,63 @@ object Advanced {
        |FROM stats s JOIN head h ON s.tok = h.tok
        |ORDER BY s.tok""".stripMargin
 
+  // -------------------------------------------------------------- q144
+
+  /** Data-quality audit suite (the pipeline admission gate a 100 TB
+    * ingest runs before anything else): referential integrity (orphan
+    * facts), primary-key uniqueness, null checks, and domain-range
+    * checks, each ONE aggregate pass over its table, emitted as a long
+    * (rule, violations) table. Anti-joins use the keyed-shuffle plan
+    * Spark picks for large-large; every count is map-combinable. */
+  val dqAudit: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    def one(rule: String, d: org.apache.spark.sql.DataFrame) =
+      d.agg(count(lit(1)).as("violations")).withColumn("rule", lit(rule))
+    val checks = Seq(
+      one("lineitem_orphan_order",
+        li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")),
+      one("orders_orphan_customer",
+        o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")),
+      one("lineitem_null_quantity", li.filter(col("l_quantity").isNull)),
+      one("lineitem_quantity_range",
+        li.filter(!col("l_quantity").between(1, 50))),
+      one("orders_dup_pk",
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("k"))
+          .filter(col("k") > 1)),
+      one("customer_null_name", c.filter(col("c_name").isNull)),
+      one("orders_bad_status",
+        o.filter(!col("o_orderstatus").isin("F", "O", "P"))))
+    checks.reduce(_.unionByName(_))
+      .select("rule", "violations")
+      .orderBy("rule")
+  }
+
+  val dqAuditSql: String =
+    """SELECT 'lineitem_orphan_order' AS rule, count(*)::BIGINT AS violations
+      |FROM lineitem l WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'orders_orphan_customer', count(*)::BIGINT FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'lineitem_null_quantity', count(*)::BIGINT FROM lineitem
+      |WHERE l_quantity IS NULL
+      |UNION ALL
+      |SELECT 'lineitem_quantity_range', count(*)::BIGINT FROM lineitem
+      |WHERE NOT (l_quantity BETWEEN 1 AND 50)
+      |UNION ALL
+      |SELECT 'orders_dup_pk', count(*)::BIGINT FROM
+      |  (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+      |UNION ALL
+      |SELECT 'customer_null_name', count(*)::BIGINT FROM customer
+      |WHERE c_name IS NULL
+      |UNION ALL
+      |SELECT 'orders_bad_status', count(*)::BIGINT FROM orders
+      |WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+      |ORDER BY rule""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -653,6 +713,7 @@ object Advanced {
     "q141_countmin_sketch" -> countMin,
     "q142_winsorize" -> winsorize,
     "q143_inverted_index" -> invertedIndex,
+    "q144_dq_audit" -> dqAudit,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -671,5 +732,6 @@ object Advanced {
     "q141_countmin_sketch" -> countMinSql,
     "q142_winsorize" -> winsorizeSql,
     "q143_inverted_index" -> invertedIndexSql,
+    "q144_dq_audit" -> dqAuditSql,
   )
 }

@@ -101,6 +101,20 @@ object StreamOps {
   def dedupStream(events: DataFrame, watermark: String): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** Stream-static enrichment join: each micro-batch of the stream is
+    * hash-joined against a STATIC dimension frame (no watermark, no
+    * state — the dimension is re-resolvable per batch, so a broadcast
+    * join keeps the stream shuffle-free). This is the streaming face of
+    * every fact→dim lookup in the batch library; at 100 TB the static
+    * side is the small one by construction, so `broadcast()` is forced
+    * rather than left to the estimator. */
+  def enrichStatic(stream: DataFrame, dim: DataFrame, streamKey: String,
+                   dimKey: String, dimCols: Seq[String]): DataFrame = {
+    val d = dim.select((dimKey +: dimCols).distinct.map(col): _*)
+    stream.join(broadcast(d), col(streamKey) === col(dimKey), "left_outer")
+      .drop(dimKey)
+  }
+
   /** Incremental snapshot maintenance: apply each micro-batch of change
     * rows to a keyed parquet snapshot via [[graft.operators.Merge.upsert]]
     * inside `foreachBatch` — the streaming face of CDC apply. Within a

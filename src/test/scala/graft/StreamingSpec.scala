@@ -130,6 +130,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(deduped.count() === batchEvents.dropDuplicates("event_id").count())
   }
 
+  test("stream-static enrichment matches the batch join and broadcasts the dim") {
+    val dim = Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = runToMemory(
+      StreamOps.enrichStatic(StreamOps.readEventsStream(spark, sf), dim,
+        streamKey = "user_id", dimKey = "c_custkey", dimCols = Seq("c_mktsegment")),
+      "t_enrich")
+    val batch = StreamOps.enrichStatic(batchEvents, dim,
+      "user_id", "c_custkey", Seq("c_mktsegment"))
+    assert(enriched.count() === batchEvents.count(), "left outer keeps every event")
+    assert(enriched.orderBy("event_id").collect().toSeq ===
+      batch.orderBy("event_id").collect().toSeq)
+    assert(batch.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("file sink with checkpoint recovers without duplicating output") {
     val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
