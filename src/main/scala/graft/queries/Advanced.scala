@@ -695,6 +695,88 @@ object Advanced {
       |WHERE o_orderstatus NOT IN ('F', 'O', 'P')
       |ORDER BY rule""".stripMargin
 
+  // -------------------------------------------------------------- q145
+
+  /** Bitwise-aggregate battery (compact categorical presence encoding —
+    * the "feature bitmap" pattern): each customer's order-priority usage
+    * folds into one 5-bit mask via bit_or, then the mask distribution is
+    * profiled with bit_count. Two map-combinable aggregations; the mask
+    * domain (2⁵) bounds the second shuffle no matter the scale. */
+  val bitmaskAgg: Q = (s, dir) => {
+    val masks = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer").select("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("pbit", expr(
+        "shiftleft(1, cast(substring(o_orderpriority, 1, 1) AS INT) - 1)"))
+      .groupBy("o_custkey")
+      .agg(expr("bit_or(pbit)").cast("int").as("mask"))
+    masks.groupBy("mask")
+      .agg(count(lit(1)).as("n_customers"))
+      .withColumn("n_priorities", expr("bit_count(mask)").cast("int"))
+      .select("mask", "n_priorities", "n_customers")
+      .orderBy("mask")
+  }
+
+  val bitmaskAggSql: String =
+    """WITH m AS (
+      |  SELECT o_custkey,
+      |    bit_or(1 << (substr(o_orderpriority, 1, 1)::INT - 1))::INT AS mask
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1)
+      |SELECT mask, bit_count(mask)::INT AS n_priorities,
+      |       count(*)::BIGINT AS n_customers
+      |FROM m GROUP BY mask ORDER BY mask""".stripMargin
+
+  // -------------------------------------------------------------- q146
+
+  /** Session co-occurrence mining: which event types happen together in
+    * the same session (30-minute-gap sessionization, q61's islands
+    * logic), counted as unordered type pairs across sessions. The pair
+    * join runs on (user, session) keys over the DISTINCT per-session
+    * type sets — at most |types|² rows per session, never event×event. */
+  val sessionPairs: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = t(s, dir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("brk").over(run))
+      .select("user_id", "session_id", "event_type").distinct()
+    st.as("a").join(st.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_id") === col("b.session_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val sessionPairsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR datediff('second', lag(ts) OVER w, ts) > 1800
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_type,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_id
+      |  FROM s),
+      |st AS (SELECT DISTINCT user_id, session_id, event_type FROM sess)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |       count(*)::BIGINT AS n_sessions
+      |FROM st a JOIN st b
+      |  ON a.user_id = b.user_id AND a.session_id = b.session_id
+      | AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -714,6 +796,8 @@ object Advanced {
     "q142_winsorize" -> winsorize,
     "q143_inverted_index" -> invertedIndex,
     "q144_dq_audit" -> dqAudit,
+    "q145_bitmask_agg" -> bitmaskAgg,
+    "q146_session_pairs" -> sessionPairs,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -733,5 +817,7 @@ object Advanced {
     "q142_winsorize" -> winsorizeSql,
     "q143_inverted_index" -> invertedIndexSql,
     "q144_dq_audit" -> dqAuditSql,
+    "q145_bitmask_agg" -> bitmaskAggSql,
+    "q146_session_pairs" -> sessionPairsSql,
   )
 }
