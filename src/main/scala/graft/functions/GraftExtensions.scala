@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // conf-gated (spark.graft.rangeJoin.binWidth); no-op until enabled
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // plans graft's native operators (AsOfJoinPlan → AsOfJoinExec);
+    // AsOf.joinMerge also self-attaches via experimental.extraStrategies
+    // so existing sessions work without the extension
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

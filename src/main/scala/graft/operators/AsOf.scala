@@ -78,6 +78,30 @@ object AsOf {
     }.drop(tsAlias)
   }
 
+  /** As-of join through the NATIVE physical operator
+    * ([[graft.plans.AsOfJoinExec]] — custom LogicalPlan + Strategy +
+    * SparkPlan): each side hash-clusters on its own key and sorts
+    * (key, ts), then one forward merge per partition. Same semantics as
+    * [[join]] (>= match, latest tie-break, left outer), but each side
+    * shuffles at its own row width and the left ordering survives for
+    * downstream operators. Column names must be disjoint across the two
+    * frames (rename the right side's ts before calling). */
+  def joinMerge(left: DataFrame, right: DataFrame, key: String,
+                leftTs: String, rightKey: String, rightTs: String,
+                rightTieBreak: String): DataFrame = {
+    val spark = left.sparkSession
+    org.apache.spark.sql.GraftBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan,
+        attr(lPlan, key), attr(rPlan, rightKey),
+        attr(lPlan, leftTs), attr(rPlan, rightTs), attr(rPlan, rightTieBreak)))
+  }
+
   private def structType(df: DataFrame, cols: Seq[String]) =
     org.apache.spark.sql.types.StructType(cols.map(c => df.schema(c)))
 }

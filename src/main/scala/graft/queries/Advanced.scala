@@ -777,6 +777,38 @@ object Advanced {
       | AND a.event_type < b.event_type
       |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin
 
+  // -------------------------------------------------------------- q147
+
+  /** q60's as-of query through the NATIVE physical operator
+    * ([[graft.plans.AsOfJoinExec]] — custom LogicalPlan + SparkStrategy
+    * + SparkPlan, the (c)-tier extension point): per-side hash cluster +
+    * sort, one forward merge per partition, O(1) merge state. Same
+    * DuckDB ASOF LEFT JOIN oracle as q60, so the custom operator is
+    * held to the exact same truth as the composition it replaces. */
+  val asofMerge: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    graft.operators.AsOf.joinMerge(clicks, purchases, key = "user_id",
+        leftTs = "ts", rightKey = "p_user", rightTs = "p_ts",
+        rightTieBreak = "purchase_id")
+      .select("event_id", "user_id", "purchase_id", "purchase_value")
+      .orderBy("event_id")
+  }
+
+  val asofMergeSql: String =
+    """SELECT c.event_id, c.user_id, p.purchase_id, p.purchase_value
+      |FROM (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS purchase_id,
+      |                       value AS purchase_value
+      |                FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -798,6 +830,7 @@ object Advanced {
     "q144_dq_audit" -> dqAudit,
     "q145_bitmask_agg" -> bitmaskAgg,
     "q146_session_pairs" -> sessionPairs,
+    "q147_asof_merge" -> asofMerge,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -819,5 +852,6 @@ object Advanced {
     "q144_dq_audit" -> dqAuditSql,
     "q145_bitmask_agg" -> bitmaskAggSql,
     "q146_session_pairs" -> sessionPairsSql,
+    "q147_asof_merge" -> asofMergeSql,
   )
 }

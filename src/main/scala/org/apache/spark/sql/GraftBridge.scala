@@ -17,4 +17,21 @@ object GraftBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Wrap an (already-analyzed) logical plan as a DataFrame —
+    * `Dataset.ofRows` is private[sql]; needed to hand graft's custom
+    * logical operators (e.g. [[graft.plans.AsOfJoinPlan]]) to the
+    * planner. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently attach a planner strategy to an EXISTING session (the
+    * withExtensions path only works at session build time). */
+  def addStrategy(spark: SparkSession,
+                  s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(s))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+  }
 }
