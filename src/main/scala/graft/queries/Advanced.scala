@@ -809,6 +809,111 @@ object Advanced {
       |  ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.event_id""".stripMargin
 
+  // -------------------------------------------------------------- q148
+
+  /** Multiset set operations (EXCEPT ALL / INTERSECT ALL — §2.7's
+    * bag-semantics half, q22–q24 cover the DISTINCT half): the priority
+    * multiset of finished orders minus/intersected-with that of open
+    * orders, then folded to per-priority cardinalities. Spark plans both
+    * as one aggregate computing per-side counts + a generate replaying
+    * min/difference counts — no row-by-row anti-join. */
+  val setOpsAll: Q = (s, dir) => {
+    val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderpriority").as("pri"))
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_orderpriority").as("pri"))
+    val ex = f.exceptAll(o).groupBy("pri")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val in = f.intersectAll(o).groupBy("pri")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ex.unionByName(in).select("op", "pri", "n").orderBy("op", "pri")
+  }
+
+  val setOpsAllSql: String =
+    """WITH f AS (SELECT o_orderpriority AS pri FROM orders
+      |           WHERE o_orderstatus = 'F'),
+      |o AS (SELECT o_orderpriority AS pri FROM orders
+      |      WHERE o_orderstatus = 'O'),
+      |ex AS (SELECT pri FROM f EXCEPT ALL SELECT pri FROM o),
+      |io AS (SELECT pri FROM f INTERSECT ALL SELECT pri FROM o)
+      |SELECT 'except_all' AS op, pri, count(*)::BIGINT AS n FROM ex GROUP BY 2
+      |UNION ALL
+      |SELECT 'intersect_all', pri, count(*)::BIGINT FROM io GROUP BY 2
+      |ORDER BY op, pri""".stripMargin
+
+  // -------------------------------------------------------------- q149
+
+  /** Relational division ("for all" queries): customers who placed
+    * orders in EVERY priority class. The engine runs the
+    * division-by-counting form (one keyed count-distinct vs the divisor
+    * cardinality — two map-combinable aggregates); the oracle runs the
+    * textbook double-negated NOT EXISTS, so the classic rewrite is
+    * verified, like q132's. */
+  val relationalDivision: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val nPri = o.select(countDistinct("o_orderpriority").as("np"))
+    o.groupBy("o_custkey")
+      .agg(countDistinct("o_orderpriority").as("k"))
+      .crossJoin(broadcast(nPri))
+      .filter(col("k") === col("np"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  val relationalDivisionSql: String =
+    """SELECT c.c_custkey, c.c_name
+      |FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderpriority = p.o_orderpriority))
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------- q150
+
+  /** Value-window battery (first_value / last_value / nth_value over the
+    * FULL frame): each customer's first, latest, and third order price,
+    * one row per customer via rank-1 selection. The frame is explicit
+    * (unbounded both ways) because last_value's default frame ends at
+    * the current row — the classic silent-wrong-answer trap. */
+  val valueWindows: Q = (s, dir) => {
+    val ord = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("first_cents", first("cents").over(full))
+      .withColumn("last_cents", last("cents").over(full))
+      .withColumn("third_cents", nth_value(col("cents"), 3).over(full))
+      .withColumn("rk", row_number().over(ord))
+      .filter(col("rk") === 1)
+      .select("o_custkey", "first_cents", "last_cents", "third_cents")
+      .orderBy("o_custkey")
+  }
+
+  val valueWindowsSql: String =
+    """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
+      |                  round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+      |w AS (
+      |  SELECT o_custkey,
+      |    first_value(cents) OVER fw AS first_cents,
+      |    last_value(cents) OVER fw AS last_cents,
+      |    nth_value(cents, 3) OVER fw AS third_cents,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate ASC, o_orderkey ASC) AS rk
+      |  FROM o
+      |  WINDOW fw AS (PARTITION BY o_custkey
+      |                ORDER BY o_orderdate ASC, o_orderkey ASC
+      |                ROWS BETWEEN UNBOUNDED PRECEDING
+      |                         AND UNBOUNDED FOLLOWING))
+      |SELECT o_custkey, first_cents, last_cents, third_cents
+      |FROM w WHERE rk = 1 ORDER BY o_custkey""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -831,6 +936,9 @@ object Advanced {
     "q145_bitmask_agg" -> bitmaskAgg,
     "q146_session_pairs" -> sessionPairs,
     "q147_asof_merge" -> asofMerge,
+    "q148_set_ops_all" -> setOpsAll,
+    "q149_relational_division" -> relationalDivision,
+    "q150_value_windows" -> valueWindows,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -853,5 +961,8 @@ object Advanced {
     "q145_bitmask_agg" -> bitmaskAggSql,
     "q146_session_pairs" -> sessionPairsSql,
     "q147_asof_merge" -> asofMergeSql,
+    "q148_set_ops_all" -> setOpsAllSql,
+    "q149_relational_division" -> relationalDivisionSql,
+    "q150_value_windows" -> valueWindowsSql,
   )
 }

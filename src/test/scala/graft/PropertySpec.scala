@@ -44,6 +44,27 @@ class PropertySpec extends AnyFunSuite {
   private val doc: Gen[String] = Gen.choose(2, 30).flatMap(n =>
     Gen.listOfN(n, word).map(_.mkString(" ")))
 
+  test("prefix-filter set-similarity join equals brute force on random corpora") {
+    // random small token-set corpora at random thresholds: the prefix
+    // pruning must lose no qualifying pair and admit no extra
+    val corpus: Gen[List[List[String]]] = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 8).flatMap(m => Gen.listOfN(m, word))))
+    val thresholds = Gen.oneOf((1, 2), (3, 5), (4, 5), (9, 10), (1, 1))
+    check(Prop.forAll(corpus, thresholds) { case (docs, (num, den)) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t.distinct) }
+        .toDF("id", "toks")
+      val got = graft.llm.SetSimilarity.selfJoinPairs(df, num, den)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val sets = docs.map(_.distinct.toSet).zipWithIndex
+      val truth = (for {
+        (sa, ia) <- sets; (sb, ib) <- sets if ia < ib
+        inter = (sa & sb).size; uni = (sa ++ sb).size
+        if sa.nonEmpty && sb.nonEmpty && inter * den >= uni * num
+      } yield (ia.toLong, ib.toLong)).toSet
+      got == truth
+    }, cases = 25)
+  }
+
   test("jaccard kernel: bounded, symmetric, self-similarity 1") {
     check(Prop.forAll(Gen.listOfN(8, doc)) { docs =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
