@@ -81,11 +81,16 @@ object AsOf {
   /** As-of join through the NATIVE physical operator
     * ([[graft.plans.AsOfJoinExec]] — custom LogicalPlan + Strategy +
     * SparkPlan): each side hash-clusters on its own key and sorts
-    * (key, ts), then one forward merge per partition. Same semantics as
-    * [[join]] (>= match, latest tie-break, left outer), but each side
-    * shuffles at its own row width and the left ordering survives for
-    * downstream operators. Column names must be disjoint across the two
-    * frames (rename the right side's ts before calling). */
+    * (key, ts), then one forward merge per partition. Semantics match
+    * [[join]] on non-null data (>= match, latest tie-break, left
+    * outer), each side shuffles at its own row width, and the left
+    * ordering survives for downstream operators. Null handling is the
+    * SQL-join convention and intentionally stricter than the window
+    * form: null keys and null right timestamps never match (the window
+    * form's union trick lets null keys co-partition), and a null
+    * tie-break sorts FIRST (loses ties) rather than last. Column names
+    * must be disjoint across the two frames (rename the right side's
+    * ts before calling). */
   def joinMerge(left: DataFrame, right: DataFrame, key: String,
                 leftTs: String, rightKey: String, rightTs: String,
                 rightTieBreak: String): DataFrame = {

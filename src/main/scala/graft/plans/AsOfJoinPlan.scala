@@ -97,6 +97,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       def advanceRight(): Unit =
         if (rIter.hasNext) rHead = rIter.next() else { rHead = null; rDone = true }
 
+      // values evaluated off a sort iterator's row alias its REUSED
+      // buffer (UTF8String, struct keys); anything retained across an
+      // iterator advance must be owned by a copy
+      def own(v: Any): Any = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case r: InternalRow => r.copy()
+        case other => other // primitives arrive boxed and immutable
+      }
+
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow)
         val lt = lTsB.eval(lRow)
@@ -104,7 +113,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         else {
           if (curKey == null || keyOrd.compare(curKey, lk) != 0) {
             lastMatch = null
-            curKey = lk
+            curKey = own(lk)
           }
           var continue = !rDone
           while (continue) {
@@ -118,7 +127,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 if (c < 0) { rHead = null; advanceRight() }
                 else if (c == 0) {
                   val rt = rTsB.eval(rHead)
-                  if (rt != null && tsOrd.compare(rt, lt) <= 0) {
+                  if (rt == null) { rHead = null; advanceRight() }
+                  else if (tsOrd.compare(rt, lt) <= 0) {
                     lastMatch = rHead.copy()
                     rHead = null; advanceRight()
                   } else continue = false

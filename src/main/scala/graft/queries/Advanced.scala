@@ -500,23 +500,26 @@ object Advanced {
     val depth = 4
     val width = 1024
     def bucket(d: Int, tok: org.apache.spark.sql.Column) =
-      (conv(substring(md5(concat(lit(d.toString), lit(":"), tok)), 1, 8), 16, 10)
-        .cast("long") % width).cast("int")
+      Fragments.hashBucket(concat(lit(d.toString), lit(":"), tok), width)
+    def fanout(d: Int, tok: org.apache.spark.sql.Column) =
+      struct(lit(d).as("d"), bucket(d, tok).as("b"))
     val toks = t(s, dir, "documents")
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
     // one pass over the tokens: each occurrence fans out to its d
     // (depth, bucket) cells map-side, then one map-combinable groupBy
     val sk = toks
-      .select(explode(array((0 until depth).map(d =>
-        struct(lit(d).as("d"), bucket(d, col("tok")).as("b"))): _*)).as("db"))
+      .select(explode(array((0 until depth).map(fanout(_, col("tok"))): _*)).as("db"))
       .select(col("db.d").as("d"), col("db.b").as("b"))
       .groupBy("d", "b").agg(count(lit(1)).as("c"))
     val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
     val top = exact.orderBy(col("exact").desc, col("tok").asc).limit(20)
-    val probes = (0 until depth).map { d =>
-      top.select(col("tok"), col("exact"), lit(d).as("d"),
-        bucket(d, col("tok")).as("b"))
-    }.reduce(_.unionByName(_))
+    // same one-pass fan-out for the probes: the top-20 aggregate+sort
+    // evaluates once, not once per depth
+    val probes = top
+      .select(col("tok"), col("exact"),
+        explode(array((0 until depth).map(fanout(_, col("tok"))): _*)).as("db"))
+      .select(col("tok"), col("exact"),
+        col("db.d").as("d"), col("db.b").as("b"))
     probes.join(broadcast(sk), Seq("d", "b"))
       .groupBy("tok", "exact").agg(min("c").as("cms_est"))
       .withColumn("never_under", col("cms_est") >= col("exact"))
@@ -525,7 +528,7 @@ object Advanced {
 
   val countMinSql: String = {
     def bucketSql(tokExpr: String) =
-      s"(('0x' || substr(md5(d.d::VARCHAR || ':' || $tokExpr), 1, 8))::BIGINT % 1024)::INT"
+      Fragments.hashBucketSql(s"d.d::VARCHAR || ':' || $tokExpr", 1024)
     s"""WITH toks AS (SELECT unnest(${Fragments.ToksSql}) AS tok FROM documents),
        |d AS (SELECT unnest([0, 1, 2, 3]) AS d),
        |sk AS (

@@ -13,16 +13,25 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object Fragments {
 
-  /** Deterministic split bucket 0..99: first 8 hex chars of
-    * md5(doc_id) mod 100 — a pure function of the key, identical in
-    * any engine and at any scale. */
+  /** Deterministic hash bucket 0..width-1: first 8 hex chars of
+    * md5(key) mod width — a pure function of the key string, identical
+    * in any engine and at any scale. The generic form behind
+    * [[splitBucket]] and q141's count-min cells. */
+  def hashBucket(key: Column, width: Int): Column =
+    (conv(substring(md5(key), 1, 8), 16, 10)
+      .cast("long") % width).cast("int")
+
+  /** DuckDB twin of [[hashBucket]] over an arbitrary VARCHAR SQL
+    * expression — MUST stay in bit-lockstep with it. */
+  def hashBucketSql(expr: String, width: Int): String =
+    s"(('0x' || substr(md5($expr), 1, 8))::BIGINT % $width)::INTEGER"
+
+  /** Deterministic split bucket 0..99 over the `doc_id` column. */
   def splitBucket(docId: Column): Column =
-    (conv(substring(md5(docId.cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100).cast("int")
+    hashBucket(docId.cast("string"), 100)
 
   /** DuckDB twin of [[splitBucket]] over the `doc_id` column. */
-  val BucketSql: String =
-    "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)::INTEGER"
+  val BucketSql: String = hashBucketSql("doc_id::VARCHAR", 100)
 
   /** DuckDB twin of [[graft.llm.TextOps.normalized]] over `text`. */
   val NormSql: String = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"

@@ -110,9 +110,13 @@ object StreamOps {
     * rather than left to the estimator. */
   def enrichStatic(stream: DataFrame, dim: DataFrame, streamKey: String,
                    dimKey: String, dimCols: Seq[String]): DataFrame = {
-    val d = dim.select((dimKey +: dimCols).distinct.map(col): _*)
-    stream.join(broadcast(d), col(streamKey) === col(dimKey), "left_outer")
-      .drop(dimKey)
+    // alias the dim key: a bare drop(dimKey) would also remove a
+    // same-named STREAM column, and streamKey == dimKey would make the
+    // join condition ambiguous
+    val k = "_graft_dim_key"
+    val d = dim.select((col(dimKey).as(k) +: dimCols.distinct.map(col)): _*)
+    stream.join(broadcast(d), col(streamKey) === col(k), "left_outer")
+      .drop(k)
   }
 
   /** Incremental snapshot maintenance: apply each micro-batch of change

@@ -172,10 +172,11 @@ class AdvancedSpec extends AnyFunSuite {
       .as[(String, Long, Long, Boolean)].collect()
     assert(rows.length === 20)
     assert(rows.forall(_._4), "CMS must never underestimate")
-    // with w=1024 and d=4 on this corpus, heavy-hitter estimates should
-    // be within a small additive error of truth (eps*N with N ~ 1e4-1e5)
+    // with w=1024 and d=4 on this corpus, heavy-hitter estimates stay
+    // within a small ADDITIVE error of truth (the CMS bound is eps*N,
+    // independent of the key's own count)
     rows.foreach { case (tok, exact, est, _) =>
-      assert(est - exact <= exact + 1000, s"$tok est=$est exact=$exact")
+      assert(est - exact <= 1500, s"$tok est=$est exact=$exact")
     }
   }
 

@@ -72,6 +72,23 @@ class AsOfPlanSpec extends AnyFunSuite {
     assert(got(2L) === None, "no right at or before ts=50")
   }
 
+  test("null right timestamps are skipped; string keys reset the match buffer") {
+    val left = Seq(("a", 1L, Some(100L)), ("b", 2L, Some(100L)))
+      .toDF("k", "event_id", "ts")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    // the null-ts right row sorts FIRST in its key group (NULLS FIRST):
+    // it must be skipped, not block the scan for the whole key
+    val right = Seq(("a", Some(90L), 7L), ("a", None, 8L))
+      .toDF("rk", "p_ts", "view_id")
+      .withColumn("p_ts", timestamp_seconds(col("p_ts")))
+    val got = AsOf.joinMerge(left, right, "k", "ts", "rk", "p_ts", "view_id")
+      .select("event_id", "view_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) === Some(7L), "valid right row matches despite a null-ts sibling")
+    // with a reused-buffer key bug, key "b" would inherit key "a"'s match
+    assert(got(2L) === None, "string key change must reset the buffered match")
+  }
+
   test("repartitioned inputs still merge correctly (co-partitioning enforced)") {
     val (clicks, purchases) = clicksAndPurchases
     val merge = AsOf.joinMerge(clicks.repartition(7), purchases.repartition(3),

@@ -95,7 +95,8 @@ class CommonSpec extends AnyFunSuite {
     val current = SparkEntry.queries.keys.map(_ -> 1.234).toMap
     val curOut = Bench.compactQueries(current)
     assert(curOut.length <= 1700, s"len=${curOut.length}")
-    val kept = curOut.stripPrefix("{").stripSuffix("}").split(",").length
+    val kept = curOut.stripPrefix("{").stripSuffix("}").split(",")
+      .count(!_.startsWith("\"omitted_sec\""))
     assert(kept >= math.min(current.size, 135),
       s"fold dropped too much: $kept entries for ${current.size} queries")
   }
