@@ -71,7 +71,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
   override def outputPartitioning = left.outputPartitioning
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val lOut = left.output
     val rOut = right.output
     val lKeyB = BindReferences.bindReference[Expression](leftKey, lOut)
@@ -107,6 +115,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       }
 
       lIter.map { lRow =>
+        numOutputRows += 1
         val lk = lKeyB.eval(lRow)
         val lt = lTsB.eval(lRow)
         if (lk == null || lt == null) joiner(joined(lRow, nullRight))
@@ -136,6 +145,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               }
             }
           }
+          if (lastMatch != null) numMatched += 1
           joiner(joined(lRow, if (lastMatch != null) lastMatch else nullRight))
         }
       }
