@@ -917,6 +917,91 @@ object Advanced {
       |SELECT o_custkey, first_cents, last_cents, third_cents
       |FROM w WHERE rk = 1 ORDER BY o_custkey""".stripMargin
 
+  // -------------------------------------------------------------- q151
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): null keys
+    * match EACH OTHER, unlike `=`. Spark still plans a hash join
+    * (EqualNullSafe is a valid equi-key), so the null bucket behaves
+    * like any other key — no fallback to nested-loop. Null keys are
+    * derived deterministically (every 7th customer's nation nulled). */
+  val nullsafeJoin: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("int"))
+          .otherwise(col("c_nationkey")).as("k"))
+    val n = t(s, dir, "nation")
+      .select(when(col("n_nationkey") === 0, lit(null).cast("int"))
+        .otherwise(col("n_nationkey")).as("k"), col("n_name"))
+    c.join(n, c("k") <=> n("k"))
+      .groupBy(coalesce(col("n_name"), lit("NULL_BUCKET")).as("n_name"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy("n_name")
+  }
+
+  val nullsafeJoinSql: String =
+    """WITH c AS (SELECT c_custkey,
+      |             CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |                  ELSE c_nationkey END AS k FROM customer),
+      |n AS (SELECT CASE WHEN n_nationkey = 0 THEN NULL
+      |             ELSE n_nationkey END AS k, n_name FROM nation)
+      |SELECT coalesce(n.n_name, 'NULL_BUCKET') AS n_name,
+      |       count(*)::BIGINT AS n_cust
+      |FROM c JOIN n ON c.k IS NOT DISTINCT FROM n.k
+      |GROUP BY 1 ORDER BY n_name""".stripMargin
+
+  // -------------------------------------------------------------- q152
+
+  /** GROUPING() markers over a rollup: the function that tells a
+    * super-aggregate NULL from a data NULL — q07's rollup surface
+    * completed with the identification half. grouping_id() gives the
+    * composite level as one integer. */
+  val groupingId: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        grouping("o_orderstatus").cast("int").as("g_status"),
+        grouping("o_orderpriority").cast("int").as("g_priority"),
+        grouping_id().cast("int").as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("g_status"), col("g_priority"), col("gid"), col("n"))
+      .orderBy("gid", "status", "priority")
+  }
+
+  val groupingIdSql: String =
+    """SELECT coalesce(o_orderstatus, '(all)') AS status,
+      |       coalesce(o_orderpriority, '(all)') AS priority,
+      |       GROUPING(o_orderstatus)::INT AS g_status,
+      |       GROUPING(o_orderpriority)::INT AS g_priority,
+      |       GROUPING(o_orderstatus, o_orderpriority)::INT AS gid,
+      |       count(*)::BIGINT AS n
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, status, priority""".stripMargin
+
+  // -------------------------------------------------------------- q153
+
+  /** Keyset-free pagination (ORDER BY … LIMIT … OFFSET): page 3 of the
+    * customers by descending balance. Spark plans offset+limit as one
+    * driver-merged top-(offset+limit) — fine for UI-page offsets; deep
+    * offsets should switch to keyset predicates (WHERE k > last_seen),
+    * which is the scan-pruned plan. */
+  val pagination: Q = (s, dir) => {
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      .orderBy(col("bal_cents").desc, col("c_custkey").asc)
+      .offset(40)
+      .limit(20)
+  }
+
+  val paginationSql: String =
+    """SELECT c_custkey, c_name, round(c_acctbal * 100)::BIGINT AS bal_cents
+      |FROM customer
+      |ORDER BY bal_cents DESC, c_custkey ASC
+      |LIMIT 20 OFFSET 40""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -942,6 +1027,9 @@ object Advanced {
     "q148_set_ops_all" -> setOpsAll,
     "q149_relational_division" -> relationalDivision,
     "q150_value_windows" -> valueWindows,
+    "q151_nullsafe_join" -> nullsafeJoin,
+    "q152_grouping_id" -> groupingId,
+    "q153_pagination" -> pagination,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -967,5 +1055,8 @@ object Advanced {
     "q148_set_ops_all" -> setOpsAllSql,
     "q149_relational_division" -> relationalDivisionSql,
     "q150_value_windows" -> valueWindowsSql,
+    "q151_nullsafe_join" -> nullsafeJoinSql,
+    "q152_grouping_id" -> groupingIdSql,
+    "q153_pagination" -> paginationSql,
   )
 }
