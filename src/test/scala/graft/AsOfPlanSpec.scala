@@ -89,6 +89,37 @@ class AsOfPlanSpec extends AnyFunSuite {
     assert(got(2L) === None, "string key change must reset the buffered match")
   }
 
+  test("merge as-of equals window as-of on random corpora (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rows = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n,
+      for {
+        k <- Gen.choose(1L, 5L) // few keys → many per-key collisions
+        ts <- Gen.choose(0L, 50L) // small range → ties are common
+        id <- Gen.choose(1L, 1000L)
+      } yield (k, ts, id)))
+    val prop = Prop.forAll(rows, rows) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, ts, _), i) => (k, ts, i.toLong) }
+        .toDF("k", "ts", "event_id")
+        .withColumn("ts", timestamp_seconds(col("ts")))
+      val right = rs.map { case (k, ts, id) => (k, ts, id) }
+        .toDF("rk", "p_ts", "view_id")
+        .withColumn("p_ts", timestamp_seconds(col("p_ts")))
+      val merge = AsOf.joinMerge(left, right, "k", "ts", "rk", "p_ts", "view_id")
+        .select("event_id", "view_id")
+        .as[(Long, Option[Long])].collect().toMap
+      val window = AsOf.join(
+          left,
+          right.select(col("rk").as("k"), col("p_ts").as("ts"), col("view_id")),
+          key = "k", leftTs = "ts", rightTs = "ts",
+          rightCols = Seq("view_id"), rightTieBreak = "view_id")
+        .select("event_id", "view_id")
+        .as[(Long, Option[Long])].collect().toMap
+      merge == window
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("repartitioned inputs still merge correctly (co-partitioning enforced)") {
     val (clicks, purchases) = clicksAndPurchases
     val merge = AsOf.joinMerge(clicks.repartition(7), purchases.repartition(3),
