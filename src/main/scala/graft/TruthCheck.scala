@@ -77,6 +77,21 @@ object TruthCheck {
       (if (diff.isEmpty && got.keySet == truthComp.keySet) "PASS"
        else s"FAIL diff=${diff.take(5)} extraMembers=${(got.keySet -- truthComp.keySet).take(5)}"))
 
+    // q59 corpus filter: its oracle embeds the same quadratic pair graph,
+    // so at sf0.1 replay the non-quadratic gates (lang id, quality) over
+    // the brute-force-derived drop set and compare final output sets
+    val dropsTruth = truthComp.collect { case (k, r) if k != r => k }.toSet
+    val truth59 = docs
+      .filter(!col("doc_id").isin(dropsTruth.toSeq: _*))
+      .filter(graft.llm.TextOps.langId(col("text")) === "en")
+      .filter(graft.llm.TextOps.qualityScore(col("text")) >= 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val got59 = graft.queries.LlmQueries.corpusFilter(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    println(s"TRUTH|q59|truth=${truth59.size}|got=${got59.size}|" +
+      (if (got59 == truth59) "PASS"
+       else s"FAIL missing=${(truth59 -- got59).take(5)} extra=${(got59 -- truth59).take(5)}"))
+
     sh.unpersist()
     spark.stop()
   }

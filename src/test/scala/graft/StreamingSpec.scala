@@ -145,6 +145,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("streaming listener observes batch progress and keyed state size") {
+    val metrics = new graft.streaming.StreamMetrics
+    spark.streams.addListener(metrics)
+    try {
+      val q = StreamOps.tumblingAgg(
+          StreamOps.readEventsStream(spark, sf), "1 hour", "10 minutes")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("t_metrics").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // listener events are delivered asynchronously after termination
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (metrics.totalInputRows("t_metrics") < batchEvents.count() &&
+             System.nanoTime() < deadline) Thread.sleep(100)
+      assert(metrics.totalInputRows("t_metrics") === batchEvents.count(),
+        "every source row is observed exactly once across micro-batches")
+      val withState = metrics.stats.filter(_.queryName == "t_metrics")
+      assert(withState.nonEmpty)
+      assert(withState.exists(_.stateRows > 0),
+        "windowed agg batches must report keyed state")
+    } finally spark.streams.removeListener(metrics)
+  }
+
   test("file sink with checkpoint recovers without duplicating output") {
     val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
