@@ -70,7 +70,6 @@ object TruthCheck {
     val truthComp = components(truth)
     val got = graft.llm.Dedup.connectedComponents(lshDf)
       .as[(Long, Long)].collect().toMap
-    lshDf.unpersist()
     // compare only docs that appear in some pair (singletons are trivial)
     val diff = truthComp.keySet.filter(k => got.get(k) != truthComp.get(k))
     println(s"TRUTH|q56|members=${truthComp.size}|clusters=${truthComp.values.toSet.size}|" +
@@ -92,6 +91,9 @@ object TruthCheck {
       (if (got59 == truth59) "PASS"
        else s"FAIL missing=${(truth59 -- got59).take(5)} extra=${(got59 -- truth59).take(5)}"))
 
+    // corpusFilter re-plans the same minhashLsh subtree — keep lshDf
+    // persisted until after got59 so its cache serves that re-plan
+    lshDf.unpersist()
     sh.unpersist()
     spark.stop()
   }

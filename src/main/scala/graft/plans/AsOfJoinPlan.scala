@@ -111,6 +111,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       def own(v: Any): Any = v match {
         case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
         case r: InternalRow => r.copy()
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+        case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
         case other => other // primitives arrive boxed and immutable
       }
 

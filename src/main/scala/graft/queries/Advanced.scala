@@ -933,7 +933,8 @@ object Advanced {
       .select(when(col("n_nationkey") === 0, lit(null).cast("int"))
         .otherwise(col("n_nationkey")).as("k"), col("n_name"))
     c.join(n, c("k") <=> n("k"))
-      .groupBy(coalesce(col("n_name"), lit("NULL_BUCKET")).as("n_name"))
+      .groupBy(when(n("k").isNull, lit("NULL_BUCKET"))
+        .otherwise(n("n_name")).as("n_name"))
       .agg(count(lit(1)).as("n_cust"))
       .orderBy("n_name")
   }
@@ -944,7 +945,8 @@ object Advanced {
       |                  ELSE c_nationkey END AS k FROM customer),
       |n AS (SELECT CASE WHEN n_nationkey = 0 THEN NULL
       |             ELSE n_nationkey END AS k, n_name FROM nation)
-      |SELECT coalesce(n.n_name, 'NULL_BUCKET') AS n_name,
+      |SELECT CASE WHEN n.k IS NULL THEN 'NULL_BUCKET'
+      |            ELSE n.n_name END AS n_name,
       |       count(*)::BIGINT AS n_cust
       |FROM c JOIN n ON c.k IS NOT DISTINCT FROM n.k
       |GROUP BY 1 ORDER BY n_name""".stripMargin

@@ -114,7 +114,8 @@ object StreamOps {
     // same-named STREAM column, and streamKey == dimKey would make the
     // join condition ambiguous
     val k = "_graft_dim_key"
-    val d = dim.select((col(dimKey).as(k) +: dimCols.distinct.map(col)): _*)
+    val payload = dimCols.distinct.filterNot(_ == dimKey)
+    val d = dim.select((col(dimKey).as(k) +: payload.map(col)): _*)
     stream.join(broadcast(d), col(streamKey) === col(k), "left_outer")
       .drop(k)
   }

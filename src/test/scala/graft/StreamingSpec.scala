@@ -155,10 +155,11 @@ class StreamingSpec extends AnyFunSuite {
         .queryName("t_metrics").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(120000)
       // listener events are delivered asynchronously after termination
+      val expected = batchEvents.count()
       val deadline = System.nanoTime() + 30e9.toLong
-      while (metrics.totalInputRows("t_metrics") < batchEvents.count() &&
+      while (metrics.totalInputRows("t_metrics") < expected &&
              System.nanoTime() < deadline) Thread.sleep(100)
-      assert(metrics.totalInputRows("t_metrics") === batchEvents.count(),
+      assert(metrics.totalInputRows("t_metrics") === expected,
         "every source row is observed exactly once across micro-batches")
       val withState = metrics.stats.filter(_.queryName == "t_metrics")
       assert(withState.nonEmpty)
