@@ -1004,6 +1004,69 @@ object Advanced {
       |ORDER BY bal_cents DESC, c_custkey ASC
       |LIMIT 20 OFFSET 40""".stripMargin
 
+  // -------------------------------------------------------------- q154
+
+  /** Date-spine zero-fill (the canonical BI gap-fill): a generated
+    * calendar spine left-joins the daily order counts so quiet days
+    * appear as explicit zeros. The spine is sequence() over the
+    * observed [min, max] — one scalar agg + per-row explode, no
+    * calendar table needed; the join is broadcast (the spine is tiny
+    * relative to facts at any scale). One month window keeps the output
+    * reviewable. */
+  val dateSpine: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-03-01").cast("timestamp"))
+      .select(col("o_orderdate").cast("date").as("day"))
+    val daily = o.groupBy("day").agg(count(lit(1)).as("n_orders"))
+    val spine = o.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    spine.join(daily, Seq("day"), "left_outer")
+      .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("day")
+  }
+
+  val dateSpineSql: String =
+    """WITH o AS (SELECT o_orderdate::DATE AS day FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |             AND o_orderdate < TIMESTAMP '1996-03-01'),
+      |daily AS (SELECT day, count(*)::BIGINT AS n_orders FROM o GROUP BY 1),
+      |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM o),
+      |spine AS (SELECT unnest(generate_series(lo, hi,
+      |                        INTERVAL 1 DAY))::DATE AS day FROM bounds)
+      |SELECT s.day, coalesce(d.n_orders, 0)::BIGINT AS n_orders
+      |FROM spine s LEFT JOIN daily d ON s.day = d.day
+      |ORDER BY s.day""".stripMargin
+
+  // -------------------------------------------------------------- q155
+
+  /** Typed joinWith (§2.10 typed surface, the join half next to q134's
+    * mapGroups): a Dataset-to-Dataset inner join that yields TUPLES of
+    * the two case-class sides rather than a flattened row — the
+    * type-safe join API. Planned as the same broadcast hash join as the
+    * untyped form; the oracle proves tuple construction loses nothing. */
+  val typedJoinWith: Q = (s, dir) => {
+    import s.implicits._
+    val custs = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("int"),
+        round(col("c_acctbal") * 100).cast("long"))
+      .as[(Long, Int, Long)]
+    val nations = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("int"), col("n_name")).as[(Int, String)]
+    custs.joinWith(broadcast(nations), custs("c_nationkey") === nations("n_nationkey"))
+      .map { case ((ck, _, cents), (_, nname)) => (ck, nname, cents) }
+      .toDF("c_custkey", "n_name", "bal_cents")
+      .filter(col("bal_cents") > 990000L)
+      .orderBy("c_custkey")
+  }
+
+  val typedJoinWithSql: String =
+    """SELECT c.c_custkey, n.n_name,
+      |       round(c.c_acctbal * 100)::BIGINT AS bal_cents
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE round(c.c_acctbal * 100)::BIGINT > 990000
+      |ORDER BY c_custkey""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1032,6 +1095,8 @@ object Advanced {
     "q151_nullsafe_join" -> nullsafeJoin,
     "q152_grouping_id" -> groupingId,
     "q153_pagination" -> pagination,
+    "q154_date_spine" -> dateSpine,
+    "q155_typed_joinwith" -> typedJoinWith,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1060,5 +1125,7 @@ object Advanced {
     "q151_nullsafe_join" -> nullsafeJoinSql,
     "q152_grouping_id" -> groupingIdSql,
     "q153_pagination" -> paginationSql,
+    "q154_date_spine" -> dateSpineSql,
+    "q155_typed_joinwith" -> typedJoinWithSql,
   )
 }
