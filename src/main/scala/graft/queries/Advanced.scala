@@ -1067,6 +1067,61 @@ object Advanced {
       |WHERE round(c.c_acctbal * 100)::BIGINT > 990000
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------- q156
+
+  /** Schema-evolution union (unionByName with allowMissingColumns — the
+    * query-side twin of `WriteSpec.allowNewColumns`): two entity frames
+    * with PARTIALLY overlapping columns union into the name-aligned
+    * superset, absent columns null-filled. DuckDB's UNION ALL BY NAME is
+    * the oracle twin, so the null-fill semantics are cross-checked. */
+  val unionByNameEvolved: Q = (s, dir) => {
+    val custs = t(s, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        lit("customer").as("kind"))
+    val supps = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("id"), lit("supplier").as("kind"),
+        round(col("s_acctbal") * 100).cast("long").as("bal_cents"))
+    custs.unionByName(supps, allowMissingColumns = true)
+      .orderBy("kind", "id")
+  }
+
+  val unionByNameEvolvedSql: String =
+    """SELECT * FROM (
+      |  SELECT c_custkey AS id, c_name AS name, 'customer' AS kind
+      |  FROM customer
+      |  UNION ALL BY NAME
+      |  SELECT s_suppkey AS id, 'supplier' AS kind,
+      |         round(s_acctbal * 100)::BIGINT AS bal_cents
+      |  FROM supplier)
+      |ORDER BY kind, id""".stripMargin
+
+  // -------------------------------------------------------------- q157
+
+  /** Conditional distinct counts (count(DISTINCT CASE WHEN …)): per
+    * order month, total distinct buyers next to the distinct buyers of
+    * each priority tier — three distinct aggregates over one scan, the
+    * expand + regroup plan. The CASE's ELSE NULL is what scopes each
+    * distinct set. */
+  val conditionalDistinct: Q = (s, dir) => {
+    t(s, dir, "orders")
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"))
+      .agg(countDistinct(col("o_custkey")).as("buyers"),
+        countDistinct(when(col("o_orderpriority") === "1-URGENT",
+          col("o_custkey"))).as("urgent_buyers"),
+        countDistinct(when(round(col("o_totalprice") * 100).cast("long") > 20000000L,
+          col("o_custkey"))).as("big_buyers"))
+      .orderBy("ym")
+  }
+
+  val conditionalDistinctSql: String =
+    """SELECT (year(o_orderdate) * 100 + month(o_orderdate))::INT AS ym,
+      |  count(DISTINCT o_custkey)::BIGINT AS buyers,
+      |  count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+      |                      THEN o_custkey END)::BIGINT AS urgent_buyers,
+      |  count(DISTINCT CASE WHEN round(o_totalprice * 100)::BIGINT > 20000000
+      |                      THEN o_custkey END)::BIGINT AS big_buyers
+      |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1097,6 +1152,8 @@ object Advanced {
     "q153_pagination" -> pagination,
     "q154_date_spine" -> dateSpine,
     "q155_typed_joinwith" -> typedJoinWith,
+    "q156_union_by_name" -> unionByNameEvolved,
+    "q157_conditional_distinct" -> conditionalDistinct,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1127,5 +1184,7 @@ object Advanced {
     "q153_pagination" -> paginationSql,
     "q154_date_spine" -> dateSpineSql,
     "q155_typed_joinwith" -> typedJoinWithSql,
+    "q156_union_by_name" -> unionByNameEvolvedSql,
+    "q157_conditional_distinct" -> conditionalDistinctSql,
   )
 }
