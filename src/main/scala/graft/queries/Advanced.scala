@@ -1122,6 +1122,35 @@ object Advanced {
       |                      THEN o_custkey END)::BIGINT AS big_buyers
       |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin
 
+  // -------------------------------------------------------------- q158
+
+  /** Cumulative distinct users by day — the running-distinct shape that
+    * a naive `count(DISTINCT) OVER (ORDER BY day)` cannot express
+    * scalably. Standard rewrite: each user collapses to a first-seen
+    * day (one keyed agg), daily new-user counts aggregate over that,
+    * and a running sum over the tiny day series yields the cumulative
+    * curve — O(users + days) rows shuffled, never (days × users). */
+  val cumulativeDistinct: Q = (s, dir) => {
+    val firstSeen = Tables.t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("day"))
+    firstSeen.groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum("new_users").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
+  val cumulativeDistinctSql: String =
+    """WITH fs AS (SELECT user_id, min(ts::DATE) AS day
+      |            FROM events GROUP BY 1),
+      |daily AS (SELECT day, count(*)::BIGINT AS new_users FROM fs GROUP BY 1)
+      |SELECT day, new_users,
+      |  (sum(new_users) OVER (ORDER BY day
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+      |    AS cum_users
+      |FROM daily ORDER BY day""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1154,6 +1183,7 @@ object Advanced {
     "q155_typed_joinwith" -> typedJoinWith,
     "q156_union_by_name" -> unionByNameEvolved,
     "q157_conditional_distinct" -> conditionalDistinct,
+    "q158_cumulative_distinct" -> cumulativeDistinct,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1186,5 +1216,6 @@ object Advanced {
     "q155_typed_joinwith" -> typedJoinWithSql,
     "q156_union_by_name" -> unionByNameEvolvedSql,
     "q157_conditional_distinct" -> conditionalDistinctSql,
+    "q158_cumulative_distinct" -> cumulativeDistinctSql,
   )
 }
