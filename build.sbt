@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route the forked JVM's stdout straight to our stdout instead of through
+// sbt's logger: the logger prefixes every line with "[info] ", which broke
+// the driver's machine-parse of Bench's one-line JSON in rounds 1-4.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

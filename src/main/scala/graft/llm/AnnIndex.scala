@@ -70,8 +70,16 @@ object AnnIndex {
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
     def norm(a: Array[Double]) = math.sqrt(dot(a, a))
+    // round to 6 dp with Spark round()'s HALF_UP semantics so the probe
+    // set matches cellRanks' (negsim, cell) order bit-for-bit — an
+    // unrounded driver-side sort could probe different cells than
+    // Similarity.ivfPqTopK on centroids that tie at 6 dp
     val probeCells = cents
-      .map { case (cell, cv) => (-dot(query, cv) / (norm(query) * norm(cv)), cell) }
+      .map { case (cell, cv) =>
+        val sim = dot(query, cv) / (norm(query) * norm(cv))
+        (-BigDecimal(sim).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          cell)
+      }
       .sorted.take(nprobe).map(_._2)
     val qLit = typedLit(query.toSeq)
     val w = Window.partitionBy(lit(1)).orderBy(col("adist").asc, col("neighbor_id").asc)

@@ -57,13 +57,27 @@ object SetSimilarity {
       .withColumn("plen",
         col("n") - ((col("n") * num + lit(den - 1)) / den).cast("int") + 1)
 
+    // posexplode keeps each prefix token's 1-based position in the full
+    // rare-first array (the prefix IS the array head, so prefix position
+    // == array position) for PPJoin's positional filter below
     val pre = sorted.select(col("id"), col("n"),
-      explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
+        posexplode(slice(col("toks"), lit(1), col("plen"))))
+      .withColumnRenamed("col", "tok")
+      .withColumn("p", col("pos") + 1).drop("pos")
 
+    // PPJoin positional filter (Xiao et al. WWW'08 §3.2): a qualifying
+    // pair needs overlap >= alpha = ceil(num*(na+nb)/(num+den)), and all
+    // common tokens sit at positions >= (pa, pb) of any shared prefix
+    // token, so overlap <= 1 + min(na-pa, nb-pb). Pruning matches whose
+    // bound falls below alpha is lossless: the pair's FIRST shared
+    // prefix token always satisfies the bound if the pair qualifies.
+    // Integer form: ubound*(num+den) >= num*(na+nb) avoids the ceil.
     val cand = pre.as("a").join(pre.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           col("b.n") * den >= col("a.n") * num &&
-          col("a.n") * den >= col("b.n") * num)
+          col("a.n") * den >= col("b.n") * num &&
+          (lit(1) + least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))) *
+            (num + den) >= (col("a.n") + col("b.n")) * num)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
 

@@ -178,6 +178,13 @@ object Multimodal {
     lastHashCache = None
   }
 
+  /** SINGLE-LIVE-RESULT CONTRACT: each call evicts the previous call's
+    * cached hash frame (module-level `lastHashCache`), so at most ONE
+    * result DataFrame at a time enjoys the decode-avoiding cache. Fully
+    * consume (or `.persist()` yourself) a prior call's result before
+    * invoking again — a prior result iterated after a newer call still
+    * returns correct rows but silently re-runs the upstream media
+    * decode. `clearHashCache()` releases the last cache explicitly. */
   def nearDupPairsByHash(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
     // persist: candidate generation and both hash-lookup joins read the
     // hashed frame, and its upstream is a media DECODE — a naive bucket

@@ -30,6 +30,15 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute, rightTie: Attribute)
   extends BinaryNode {
+  // the exec compares right-side values with the LEFT side's interpreted
+  // orderings, so mismatched types would surface as a ClassCastException
+  // deep inside the partition merge — fail at plan construction instead
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of join keys must have matching types: left ${leftKey.dataType} " +
+      s"vs right ${rightKey.dataType} (cast one side explicitly)")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of join timestamps must have matching types: left ${leftTs.dataType} " +
+      s"vs right ${rightTs.dataType} (cast one side explicitly)")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(

@@ -1151,6 +1151,35 @@ object Advanced {
       |    AS cum_users
       |FROM daily ORDER BY day""".stripMargin
 
+  // -------------------------------------------------------------- q159
+
+  /** Keyset pagination — the SCALE path that q153's LIMIT/OFFSET form
+    * documents but cannot be: the page after cursor (last_bal, last_id)
+    * is `WHERE bal < last OR (bal = last AND id > last_id) ORDER BY bal
+    * DESC, id LIMIT n`. The cursor predicate is on RAW columns, so it
+    * reaches the parquet scan as a pushed filter (row groups above the
+    * cursor are skipped entirely) and the plan is TakeOrderedAndProject
+    * with NO offset — at a deep page the offset form materializes
+    * offset+n rows on the driver, the keyset form always exactly n.
+    * The cursor is a fixed literal (as a real paging API would receive
+    * it from the previous response); tie-break id keeps it total. */
+  val keysetPagination: Q = (s, dir) => {
+    t(s, dir, "customer")
+      .filter(col("c_acctbal") < 9900.0 ||
+        (col("c_acctbal") === 9900.0 && col("c_custkey") > 0))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+  }
+
+  val keysetPaginationSql: String =
+    """SELECT c_custkey, c_name, round(c_acctbal * 100)::BIGINT AS bal_cents
+      |FROM customer
+      |WHERE c_acctbal < 9900.0 OR (c_acctbal = 9900.0 AND c_custkey > 0)
+      |ORDER BY c_acctbal DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1184,6 +1213,7 @@ object Advanced {
     "q156_union_by_name" -> unionByNameEvolved,
     "q157_conditional_distinct" -> conditionalDistinct,
     "q158_cumulative_distinct" -> cumulativeDistinct,
+    "q159_keyset_pagination" -> keysetPagination,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1217,5 +1247,6 @@ object Advanced {
     "q156_union_by_name" -> unionByNameEvolvedSql,
     "q157_conditional_distinct" -> conditionalDistinctSql,
     "q158_cumulative_distinct" -> cumulativeDistinctSql,
+    "q159_keyset_pagination" -> keysetPaginationSql,
   )
 }

@@ -100,4 +100,20 @@ class CommonSpec extends AnyFunSuite {
     assert(kept >= math.min(current.size, 135),
       s"fold dropped too much: $kept entries for ${current.size} queries")
   }
+
+  // reference tailer/Stats.java:48-110 meters rows/s + MB/s and
+  // TailerArgs.java:62-66 appends the line to a stats file
+  test("tail --append-stats-to accretes parseable stats lines") {
+    val line = Tail.statsLine("lineitem", 20L, 2000L, 0.5)
+    assert(line.contains("20 rows in 0.50 s"))
+    assert(line.contains("40.00 rows/s"))
+    assert(line.contains("0.00 MB/s")) // 2 KB / 0.5 s rounds to 0.00 MB/s
+    val f = java.nio.file.Files.createTempFile("tail-stats", ".log")
+    Tail.appendStats(f.toString, line)
+    Tail.appendStats(f.toString, Tail.statsLine("orders", 5L, 500L, 0.25))
+    val lines = java.nio.file.Files.readAllLines(f)
+    assert(lines.size === 2, "append mode must accrete, not truncate")
+    assert(lines.get(0) === line)
+    assert(lines.get(1).startsWith("[tail] orders: 5 rows"))
+  }
 }

@@ -211,6 +211,63 @@ class EngineSpec extends AnyFunSuite {
     assert(back.select(sum(size(col("arr")))).as[Long].head() === 3L)
   }
 
+  // SURVEY §1.2's last unmapped type: UNIONTYPE (reference
+  // common/HiveType.java:219) as struct-of-(tag, nullable slot per
+  // member) — exactly one slot set, tag selects it
+  test("UNION type round-trip: UNIONTYPE<BIGINT, STRING> via tagged struct") {
+    import graft.api.UnionType
+    val e = freshEngine()
+    val spec = TableSpec("tunion")
+    val members = Seq(LongType, StringType)
+    val df = Seq((1L, Some(42L), None: Option[String]),
+        (2L, None: Option[Long], Some("hi")))
+      .toDF("id", "as_long", "as_str")
+      .select(col("id"),
+        when(col("as_long").isNotNull,
+          UnionType.create(0, col("as_long"), members: _*))
+          .otherwise(UnionType.create(1, col("as_str"), members: _*))
+          .as("u"))
+    e.write(spec, df)
+
+    val back = e.read(spec)
+    // schema round-trips as the documented tagged struct
+    assert(back.schema("u").dataType.asInstanceOf[StructType].fieldNames
+      === Array("tag", "u0", "u1"))
+    assert(UnionType.schema(members: _*).fieldNames === Array("tag", "u0", "u1"))
+    // tag selects the populated slot; the other slot is NULL
+    val rows = back.select(col("id"), UnionType.tagOf(col("u")).as("tag"),
+        UnionType.extract(col("u"), 0).as("v0"),
+        UnionType.extract(col("u"), 1).as("v1"))
+      .orderBy("id").collect()
+    assert(rows(0).getInt(1) === 0 && rows(0).getLong(2) === 42L && rows(0).isNullAt(3))
+    assert(rows(1).getInt(1) === 1 && rows(1).isNullAt(2) && rows(1).getString(3) === "hi")
+    // predicate on the tag + single-member projection (the columnar win)
+    assert(back.filter(UnionType.isTag(col("u"), 1)).count() === 1L)
+    // out-of-range tag fails fast
+    intercept[IllegalArgumentException] {
+      UnionType.create(2, lit(1L), members: _*)
+    }
+  }
+
+  // cmdline writer demo parity (reference output/OutputCmd.java:98-186):
+  // N writer tasks under one job commit, file-per-task-commit ledger
+  test("Output CLI: per-task commit ledger and partitioned demo write") {
+    val wh = Files.createTempDirectory("graft-outcli").toString
+    val s = Output.run(spark, wh, tasks = 3, partitioned = false)
+    assert(s.jobCommitted, "job commit must leave _SUCCESS")
+    assert(s.tasks.size === 3, s"one committed file per task: ${s.tasks}")
+    assert(s.tasks.forall(_.bytes > 0))
+    assert(s.rowsWritten === 6 && s.rowsReadBack === 6)
+    // the reference's partitioned demo variant writes into ds=2013-04-01
+    val p = Output.run(spark, wh, tasks = 2, partitioned = true)
+    assert(p.jobCommitted && p.tasks.size === 2 && p.rowsReadBack === 4)
+    // demo payload is the reference's fixed records (OutputCmd.java:167-178)
+    val vals = new Engine(spark, wh).read(TableSpec("output_test"))
+      .orderBy("i1", "s4").distinct().as[(Long, Double, Boolean, String)]
+      .collect().toSeq
+    assert(vals === Seq((11L, 22.22, true, "foo"), (33L, 44.44, false, "bar")))
+  }
+
   // multi-profile parity: the reference reads several distinct table
   // descriptions in one job via profile ids (HiveApiInputFormat.java:
   // 145-172; README.md:152-158 — the Giraph vertex+edge case). The Spark

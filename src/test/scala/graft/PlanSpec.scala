@@ -231,4 +231,15 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q77_quantize_int8")
     assert(p.contains("BroadcastHashJoin"), p.take(600))
   }
+
+  test("q159 keyset pagination pushes the cursor predicate and plans no offset") {
+    val p = plan("q159_keyset_pagination")
+    // the cursor disjunction reaches the parquet scan as a pushed filter …
+    assert(p.contains("PushedFilters: [Or(LessThan(c_acctbal"),
+      p.split("PushedFilters").last.take(300))
+    // … and the page is a plain top-k: no offset anywhere in the plan
+    // (q153's LIMIT/OFFSET form materializes offset+n rows instead)
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.toLowerCase.contains("offset"), p.take(600))
+  }
 }
