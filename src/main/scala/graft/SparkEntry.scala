@@ -19,7 +19,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.LlmQueries.queries ++
       graft.queries.Extended.queries ++ graft.queries.Pipeline.queries ++
       graft.queries.Curation.queries ++ graft.queries.Analytics.queries ++
-      graft.queries.Advanced.queries
+      graft.queries.Advanced.queries ++ graft.queries.TpchTail.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++ graft.queries.LlmQueries.oracleSql ++
       graft.queries.Extended.oracleSql ++ graft.queries.Pipeline.oracleSql ++
       graft.queries.Curation.oracleSql ++ graft.queries.Analytics.oracleSql ++
-      graft.queries.Advanced.oracleSql
+      graft.queries.Advanced.oracleSql ++ graft.queries.TpchTail.oracleSql
 }

@@ -38,13 +38,31 @@ object SetSimilarity {
     */
   def selfJoinPairs(sets: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && num <= den, s"threshold $num/$den must be in (0,1]")
+    val sorted = rankedSets(sets, num, den)
+    val cand = candidatePairs(sorted, num, den)
+    val payload = sorted.select(col("id"), col("toks"), col("n"))
+    cand
+      .join(payload.select(col("id").as("doc_a"), col("toks").as("ta"),
+        col("n").as("na")), "doc_a")
+      .join(payload.select(col("id").as("doc_b"), col("toks").as("tb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * den >= col("uni") * num)
+      .select("doc_a", "doc_b", "inter", "uni")
+  }
+
+  /** Each set re-sorted rarest-token-first under the global (df, token)
+    * total order, with its size `n` and prefix length `plen` =
+    * n − ⌈num·n/den⌉ + 1. */
+  private[graft] def rankedSets(sets: DataFrame, num: Int, den: Int): DataFrame = {
     val base = sets.select(col("id"), col("toks")).filter(size(col("toks")) > 0)
 
     // global document frequency; (df asc, token asc) is the total order
     val tok = base.select(col("id"), explode(col("toks")).as("tok"))
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
 
-    val sorted = tok.join(dfreq, "tok")
+    tok.join(dfreq, "tok")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ranked"))
       .select(col("id"),
@@ -56,40 +74,40 @@ object SetSimilarity {
       // integer boundary)
       .withColumn("plen",
         col("n") - ((col("n") * num + lit(den - 1)) / den).cast("int") + 1)
+  }
 
+  /** Candidate (doc_a < doc_b) pairs from intersecting prefixes, pruned
+    * by the length filter and (when `positional`, the default) PPJoin's
+    * positional filter. Exposed for the adversarial-scale spec, which
+    * asserts the positional tier's candidate bound directly.
+    *
+    * PPJoin positional filter (Xiao et al. WWW'08 §3.2): a qualifying
+    * pair needs overlap >= alpha = ceil(num*(na+nb)/(num+den)), and all
+    * common tokens sit at positions >= (pa, pb) of any shared prefix
+    * token, so overlap <= 1 + min(na-pa, nb-pb). Pruning matches whose
+    * bound falls below alpha is lossless: the pair's FIRST shared
+    * prefix token always satisfies the bound if the pair qualifies.
+    * Integer form: ubound*(num+den) >= num*(na+nb) avoids the ceil. */
+  private[graft] def candidatePairs(sorted: DataFrame, num: Int, den: Int,
+      positional: Boolean = true): DataFrame = {
     // posexplode keeps each prefix token's 1-based position in the full
     // rare-first array (the prefix IS the array head, so prefix position
-    // == array position) for PPJoin's positional filter below
+    // == array position) for the positional filter
     val pre = sorted.select(col("id"), col("n"),
         posexplode(slice(col("toks"), lit(1), col("plen"))))
       .withColumnRenamed("col", "tok")
       .withColumn("p", col("pos") + 1).drop("pos")
 
-    // PPJoin positional filter (Xiao et al. WWW'08 §3.2): a qualifying
-    // pair needs overlap >= alpha = ceil(num*(na+nb)/(num+den)), and all
-    // common tokens sit at positions >= (pa, pb) of any shared prefix
-    // token, so overlap <= 1 + min(na-pa, nb-pb). Pruning matches whose
-    // bound falls below alpha is lossless: the pair's FIRST shared
-    // prefix token always satisfies the bound if the pair qualifies.
-    // Integer form: ubound*(num+den) >= num*(na+nb) avoids the ceil.
-    val cand = pre.as("a").join(pre.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          col("b.n") * den >= col("a.n") * num &&
-          col("a.n") * den >= col("b.n") * num &&
-          (lit(1) + least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))) *
-            (num + den) >= (col("a.n") + col("b.n")) * num)
+    val lengthOk = col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+      col("b.n") * den >= col("a.n") * num &&
+      col("a.n") * den >= col("b.n") * num
+    val positionOk =
+      (lit(1) + least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))) *
+        (num + den) >= (col("a.n") + col("b.n")) * num
+
+    pre.as("a").join(pre.as("b"),
+        if (positional) lengthOk && positionOk else lengthOk)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-
-    val payload = sorted.select(col("id"), col("toks"), col("n"))
-    cand
-      .join(payload.select(col("id").as("doc_a"), col("toks").as("ta"),
-        col("n").as("na")), "doc_a")
-      .join(payload.select(col("id").as("doc_b"), col("toks").as("tb"),
-        col("n").as("nb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
-      .filter(col("inter") * den >= col("uni") * num)
-      .select("doc_a", "doc_b", "inter", "uni")
   }
 }

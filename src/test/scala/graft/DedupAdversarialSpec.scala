@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Lsh, SetSimilarity, TextOps}
+
+/** Adversarial-scale behavior of the dedup family: corpora with
+  * DEGENERATE shingle/bucket distributions (thousands of near-identical
+  * documents, or a dominant shared token core) are exactly where a
+  * bucketed dedup either stays bounded or explodes O(n²). These specs
+  * pin the two defense tiers:
+  *  - the LSH bucket cap ([[Lsh.MaxBucketConf]]) drops degenerate
+  *    buckets and surfaces the drop in the `droppedBuckets` accumulator
+  *    (exact dedup is the documented escape hatch for those documents);
+  *  - PPJoin's positional filter bounds the exact set-similarity join's
+  *    candidate count on a corpus whose shared token core would satisfy
+  *    the prefix filter pair-wise without ever reaching the Jaccard
+  *    threshold.
+  */
+class DedupAdversarialSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // 1,000 byte-identical documents (one degenerate LSH bucket per band)
+  // plus a planted ordinary near-dup pair and unrelated fillers
+  private def degenerateCorpus() = {
+    val cloneText = "the quick brown fox jumps over the lazy dog again and " +
+      "again in the same meadow every single morning before dawn breaks"
+    val clones = (0L until 1000L).map(i => (i, cloneText))
+    val planted = Seq(
+      (2000L, "completely different subject matter about distributed query " +
+        "engines shuffling partitioned columnar data across executor fleets"),
+      (2001L, "completely different subject matter about distributed query " +
+        "engines shuffling partitioned columnar data across executor racks"))
+    val fillers = (3000L until 3020L).map(i =>
+      (i, s"unique filler document number $i with its own vocabulary " +
+        s"token${i}a token${i}b token${i}c token${i}d token${i}e token${i}f " +
+        s"token${i}g token${i}h token${i}i token${i}j token${i}k token${i}l"))
+    (clones ++ planted ++ fillers).toDF("doc_id", "text")
+  }
+
+  test("LSH bucket cap bounds a degenerate corpus and surfaces the drops") {
+    val docs = degenerateCorpus()
+    val dropsBefore = Lsh.droppedBuckets(spark)
+
+    // capped run: the 1000-clone bucket (one per band) is dropped, the
+    // planted ordinary pair still comes through its small buckets
+    val capped = Dedup.minhashLsh(docs, threshold = 0.8)
+    // no cap by default — set the session conf the way a pipeline would
+    spark.conf.set(Lsh.MaxBucketConf, "100")
+    val pairs =
+      try Dedup.minhashLsh(docs, threshold = 0.8).collect()
+      finally spark.conf.unset(Lsh.MaxBucketConf)
+
+    val dropped = Lsh.droppedBuckets(spark) - dropsBefore
+    assert(dropped >= 1, "degenerate buckets must be counted, not silent")
+    // without the cap the clone cluster alone would emit 1000*999/2 =
+    // 499,500 pairs; capped output stays at the planted pair
+    assert(pairs.length === 1, pairs.take(5).mkString(","))
+    assert(pairs.head.getLong(0) === 2000L && pairs.head.getLong(1) === 2001L)
+
+    // the documented escape hatch: exact dedup collapses the clones the
+    // cap dropped — nothing is lost end to end
+    val exact = docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .filter(col("n") > 1).collect()
+    assert(exact.length === 1 && exact.head.getAs[Long]("n") === 1000L)
+
+    // and the uncapped default on the same session was exact (finds the
+    // planted pair plus the full clone expansion) — cap is opt-in
+    assert(capped.filter(col("doc_a") === 2000L).count() === 1L)
+    Dedup.clearShingleCache()
+  }
+
+  test("positional filter bounds setsim candidates on a correlated corpus") {
+    // The adversarial shape for the PREFIX tier is a shared token that
+    // is rare enough to land INSIDE every prefix: 120 docs of 20 tokens
+    // each — 3 unique (df=1, prefix slots 1-3), 1 per-group tag shared
+    // by 10 docs (df=10, slot 4), and a 16-token core shared by all
+    // (df=120, slots 5-20 — whose FIRST token still lands at prefix
+    // slot 5, because plen = 20 − ⌈0.8·20⌉ + 1 = 5). Every one of the
+    // 120·119/2 = 7,140 pairs therefore shares a prefix token, yet the
+    // best pairwise Jaccard is 17/23 ≈ 0.74 < 0.8. The positional tier
+    // sees every such match at slots ≥ 4 — overlap bound 21−max(p) ≤ 17
+    // < α = ⌈(4/9)·40⌉ = 18 — and prunes ALL of them.
+    val core = (0 until 16).map(i => s"core$i")
+    val sets = (0L until 120L).map { d =>
+      (d, (0 until 3).map(i => s"u${d}x$i") ++ Seq(s"grp${d / 10}") ++ core)
+    }.toDF("id", "toks")
+
+    val ranked = SetSimilarity.rankedSets(sets, 4, 5).cache()
+    val prefixOnly = SetSimilarity.candidatePairs(ranked, 4, 5,
+      positional = false).count()
+    val positional = SetSimilarity.candidatePairs(ranked, 4, 5).count()
+    assert(prefixOnly === 7140L,
+      "the correlated corpus must defeat the prefix filter alone (the premise)")
+    assert(positional === 0L,
+      s"positional tier must prune sub-threshold correlated pairs, got $positional")
+    // end-to-end: no false positives survive, and nothing qualifies
+    assert(SetSimilarity.selfJoinPairs(sets, 4, 5).count() === 0L)
+    ranked.unpersist()
+  }
+
+  test("positional filter is lossless: qualifying pairs always survive") {
+    // same shared core, but two docs are genuine near-dups (19 of 20
+    // tokens shared → Jaccard 19/21 > 4/5)
+    val core = (0 until 12).map(i => s"core$i")
+    val near = (900L, core ++ (0 until 8).map(i => s"sharedpriv$i"))
+    val near2 = (901L, core ++ (0 until 7).map(i => s"sharedpriv$i") :+ "oddone")
+    val rest = (0L until 60L).map { d =>
+      (d, core ++ (0 until 8).map(i => s"doc${d}priv$i"))
+    }
+    val sets = (rest :+ near :+ near2).toDF("id", "toks")
+    val out = SetSimilarity.selfJoinPairs(sets, 4, 5).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 900L && out.head.getLong(1) === 901L)
+    assert(out.head.getAs[Int]("inter") === 19 && out.head.getAs[Int]("uni") === 21)
+  }
+}
