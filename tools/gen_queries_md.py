@@ -10,7 +10,8 @@ mods = {
  'Pipeline': 'src/main/scala/graft/queries/Pipeline.scala',
  'Curation': 'src/main/scala/graft/queries/Curation.scala',
  'Analytics': 'src/main/scala/graft/queries/Analytics.scala',
- 'Advanced': 'src/main/scala/graft/queries/Advanced.scala'}
+ 'Advanced': 'src/main/scala/graft/queries/Advanced.scala',
+ 'TpchTail': 'src/main/scala/graft/queries/TpchTail.scala'}
 entries = {}
 for mod, path in mods.items():
     src = open(path).read()
