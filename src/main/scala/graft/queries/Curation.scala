@@ -767,6 +767,125 @@ object Curation {
       |  max(CASE WHEN ra = 1 THEN o_totalprice END) AS bottom_price
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q169
+
+  /** Domain-mix rebalancing — the training-mixture op: each source gets
+    * a target share of the corpus (here: srcs 0–4 are "high-value" at
+    * 8% each, the other fifteen at 4%), enforced by keeping the first
+    * quota docs per source under a DETERMINISTIC hash order (md5 of the
+    * doc id — reproducible at any scale, no RNG). Quota arithmetic is
+    * exact-integer cross-multiplication: keep iff rank·100 ≤ w·total.
+    * One keyed window per source + a 1-row total broadcast — the corpus
+    * shuffles once on source. */
+  val domainMix: Q = (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+    val w = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 8L)
+      .otherwise(4L)
+    val ranked = docs
+      .withColumn("hkey", md5(concat(col("doc_id").cast("string"), lit("mix"))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(col("hkey"), col("doc_id"))).cast("long"))
+    val total = docs.agg(count(lit(1)).as("total"))
+    ranked.join(broadcast(total))
+      .filter(col("rnk") * 100 <= w * col("total"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val domainMixSql: String =
+    """WITH ranked AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(doc_id::VARCHAR || 'mix'), doc_id) AS rnk
+      |  FROM documents),
+      |tot AS (SELECT count(*)::BIGINT AS total FROM documents)
+      |SELECT source, count(*)::BIGINT AS n_kept
+      |FROM ranked, tot
+      |WHERE rnk * 100 <= (CASE WHEN source IN
+      |        ('src0', 'src1', 'src2', 'src3', 'src4')
+      |      THEN 8 ELSE 4 END) * total
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------- q170
+
+  /** Token-budget corpus selection: per language, take documents in
+    * descending quality order (rounded score, doc-id tie-break) until
+    * the running token total reaches the budget — the "best N tokens
+    * per language" op every pretraining mix needs. The cumulative sum
+    * is one window per language key (keyed exchange, not a global
+    * sort); at 100 TB the same contract binary-searches a quality
+    * threshold instead (two aggregate passes), noted here. */
+  val tokenBudget: Q = (s, dir) => {
+    val budget = 3000L
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("q"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("q").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_used"),
+        max("cum_tokens").as("cum_check"))
+      .orderBy("lang")
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, len($ToksSql)::BIGINT AS n_tokens,
+       |         ${Fragments.qualitySql} AS q
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY q DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM d)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |       sum(n_tokens)::BIGINT AS tokens_used,
+       |       max(cum_tokens)::BIGINT AS cum_check
+       |FROM c WHERE cum_tokens <= 3000
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------- q171
+
+  /** Duplicate-cluster canonical pick: exact-duplicate groups (md5 of
+    * the normalized text, q30's fingerprint) keep their HIGHEST-QUALITY
+    * member (rounded score, smallest doc id on ties) — the
+    * representative-selection step after dedup discovery, where q59's
+    * capstone keeps min-id this picks best-quality. One keyed window
+    * over the fingerprint; only groups with >1 member are reported. */
+  val clusterCanonical: Q = (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(TextOps.normalized(col("text"))).as("fp"),
+        TextOps.qualityScore(col("text")).as("q"))
+    val w = Window.partitionBy("fp").orderBy(col("q").desc, col("doc_id").asc)
+    docs.withColumn("pick", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("pick") === 1 && col("n_members") > 1)
+      .select(col("fp"), col("doc_id").as("keeper"), col("q").as("keeper_q"),
+        col("n_members"))
+      .orderBy("fp")
+  }
+
+  val clusterCanonicalSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, md5($NormSql) AS fp, ${Fragments.qualitySql} AS q
+       |  FROM documents),
+       |r AS (
+       |  SELECT fp, doc_id, q,
+       |    row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id ASC)
+       |      AS pick,
+       |    count(*) OVER (PARTITION BY fp) AS n_members
+       |  FROM d)
+       |SELECT fp, doc_id AS keeper, q AS keeper_q, n_members::BIGINT AS n_members
+       |FROM r WHERE pick = 1 AND n_members > 1
+       |ORDER BY fp""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -790,7 +909,10 @@ object Curation {
     "q104_mad_outliers" -> madOutliers,
     "q105_explode_outer" -> explodeOuter,
     "q106_bool_agg" -> boolAgg,
-    "q107_arg_extremes" -> argExtremes)
+    "q107_arg_extremes" -> argExtremes,
+    "q169_domain_mix" -> domainMix,
+    "q170_token_budget" -> tokenBudget,
+    "q171_cluster_canonical" -> clusterCanonical)
 
   val oracleSql: Map[String, String] = Map(
     "q87_decontam_ngram" -> decontamSql,
@@ -813,5 +935,8 @@ object Curation {
     "q104_mad_outliers" -> madOutliersSql,
     "q105_explode_outer" -> explodeOuterSql,
     "q106_bool_agg" -> boolAggSql,
-    "q107_arg_extremes" -> argExtremesSql)
+    "q107_arg_extremes" -> argExtremesSql,
+    "q169_domain_mix" -> domainMixSql,
+    "q170_token_budget" -> tokenBudgetSql,
+    "q171_cluster_canonical" -> clusterCanonicalSql)
 }
