@@ -93,8 +93,14 @@ object Bench {
     // estimator, robust to background machine load
     val scanDf = Tables.t(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_partkey", "l_quantity")
-    var rows = drain(scanDf) // warmup (JIT + page cache)
-    val scanSec = (1 to 3).map { _ =>
+    // two warmups: the first pass is ~20× steady-state (codegen compile
+    // + C2 JIT of the vectorized reader), the second still ~1.5×; the
+    // sf0.1 file is a single parquet row group, so this measures ONE
+    // task's decode throughput — min-of-5 at ~70 ms/pass is cheap and
+    // converges on the steady state
+    var rows = drain(scanDf)
+    rows = drain(scanDf)
+    val scanSec = (1 to 5).map { _ =>
       val t0 = System.nanoTime()
       rows = drain(scanDf)
       (System.nanoTime() - t0) / 1e9
