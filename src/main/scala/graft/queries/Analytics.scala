@@ -877,6 +877,146 @@ object Analytics {
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin
 
+  // -------------------------------------------------------------- q172
+
+  /** Segment-level boilerplate removal (the line-dedup pass of
+    * CCNet/RefinedWeb-style curation, at the segment granularity this
+    * corpus supports — the synthetic docs have no newlines, so the
+    * "line" is a non-overlapping 2-token segment; production would use
+    * real lines or 16-token segments, same plan): a segment repeated in
+    * ≥3 DISTINCT docs of the same source is boilerplate, and every doc
+    * reports how many segments it keeps and the surviving token count.
+    * Two exchanges at any scale: the (source, fp, doc_id) distinct-DF
+    * count, then the per-doc report group-by — the boilerplate
+    * dictionary itself (df ≥ 3 survivors) is vocabulary-bounded, so the
+    * mark-up join BROADCASTS it rather than reshuffling the corpus. */
+  val chunkBoilerplate: Q = (s, dir) => {
+    val seg = slice(col("toks"), col("st") + 1, lit(2))
+    val chunks = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(2))).as("st"))
+      .select(col("doc_id"), col("source"), size(seg).as("n_tok"),
+        md5(concat_ws(" ", seg)).as("fp"))
+    val boiler = chunks.groupBy("source", "fp")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 3)
+      .select(col("source"), col("fp"), lit(1L).as("is_boiler"))
+    chunks.join(broadcast(boiler), Seq("source", "fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"),
+        sum(when(col("is_boiler").isNull, col("n_tok"))
+          .otherwise(lit(0)).cast("long")).as("toks_kept"))
+      .orderBy("doc_id")
+  }
+
+  val chunkBoilerplateSql: String =
+    s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, source, toks,
+       |        unnest(range(0, greatest(len(toks), 1), 2)) AS st FROM t),
+       |c AS (SELECT doc_id, source, len(toks[st+1:st+2])::INT AS n_tok,
+       |        md5(array_to_string(toks[st+1:st+2], ' ')) AS fp FROM s),
+       |b AS (SELECT source, fp FROM c GROUP BY source, fp
+       |      HAVING count(DISTINCT doc_id) >= 3)
+       |SELECT c.doc_id, count(*)::BIGINT AS n_segs,
+       |  count(b.fp)::BIGINT AS n_boiler,
+       |  coalesce(sum(CASE WHEN b.fp IS NULL THEN c.n_tok END), 0)::BIGINT
+       |    AS toks_kept
+       |FROM c LEFT JOIN b ON c.source = b.source AND c.fp = b.fp
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  // -------------------------------------------------------------- q174
+
+  /** Changepoint flagging over the daily event series: a day "spikes"
+    * when its count exceeds 1.2× the running mean of ALL prior days
+    * (integer cross-multiplication `cnt·prior_days·10 > prior_sum·12` —
+    * no float boundary to disagree on) with a 7-day burn-in. Every day
+    * is reported with its flag rather than filtered, so the output is
+    * stable even when nothing spikes. The daily roll-up is one
+    * map-combinable shuffle on (type, day); the running window is keyed
+    * by event_type — 5 keys here, but the same plan holds per-metric at
+    * scale since the window input is already the ROLLED-UP series (days
+    * × types rows, not raw events). */
+  val changepoint: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prior_days", (row_number().over(w) - 1).cast("long"))
+      .withColumn("prior_sum", coalesce(
+        sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("spiked",
+        (col("prior_days") >= 7 &&
+          col("cnt") * col("prior_days") * 10 > col("prior_sum") * 12)
+          .cast("int"))
+      .orderBy("event_type", "day")
+  }
+
+  val changepointSql: String =
+    """WITH d AS (
+      |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, day, cnt,
+      |    (row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |      - 1)::BIGINT AS prior_days,
+      |    coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0)::BIGINT AS prior_sum
+      |  FROM d)
+      |SELECT event_type, day, cnt, prior_days, prior_sum,
+      |  (prior_days >= 7 AND
+      |   cnt * prior_days * 10 > prior_sum * 12)::INT AS spiked
+      |FROM r ORDER BY event_type, day""".stripMargin
+
+  // -------------------------------------------------------------- q176
+
+  /** Last-touch attribution: each purchase credits the user's most
+    * recent PRIOR click's property key (−1 when the user never clicked
+    * before buying) — the as-of-join semantics of q60/q147 expressed as
+    * a single forward-carrying window (`last(..., ignoreNulls)` /
+    * `last_value(... IGNORE NULLS)`) because both streams live in ONE
+    * table here, so no join is needed at all. One keyed exchange on
+    * user_id; purchase value is summed in exact cents. (user_id, ts)
+    * pairs are unique in this corpus, so the per-user order is total
+    * and both engines walk the identical sequence. */
+  val attribution: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.t(s, dir, "events")
+      .withColumn("click_k",
+        when(col("event_type") === "click",
+          get_json_object(col("props"), "$.k").cast("long")))
+      .withColumn("attr_k", last(col("click_k"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("attr_k"), lit(-1L)).as("attr_k"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .orderBy("attr_k")
+  }
+
+  val attributionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_type, value,
+      |    CASE WHEN event_type = 'click'
+      |         THEN json_extract(props, 'k')::BIGINT END AS click_k
+      |  FROM events),
+      |a AS (
+      |  SELECT event_type, value,
+      |    last_value(click_k IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr_k
+      |  FROM e)
+      |SELECT coalesce(attr_k, -1)::BIGINT AS attr_k,
+      |  count(*)::BIGINT AS n_purchases,
+      |  sum(round(value * 100)::BIGINT)::BIGINT AS cents
+      |FROM a WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -900,7 +1040,10 @@ object Analytics {
     "q125_event_transitions" -> eventTransitions,
     "q126_bigram_lm" -> bigramLm,
     "q127_sweep_line" -> sweepLine,
-    "q128_ratio_to_report" -> ratioToReport)
+    "q128_ratio_to_report" -> ratioToReport,
+    "q172_chunk_boilerplate" -> chunkBoilerplate,
+    "q174_changepoint" -> changepoint,
+    "q176_attribution" -> attribution)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -923,5 +1066,8 @@ object Analytics {
     "q125_event_transitions" -> eventTransitionsSql,
     "q126_bigram_lm" -> bigramLmSql,
     "q127_sweep_line" -> sweepLineSql,
-    "q128_ratio_to_report" -> ratioToReportSql)
+    "q128_ratio_to_report" -> ratioToReportSql,
+    "q172_chunk_boilerplate" -> chunkBoilerplateSql,
+    "q174_changepoint" -> changepointSql,
+    "q176_attribution" -> attributionSql)
 }

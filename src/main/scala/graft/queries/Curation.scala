@@ -852,16 +852,20 @@ object Curation {
 
   // -------------------------------------------------------------- q171
 
-  /** Duplicate-cluster canonical pick: exact-duplicate groups (md5 of
-    * the normalized text, q30's fingerprint) keep their HIGHEST-QUALITY
-    * member (rounded score, smallest doc id on ties) — the
-    * representative-selection step after dedup discovery, where q59's
-    * capstone keeps min-id this picks best-quality. One keyed window
-    * over the fingerprint; only groups with >1 member are reported. */
+  /** Duplicate-cluster canonical pick: order-invariant duplicate groups
+    * (md5 of the SORTED DISTINCT token set — bag-of-words identity, one
+    * notch coarser than q30's exact normalized-text fingerprint) keep
+    * their HIGHEST-QUALITY member (rounded score, smallest doc id on
+    * ties) — the representative-selection step after dedup discovery,
+    * where q59's capstone keeps min-id this picks best-quality. One
+    * keyed window over the fingerprint; only groups with >1 member are
+    * reported. Sort parity: Spark `array_sort` and DuckDB `list_sort`
+    * both order ASCII tokens bytewise. */
   val clusterCanonical: Q = (s, dir) => {
     val docs = Tables.t(s, dir, "documents")
       .select(col("doc_id"),
-        md5(TextOps.normalized(col("text"))).as("fp"),
+        md5(concat_ws(" ",
+          array_sort(array_distinct(TextOps.tokens(col("text")))))).as("fp"),
         TextOps.qualityScore(col("text")).as("q"))
     val w = Window.partitionBy("fp").orderBy(col("q").desc, col("doc_id").asc)
     docs.withColumn("pick", row_number().over(w))
@@ -874,7 +878,9 @@ object Curation {
 
   val clusterCanonicalSql: String =
     s"""WITH d AS (
-       |  SELECT doc_id, md5($NormSql) AS fp, ${Fragments.qualitySql} AS q
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_sort(list_distinct($ToksSql)), ' ')) AS fp,
+       |    ${Fragments.qualitySql} AS q
        |  FROM documents),
        |r AS (
        |  SELECT fp, doc_id, q,
@@ -885,6 +891,73 @@ object Curation {
        |SELECT fp, doc_id AS keeper, q AS keeper_q, n_members::BIGINT AS n_members
        |FROM r WHERE pick = 1 AND n_members > 1
        |ORDER BY fp""".stripMargin
+
+  // -------------------------------------------------------------- q173
+
+  /** Deterministic shard assignment for training export: every doc maps
+    * to shard `md5(id ∥ "shard") mod 16` — a pure function of the id,
+    * so any re-run (or any engine) produces the identical sharding with
+    * no RNG and no global sort. The report is the per-shard manifest an
+    * export writes next to the data: doc count, token total, source
+    * spread, id range. At 100 TB the same expression feeds
+    * `repartition(col("shard"))` + `partitionBy("shard")` on the write
+    * path — one keyed exchange, and the hash spreads hot sources evenly
+    * across shards by construction (the manifest's n_docs column is the
+    * skew check). */
+  val shardExport: Q = (s, dir) =>
+    Tables.t(s, dir, "documents")
+      .select(
+        Fragments.hashBucket(
+          concat(col("doc_id").cast("string"), lit("shard")), 16).as("shard"),
+        col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        countDistinct("source").as("n_sources"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+
+  val shardExportSql: String =
+    s"""WITH d AS (
+       |  SELECT ${Fragments.hashBucketSql("doc_id::VARCHAR || 'shard'", 16)}
+       |      AS shard,
+       |    source, doc_id, len($ToksSql)::BIGINT AS n_tokens
+       |  FROM documents)
+       |SELECT shard, count(*)::BIGINT AS n_docs,
+       |  sum(n_tokens)::BIGINT AS n_tokens,
+       |  count(DISTINCT source)::BIGINT AS n_sources,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
+  // -------------------------------------------------------------- q175
+
+  /** Deterministic hash-Bernoulli downsampling: keep a doc iff
+    * `md5(id ∥ "samp") mod 1000` falls under the source tier's rate
+    * (50% for the five high-value sources, 10% for the rest) — the
+    * seeded-subsample op every corpus ablation needs, with the hash as
+    * the seed so membership is reproducible at any scale and on any
+    * engine. Unlike q169's exact-quota rebalance (per-source window
+    * rank), this is rate-based and entirely MAP-SIDE: no window, no
+    * per-source exchange — the only shuffle is the final report's
+    * group-by, so at 100 TB the sample materializes at scan speed. */
+  val hashSample: Q = (s, dir) => {
+    val keep = Fragments.hashBucket(
+      concat(col("doc_id").cast("string"), lit("samp")), 1000) <
+      when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 500)
+        .otherwise(100)
+    Tables.t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(keep.cast("long")).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val hashSampleSql: String =
+    s"""SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum((${Fragments.hashBucketSql("doc_id::VARCHAR || 'samp'", 1000)} <
+       |       CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+       |            THEN 500 ELSE 100 END)::BIGINT)::BIGINT AS n_kept
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ----------------------------------------------------------- registry
 
@@ -912,7 +985,9 @@ object Curation {
     "q107_arg_extremes" -> argExtremes,
     "q169_domain_mix" -> domainMix,
     "q170_token_budget" -> tokenBudget,
-    "q171_cluster_canonical" -> clusterCanonical)
+    "q171_cluster_canonical" -> clusterCanonical,
+    "q173_shard_export" -> shardExport,
+    "q175_hash_sample" -> hashSample)
 
   val oracleSql: Map[String, String] = Map(
     "q87_decontam_ngram" -> decontamSql,
@@ -938,5 +1013,7 @@ object Curation {
     "q107_arg_extremes" -> argExtremesSql,
     "q169_domain_mix" -> domainMixSql,
     "q170_token_budget" -> tokenBudgetSql,
-    "q171_cluster_canonical" -> clusterCanonicalSql)
+    "q171_cluster_canonical" -> clusterCanonicalSql,
+    "q173_shard_export" -> shardExportSql,
+    "q175_hash_sample" -> hashSampleSql)
 }
