@@ -242,4 +242,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
     assert(!p.toLowerCase.contains("offset"), p.take(600))
   }
+
+  test("q172 boilerplate mark-up join broadcasts the df>=3 dictionary") {
+    // the corpus-side chunk stream must NOT reshuffle to meet the
+    // boilerplate dictionary: the dictionary is vocabulary-bounded, so
+    // the left join rides a broadcast while the only chunk exchanges
+    // are the DF count and the per-doc report
+    val p = plan("q172_chunk_boilerplate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q175 hash sampling is map-side: one exchange for the report only") {
+    val p = plan("q175_hash_sample")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected report group-by exchanges only, got $exchanges:\n${p.take(800)}")
+    assert(!p.contains("Window"), "rate sampling must not plan a window")
+  }
+
+  test("q176 attribution plans one keyed window, no self-join") {
+    val p = plan("q176_attribution")
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("Join"), "single-table window form must not join")
+  }
 }
