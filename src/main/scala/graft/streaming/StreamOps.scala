@@ -300,4 +300,46 @@ object StreamOps {
           closed.iterator
       }
   }
+
+  // ---- custom state: last-touch attribution (q176's streaming twin) ----
+
+  case class AttrEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                    event_type: String, value: Double, k: Long)
+  case class AttrState(lastK: Long)
+  case class Attribution(user_id: Long, purchase_id: Long, attr_k: Long,
+                         cents: Long)
+
+  /** Streaming last-touch attribution: each purchase credits the user's
+    * most recent prior click key, carried across micro-batches as ONE
+    * long of keyed state per user — the bounded-state streaming twin of
+    * batch q176 ([[graft.queries.Analytics.attribution]]). Events
+    * inside a micro-batch fold in (ts, event_id) order, so replaying
+    * the batch corpus through any batch partitioning yields the
+    * identical credit assignment (the spec proves it against the
+    * windowed batch form). At scale this is the q147-as-of shape with
+    * streaming state instead of a sort: state size is O(active users),
+    * independent of event volume. */
+  def attributeLastTouch(events: Dataset[AttrEv]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[AttrEv], state: GroupState[AttrState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var lastK = state.getOption.map(_.lastK).getOrElse(-1L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          for (e <- sorted) e.event_type match {
+            // k < 0 encodes a click with no key: the batch twin's
+            // last(ignoreNulls) skips those, so the carried credit must
+            // survive them here too rather than reset
+            case "click" if e.k >= 0 => lastK = e.k
+            case "purchase" =>
+              out += Attribution(userId, e.event_id, lastK,
+                math.round(e.value * 100))
+            case _ => ()
+          }
+          state.update(AttrState(lastK))
+          out.iterator
+      }
+  }
 }

@@ -207,6 +207,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.head === StreamOps.UserSession(1, 0, 10 * 60000L, 2, 3.0))
   }
 
+  test("streaming last-touch attribution replays to exactly the batch q176 credit") {
+    // the real sf corpus, split into two time-ordered micro-batches so
+    // every user's prefix arrives before its suffix — the state hand-off
+    // across the batch boundary is what's under test
+    val evs = Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L))
+          .as("k"))
+      .as[StreamOps.AttrEv].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamOps.AttrEv](spark)
+    val q = StreamOps.attributeLastTouch(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_attr").start()
+    stream.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    stream.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_attr")
+      .groupBy("attr_k")
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q176_attribution")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch,
+      s"streamed minus batch: ${streamed -- batch}; batch minus streamed: ${batch -- streamed}")
+  }
+
   test("streaming decontamination admits exactly the docs batch q87 would keep") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decontam").toFile
     val outDir = new java.io.File(dir, "clean").getPath
