@@ -1,0 +1,75 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-fixture ground truth for the round-5 curation ops: a corpus
+  * CONSTRUCTED so the expected answer is computable by independent
+  * brute force in plain Scala — boilerplate segments planted across
+  * documents (q172's accounting must find exactly those), and the
+  * hash-Bernoulli sample membership recomputed md5-by-md5 (q175's
+  * counts must agree long for long). The DuckDB oracle already pins
+  * engine-vs-engine agreement; these pin engine-vs-ARITHMETIC. */
+class CurationPlantedSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** The [[graft.queries.Fragments.hashBucket]] arithmetic in plain
+    * Scala: first 8 hex chars of md5, base-16, mod width. */
+  private def bucket(key: String, width: Int): Int =
+    (java.lang.Long.parseLong(md5hex(key).take(8), 16) % width).toInt
+
+  // corpus with PLANTED boilerplate: segment "alpha beta" appears in
+  // docs 1,2,3 of src0 (df=3 → boilerplate); "gamma delta" in docs 1,2
+  // only (df=2 → kept); src1 reuses "alpha beta" in ONE doc only, so
+  // per-source scoping must keep it there
+  private def plantedDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-planted").toString
+    Seq(
+      (1L, "alpha beta gamma delta uniq1a uniq1b", "en", "src0", 36L),
+      (2L, "alpha beta gamma delta uniq2a uniq2b", "en", "src0", 36L),
+      (3L, "alpha beta uniq3a uniq3b uniq3c uniq3d", "en", "src0", 38L),
+      (4L, "uniq4a uniq4b uniq4c uniq4d", "en", "src0", 27L),
+      (5L, "alpha beta uniq5a uniq5b", "en", "src1", 24L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q172 removes exactly the planted boilerplate, scoped per source") {
+    val dir = plantedDir()
+    val rows = SparkEntry.queries("q172_chunk_boilerplate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // docs 1-3 each lose exactly the one "alpha beta" segment (2 tokens);
+    // "gamma delta" (df=2) and everything in src1 survives
+    val expected = Array(
+      (1L, 3L, 1L, 4L),  // segs: [alpha beta][gamma delta][uniq1a uniq1b]
+      (2L, 3L, 1L, 4L),
+      (3L, 3L, 1L, 4L),
+      (4L, 2L, 0L, 4L),
+      (5L, 2L, 0L, 4L))  // src1's "alpha beta" is df=1 there
+    assert(rows === expected, rows.mkString(", "))
+  }
+
+  test("q175 sample membership equals the md5 arithmetic, doc by doc") {
+    val sf = TestSpark.sf
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val hi = Set("src0", "src1", "src2", "src3", "src4")
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val rate = if (hi(src)) 500 else 100
+      (src, ds.length.toLong,
+        ds.count { case (id, _) => bucket(s"${id}samp", 1000) < rate }.toLong)
+    }.toSet
+    val got = SparkEntry.queries("q175_hash_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected,
+      s"got minus expected: ${got -- expected}; expected minus got: ${expected -- got}")
+  }
+}
