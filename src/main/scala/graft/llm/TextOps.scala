@@ -23,6 +23,14 @@ object TextOps {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalized(text), " ")
 
+  /** Order-invariant bag-of-words fingerprint: md5 of the SORTED
+    * DISTINCT token set — shuffled near-copies still collide. Shared by
+    * q110 (incremental dedup) and q171 (cluster canonical pick); the
+    * DuckDB twin is [[graft.queries.Fragments.BagFpSql]] and MUST stay
+    * in lockstep. */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
   /** Distinct word k-shingles (k consecutive tokens joined by a space) of
     * the normalized text; empty when the document has fewer than k tokens.
     * Single-pass custom expression ([[graft.functions.ShingleKernel]]) —

@@ -100,8 +100,7 @@ object Analytics {
     * base fingerprints is the standard pre-filter when even that set is
     * large. */
   val incrementalDedup: Q = (s, dir) => {
-    val fp = md5(concat_ws(" ",
-      array_sort(array_distinct(TextOps.tokens(col("text"))))))
+    val fp = TextOps.bagFingerprint(col("text"))
     val d = Tables.t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), fp.as("fp"))
     val base = d.filter(col("source") =!= "src19").select("fp").distinct()
@@ -117,8 +116,7 @@ object Analytics {
 
   val incrementalDedupSql: String =
     s"""WITH d AS (
-       |  SELECT doc_id, source, lang,
-       |    md5(array_to_string(list_sort(list_distinct($ToksSql)), ' ')) AS fp
+       |  SELECT doc_id, source, lang, ${Fragments.BagFpSql} AS fp
        |  FROM documents),
        |base AS (SELECT DISTINCT fp FROM d WHERE source <> 'src19'),
        |batch AS (

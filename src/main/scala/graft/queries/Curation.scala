@@ -864,8 +864,7 @@ object Curation {
   val clusterCanonical: Q = (s, dir) => {
     val docs = Tables.t(s, dir, "documents")
       .select(col("doc_id"),
-        md5(concat_ws(" ",
-          array_sort(array_distinct(TextOps.tokens(col("text")))))).as("fp"),
+        TextOps.bagFingerprint(col("text")).as("fp"),
         TextOps.qualityScore(col("text")).as("q"))
     val w = Window.partitionBy("fp").orderBy(col("q").desc, col("doc_id").asc)
     docs.withColumn("pick", row_number().over(w))
@@ -878,8 +877,7 @@ object Curation {
 
   val clusterCanonicalSql: String =
     s"""WITH d AS (
-       |  SELECT doc_id,
-       |    md5(array_to_string(list_sort(list_distinct($ToksSql)), ' ')) AS fp,
+       |  SELECT doc_id, ${Fragments.BagFpSql} AS fp,
        |    ${Fragments.qualitySql} AS q
        |  FROM documents),
        |r AS (

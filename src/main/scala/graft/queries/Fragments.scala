@@ -39,6 +39,12 @@ private[graft] object Fragments {
   /** DuckDB twin of [[graft.llm.TextOps.tokens]] over `text`. */
   val ToksSql: String = s"string_split($NormSql, ' ')"
 
+  /** DuckDB twin of [[graft.llm.TextOps.bagFingerprint]] over `text`
+    * (q110 + q171 — one definition so the two queries and their oracles
+    * can never drift apart). */
+  val BagFpSql: String =
+    s"md5(array_to_string(list_sort(list_distinct($ToksSql)), ' '))"
+
   /** DuckDB rendering of [[graft.llm.TextOps.qualityScore]] term by
     * term (q39's oracle; also composed inside q100's capstone). */
   def qualitySql: String = {

@@ -305,20 +305,22 @@ object StreamOps {
 
   case class AttrEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                     event_type: String, value: Double, k: Long)
-  case class AttrState(lastK: Long)
+  case class AttrState(lastTs: Long, lastId: Long, lastK: Long)
   case class Attribution(user_id: Long, purchase_id: Long, attr_k: Long,
                          cents: Long)
 
   /** Streaming last-touch attribution: each purchase credits the user's
-    * most recent prior click key, carried across micro-batches as ONE
-    * long of keyed state per user — the bounded-state streaming twin of
-    * batch q176 ([[graft.queries.Analytics.attribution]]). Events
-    * inside a micro-batch fold in (ts, event_id) order, so replaying
-    * the batch corpus through any batch partitioning yields the
-    * identical credit assignment (the spec proves it against the
-    * windowed batch form). At scale this is the q147-as-of shape with
-    * streaming state instead of a sort: state size is O(active users),
-    * independent of event volume. */
+    * most recent prior click key, carried across micro-batches as one
+    * (ts, event_id, key) triple of keyed state per user — the
+    * bounded-state streaming twin of batch q176
+    * ([[graft.queries.Analytics.attribution]]). Events inside a
+    * micro-batch fold in (ts, event_id) order, and the carried click
+    * only advances on a NEWER (ts, event_id) — so a late-arriving old
+    * click can never overwrite a newer credit, and purchases delivered
+    * in their time-ordered batch credit identically to the batch window
+    * form (the spec proves it across a batch boundary). At scale this
+    * is the q147-as-of shape with streaming state instead of a sort:
+    * state size is O(active users), independent of event volume. */
   def attributeLastTouch(events: Dataset[AttrEv]): Dataset[Attribution] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -326,19 +328,23 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, evs: Iterator[AttrEv], state: GroupState[AttrState]) =>
           val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var lastK = state.getOption.map(_.lastK).getOrElse(-1L)
+          var st = state.getOption.getOrElse(
+            AttrState(Long.MinValue, Long.MinValue, -1L))
           val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
           for (e <- sorted) e.event_type match {
             // k < 0 encodes a click with no key: the batch twin's
             // last(ignoreNulls) skips those, so the carried credit must
             // survive them here too rather than reset
-            case "click" if e.k >= 0 => lastK = e.k
+            case "click" if e.k >= 0 &&
+              (e.ts.getTime > st.lastTs ||
+                (e.ts.getTime == st.lastTs && e.event_id > st.lastId)) =>
+              st = AttrState(e.ts.getTime, e.event_id, e.k)
             case "purchase" =>
-              out += Attribution(userId, e.event_id, lastK,
+              out += Attribution(userId, e.event_id, st.lastK,
                 math.round(e.value * 100))
             case _ => ()
           }
-          state.update(AttrState(lastK))
+          state.update(st)
           out.iterator
       }
   }

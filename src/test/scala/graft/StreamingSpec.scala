@@ -236,6 +236,26 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed minus batch: ${streamed -- batch}; batch minus streamed: ${batch -- streamed}")
   }
 
+  test("attribution state ignores a late-arriving OLDER click across batches") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamOps.AttrEv](spark)
+    val q = StreamOps.attributeLastTouch(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_attr_late").start()
+    // batch 1: the user's NEWEST click (t=10, k=5)
+    stream.addData(StreamOps.AttrEv(1, ts(10), 7, "click", 0.0, 5))
+    q.processAllAvailable()
+    // batch 2: a straggler click with an older ts (t=2, k=3) arrives
+    // before the purchase — the carried credit must stay k=5
+    stream.addData(
+      StreamOps.AttrEv(2, ts(2), 7, "click", 0.0, 3),
+      StreamOps.AttrEv(3, ts(20), 7, "purchase", 1.0, -1))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_attr_late").as[StreamOps.Attribution].collect()
+    assert(got.toSeq === Seq(StreamOps.Attribution(7, 3, 5, 100)), got.mkString(","))
+  }
+
   test("streaming decontamination admits exactly the docs batch q87 would keep") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decontam").toFile
     val outDir = new java.io.File(dir, "clean").getPath
