@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Dev-facing truth gate for the queries whose DuckDB oracle is
   * all-pairs-quadratic and therefore impractical past sf0.01 (q32
-  * MinHash-LSH pairs, q56 dup clusters): recompute the ground truth
+  * MinHash-LSH pairs, q56 dup clusters, q59's capstone, q177's
+  * batch×base incremental form): recompute the ground truth
   * with Spark itself — brute-force Jaccard over every doc pair via the
   * codegen'd [[graft.functions.Hashing.jaccardSim]] kernel — and
   * compare the LSH path's answer set against it exactly. This is the
@@ -94,6 +95,29 @@ object TruthCheck {
     // corpusFilter re-plans the same minhashLsh subtree — keep lshDf
     // persisted until after got59 so its cache serves that re-plan
     lshDf.unpersist()
+
+    // q177 incremental near-dup: truth is the brute-force batch×base
+    // cross product (quadratic ACROSS the split only) with the same
+    // rounded-Jaccard predicate; the LSH path must match it exactly
+    val isBatch177 = col("source")
+      .isin("src15", "src16", "src17", "src18", "src19")
+    val shSrc = docs.select(col("doc_id").as("id"), col("source"),
+        graft.llm.TextOps.wordShingles(col("text"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+    val truth177 = shSrc.filter(isBatch177)
+      .select(col("id").as("batch_id"), col("s").as("sa"))
+      .join(shSrc.filter(!isBatch177)
+        .select(col("id").as("base_id"), col("s").as("sb")))
+      .select(col("batch_id"), col("base_id"),
+        graft.functions.Hashing.jaccardSim(col("sa"), col("sb")).as("j"))
+      .filter(round(col("j"), 4) >= 0.8)
+      .select("batch_id", "base_id").as[(Long, Long)].collect().toSet
+    val got177 = graft.queries.LlmQueries.incrementalNearDup(spark, sfDir)
+      .select("batch_id", "base_id").as[(Long, Long)].collect().toSet
+    println(s"TRUTH|q177|truth=${truth177.size}|got=${got177.size}|" +
+      (if (got177 == truth177) "PASS"
+       else s"FAIL missed=${(truth177 -- got177).take(5)} extra=${(got177 -- truth177).take(5)}"))
+
     sh.unpersist()
     spark.stop()
   }

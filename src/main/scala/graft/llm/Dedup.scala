@@ -100,6 +100,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental (cross-corpus) MinHash-LSH near-dup: candidates are
+    * generated by joining the NEW BATCH's band keys against the BASE
+    * corpus's band keys — the base is never self-joined, so daily
+    * re-ingestion pays O(batch bands ⋈ base bands), not O(base²). Same
+    * signature/banding kernels and exact-Jaccard verification as
+    * [[minhashLsh]]; the streaming twin is
+    * [[graft.streaming.StreamOps.nearDupAlerts]], which probes a
+    * PERSISTED copy of the base band index — at 100 TB that index
+    * (id, band, hash64 triples, written once, bucketed by band hash) is
+    * the asset this operator's base side reads, so the per-batch cost
+    * is one keyed join of slim triples plus candidate verification.
+    *
+    * Returns (batch_id, base_id, jaccard ≥ threshold). */
+  def minhashLshAgainst(base: DataFrame, batch: DataFrame,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
+                        threshold: Double = 0.8): DataFrame = {
+    def shingled(d: DataFrame) = d
+      .select(col(idCol).as("id"),
+        TextOps.wordShingles(col(textCol), shingleK).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    def banded(sh: DataFrame) = sh
+      .select(col("id"),
+        posexplode(graft.functions.Hashing.minhashBands(
+          col("shingles"), bands, rowsPerBand)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+    val shBase = shingled(base)
+    val shBatch = shingled(batch)
+    val cand = banded(shBatch).select(col("id").as("batch_id"), col("band"), col("bh"))
+      .join(banded(shBase).select(col("id").as("base_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select("batch_id", "base_id").distinct()
+    cand
+      .join(shBatch.select(col("id").as("batch_id"), col("shingles").as("sh_a")), "batch_id")
+      .join(shBase.select(col("id").as("base_id"), col("shingles").as("sh_b")), "base_id")
+      .select(col("batch_id"), col("base_id"),
+        round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash fingerprint of the token multiset: bit k of the
     * fingerprint is the sign of Σ_tokens (±1 by bit k of xxhash64(token)).
     * Returned as array of 4 × 16-bit block values (int), which is both the

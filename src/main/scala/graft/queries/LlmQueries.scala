@@ -46,6 +46,41 @@ object LlmQueries {
   val dedupMinhash: Q = (s, dir) =>
     Dedup.minhashLsh(Tables.t(s, dir, "documents")).orderBy("doc_a", "doc_b")
 
+  /** Incremental near-dup: today's ingest (sources src15–src19 stand in
+    * for the new batch) LSH-probed against the accumulated base corpus —
+    * q110's exact incremental dedup relaxed to Jaccard ≥ 0.8, and the
+    * batch twin of the streaming admission control
+    * ([[graft.streaming.StreamOps.nearDupAlerts]]). The base is never
+    * self-joined: candidates come from the batch-bands ⋈ base-bands
+    * keyed join of (id, band, hash64) triples, so re-ingestion cost
+    * scales with the batch, not the corpus. The oracle is the
+    * brute-force batch×base truth (quadratic ACROSS the split only —
+    * fine at the sf0.01 gate; sf0.1 re-verification rides
+    * [[graft.TruthCheck]] like the other LSH rows). */
+  val incrementalNearDup: Q = (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+    val isBatch = col("source").isin("src15", "src16", "src17", "src18", "src19")
+    Dedup.minhashLshAgainst(docs.filter(!isBatch), docs.filter(isBatch))
+      .orderBy("batch_id", "base_id")
+  }
+
+  val incrementalNearDupSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, source,
+       |    list_distinct([array_to_string(toks[i:i+2], ' ')
+       |           for i in range(1, len(toks)-1)]) AS shingles
+       |  FROM (SELECT doc_id, source, $ToksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 3)
+       |SELECT a.doc_id AS batch_id, b.doc_id AS base_id,
+       |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+       |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+       |FROM sh a JOIN sh b
+       |  ON a.source IN ('src15', 'src16', 'src17', 'src18', 'src19')
+       | AND b.source NOT IN ('src15', 'src16', 'src17', 'src18', 'src19')
+       |WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+       |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.8
+       |ORDER BY batch_id, base_id""".stripMargin
+
   val dedupMinhashSql: String =
     s"""WITH sh AS (
        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -663,6 +698,7 @@ object LlmQueries {
     "q67_partial_dup_aligned" -> partialDupAligned,
     "q68_label_centroids" -> labelCentroids,
     "q32_dedup_minhash_lsh" -> dedupMinhash,
+    "q177_incremental_neardup" -> incrementalNearDup,
     "q33_dedup_simhash" -> dedupSimhash,
     "q34_ann_topk" -> annTopK,
     "q35_emb_neardup" -> embNearDup,
@@ -686,6 +722,7 @@ object LlmQueries {
     "q67_partial_dup_aligned" -> partialDupAlignedSql,
     "q68_label_centroids" -> labelCentroidsSql,
     "q32_dedup_minhash_lsh" -> dedupMinhashSql,
+    "q177_incremental_neardup" -> incrementalNearDupSql,
     "q33_dedup_simhash" -> dedupSimhashSql,
     "q36_ann_lsh" -> annLshSql,
     "q50_ann_ivf" -> annIvfSql,

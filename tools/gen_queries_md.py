@@ -22,7 +22,8 @@ for mod, path in mods.items():
         dm = re.search(rf'^\s*val {val}: Q', src, re.M)
         line = src[:dm.start()].count('\n') + 1 if dm else ''
         entries.setdefault(key, (mod, path, line, val))
-quad = {'q32_dedup_minhash_lsh', 'q56_dedup_clusters', 'q59_corpus_filter'}
+quad = {'q32_dedup_minhash_lsh', 'q56_dedup_clusters', 'q59_corpus_filter',
+        'q177_incremental_neardup'}
 lines = ['# QUERIES — registry index (generated; regenerate with tools/gen_queries_md.py)', '',
          'Every registered query with its implementation site and verification tier.',
          'Tiers: **sf0.01** = DuckDB-oracle hash-match (the driver gate);',
