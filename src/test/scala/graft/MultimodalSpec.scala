@@ -82,6 +82,45 @@ class MultimodalSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("id=3")))
   }
 
+  test("GVID video: real container parse, stride sampling, frame-hash pairing") {
+    // frames distinct at aHash's 8×8 LUMINANCE granularity: a bright
+    // 4-px column at grid position i (color alone wouldn't separate
+    // them — the hash reads luma structure, not hue)
+    def fr(i: Int) = Multimodal.pngBytes(32, 32,
+      (x, y) => if (x / 4 == i) 0xffffff else 0x000000)
+    val f = (0 until 6).map(fr)
+    val videos = Seq(
+      // A and B share frames 0,1 (their openings); C is all-distinct
+      MediaRow(1L, Multimodal.videoBytes(Seq(f(0), f(1), f(2))),
+        MediaMeta("video/gvid", 32, 32, 3000L)),
+      MediaRow(2L, Multimodal.videoBytes(Seq(f(0), f(1), f(3))),
+        MediaMeta("video/gvid", 32, 32, 3000L)),
+      MediaRow(3L, Multimodal.videoBytes(Seq(f(4), f(5))),
+        MediaMeta("video/gvid", 32, 32, 2000L))).toDS()
+
+    // stride sampling keeps exactly frames 0, 2, 4, …
+    val sampled = Multimodal.videoSampleFrames(videos, stride = 2).collect()
+    assert(sampled.filter(_.id == 1L).map(_.frameIdx).sorted.toSeq === Seq(0, 2))
+    assert(sampled.filter(_.id == 3L).map(_.frameIdx).toSeq === Seq(0))
+    // the sampled bytes are the ORIGINAL PNG frames, byte-identical
+    assert(sampled.find(f0 => f0.id == 1L && f0.frameIdx == 0)
+      .get.frame.toSeq === f(0).toSeq)
+
+    // every sampled frame decodes and hashes; identical frames collide
+    val hashes = Multimodal.videoFrameHashes(videos, stride = 1)
+      .as[(Long, Int, Long)].collect()
+    assert(hashes.length === 8)
+    val h1 = hashes.filter(_._1 == 1L).map(h => h._2 -> h._3).toMap
+    val h2 = hashes.filter(_._1 == 2L).map(h => h._2 -> h._3).toMap
+    assert(h1(0) === h2(0) && h1(1) === h2(1), "shared opening frames collide")
+    assert(h1(2) !== h2(2), "distinct third frames differ")
+
+    // near-dup: only (A, B) share >= 2 sampled frame hashes
+    val pairs = Multimodal.videoNearDupPairs(videos, stride = 1, minShared = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 2L)), pairs.toSeq.toString)
+  }
+
   test("image aHash: re-encode-stable, edit-tolerant, content-sensitive") {
     // base: half dark / half bright; near-dup: same with a small bright
     // patch; different: checkerboard
