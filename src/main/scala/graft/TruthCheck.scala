@@ -101,9 +101,10 @@ object TruthCheck {
     // rounded-Jaccard predicate; the LSH path must match it exactly
     val isBatch177 = col("source")
       .isin("src15", "src16", "src17", "src18", "src19")
-    val shSrc = docs.select(col("doc_id").as("id"), col("source"),
-        graft.llm.TextOps.wordShingles(col("text"), 3).as("s"))
-      .filter(size(col("s")) > 0)
+    // serve both cross-join legs from the ALREADY-persisted shingle
+    // table instead of re-scanning + re-shingling the corpus
+    val shSrc = sh.join(
+      docs.select(col("doc_id").as("id"), col("source")), "id")
     val truth177 = shSrc.filter(isBatch177)
       .select(col("id").as("batch_id"), col("s").as("sa"))
       .join(shSrc.filter(!isBatch177)

@@ -117,24 +117,37 @@ object Dedup {
                         textCol: String = "text", idCol: String = "doc_id",
                         shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
                         threshold: Double = 0.8): DataFrame = {
-    def shingled(d: DataFrame) = d
+    def shingled(d: DataFrame, isBatch: Boolean) = d
       .select(col(idCol).as("id"),
-        TextOps.wordShingles(col(textCol), shingleK).as("shingles"))
+        TextOps.wordShingles(col(textCol), shingleK).as("shingles"),
+        lit(isBatch).as("isBatch"))
       .filter(size(col("shingles")) > 0)
-    def banded(sh: DataFrame) = sh
-      .select(col("id"),
+    // one shingle table for both sides, persisted under the same
+    // single-live-cache discipline as minhashLsh: the scan+shingle work
+    // (the profiled dominant cost) runs once per input and serves the
+    // banding pass plus both verify legs
+    val sh = shingled(base, isBatch = false)
+      .union(shingled(batch, isBatch = true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.synchronized {
+      lastShingleCache.foreach(_.unpersist(blocking = false))
+      lastShingleCache = Some(sh)
+    }
+    val banded = sh
+      .select(col("id"), col("isBatch"),
         posexplode(graft.functions.Hashing.minhashBands(
           col("shingles"), bands, rowsPerBand)))
-      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
-    val shBase = shingled(base)
-    val shBatch = shingled(batch)
-    val cand = banded(shBatch).select(col("id").as("batch_id"), col("band"), col("bh"))
-      .join(banded(shBase).select(col("id").as("base_id"), col("band"), col("bh")),
-        Seq("band", "bh"))
-      .select("batch_id", "base_id").distinct()
+      .select(col("id"), col("isBatch"),
+        col("pos").as("band"), col("col").as("bh"))
+    // grouped cross-bucket candidates: base never self-joins, the cap +
+    // droppedBuckets accumulator apply exactly as on the self-join path
+    val cand = Lsh.crossBucketPairs(banded, Seq("band", "bh"),
+      "batch_id", "base_id")
     cand
-      .join(shBatch.select(col("id").as("batch_id"), col("shingles").as("sh_a")), "batch_id")
-      .join(shBase.select(col("id").as("base_id"), col("shingles").as("sh_b")), "base_id")
+      .join(sh.filter(col("isBatch"))
+        .select(col("id").as("batch_id"), col("shingles").as("sh_a")), "batch_id")
+      .join(sh.filter(!col("isBatch"))
+        .select(col("id").as("base_id"), col("shingles").as("sh_b")), "base_id")
       .select(col("batch_id"), col("base_id"),
         round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)

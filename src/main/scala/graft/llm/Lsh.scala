@@ -74,17 +74,47 @@ object Lsh {
     * otherwise every bucket expands (exact candidate generation). */
   def bucketPairs(banded: DataFrame, keys: Seq[String],
                   aName: String, bName: String,
-                  maxBucket: Int = 0): DataFrame = {
-    // conf values <= 0 mean "uncapped", mirroring the parameter
-    // convention — otherwise setting the conf to "0" to disable the cap
-    // would drop every bucket
-    val cap =
-      if (maxBucket > 0) maxBucket
-      else banded.sparkSession.conf.getOption(MaxBucketConf)
-        .map(_.toInt).filter(_ > 0).getOrElse(Int.MaxValue)
+                  maxBucket: Int = 0): DataFrame =
+    cappedGroups(banded, keys, maxBucket)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as(aName), y.as(bName)))))).as("p"))
+      .select(col(s"p.$aName"), col(s"p.$bName"))
+      .dropDuplicates(aName, bName)
+
+  /** Ordered pairs with their SHARED-KEY counts: like [[bucketPairs]]
+    * but each (a, b) row carries how many buckets the two ids
+    * co-occupied — the "videos sharing ≥ k frame hashes" /
+    * "docs sharing ≥ k chunk hashes" shape. Same single upstream
+    * evaluation (the groupBy means no self-join ever re-runs the
+    * decode/signature lineage) and the same cap + accumulator. */
+  def sharedKeyCounts(banded: DataFrame, keys: Seq[String],
+                      aName: String, bName: String, countName: String,
+                      maxBucket: Int = 0): DataFrame =
+    cappedGroups(banded, keys, maxBucket)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as(aName), y.as(bName)))))).as("p"))
+      .groupBy(col(s"p.$aName").as(aName), col(s"p.$bName").as(bName))
+      .agg(count(lit(1)).as(countName))
+
+  /** Cross-corpus candidate pairs: `banded` rows carry the bucket keys,
+    * an `id`, and a boolean `isBatch` side flag; emits distinct
+    * (batch id, base id) pairs per bucket — the base side is NEVER
+    * self-joined, and the groupBy shape evaluates the upstream banding
+    * pipeline once. Buckets are capped on their TOTAL population (both
+    * sides) under the same opt-in cap + accumulator as [[bucketPairs]].
+    * Sides are assumed disjoint id sets (a caller-defined corpus
+    * split). */
+  def crossBucketPairs(banded: DataFrame, keys: Seq[String],
+                       aName: String, bName: String,
+                       maxBucket: Int = 0): DataFrame = {
+    val cap = effectiveCap(banded.sparkSession, maxBucket)
     val grouped = banded.groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(
+        sort_array(collect_set(when(col("isBatch"), col("id")))).as("aIds"),
+        sort_array(collect_set(when(!col("isBatch"), col("id")))).as("bIds"))
+      .filter(size(col("aIds")) > 0 && size(col("bIds")) > 0)
     val capped =
       if (cap == Int.MaxValue) grouped
       else {
@@ -94,13 +124,41 @@ object Lsh {
           if (!ok) acc.add(1L)
           ok
         }
-        grouped.filter(keep(size(col("ids"))))
+        grouped.filter(keep(size(col("aIds")) + size(col("bIds"))))
       }
     capped
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+      .select(explode(flatten(transform(col("aIds"), x =>
+        transform(col("bIds"), y =>
           struct(x.as(aName), y.as(bName)))))).as("p"))
       .select(col(s"p.$aName"), col(s"p.$bName"))
       .dropDuplicates(aName, bName)
+  }
+
+  /** conf values <= 0 mean "uncapped", mirroring the parameter
+    * convention — otherwise setting the conf to "0" to disable the cap
+    * would drop every bucket. */
+  private def effectiveCap(spark: SparkSession, maxBucket: Int): Int =
+    if (maxBucket > 0) maxBucket
+    else spark.conf.getOption(MaxBucketConf)
+      .map(_.toInt).filter(_ > 0).getOrElse(Int.MaxValue)
+
+  /** Shared grouped-bucket stage: ids per bucket, multi-member buckets
+    * only, cap + accumulator applied when in force. */
+  private def cappedGroups(banded: DataFrame, keys: Seq[String],
+                           maxBucket: Int): DataFrame = {
+    val cap = effectiveCap(banded.sparkSession, maxBucket)
+    val grouped = banded.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    if (cap == Int.MaxValue) grouped
+    else {
+      val acc = accFor(banded.sparkSession)
+      val keep = udf { (n: Int) =>
+        val ok = n <= cap
+        if (!ok) acc.add(1L)
+        ok
+      }
+      grouped.filter(keep(size(col("ids"))))
+    }
   }
 }

@@ -124,10 +124,6 @@ object Multimodal {
     }
   }
 
-  /** REAL perceptual hash (aHash): decode → 8×8 luminance grid → one
-    * bit per cell (above/below the grid mean) → 64-bit fingerprint.
-    * Computed map-side per partition; the standard cheap image
-    * near-dup signature (robust to re-encode, resize, light edits). */
   /** The aHash kernel over a decoded image: 8×8 luminance grid, one bit
     * per cell (above/below the grid mean). Shared by [[imageAHash]] and
     * the per-frame video path ([[videoFrameHashes]]). */
@@ -160,6 +156,10 @@ object Multimodal {
     hash
   }
 
+  /** REAL perceptual hash (aHash): decode → [[aHash64]] → 64-bit
+    * fingerprint. Computed map-side per partition; the standard cheap
+    * image near-dup signature (robust to re-encode, resize, light
+    * edits). */
   def imageAHash(ds: Dataset[MediaRow]): DataFrame = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
@@ -437,6 +437,7 @@ object Multimodal {
     * explosion, no shuffle — 100 TB of video samples at scan speed, and
     * the sampled-frame rows carry only the kept frames' bytes. */
   def videoSampleFrames(ds: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
+    require(stride > 0, s"frame-sample stride must be positive, got $stride")
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
       val in = new java.io.DataInputStream(
@@ -445,9 +446,15 @@ object Multimodal {
       val n = in.readInt()
       (0 until n).flatMap { i =>
         val len = in.readInt()
-        val bytes = new Array[Byte](len)
-        in.readFully(bytes)
-        if (i % stride == 0) Some(FrameRow(r.id, i, bytes)) else None
+        if (i % stride == 0) {
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          Some(FrameRow(r.id, i, bytes))
+        } else {
+          // skipped frames never allocate: exact for the byte-array
+          // stream backing the container
+          in.skipBytes(len); None
+        }
       }
     }
   }
@@ -457,26 +464,30 @@ object Multimodal {
   def videoFrameHashes(ds: Dataset[MediaRow], stride: Int): DataFrame = {
     import ds.sparkSession.implicits._
     videoSampleFrames(ds, stride).mapPartitions { rows =>
-      rows.map(f => (f.id, f.frameIdx, aHash64(readImage(f.id, f.frame))))
+      rows.map { f =>
+        val img = try readImage(f.id, f.frame) catch {
+          case _: IllegalArgumentException => throw new IllegalArgumentException(
+            s"undecodable frame ${f.frameIdx} of video id=${f.id}")
+        }
+        (f.id, f.frameIdx, aHash64(img))
+      }
     }.toDF("id", "frame_idx", "ahash")
   }
 
   /** Video near-dup: two videos pair when ≥ `minShared` of their
     * sampled frames hash identically — the image-hash pairing shape
-    * lifted to frame granularity. The join is keyed on the 64-bit
-    * frame hash (distinct per video first, so a still scene can't
-    * self-amplify); no all-pairs video comparison exists. Degenerate
-    * hashes (title cards, black frames shared corpus-wide) widen
-    * buckets the same way q32's LSH buckets widen — the same cap
-    * discipline applies if a corpus needs it. */
+    * lifted to frame granularity. Candidates come from
+    * [[graft.llm.Lsh.sharedKeyCounts]]'s grouped expansion keyed on the
+    * 64-bit frame hash (distinct per video first, so a still scene
+    * can't self-amplify): the parse→decode→hash lineage evaluates ONCE
+    * (no self-join re-decodes media), and degenerate hashes (title
+    * cards, black frames shared corpus-wide) fall under the same opt-in
+    * `spark.graft.lsh.maxBucket` cap + droppedBuckets accumulator as
+    * the LSH dedup family. No all-pairs video comparison exists. */
   def videoNearDupPairs(ds: Dataset[MediaRow], stride: Int = 1,
-                        minShared: Int = 2): DataFrame = {
-    val h = videoFrameHashes(ds, stride).select("id", "ahash").distinct()
-    val a = h.select(col("id").as("vid_a"), col("ahash"))
-    val b = h.select(col("id").as("vid_b"), col("ahash"))
-    a.join(b, Seq("ahash")).filter(col("vid_a") < col("vid_b"))
-      .groupBy("vid_a", "vid_b")
-      .agg(count(lit(1)).as("shared_frames"))
+                        minShared: Int = 2): DataFrame =
+    graft.llm.Lsh.sharedKeyCounts(
+      videoFrameHashes(ds, stride).select("id", "ahash").distinct(),
+      Seq("ahash"), "vid_a", "vid_b", "shared_frames")
       .filter(col("shared_frames") >= minShared)
-  }
 }

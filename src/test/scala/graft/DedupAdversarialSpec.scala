@@ -117,4 +117,32 @@ class DedupAdversarialSpec extends AnyFunSuite {
     assert(out.head.getLong(0) === 900L && out.head.getLong(1) === 901L)
     assert(out.head.getAs[Int]("inter") === 19 && out.head.getAs[Int]("uni") === 21)
   }
+
+  test("cross-corpus LSH honors the bucket cap and never self-joins the base") {
+    // base: the degenerate corpus (1000 clones + planted pair + fillers);
+    // batch: one more clone plus a near-copy of a planted base doc
+    val base = degenerateCorpus()
+    val cloneText = base.filter(col("doc_id") === 0L)
+      .select("text").collect().head.getString(0)
+    val plantedNear = "completely different subject matter about distributed query " +
+      "engines shuffling partitioned columnar data across executor pools"
+    val batch = Seq((9000L, cloneText), (9001L, plantedNear))
+      .toDF("doc_id", "text")
+
+    val dropsBefore = Lsh.droppedBuckets(spark)
+    spark.conf.set(Lsh.MaxBucketConf, "100")
+    val pairs =
+      try Dedup.minhashLshAgainst(base, batch, threshold = 0.8)
+        .collect()
+      finally spark.conf.unset(Lsh.MaxBucketConf)
+    val dropped = Lsh.droppedBuckets(spark) - dropsBefore
+
+    // the clone bucket (1000 base + 1 batch members) is dropped and
+    // counted; the planted near-copy still pairs with both base
+    // planted docs through its ordinary-sized buckets — and base-base
+    // pairs (e.g. 2000-2001) never appear by construction
+    assert(dropped >= 1, "degenerate cross buckets must be counted")
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((9001L, 2000L), (9001L, 2001L)), got.toString)
+  }
 }
