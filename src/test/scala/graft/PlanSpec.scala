@@ -266,4 +266,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(400))
     assert(!p.contains("Join"), "single-table window form must not join")
   }
+
+  test("q177 incremental near-dup plans no products and no base self-join") {
+    // candidates come from the grouped cross-bucket expansion: the only
+    // joins in the plan are the candidate→shingle verify joins, never a
+    // sort-merge or cartesian of corpus sides
+    val p = plan("q177_incremental_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("collect_set"), "grouped bucket expansion expected")
+  }
 }

@@ -256,6 +256,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(StreamOps.Attribution(7, 3, 5, 100)), got.mkString(","))
   }
 
+  test("attribution carries credit through a no-key click (k < 0 contract)") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamOps.AttrEv](spark)
+    val q = StreamOps.attributeLastTouch(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_attr_nokey").start()
+    // keyed click, then a keyless click (k = -1), then the purchase:
+    // the batch twin's last(ignoreNulls) skips the keyless click, so
+    // the carried credit must survive it here too
+    stream.addData(
+      StreamOps.AttrEv(1, ts(0), 4, "click", 0.0, 5),
+      StreamOps.AttrEv(2, ts(1), 4, "click", 0.0, -1),
+      StreamOps.AttrEv(3, ts(2), 4, "purchase", 2.5, -1))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_attr_nokey").as[StreamOps.Attribution].collect()
+    assert(got.toSeq === Seq(StreamOps.Attribution(4, 3, 5, 250)), got.mkString(","))
+  }
+
   test("streaming decontamination admits exactly the docs batch q87 would keep") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decontam").toFile
     val outDir = new java.io.File(dir, "clean").getPath
