@@ -57,6 +57,25 @@ class CurationPlantedSpec extends AnyFunSuite {
     assert(rows === expected, rows.mkString(", "))
   }
 
+  test("q173 shard manifest equals the md5 arithmetic, shard by shard") {
+    val sf = TestSpark.sf
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.llm.TextOps.tokens(col("text"))).as("n_tokens"))
+      .as[(Long, String, Int)].collect()
+    val expected = docs.groupBy { case (id, _, _) => bucket(s"${id}shard", 16) }
+      .map { case (shard, ds) =>
+        (shard, ds.length.toLong, ds.map(_._3.toLong).sum,
+          ds.map(_._2).distinct.length.toLong,
+          ds.map(_._1).min, ds.map(_._1).max)
+      }.toSet
+    val got = SparkEntry.queries("q173_shard_export")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got === expected,
+      s"got minus expected: ${got -- expected}; expected minus got: ${expected -- got}")
+  }
+
   test("q175 sample membership equals the md5 arithmetic, doc by doc") {
     val sf = TestSpark.sf
     val docs = Tables.t(spark, sf, "documents")
