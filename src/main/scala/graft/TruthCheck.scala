@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Dev-facing truth gate for the queries whose DuckDB oracle is
   * all-pairs-quadratic and therefore impractical past sf0.01 (q32
-  * MinHash-LSH pairs, q56 dup clusters, q59's capstone, q177's
+  * MinHash-LSH pairs, q56/q178 dup clusters, q59's capstone, q177's
   * batch×base incremental form): recompute the ground truth
   * with Spark itself — brute-force Jaccard over every doc pair via the
   * codegen'd [[graft.functions.Hashing.jaccardSim]] kernel — and
@@ -76,6 +76,15 @@ object TruthCheck {
     println(s"TRUTH|q56|members=${truthComp.size}|clusters=${truthComp.values.toSet.size}|" +
       (if (diff.isEmpty && got.keySet == truthComp.keySet) "PASS"
        else s"FAIL diff=${diff.take(5)} extraMembers=${(got.keySet -- truthComp.keySet).take(5)}"))
+
+    // q178: the alternating large-star/small-star CC must land on the
+    // same truth clusters (served from the still-persisted LSH pairs)
+    val gotAlt = graft.llm.Dedup.connectedComponentsAlternating(lshDf)
+      .as[(Long, Long)].collect().toMap
+    val diffAlt = truthComp.keySet.filter(k => gotAlt.get(k) != truthComp.get(k))
+    println(s"TRUTH|q178|members=${truthComp.size}|rounds=${graft.llm.Dedup.lastAlternatingRounds}|" +
+      (if (diffAlt.isEmpty && gotAlt.keySet == truthComp.keySet) "PASS"
+       else s"FAIL diff=${diffAlt.take(5)} extraMembers=${(gotAlt.keySet -- truthComp.keySet).take(5)}"))
 
     // q59 corpus filter: its oracle embeds the same quadratic pair graph,
     // so at sf0.1 replay the non-quadratic gates (lang id, quality) over

@@ -180,6 +180,11 @@ object Dedup {
     * This is the step after pair discovery in a dedup pipeline: keep
     * cluster_id == doc_id, drop the rest.
     *
+    * Round count EQUALS the graph diameter — fine for the tight clusters
+    * LSH produces, but a chain of near-dups longer than `maxIter` will
+    * NOT converge; use [[connectedComponentsAlternating]] when the
+    * diameter is unknown or potentially large.
+    *
     * Returns (doc_id, cluster_id) for every node that appears in a pair;
     * cluster_id is the smallest doc_id reachable from the node. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
@@ -221,6 +226,91 @@ object Dedup {
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("c").as("cluster_id"))
+  }
+
+  /** Rounds the last [[connectedComponentsAlternating]] call took to
+    * reach its fixpoint (spec introspection; one LS+SS pass per round). */
+  @volatile private[graft] var lastAlternatingRounds: Int = 0
+
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC '14): round count is O(log² n) in the NODE count and
+    * independent of graph diameter, unlike [[connectedComponents]]
+    * whose round count equals the diameter. Use this when the dup graph
+    * may contain long chains (A≈B≈C≈… "telephone" near-dup chains where
+    * the ends are not similar): a 10k-link chain needs 10k label-prop
+    * rounds but ~⌈log₂ 10k⌉ alternating rounds. Same contract as
+    * [[connectedComponents]]: returns (doc_id, cluster_id) for every
+    * node in `pairs`, cluster_id = smallest reachable id (any orderable
+    * id type).
+    *
+    * Each round is two distributed steps over the edge set E, kept
+    * oriented child→parent with child > parent:
+    *  - large-star: each node u connects every LARGER neighbor to
+    *    m = min(Γ(u) ∪ {u}) — one groupBy(u) min + one join back;
+    *  - small-star: each node u connects its smaller neighbors and
+    *    itself to m = min(Γ₋(u) ∪ {u}) — same shape on the oriented set.
+    * Both steps preserve connectivity and only ever re-point a node to a
+    * smaller id, so |E| never grows beyond the bidirectional input and
+    * the fixpoint is one star per component rooted at the component min.
+    * Convergence is detected EXACTLY (count + set-difference emptiness,
+    * both over the deduped edge set), not by a hash signature. */
+  def connectedComponentsAlternating(pairs: DataFrame, aCol: String = "doc_a",
+                                     bCol: String = "doc_b", maxIter: Int = 30): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id")))
+      .distinct().localCheckpoint(true)
+    // canonical orientation (u, v) with u > v; self-loops dropped
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+              least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+
+    // large-star over the UNDIRECTED view: for every node u, re-point
+    // each neighbor v > u at m(u) = min(Γ(u) ∪ {u}); emitted (v, m) has
+    // v > u ≥ m, so the child>parent orientation is preserved for free
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select("u", "v")
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(least(min("v"), first("u")).as("m"))
+        .withColumnRenamed("u", "ku")
+      nbrs.join(mins, nbrs("u") === col("ku"))
+        .where(col("v") > nbrs("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    // small-star over the ORIENTED view: every smaller neighbor of u,
+    // and u itself, re-points at m(u) = min of the smaller neighbors
+    // (all values under key u are < u, so m < u and each emitted (v, m)
+    // again keeps v > m after dropping the root's self-edge)
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      e.join(mins, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // exact set equality: both sides are distinct, so equal counts plus
+      // an empty one-sided difference means identical edge sets
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    lastAlternatingRounds = iter
+    // fixpoint: a star per component, each child pointing at the root
+    // (= component min); roots appear only on the v side
+    nodes.join(edges, nodes("id") === edges("u"), "left")
+      .select(nodes("id").as("doc_id"),
+              coalesce(edges("v"), nodes("id")).as("cluster_id"))
   }
 
   /** Partial-duplicate pairs by ALIGNED fixed-size blocks: md5 of each

@@ -152,6 +152,18 @@ object LlmQueries {
        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
        |GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Duplicate clusters again, but by alternating large-star/small-star
+    * ([[Dedup.connectedComponentsAlternating]], Kiveris et al. SoCC '14)
+    * instead of min-label propagation: round count is independent of the
+    * dup graph's diameter, so this is the safe default when chains of
+    * near-dups may be long. Must return EXACTLY q56's answer — the
+    * oracle is the identical recursive-CTE transitive closure, so the
+    * driver independently proves the two algorithms agree with truth. */
+  val dedupClustersAlt: Q = (s, dir) =>
+    Dedup.connectedComponentsAlternating(
+        Dedup.minhashLsh(Tables.t(s, dir, "documents")))
+      .orderBy("doc_id")
+
   /** Partial-duplicate pairs by ALIGNED fixed-size blocks: md5 of each
     * 64-char block of the normalized text; pairs sharing ≥ 2 block
     * fingerprints. The position-aligned little sibling of
@@ -709,6 +721,7 @@ object LlmQueries {
     "q86_hybrid_search" -> hybridSearch,
     "q53_ngram_jaccard" -> ngramJaccard,
     "q56_dedup_clusters" -> dedupClusters,
+    "q178_cc_alternating" -> dedupClustersAlt,
     "q59_corpus_filter" -> corpusFilter,
     "q37_emb_stats" -> embStats,
     "q38_lang_id" -> langId,
@@ -732,6 +745,7 @@ object LlmQueries {
     "q34_ann_topk" -> annTopKSql,
     "q53_ngram_jaccard" -> ngramJaccardSql,
     "q56_dedup_clusters" -> dedupClustersSql,
+    "q178_cc_alternating" -> dedupClustersSql,
     "q59_corpus_filter" -> corpusFilterSql,
     "q35_emb_neardup" -> embNearDupSql,
     "q37_emb_stats" -> embStatsSql,

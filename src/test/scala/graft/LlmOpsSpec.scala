@@ -106,6 +106,42 @@ class LlmOpsSpec extends AnyFunSuite {
       "the 1-2-3 chain must collapse to the minimum label")
   }
 
+  test("alternating CC matches label propagation on random graphs and string ids") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val alt = Dedup.connectedComponentsAlternating(edges)
+      .as[(Long, Long)].collect().toSet
+    val lp = Dedup.connectedComponents(edges, maxIter = 200)
+      .as[(Long, Long)].collect().toSet
+    assert(alt === lp)
+
+    val s = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("doc_a", "doc_b")
+    val sAlt = Dedup.connectedComponentsAlternating(s)
+      .as[(String, String)].collect().toMap
+    assert(sAlt === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("alternating CC round count is diameter-independent (64-node chain)") {
+    // a 64-node path has diameter 63: min-label propagation needs 63
+    // rounds (more than its default maxIter=20 budget), while the
+    // large-star/small-star alternation collapses it in O(log n) rounds
+    val path = spark.range(1, 64)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val alt = Dedup.connectedComponentsAlternating(path)
+      .as[(Long, Long)].collect()
+    assert(alt.length === 64)
+    assert(alt.forall(_._2 === 1L), "whole chain must collapse to node 1")
+    assert(Dedup.lastAlternatingRounds <= 12,
+      s"expected O(log n) rounds, took ${Dedup.lastAlternatingRounds}")
+    // and the label-prop default budget genuinely cannot finish this graph
+    val lp = Dedup.connectedComponents(path)
+      .as[(Long, Long)].collect()
+    assert(lp.exists(_._2 !== 1L),
+      "maxIter=20 label-prop should NOT converge on diameter 63 — if it " +
+        "does, this guard and the Scaladoc warning are stale")
+  }
+
   test("LSH bucket cap (opt-in) drops degenerate buckets instead of exploding") {
     // 10k byte-identical docs: every band hashes all ids into ONE bucket,
     // which uncapped would expand to ~50M pairs on one executor. The cap

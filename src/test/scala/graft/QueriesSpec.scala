@@ -41,6 +41,12 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q178 (large-star/small-star) returns exactly q56's clusters") {
+    val lp = SparkEntry.queries("q56_dedup_clusters")(spark, sf).collect().toSeq
+    val alt = SparkEntry.queries("q178_cc_alternating")(spark, sf).collect().toSeq
+    assert(lp.nonEmpty && lp === alt)
+  }
+
   test("approx_count_distinct lands inside the 3-sigma envelope it reports") {
     import spark.implicits._
     val rows = graft.queries.Extended.approxDistinct(spark, sf)
