@@ -120,6 +120,46 @@ object Similarity {
     cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster embeddings by nearest centroid, find
+    * exact cosine near-duplicate pairs WITHIN each cell only, connect
+    * them into clusters, and keep one representative (the min id) per
+    * cluster. Returns one row per corpus vector:
+    * (vec_id, cluster_id, keep) with keep ⇔ vec_id == cluster_id.
+    *
+    * Scale shape: cell assignment is map-side against broadcast
+    * centroids (no corpus shuffle — [[assignCells]]); the pair stage
+    * shuffles each vector ONCE keyed on its cell and compares within
+    * cells only, so the quadratic term is Σ|cell|² — bounded by cell
+    * granularity (nlist ∝ corpus/target-cell-size keeps it linear),
+    * never corpus². Cross-cell near-dups are missed by construction —
+    * the documented SemDeDup trade-off (raise nprobe-style recall by
+    * training better centroids, not by widening the join). Clustering
+    * uses the diameter-independent alternating CC
+    * ([[Dedup.connectedComponentsAlternating]]). */
+  def semDedupClusters(corpus: DataFrame, threshold: Double = 0.4,
+                       nlist: Int = 16, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
+    val cents = centroids.getOrElse(firstNCentroids(corpus, nlist, idCol, vecCol))
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val assigned = assignCells(v, cents, "v")
+    val pairs = assigned
+      .select(col("cell"), col("id").as("doc_a"), col("v").as("va"))
+      .join(assigned.select(col("cell"), col("id").as("doc_b"), col("v").as("vb")),
+        Seq("cell"))
+      .where(col("doc_a") < col("doc_b"))
+      .filter(round(cosine(col("va"), col("vb")), 4) >= threshold)
+      .select("doc_a", "doc_b")
+    val clusters = graft.llm.Dedup.connectedComponentsAlternating(pairs)
+    val ids = v.select("id")
+    ids.join(clusters, ids("id") === clusters("doc_id"), "left")
+      .select(ids("id").as("vec_id"),
+        coalesce(col("cluster_id"), ids("id")).as("cluster_id"),
+        (coalesce(col("cluster_id"), ids("id")) === ids("id")).as("keep"))
+  }
+
   /** Distributed spherical k-means: each Lloyd iteration is map-side
     * cell assignment over broadcast centroids ([[assignCells]], no
     * corpus shuffle) followed by ONE map-combinable aggregation for the

@@ -1015,6 +1015,63 @@ object Analytics {
       |FROM a WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q179
+
+  /** Triangle census of the co-purchase graph — nodes are parts, an edge
+    * joins two parts that co-occur in at least 2 distinct orders —
+    * reporting node/edge/wedge/triangle counts and the global clustering
+    * coefficient (3T/W). Completes the graph-analytics trio next to
+    * PageRank (q116) and connected components (q56/q178).
+    *
+    * Scale shape: pair generation fans out C(parts-per-order, 2) per
+    * order — bounded by the order size, never corpus-quadratic — and the
+    * support-≥2 filter prunes incidental pairs map-side-combinably.
+    * Triangles use the standard degree orientation (each undirected edge
+    * points from its (degree, id)-smaller endpoint to the larger): every
+    * out-neighborhood is O(√m), so the wedge join that dominates the
+    * plan is O(m^1.5) worst-case instead of Σdeg² — the difference
+    * between feasible and not on a hub-heavy 100 TB graph. Each triangle
+    * is counted exactly once (its π-least vertex owns it). */
+  val triangleCount: Q = (s, dir) => {
+    val items = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = items.as("x").join(items.as("y"), Seq("o"))
+      .where(col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+      .select("a", "b")
+    graft.operators.Graph.triangleCensus(edges)
+  }
+
+  val triangleCountSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS (
+      |  SELECT x.p AS a, y.p AS b FROM items x JOIN items y ON x.o = y.o AND x.p < y.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+      |deg AS (SELECT a AS n, count(*)::BIGINT AS d FROM und GROUP BY a),
+      |ori AS (
+      |  SELECT CASE WHEN lt THEN a ELSE b END AS src,
+      |         CASE WHEN lt THEN b ELSE a END AS dst
+      |  FROM (SELECT e.a, e.b,
+      |          (x.d < y.d OR (x.d = y.d AND e.a < e.b)) AS lt
+      |        FROM edges e JOIN deg x ON e.a = x.n JOIN deg y ON e.b = y.n)),
+      |orid AS (SELECT o.src, o.dst, g.d AS dd FROM ori o JOIN deg g ON o.dst = g.n),
+      |tri AS (
+      |  SELECT count(*)::BIGINT AS n_triangles
+      |  FROM orid e1
+      |  JOIN orid e2 ON e1.src = e2.src
+      |    AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+      |  JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      |ds AS (SELECT count(*)::BIGINT AS n_nodes,
+      |         sum(d * (d - 1) // 2)::BIGINT AS n_wedges FROM deg),
+      |es AS (SELECT count(*)::BIGINT AS n_edges FROM edges)
+      |SELECT ds.n_nodes, es.n_edges, ds.n_wedges, tri.n_triangles,
+      |  round(CASE WHEN ds.n_wedges = 0 THEN 0.0
+      |             ELSE 3.0 * tri.n_triangles / ds.n_wedges END, 6) AS global_cc
+      |FROM ds, es, tri""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1041,7 +1098,8 @@ object Analytics {
     "q128_ratio_to_report" -> ratioToReport,
     "q172_chunk_boilerplate" -> chunkBoilerplate,
     "q174_changepoint" -> changepoint,
-    "q176_attribution" -> attribution)
+    "q176_attribution" -> attribution,
+    "q179_triangle_count" -> triangleCount)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -1067,5 +1125,6 @@ object Analytics {
     "q128_ratio_to_report" -> ratioToReportSql,
     "q172_chunk_boilerplate" -> chunkBoilerplateSql,
     "q174_changepoint" -> changepointSql,
-    "q176_attribution" -> attributionSql)
+    "q176_attribution" -> attributionSql,
+    "q179_triangle_count" -> triangleCountSql)
 }

@@ -957,6 +957,56 @@ object Curation {
        |            THEN 500 ELSE 100 END)::BIGINT)::BIGINT AS n_kept
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- q180
+
+  /** WEIGHTED sampling without replacement, 5 docs per source, where a
+    * doc's selection probability is proportional to its token count —
+    * the Efraimidis–Spirakis exponential-ranks scheme (A-ES): rank by
+    * key = −ln(u)/w and keep the k smallest per stratum. The uniform u
+    * is derived from md5(doc_id), so the draw is a pure function of the
+    * data — reproducible on any engine at any scale, and the DuckDB
+    * oracle replays the identical arithmetic. Complements q175 (rate
+    * Bernoulli, unweighted) and q76 (per-stratum rank, unweighted):
+    * this is the "sample long documents preferentially under a fixed
+    * per-domain budget" op a token-weighted training mix needs.
+    *
+    * Scale shape: key computation is map-side; the only shuffle is the
+    * per-source window, and rank ≤ 5 plans as WindowGroupLimit so each
+    * partition retains 5 rows before the exchange. */
+  val weightedSample: Q = (s, dir) => {
+    val u = (Fragments.hashBucket(
+      concat(col("doc_id").cast("string"), lit("wsamp")), 1000000)
+      .cast("double") + 0.5) / 1000000.0
+    val w = Window.partitionBy("source").orderBy("samp_key", "doc_id")
+    Tables.t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("double").as("n_tok"),
+        u.as("u"))
+      .where(col("n_tok") > 0)
+      .withColumn("samp_key", -log(col("u")) / col("n_tok"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("source"), col("doc_id"),
+        round(col("samp_key"), 6).as("samp_key"))
+      .orderBy("source", "samp_key", "doc_id")
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id, len($ToksSql)::DOUBLE AS n_tok,
+       |    (${Fragments.hashBucketSql("doc_id::VARCHAR || 'wsamp'", 1000000)}::DOUBLE
+       |       + 0.5) / 1000000.0 AS u
+       |  FROM documents),
+       |k AS (SELECT source, doc_id, -ln(u) / n_tok AS samp_key
+       |      FROM d WHERE n_tok > 0),
+       |r AS (SELECT source, doc_id, samp_key,
+       |        row_number() OVER (PARTITION BY source
+       |                           ORDER BY samp_key, doc_id) AS rn
+       |      FROM k)
+       |SELECT source, doc_id, round(samp_key, 6) AS samp_key
+       |FROM r WHERE rn <= 5
+       |ORDER BY source, samp_key, doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -985,7 +1035,8 @@ object Curation {
     "q170_token_budget" -> tokenBudget,
     "q171_cluster_canonical" -> clusterCanonical,
     "q173_shard_export" -> shardExport,
-    "q175_hash_sample" -> hashSample)
+    "q175_hash_sample" -> hashSample,
+    "q180_weighted_sample" -> weightedSample)
 
   val oracleSql: Map[String, String] = Map(
     "q87_decontam_ngram" -> decontamSql,
@@ -1013,5 +1064,6 @@ object Curation {
     "q170_token_budget" -> tokenBudgetSql,
     "q171_cluster_canonical" -> clusterCanonicalSql,
     "q173_shard_export" -> shardExportSql,
-    "q175_hash_sample" -> hashSampleSql)
+    "q175_hash_sample" -> hashSampleSql,
+    "q180_weighted_sample" -> weightedSampleSql)
 }

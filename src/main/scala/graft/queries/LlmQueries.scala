@@ -288,6 +288,45 @@ object LlmQueries {
       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDeDup semantic dedup over the embedding corpus
+    * ([[Similarity.semDedupClusters]]): nearest-centroid cells →
+    * exact within-cell cosine pairs → alternating-CC clusters → keep
+    * the min-id representative. The oracle replays the identical
+    * pipeline (the q50 cell-assignment arithmetic + a recursive-CTE
+    * closure), so cell boundaries, pair sets, and cluster labels are
+    * all hash-compared. Quadratic only within cells — the oracle joins
+    * the q32/q56-style exclusion list past sf0.01, while the Spark side
+    * stays bounded by Σ|cell|². */
+  val semDedup: Q = (s, dir) =>
+    Similarity.semDedupClusters(Tables.t(s, dir, "embeddings"))
+      .orderBy("vec_id")
+
+  val semDedupSql: String =
+    """WITH RECURSIVE v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT id AS cell, v AS cv FROM v
+      |         WHERE id IN (SELECT id FROM v ORDER BY id LIMIT 16)),
+      |assigned AS (
+      |  SELECT id, v, cell FROM (
+      |    SELECT v.id, v.v, c.cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY round(list_cosine_similarity(v.v, c.cv), 6) DESC, c.cell ASC) AS ark
+      |    FROM v CROSS JOIN cent c) WHERE ark = 1),
+      |pairs AS (
+      |  SELECT a.id AS da, b.id AS db
+      |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+      |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4),
+      |edges AS (SELECT da AS x, db AS y FROM pairs
+      |          UNION SELECT db, da FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT x, x FROM edges
+      |  UNION
+      |  SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.id),
+      |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT v.id AS vec_id, coalesce(lab.cluster_id, v.id) AS cluster_id,
+      |  coalesce(lab.cluster_id, v.id) = v.id AS keep
+      |FROM v LEFT JOIN lab ON v.id = lab.id
+      |ORDER BY vec_id""".stripMargin
+
   /** SRP-LSH bucketed approximate near-neighbor pairs (the O(n·bucket)
     * scale path), with explicit first-32-vector hyperplanes so the
     * bucketing arithmetic — and therefore the whole candidate set — is
@@ -714,6 +753,7 @@ object LlmQueries {
     "q33_dedup_simhash" -> dedupSimhash,
     "q34_ann_topk" -> annTopK,
     "q35_emb_neardup" -> embNearDup,
+    "q181_semdedup" -> semDedup,
     "q36_ann_lsh" -> annLsh,
     "q50_ann_ivf" -> annIvf,
     "q78_ann_pq" -> annPq,
@@ -743,6 +783,7 @@ object LlmQueries {
     "q79_ann_ivfpq" -> annIvfPqSql,
     "q86_hybrid_search" -> hybridSearchSql,
     "q34_ann_topk" -> annTopKSql,
+    "q181_semdedup" -> semDedupSql,
     "q53_ngram_jaccard" -> ngramJaccardSql,
     "q56_dedup_clusters" -> dedupClustersSql,
     "q178_cc_alternating" -> dedupClustersSql,

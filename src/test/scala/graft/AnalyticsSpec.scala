@@ -393,4 +393,28 @@ class AnalyticsSpec extends AnyFunSuite {
     // rank mass is bounded by the lossless-float total (div flooring only loses)
     assert(r1.map(_._2).sum <= nNodes * 1000000L)
   }
+
+  test("triangle census matches hand counts on planted graphs") {
+    def census(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Double) =
+      graft.operators.Graph.triangleCensus(edges.toDF("a", "b"))
+        .as[(Long, Long, Long, Long, Double)].collect().head
+
+    // K4: 4 nodes, 6 edges, Σ C(3,2) = 12 wedges, 4 triangles, cc = 1
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(census(k4) === ((4L, 6L, 12L, 4L, 1.0)))
+
+    // triangle {1,2,3} + pendant (3,4) + isolated edge (5,6):
+    // degs 2,2,3,1,1,1 → wedges 1+1+3 = 5, one triangle, cc = 3/5
+    val mixed = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
+    assert(census(mixed) === ((6L, 5L, 5L, 1L, 0.6)))
+
+    // duplicates, reversed duplicates, and self-loops must canonicalize
+    // away without changing any count
+    val noisy = mixed ++ Seq((2L, 1L), (1L, 2L), (4L, 4L))
+    assert(census(noisy) === ((6L, 5L, 5L, 1L, 0.6)))
+
+    // a 5-cycle has wedges but zero triangles → cc = 0
+    val c5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    assert(census(c5) === ((5L, 5L, 5L, 0L, 0.0)))
+  }
 }

@@ -91,4 +91,29 @@ class CurationPlantedSpec extends AnyFunSuite {
     assert(got === expected,
       s"got minus expected: ${got -- expected}; expected minus got: ${expected -- got}")
   }
+
+  test("q180 weighted sample equals the md5 + exponential-ranks arithmetic") {
+    val sf = TestSpark.sf
+    // independent recomputation: same md5-derived uniform, same
+    // -ln(u)/n_tokens key, 5 smallest per source (doc_id tie-break)
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.llm.TextOps.tokens(col("text"))).as("nt"))
+      .as[(Long, String, Int)].collect()
+    val expected = docs.toSeq.filter(_._3 > 0).groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map { case (id, _, nt) =>
+          val u = (bucket(s"${id}wsamp", 1000000) + 0.5) / 1000000.0
+          (src, id, -math.log(u) / nt)
+        }
+        .sortBy { case (_, id, k) => (k, id) }
+        .take(5)
+        .map { case (s2, id, k) =>
+          (s2, id, BigDecimal(k).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.toSet
+    val got = SparkEntry.queries("q180_weighted_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected,
+      s"got minus expected: ${got -- expected}; expected minus got: ${expected -- got}")
+  }
 }

@@ -142,6 +142,51 @@ class LlmOpsSpec extends AnyFunSuite {
         "does, this guard and the Scaladoc warning are stale")
   }
 
+  test("semdedup labels every vector and matches within-cell union-find truth") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val got = Similarity.semDedupClusters(emb)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(got.length === vecs.length, "one output row per corpus vector")
+    got.foreach { case (id, c, keep) =>
+      assert(keep === (id == c), s"keep flag must mark representatives ($id)")
+      assert(c <= id, "cluster label is the component minimum")
+    }
+    // independent truth: same first-16 centroids, same (round-6 cosine
+    // desc, cell asc) assignment, exact within-cell pairs at >= 0.4,
+    // then union-find
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val cents = vecs.take(16)
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (-r6(cos(v, cv)), cid) }.min._2
+    }.toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cellOf(ia) == cellOf(ib)
+      if BigDecimal(cos(va, vb)).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.4
+    } {
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = vecs.map { case (id, _) => (id, find(id)) }.toMap
+    got.foreach { case (id, c, _) =>
+      assert(c === truth(id), s"cluster($id): got $c, truth ${truth(id)}")
+    }
+    assert(got.exists(g => !g._3), "fixture should contain at least one semantic dup")
+  }
+
   test("LSH bucket cap (opt-in) drops degenerate buckets instead of exploding") {
     // 10k byte-identical docs: every band hashes all ids into ONE bucket,
     // which uncapped would expand to ~50M pairs on one executor. The cap
