@@ -229,7 +229,10 @@ object Dedup {
   }
 
   /** Rounds the last [[connectedComponentsAlternating]] call took to
-    * reach its fixpoint (spec introspection; one LS+SS pass per round). */
+    * reach its fixpoint (one LS+SS pass per round). Test-only
+    * introspection with last-call-wins semantics — any interleaved
+    * caller (e.g. [[Similarity.semDedupClusters]]) overwrites it, so
+    * read it immediately after the call under test. */
   @volatile private[graft] var lastAlternatingRounds: Int = 0
 
   /** Connected components by alternating large-star / small-star
@@ -257,13 +260,19 @@ object Dedup {
     * both over the deduped edge set), not by a hash signature. */
   def connectedComponentsAlternating(pairs: DataFrame, aCol: String = "doc_a",
                                      bCol: String = "doc_b", maxIter: Int = 30): DataFrame = {
-    val nodes = pairs.select(col(aCol).as("id"))
-      .union(pairs.select(col(bCol).as("id")))
-      .distinct().localCheckpoint(true)
+    // materialize the (possibly expensive) upstream pair-discovery plan
+    // exactly ONCE; nodes and the oriented edge set both derive from
+    // this cut — two separate checkpoints would execute the upstream
+    // pipeline (LSH banding, within-cell cosine join, …) twice
+    val canon = pairs.select(col(aCol).as("pa"), col(bCol).as("pb"))
+      .localCheckpoint(true)
+    val nodes = canon.select(col("pa").as("id"))
+      .union(canon.select(col("pb").as("id")))
+      .distinct()
     // canonical orientation (u, v) with u > v; self-loops dropped
-    var edges = pairs
-      .select(greatest(col(aCol), col(bCol)).as("u"),
-              least(col(aCol), col(bCol)).as("v"))
+    var edges = canon
+      .select(greatest(col("pa"), col("pb")).as("u"),
+              least(col("pa"), col("pb")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
 
@@ -297,14 +306,24 @@ object Dedup {
 
     var converged = false
     var iter = 0
+    var edgeCount = edges.count()
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextCount = next.count()
       // exact set equality: both sides are distinct, so equal counts plus
       // an empty one-sided difference means identical edge sets
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
+    // a non-star edge set would make the label join below fan out to
+    // several rows per node — fail loudly instead of breaking the
+    // one-row-per-node contract (maxIter=30 covers any physical graph:
+    // rounds grow O(log² n) in the node count)
+    require(converged,
+      s"connectedComponentsAlternating did not converge in $maxIter rounds; " +
+        "raise maxIter")
     lastAlternatingRounds = iter
     // fixpoint: a star per component, each child pointing at the root
     // (= component min); roots appear only on the v side

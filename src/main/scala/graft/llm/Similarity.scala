@@ -144,7 +144,11 @@ object Similarity {
                        centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     val cents = centroids.getOrElse(firstNCentroids(corpus, nlist, idCol, vecCol))
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val assigned = assignCells(v, cents, "v")
+    // materialize the assignment once (triangleCensus discipline): it
+    // feeds both legs of the within-cell self-join and the final label
+    // join — unchecked, each leg re-scans the corpus and re-runs the
+    // nlist×dim assignment kernel
+    val assigned = assignCells(v, cents, "v").localCheckpoint(true)
     val pairs = assigned
       .select(col("cell"), col("id").as("doc_a"), col("v").as("va"))
       .join(assigned.select(col("cell"), col("id").as("doc_b"), col("v").as("vb")),
@@ -153,7 +157,7 @@ object Similarity {
       .filter(round(cosine(col("va"), col("vb")), 4) >= threshold)
       .select("doc_a", "doc_b")
     val clusters = graft.llm.Dedup.connectedComponentsAlternating(pairs)
-    val ids = v.select("id")
+    val ids = assigned.select("id")
     ids.join(clusters, ids("id") === clusters("doc_id"), "left")
       .select(ids("id").as("vec_id"),
         coalesce(col("cluster_id"), ids("id")).as("cluster_id"),

@@ -60,7 +60,7 @@ object Graph {
     val tri = wedge2.join(ori, col("v") === ori("src") && col("w") === ori("dst"))
       .agg(count(lit(1)).as("n_triangles"))
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
-      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
     val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
     degStats.crossJoin(edgeStats).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),

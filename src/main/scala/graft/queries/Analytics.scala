@@ -1065,7 +1065,7 @@ object Analytics {
       |    AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
       |  JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
       |ds AS (SELECT count(*)::BIGINT AS n_nodes,
-      |         sum(d * (d - 1) // 2)::BIGINT AS n_wedges FROM deg),
+      |         coalesce(sum(d * (d - 1) // 2), 0)::BIGINT AS n_wedges FROM deg),
       |es AS (SELECT count(*)::BIGINT AS n_edges FROM edges)
       |SELECT ds.n_nodes, es.n_edges, ds.n_wedges, tri.n_triangles,
       |  round(CASE WHEN ds.n_wedges = 0 THEN 0.0

@@ -960,52 +960,57 @@ object Curation {
   // -------------------------------------------------------------- q180
 
   /** WEIGHTED sampling without replacement, 5 docs per source, where a
-    * doc's selection probability is proportional to its token count —
-    * the Efraimidis–Spirakis exponential-ranks scheme (A-ES): rank by
-    * key = −ln(u)/w and keep the k smallest per stratum. The uniform u
-    * is derived from md5(doc_id), so the draw is a pure function of the
-    * data — reproducible on any engine at any scale, and the DuckDB
-    * oracle replays the identical arithmetic. Complements q175 (rate
-    * Bernoulli, unweighted) and q76 (per-stratum rank, unweighted):
-    * this is the "sample long documents preferentially under a fixed
-    * per-domain budget" op a token-weighted training mix needs.
+    * doc's selection priority is proportional to its token count —
+    * Duffield–Lund–Thorup priority sampling: priority = w/u for a
+    * uniform u, keep the k LARGEST per stratum. The uniform is derived
+    * from md5(doc_id) as (bucket + ½)/10⁶, so the whole key reduces to
+    * ONE double division of exact integers,
+    * 2·10⁶·w / (2·bucket + 1) — and IEEE division is correctly
+    * rounded, so the key is bit-identical in every engine (the reason
+    * this is priority sampling and not Efraimidis–Spirakis −ln(u)/w:
+    * ln is only within-1-ulp, the q73 libm lesson). Complements q175
+    * (rate Bernoulli, unweighted) and q76 (per-stratum rank,
+    * unweighted): this is the "sample long documents preferentially
+    * under a fixed per-domain budget" op a token-weighted training mix
+    * needs.
     *
     * Scale shape: key computation is map-side; the only shuffle is the
     * per-source window, and rank ≤ 5 plans as WindowGroupLimit so each
     * partition retains 5 rows before the exchange. */
   val weightedSample: Q = (s, dir) => {
-    val u = (Fragments.hashBucket(
+    val oddHash = Fragments.hashBucket(
       concat(col("doc_id").cast("string"), lit("wsamp")), 1000000)
-      .cast("double") + 0.5) / 1000000.0
-    val w = Window.partitionBy("source").orderBy("samp_key", "doc_id")
+      .cast("double") * 2.0 + 1.0
+    val w = Window.partitionBy("source")
+      .orderBy(col("priority").desc, col("doc_id"))
     Tables.t(s, dir, "documents")
       .select(col("source"), col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("double").as("n_tok"),
-        u.as("u"))
+        oddHash.as("oh"))
       .where(col("n_tok") > 0)
-      .withColumn("samp_key", -log(col("u")) / col("n_tok"))
+      .withColumn("priority", lit(2000000.0) * col("n_tok") / col("oh"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)
       .select(col("source"), col("doc_id"),
-        round(col("samp_key"), 6).as("samp_key"))
-      .orderBy("source", "samp_key", "doc_id")
+        round(col("priority"), 6).as("priority"))
+      .orderBy(col("source"), col("priority").desc, col("doc_id"))
   }
 
   val weightedSampleSql: String =
     s"""WITH d AS (
        |  SELECT source, doc_id, len($ToksSql)::DOUBLE AS n_tok,
-       |    (${Fragments.hashBucketSql("doc_id::VARCHAR || 'wsamp'", 1000000)}::DOUBLE
-       |       + 0.5) / 1000000.0 AS u
+       |    ${Fragments.hashBucketSql("doc_id::VARCHAR || 'wsamp'", 1000000)}::DOUBLE
+       |      * 2.0 + 1.0 AS oh
        |  FROM documents),
-       |k AS (SELECT source, doc_id, -ln(u) / n_tok AS samp_key
+       |k AS (SELECT source, doc_id, 2000000.0 * n_tok / oh AS priority
        |      FROM d WHERE n_tok > 0),
-       |r AS (SELECT source, doc_id, samp_key,
+       |r AS (SELECT source, doc_id, priority,
        |        row_number() OVER (PARTITION BY source
-       |                           ORDER BY samp_key, doc_id) AS rn
+       |                           ORDER BY priority DESC, doc_id) AS rn
        |      FROM k)
-       |SELECT source, doc_id, round(samp_key, 6) AS samp_key
+       |SELECT source, doc_id, round(priority, 6) AS priority
        |FROM r WHERE rn <= 5
-       |ORDER BY source, samp_key, doc_id""".stripMargin
+       |ORDER BY source, priority DESC, doc_id""".stripMargin
 
   // ----------------------------------------------------------- registry
 

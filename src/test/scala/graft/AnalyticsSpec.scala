@@ -416,5 +416,8 @@ class AnalyticsSpec extends AnyFunSuite {
     // a 5-cycle has wedges but zero triangles → cc = 0
     val c5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
     assert(census(c5) === ((5L, 5L, 5L, 0L, 0.0)))
+
+    // an empty edge set must yield all-zero counts (not NULLs)
+    assert(census(Seq.empty[(Long, Long)]) === ((0L, 0L, 0L, 0L, 0.0)))
   }
 }

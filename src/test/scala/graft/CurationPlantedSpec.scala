@@ -92,20 +92,21 @@ class CurationPlantedSpec extends AnyFunSuite {
       s"got minus expected: ${got -- expected}; expected minus got: ${expected -- got}")
   }
 
-  test("q180 weighted sample equals the md5 + exponential-ranks arithmetic") {
+  test("q180 weighted sample equals the md5 + priority-sampling arithmetic") {
     val sf = TestSpark.sf
-    // independent recomputation: same md5-derived uniform, same
-    // -ln(u)/n_tokens key, 5 smallest per source (doc_id tie-break)
+    // independent recomputation: same md5-derived odd denominator, same
+    // single exactly-rounded division 2e6·w / (2·bucket + 1), 5 largest
+    // priorities per source (doc_id tie-break)
     val docs = Tables.t(spark, sf, "documents")
       .select(col("doc_id"), col("source"),
         size(graft.llm.TextOps.tokens(col("text"))).as("nt"))
       .as[(Long, String, Int)].collect()
     val expected = docs.toSeq.filter(_._3 > 0).groupBy(_._2).toSeq.flatMap { case (src, ds) =>
       ds.map { case (id, _, nt) =>
-          val u = (bucket(s"${id}wsamp", 1000000) + 0.5) / 1000000.0
-          (src, id, -math.log(u) / nt)
+          val oh = bucket(s"${id}wsamp", 1000000).toDouble * 2.0 + 1.0
+          (src, id, 2000000.0 * nt / oh)
         }
-        .sortBy { case (_, id, k) => (k, id) }
+        .sortBy { case (_, id, k) => (-k, id) }
         .take(5)
         .map { case (s2, id, k) =>
           (s2, id, BigDecimal(k).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)

@@ -277,4 +277,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(800))
     assert(p.contains("collect_set"), "grouped bucket expansion expected")
   }
+
+  test("q181 semdedup pair stage joins only on the cell, assignment map-side") {
+    // the full query's executed plan is truncated by the CC stage's
+    // eager checkpoints, so pin the pair STAGE directly: the corpus
+    // never cross-joins itself (the pair join is keyed on the centroid
+    // cell), and cell assignment is the broadcast-literal nearest_cell
+    // kernel — no join against a centroid table
+    val emb = Tables.t(spark, sf, "embeddings")
+    val cents = graft.llm.Similarity.firstNCentroids(emb, 16)
+    val v = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val assigned = graft.llm.Similarity.assignCells(v, cents, "v")
+    val pairs = assigned
+      .select(col("cell"), col("id").as("doc_a"), col("v").as("va"))
+      .join(assigned.select(col("cell"), col("id").as("doc_b"), col("v").as("vb")),
+        Seq("cell"))
+      .where(col("doc_a") < col("doc_b"))
+      .filter(round(graft.llm.Similarity.cosine(col("va"), col("vb")), 4) >= 0.4)
+      .select("doc_a", "doc_b")
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(p.contains("nearest_cell"),
+      "map-side centroid assignment expected:\n" + p.take(800))
+    // every non-broadcast exchange in the stage is keyed on the cell
+    val hashEx = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashEx.subsetOf(Set("cell")),
+      s"pair stage must shuffle on cell only, got $hashEx")
+  }
 }
