@@ -118,6 +118,33 @@ class DedupAdversarialSpec extends AnyFunSuite {
     assert(out.head.getAs[Int]("inter") === 19 && out.head.getAs[Int]("uni") === 21)
   }
 
+  test("telephone chain end-to-end: only the alternating CC clusters it") {
+    // 30 sliding-window docs over one token stream: doc i shares 16 of
+    // its 18 shingles with doc i+1 (Jaccard exactly 16/20 = 0.8) but
+    // only ~0.64 with doc i+2 — the real LSH operator therefore finds
+    // EXACTLY the 29 consecutive pairs, a chain of diameter 29. That
+    // exceeds label propagation's default 20-round budget; the
+    // large-star/small-star alternation collapses it regardless.
+    val toks = (0 until 78).map(i => s"tok$i")
+    val docs = (0L until 30L).map { i =>
+      (i, toks.slice(2 * i.toInt, 2 * i.toInt + 20).mkString(" "))
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val got = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === (0L until 29L).map(i => (i, i + 1)).toSet,
+      "LSH should find exactly the consecutive near-dup pairs")
+    val alt = Dedup.connectedComponentsAlternating(pairs)
+      .as[(Long, Long)].collect()
+    assert(alt.length === 30 && alt.forall(_._2 === 0L),
+      "alternating CC must collapse the whole chain to doc 0")
+    val lp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(lp.exists(_._2 !== 0L),
+      "default label-prop budget should NOT finish diameter 29 — if it " +
+        "does, update the Scaladoc guidance and this guard")
+    pairs.unpersist()
+  }
+
   test("cross-corpus LSH honors the bucket cap and never self-joins the base") {
     // base: the degenerate corpus (1000 clones + planted pair + fillers);
     // batch: one more clone plus a near-copy of a planted base doc
