@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for 100 TB-scale corpora.
@@ -419,5 +420,58 @@ object Dedup {
     cand.join(fa, "doc_a").join(fb, "doc_b")
       .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact duplicated-substring spans (the substring-granular dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL '22 — realized relationally instead of via a suffix
+    * array): a token position is "duplicated" when the k-token shingle
+    * starting there occurs ≥ `minOccurs` times anywhere in the corpus
+    * (other documents OR elsewhere in the same one); overlapping or
+    * adjacent duplicated positions merge into maximal spans.
+    *
+    * Returns one row per document that contains at least one span:
+    * (doc_id, n_spans, dup_tokens, max_span, dup_frac) where dup_tokens
+    * is the exact number of tokens covered by some duplicated shingle.
+    *
+    * Scale shape: the positional-shingle explode is a linear codegen
+    * pass over the corpus (shingles leave the map stage as md5 hashes,
+    * never text); the duplicate set comes from one map-combinable
+    * count per hash; positions rejoin it with a hash-keyed shuffle
+    * join — deliberately NOT a collect_list-per-hash regroup, whose
+    * per-key state is unbounded under stop-shingles. Span merging is a
+    * per-document window (running max-end → island ids), the q127
+    * sweep-line shape. No stage is quadratic and no per-key state is
+    * unbounded, so the plan survives a 100× corpus. The positional
+    * explode is evaluated twice (count leg + rejoin leg) — recomputing
+    * a map-side pass beats materializing O(corpus tokens) rows. */
+  def duplicatedSpans(docs: DataFrame, k: Int = 5, minOccurs: Int = 2,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"shingle width must be >= 1: $k")
+    val toks = TextOps.tokens(col(textCol))
+    val pos = docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"), col("toks"))
+      .filter(col("n_tokens") >= k)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(1, size(toks) - ${k - 1}), i -> md5(concat_ws(' ', slice(toks, i, $k))))")))
+      .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("p"), col("col").as("h"))
+    val dup = pos.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minOccurs).select("h")
+    val wOrd = Window.partitionBy("doc_id").orderBy("p")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = pos.join(dup, "h")
+      .withColumn("me", max(col("p") + lit(k - 1)).over(wPrev))
+      .withColumn("isl", sum(when(col("me").isNull || col("p") > col("me") + 1, 1)
+        .otherwise(0)).over(wOrd))
+      .groupBy("doc_id", "n_tokens", "isl")
+      .agg(min("p").as("s"), (max(col("p")) + lit(k - 1)).as("e"))
+    spans.groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"),
+        max(col("e") - col("s") + 1).cast("int").as("max_span"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("max_span"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 4).as("dup_frac"))
   }
 }

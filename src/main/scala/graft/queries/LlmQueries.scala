@@ -95,6 +95,48 @@ object LlmQueries {
        |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Exact duplicated-substring spans ([[Dedup.duplicatedSpans]]): the
+    * substring-granular complement to whole-document dedup — a 5-token
+    * shingle occurring ≥2 times anywhere in the corpus marks its
+    * positions duplicated, and overlapping/adjacent positions merge
+    * into maximal per-document spans (Lee et al. ACL '22, expressed
+    * relationally: linear positional-shingle explode → map-combinable
+    * hash count → hash-keyed rejoin → per-doc sweep-line window). The
+    * oracle replays the identical pipeline — positions, islands, span
+    * arithmetic — so the hash-compare covers every stage. */
+  val dupSpans: Q = (s, dir) =>
+    Dedup.duplicatedSpans(Tables.t(s, dir, "documents")).orderBy("doc_id")
+
+  val dupSpansSql: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |pos AS (
+       |  SELECT doc_id, n_tokens, i AS p,
+       |    md5(array_to_string(toks[i:i+4], ' ')) AS h
+       |  FROM (SELECT doc_id, len(toks) AS n_tokens, toks,
+       |          unnest(range(1, len(toks) - 3)) AS i
+       |        FROM t WHERE len(toks) >= 5)),
+       |dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+       |dp AS (SELECT pos.* FROM pos JOIN dup USING (h)),
+       |m AS (
+       |  SELECT doc_id, n_tokens, p,
+       |    max(p + 4) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS me
+       |  FROM dp),
+       |isl AS (
+       |  SELECT doc_id, n_tokens, p,
+       |    sum(CASE WHEN me IS NULL OR p > me + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY p) AS isl
+       |  FROM m),
+       |sp AS (
+       |  SELECT doc_id, n_tokens, isl, min(p) AS s, max(p) + 4 AS e
+       |  FROM isl GROUP BY 1, 2, 3)
+       |SELECT doc_id, count(*)::INTEGER AS n_spans,
+       |  sum(e - s + 1)::BIGINT AS dup_tokens,
+       |  max(e - s + 1)::INTEGER AS max_span,
+       |  round(sum(e - s + 1)::DOUBLE / n_tokens, 4) AS dup_frac
+       |FROM sp GROUP BY doc_id, n_tokens
+       |ORDER BY doc_id""".stripMargin
+
   /** SimHash near-dup pairs (Hamming ≤ 3 via 4×16-bit block LSH), with
     * the MD5-based token hash so the oracle can replay the fingerprint
     * bit-for-bit. The block LSH is pigeonhole-complete for Hamming ≤ 3,
@@ -751,6 +793,7 @@ object LlmQueries {
     "q32_dedup_minhash_lsh" -> dedupMinhash,
     "q177_incremental_neardup" -> incrementalNearDup,
     "q33_dedup_simhash" -> dedupSimhash,
+    "q182_dup_spans" -> dupSpans,
     "q34_ann_topk" -> annTopK,
     "q35_emb_neardup" -> embNearDup,
     "q181_semdedup" -> semDedup,
@@ -777,6 +820,7 @@ object LlmQueries {
     "q32_dedup_minhash_lsh" -> dedupMinhashSql,
     "q177_incremental_neardup" -> incrementalNearDupSql,
     "q33_dedup_simhash" -> dedupSimhashSql,
+    "q182_dup_spans" -> dupSpansSql,
     "q36_ann_lsh" -> annLshSql,
     "q50_ann_ivf" -> annIvfSql,
     "q78_ann_pq" -> annPqSql,

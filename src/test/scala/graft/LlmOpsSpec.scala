@@ -29,6 +29,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lsh === truth)
   }
 
+  test("duplicated spans: merge, within-doc repeats, short docs, clean docs") {
+    // w1..w20 are unique filler; "a b c d e f g" is a 7-token run shared
+    // between docs 1 and 2 → its three 5-gram start positions merge into
+    // ONE span of 7 tokens. Doc 3 repeats its own 5-gram ("r s t u v" at
+    // positions 1 and 6 of an 11-token doc) → within-doc duplication
+    // flags both occurrences (they touch: 1..5 and 6..10 merge into one
+    // 10-token span). Doc 4 is clean; doc 5 is shorter than the shingle.
+    val df = Seq(
+      (1L, "a b c d e f g w1 w2 w3 w4 w5"),
+      (2L, "w6 w7 w8 a b c d e f g w9"),
+      (3L, "r s t u v r s t u v w10"),
+      (4L, "w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"),
+      (5L, "x y z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df)
+      .select("doc_id", "n_spans", "dup_tokens", "max_span", "dup_frac")
+      .as[(Long, Int, Long, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === ((1L, 1, 7L, 7, 0.5833))) // 7 of 12 tokens
+    assert(got(2L) === ((2L, 1, 7L, 7, 0.6364))) // 7 of 11 tokens
+    assert(got(3L) === ((3L, 1, 10L, 10, 0.9091))) // self-repeat, merged
+  }
+
+  test("duplicated spans: non-adjacent spans stay separate islands") {
+    // the shared 5-grams sit at positions 1 and 9 of doc 1 (gap of 3
+    // clean tokens between covered ranges 1..5 and 9..13) → two spans
+    val df = Seq(
+      (1L, "p q r s t g1 g2 g3 h i j k l g4"),
+      (2L, "p q r s t z1 z2 z3 z4 z5 z6 z7"),
+      (3L, "h i j k l y1 y2 y3 y4 y5 y6 y7")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df)
+      .select("doc_id", "n_spans", "dup_tokens", "max_span")
+      .as[(Long, Int, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2, 10L, 5)))
+    assert(got(2L) === ((2L, 1, 5L, 5)))
+    assert(got(3L) === ((3L, 1, 5L, 5)))
+  }
+
   test("simhash: identical docs collide at hamming 0; near-identical stay close") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
