@@ -164,6 +164,45 @@ object Similarity {
         (coalesce(col("cluster_id"), ids("id")) === ids("id")).as("keep"))
   }
 
+  /** Semantic decontamination: flag every corpus vector whose cosine
+    * similarity to SOME held-out evaluation vector reaches `threshold`
+    * — the embedding-space complement of n-gram decontamination (q87):
+    * n-grams catch verbatim leakage, embeddings catch paraphrase
+    * leakage. Shape is IVF serving ([[ivfTopK]]) with a threshold in
+    * place of top-k: the corpus is cell-assigned map-side against
+    * broadcast centroids (no Exchange above the corpus scan), the small
+    * eval set probes its `nprobe` nearest cells, and the cell-keyed
+    * join scores only corpus×probed-cell candidates — never corpus ×
+    * eval-set, and never corpus². Per flagged vector, the single best
+    * (sim desc, eval id asc) witness survives via a WindowGroupLimit
+    * row_number. Same recall caveat as any IVF probe: a contaminated
+    * vector whose cell the eval query does not probe is missed —
+    * raise `nprobe` or train better centroids to trade cost for recall.
+    *
+    * Returns (vec_id, test_id, sim): corpus id, best eval witness, its
+    * rounded cosine. */
+  def contaminatedBy(test: DataFrame, corpus: DataFrame, threshold: Double,
+                     nlist: Int = 16, nprobe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
+    val cents = centroids.getOrElse(firstNCentroids(corpus, nlist, idCol, vecCol))
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val assigned = assignCells(v, cents, "v")
+    val q = test.select(col(idCol).as("test_id"), asDouble(col(vecCol)).as("qv"))
+    val probes = q
+      .select(col("test_id"), col("qv"),
+        explode(slice(array_sort(cellRanks("qv", cents)), 1, nprobe)).as("pc"))
+      .select(col("test_id"), col("qv"), col("pc.cell").as("cell"))
+    val w = Window.partitionBy("id").orderBy(col("sim").desc, col("test_id").asc)
+    assigned.join(broadcast(probes), "cell")
+      .select(col("id"), col("test_id"),
+        round(cosine(col("qv"), col("v")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id").as("vec_id"), col("test_id"), col("sim"))
+  }
+
   /** Distributed spherical k-means: each Lloyd iteration is map-side
     * cell assignment over broadcast centroids ([[assignCells]], no
     * corpus shuffle) followed by ONE map-combinable aggregation for the

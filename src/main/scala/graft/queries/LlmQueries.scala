@@ -369,6 +369,52 @@ object LlmQueries {
       |FROM v LEFT JOIN lab ON v.id = lab.id
       |ORDER BY vec_id""".stripMargin
 
+  /** Semantic decontamination ([[Similarity.contaminatedBy]]): corpus
+    * vectors (vec_id ≥ 50) cosine-close to any held-out eval vector
+    * (vec_id < 50) — the paraphrase-leakage complement of q87's
+    * verbatim n-gram decontamination. IVF shape: map-side cell
+    * assignment, eval set probes 4 cells, cell-keyed scoring join; the
+    * oracle replays assignment, probing, scoring, and the best-witness
+    * window bit-for-bit (q50's construction with a threshold replacing
+    * top-k). */
+  val semanticDecontam: Q = (s, dir) => {
+    val e = Tables.t(s, dir, "embeddings")
+    Similarity.contaminatedBy(e.filter(col("vec_id") < 50),
+        e.filter(col("vec_id") >= 50), threshold = 0.35)
+      .orderBy("vec_id")
+  }
+
+  val semanticDecontamSql: String =
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      |           FROM embeddings WHERE vec_id >= 50),
+      |cent AS (SELECT id AS cell, v AS cv FROM v
+      |         WHERE id IN (SELECT id FROM v ORDER BY id LIMIT 16)),
+      |assigned AS (
+      |  SELECT id, v, cell FROM (
+      |    SELECT v.id, v.v, c.cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY round(list_cosine_similarity(v.v, c.cv), 6) DESC, c.cell ASC) AS ark
+      |    FROM v CROSS JOIN cent c) WHERE ark = 1),
+      |q AS (SELECT vec_id AS test_id, embedding::DOUBLE[] AS qv
+      |      FROM embeddings WHERE vec_id < 50),
+      |probes AS (
+      |  SELECT test_id, qv, cell FROM (
+      |    SELECT q.test_id, q.qv, c.cell,
+      |      row_number() OVER (PARTITION BY q.test_id
+      |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell ASC) AS crk
+      |    FROM q CROSS JOIN cent c) WHERE crk <= 4),
+      |scored AS (
+      |  SELECT a.id, p.test_id,
+      |    round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell
+      |  WHERE round(list_cosine_similarity(p.qv, a.v), 4) >= 0.35),
+      |best AS (
+      |  SELECT id, test_id, sim,
+      |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, test_id ASC) AS rk
+      |  FROM scored)
+      |SELECT id AS vec_id, test_id, sim FROM best WHERE rk = 1
+      |ORDER BY vec_id""".stripMargin
+
   /** SRP-LSH bucketed approximate near-neighbor pairs (the O(n·bucket)
     * scale path), with explicit first-32-vector hyperplanes so the
     * bucketing arithmetic — and therefore the whole candidate set — is
@@ -797,6 +843,7 @@ object LlmQueries {
     "q34_ann_topk" -> annTopK,
     "q35_emb_neardup" -> embNearDup,
     "q181_semdedup" -> semDedup,
+    "q183_semantic_decontam" -> semanticDecontam,
     "q36_ann_lsh" -> annLsh,
     "q50_ann_ivf" -> annIvf,
     "q78_ann_pq" -> annPq,
@@ -828,6 +875,7 @@ object LlmQueries {
     "q86_hybrid_search" -> hybridSearchSql,
     "q34_ann_topk" -> annTopKSql,
     "q181_semdedup" -> semDedupSql,
+    "q183_semantic_decontam" -> semanticDecontamSql,
     "q53_ngram_jaccard" -> ngramJaccardSql,
     "q56_dedup_clusters" -> dedupClustersSql,
     "q178_cc_alternating" -> dedupClustersSql,

@@ -68,6 +68,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((3L, 1, 5L, 5)))
   }
 
+  test("semantic decontam: planted paraphrase flagged, far vector clean, witness ties to min test id") {
+    val test = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0)), // duplicate eval vector: witness tie
+      (3L, Seq(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (100L, Seq(1.0, 0.0, 0.0)),   // verbatim leak
+      (101L, Seq(0.95, 0.31225, 0.0)), // paraphrase-close to test 1/2
+      (102L, Seq(0.0, 1.0, 0.0))    // clean
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.contaminatedBy(test, corpus, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet === Set(100L, 101L))
+    assert(got(100L) === ((1L, 1.0))) // tie between test 1 and 2 → min id
+    assert(got(101L)._1 === 1L && got(101L)._2 >= 0.8 && got(101L)._2 < 1.0)
+  }
+
   test("simhash: identical docs collide at hamming 0; near-identical stay close") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
