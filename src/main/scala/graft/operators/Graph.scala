@@ -68,4 +68,55 @@ object Graph {
           .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")), 6)
           .as("global_cc"))
   }
+
+  /** Rounds the last [[kCore]] call took to reach its fixpoint.
+    * Test/calibration introspection, last-call-wins (the
+    * [[graft.llm.Dedup.lastAlternatingRounds]] convention). */
+  @volatile private[graft] var lastKCoreRounds: Int = 0
+
+  /** k-core: the (unique) maximal subgraph in which every node has
+    * degree ≥ k, by synchronous parallel peeling — each round drops ALL
+    * nodes whose current degree is < k and induces the surviving edge
+    * set (Matula & Beck's peeling, batch-synchronous as in
+    * Montresor et al., "Distributed k-Core Decomposition", TPDS '13).
+    * One distributed degree aggregate + two anti-joins per round, edge
+    * list re-checkpointed so plans stay flat (the CC loop discipline);
+    * round count is the graph's peeling depth, typically O(log n) on
+    * natural graphs. Fails loudly if `maxRounds` passes don't converge
+    * rather than returning a non-core superset.
+    *
+    * Returns (node, core_deg) for every k-core member, where core_deg
+    * is its degree WITHIN the core (≥ k by construction); empty when
+    * the graph has no k-core. Input edges may carry duplicates or
+    * self-loops — the edge set is canonicalized first. */
+  def kCore(pairs: DataFrame, k: Int, aCol: String = "a", bCol: String = "b",
+            maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val canon = pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+              greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") < col("b")).distinct()
+    var und = canon.union(canon.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var removed = 1L
+    var round = 0
+    while (removed > 0 && round < maxRounds) {
+      val bad = und.groupBy("a").agg(count(lit(1)).as("d"))
+        .filter(col("d") < k).select(col("a").as("n"))
+        .localCheckpoint(true)
+      removed = bad.count()
+      if (removed > 0) {
+        und = und.join(bad, und("a") === bad("n"), "left_anti")
+          .join(bad, und("b") === bad("n"), "left_anti")
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    if (removed > 0)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge in $maxRounds rounds — raise maxRounds")
+    lastKCoreRounds = round
+    und.groupBy("a").agg(count(lit(1)).cast("int").as("core_deg"))
+      .select(col("a").as("node"), col("core_deg"))
+  }
 }

@@ -1032,24 +1032,35 @@ object Analytics {
     * plan is O(m^1.5) worst-case instead of Σdeg² — the difference
     * between feasible and not on a hub-heavy 100 TB graph. Each triangle
     * is counted exactly once (its π-least vertex owns it). */
-  val triangleCount: Q = (s, dir) => {
+  /** Co-purchase projection of the order–part bipartite graph: an edge
+    * between two parts appearing together in ≥2 distinct orders — the
+    * shared input of the q179 census and the q184 core decomposition
+    * (one definition so the two graph queries can never drift). */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val items = Tables.t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val edges = items.as("x").join(items.as("y"), Seq("o"))
+    items.as("x").join(items.as("y"), Seq("o"))
       .where(col("x.p") < col("y.p"))
       .select(col("x.p").as("a"), col("y.p").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("support"))
       .where(col("support") >= 2)
       .select("a", "b")
-    graft.operators.Graph.triangleCensus(edges)
   }
 
-  val triangleCountSql: String =
-    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-      |edges AS (
+  /** DuckDB twin of [[coPurchaseEdges]], as `edges` + both-direction
+    * `und` CTE bodies (prefix with WITH). */
+  private val CoPurchaseSql: String =
+    """items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS MATERIALIZED (
       |  SELECT x.p AS a, y.p AS b FROM items x JOIN items y ON x.o = y.o AND x.p < y.p
       |  GROUP BY 1, 2 HAVING count(*) >= 2),
-      |und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+      |und AS MATERIALIZED (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges)""".stripMargin
+
+  val triangleCount: Q = (s, dir) =>
+    graft.operators.Graph.triangleCensus(coPurchaseEdges(s, dir))
+
+  val triangleCountSql: String =
+    s"""WITH $CoPurchaseSql,
       |deg AS (SELECT a AS n, count(*)::BIGINT AS d FROM und GROUP BY a),
       |ori AS (
       |  SELECT CASE WHEN lt THEN a ELSE b END AS src,
@@ -1071,6 +1082,54 @@ object Analytics {
       |  round(CASE WHEN ds.n_wedges = 0 THEN 0.0
       |             ELSE 3.0 * tri.n_triangles / ds.n_wedges END, 6) AS global_cc
       |FROM ds, es, tri""".stripMargin
+
+  /** Core decomposition layers of the co-purchase graph
+    * ([[graft.operators.Graph.kCore]]): the 2-core and 3-core as
+    * (k, node, core_deg) rows. Synchronous parallel peeling — one
+    * degree aggregate + two anti-joins per round, edge list
+    * re-checkpointed each round; the sf0.01 fixture peels 10 rounds
+    * for k=3, a real multi-round fixpoint. The oracle unrolls the
+    * SAME synchronous recurrence k_{i+1} = {n ∈ k_i : deg_{k_i}(n) ≥ k}
+    * a fixed R=16 rounds — the recurrence is idempotent at its
+    * fixpoint, so any R ≥ the peeling depth replays the core exactly;
+    * the Spark side fails loudly rather than emit a non-fixpoint. */
+  val kcoreLayers: Q = (s, dir) => {
+    val edges = coPurchaseEdges(s, dir).localCheckpoint(true)
+    val core2 = graft.operators.Graph.kCore(edges, 2)
+    val core3 = graft.operators.Graph.kCore(edges, 3)
+    core2.select(lit(2).as("k"), col("node"), col("core_deg"))
+      .unionAll(core3.select(lit(3).as("k"), col("node"), col("core_deg")))
+      .orderBy("k", "node")
+  }
+
+  val kcoreLayersSql: String = {
+    val R = 16
+    // every CTE is MATERIALIZED: each peel round references its
+    // predecessor twice and `und` once — inlined, DuckDB re-expands the
+    // whole pyramid per reference and re-opens the parquet until it
+    // exhausts file handles
+    def peel(pfx: String, k: Int): String = {
+      val rounds = (1 to R).map { i =>
+        s"""${pfx}$i AS MATERIALIZED (
+           |  SELECT u.a AS n FROM und u
+           |  JOIN ${pfx}${i - 1} x ON u.a = x.n JOIN ${pfx}${i - 1} y ON u.b = y.n
+           |  GROUP BY u.a HAVING count(*) >= $k)""".stripMargin
+      }.mkString(",\n")
+      s"""${pfx}0 AS MATERIALIZED (SELECT DISTINCT a AS n FROM und),
+         |$rounds""".stripMargin
+    }
+    def core(pfx: String, k: Int): String =
+      s"""SELECT $k AS k, u.a AS node, count(*)::INTEGER AS core_deg
+         |FROM und u JOIN ${pfx}$R x ON u.a = x.n JOIN ${pfx}$R y ON u.b = y.n
+         |GROUP BY u.a""".stripMargin
+    s"""WITH $CoPurchaseSql,
+       |${peel("c2r", 2)},
+       |${peel("c3r", 3)}
+       |${core("c2r", 2)}
+       |UNION ALL
+       |${core("c3r", 3)}
+       |ORDER BY k, node""".stripMargin
+  }
 
   // ----------------------------------------------------------- registry
 
@@ -1099,7 +1158,8 @@ object Analytics {
     "q172_chunk_boilerplate" -> chunkBoilerplate,
     "q174_changepoint" -> changepoint,
     "q176_attribution" -> attribution,
-    "q179_triangle_count" -> triangleCount)
+    "q179_triangle_count" -> triangleCount,
+    "q184_kcore" -> kcoreLayers)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -1126,5 +1186,6 @@ object Analytics {
     "q172_chunk_boilerplate" -> chunkBoilerplateSql,
     "q174_changepoint" -> changepointSql,
     "q176_attribution" -> attributionSql,
-    "q179_triangle_count" -> triangleCountSql)
+    "q179_triangle_count" -> triangleCountSql,
+    "q184_kcore" -> kcoreLayersSql)
 }

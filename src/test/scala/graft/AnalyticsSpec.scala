@@ -394,6 +394,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r1.map(_._2).sum <= nNodes * 1000000L)
   }
 
+  test("k-core: peeling depth, core membership, empty core, loud non-convergence") {
+    def core(edges: Seq[(Long, Long)], k: Int, maxRounds: Int = 64): Map[Long, Int] =
+      graft.operators.Graph.kCore(edges.toDF("a", "b"), k, maxRounds = maxRounds)
+        .as[(Long, Int)].collect().toMap
+
+    // triangle {1,2,3} with tail 3-4-5-6: the 2-core is the triangle;
+    // the tail peels one node per round (6, then 5, then 4) — a genuine
+    // 3-round fixpoint, pinned via the rounds introspection
+    val tailed = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(core(tailed, 2) === Map(1L -> 2, 2L -> 2, 3L -> 2))
+    assert(graft.operators.Graph.lastKCoreRounds === 3)
+
+    // its 3-core is empty (every node tops out at degree 2 once the
+    // tail is gone)
+    assert(core(tailed, 3) === Map.empty)
+
+    // K4: 3-core keeps all four nodes at in-core degree 3; duplicates,
+    // reversed edges, and self-loops canonicalize away
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)) ++
+      Seq((2L, 1L), (3L, 3L))
+    assert(core(k4, 3) === Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
+    assert(graft.operators.Graph.lastKCoreRounds === 0)
+
+    // K4 with a pendant chain: the chain must not pull the core down
+    val chained = k4 ++ Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    assert(core(chained, 3) === Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
+
+    // a budget smaller than the peeling depth must fail loudly, not
+    // return a non-fixpoint superset
+    intercept[IllegalStateException](core(tailed, 2, maxRounds = 2))
+  }
+
   test("triangle census matches hand counts on planted graphs") {
     def census(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Double) =
       graft.operators.Graph.triangleCensus(edges.toDF("a", "b"))
