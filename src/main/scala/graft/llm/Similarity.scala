@@ -164,6 +164,43 @@ object Similarity {
         (coalesce(col("cluster_id"), ids("id")) === ids("id")).as("keep"))
   }
 
+  /** Dimension-truncation rerank cascade (matryoshka-style serving, cf.
+    * Kusupati et al., "Matryoshka Representation Learning", NeurIPS
+    * '22): stage 1 scores the corpus against each query on only the
+    * first `prefixDims` dimensions (4× less arithmetic and memory
+    * traffic at 16 of 64 dims) and keeps `candidates` per query via a
+    * row_number window Spark rewrites with WindowGroupLimit — each map
+    * task pre-prunes to its local top-`candidates`, so the shuffle
+    * carries O(tasks·candidates) rows; stage 2 reranks only those by
+    * full-dimension cosine. Full vectors ride along with the candidate
+    * rows (bounded by the group limit) rather than re-joining the
+    * corpus — one corpus scan total. The complement of [[ivfTopK]]:
+    * IVF prunes WHICH vectors are scored, truncation cheapens HOW each
+    * one is scored; compose them for both. Exact-recall caveat: a true
+    * neighbor outside the prefix-similarity top-`candidates` is lost —
+    * widen `candidates` to trade cost for recall. */
+  def truncRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                      prefixDims: Int = 16, candidates: Int = 20,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val wPre = Window.partitionBy("query_id")
+      .orderBy(col("sim_prefix").desc, col("neighbor_id").asc)
+    val wFull = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"),
+        round(cosine(slice(col("qv"), 1, prefixDims), slice(col("cv"), 1, prefixDims)), 6)
+          .as("sim_prefix"))
+      .withColumn("crk", row_number().over(wPre))
+      .filter(col("crk") <= candidates)
+      .select(col("query_id"), col("neighbor_id"), col("sim_prefix"),
+        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+      .withColumn("rk", row_number().over(wFull))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "sim_prefix", "sim", "rk")
+  }
+
   /** Semantic decontamination: flag every corpus vector whose cosine
     * similarity to SOME held-out evaluation vector reaches `threshold`
     * — the embedding-space complement of n-gram decontamination (q87):

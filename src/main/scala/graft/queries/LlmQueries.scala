@@ -452,6 +452,44 @@ object LlmQueries {
       |WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= 0.3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Dimension-truncation rerank cascade
+    * ([[Similarity.truncRerankTopK]]): first-16-dim cosine prefilter to
+    * 20 candidates per query (WindowGroupLimit map-side pruning), then
+    * full 64-dim rerank to top-5 — the matryoshka serving pattern. The
+    * oracle replays both stages including the 6-dp prefix cut and the
+    * 4-dp full-similarity ranking. */
+  val annTruncRerank: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+    Similarity.truncRerankTopK(emb.filter(col("vec_id") < 10), emb, 5)
+      .orderBy("query_id", "rk")
+  }
+
+  val annTruncRerankSql: String =
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |      FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, v.id AS neighbor_id,
+      |    round(list_cosine_similarity(q.qv[1:16], v.v[1:16]), 6) AS sim_prefix,
+      |    q.qv, v.v
+      |  FROM v CROSS JOIN q WHERE v.id <> q.query_id),
+      |cand AS (
+      |  SELECT query_id, neighbor_id, sim_prefix, qv, v,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim_prefix DESC, neighbor_id ASC) AS crk
+      |  FROM scored),
+      |reranked AS (
+      |  SELECT query_id, neighbor_id, sim_prefix,
+      |    round(list_cosine_similarity(qv, v), 4) AS sim
+      |  FROM cand WHERE crk <= 20),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim_prefix, sim,
+      |    (row_number() OVER (PARTITION BY query_id
+      |       ORDER BY sim DESC, neighbor_id ASC))::INTEGER AS rk
+      |  FROM reranked)
+      |SELECT query_id, neighbor_id, sim_prefix, sim, rk FROM ranked
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   /** IVF approximate top-k (scale path for ANN; see Similarity.ivfTopK).
     * Deterministic first-N centroids + map-side assignment make the whole
     * index-build-and-probe pipeline oracle-replayable in SQL. */
@@ -848,6 +886,7 @@ object LlmQueries {
     "q50_ann_ivf" -> annIvf,
     "q78_ann_pq" -> annPq,
     "q79_ann_ivfpq" -> annIvfPq,
+    "q185_trunc_rerank" -> annTruncRerank,
     "q86_hybrid_search" -> hybridSearch,
     "q53_ngram_jaccard" -> ngramJaccard,
     "q56_dedup_clusters" -> dedupClusters,
@@ -872,6 +911,7 @@ object LlmQueries {
     "q50_ann_ivf" -> annIvfSql,
     "q78_ann_pq" -> annPqSql,
     "q79_ann_ivfpq" -> annIvfPqSql,
+    "q185_trunc_rerank" -> annTruncRerankSql,
     "q86_hybrid_search" -> hybridSearchSql,
     "q34_ann_topk" -> annTopKSql,
     "q181_semdedup" -> semDedupSql,

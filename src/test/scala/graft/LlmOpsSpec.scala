@@ -68,6 +68,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(3L) === ((3L, 1, 5L, 5)))
   }
 
+  test("trunc rerank: full-dim order overrides prefix order within candidates; narrow candidates lose recall") {
+    val q = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),    // self — excluded
+      (100L, Seq(1.0, 0.0, 1.0, 0.0)),  // prefix-perfect, full ≈ 0.707
+      (101L, Seq(0.99, 0.14, 0.0, 0.0)), // prefix ≈ 0.990, full ≈ 0.990
+      (102L, Seq(-1.0, 0.1, 0.0, 0.0))  // far
+    ).toDF("vec_id", "embedding")
+    // wide enough candidate pool: the rerank restores full-dim order
+    val wide = Similarity.truncRerankTopK(q, corpus, k = 2,
+        prefixDims = 2, candidates = 2)
+      .select("neighbor_id", "rk").as[(Long, Int)].collect().toMap
+    assert(wide === Map(101L -> 1, 100L -> 2))
+    // candidates=1 keeps only the prefix winner — the documented
+    // recall trade-off of the cascade
+    val narrow = Similarity.truncRerankTopK(q, corpus, k = 1,
+        prefixDims = 2, candidates = 1)
+      .select("neighbor_id", "rk").as[(Long, Int)].collect().toMap
+    assert(narrow === Map(100L -> 1))
+  }
+
   test("semantic decontam: planted paraphrase flagged, far vector clean, witness ties to min test id") {
     val test = Seq(
       (1L, Seq(1.0, 0.0, 0.0)),
