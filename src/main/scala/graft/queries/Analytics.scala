@@ -794,6 +794,71 @@ object Analytics {
        |  round(cnt::DOUBLE / total::DOUBLE, 6) AS p, rk::INT AS rk
        |FROM rk WHERE rk <= 3 ORDER BY w1, rk""".stripMargin
 
+  // -------------------------------------------------------------- q186
+
+  /** Windowed co-occurrence collocations: token pairs that appear
+    * within 5 positions of each other far more often than their
+    * individual frequencies predict — scored by lift
+    * (p(a,b) / (p(a)·p(b))), the log-free monotone equivalent of PMI
+    * (a libm `ln` is within-1-ulp engine-dependent, the q180 lesson;
+    * one IEEE-exact division chain is not). Pair generation is an
+    * offset explode (each position emits 5 (doc, p+d) keys) feeding a
+    * pure equi-join on (doc, position) — O(L·w) with codegen'd keys,
+    * never the O(L²) per-document self-join with a range predicate.
+    * Top-30 pairs with support ≥ 10, deterministically ordered by
+    * (rounded lift, pair). */
+  val collocations: Q = (s, dir) => {
+    val pos = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
+    val totals = pos.agg(count(lit(1)).as("n_total"))
+    val tokCounts = pos.groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    val left = pos
+      .select(col("doc_id"), col("p"), col("tok").as("tok_l"),
+        explode(sequence(lit(1), lit(5))).as("d"))
+      .select(col("doc_id"), (col("p") + col("d")).as("p"), col("tok_l"))
+    val pairCounts = left.join(pos, Seq("doc_id", "p"))
+      .filter(col("tok_l") =!= col("tok"))
+      .select(least(col("tok_l"), col("tok")).as("tok_a"),
+        greatest(col("tok_l"), col("tok")).as("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
+    val pTotal = pairCounts.agg(sum("n_ab").as("n_pairs"))
+    pairCounts.filter(col("n_ab") >= 10)
+      .join(tokCounts.select(col("tok").as("tok_a"), col("n_tok").as("n_a")), "tok_a")
+      .join(tokCounts.select(col("tok").as("tok_b"), col("n_tok").as("n_b")), "tok_b")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(pTotal))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(col("n_ab").cast("double") * col("n_total") * col("n_total")
+          / col("n_pairs") / col("n_a") / col("n_b"), 4).as("lift"))
+      .orderBy(col("lift").desc, col("tok_a"), col("tok_b"))
+      .limit(30)
+  }
+
+  val collocationsSql: String =
+    s"""WITH pos AS MATERIALIZED (
+       |  SELECT doc_id, unnest(toks) AS tok,
+       |         unnest(range(1, len(toks) + 1)) AS p
+       |  FROM (SELECT doc_id, $ToksSql AS toks FROM documents)),
+       |tot AS (SELECT count(*)::BIGINT AS n_total FROM pos),
+       |tc AS MATERIALIZED (SELECT tok, count(*)::BIGINT AS n_tok FROM pos GROUP BY tok),
+       |pc AS MATERIALIZED (
+       |  SELECT least(a.tok, b.tok) AS tok_a, greatest(a.tok, b.tok) AS tok_b,
+       |    count(*)::BIGINT AS n_ab
+       |  FROM pos a JOIN pos b
+       |    ON a.doc_id = b.doc_id AND b.p >= a.p + 1 AND b.p <= a.p + 5
+       |  WHERE a.tok <> b.tok
+       |  GROUP BY 1, 2),
+       |pt AS (SELECT sum(n_ab)::BIGINT AS n_pairs FROM pc)
+       |SELECT pc.tok_a, pc.tok_b, pc.n_ab,
+       |  round(pc.n_ab::DOUBLE * tot.n_total * tot.n_total
+       |    / pt.n_pairs / ta.n_tok / tb.n_tok, 4) AS lift
+       |FROM pc
+       |JOIN tc ta ON ta.tok = pc.tok_a
+       |JOIN tc tb ON tb.tok = pc.tok_b
+       |CROSS JOIN tot CROSS JOIN pt
+       |WHERE pc.n_ab >= 10
+       |ORDER BY lift DESC, tok_a, tok_b LIMIT 30""".stripMargin
+
   // -------------------------------------------------------------- q127
 
   /** Sweep-line interval concurrency: how many orders are in flight
@@ -1159,7 +1224,8 @@ object Analytics {
     "q174_changepoint" -> changepoint,
     "q176_attribution" -> attribution,
     "q179_triangle_count" -> triangleCount,
-    "q184_kcore" -> kcoreLayers)
+    "q184_kcore" -> kcoreLayers,
+    "q186_collocations" -> collocations)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -1187,5 +1253,6 @@ object Analytics {
     "q174_changepoint" -> changepointSql,
     "q176_attribution" -> attributionSql,
     "q179_triangle_count" -> triangleCountSql,
-    "q184_kcore" -> kcoreLayersSql)
+    "q184_kcore" -> kcoreLayersSql,
+    "q186_collocations" -> collocationsSql)
 }

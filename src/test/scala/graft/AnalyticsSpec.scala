@@ -394,6 +394,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r1.map(_._2).sum <= nNodes * 1000000L)
   }
 
+  test("collocations match brute-force windowed lift on the fixture") {
+    val toks = docTokens
+    val pos = toks.toSeq.flatMap { case (_, ts) => ts }
+    val nTotal = pos.size.toLong
+    val tokCnt = pos.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val pairs = toks.toSeq.flatMap { case (_, ts) =>
+      for {
+        i <- ts.indices
+        j <- (i + 1) to math.min(i + 5, ts.size - 1)
+        if ts(i) != ts(j)
+      } yield {
+        val (a, b) = (ts(i), ts(j))
+        if (a < b) (a, b) else (b, a)
+      }
+    }
+    val nPairs = pairs.size.toLong
+    val pairCnt = pairs.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val expected = pairCnt.filter(_._2 >= 10).map { case ((a, b), nab) =>
+      val lift = BigDecimal(nab.toDouble * nTotal * nTotal / nPairs / tokCnt(a) / tokCnt(b))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, nab, lift)
+    }.toSeq.sortBy(t => (-t._4, t._1, t._2)).take(30)
+    val got = graft.queries.Analytics.collocations(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("k-core: peeling depth, core membership, empty core, loud non-convergence") {
     def core(edges: Seq[(Long, Long)], k: Int, maxRounds: Int = 64): Map[Long, Int] =
       graft.operators.Graph.kCore(edges.toDF("a", "b"), k, maxRounds = maxRounds)
