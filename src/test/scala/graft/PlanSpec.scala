@@ -307,4 +307,41 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx.subsetOf(Set("cell")),
       s"pair stage must shuffle on cell only, got $hashEx")
   }
+
+  test("q182 dup spans: keyed joins only, partial agg on the shingle count") {
+    val p = plan("q182_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "positions must rejoin duplicated hashes by key:\n" + p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "shingle occurrence count should map-side combine:\n" + p.take(800))
+  }
+
+  test("q183 semantic decontam: corpus assignment map-side, probes broadcast") {
+    val p = plan("q183_semantic_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe join must broadcast the eval-set probes:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no corpus×eval product — the scoring join is cell-keyed:\n" + p.take(800))
+    assert(p.contains("nearest_cell") || p.contains("NearestCell"),
+      "map-side centroid assignment expected:\n" + p.take(800))
+  }
+
+  test("q185 trunc rerank: both stage cuts use WindowGroupLimit") {
+    val p = plan("q185_trunc_rerank")
+    assert("WindowGroupLimit".r.findAllMatchIn(p).size >= 2,
+      "prefix cut AND rerank cut should both pre-prune map-side:\n" + p.take(800))
+  }
+
+  test("q186 collocations: offset explode joins by equi key, no range self-join") {
+    val p = plan("q186_collocations")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the position self-join must be hash-keyed on (doc_id, p) — an
+    // inequality-window formulation would surface as a nested-loop join
+    // with a range condition instead
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[doc_id#\\d+L?, p#\\d+".r
+      .findFirstIn(p).isDefined,
+      "pair generation must be the offset-explode equi-join on (doc_id, p):\n" + p.take(1200))
+    // the only nested-loop joins are the single-row totals broadcasts
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 2, p.take(800))
+  }
 }
