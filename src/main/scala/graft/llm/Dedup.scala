@@ -447,16 +447,7 @@ object Dedup {
     * a map-side pass beats materializing O(corpus tokens) rows. */
   def duplicatedSpans(docs: DataFrame, k: Int = 5, minOccurs: Int = 2,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(k >= 1, s"shingle width must be >= 1: $k")
-    val toks = TextOps.tokens(col(textCol))
-    val pos = docs
-      .select(col(idCol).as("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("n_tokens"), col("toks"))
-      .filter(col("n_tokens") >= k)
-      .select(col("doc_id"), col("n_tokens"),
-        posexplode(expr(
-          s"transform(sequence(1, size(toks) - ${k - 1}), i -> md5(concat_ws(' ', slice(toks, i, $k))))")))
-      .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("p"), col("col").as("h"))
+    val pos = positionalShingles(docs, k, idCol, textCol)
     val dup = pos.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minOccurs).select("h")
     val wOrd = Window.partitionBy("doc_id").orderBy("p")
@@ -473,5 +464,55 @@ object Dedup {
         max(col("e") - col("s") + 1).cast("int").as("max_span"))
       .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("max_span"),
         round(col("dup_tokens").cast("double") / col("n_tokens"), 4).as("dup_frac"))
+  }
+
+  /** Per-document n-gram novelty score (the boilerplate-density signal
+    * next to [[duplicatedSpans]]' span extraction): the fraction of a
+    * document's k-token shingles that are corpus-UNIQUE (occur fewer
+    * than `minOccurs` times anywhere, within-document repeats
+    * included). `flagged` marks documents whose novelty falls below ½
+    * — the "mostly boilerplate" drop gate — via the integer comparison
+    * `2·(n − dup) < n`, so no float boundary can flip between engines;
+    * `novelty` itself is one exact-integer division rounded once.
+    *
+    * Every stage pre-aggregates before it shuffles: positions collapse
+    * to per-(doc, shingle) counts map-side (a map-combinable reduction
+    * — the shuffle carries DISTINCT (doc, h) pairs, not the token
+    * stream), corpus totals are one further count per h, and the flag
+    * join + per-doc rollup are keyed on h / doc_id. Linear at 100 TB,
+    * no unbounded per-key state. */
+  def shingleNovelty(docs: DataFrame, k: Int = 5, minOccurs: Int = 2,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dh = positionalShingles(docs, k, idCol, textCol)
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    val tot = dh.groupBy("h").agg(sum("c").as("tot"))
+    dh.join(tot, "h")
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_shingles"),
+        sum(when(col("tot") >= minOccurs, col("c")).otherwise(lit(0)))
+          .cast("long").as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        round((col("n_shingles") - col("n_dup")).cast("double") /
+          col("n_shingles"), 4).as("novelty"),
+        ((col("n_shingles") - col("n_dup")) * 2 < col("n_shingles"))
+          .as("flagged"))
+  }
+
+  /** Shared positional-shingle explode behind [[duplicatedSpans]] and
+    * [[shingleNovelty]]: one row per k-token shingle start position,
+    * (doc_id, n_tokens, p, h) with h = md5 of the shingle text — the
+    * text itself never leaves the map stage. */
+  private def positionalShingles(docs: DataFrame, k: Int, idCol: String,
+                                 textCol: String): DataFrame = {
+    require(k >= 1, s"shingle width must be >= 1: $k")
+    val toks = TextOps.tokens(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"), col("toks"))
+      .filter(col("n_tokens") >= k)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(1, size(toks) - ${k - 1}), i -> md5(concat_ws(' ', slice(toks, i, $k))))")))
+      .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("p"), col("col").as("h"))
   }
 }

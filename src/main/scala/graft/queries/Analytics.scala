@@ -126,6 +126,80 @@ object Analytics {
        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM base)
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q189
+
+  /** Bloom-filter admission gate — the pre-filter q110's doc promises
+    * ("a bloom filter over base fingerprints is the standard
+    * pre-filter"), made concrete and measurable: the accumulated
+    * corpus's bag-of-words fingerprints set k=4 bit positions each
+    * (md5-salted buckets in m=65536 bits), the incoming batch (src19)
+    * is flagged `maybe` only when ALL four of its positions are set,
+    * and the exact fingerprint join labels ground truth so the output
+    * quantifies the gate: true dups are always `maybe` (a false
+    * negative row cannot exist — the spec asserts it), and the
+    * `maybe ∧ ¬dup` row IS the measured false-positive count.
+    *
+    * Scale shape: the bit-position set is bounded at m = 65536 rows NO
+    * MATTER the corpus size — it always broadcasts, so probing is a
+    * map-side explode (4 rows/doc) + broadcast join + per-doc count.
+    * At 100 TB the gate lets the (dominant) definitely-new fraction of
+    * a fresh crawl skip the exact fingerprint anti-join entirely; the
+    * exact join here is the validation leg, not the serving path. */
+  val bloomGate: Q = (s, dir) => {
+    val m = 65536
+    def positions(fp: org.apache.spark.sql.Column): org.apache.spark.sql.Column = array(
+      (0 until 4).map(j =>
+        Fragments.hashBucket(concat(fp, lit(s"bloom$j")), m)): _*)
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.bagFingerprint(col("text")).as("fp"))
+    val base = d.filter(col("source") =!= "src19").select("fp").distinct()
+    val bits = base.select(explode(positions(col("fp"))).as("pos")).distinct()
+    val nb = bits.agg(count(lit(1)).cast("int").as("n_set_bits"))
+    val probe = d.filter(col("source") === "src19")
+      .select(col("doc_id"), col("fp"), explode(positions(col("fp"))).as("pos"))
+    val hits = probe
+      .join(bits.withColumn("hit", lit(1)), Seq("pos"), "left")
+      .groupBy("doc_id", "fp")
+      .agg((sum(coalesce(col("hit"), lit(0))) === 4).as("maybe"))
+    hits
+      .join(base.withColumn("dup", lit(1)), Seq("fp"), "left")
+      .select(col("maybe"), col("dup").isNotNull.as("is_dup"))
+      .groupBy("maybe", "is_dup")
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(nb)
+      .orderBy("maybe", "is_dup")
+  }
+
+  val bloomGateSql: String = {
+    def posSql(j: Int) =
+      Fragments.hashBucketSql(s"fp || 'bloom$j'", 65536)
+    s"""WITH d AS (
+       |  SELECT doc_id, source, ${Fragments.BagFpSql} AS fp FROM documents),
+       |base AS (SELECT DISTINCT fp FROM d WHERE source <> 'src19'),
+       |bits AS (
+       |  SELECT DISTINCT unnest([${posSql(0)}, ${posSql(1)},
+       |                          ${posSql(2)}, ${posSql(3)}]) AS pos
+       |  FROM base),
+       |nb AS (SELECT count(*)::INT AS n_set_bits FROM bits),
+       |probe AS (
+       |  SELECT doc_id, fp,
+       |    unnest([${posSql(0)}, ${posSql(1)}, ${posSql(2)}, ${posSql(3)}])
+       |      AS pos
+       |  FROM d WHERE source = 'src19'),
+       |hits AS (
+       |  SELECT p.doc_id, p.fp,
+       |    sum(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) = 4 AS maybe
+       |  FROM probe p LEFT JOIN bits b USING (pos)
+       |  GROUP BY 1, 2),
+       |flag AS (
+       |  SELECT h.maybe, (bf.fp IS NOT NULL) AS is_dup
+       |  FROM hits h LEFT JOIN base bf USING (fp))
+       |SELECT maybe, is_dup, count(*)::BIGINT AS n_docs,
+       |  (SELECT n_set_bits FROM nb) AS n_set_bits
+       |FROM flag GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // -------------------------------------------------------------- q111
 
   /** Mergeable-sketch algebra (Apache DataSketches HLL): per
@@ -1225,7 +1299,8 @@ object Analytics {
     "q176_attribution" -> attribution,
     "q179_triangle_count" -> triangleCount,
     "q184_kcore" -> kcoreLayers,
-    "q186_collocations" -> collocations)
+    "q186_collocations" -> collocations,
+    "q189_bloom_gate" -> bloomGate)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -1254,5 +1329,6 @@ object Analytics {
     "q176_attribution" -> attributionSql,
     "q179_triangle_count" -> triangleCountSql,
     "q184_kcore" -> kcoreLayersSql,
-    "q186_collocations" -> collocationsSql)
+    "q186_collocations" -> collocationsSql,
+    "q189_bloom_gate" -> bloomGateSql)
 }

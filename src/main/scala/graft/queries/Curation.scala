@@ -1012,6 +1012,64 @@ object Curation {
        |FROM r WHERE rn <= 5
        |ORDER BY source, priority DESC, doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q187
+
+  /** Paragraph-level exact dedup with document reassembly (the
+    * RefinedWeb/CCNet line-dedup shape): each document splits into
+    * non-overlapping 32-token paragraphs (the q108 chunker at stride =
+    * width — the stand-in for a newline splitter on this corpus), a
+    * paragraph instance survives only if it is the corpus-wide FIRST
+    * occurrence of its fingerprint (min (doc_id, par_idx)), and each
+    * document reassembles from its surviving paragraphs in order. The
+    * output carries md5(kept paragraph fps in order) as the reassembled
+    * document's fingerprint, so no stage ever shuffles paragraph text.
+    *
+    * Scale shape: the paragraph explode is map-side; first-occurrence
+    * ranking is ONE window exchange keyed on the paragraph fingerprint
+    * carrying (fp, doc_id, par_idx) triples; reassembly is ONE keyed
+    * exchange on doc_id. Linear at 100 TB — the cross-document dedup
+    * never compares documents, only fingerprint-equal paragraphs. */
+  val paragraphDedup: Q = (s, dir) => {
+    val par = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(32))).as("st"))
+      .select(col("doc_id"), (col("st") / 32).cast("int").as("par_idx"),
+        md5(concat_ws(" ", slice(col("toks"), col("st") + 1, lit(32)))).as("fp"))
+    val w = Window.partitionBy("fp").orderBy("doc_id", "par_idx")
+    par.withColumn("kept", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_pars"),
+        sum(col("kept").cast("int")).cast("int").as("n_kept"),
+        round(sum(col("kept").cast("int")).cast("double") / count(lit(1)), 4)
+          .as("kept_frac"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("par_idx").as("i"), col("fp").as("f"))))),
+          x => x.getField("f")))).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+
+  val paragraphDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |p AS (
+       |  SELECT doc_id, (st // 32)::INT AS par_idx,
+       |    md5(array_to_string(toks[st+1:st+32], ' ')) AS fp
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(0, greatest(len(toks), 1), 32)) AS st FROM t)),
+       |k AS (
+       |  SELECT doc_id, par_idx, fp,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, par_idx) = 1
+       |      AS kept
+       |  FROM p)
+       |SELECT doc_id, count(*)::INT AS n_pars,
+       |  sum(kept::INT)::INT AS n_kept,
+       |  round(sum(kept::INT)::DOUBLE / count(*), 4) AS kept_frac,
+       |  md5(coalesce(string_agg(fp, ' ' ORDER BY par_idx)
+       |        FILTER (WHERE kept), '')) AS kept_fp
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1041,7 +1099,8 @@ object Curation {
     "q171_cluster_canonical" -> clusterCanonical,
     "q173_shard_export" -> shardExport,
     "q175_hash_sample" -> hashSample,
-    "q180_weighted_sample" -> weightedSample)
+    "q180_weighted_sample" -> weightedSample,
+    "q187_paragraph_dedup" -> paragraphDedup)
 
   val oracleSql: Map[String, String] = Map(
     "q87_decontam_ngram" -> decontamSql,
@@ -1070,5 +1129,6 @@ object Curation {
     "q171_cluster_canonical" -> clusterCanonicalSql,
     "q173_shard_export" -> shardExportSql,
     "q175_hash_sample" -> hashSampleSql,
-    "q180_weighted_sample" -> weightedSampleSql)
+    "q180_weighted_sample" -> weightedSampleSql,
+    "q187_paragraph_dedup" -> paragraphDedupSql)
 }

@@ -137,6 +137,32 @@ object LlmQueries {
        |FROM sp GROUP BY doc_id, n_tokens
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-document n-gram novelty ([[Dedup.shingleNovelty]]): the
+    * boilerplate-density score dual to q182's span extraction — the
+    * fraction of a doc's 5-gram shingles that are corpus-unique, with
+    * the `flagged` drop gate decided by integer arithmetic. The oracle
+    * replays the same pre-aggregated construction (per-(doc, shingle)
+    * counts → corpus totals → per-doc rollup), so the hash-compare
+    * covers every stage including the rounding. */
+  val ngramNovelty: Q = (s, dir) =>
+    Dedup.shingleNovelty(Tables.t(s, dir, "documents")).orderBy("doc_id")
+
+  val ngramNoveltySql: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |pos AS (
+       |  SELECT doc_id, md5(array_to_string(toks[i:i+4], ' ')) AS h
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+       |        FROM t WHERE len(toks) >= 5)),
+       |dh AS (SELECT doc_id, h, count(*) AS c FROM pos GROUP BY 1, 2),
+       |tot AS (SELECT h, sum(c) AS tot FROM dh GROUP BY 1)
+       |SELECT d.doc_id, sum(c)::BIGINT AS n_shingles,
+       |  sum(CASE WHEN tot >= 2 THEN c ELSE 0 END)::BIGINT AS n_dup,
+       |  round((sum(c) - sum(CASE WHEN tot >= 2 THEN c ELSE 0 END))::DOUBLE
+       |        / sum(c), 4) AS novelty,
+       |  ((sum(c) - sum(CASE WHEN tot >= 2 THEN c ELSE 0 END)) * 2 < sum(c))
+       |    AS flagged
+       |FROM dh d JOIN tot USING (h) GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** SimHash near-dup pairs (Hamming ≤ 3 via 4×16-bit block LSH), with
     * the MD5-based token hash so the oracle can replay the fingerprint
     * bit-for-bit. The block LSH is pigeonhole-complete for Hamming ≤ 3,
@@ -878,6 +904,7 @@ object LlmQueries {
     "q177_incremental_neardup" -> incrementalNearDup,
     "q33_dedup_simhash" -> dedupSimhash,
     "q182_dup_spans" -> dupSpans,
+    "q190_ngram_novelty" -> ngramNovelty,
     "q34_ann_topk" -> annTopK,
     "q35_emb_neardup" -> embNearDup,
     "q181_semdedup" -> semDedup,
@@ -907,6 +934,7 @@ object LlmQueries {
     "q177_incremental_neardup" -> incrementalNearDupSql,
     "q33_dedup_simhash" -> dedupSimhashSql,
     "q182_dup_spans" -> dupSpansSql,
+    "q190_ngram_novelty" -> ngramNoveltySql,
     "q36_ann_lsh" -> annLshSql,
     "q50_ann_ivf" -> annIvfSql,
     "q78_ann_pq" -> annPqSql,

@@ -415,6 +415,76 @@ object Pipeline {
        |FROM tok t JOIN cnt c USING (term) LEFT JOIN vocab v USING (term)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q188
+
+  /** CCNet-style per-language quality terciles: every document gets a
+    * unigram-LM commonness score (q82's mean corpus token count — the
+    * log-free perplexity proxy, one exact-integer division per doc),
+    * then each LANGUAGE is cut into head / middle / tail thirds by
+    * exact order statistics — the bucketing CCNet uses to stratify
+    * Common Crawl before sampling. Tercile assignment is integer
+    * arithmetic (3·rank ≤ n, 3·rank ≤ 2n), never a float quantile, so
+    * the cut is bit-identical in both engines; the per-bucket mean is
+    * one division of integer sums at the end.
+    *
+    * Scale shape: token explode + one term-keyed count join (the q82
+    * plan) feed a per-doc aggregate; the tercile window shuffles once
+    * on lang — each task sorts ONE language's docs, and at extreme
+    * per-language cardinality the documented alternative is sketch cut
+    * points broadcast map-side (the q90→`Quantiles.bucketByQuantiles`
+    * path, same contract minus exactness at the boundary). */
+  val ccnetBuckets: Q = (s, dir) => {
+    val toks = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+    val cnt = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val ds = toks.join(cnt, "term")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"), sum("cnt").as("sum_cnt"))
+      .withColumn("doc_mean",
+        round(col("sum_cnt").cast("double") / col("n_tok"), 6))
+    val w = Window.partitionBy("lang")
+    val b = ds
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("doc_mean").desc, col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+    b.groupBy("lang", "bucket")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        round(sum("sum_cnt").cast("double") / sum("n_tok"), 4)
+          .as("mean_tok_count"),
+        min("doc_mean").as("min_doc_mean"),
+        max("doc_mean").as("max_doc_mean"))
+      .orderBy("lang", "bucket")
+  }
+
+  val ccnetBucketsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest($ToksSql) AS term FROM documents),
+       |cnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+       |ds AS (
+       |  SELECT t.doc_id, t.lang, count(*)::BIGINT AS n_tok,
+       |    sum(c.cnt)::BIGINT AS sum_cnt,
+       |    round(sum(c.cnt)::DOUBLE / count(*), 6) AS doc_mean
+       |  FROM tok t JOIN cnt c USING (term) GROUP BY 1, 2),
+       |b AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY doc_mean DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM ds)
+       |SELECT lang,
+       |  CASE WHEN rn * 3 <= n THEN 'head'
+       |       WHEN rn * 3 <= n * 2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket,
+       |  count(*)::INT AS n_docs,
+       |  round(sum(sum_cnt)::DOUBLE / sum(n_tok), 4) AS mean_tok_count,
+       |  min(doc_mean) AS min_doc_mean, max(doc_mean) AS max_doc_mean
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- q84
 
   /** Equal-width histogram of order totals (data profiling / optimizer
@@ -509,7 +579,8 @@ object Pipeline {
     "q81_latest_per_key" -> latestPerKey,
     "q82_lm_score" -> lmScore,
     "q84_histogram" -> histogram,
-    "q85_corr_stats" -> corrStats)
+    "q85_corr_stats" -> corrStats,
+    "q188_ccnet_buckets" -> ccnetBuckets)
 
   val oracleSql: Map[String, String] = Map(
     "q70_pii_redact" -> piiRedactSql,
@@ -524,5 +595,6 @@ object Pipeline {
     "q81_latest_per_key" -> latestPerKeySql,
     "q82_lm_score" -> lmScoreSql,
     "q84_histogram" -> histogramSql,
-    "q85_corr_stats" -> corrStatsSql)
+    "q85_corr_stats" -> corrStatsSql,
+    "q188_ccnet_buckets" -> ccnetBucketsSql)
 }
