@@ -20,16 +20,25 @@ object Tables {
   /** Scan one table. Column projection and row-level filters applied by the
     * caller stay pushed down to the parquet scan by Catalyst.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects by default; we read it as a raw nanos long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a
-    * microsecond timestamp with integer division (lossless truncation —
-    * `ts / 1000` via `div` to avoid double rounding on int64). */
+    * `events.ts` has been written by different fixture generations as
+    * parquet TIMESTAMP(NANOS) (which Spark 4 rejects by default — read
+    * as a raw nanos long via `spark.sql.legacy.parquet.nanosAsLong` and
+    * truncated to micros with integer `div`, no double rounding) and as
+    * TIMESTAMP(MICROS) without UTC adjustment (surfaces as
+    * TIMESTAMP_NTZ — reinterpreted in the session's UTC zone). Both
+    * normalize to the same session-zone TIMESTAMP the queries and the
+    * DuckDB oracle agree on, decided by the file's actual schema. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

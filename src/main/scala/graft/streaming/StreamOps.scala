@@ -19,13 +19,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
-  /** Parquet-backed streaming read of the events fixture (schema fixed up
-    * for the TIMESTAMP(NANOS) physical type, as in [[graft.Tables.t]]). */
+  /** Parquet-backed streaming read of the events fixture. The `ts`
+    * physical type differs across fixture generations (TIMESTAMP(NANOS)
+    * → raw long, TIMESTAMP(MICROS) without UTC adjustment → NTZ); the
+    * stream declares whatever the file actually holds — probed via a
+    * batch schema read, since a file stream cannot infer — and
+    * normalizes to a session-zone TIMESTAMP exactly as [[graft.Tables.t]]. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", tsType),
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
@@ -36,8 +41,14 @@ object StreamOps {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    tsType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window counts/sums per event type, late data dropped past

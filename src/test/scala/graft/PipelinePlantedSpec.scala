@@ -1,0 +1,178 @@
+package graft
+
+import java.math.{MathContext, RoundingMode}
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture ground truth for the round-5 pipeline ops (q187
+  * paragraph dedup, q188 CCNet terciles, q189 Bloom admission gate,
+  * q190 n-gram novelty): corpora CONSTRUCTED so the expected answer is
+  * computable by independent brute force in plain Scala collections —
+  * the md5 arithmetic, tercile integer cuts, bloom bit sets, and
+  * shingle counts are all re-derived outside Spark. The DuckDB oracle
+  * pins engine-vs-engine agreement; these pin engine-vs-ARITHMETIC. */
+class PipelinePlantedSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def toks(text: String): Seq[String] =
+    text.toLowerCase.trim.split("\\s+").toSeq
+
+  private def rnd(v: Double, scale: Int): Double =
+    BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-planted5").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ------------------------------------------------------------- q187
+
+  test("q187 paragraph dedup keeps exactly the corpus-first paragraph instances") {
+    def par(prefix: String) = (1 to 32).map(i => f"$prefix$i%02d")
+    val pA = par("a"); val pB = par("b"); val pC = par("c")
+    val short = Seq("zz1", "zz2", "zz3", "zz4", "zz5")
+    val dir = writeDocs(Seq(
+      (1L, (pA ++ pB).mkString(" "), "en", "src0", 0L),  // both first
+      (2L, (pA ++ pC).mkString(" "), "en", "src0", 0L),  // A dup of doc1
+      (3L, (pB ++ pB).mkString(" "), "en", "src0", 0L),  // both dup (doc1 B first)
+      (4L, short.mkString(" "), "en", "src0", 0L)))      // sub-width doc
+    val fp = (p: Seq[String]) => md5hex(p.mkString(" "))
+    val rows = SparkEntry.queries("q187_paragraph_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3), r.getString(4)))
+    val expected = Array(
+      (1L, 2, 2, 1.0, md5hex(fp(pA) + " " + fp(pB))),
+      (2L, 2, 1, 0.5, md5hex(fp(pC))),
+      (3L, 2, 0, 0.0, md5hex("")),
+      (4L, 1, 1, 1.0, md5hex(fp(short))))
+    assert(rows === expected, rows.mkString(", "))
+  }
+
+  // ------------------------------------------------------------- q188
+
+  test("q188 tercile cut equals the integer-arithmetic brute force, language by language") {
+    // two languages with enough docs that head/middle/tail all exist,
+    // doc_mean varied by mixing high-df and singleton terms
+    val texts = Seq(
+      (1L, "en", "the the the the"),
+      (2L, "en", "the the u2a u2b"),
+      (3L, "en", "the u3a u3b u3c"),
+      (4L, "en", "u4a u4b u4c u4d"),
+      (5L, "en", "the the the u5a"),
+      (6L, "en", "the u6a"),
+      (7L, "en", "u7a u7b"),
+      (8L, "fr", "le le le"),
+      (9L, "fr", "le le v9a"),
+      (10L, "fr", "le v10a v10b"),
+      (11L, "fr", "v11a v11b v11c"))
+    val dir = writeDocs(texts.map { case (id, l, t) => (id, t, l, "src0", 0L) })
+
+    // brute force: corpus-wide term counts -> per-doc mean -> tercile
+    val all = texts.flatMap { case (_, _, t) => toks(t) }
+    val cnt = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ds = texts.map { case (id, l, t) =>
+      val tk = toks(t)
+      val sumCnt = tk.map(cnt).sum
+      (id, l, tk.size.toLong, sumCnt, rnd(sumCnt.toDouble / tk.size, 6))
+    }
+    val bucketed = ds.groupBy(_._2).toSeq.flatMap { case (lang, docs) =>
+      val sorted = docs.sortBy { case (id, _, _, _, m) => (-m, id) }
+      val n = sorted.size
+      sorted.zipWithIndex.map { case (d, i) =>
+        val rn = i + 1
+        val b = if (rn * 3 <= n) "head" else if (rn * 3 <= 2 * n) "middle" else "tail"
+        (d, b)
+      }
+    }
+    val expected = bucketed.groupBy { case ((_, lang, _, _, _), b) => (lang, b) }
+      .toSeq.map { case ((lang, b), rows) =>
+        val nTok = rows.map(_._1._3).sum
+        val sumCnt = rows.map(_._1._4).sum
+        (lang, b, rows.size, rnd(sumCnt.toDouble / nTok, 4),
+          rows.map(_._1._5).min, rows.map(_._1._5).max)
+      }.sortBy(r => (r._1, r._2)).toArray
+
+    val rows = SparkEntry.queries("q188_ccnet_buckets")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows === expected, rows.mkString(", "))
+  }
+
+  // ------------------------------------------------------------- q189
+
+  test("q189 bloom gate: no false negatives, counts equal the bit-set arithmetic") {
+    val base = Seq(
+      (1L, "apple banana cherry"), (2L, "delta echo foxtrot"),
+      (3L, "golf hotel india"), (4L, "juliet kilo lima"),
+      (5L, "mike november oscar"))
+    val batch = Seq(
+      (101L, "cherry apple banana"),   // bag-dup of doc 1 (order shuffled)
+      (102L, "delta echo foxtrot"),    // verbatim dup of doc 2
+      (103L, "papa quebec romeo"),     // new
+      (104L, "sierra tango uniform"),  // new
+      (105L, "victor whiskey xray"))   // new
+    val dir = writeDocs(
+      base.map { case (id, t) => (id, t, "en", "src0", 0L) } ++
+      batch.map { case (id, t) => (id, t, "en", "src19", 0L) })
+
+    // brute force bloom: fp = md5 of sorted distinct tokens; 4 salted
+    // positions in m=65536; maybe = all positions set by the base
+    val bagFp = (t: String) => md5hex(toks(t).distinct.sorted.mkString(" "))
+    val pos = (fp: String) => (0 until 4).map(j =>
+      java.lang.Long.parseLong(md5hex(fp + s"bloom$j").take(8), 16) % 65536)
+    val baseFps = base.map { case (_, t) => bagFp(t) }.distinct
+    val bits = baseFps.flatMap(pos).toSet
+    val flagged = batch.map { case (_, t) =>
+      val fp = bagFp(t)
+      (pos(fp).forall(bits), baseFps.contains(fp))
+    }
+    val expected = flagged.groupBy(identity).toSeq
+      .map { case ((m, d), g) => (m, d, g.size.toLong, bits.size) }
+      .sortBy(r => (r._1, r._2)).toArray
+
+    val rows = SparkEntry.queries("q189_bloom_gate")(spark, dir)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getLong(2), r.getInt(3)))
+    assert(rows === expected, rows.mkString(", "))
+    assert(!rows.exists(r => r._2 && !r._1),
+      "a true duplicate escaped the bloom gate (false negative): " + rows.mkString(", "))
+  }
+
+  // ------------------------------------------------------------- q190
+
+  test("q190 novelty equals the shingle-count brute force, including within-doc repeats") {
+    val texts = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6"),                  // 2 shingles, 1 shared
+      (2L, "t1 t2 t3 t4 t5 x1 x2 x3 x4"),         // 5 shingles, 1 shared
+      (3L, "r r r r r r"),                        // same shingle twice -> all dup
+      (4L, "u1 u2 u3 u4 u5"))                     // 1 unique shingle
+    val dir = writeDocs(texts.map { case (id, t) => (id, t, "en", "src0", 0L) })
+
+    val sh = texts.flatMap { case (id, t) =>
+      toks(t).sliding(5).filter(_.size == 5).map(w => (id, md5hex(w.mkString(" "))))
+    }
+    val tot = sh.groupBy(_._2).map { case (h, g) => h -> g.size }
+    val expected = texts.map { case (id, _) =>
+      val mine = sh.filter(_._1 == id)
+      val n = mine.size.toLong
+      val dup = mine.count(s => tot(s._2) >= 2).toLong
+      (id, n, dup, rnd((n - dup).toDouble / n, 4), (n - dup) * 2 < n)
+    }.toArray
+
+    val rows = SparkEntry.queries("q190_ngram_novelty")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(rows === expected, rows.mkString(", "))
+    // doc 3's within-doc repetition alone must flag it
+    assert(rows.find(_._1 == 3L).exists(r => r._5 && r._4 == 0.0))
+  }
+}

@@ -344,4 +344,35 @@ class PlanSpec extends AnyFunSuite {
     // the only nested-loop joins are the single-row totals broadcasts
     assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 2, p.take(800))
   }
+
+  test("q187 paragraph dedup: no joins at all — two keyed exchanges (fp window, doc rollup)") {
+    val p = plan("q187_paragraph_dedup")
+    assert(!p.contains("Join"),
+      "cross-document dedup must be the fp-keyed window, never a join:\n" + p.take(800))
+    assert(p.contains("Window"), p.take(800))
+  }
+
+  test("q188 ccnet buckets: keyed joins only, tercile window on lang") {
+    val p = plan("q188_ccnet_buckets")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "term-count join must be hash-keyed:\n" + p.take(800))
+    assert(p.contains("Window"), p.take(800))
+  }
+
+  test("q189 bloom gate: the bounded bit set joins as a broadcast probe") {
+    val p = plan("q189_bloom_gate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=65536-row bit set must broadcast to the probe side:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the single-row n_set_bits scalar is the only nested-loop build
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1, p.take(800))
+  }
+
+  test("q190 ngram novelty: positions collapse map-side before any shuffle") {
+    val p = plan("q190_ngram_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "shingle totals must rejoin by hash key:\n" + p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "per-(doc, shingle) counts should map-side combine:\n" + p.take(800))
+  }
 }
