@@ -933,6 +933,59 @@ object Analytics {
        |WHERE pc.n_ab >= 10
        |ORDER BY lift DESC, tok_a, tok_b LIMIT 30""".stripMargin
 
+  // -------------------------------------------------------------- q193
+
+  /** Kneser–Ney continuation counts (the distributional statistic
+    * behind KN smoothing, and the piece q126's MLE bigram LM lacks):
+    * for each word, in how many DISTINCT left contexts does it appear —
+    * the "how promiscuous is this continuation" count that KN uses in
+    * place of raw frequency for the backoff distribution. Emits the
+    * top-20 by continuation count with the raw ending-bigram frequency
+    * alongside (the classic contrast: a word can be frequent yet
+    * context-narrow, and KN discounts it). All counts are integers; the
+    * only float op is the final P_cont division, rounded once — no
+    * transcendental, fully order-independent.
+    *
+    * Scale shape: bigrams explode map-side; the (w1, next) type table
+    * is one partial-agg'd keyed count; continuation counts are a second
+    * keyed count over the TYPE table (already deduplicated — orders of
+    * magnitude smaller than the token stream); the type total is a
+    * single-row broadcast and the cut is TakeOrderedAndProject. */
+  val knContinuation: Q = (s, dir) => {
+    val bg = Tables.t(s, dir, "documents")
+      .select(TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS nxt))"))
+        .as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.nxt").as("nxt"))
+      .agg(count(lit(1)).as("c"))
+    val types = bg.agg(count(lit(1)).as("n_types"))
+    bg.groupBy("nxt")
+      .agg(count(lit(1)).as("cont"), sum("c").as("freq"))
+      .crossJoin(broadcast(types))
+      .select(col("nxt"), col("cont"), col("freq"),
+        round(col("cont").cast("double") / col("n_types").cast("double"), 6)
+          .as("p_cont"))
+      .orderBy(col("cont").desc, col("nxt").asc)
+      .limit(20)
+  }
+
+  val knContinuationSql: String =
+    s"""WITH t AS (SELECT $ToksSql AS toks FROM documents),
+       |b AS (
+       |  SELECT w1, nxt, count(*) AS c
+       |  FROM (
+       |    SELECT toks[i] AS w1, toks[i + 1] AS nxt
+       |    FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t))
+       |  GROUP BY 1, 2),
+       |ty AS (SELECT count(*) AS n_types FROM b)
+       |SELECT nxt, count(*)::BIGINT AS cont, sum(c)::BIGINT AS freq,
+       |  round(count(*)::DOUBLE / n_types::DOUBLE, 6) AS p_cont
+       |FROM b CROSS JOIN ty
+       |GROUP BY nxt, n_types
+       |ORDER BY cont DESC, nxt ASC LIMIT 20""".stripMargin
+
   // -------------------------------------------------------------- q127
 
   /** Sweep-line interval concurrency: how many orders are in flight
@@ -1292,6 +1345,7 @@ object Analytics {
     "q124_scd2" -> scd2,
     "q125_event_transitions" -> eventTransitions,
     "q126_bigram_lm" -> bigramLm,
+    "q193_kn_continuation" -> knContinuation,
     "q127_sweep_line" -> sweepLine,
     "q128_ratio_to_report" -> ratioToReport,
     "q172_chunk_boilerplate" -> chunkBoilerplate,
@@ -1322,6 +1376,7 @@ object Analytics {
     "q124_scd2" -> scd2Sql,
     "q125_event_transitions" -> eventTransitionsSql,
     "q126_bigram_lm" -> bigramLmSql,
+    "q193_kn_continuation" -> knContinuationSql,
     "q127_sweep_line" -> sweepLineSql,
     "q128_ratio_to_report" -> ratioToReportSql,
     "q172_chunk_boilerplate" -> chunkBoilerplateSql,

@@ -767,6 +767,53 @@ object Curation {
       |  max(CASE WHEN ra = 1 THEN o_totalprice END) AS bottom_price
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q192
+
+  /** Temperature-scaled domain sampling weights (T = 2, the standard
+    * multilingual-LM upsampling rule p_i ∝ tokens_i^(1/T)): per-source
+    * token masses become sampling probabilities under both the raw
+    * (T = 1) and temperature-flattened (T = 2) rules, plus the boost
+    * each source receives from flattening. T = 2 is chosen
+    * deliberately: tokens^(1/2) is ONE `sqrt`, which IEEE 754 requires
+    * to be correctly rounded in both engines — no libm transcendental
+    * in the hot path (the general-T `pow` form is documented, not
+    * shipped). `boost` divides the two ALREADY-6dp-rounded
+    * probabilities, so every emitted digit is reproducible.
+    *
+    * Scale shape: one map-combinable keyed agg to ≤|sources| rows, a
+    * single-row total broadcast back over them — the corpus is touched
+    * once map-side regardless of size. */
+  val temperatureMix: Q = (s, dir) => {
+    val perSrc = Tables.t(s, dir, "documents")
+      .select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("tokens"))
+      .withColumn("w", sqrt(col("tokens").cast("double")))
+    val tot = perSrc.agg(sum("tokens").as("tot_tokens"), sum("w").as("tot_w"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        round(col("tokens").cast("double") / col("tot_tokens").cast("double"), 6)
+          .as("p_raw"),
+        round(col("w") / col("tot_w"), 6).as("p_t2"))
+      .withColumn("boost", round(col("p_t2") / col("p_raw"), 4))
+      .orderBy("source")
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH d AS (
+       |  SELECT source, len($ToksSql)::BIGINT AS n_tok FROM documents),
+       |s AS (
+       |  SELECT source, sum(n_tok)::BIGINT AS tokens,
+       |    sqrt(sum(n_tok)::DOUBLE) AS w
+       |  FROM d GROUP BY 1),
+       |t AS (SELECT sum(tokens) AS tot_tokens, sum(w) AS tot_w FROM s)
+       |SELECT source, tokens,
+       |  round(tokens::DOUBLE / tot_tokens::DOUBLE, 6) AS p_raw,
+       |  round(w / tot_w, 6) AS p_t2,
+       |  round(round(w / tot_w, 6) /
+       |        round(tokens::DOUBLE / tot_tokens::DOUBLE, 6), 4) AS boost
+       |FROM s CROSS JOIN t ORDER BY source""".stripMargin
+
   // -------------------------------------------------------------- q169
 
   /** Domain-mix rebalancing — the training-mixture op: each source gets
@@ -1100,7 +1147,8 @@ object Curation {
     "q173_shard_export" -> shardExport,
     "q175_hash_sample" -> hashSample,
     "q180_weighted_sample" -> weightedSample,
-    "q187_paragraph_dedup" -> paragraphDedup)
+    "q187_paragraph_dedup" -> paragraphDedup,
+    "q192_temperature_mix" -> temperatureMix)
 
   val oracleSql: Map[String, String] = Map(
     "q87_decontam_ngram" -> decontamSql,
@@ -1130,5 +1178,6 @@ object Curation {
     "q173_shard_export" -> shardExportSql,
     "q175_hash_sample" -> hashSampleSql,
     "q180_weighted_sample" -> weightedSampleSql,
-    "q187_paragraph_dedup" -> paragraphDedupSql)
+    "q187_paragraph_dedup" -> paragraphDedupSql,
+    "q192_temperature_mix" -> temperatureMixSql)
 }

@@ -752,6 +752,67 @@ object LlmQueries {
        |WHERE d.doc_id <> 0
        |ORDER BY hybrid DESC, d.doc_id ASC LIMIT 20""".stripMargin
 
+  /** BM25 top-20 retrieval (Robertson–Spärck Jones; the full-idf
+    * upgrade of q86's term-hit lexical leg, k1 = 1.2, b = 0.75 — the
+    * Lucene-default parameterization): score the corpus against a
+    * 3-term query with the standard
+    * idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) sum. The idf's `ln` and
+    * the score divisions are the one libm call the repo's exactness
+    * discipline allows (precedent: q25's ln battery) — both engines
+    * round the summed score to 4 dp, and the top-20 cut sorts on the
+    * ROUNDED score with a doc_id tie-break so the boundary is
+    * deterministic. `dl/avgdl` is written `dl·N/Σdl` in BOTH engines so
+    * the float ops associate identically.
+    *
+    * Scale shape: the token explode filters to the query terms
+    * IMMEDIATELY (the shuffle carries only query-term hits — a 3-term
+    * query touches a vanishing fraction of a 100 TB corpus after the
+    * map stage); df is a ≤|query| row broadcast, corpus stats a
+    * single-row broadcast; the final cut is TakeOrderedAndProject. An
+    * inverted-index serving path would replace the scan with a
+    * term-keyed lookup, but the scoring contract stays this one. */
+  val bm25TopK: Q = (s, dir) => {
+    val qTerms = Seq("vector", "spark", "customer")
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") * col("n_docs") / col("sum_dl")))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("matched"),
+        round(sum("contrib"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val bm25TopKSql: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM t),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+       |  WHERE term IN ('vector', 'spark', 'customer')
+       |  GROUP BY 1, 2, 3),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+       |SELECT doc_id, count(*)::INT AS matched,
+       |  round(sum(
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+       |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n_docs / sum_dl)))), 4) AS score
+       |FROM tf JOIN df USING (term) CROSS JOIN stats
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
   /** Per-label embedding centroids (class prototypes): element-wise mean
     * per label via posexplode → one map-combinable (label, pos) agg —
     * the distributed array-aggregation shape (also the inner step of
@@ -915,6 +976,7 @@ object LlmQueries {
     "q79_ann_ivfpq" -> annIvfPq,
     "q185_trunc_rerank" -> annTruncRerank,
     "q86_hybrid_search" -> hybridSearch,
+    "q191_bm25_topk" -> bm25TopK,
     "q53_ngram_jaccard" -> ngramJaccard,
     "q56_dedup_clusters" -> dedupClusters,
     "q178_cc_alternating" -> dedupClustersAlt,
@@ -941,6 +1003,7 @@ object LlmQueries {
     "q79_ann_ivfpq" -> annIvfPqSql,
     "q185_trunc_rerank" -> annTruncRerankSql,
     "q86_hybrid_search" -> hybridSearchSql,
+    "q191_bm25_topk" -> bm25TopKSql,
     "q34_ann_topk" -> annTopKSql,
     "q181_semdedup" -> semDedupSql,
     "q183_semantic_decontam" -> semanticDecontamSql,

@@ -175,4 +175,102 @@ class PipelinePlantedSpec extends AnyFunSuite {
     // doc 3's within-doc repetition alone must flag it
     assert(rows.find(_._1 == 3L).exists(r => r._5 && r._4 == 0.0))
   }
+
+  // ------------------------------------------------------------- q191
+
+  test("q191 BM25 equals the hand arithmetic; non-matching docs never rank") {
+    val texts = Seq(
+      (1L, "vector vector spark f1 f2"),    // dl=5: vector tf=2, spark tf=1
+      (2L, "customer f3 f4 f5"),            // dl=4: customer tf=1
+      (3L, "f6 f7"),                        // no query term -> absent
+      (4L, "vector spark customer"))        // dl=3: all three, shortest doc
+    val dir = writeDocs(texts.map { case (id, t) => (id, t, "en", "src0", 0L) })
+
+    val q = Seq("vector", "spark", "customer")
+    val docs = texts.map { case (id, t) => (id, toks(t)) }
+    val n = docs.size.toLong
+    val sumDl = docs.map(_._2.size.toLong).sum
+    val df = q.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val expected = docs.flatMap { case (id, tk) =>
+      val dl = tk.size.toLong
+      val hits = q.filter(tk.contains)
+      if (hits.isEmpty) None else {
+        val score = hits.map { t =>
+          val tf = tk.count(_ == t).toLong
+          val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+          idf * (tf * 2.2) /
+            (tf + 1.2 * (1.0 - 0.75 + 0.75 * ((dl * n).toDouble / sumDl.toDouble)))
+        }.sum
+        Some((id, hits.size, rnd(score, 4)))
+      }
+    }.sortBy { case (id, _, sc) => (-sc, id) }.toArray
+
+    val rows = SparkEntry.queries("q191_bm25_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows === expected, rows.mkString(", "))
+    assert(!rows.exists(_._1 == 3L), "doc without query terms must not rank")
+    // the all-terms doc with the shortest length must rank first: every
+    // term matches and the length normalization favors it
+    assert(rows.head._1 == 4L, rows.mkString(", "))
+  }
+
+  // ------------------------------------------------------------- q192
+
+  test("q192 temperature weights equal the sqrt arithmetic, source by source") {
+    val texts = Seq(
+      (1L, "a b c d e f g h i", "srcA"), (2L, "a b c d e f g", "srcA"),
+      (3L, "a b c d", "srcB"),
+      (4L, "a", "srcC"))
+    val dir = writeDocs(texts.map { case (id, t, src) => (id, t, "en", src, 0L) })
+
+    val perSrc = texts.groupBy(_._3).map { case (src, ds) =>
+      src -> ds.map(d => toks(d._2).size.toLong).sum
+    }
+    val totTokens = perSrc.values.sum
+    // sum sqrt in source order; assert the engine's order-free sum only
+    // after 6-dp rounding (3 addends, error ~1e-16 — never near 5e-7)
+    val totW = perSrc.toSeq.sortBy(_._1).map(v => math.sqrt(v._2.toDouble)).sum
+    val expected = perSrc.toSeq.sortBy(_._1).map { case (src, tk) =>
+      val pRaw = rnd(tk.toDouble / totTokens.toDouble, 6)
+      val pT2 = rnd(math.sqrt(tk.toDouble) / totW, 6)
+      (src, tk, pRaw, pT2, rnd(pT2 / pRaw, 4))
+    }.toArray
+
+    val rows = SparkEntry.queries("q192_temperature_mix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows === expected, rows.mkString(", "))
+    // flattening must boost the smallest source above its raw share and
+    // shrink the largest below it
+    assert(rows.find(_._1 == "srcC").exists(_._5 > 1.0))
+    assert(rows.find(_._1 == "srcA").exists(_._5 < 1.0))
+  }
+
+  // ------------------------------------------------------------- q193
+
+  test("q193 continuation counts equal the distinct-left-context brute force") {
+    val texts = Seq(
+      (1L, "the cat sat"), (2L, "a cat ran"), (3L, "my cat sat"),
+      (4L, "san francisco san francisco san francisco"),
+      (5L, "solo"))  // 1-token doc contributes no bigram
+    val dir = writeDocs(texts.map { case (id, t) => (id, t, "en", "src0", 0L) })
+
+    val bigrams = texts.flatMap { case (_, t) =>
+      val tk = toks(t); if (tk.size < 2) Nil else tk.sliding(2).map(w => (w(0), w(1))).toSeq
+    }
+    val typeCounts = bigrams.groupBy(identity).map { case (bg, g) => (bg, g.size.toLong) }
+    val nTypes = typeCounts.size.toLong
+    val expected = typeCounts.toSeq.groupBy(_._1._2).map { case (nxt, g) =>
+      (nxt, g.size.toLong, g.map(_._2).sum, rnd(g.size.toDouble / nTypes.toDouble, 6))
+    }.toSeq.sortBy { case (nxt, cont, _, _) => (-cont, nxt) }.take(20).toArray
+
+    val rows = SparkEntry.queries("q193_kn_continuation")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows === expected, rows.mkString(", "))
+    // the KN signature: "cat" (3 distinct left contexts) outranks
+    // "francisco" (1 context, higher raw frequency 3)
+    val cat = rows.indexWhere(_._1 == "cat"); val fr = rows.indexWhere(_._1 == "francisco")
+    assert(cat >= 0 && fr >= 0 && cat < fr, rows.mkString(", "))
+    assert(rows(cat)._2 == 3L && rows(fr)._2 == 1L && rows(fr)._3 == 3L)
+  }
 }

@@ -368,6 +368,31 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1, p.take(800))
   }
 
+  test("q191 bm25: df broadcasts, stats are the only nested-loop, top-20 is TakeOrdered") {
+    val p = plan("q191_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=|query| df rows must broadcast:\n" + p.take(800))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 cut must not globally sort:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
+      "only the single-row corpus stats may nested-loop:\n" + p.take(800))
+  }
+
+  test("q192 temperature mix: one keyed agg, single-row total broadcast") {
+    val p = plan("q192_temperature_mix")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1, p.take(800))
+    assert(p.contains("partial"), "source agg should map-side combine:\n" + p.take(800))
+  }
+
+  test("q193 kn continuation: counts partial-agg, top-20 is TakeOrdered") {
+    val p = plan("q193_kn_continuation")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1, p.take(800))
+  }
+
   test("q190 ngram novelty: positions collapse map-side before any shuffle") {
     val p = plan("q190_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
