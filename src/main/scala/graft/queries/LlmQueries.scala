@@ -556,6 +556,87 @@ object LlmQueries {
       |SELECT query_id, neighbor_id, sim, rk FROM ranked
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** ANN recall@5 evaluation harness — the "measure, don't guess"
+    * companion to the q50 IVF path: per query, how many of the TRUE
+    * cosine top-5 (q34's brute-force leg, the ground truth) the
+    * IVF(nlist=16, nprobe=4) search actually returned. Both legs use
+    * the repo's deterministic 6-dp cell assignment and 4-dp scoring
+    * ties, so "recall" is a well-defined integer, not a float artifact.
+    * This is the query a user runs before trusting an nprobe setting —
+    * the recall/probe-fraction trade-off made measurable in one place.
+    *
+    * Scale shape: the brute-force truth leg is the eval harness's cost
+    * (queries×corpus with broadcast queries — affordable for an EVAL
+    * SAMPLE of queries, never run corpus×corpus); the IVF leg and the
+    * hit-counting joins are keyed on (query_id, neighbor_id) with
+    * ≤5-per-query bounded sides. At 100 TB you run this on a few
+    * thousand sampled queries to pick nprobe, then serve with q50. */
+  val annRecall: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(q, emb, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.ivfTopK(q, emb, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).cast("int").as("n_hit"))
+    q.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0)).cast("double") / lit(5.0), 2)
+          .as("recall_at_5"))
+      .orderBy("query_id")
+  }
+
+  val annRecallSql: String =
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT id AS cell, v AS cv FROM v
+      |         WHERE id IN (SELECT id FROM v ORDER BY id LIMIT 16)),
+      |assigned AS (
+      |  SELECT id, v, cell FROM (
+      |    SELECT v.id, v.v, c.cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY round(list_cosine_similarity(v.v, c.cv), 6) DESC, c.cell ASC) AS ark
+      |    FROM v CROSS JOIN cent c) WHERE ark = 1),
+      |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |      FROM embeddings WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT query_id, qv, cell FROM (
+      |    SELECT q.query_id, q.qv, c.cell,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cell ASC) AS crk
+      |    FROM q CROSS JOIN cent c) WHERE crk <= 4),
+      |ivf_scored AS (
+      |  SELECT DISTINCT p.query_id, a.id AS neighbor_id,
+      |    round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell
+      |  WHERE p.query_id <> a.id),
+      |ivf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |                         ORDER BY sim DESC, neighbor_id ASC) AS rk
+      |    FROM ivf_scored) WHERE rk <= 5),
+      |bf_scored AS (
+      |  SELECT q.query_id, v.id AS neighbor_id,
+      |    round(list_cosine_similarity(q.qv, v.v), 4) AS sim
+      |  FROM v CROSS JOIN q WHERE v.id <> q.query_id),
+      |bf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |                         ORDER BY sim DESC, neighbor_id ASC) AS rk
+      |    FROM bf_scored) WHERE rk <= 5),
+      |h AS (
+      |  SELECT bf.query_id, count(*) AS n_hit
+      |  FROM bf JOIN ivf USING (query_id, neighbor_id) GROUP BY 1)
+      |SELECT qq.query_id, coalesce(h.n_hit, 0)::INT AS n_hit,
+      |  round(coalesce(h.n_hit, 0)::DOUBLE / 5.0, 2) AS recall_at_5
+      |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) qq
+      |LEFT JOIN h USING (query_id)
+      |ORDER BY query_id""".stripMargin
+
   /** One PQ block distance as an explicit left-assoc 8-term SQL sum —
     * the exact accumulation order of [[graft.functions.PqKernel]], so
     * the oracle replays the kernel bit-for-bit. `b.b` is the block index
@@ -977,6 +1058,7 @@ object LlmQueries {
     "q185_trunc_rerank" -> annTruncRerank,
     "q86_hybrid_search" -> hybridSearch,
     "q191_bm25_topk" -> bm25TopK,
+    "q194_ann_recall" -> annRecall,
     "q53_ngram_jaccard" -> ngramJaccard,
     "q56_dedup_clusters" -> dedupClusters,
     "q178_cc_alternating" -> dedupClustersAlt,
@@ -1004,6 +1086,7 @@ object LlmQueries {
     "q185_trunc_rerank" -> annTruncRerankSql,
     "q86_hybrid_search" -> hybridSearchSql,
     "q191_bm25_topk" -> bm25TopKSql,
+    "q194_ann_recall" -> annRecallSql,
     "q34_ann_topk" -> annTopKSql,
     "q181_semdedup" -> semDedupSql,
     "q183_semantic_decontam" -> semanticDecontamSql,

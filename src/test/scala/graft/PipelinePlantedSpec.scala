@@ -246,6 +246,59 @@ class PipelinePlantedSpec extends AnyFunSuite {
     assert(rows.find(_._1 == "srcA").exists(_._5 < 1.0))
   }
 
+  // ------------------------------------------------------------- q194
+
+  test("q194 recall counts exactly the planted IVF misses against brute-force truth") {
+    // 16-dim corpus: ids 0-15 are one-hot basis vectors (and therefore
+    // the first-16 IVF centroids); id 20 leans toward cell 0, ids 21/22
+    // lean toward cells 10/5 — OUTSIDE a cell-0 query's 4-probe set, so
+    // their true-top-5 memberships are plantable misses. All weights are
+    // binary-exact floats (0.5, 0.75) so cosine replays exactly.
+    def oneHot(i: Int): Array[Double] = Array.tabulate(16)(j => if (j == i) 1.0 else 0.0)
+    def mix(i: Int, wi: Double, j: Int, wj: Double): Array[Double] =
+      Array.tabulate(16)(d => if (d == i) wi else if (d == j) wj else 0.0)
+    val vecs: Map[Long, Array[Double]] =
+      (0L to 15L).map(i => i -> oneHot(i.toInt)).toMap ++
+        Map(20L -> mix(0, 0.75, 1, 0.5), 21L -> mix(0, 0.5, 10, 0.75),
+          22L -> mix(5, 0.75, 6, 0.5))
+    val dir = java.nio.file.Files.createTempDirectory("graft-planted5").toString
+    vecs.toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toFloat).toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // independent replay: same cosine accumulation, 6-dp cell ranks,
+    // 4-dp scoring, id tie-breaks — in plain Scala collections
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val cents = ids.take(16).map(id => id -> vecs(id))
+    def topCells(v: Array[Double], n: Int): Seq[Long] =
+      cents.map { case (c, cv) => (-rnd(cos(v, cv), 6), c) }.sorted.take(n).map(_._2)
+    val cellOf = vecs.map { case (id, v) => id -> topCells(v, 1).head }
+    def top5(q: Long, candidates: Seq[Long]): Set[Long] =
+      candidates.filter(_ != q)
+        .map(n => (-rnd(cos(vecs(q), vecs(n)), 4), n)).sorted.take(5).map(_._2).toSet
+    val expected = ids.filter(_ < 10).map { q =>
+      val truth = top5(q, ids)
+      val probed = topCells(vecs(q), 4).toSet
+      val ivf = top5(q, ids.filter(n => probed(cellOf(n))))
+      val hit = (truth & ivf).size
+      (q, hit, rnd(hit / 5.0, 2))
+    }.toArray
+
+    val rows = SparkEntry.queries("q194_ann_recall")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows === expected, rows.mkString(", "))
+    // the planted cross-cell neighbors must actually cost recall
+    // somewhere, without collapsing the metric to all-zero
+    assert(rows.exists(_._3 < 1.0), "planted miss did not register: " + rows.mkString(", "))
+    assert(rows.exists(_._3 > 0.0), rows.mkString(", "))
+  }
+
   // ------------------------------------------------------------- q193
 
   test("q193 continuation counts equal the distinct-left-context brute force") {

@@ -393,6 +393,17 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1, p.take(800))
   }
 
+  test("q194 ann recall: the broadcast-query truth leg is the only nested loop") {
+    val p = plan("q194_ann_recall")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the brute-force ground-truth leg broadcasts the EVAL-SAMPLE
+    // queries over the corpus scan — the harness's documented cost;
+    // everything else (ivf probes, hit counting) joins by key
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1, p.take(800))
+    assert(p.contains("WindowGroupLimit"),
+      "both top-5 cuts should prune map-side:\n" + p.take(800))
+  }
+
   test("q190 ngram novelty: positions collapse map-side before any shuffle") {
     val p = plan("q190_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
