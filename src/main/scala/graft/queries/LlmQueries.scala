@@ -556,6 +556,112 @@ object LlmQueries {
       |SELECT query_id, neighbor_id, sim, rk FROM ranked
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** Asymmetric containment detection (quote/expansion direction — the
+    * question q53's symmetric Jaccard cannot answer): for each probe
+    * document, the fraction of ITS distinct 5-token shingles found in
+    * another document. A short doc pasted into a long one scores
+    * containment ≈ 1 in that direction while Jaccard stays small — the
+    * signal that distinguishes "B quotes A" from "A and B are
+    * near-copies". Shingles travel as md5 hashes (never text); pairs
+    * with containment ≥ 0.5 survive.
+    *
+    * Scale shape: the shared-shingle count is ONE hash-keyed join on
+    * the shingle md5 (the q87 decontam shape, probe side filtered
+    * first) + a keyed pair count; per-doc sizes rejoin by key. No
+    * all-pairs stage — a pair only materializes if it shares a
+    * shingle, and stop-shingle fan-out is bounded by the same
+    * df-cap/accumulator discipline as the LSH family if a real corpus
+    * demands it. */
+  val containmentDup: Q = (s, dir) => {
+    val sh = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 5)).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val probes = sh.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("doc_a"), col("h"))
+    probes.join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_b") =!= col("doc_a"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared").cast("double") / col("n_a").cast("double"), 4)
+          .as("containment"))
+      .filter(col("containment") >= lit(0.5))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val containmentDupSql: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    md5(unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+       |      for i in range(1, len(toks) - 3)]))) AS h
+       |  FROM t),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh a JOIN sh b USING (h)
+       |  WHERE a.doc_id < 20 AND b.doc_id <> a.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared,
+       |  round(shared::DOUBLE / n_sh::DOUBLE, 4) AS containment
+       |FROM pairs JOIN sz ON sz.doc_id = pairs.doc_a
+       |WHERE round(shared::DOUBLE / n_sh::DOUBLE, 4) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Embedding dimension covariance diagnostics (the PCA-input health
+    * check next to q37's per-dim stats): the upper-triangle covariance
+    * matrix of the embedding dimensions, E[x_i·x_j] − E[x_i]·E[x_j],
+    * flattened to (i, j, cov) rows. An embedding space whose
+    * off-diagonal mass is large wastes capacity (dimensions are
+    * redundant) — this is the one-query answer to "should I truncate
+    * or rotate before the q185 cascade?".
+    *
+    * Scale shape: the pair products are generated MAP-SIDE by one
+    * nested-transform explode (no self-join of the dimension stream —
+    * deliberately not the (vec, dim)⋈(vec, dim) formulation, which
+    * shuffles the corpus twice); the d(d+1)/2-key aggregate is
+    * map-combinable; per-dim means are a 64-row broadcast. One corpus
+    * scan, output bounded by dims², independent of corpus size. */
+  val embCovariance: Q = (s, dir) => {
+    val e = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.select(explode(expr(
+      """flatten(transform(sequence(0, size(v) - 1),
+        |  i -> transform(sequence(i, size(v) - 1),
+        |    j -> struct(i + 1 AS i, j + 1 AS j, v[i] * v[j] AS xy))))""".stripMargin))
+      .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xy").as("xy"))
+      .groupBy("i", "j").agg(avg("xy").as("exy"))
+    val means = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(avg("x").as("mu"))
+      .select((col("pos") + 1).as("pos"), col("mu"))
+    pairs
+      .join(broadcast(means.select(col("pos").as("i"), col("mu").as("mu_i"))), "i")
+      .join(broadcast(means.select(col("pos").as("j"), col("mu").as("mu_j"))), "j")
+      .select(col("i"), col("j"),
+        // + 0.0 collapses IEEE negative zero: near-uncorrelated dims
+        // round to -0.0 or +0.0 depending on the engine's summation
+        // order, and the driver's value hash distinguishes the two
+        (round(col("exy") - col("mu_i") * col("mu_j"), 4) + lit(0.0)).as("cov"))
+      .orderBy("i", "j")
+  }
+
+  val embCovarianceSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (
+      |  SELECT vec_id, i, v[i] AS x
+      |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+      |m AS (SELECT i, avg(x) AS mu FROM x GROUP BY 1),
+      |p AS (
+      |  SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+      |  GROUP BY 1, 2)
+      |SELECT p.i::INT AS i, p.j::INT AS j,
+      |  round(p.exy - mi.mu * mj.mu, 4) + 0.0 AS cov
+      |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
+      |ORDER BY p.i, p.j""".stripMargin
+
   /** ANN recall@5 evaluation harness — the "measure, don't guess"
     * companion to the q50 IVF path: per query, how many of the TRUE
     * cosine top-5 (q34's brute-force leg, the ground truth) the
@@ -1059,6 +1165,8 @@ object LlmQueries {
     "q86_hybrid_search" -> hybridSearch,
     "q191_bm25_topk" -> bm25TopK,
     "q194_ann_recall" -> annRecall,
+    "q196_containment_dup" -> containmentDup,
+    "q197_emb_covariance" -> embCovariance,
     "q53_ngram_jaccard" -> ngramJaccard,
     "q56_dedup_clusters" -> dedupClusters,
     "q178_cc_alternating" -> dedupClustersAlt,
@@ -1087,6 +1195,8 @@ object LlmQueries {
     "q86_hybrid_search" -> hybridSearchSql,
     "q191_bm25_topk" -> bm25TopKSql,
     "q194_ann_recall" -> annRecallSql,
+    "q196_containment_dup" -> containmentDupSql,
+    "q197_emb_covariance" -> embCovarianceSql,
     "q34_ann_topk" -> annTopKSql,
     "q181_semdedup" -> semDedupSql,
     "q183_semantic_decontam" -> semanticDecontamSql,

@@ -564,6 +564,55 @@ object Pipeline {
       |        / n::DOUBLE, 4) AS sd_price_usd
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------- q195
+
+  /** Weighted median (the robust location statistic q115's unweighted
+    * mode/median battery lacks): per return flag, the smallest
+    * extended price whose CUMULATIVE quantity weight reaches half the
+    * flag's total — quantity-weighted, so a single high-volume line
+    * moves the median the way a thousand rows would. The qualifying
+    * test is the integer-exact cross-multiplication 2·cum ≥ tot over
+    * integral-valued doubles (quantities are whole numbers far below
+    * 2^53, so every cumulative sum is EXACT and the boundary cannot
+    * flip between engines); the cumulative order is fully keyed
+    * (price, orderkey, linenumber) so no tie is engine-arbitrary.
+    *
+    * Scale shape: one window exchange keyed on the flag (each task
+    * scans one flag's stream in order) + the same-keyed total; the
+    * qualifying-suffix min collapses in a map-combinable agg. At
+    * extreme per-flag cardinality the documented alternative is the
+    * q90 sketch path (broadcast approximate cut, exactness at the
+    * boundary traded away). */
+  val weightedMedian: Q = (s, dir) => {
+    val cumW = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy("l_returnflag")
+    Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("cum", sum("l_quantity").over(cumW))
+      .withColumn("tot", sum("l_quantity").over(totW))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("w_median_price"),
+        max("tot").cast("long").as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
+  val weightedMedianSql: String =
+    """WITH x AS (
+      |  SELECT l_returnflag, l_extendedprice, l_quantity,
+      |    sum(l_quantity) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM lineitem)
+      |SELECT l_returnflag, min(l_extendedprice) AS w_median_price,
+      |  max(tot)::BIGINT AS total_weight
+      |FROM x WHERE cum * 2 >= tot
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -580,7 +629,8 @@ object Pipeline {
     "q82_lm_score" -> lmScore,
     "q84_histogram" -> histogram,
     "q85_corr_stats" -> corrStats,
-    "q188_ccnet_buckets" -> ccnetBuckets)
+    "q188_ccnet_buckets" -> ccnetBuckets,
+    "q195_weighted_median" -> weightedMedian)
 
   val oracleSql: Map[String, String] = Map(
     "q70_pii_redact" -> piiRedactSql,
@@ -596,5 +646,6 @@ object Pipeline {
     "q82_lm_score" -> lmScoreSql,
     "q84_histogram" -> histogramSql,
     "q85_corr_stats" -> corrStatsSql,
-    "q188_ccnet_buckets" -> ccnetBucketsSql)
+    "q188_ccnet_buckets" -> ccnetBucketsSql,
+    "q195_weighted_median" -> weightedMedianSql)
 }

@@ -299,6 +299,83 @@ class PipelinePlantedSpec extends AnyFunSuite {
     assert(rows.exists(_._3 > 0.0), rows.mkString(", "))
   }
 
+  // ------------------------------------------------------------- q195
+
+  test("q195 weighted median follows the weight mass, not the row count") {
+    // one heavy line (qty 96) at price 10 against five light lines (qty
+    // 1 each) at higher prices: the row median of prices is 40, but the
+    // weight mass puts the median at the heavy line's price 10
+    val dir = java.nio.file.Files.createTempDirectory("graft-planted5").toString
+    Seq(
+      (1L, 1, "A", 10.0, 96.0), (2L, 1, "A", 20.0, 1.0), (3L, 1, "A", 30.0, 1.0),
+      (4L, 1, "A", 40.0, 1.0), (5L, 1, "A", 50.0, 1.0), (6L, 1, "A", 60.0, 1.0),
+      // flag B: even total weight 4, split 2+2 — the 2*cum >= tot
+      // boundary lands EXACTLY on the first row (2*2 >= 4)
+      (7L, 1, "B", 5.0, 2.0), (8L, 1, "B", 7.0, 2.0))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice", "l_quantity")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q195_weighted_median")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(rows === Array(("A", 10.0, 101L), ("B", 5.0, 4L)), rows.mkString(", "))
+  }
+
+  // ------------------------------------------------------------- q196
+
+  test("q196 containment flags the planted quote in ONE direction only") {
+    // doc 2 contains doc 1 verbatim plus as much again: containment of
+    // 1-in-2 is 1.0 (every shingle of 1 appears in 2) while 2-in-1 is
+    // well under the 0.5 gate — and Jaccard would blur the direction
+    val a = (1 to 10).map(i => f"a$i%02d").mkString(" ")
+    val b = a + " " + (1 to 10).map(i => f"b$i%02d").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, a, "en", "src0", 0L),
+      (2L, b, "en", "src0", 0L),
+      (3L, (1 to 10).map(i => f"c$i%02d").mkString(" "), "en", "src0", 0L)))
+    val rows = SparkEntry.queries("q196_containment_dup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 1: 6 distinct 5-shingles, all inside doc 2 -> containment 1.0.
+    // doc 2: 16 shingles (6 of a, 5 bridging, 5 of b... = 21-5=16),
+    // shares 6 -> 0.375 < 0.5 -> absent. doc 3 shares nothing.
+    assert(rows.length === 1 && rows.head._1 == 1L && rows.head._2 == 2L &&
+      rows.head._4 == 1.0, rows.mkString(", "))
+  }
+
+  // ------------------------------------------------------------- q197
+
+  test("q197 covariance equals the two-pass brute force on planted vectors") {
+    // 4 vectors in 64 dims: dims 1/2 perfectly correlated, dim 3
+    // anti-correlated with them, dim 4 constant (zero variance), the
+    // rest zero. All values binary-exact.
+    val vals = Seq(
+      Seq(1.0, 1.0, -1.0, 0.5), Seq(2.0, 2.0, -2.0, 0.5),
+      Seq(-1.0, -1.0, 1.0, 0.5), Seq(-2.0, -2.0, 2.0, 0.5))
+    val vecs = vals.zipWithIndex.map { case (v, id) =>
+      (id.toLong, (v ++ Seq.fill(60)(0.0)).map(_.toFloat), 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-planted5").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val n = vals.size
+    val full = vals.map(v => v ++ Seq.fill(60)(0.0))
+    def mu(i: Int) = full.map(_(i)).sum / n
+    def cov(i: Int, j: Int) =
+      rnd(full.map(v => v(i) * v(j)).sum / n - mu(i) * mu(j), 4) + 0.0
+    val expected = (for { i <- 0 until 64; j <- i until 64 }
+      yield (i + 1, j + 1, cov(i, j))).toArray
+
+    val rows = SparkEntry.queries("q197_emb_covariance")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(rows === expected, s"first diffs: ${
+      rows.zip(expected).filter(p => p._1 != p._2).take(5).mkString(", ")}")
+    // the planted structure: var(1)=var(2)=cov(1,2)=2.5, cov with dim 3
+    // is its negation, dim 4 contributes nothing off-diagonal
+    assert(rows.find(r => r._1 == 1 && r._2 == 2).exists(_._3 == 2.5))
+    assert(rows.find(r => r._1 == 1 && r._2 == 3).exists(_._3 == -2.5))
+    assert(rows.find(r => r._1 == 4 && r._2 == 4).exists(_._3 == 0.0))
+    assert(rows.find(r => r._1 == 1 && r._2 == 4).exists(_._3 == 0.0))
+  }
+
   // ------------------------------------------------------------- q193
 
   test("q193 continuation counts equal the distinct-left-context brute force") {

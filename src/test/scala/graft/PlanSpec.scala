@@ -404,6 +404,30 @@ class PlanSpec extends AnyFunSuite {
       "both top-5 cuts should prune map-side:\n" + p.take(800))
   }
 
+  test("q195 weighted median: windows keyed on the flag, no join anywhere") {
+    val p = plan("q195_weighted_median")
+    assert(!p.contains("Join"), "cum/total are same-keyed windows:\n" + p.take(800))
+    assert(p.contains("Window"), p.take(800))
+  }
+
+  test("q196 containment: shingle-keyed joins only, no all-pairs stage") {
+    val p = plan("q196_containment_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pairs must materialize only through the shingle-hash join:\n" + p.take(800))
+    assert(p.contains("partial_count"),
+      "pair counts should map-side combine:\n" + p.take(800))
+  }
+
+  test("q197 covariance: pair products explode map-side, no dimension self-join") {
+    val p = plan("q197_emb_covariance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "the (vec,dim) self-join formulation is banned — pairs come from the " +
+        "nested-transform explode; means join by broadcast:\n" + p.take(800))
+    assert(p.contains("partial_avg"), p.take(800))
+  }
+
   test("q190 ngram novelty: positions collapse map-side before any shuffle") {
     val p = plan("q190_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
