@@ -814,6 +814,57 @@ object Curation {
        |        round(tokens::DOUBLE / tot_tokens::DOUBLE, 6), 4) AS boost
        |FROM s CROSS JOIN t ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- q198
+
+  /** Per-source distribution shift: total-variation distance between
+    * each source's unigram distribution and the corpus-wide one — the
+    * domain-shift monitor a mixture pipeline (q169/q192) reads before
+    * reweighting, and the drift alarm for incremental crawls. TV is
+    * chosen over KL deliberately: no logarithm, so the whole statistic
+    * is divisions + one absolute sum. The vocabulary a source does NOT
+    * contain never materializes: Σ_{t∉S} q_t = 1 − Σ_{t∈S} q_t, so the
+    * correction term folds into the same per-source aggregate —
+    * deliberately not a vocab×sources cross join.
+    *
+    * Scale shape: (source, term) counts collapse map-side; corpus term
+    * counts are ONE further keyed count reused for totals; the scoring
+    * join is term-keyed; per-source totals broadcast back. Shuffles
+    * carry count rows bounded by |sources|·|vocab|, never tokens. */
+  val domainShift: Q = (s, dir) => {
+    val st = Tables.t(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+    val ct = st.groupBy("term").agg(sum("c_st").as("c_t"))
+    val ns = st.groupBy("source").agg(sum("c_st").as("n_s"))
+    val n = ct.agg(sum("c_t").as("n_tot"))
+    st.join(ct, "term")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(n))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        sum(abs(col("c_st").cast("double") / col("n_s").cast("double")
+          - col("c_t").cast("double") / col("n_tot").cast("double"))).as("od"),
+        sum(col("c_t").cast("double") / col("n_tot").cast("double")).as("qm"))
+      .select(col("source"), col("n_terms"),
+        (round((col("od") + (lit(1.0) - col("qm"))) * lit(0.5), 4) + lit(0.0))
+          .as("tv_dist"))
+      .orderBy("source")
+  }
+
+  val domainShiftSql: String =
+    s"""WITH tok AS (SELECT source, unnest($ToksSql) AS term FROM documents),
+       |st AS (SELECT source, term, count(*) AS c_st FROM tok GROUP BY 1, 2),
+       |ct AS (SELECT term, sum(c_st)::BIGINT AS c_t FROM st GROUP BY 1),
+       |ns AS (SELECT source, sum(c_st)::BIGINT AS n_s FROM st GROUP BY 1),
+       |n AS (SELECT sum(c_t)::BIGINT AS n_tot FROM ct)
+       |SELECT s.source, count(*)::INT AS n_terms,
+       |  round((sum(abs(s.c_st::DOUBLE / ns.n_s::DOUBLE
+       |              - ct.c_t::DOUBLE / n.n_tot::DOUBLE))
+       |         + (1.0 - sum(ct.c_t::DOUBLE / n.n_tot::DOUBLE))) * 0.5, 4) + 0.0
+       |    AS tv_dist
+       |FROM st s JOIN ct USING (term) JOIN ns USING (source) CROSS JOIN n
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- q169
 
   /** Domain-mix rebalancing — the training-mixture op: each source gets
@@ -1148,7 +1199,8 @@ object Curation {
     "q175_hash_sample" -> hashSample,
     "q180_weighted_sample" -> weightedSample,
     "q187_paragraph_dedup" -> paragraphDedup,
-    "q192_temperature_mix" -> temperatureMix)
+    "q192_temperature_mix" -> temperatureMix,
+    "q198_domain_shift" -> domainShift)
 
   val oracleSql: Map[String, String] = Map(
     "q87_decontam_ngram" -> decontamSql,
@@ -1179,5 +1231,6 @@ object Curation {
     "q175_hash_sample" -> hashSampleSql,
     "q180_weighted_sample" -> weightedSampleSql,
     "q187_paragraph_dedup" -> paragraphDedupSql,
-    "q192_temperature_mix" -> temperatureMixSql)
+    "q192_temperature_mix" -> temperatureMixSql,
+    "q198_domain_shift" -> domainShiftSql)
 }

@@ -376,6 +376,24 @@ class PipelinePlantedSpec extends AnyFunSuite {
     assert(rows.find(r => r._1 == 1 && r._2 == 4).exists(_._3 == 0.0))
   }
 
+  // ------------------------------------------------------------- q198
+
+  test("q198 TV distance equals the rational arithmetic, absent vocab included") {
+    // srcX = {a:2/3, b:1/3}, srcY = {b:1/4, c:3/4}, corpus = {a:2/7,
+    // b:2/7, c:3/7}; srcX never sees 'c', so its TV must include the
+    // 3/7 correction term without a vocab×sources cross join:
+    // TV(X) = (8/21 + 1/21 + 3/7)/2 = 3/7, TV(Y) = (1/28 + 9/28 + 2/7)/2 = 9/28
+    val dir = writeDocs(Seq(
+      (1L, "a a b", "en", "srcX", 0L),
+      (2L, "b c c c", "en", "srcY", 0L)))
+    val rows = SparkEntry.queries("q198_domain_shift")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val expected = Array(
+      ("srcX", 2, rnd(3.0 / 7.0, 4)),
+      ("srcY", 2, rnd(9.0 / 28.0, 4)))
+    assert(rows === expected, rows.mkString(", "))
+  }
+
   // ------------------------------------------------------------- q193
 
   test("q193 continuation counts equal the distinct-left-context brute force") {

@@ -428,6 +428,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_avg"), p.take(800))
   }
 
+  test("q198 domain shift: term-keyed scoring join, totals broadcast") {
+    val p = plan("q198_domain_shift")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
+      "only the single-row corpus total may nested-loop:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source totals must broadcast back:\n" + p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "(source, term) counts should map-side combine:\n" + p.take(800))
+  }
+
   test("q190 ngram novelty: positions collapse map-side before any shuffle") {
     val p = plan("q190_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
