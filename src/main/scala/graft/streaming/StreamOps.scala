@@ -211,6 +211,58 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming distribution-drift monitor — the q198 TV statistic as an
+    * admission-control alarm: each micro-batch of incoming documents is
+    * scored per source against a STATIC base corpus's unigram
+    * distribution (computed once, persisted, broadcast per batch), and
+    * the per-(batch, source) total-variation distance appends to a
+    * parquet sink. Novel terms the base has never seen contribute their
+    * full probability mass (LEFT join + coalesce-to-0 — exactly the
+    * "new domain appeared in the crawl" signal); base vocabulary the
+    * batch lacks folds in as 1 − Σ q_t, so no vocab×sources product
+    * exists here either.
+    *
+    * foreachBatch so the scoring is plain batch ops with bounded state;
+    * per-batch `batch=<id>` overwrite directories make re-delivery
+    * idempotent (the nearDupAlerts sink discipline). Scale: the base
+    * distribution is vocabulary-bounded and broadcasts; each batch
+    * shuffles its own (source, term) counts only. */
+  def driftMonitor(docs: DataFrame, base: DataFrame, outDir: String,
+                   checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.TextOps
+    val bt = base.select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c_t"))
+    val nTot = bt.agg(sum("c_t")).head().getLong(0)
+    val baseDist = bt
+      .select(col("term"),
+        (col("c_t").cast("double") / lit(nTot.toDouble)).as("q_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val st = batch
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+        val ns = st.groupBy("source").agg(sum("c_st").as("n_s"))
+        st.join(broadcast(baseDist), Seq("term"), "left")
+          .join(broadcast(ns), "source")
+          .select(col("source"),
+            (col("c_st").cast("double") / col("n_s").cast("double")).as("p_t"),
+            coalesce(col("q_t"), lit(0.0)).as("q_t"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("int").as("n_terms"),
+            sum(abs(col("p_t") - col("q_t"))).as("od"),
+            sum(col("q_t")).as("qm"))
+          .select(col("source"), col("n_terms"),
+            (round((col("od") + (lit(1.0) - col("qm"))) * lit(0.5), 4) + lit(0.0))
+              .as("tv_dist"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Streaming near-duplicate detection against a STATIC corpus index:
     * the batch LSH index (banded keys + shingle sets, built once and
     * persisted) is joined per micro-batch against the incoming docs'

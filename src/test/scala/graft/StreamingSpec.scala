@@ -275,6 +275,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(StreamOps.Attribution(4, 3, 5, 250)), got.mkString(","))
   }
 
+  test("streaming drift monitor scores each batch against the static base, novel terms at full mass") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toFile
+    val outDir = new java.io.File(dir, "tv").getPath
+    val ckDir = new java.io.File(dir, "ck").getPath
+    try {
+      // base corpus distribution: {a: 2/7, b: 2/7, c: 3/7}
+      val base = Seq((1L, "a a b"), (2L, "b c c c")).toDF("doc_id", "text")
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)](spark)
+      val q = StreamOps.driftMonitor(
+        stream.toDS().toDF("doc_id", "text", "source"), base, outDir, ckDir)
+      // batch 0: srcN = {a: 2/3, z: 1/3} — 'z' is NOVEL (q=0, full mass)
+      //   od = |2/3 - 2/7| + |1/3 - 0| = 5/7, qm = 2/7 -> TV = 5/7
+      stream.addData((10L, "a a z", "srcN"))
+      q.processAllAvailable()
+      // batch 1: srcM = {c: 1} -> od = |1 - 3/7| = 4/7, qm = 3/7 -> TV = 4/7
+      stream.addData((11L, "c c c", "srcM"))
+      q.processAllAvailable(); q.stop()
+
+      def rnd4(v: Double) =
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val b0 = spark.read.parquet(s"$outDir/batch=0")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      assert(b0 === Array(("srcN", 2, rnd4(5.0 / 7.0))), b0.mkString(", "))
+      val b1 = spark.read.parquet(s"$outDir/batch=1")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      assert(b1 === Array(("srcM", 1, rnd4(4.0 / 7.0))), b1.mkString(", "))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("streaming decontamination admits exactly the docs batch q87 would keep") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decontam").toFile
     val outDir = new java.io.File(dir, "clean").getPath
