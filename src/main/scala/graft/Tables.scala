@@ -32,13 +32,24 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          raw.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => raw
-      }
+      normalizeTs(raw, raw.schema("ts").dataType)
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** The single definition of the events `ts` fixup, shared with the
+    * streaming reader so batch and stream can never desynchronize on a
+    * new fixture generation. Unknown physical types fail HERE, loudly,
+    * instead of surfacing as a DATATYPE_MISMATCH deep inside a query. */
+  private[graft] def normalizeTs(df: DataFrame,
+                                 tsType: org.apache.spark.sql.types.DataType): DataFrame =
+    tsType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"unsupported events.ts physical type $other — extend Tables.normalizeTs " +
+          "for this fixture generation")
+    }
 }

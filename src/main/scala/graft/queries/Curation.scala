@@ -795,7 +795,10 @@ object Curation {
         round(col("tokens").cast("double") / col("tot_tokens").cast("double"), 6)
           .as("p_raw"),
         round(col("w") / col("tot_w"), 6).as("p_t2"))
-      .withColumn("boost", round(col("p_t2") / col("p_raw"), 4))
+      // a source under ~5e-7 of the corpus rounds p_raw to exactly 0;
+      // NULL beats emitting Infinity for its flattening boost
+      .withColumn("boost",
+        when(col("p_raw") > 0, round(col("p_t2") / col("p_raw"), 4)))
       .orderBy("source")
   }
 
@@ -810,8 +813,10 @@ object Curation {
        |SELECT source, tokens,
        |  round(tokens::DOUBLE / tot_tokens::DOUBLE, 6) AS p_raw,
        |  round(w / tot_w, 6) AS p_t2,
-       |  round(round(w / tot_w, 6) /
-       |        round(tokens::DOUBLE / tot_tokens::DOUBLE, 6), 4) AS boost
+       |  CASE WHEN round(tokens::DOUBLE / tot_tokens::DOUBLE, 6) > 0
+       |       THEN round(round(w / tot_w, 6) /
+       |                  round(tokens::DOUBLE / tot_tokens::DOUBLE, 6), 4)
+       |  END AS boost
        |FROM s CROSS JOIN t ORDER BY source""".stripMargin
 
   // -------------------------------------------------------------- q198

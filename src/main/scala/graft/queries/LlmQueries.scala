@@ -651,7 +651,7 @@ object LlmQueries {
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |x AS (
       |  SELECT vec_id, i, v[i] AS x
-      |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+      |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
       |m AS (SELECT i, avg(x) AS mu FROM x GROUP BY 1),
       |p AS (
       |  SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy

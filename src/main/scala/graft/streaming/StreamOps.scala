@@ -41,14 +41,8 @@ object StreamOps {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
-    tsType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
-    }
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir.toString), tsType)
   }
 
   /** Tumbling-window counts/sums per event type, late data dropped past
@@ -233,7 +227,11 @@ object StreamOps {
     import graft.llm.TextOps
     val bt = base.select(explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c_t"))
-    val nTot = bt.agg(sum("c_t")).head().getLong(0)
+    val nTot = bt.agg(sum("c_t")).head().get(0) match {
+      case n: java.lang.Long if n > 0 => n.toLong
+      case _ => throw new IllegalArgumentException(
+        "driftMonitor base corpus has no tokens — the base distribution is undefined")
+    }
     val baseDist = bt
       .select(col("term"),
         (col("c_t").cast("double") / lit(nTot.toDouble)).as("q_t"))

@@ -1,6 +1,5 @@
 package graft
 
-import java.security.MessageDigest
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -16,14 +15,7 @@ class CurationPlantedSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
-  private def md5hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-
-  /** The [[graft.queries.Fragments.hashBucket]] arithmetic in plain
-    * Scala: first 8 hex chars of md5, base-16, mod width. */
-  private def bucket(key: String, width: Int): Int =
-    (java.lang.Long.parseLong(md5hex(key).take(8), 16) % width).toInt
+  import PlantedArith.{md5hex, bucket}
 
   // corpus with PLANTED boilerplate: segment "alpha beta" appears in
   // docs 1,2,3 of src0 (df=3 → boilerplate); "gamma delta" in docs 1,2

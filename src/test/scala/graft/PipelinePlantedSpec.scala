@@ -1,8 +1,5 @@
 package graft
 
-import java.math.{MathContext, RoundingMode}
-import java.security.MessageDigest
-
 import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.functions._
@@ -12,21 +9,13 @@ import org.apache.spark.sql.functions._
   * q190 n-gram novelty): corpora CONSTRUCTED so the expected answer is
   * computable by independent brute force in plain Scala collections —
   * the md5 arithmetic, tercile integer cuts, bloom bit sets, and
-  * shingle counts are all re-derived outside Spark. The DuckDB oracle
-  * pins engine-vs-engine agreement; these pin engine-vs-ARITHMETIC. */
+  * shingle counts are all re-derived outside Spark ([[PlantedArith]]).
+  * The DuckDB oracle pins engine-vs-engine agreement; these pin
+  * engine-vs-ARITHMETIC. */
 class PipelinePlantedSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
-
-  private def md5hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-
-  private def toks(text: String): Seq[String] =
-    text.toLowerCase.trim.split("\\s+").toSeq
-
-  private def rnd(v: Double, scale: Int): Double =
-    BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+  import PlantedArith.{md5hex, rnd, toks}
 
   private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-planted5").toString
