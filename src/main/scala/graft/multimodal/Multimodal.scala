@@ -490,4 +490,38 @@ object Multimodal {
       videoFrameHashes(ds, stride).select("id", "ahash").distinct(),
       Seq("ahash"), "vid_a", "vid_b", "shared_frames")
       .filter(col("shared_frames") >= minShared)
+
+  /** Scene-cut detection over sampled frames: a cut is a consecutive
+    * pair of sampled frames whose perceptual hashes differ by more than
+    * `maxHamming` bits — the shot-boundary signal a video curation
+    * pipeline reads before deciding keyframe density or clip splits.
+    * Emits per video: frames sampled, cuts, scenes (= cuts + 1), and
+    * the longest scene run in sampled frames.
+    *
+    * Scale shape: frame hashes never leave their video's key — one lag
+    * window + one running cut sum (both keyed on id, each task handles
+    * whole videos) and two keyed aggregates. Per-key window state is
+    * one video's sampled-frame count; `stride` is the lever if a
+    * single video's frame count could dominate a task. */
+  def videoSceneChanges(ds: Dataset[MediaRow], stride: Int = 1,
+                        maxHamming: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("frame_idx")
+    val run = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val scenes = videoFrameHashes(ds, stride)
+      .withColumn("prev", lag("ahash", 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNotNull &&
+          expr("bit_count(prev ^ ahash)") > maxHamming, 1).otherwise(0))
+      .withColumn("scene", sum("cut").over(run))
+      .groupBy("id", "scene").agg(count(lit(1)).as("len"))
+    scenes.groupBy("id")
+      .agg(sum("len").cast("int").as("n_frames"),
+        max("scene").cast("int").as("n_cuts"),
+        (max("scene") + 1).cast("int").as("n_scenes"),
+        max("len").cast("int").as("max_scene_len"))
+      .orderBy("id")
+  }
 }

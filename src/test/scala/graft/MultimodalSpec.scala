@@ -121,6 +121,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L, 2L)), pairs.toSeq.toString)
   }
 
+  test("video scene cuts: planted shot boundaries, repeats within a scene don't cut") {
+    // frames distinct at aHash granularity (bright column position)
+    def fr(i: Int) = Multimodal.pngBytes(32, 32,
+      (x, y) => if (x / 4 == i) 0xffffff else 0x000000)
+    val videos = Seq(
+      // shots: [f0 f0 f0] [f3 f3] [f6] -> 2 cuts, 3 scenes, longest 3
+      MediaRow(1L, Multimodal.videoBytes(
+        Seq(fr(0), fr(0), fr(0), fr(3), fr(3), fr(6))),
+        MediaMeta("video/gvid", 32, 32, 6000L)),
+      // single still shot: 0 cuts, 1 scene
+      MediaRow(2L, Multimodal.videoBytes(Seq(fr(1), fr(1))),
+        MediaMeta("video/gvid", 32, 32, 2000L))).toDS()
+    val rows = Multimodal.videoSceneChanges(videos, stride = 1, maxHamming = 3)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(rows === Array((1L, 6, 2, 3, 3), (2L, 2, 0, 1, 2)),
+      rows.mkString(", "))
+  }
+
   test("image aHash: re-encode-stable, edit-tolerant, content-sensitive") {
     // base: half dark / half bright; near-dup: same with a small bright
     // patch; different: checkerboard
