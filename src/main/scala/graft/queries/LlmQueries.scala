@@ -556,6 +556,49 @@ object LlmQueries {
       |SELECT query_id, neighbor_id, sim, rk FROM ranked
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** Exact-duplicate group-size histogram with token savings — the
+    * "what would dedup buy us" report read before running the q30 drop:
+    * per duplicate-group size, how many groups/docs exist, how many
+    * docs a keep-first policy removes, and exactly how many TOKENS that
+    * frees (the budget currency of a training pipeline — group total
+    * minus the kept min-doc_id member's tokens). All integer
+    * arithmetic; the near-dup (LSH-cluster) variant of the same report
+    * is this shape over q56's cluster ids instead of fingerprints.
+    *
+    * Scale shape: one fingerprint-keyed count (map-combinable, carries
+    * (fp, doc_id, n_tok) — never text), one ≤|groups|-row rollup keyed
+    * on group size. Linear at any corpus size. */
+  val dupHistogram: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    d.groupBy("fp")
+      .agg(count(lit(1)).as("group_size"), sum("n_tok").as("tok_total"),
+        expr("min_by(n_tok, doc_id)").as("keep_tok"))
+      .groupBy("group_size")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("tok_total") - col("keep_tok")).as("removable_tokens"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"),
+        ((col("group_size") - 1) * col("n_groups")).as("removable_docs"),
+        col("removable_tokens"))
+      .orderBy("group_size")
+  }
+
+  val dupHistogramSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, md5($NormSql) AS fp, len($ToksSql)::BIGINT AS n_tok
+       |  FROM documents),
+       |g AS (
+       |  SELECT fp, count(*) AS group_size, sum(n_tok)::BIGINT AS tok_total,
+       |    arg_min(n_tok, doc_id) AS keep_tok
+       |  FROM d GROUP BY 1)
+       |SELECT group_size, count(*) AS n_groups,
+       |  (group_size * count(*))::BIGINT AS n_docs,
+       |  ((group_size - 1) * count(*))::BIGINT AS removable_docs,
+       |  sum(tok_total - keep_tok)::BIGINT AS removable_tokens
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Asymmetric containment detection (quote/expansion direction — the
     * question q53's symmetric Jaccard cannot answer): for each probe
     * document, the fraction of ITS distinct 5-token shingles found in
@@ -1166,6 +1209,7 @@ object LlmQueries {
     "q191_bm25_topk" -> bm25TopK,
     "q194_ann_recall" -> annRecall,
     "q196_containment_dup" -> containmentDup,
+    "q199_dup_histogram" -> dupHistogram,
     "q197_emb_covariance" -> embCovariance,
     "q53_ngram_jaccard" -> ngramJaccard,
     "q56_dedup_clusters" -> dedupClusters,
@@ -1196,6 +1240,7 @@ object LlmQueries {
     "q191_bm25_topk" -> bm25TopKSql,
     "q194_ann_recall" -> annRecallSql,
     "q196_containment_dup" -> containmentDupSql,
+    "q199_dup_histogram" -> dupHistogramSql,
     "q197_emb_covariance" -> embCovarianceSql,
     "q34_ann_topk" -> annTopKSql,
     "q181_semdedup" -> semDedupSql,

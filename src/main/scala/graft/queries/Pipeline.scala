@@ -613,6 +613,77 @@ object Pipeline {
       |FROM x WHERE cum * 2 >= tot
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q200
+
+  /** One-query corpus health report — the dashboard row a curation run
+    * opens with, every number derived in a single corpus pass: doc and
+    * token volume, exact-duplicate fraction (q30's fingerprint),
+    * language/source cardinalities, and the q39 quality profile (mean
+    * score + low-quality fraction at the 0.5 gate). Emitted as
+    * (metric, value) rows so downstream tooling diffs two reports with
+    * a join. Every value is a count, an exact-integer ratio, or an
+    * average of already-4dp-rounded scores — rounded once, identically
+    * in both engines.
+    *
+    * Scale shape: ONE aggregate over the corpus (count-distincts are
+    * the only expand), then a 9-row literal explode. No joins, no
+    * windows; the corpus is touched once map-side. */
+  val corpusReport: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+        TextOps.qualityScore(col("text")).as("q"))
+    val a = d.agg(
+      count(lit(1)).as("nd"), sum("n_tok").as("st"),
+      countDistinct("fp").as("dfp"), countDistinct("lang").as("nl"),
+      countDistinct("source").as("ns"),
+      sum(when(col("q") < 0.5, 1L).otherwise(0L)).as("lowq"),
+      sum("q").as("sq"))
+    def m(name: String, value: org.apache.spark.sql.Column) =
+      struct(lit(name).as("metric"), value.cast("double").as("value"))
+    a.select(explode(array(
+      m("exact_dup_frac",
+        round(lit(1.0) - col("dfp").cast("double") / col("nd").cast("double"), 6)),
+      m("low_quality_frac",
+        round(col("lowq").cast("double") / col("nd").cast("double"), 6)),
+      m("mean_doc_tokens",
+        round(col("st").cast("double") / col("nd").cast("double"), 4)),
+      m("mean_quality", round(col("sq") / col("nd").cast("double"), 6)),
+      m("n_distinct_fingerprints", col("dfp")),
+      m("n_docs", col("nd")),
+      m("n_langs", col("nl")),
+      m("n_sources", col("ns")),
+      m("n_tokens", col("st")))).as("r"))
+      .select(col("r.metric"), col("r.value"))
+      .orderBy("metric")
+  }
+
+  val corpusReportSql: String = {
+    val q = Fragments.qualitySql
+    s"""WITH a AS (
+       |  SELECT count(*) AS nd, sum(len($ToksSql))::BIGINT AS st,
+       |    count(DISTINCT md5(${Fragments.NormSql})) AS dfp,
+       |    count(DISTINCT lang) AS nl, count(DISTINCT source) AS ns,
+       |    sum(CASE WHEN $q < 0.5 THEN 1 ELSE 0 END)::BIGINT AS lowq,
+       |    sum($q) AS sq
+       |  FROM documents)
+       |SELECT metric, value FROM (
+       |  SELECT 'exact_dup_frac' AS metric,
+       |    round(1.0 - dfp::DOUBLE / nd::DOUBLE, 6) AS value FROM a
+       |  UNION ALL SELECT 'low_quality_frac',
+       |    round(lowq::DOUBLE / nd::DOUBLE, 6) FROM a
+       |  UNION ALL SELECT 'mean_doc_tokens',
+       |    round(st::DOUBLE / nd::DOUBLE, 4) FROM a
+       |  UNION ALL SELECT 'mean_quality', round(sq / nd::DOUBLE, 6) FROM a
+       |  UNION ALL SELECT 'n_distinct_fingerprints', dfp::DOUBLE FROM a
+       |  UNION ALL SELECT 'n_docs', nd::DOUBLE FROM a
+       |  UNION ALL SELECT 'n_langs', nl::DOUBLE FROM a
+       |  UNION ALL SELECT 'n_sources', ns::DOUBLE FROM a
+       |  UNION ALL SELECT 'n_tokens', st::DOUBLE FROM a)
+       |ORDER BY metric""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -630,7 +701,8 @@ object Pipeline {
     "q84_histogram" -> histogram,
     "q85_corr_stats" -> corrStats,
     "q188_ccnet_buckets" -> ccnetBuckets,
-    "q195_weighted_median" -> weightedMedian)
+    "q195_weighted_median" -> weightedMedian,
+    "q200_corpus_report" -> corpusReport)
 
   val oracleSql: Map[String, String] = Map(
     "q70_pii_redact" -> piiRedactSql,
@@ -647,5 +719,6 @@ object Pipeline {
     "q84_histogram" -> histogramSql,
     "q85_corr_stats" -> corrStatsSql,
     "q188_ccnet_buckets" -> ccnetBucketsSql,
-    "q195_weighted_median" -> weightedMedianSql)
+    "q195_weighted_median" -> weightedMedianSql,
+    "q200_corpus_report" -> corpusReportSql)
 }

@@ -383,6 +383,53 @@ class PipelinePlantedSpec extends AnyFunSuite {
     assert(rows === expected, rows.mkString(", "))
   }
 
+  // ------------------------------------------------------------- q199
+
+  test("q199 histogram counts the planted dup group and its exact token savings") {
+    // d1=d2=d3 after normalization (case + whitespace) -> one group of
+    // 3 (9 tokens, keep d1's 3 -> 6 removable); d4, d5 are singletons
+    val dir = writeDocs(Seq(
+      (1L, "x y z", "en", "s0", 0L),
+      (2L, "x   Y z ", "en", "s0", 0L),
+      (3L, "x y z", "en", "s0", 0L),
+      (4L, "a b", "en", "s0", 0L),
+      (5L, "c", "en", "s0", 0L)))
+    val rows = SparkEntry.queries("q199_dup_histogram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows === Array((1L, 2L, 2L, 0L, 0L), (3L, 1L, 3L, 2L, 6L)),
+      rows.mkString(", "))
+  }
+
+  // ------------------------------------------------------------- q200
+
+  test("q200 report equals the hand-computed metrics on a punct/stopword-free corpus") {
+    // with no punctuation and no stopwords, the q39 quality formula
+    // collapses to round(0.75 * n_tok/50, 4) — so every metric is
+    // hand-computable: docs (4, one exact dup pair), tokens 11,
+    // fingerprints 3, langs 2, sources 2, all scores < 0.5
+    val dir = writeDocs(Seq(
+      (1L, "t1 t2 t3 t4", "en", "s0", 0L),
+      (2L, "t1 t2 t3 t4", "en", "s1", 0L),
+      (3L, "u1 u2", "fr", "s0", 0L),
+      (4L, "v1", "en", "s0", 0L)))
+    val q = (n: Int) => rnd(0.75 * (n / 50.0), 4)
+    val sq = q(4) + q(4) + q(2) + q(1)
+    val expected = Array(
+      ("exact_dup_frac", rnd(1.0 - 3.0 / 4.0, 6)),
+      ("low_quality_frac", 1.0),
+      ("mean_doc_tokens", rnd(11.0 / 4.0, 4)),
+      ("mean_quality", rnd(sq / 4.0, 6)),
+      ("n_distinct_fingerprints", 3.0),
+      ("n_docs", 4.0),
+      ("n_langs", 2.0),
+      ("n_sources", 2.0),
+      ("n_tokens", 11.0))
+    val rows = SparkEntry.queries("q200_corpus_report")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows === expected, rows.mkString(", "))
+  }
+
   // ------------------------------------------------------------- q193
 
   test("q193 continuation counts equal the distinct-left-context brute force") {

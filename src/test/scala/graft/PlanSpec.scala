@@ -439,6 +439,17 @@ class PlanSpec extends AnyFunSuite {
       "(source, term) counts should map-side combine:\n" + p.take(800))
   }
 
+  test("q199 dup histogram: two keyed aggs, no join anywhere") {
+    val p = plan("q199_dup_histogram")
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("partial"), "fingerprint counts should map-side combine:\n" + p.take(800))
+  }
+
+  test("q200 corpus report: one corpus pass, no joins, no windows") {
+    val p = plan("q200_corpus_report")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+  }
+
   test("q190 ngram novelty: positions collapse map-side before any shuffle") {
     val p = plan("q190_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
