@@ -556,6 +556,68 @@ object LlmQueries {
       |SELECT query_id, neighbor_id, sim, rk FROM ranked
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** MinHash estimator calibration — q194's "measure, don't guess"
+    * discipline applied to the dedup family: for every probe pair with
+    * TRUE 3-token-shingle Jaccard ≥ 0.3, the per-pair error of a
+    * 32-permutation MinHash estimate (matching-component fraction).
+    * The permutations here are md5-salted mins — deliberately a
+    * DIFFERENT, fully-SQL-replayable construction from the production
+    * xxh64 kernel (whose oracle is truth-based, not replay-based), so
+    * the ORACLE can replay estimate AND truth bit-for-bit; the
+    * estimator-vs-truth error profile is the same property a user
+    * would measure before sizing the q32 band/row configuration.
+    *
+    * Scale shape: signatures are map-side nested transforms (32 mins
+    * over the shingle set, never shuffled); the pair stage is the q53
+    * broadcast-probe shape (bounded probe set — eval harness, not a
+    * discovery path; discovery stays with q32's banded LSH). */
+  val minhashCalibration: Q = (s, dir) => {
+    val sig = expr(
+      """transform(sequence(0, 31), j ->
+        |  array_min(transform(shingles, s ->
+        |    md5(concat('mh', cast(j AS string), '|', s)))))""".stripMargin)
+    val g = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"), sig.as("sig"))
+    val probes = g.select(col("doc_id").as("doc_a"),
+      col("shingles").as("g_a"), col("sig").as("sig_a"))
+      .filter(col("doc_a") < 20)
+    g.select(col("doc_id").as("doc_b"), col("shingles").as("g_b"),
+      col("sig").as("sig_b"))
+      .join(broadcast(probes), col("doc_b") > col("doc_a"))
+      .select(col("doc_a"), col("doc_b"),
+        round(TextOps.jaccard(col("g_a"), col("g_b")), 4).as("true_j"),
+        round(expr("size(filter(sequence(0, 31), j -> sig_a[j] = sig_b[j]))")
+          .cast("double") / lit(32.0), 4).as("est"))
+      .filter(col("true_j") >= 0.3)
+      .withColumn("abs_err", round(abs(col("est") - col("true_j")), 4))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashCalibrationSql: String = {
+    val trueJ = """round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                  |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4)""".stripMargin
+    val est = """round(len([j for j in range(1, 33)
+                |            if a.sig[j] = b.sig[j]])::DOUBLE / 32.0, 4)""".stripMargin
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+       |           for i in range(1, len(toks)-1)]) AS shingles
+       |  FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 3),
+       |g AS (
+       |  SELECT doc_id, shingles,
+       |    [list_min([md5('mh' || j::VARCHAR || '|' || s) for s in shingles])
+       |     for j in range(0, 32)] AS sig
+       |  FROM sh WHERE len(shingles) > 0)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  $trueJ AS true_j, $est AS est,
+       |  round(abs($est - $trueJ), 4) AS abs_err
+       |FROM g a JOIN g b ON a.doc_id < 20 AND b.doc_id > a.doc_id
+       |WHERE $trueJ >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Exact-duplicate group-size histogram with token savings — the
     * "what would dedup buy us" report read before running the q30 drop:
     * per duplicate-group size, how many groups/docs exist, how many
@@ -1210,6 +1272,7 @@ object LlmQueries {
     "q194_ann_recall" -> annRecall,
     "q196_containment_dup" -> containmentDup,
     "q199_dup_histogram" -> dupHistogram,
+    "q201_minhash_calibration" -> minhashCalibration,
     "q197_emb_covariance" -> embCovariance,
     "q53_ngram_jaccard" -> ngramJaccard,
     "q56_dedup_clusters" -> dedupClusters,
@@ -1241,6 +1304,7 @@ object LlmQueries {
     "q194_ann_recall" -> annRecallSql,
     "q196_containment_dup" -> containmentDupSql,
     "q199_dup_histogram" -> dupHistogramSql,
+    "q201_minhash_calibration" -> minhashCalibrationSql,
     "q197_emb_covariance" -> embCovarianceSql,
     "q34_ann_topk" -> annTopKSql,
     "q181_semdedup" -> semDedupSql,

@@ -613,6 +613,47 @@ object Pipeline {
       |FROM x WHERE cum * 2 >= tot
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q202
+
+  /** Half-life-decayed engagement score — recency weighting with NO
+    * libm transcendental: weight = 2^(−age_days) with integer day
+    * ages, and every power of two is EXACTLY representable (IEEE pow
+    * on (2, −n) is exact for n ≤ 1074), so the decay curve is
+    * bit-identical in both engines where an e^(−λt) form would be one
+    * libm ulp apart. Deliberately expressed through `spark.sql` over a
+    * temp view — the SQL entry path of the engine exercised through
+    * the same oracle gate as the DataFrame API (SURVEY §2's
+    * `spark.sql(...)` surface).
+    *
+    * Scale shape: one single-row max broadcast, a map-side age/weight
+    * projection, one keyed aggregate, TakeOrdered top-20. */
+  val halflifeDecay: Q = (s, dir) => {
+    Tables.t(s, dir, "events").createOrReplaceTempView("graft_events_v")
+    s.sql("""
+      |WITH mx AS (SELECT max(ts) AS mx FROM graft_events_v),
+      |d AS (
+      |  SELECT user_id, value,
+      |    datediff(CAST(mx.mx AS DATE), CAST(ts AS DATE)) AS age
+      |  FROM graft_events_v CROSS JOIN mx
+      |  WHERE event_type = 'purchase')
+      |SELECT user_id, count(*) AS n_events,
+      |  round(sum(value * power(2.0, -age)), 4) AS decayed_value
+      |FROM d GROUP BY user_id
+      |ORDER BY decayed_value DESC, user_id LIMIT 20""".stripMargin)
+  }
+
+  val halflifeDecaySql: String =
+    """WITH mx AS (SELECT max(ts) AS mx FROM events),
+      |d AS (
+      |  SELECT user_id, value,
+      |    date_diff('day', CAST(ts AS DATE), CAST(mx AS DATE)) AS age
+      |  FROM events CROSS JOIN mx
+      |  WHERE event_type = 'purchase')
+      |SELECT user_id, count(*) AS n_events,
+      |  round(sum(value * pow(2.0, -age)), 4) AS decayed_value
+      |FROM d GROUP BY user_id
+      |ORDER BY decayed_value DESC, user_id LIMIT 20""".stripMargin
+
   // -------------------------------------------------------------- q200
 
   /** One-query corpus health report — the dashboard row a curation run
@@ -702,7 +743,8 @@ object Pipeline {
     "q85_corr_stats" -> corrStats,
     "q188_ccnet_buckets" -> ccnetBuckets,
     "q195_weighted_median" -> weightedMedian,
-    "q200_corpus_report" -> corpusReport)
+    "q200_corpus_report" -> corpusReport,
+    "q202_halflife_decay" -> halflifeDecay)
 
   val oracleSql: Map[String, String] = Map(
     "q70_pii_redact" -> piiRedactSql,
@@ -720,5 +762,6 @@ object Pipeline {
     "q85_corr_stats" -> corrStatsSql,
     "q188_ccnet_buckets" -> ccnetBucketsSql,
     "q195_weighted_median" -> weightedMedianSql,
-    "q200_corpus_report" -> corpusReportSql)
+    "q200_corpus_report" -> corpusReportSql,
+    "q202_halflife_decay" -> halflifeDecaySql)
 }

@@ -430,6 +430,52 @@ class PipelinePlantedSpec extends AnyFunSuite {
     assert(rows === expected, rows.mkString(", "))
   }
 
+  // ------------------------------------------------------------- q201
+
+  test("q201 calibration equals the salted-min arithmetic; sub-threshold pairs absent") {
+    // doc1/doc2 share 4 of their 3-token shingles; doc3 is unrelated;
+    // doc4 is too short to shingle
+    val dir = writeDocs(Seq(
+      (1L, "w1 w2 w3 w4 w5 w6", "en", "s0", 0L),   // shingles at pos 1..4
+      (2L, "w1 w2 w3 w4 w5 w6 x1", "en", "s0", 0L), // adds one shingle
+      (3L, "z1 z2 z3 z4", "en", "s0", 0L),
+      (4L, "y1 y2", "en", "s0", 0L)))
+    def shingles(t: String) =
+      toks(t).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq.distinct
+    def sig(sh: Seq[String]) =
+      (0 until 32).map(j => sh.map(s => md5hex(s"mh$j|$s")).min)
+    val (sa, sb) = (shingles("w1 w2 w3 w4 w5 w6"), shingles("w1 w2 w3 w4 w5 w6 x1"))
+    val trueJ = rnd(sa.intersect(sb).size.toDouble /
+      (sa ++ sb).distinct.size.toDouble, 4)
+    val est = rnd(sig(sa).zip(sig(sb)).count(p => p._1 == p._2) / 32.0, 4)
+    val rows = SparkEntry.queries("q201_minhash_calibration")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows === Array((1L, 2L, trueJ, est, rnd(math.abs(est - trueJ), 4))),
+      rows.mkString(", "))
+    assert(trueJ == 0.8, s"planted true jaccard should be 4/5: $trueJ")
+  }
+
+  // ------------------------------------------------------------- q202
+
+  test("q202 decay weights are exact powers of two; age anchored to the corpus max ts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-planted5").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // the latest event is a CLICK — ages must anchor to it, not to the
+    // latest purchase
+    Seq(
+      (1L, ts("2026-01-10 08:00:00"), 9L, "click", 0.0, "{}"),
+      (2L, ts("2026-01-09 12:00:00"), 1L, "purchase", 8.0, "{}"),
+      (3L, ts("2026-01-07 01:00:00"), 1L, "purchase", 16.0, "{}"),
+      (4L, ts("2026-01-10 06:00:00"), 2L, "purchase", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q202_halflife_decay")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // user 1: 8·2^-1 + 16·2^-3 = 6.0 (exact); user 2: 5·2^0 = 5.0
+    assert(rows === Array((1L, 2L, 6.0), (2L, 1L, 5.0)), rows.mkString(", "))
+  }
+
   // ------------------------------------------------------------- q193
 
   test("q193 continuation counts equal the distinct-left-context brute force") {

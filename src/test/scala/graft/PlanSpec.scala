@@ -450,6 +450,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
   }
 
+  test("q201 calibration: signatures map-side, pair stage is the bounded broadcast probe") {
+    val p = plan("q201_minhash_calibration")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // signature computation must not shuffle — the only join is the
+    // broadcast of the <20-doc probe set (the q53 eval-harness shape)
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1, p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(800))
+  }
+
+  test("q202 halflife via spark.sql: single-row max broadcast, keyed agg, TakeOrdered") {
+    val p = plan("q202_halflife_decay")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1, p.take(800))
+  }
+
   test("q190 ngram novelty: positions collapse map-side before any shuffle") {
     val p = plan("q190_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
