@@ -986,6 +986,102 @@ object Analytics {
        |GROUP BY nxt, n_types
        |ORDER BY cont DESC, nxt ASC LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------- q203
+
+  /** Per-prefix top-3 terms by corpus frequency — the autocomplete /
+    * query-suggestion index shape: group terms by their 2-char prefix,
+    * keep each prefix's 3 most frequent terms (frequency desc, term
+    * asc — fully deterministic cut). Serving materializes this as a
+    * prefix-keyed table; the build is the query.
+    *
+    * Scale shape: token explode collapses to (term, count) with one
+    * map-combinable keyed agg (vocabulary-bounded); the prefix window
+    * compiles to WindowGroupLimit (PlanSpec-pinned), so each task
+    * pre-prunes to its local top-3 before the prefix exchange —
+    * O(tasks·k) shuffle rows, not O(vocab). */
+  val prefixTopTerms: Q = (s, dir) => {
+    val tc = Tables.t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) >= 2)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .withColumn("prefix", substring(col("term"), 1, 2))
+    tc.withColumn("rk", row_number().over(
+        Window.partitionBy("prefix").orderBy(col("cnt").desc, col("term").asc))
+        .cast("int"))
+      .filter(col("rk") <= 3)
+      .select("prefix", "rk", "term", "cnt")
+      .orderBy("prefix", "rk")
+  }
+
+  val prefixTopTermsSql: String =
+    s"""WITH tc AS (
+       |  SELECT term, count(*) AS cnt
+       |  FROM (SELECT unnest($ToksSql) AS term FROM documents)
+       |  WHERE len(term) >= 2 GROUP BY 1),
+       |r AS (
+       |  SELECT substr(term, 1, 2) AS prefix, term, cnt,
+       |    (row_number() OVER (PARTITION BY substr(term, 1, 2)
+       |                        ORDER BY cnt DESC, term ASC))::INT AS rk
+       |  FROM tc)
+       |SELECT prefix, rk, term, cnt FROM r WHERE rk <= 3
+       |ORDER BY prefix, rk""".stripMargin
+
+  // -------------------------------------------------------------- q204
+
+  /** Benford first-digit audit of order totals — the fraud/corruption
+    * smoke test a data-quality suite (q144) runs on monetary columns:
+    * observed first-significant-digit frequencies against the Benford
+    * expectation. The nine expected values are FIXED LITERAL doubles
+    * (log10(1+1/d) precomputed once, identical text in both engines)
+    * so no runtime logarithm exists; digit extraction is one substring
+    * on the non-negative total's string form, counts are integers, and
+    * the two emitted ratios round once.
+    *
+    * Scale shape: one map-side digit projection + one 9-group
+    * map-combinable count + a single-row total broadcast. */
+  val benfordAudit: Q = (s, dir) => {
+    import s.implicits._
+    val exp = Seq(
+      1 -> 0.301029995663981, 2 -> 0.176091259055681, 3 -> 0.124938736608300,
+      4 -> 0.096910013008056, 5 -> 0.079181246047625, 6 -> 0.066946789630613,
+      7 -> 0.057991946977687, 8 -> 0.051152522447381, 9 -> 0.045757490560675)
+      .toDF("digit", "benford")
+    val d = Tables.t(s, dir, "orders")
+      .select(substring(col("o_totalprice").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+    val tot = d.agg(count(lit(1)).as("n_tot"))
+    d.groupBy("digit").agg(count(lit(1)).as("n"))
+      .join(broadcast(exp), "digit")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("n_tot").cast("double"), 4)
+          .as("observed"),
+        round(col("benford"), 4).as("expected"),
+        round(abs(round(col("n").cast("double") / col("n_tot").cast("double"), 4)
+          - round(col("benford"), 4)), 4).as("abs_dev"))
+      .orderBy("digit")
+  }
+
+  val benfordAuditSql: String =
+    """WITH e(digit, benford) AS (VALUES
+      |  (1, 0.301029995663981), (2, 0.176091259055681), (3, 0.124938736608300),
+      |  (4, 0.096910013008056), (5, 0.079181246047625), (6, 0.066946789630613),
+      |  (7, 0.057991946977687), (8, 0.051152522447381), (9, 0.045757490560675)),
+      |d AS (
+      |  SELECT substr(o_totalprice::VARCHAR, 1, 1)::INT AS digit
+      |  FROM orders
+      |  WHERE substr(o_totalprice::VARCHAR, 1, 1)::INT >= 1),
+      |t AS (SELECT count(*) AS n_tot FROM d),
+      |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
+      |SELECT c.digit, c.n,
+      |  round(c.n::DOUBLE / t.n_tot::DOUBLE, 4) AS observed,
+      |  round(e.benford::DOUBLE, 4) AS expected,
+      |  round(abs(round(c.n::DOUBLE / t.n_tot::DOUBLE, 4)
+      |        - round(e.benford::DOUBLE, 4)), 4) AS abs_dev
+      |FROM c JOIN e USING (digit) CROSS JOIN t
+      |ORDER BY c.digit""".stripMargin
+
   // -------------------------------------------------------------- q127
 
   /** Sweep-line interval concurrency: how many orders are in flight
@@ -1346,6 +1442,8 @@ object Analytics {
     "q125_event_transitions" -> eventTransitions,
     "q126_bigram_lm" -> bigramLm,
     "q193_kn_continuation" -> knContinuation,
+    "q203_prefix_topterms" -> prefixTopTerms,
+    "q204_benford_audit" -> benfordAudit,
     "q127_sweep_line" -> sweepLine,
     "q128_ratio_to_report" -> ratioToReport,
     "q172_chunk_boilerplate" -> chunkBoilerplate,
@@ -1377,6 +1475,8 @@ object Analytics {
     "q125_event_transitions" -> eventTransitionsSql,
     "q126_bigram_lm" -> bigramLmSql,
     "q193_kn_continuation" -> knContinuationSql,
+    "q203_prefix_topterms" -> prefixTopTermsSql,
+    "q204_benford_audit" -> benfordAuditSql,
     "q127_sweep_line" -> sweepLineSql,
     "q128_ratio_to_report" -> ratioToReportSql,
     "q172_chunk_boilerplate" -> chunkBoilerplateSql,

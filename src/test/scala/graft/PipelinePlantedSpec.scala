@@ -476,6 +476,43 @@ class PipelinePlantedSpec extends AnyFunSuite {
     assert(rows === Array((1L, 2L, 6.0), (2L, 1L, 5.0)), rows.mkString(", "))
   }
 
+  // ------------------------------------------------------------- q203
+
+  test("q203 keeps each prefix's top-3 by frequency with the term tie-break") {
+    val dir = writeDocs(Seq(
+      (1L, "apple apple apricot april apron banana banana art x", "en", "s0", 0L),
+      (2L, "apple april april banana art", "en", "s0", 0L)))
+    // ap: apple 3, april 3, apricot 1, apron 1 -> top3 apple, april,
+    // apricot (freq desc, term asc; apricot beats apron on the term
+    // tie); ar: art 2; ba: banana 3; the 1-char term 'x' is excluded
+    val rows = SparkEntry.queries("q203_prefix_topterms")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val expected = Array(
+      ("ap", 1, "apple", 3L), ("ap", 2, "april", 3L), ("ap", 3, "apricot", 1L),
+      ("ar", 1, "art", 2L), ("ba", 1, "banana", 3L))
+    assert(rows === expected, rows.mkString(", "))
+  }
+
+  // ------------------------------------------------------------- q204
+
+  test("q204 digit profile equals the hand count against the literal Benford table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-planted5").toString
+    val totals = Seq(123.0, 150.5, 199.99, 20.5, 35.0, 900.1)
+    totals.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("o_orderkey", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = SparkEntry.queries("q204_benford_audit")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val e = Map(1 -> 0.301029995663981, 2 -> 0.176091259055681,
+      3 -> 0.124938736608300, 9 -> 0.045757490560675)
+    val expected = Seq((1, 3L), (2, 1L), (3, 1L), (9, 1L)).map { case (d, n) =>
+      val obs = rnd(n.toDouble / 6.0, 4)
+      (d, n, obs, rnd(e(d), 4), rnd(math.abs(obs - rnd(e(d), 4)), 4))
+    }.toArray
+    assert(rows === expected, rows.mkString(", "))
+  }
+
   // ------------------------------------------------------------- q193
 
   test("q193 continuation counts equal the distinct-left-context brute force") {

@@ -466,6 +466,20 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1, p.take(800))
   }
 
+  test("q203 prefix top terms: rank pushed below the window as WindowGroupLimit") {
+    val p = plan("q203_prefix_topterms")
+    assert(p.contains("WindowGroupLimit"),
+      "each task must pre-prune to its local top-3:\n" + p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
+  test("q204 benford: literal expectation broadcasts, single-row total is the only BNLJ") {
+    val p = plan("q204_benford_audit")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1, p.take(800))
+  }
+
   test("q190 ngram novelty: positions collapse map-side before any shuffle") {
     val p = plan("q190_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
