@@ -1046,10 +1046,15 @@ object Analytics {
       4 -> 0.096910013008056, 5 -> 0.079181246047625, 6 -> 0.066946789630613,
       7 -> 0.057991946977687, 8 -> 0.051152522447381, 9 -> 0.045757490560675)
       .toDF("digit", "benford")
+    // totals are restricted to >= 1 BEFORE the string cast: Spark
+    // renders doubles < 1e-3 in scientific notation ('5.0E-4') where
+    // DuckDB writes '0.0005', and a negative sign would crash DuckDB's
+    // '-'::INT — the >= 1 domain makes the first character the first
+    // significant digit in both engines by construction
     val d = Tables.t(s, dir, "orders")
+      .filter(col("o_totalprice") >= 1)
       .select(substring(col("o_totalprice").cast("string"), 1, 1)
         .cast("int").as("digit"))
-      .filter(col("digit") >= 1)
     val tot = d.agg(count(lit(1)).as("n_tot"))
     d.groupBy("digit").agg(count(lit(1)).as("n"))
       .join(broadcast(exp), "digit")
@@ -1071,7 +1076,7 @@ object Analytics {
       |d AS (
       |  SELECT substr(o_totalprice::VARCHAR, 1, 1)::INT AS digit
       |  FROM orders
-      |  WHERE substr(o_totalprice::VARCHAR, 1, 1)::INT >= 1),
+      |  WHERE o_totalprice >= 1),
       |t AS (SELECT count(*) AS n_tot FROM d),
       |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
       |SELECT c.digit, c.n,

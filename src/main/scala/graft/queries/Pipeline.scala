@@ -628,18 +628,26 @@ object Pipeline {
     * Scale shape: one single-row max broadcast, a map-side age/weight
     * projection, one keyed aggregate, TakeOrdered top-20. */
   val halflifeDecay: Q = (s, dir) => {
-    Tables.t(s, dir, "events").createOrReplaceTempView("graft_events_v")
-    s.sql("""
-      |WITH mx AS (SELECT max(ts) AS mx FROM graft_events_v),
+    // unique per-invocation view name, dropped right after analysis
+    // (spark.sql resolves the view into the plan eagerly), so the
+    // query stays reentrant on a shared session and leaks no catalog
+    // entry — every other registry entry is a pure (session, dir)
+    // function and this one must behave the same
+    val view = "graft_events_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    Tables.t(s, dir, "events").createOrReplaceTempView(view)
+    try s.sql(s"""
+      |WITH mx AS (SELECT max(ts) AS mx FROM $view),
       |d AS (
       |  SELECT user_id, value,
       |    datediff(CAST(mx.mx AS DATE), CAST(ts AS DATE)) AS age
-      |  FROM graft_events_v CROSS JOIN mx
+      |  FROM $view CROSS JOIN mx
       |  WHERE event_type = 'purchase')
       |SELECT user_id, count(*) AS n_events,
       |  round(sum(value * power(2.0, -age)), 4) AS decayed_value
       |FROM d GROUP BY user_id
       |ORDER BY decayed_value DESC, user_id LIMIT 20""".stripMargin)
+    finally { s.catalog.dropTempView(view); () }
   }
 
   val halflifeDecaySql: String =
