@@ -40,6 +40,43 @@ class DedupAdversarialSpec extends AnyFunSuite {
     (clones ++ planted ++ fillers).toDF("doc_id", "text")
   }
 
+  test("round-5 dedup reports stay exact on the 1000-clone degenerate corpus") {
+    // the same degenerate corpus, through the REGISTRY paths that
+    // aggregate rather than pair — these must stay exact (no caps
+    // needed: their state is per-key counts, never candidate pairs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-degen").toString
+    degenerateCorpus()
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cloneToks = "the quick brown fox jumps over the lazy dog again and " +
+      "again in the same meadow every single morning before dawn breaks"
+    val t = cloneToks.split("\\s+").length.toLong
+
+    // q199: one group of 1000 clones -> 999 removable docs, 999*t tokens
+    val hist = SparkEntry.queries("q199_dup_histogram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(hist === Array((1L, 22L, 22L, 0L, 0L),
+      (1000L, 1L, 1000L, 999L, 999L * t)), hist.mkString(", "))
+
+    // q187: exactly ONE clone keeps its paragraph; 999 reassemble empty
+    val pars = SparkEntry.queries("q187_paragraph_dedup")(spark, dir)
+      .filter(col("doc_id") < 1000).collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    assert(pars.filter(_._2 > 0).map(_._1).toSeq === Seq(0L),
+      "keep-first must survive exactly once across 1000 clones, on doc 0")
+
+    // q190: clones are all-dup (novelty 0, flagged); fillers with
+    // enough tokens are fully novel
+    val novRows = SparkEntry.queries("q190_ngram_novelty")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(4)))
+    assert(novRows.filter(_._1 < 1000).forall(r => r._2 == 0.0 && r._3),
+      "clones must score zero novelty and flag")
+    assert(novRows.filter(r => r._1 >= 3000 && r._1 < 3020).forall(_._2 == 1.0),
+      "unique fillers must be fully novel")
+  }
+
   test("LSH bucket cap bounds a degenerate corpus and surfaces the drops") {
     val docs = degenerateCorpus()
     val dropsBefore = Lsh.droppedBuckets(spark)
