@@ -78,7 +78,11 @@ object Bench {
     drain(li.groupBy("l_returnflag").agg(sum("l_quantity")))
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev-only substring filter for single-query iteration; the driver
+    // never sets it, so the contract (full registry) is unchanged
+    val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
+    val results = SparkEntry.queries
+      .filter(_._1.contains(nameFilter)).map { case (name, fn) =>
       // a crashing query must surface as -1, not as its (fast) failure
       // latency — which min-of-reps would otherwise select as the winner
       name -> (1 to reps).map { _ =>

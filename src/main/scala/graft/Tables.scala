@@ -44,7 +44,19 @@ object Tables {
                                  tsType: org.apache.spark.sql.types.DataType): DataFrame =
     tsType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // The legacy nanosAsLong read surfaces TIMESTAMP(NANOS) as a raw
+        // int64 — but so would a plain int64-micros column, which `div
+        // 1000` would silently misread 1000x off. Guard the magnitude
+        // in-row (epoch nanos for any post-1973 date exceed 1e17; epoch
+        // micros stay ~1.7e15): codegen'd, no driver-side sample, and it
+        // works identically for the batch and streaming readers.
+        df.withColumn("ts", timestamp_micros(
+          when(col("ts").isNull || abs(col("ts")) >= lit(100000000000000000L),
+            expr("ts div 1000"))
+            .otherwise(raise_error(concat(
+              lit("events.ts int64 value "), col("ts").cast("string"),
+              lit(" is below the epoch-nanoseconds range — a micros fixture" +
+                " would be read 1000x off; extend Tables.normalizeTs"))))))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))
       case org.apache.spark.sql.types.TimestampType => df

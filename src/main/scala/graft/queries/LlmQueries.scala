@@ -572,25 +572,30 @@ object LlmQueries {
     * broadcast-probe shape (bounded probe set — eval harness, not a
     * discovery path; discovery stays with q32's banded LSH). */
   val minhashCalibration: Q = (s, dir) => {
-    val sig = expr(
-      """transform(sequence(0, 31), j ->
-        |  array_min(transform(shingles, s ->
-        |    md5(concat('mh', cast(j AS string), '|', s)))))""".stripMargin)
+    // The 32-permutation signature is deliberately computed AFTER the
+    // broadcast-probe join and the true-Jaccard filter: only the
+    // handful of surviving pairs ever read a signature, so the corpus
+    // never pays 32 md5 calls per shingle per document (the eager form
+    // was ~10% of the whole bench; this one is jaccard-only map-side).
+    def sig(shCol: String) = expr(
+      s"""transform(sequence(0, 31), j ->
+         |  array_min(transform($shCol, s ->
+         |    md5(concat('mh', cast(j AS string), '|', s)))))""".stripMargin)
     val g = Tables.t(s, dir, "documents")
       .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), col("shingles"), sig.as("sig"))
     val probes = g.select(col("doc_id").as("doc_a"),
-      col("shingles").as("g_a"), col("sig").as("sig_a"))
-      .filter(col("doc_a") < 20)
-    g.select(col("doc_id").as("doc_b"), col("shingles").as("g_b"),
-      col("sig").as("sig_b"))
+      col("shingles").as("g_a")).filter(col("doc_a") < 20)
+    g.select(col("doc_id").as("doc_b"), col("shingles").as("g_b"))
       .join(broadcast(probes), col("doc_b") > col("doc_a"))
-      .select(col("doc_a"), col("doc_b"),
-        round(TextOps.jaccard(col("g_a"), col("g_b")), 4).as("true_j"),
+      .select(col("doc_a"), col("doc_b"), col("g_a"), col("g_b"),
+        round(TextOps.jaccard(col("g_a"), col("g_b")), 4).as("true_j"))
+      .filter(col("true_j") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("true_j"),
+        sig("g_a").as("sig_a"), sig("g_b").as("sig_b"))
+      .select(col("doc_a"), col("doc_b"), col("true_j"),
         round(expr("size(filter(sequence(0, 31), j -> sig_a[j] = sig_b[j]))")
           .cast("double") / lit(32.0), 4).as("est"))
-      .filter(col("true_j") >= 0.3)
       .withColumn("abs_err", round(abs(col("est") - col("true_j")), 4))
       .orderBy("doc_a", "doc_b")
   }

@@ -688,7 +688,11 @@ object Pipeline {
       countDistinct("fp").as("dfp"), countDistinct("lang").as("nl"),
       countDistinct("source").as("ns"),
       sum(when(col("q") < 0.5, 1L).otherwise(0L)).as("lowq"),
-      sum("q").as("sq"))
+      // quality scores are exact 4-dp values, so sum them as integer
+      // ten-thousandths: the mean is then one exact-integer division
+      // rounded once, immune to Spark-vs-DuckDB float summation order
+      // (the q192/q198 boundary exposure, closed here instead of bounded)
+      sum(round(col("q") * 10000).cast("long")).as("sqi"))
     def m(name: String, value: org.apache.spark.sql.Column) =
       struct(lit(name).as("metric"), value.cast("double").as("value"))
     a.select(explode(array(
@@ -698,7 +702,8 @@ object Pipeline {
         round(col("lowq").cast("double") / col("nd").cast("double"), 6)),
       m("mean_doc_tokens",
         round(col("st").cast("double") / col("nd").cast("double"), 4)),
-      m("mean_quality", round(col("sq") / col("nd").cast("double"), 6)),
+      m("mean_quality",
+        round(col("sqi").cast("double") / (col("nd").cast("double") * 10000.0), 6)),
       m("n_distinct_fingerprints", col("dfp")),
       m("n_docs", col("nd")),
       m("n_langs", col("nl")),
@@ -715,7 +720,7 @@ object Pipeline {
        |    count(DISTINCT md5(${Fragments.NormSql})) AS dfp,
        |    count(DISTINCT lang) AS nl, count(DISTINCT source) AS ns,
        |    sum(CASE WHEN $q < 0.5 THEN 1 ELSE 0 END)::BIGINT AS lowq,
-       |    sum($q) AS sq
+       |    sum(round($q * 10000)::BIGINT)::BIGINT AS sqi
        |  FROM documents)
        |SELECT metric, value FROM (
        |  SELECT 'exact_dup_frac' AS metric,
@@ -724,7 +729,8 @@ object Pipeline {
        |    round(lowq::DOUBLE / nd::DOUBLE, 6) FROM a
        |  UNION ALL SELECT 'mean_doc_tokens',
        |    round(st::DOUBLE / nd::DOUBLE, 4) FROM a
-       |  UNION ALL SELECT 'mean_quality', round(sq / nd::DOUBLE, 6) FROM a
+       |  UNION ALL SELECT 'mean_quality',
+       |    round(sqi::DOUBLE / (nd::DOUBLE * 10000.0), 6) FROM a
        |  UNION ALL SELECT 'n_distinct_fingerprints', dfp::DOUBLE FROM a
        |  UNION ALL SELECT 'n_docs', nd::DOUBLE FROM a
        |  UNION ALL SELECT 'n_langs', nl::DOUBLE FROM a

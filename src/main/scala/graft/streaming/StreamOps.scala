@@ -236,7 +236,7 @@ object StreamOps {
       .select(col("term"),
         (col("c_t").cast("double") / lit(nTot.toDouble)).as("q_t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    docs.writeStream
+    val underlying = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val st = batch
@@ -259,6 +259,40 @@ object StreamOps {
         ()
       }
       .start()
+    new UnpersistOnStopQuery(underlying, baseDist)
+  }
+
+  /** Delegating [[StreamingQuery]] handle whose `stop()` also releases a
+    * DataFrame the monitor cached for its lifetime — without it, repeated
+    * monitor starts on a long-lived session would accumulate persisted
+    * base distributions with no way to free them. */
+  private final class UnpersistOnStopQuery(
+      underlying: org.apache.spark.sql.streaming.StreamingQuery,
+      cached: DataFrame)
+      extends org.apache.spark.sql.streaming.StreamingQuery {
+    def name: String = underlying.name
+    def id: java.util.UUID = underlying.id
+    def runId: java.util.UUID = underlying.runId
+    def sparkSession: SparkSession = underlying.sparkSession
+    def isActive: Boolean = underlying.isActive
+    def exception: Option[org.apache.spark.sql.streaming.StreamingQueryException] =
+      underlying.exception
+    def status: org.apache.spark.sql.streaming.StreamingQueryStatus =
+      underlying.status
+    def recentProgress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+      underlying.recentProgress
+    def lastProgress: org.apache.spark.sql.streaming.StreamingQueryProgress =
+      underlying.lastProgress
+    def awaitTermination(): Unit = underlying.awaitTermination()
+    def awaitTermination(timeoutMs: Long): Boolean =
+      underlying.awaitTermination(timeoutMs)
+    def processAllAvailable(): Unit = underlying.processAllAvailable()
+    def stop(): Unit = {
+      try underlying.stop()
+      finally { cached.unpersist(); () }
+    }
+    def explain(): Unit = underlying.explain()
+    def explain(extended: Boolean): Unit = underlying.explain(extended)
   }
 
   /** Streaming near-duplicate detection against a STATIC corpus index:
