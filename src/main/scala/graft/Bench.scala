@@ -132,7 +132,9 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$full,"scan":$scan,"sf":"$sfDir"}"""
-    try {
+    // only a full (unfiltered) run may overwrite the committed artifact —
+    // a dev-filtered run would clobber it with a partial query map
+    if (nameFilter.isEmpty) try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullLine + "\n").getBytes("UTF-8"))

@@ -80,6 +80,20 @@ object TextOps {
     * `\w+|[^\w\s]` pre-tokenizer; ASCII \w in both Java regex and RE2). */
   def bpeTokenCount(text: Column): Column = stats(text).getField("bpe")
 
+  /** True subword tokens under a rank-ordered BPE merges table
+    * ([[graft.functions.BpeKernel]] — single-pass codegen'd kernel; the
+    * DuckDB twin is [[graft.queries.Fragments.bpeWordSql]], unrolled from
+    * the SAME table). The production token-budget counter: pipelines
+    * denominate budgets in subwords, not whitespace words. */
+  def bpeSubwords(text: Column, mergesKey: String = "en16"): Column =
+    graft.functions.Bpe.bpeTokens(text, mergesKey)
+
+  /** Subword count under the named BPE merges table — drop-in
+    * replacement for whitespace [[tokenCount]] in the budget family
+    * (q94/q170/q180 take it as the opt-in counter). */
+  def subwordCount(text: Column, mergesKey: String = "en16"): Column =
+    size(bpeSubwords(text, mergesKey)).cast("long")
+
   /** Punctuation-character ratio (fixed class for oracle parity). */
   def punctRatio(text: Column): Column =
     stats(text).getField("punct").cast("double") / greatest(length(text), lit(1))

@@ -919,11 +919,17 @@ object Curation {
     * is one window per language key (keyed exchange, not a global
     * sort); at 100 TB the same contract binary-searches a quality
     * threshold instead (two aggregate passes), noted here. */
-  val tokenBudget: Q = (s, dir) => {
+  /** The budget fill parameterized over the token counter — whitespace
+    * tokens for q170, true BPE subwords for q206 ([[TextOps.subwordCount]],
+    * the denomination a production pipeline budgets in). Same plan either
+    * way: the counter is a map-side column, the fill one keyed window. */
+  private def tokenBudgetBy(
+      counter: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Q =
+    (s, dir) => {
     val budget = 3000L
     val docs = Tables.t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        counter(col("text")).as("n_tokens"),
         TextOps.qualityScore(col("text")).as("q"))
     val w = Window.partitionBy("lang")
       .orderBy(col("q").desc, col("doc_id").asc)
@@ -935,6 +941,11 @@ object Curation {
         max("cum_tokens").as("cum_check"))
       .orderBy("lang")
   }
+
+  val tokenBudget: Q = tokenBudgetBy(t => size(TextOps.tokens(t)).cast("long"))
+
+  /** q206: the q170 budget fill denominated in BPE subwords. */
+  val tokenBudgetBpe: Q = tokenBudgetBy(t => TextOps.subwordCount(t))
 
   val tokenBudgetSql: String =
     s"""WITH d AS (
@@ -952,6 +963,28 @@ object Curation {
        |       max(cum_tokens)::BIGINT AS cum_check
        |FROM c WHERE cum_tokens <= 3000
        |GROUP BY lang ORDER BY lang""".stripMargin
+
+  val tokenBudgetBpeSql: String = {
+    val chain = Fragments.bpeWordSql()
+    val subwords =
+      s"""coalesce(list_sum([len(string_split($chain, '${Fragments.BpeSep}'))
+         |      for w in ${Fragments.BpeWordsSql}]), 0)::BIGINT""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, $subwords AS n_tokens,
+       |         ${Fragments.qualitySql} AS q
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY q DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM d)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |       sum(n_tokens)::BIGINT AS tokens_used,
+       |       max(cum_tokens)::BIGINT AS cum_check
+       |FROM c WHERE cum_tokens <= 3000
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
 
   // -------------------------------------------------------------- q171
 
@@ -1199,6 +1232,7 @@ object Curation {
     "q107_arg_extremes" -> argExtremes,
     "q169_domain_mix" -> domainMix,
     "q170_token_budget" -> tokenBudget,
+    "q206_token_budget_bpe" -> tokenBudgetBpe,
     "q171_cluster_canonical" -> clusterCanonical,
     "q173_shard_export" -> shardExport,
     "q175_hash_sample" -> hashSample,
@@ -1231,6 +1265,7 @@ object Curation {
     "q107_arg_extremes" -> argExtremesSql,
     "q169_domain_mix" -> domainMixSql,
     "q170_token_budget" -> tokenBudgetSql,
+    "q206_token_budget_bpe" -> tokenBudgetBpeSql,
     "q171_cluster_canonical" -> clusterCanonicalSql,
     "q173_shard_export" -> shardExportSql,
     "q175_hash_sample" -> hashSampleSql,

@@ -45,6 +45,35 @@ private[graft] object Fragments {
   val BagFpSql: String =
     s"md5(array_to_string(list_sort(list_distinct($ToksSql)), ' '))"
 
+  /** Separator for the BPE oracle's char-joined word encoding — a
+    * control char that cannot appear in the a-z-stripped words. */
+  val BpeSep: String = "\u001f"
+
+  /** DuckDB list of a-z-stripped non-empty words of `text` — the word
+    * alphabet [[graft.functions.BpeKernel.compute]] tokenizes. */
+  val BpeWordsSql: String =
+    s"[x for x in [regexp_replace(tk, '[^a-z]', '', 'g') for tk in $ToksSql] if x <> '']"
+
+  /** DuckDB twin of [[graft.functions.BpeKernel]] applied to ONE word
+    * (lambda variable `w` by default): the merge loop textually unrolled
+    * from the SAME Scala merges table the kernel reads — one nested
+    * `list_reduce` greedy left-to-right pass per rule over a
+    * control-char-separated char string. Evaluates to the separator-
+    * joined subword string; `len(string_split(…, BpeSep))` is the
+    * subword count. Because both engines derive from one table, the
+    * kernel and its oracle cannot drift. */
+  def bpeWordSql(mergesKey: String = "en16", wordVar: String = "w"): String = {
+    val init =
+      s"array_to_string([$wordVar[i] for i in range(1, len($wordVar)+1)], '$BpeSep')"
+    graft.functions.BpeKernel.merges(mergesKey).foldLeft(init) { case (e, (l, r)) =>
+      s"list_reduce(string_split($e, '$BpeSep'), (acc, x) -> " +
+        s"CASE WHEN x = '$r' AND (acc = '$l' OR ends_with(acc, '$BpeSep$l')) " +
+        s"THEN CASE WHEN acc = '$l' THEN '$l$r' " +
+        s"ELSE acc[1:len(acc)-${l.length}] || '$l$r' END " +
+        s"ELSE acc || '$BpeSep' || x END)"
+    }
+  }
+
   /** DuckDB rendering of [[graft.llm.TextOps.qualityScore]] term by
     * term (q39's oracle; also composed inside q100's capstone). */
   def qualitySql: String = {

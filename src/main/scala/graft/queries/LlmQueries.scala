@@ -1251,6 +1251,45 @@ object LlmQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** True BPE subword tokenization under the `en16` published-merges
+    * table ([[TextOps.bpeSubwords]] / [[graft.functions.BpeKernel]]):
+    * per document, the a-z word count, the subword count the budget
+    * family should be denominated in, and subwords-per-word (the
+    * fertility statistic tokenizer evaluations report). The oracle
+    * replays the merge loop itself — one `list_reduce` pass per rule,
+    * unrolled from the same Scala merges table — so the hash compare
+    * covers the tokenizer's exact output, not just its count.
+    *
+    * Scale shape: one codegen'd kernel pass per document, no shuffle
+    * until the presentation sort. O(merges × word length) per doc. */
+  val bpeSubwordStats: Q = (s, dir) => {
+    val words = filter(
+      transform(TextOps.tokens(col("text")),
+        t => regexp_replace(t, lit("[^a-z]"), lit(""))),
+      w => w =!= "")
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), size(words).cast("long").as("n_words"),
+        size(TextOps.bpeSubwords(col("text"))).cast("long").as("n_subwords"))
+      .withColumn("spw", when(col("n_words") > 0,
+        round(col("n_subwords").cast("double") / col("n_words").cast("double"), 4)))
+      .orderBy("doc_id")
+  }
+
+  val bpeSubwordStatsSql: String = {
+    val chain = Fragments.bpeWordSql()
+    s"""WITH wd AS (
+       |  SELECT doc_id, ${Fragments.BpeWordsSql} AS words FROM documents),
+       |b AS (
+       |  SELECT doc_id, len(words)::BIGINT AS n_words,
+       |    coalesce(list_sum([len(string_split($chain, '${Fragments.BpeSep}'))
+       |      for w in words]), 0)::BIGINT AS n_subwords
+       |  FROM wd)
+       |SELECT doc_id, n_words, n_subwords,
+       |  CASE WHEN n_words > 0
+       |       THEN round(n_subwords::DOUBLE / n_words::DOUBLE, 4) END AS spw
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1287,6 +1326,7 @@ object LlmQueries {
     "q38_lang_id" -> langId,
     "q39_quality_score" -> qualityScore,
     "q40_token_count" -> tokenCount,
+    "q205_bpe_subwords" -> bpeSubwordStats,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1323,5 +1363,6 @@ object LlmQueries {
     "q38_lang_id" -> langIdSql,
     "q39_quality_score" -> qualityScoreSql,
     "q40_token_count" -> tokenCountSql,
+    "q205_bpe_subwords" -> bpeSubwordStatsSql,
   )
 }

@@ -484,4 +484,56 @@ class LlmOpsSpec extends AnyFunSuite {
     val fps = df.select(TextOps.fingerprint(col("text"))).as[String].collect()
     assert(fps(0) === fps(1)); assert(fps(0) !== fps(2))
   }
+
+  test("BPE subwords match a hand-computed merge sequence") {
+    // en16 table, rules applied IN ORDER, one greedy left-to-right pass
+    // each. Hand derivation:
+    //   "the":     t h e -> (t,h) th e -> (th,e) the
+    //   "theater": t h e a t e r -> th -> the a t e r -> (e,r) the a t er
+    //              -> (a,t) the at er
+    //   "is":      no rule hits -> i s
+    //   "interesting": (i,n) merges BOTH in's (fold reuses its own
+    //              output: ...t i + n -> t in); then (e,r), (s,t),
+    //              (in,g) -> in t er e st ing
+    //   "standing": (s,t) st, (a,n) an, (an,d) and, (in,g) ing
+    //   "Aaa!":    strips to "aaa"; (a,a) not in the table -> a a a
+    val df = Seq(
+      (1L, "The theater is interesting"),
+      (2L, "standing  Aaa!"),
+      (3L, "123 !!"), // strips to nothing -> zero subwords
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextOps.bpeSubwords(col("text")))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("the", "the", "at", "er", "i", "s",
+      "in", "t", "er", "e", "st", "ing"))
+    assert(got(2L) === Seq("st", "and", "ing", "a", "a", "a"))
+    assert(got(3L) === Seq.empty)
+    assert(got(4L) === Seq.empty)
+  }
+
+  test("subwordCount never undercounts words and equals size(bpeSubwords) on the corpus") {
+    // every word contributes >= 1 subword, and a merge only ever shrinks
+    // the sequence, so n_words <= n_subwords <= n_chars
+    val rows = docs.select(
+      size(filter(transform(TextOps.tokens(col("text")),
+        t => regexp_replace(t, lit("[^a-z]"), lit(""))), w => w =!= ""))
+        .cast("long").as("n_words"),
+      TextOps.subwordCount(col("text")).as("n_sub"),
+      size(TextOps.bpeSubwords(col("text"))).cast("long").as("n_sub2"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2))
+      assert(r.getLong(0) <= r.getLong(1),
+        s"words=${r.getLong(0)} > subwords=${r.getLong(1)}")
+    }
+  }
+
+  test("unknown BPE merges table fails at plan time") {
+    val ex = intercept[IllegalArgumentException] {
+      docs.select(TextOps.bpeSubwords(col("text"), "nope"))
+    }
+    assert(ex.getMessage.contains("unknown BPE merges table"))
+  }
 }

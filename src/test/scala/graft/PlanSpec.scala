@@ -169,6 +169,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1) Project [minhash_signature"), p.take(400))
   }
 
+  test("BPE subword kernel runs inside whole-stage codegen") {
+    val df = Tables.t(spark, sf, "documents")
+      .select(graft.llm.TextOps.bpeSubwords(col("text")).as("sub"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [bpe_tokens"), p.take(400))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // the AQE runtime-filter rewrite: a selective predicate on the small
     // side injects bloom_filter_might_contain onto the fact scan, so fact
