@@ -120,6 +120,77 @@ object Similarity {
     cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
   }
 
+  /** Sampled spherical k-means whose EVERY step is integer-exact and
+    * therefore bit-replayable by a SQL oracle (the SCALE.md caveat-3
+    * closer: trained centroids with the same replayability contract as
+    * [[firstNCentroids]]):
+    *
+    *  - sample: md5-bucket < 40 of vec_id (the q175 seeded-sampler
+    *    pattern), smallest `sampleN` ids, zero vectors excluded;
+    *  - quantize: each sample normalized and rounded to 6 dp — held as
+    *    integer micro-units (×10⁶) from here on;
+    *  - init: the first `nlist` sample vectors;
+    *  - Lloyd iteration (×`iters`): assignment by EXACT integer dot
+    *    product (ties → lowest cell), recompute as the integer member
+    *    sum re-normalized and re-quantized to micro-units (empty cells
+    *    keep their centroid).
+    *
+    * Because sums/dots are exact integers, no floating summation-order
+    * issue exists anywhere in the loop — DuckDB replays it with two
+    * unrolled CTE iterations and gets the same centroids to the last
+    * micro-unit (q208's oracle). */
+  def trainCentroidsReplayable(corpus: DataFrame, nlist: Int = 16,
+                               sampleN: Int = 256, iters: Int = 2,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): Array[(Long, Array[Double])] = {
+    def round6(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val sample: Array[Array[Long]] = corpus
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .filter(graft.queries.Fragments.hashBucket(col("id").cast("string"), 100) < 40)
+      .orderBy("id").limit(sampleN).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+      .filter(v => v.exists(_ != 0.0))
+      .map { v =>
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => round6(x / norm))
+      }
+    require(sample.length >= nlist,
+      s"need >= $nlist non-zero sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    var cents: Array[Array[Long]] = sample.take(nlist).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Long](dim))
+      val counts = new Array[Int](nlist)
+      for (u <- sample) {
+        var best = 0
+        var bestDot = Long.MinValue
+        var c = 0
+        while (c < nlist) {
+          var d = 0L
+          var i = 0
+          while (i < dim) { d += u(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += u(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val sv = sums(c)
+          var n2 = 0L
+          sv.foreach(x => n2 += x * x) // ≤ 64·(256e6)² ≈ 4.2e18 < Long.Max
+          val norm = math.sqrt(n2.toDouble)
+          sv.map(x => round6(x / norm)) // x/norm is unitless ∈ [−1,1]
+        }
+      }
+    }
+    cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv.map(_ / 1e6)) }
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): cluster embeddings by nearest centroid, find
@@ -451,5 +522,80 @@ object Similarity {
     cand.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 4).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  /** Upper-triangle covariance matrix of the embedding dimensions as
+    * (i, j, cov) rows — the matrix-accumulator formulation of q197
+    * (SCALE.md caveat 5's d ≳ 512 path). Instead of exploding d(d+1)/2
+    * product rows PER VECTOR (fine at d=64, a 500k× row blowup at
+    * d=1024), each partition accumulates one d-vector of sums and one
+    * d(d+1)/2 triangle of products in place and emits them ONCE as
+    * keyed partial rows; the downstream combine is a d²-key aggregate
+    * whose input is partitions × d², independent of corpus size.
+    * `mapPartitions` is justified exactly like the multimodal codecs:
+    * a cross-row matrix accumulator has no Expression form.
+    *
+    * Output contract matches [[graft.queries.LlmQueries.embCovariance]]
+    * bit-for-bit after rounding (same 4-dp round, same −0.0 collapse),
+    * so the same DuckDB oracle verifies both paths. */
+  def covarianceMatrix(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val vecs = emb.select(asDouble(col(vecCol))).as[Seq[Double]]
+    val partials = vecs.mapPartitions { it =>
+      var n = 0L
+      var d = -1
+      var sums: Array[Double] = null
+      var prods: Array[Double] = null
+      it.foreach { v =>
+        if (d < 0) {
+          d = v.length
+          sums = new Array[Double](d)
+          prods = new Array[Double](d * (d + 1) / 2)
+        }
+        require(v.length == d,
+          s"ragged embedding width: expected $d, got ${v.length}")
+        n += 1
+        var i = 0
+        var k = 0
+        while (i < d) {
+          val xi = v(i)
+          sums(i) += xi
+          var j = i
+          while (j < d) { prods(k) += xi * v(j); j += 1; k += 1 }
+          i += 1
+        }
+      }
+      if (n == 0) Iterator.empty
+      else {
+        // (0,0)=count, (0,j)=sum of dim j, (i,j)=sum of x_i·x_j (1-based)
+        val out = new scala.collection.mutable.ArrayBuffer[(Int, Int, Double)](
+          prods.length + d + 1)
+        out += ((0, 0, n.toDouble))
+        var i = 0
+        while (i < d) { out += ((0, i + 1, sums(i))); i += 1 }
+        i = 0
+        var k = 0
+        while (i < d) {
+          var j = i
+          while (j < d) { out += ((i + 1, j + 1, prods(k))); j += 1; k += 1 }
+          i += 1
+        }
+        out.iterator
+      }
+    }.toDF("i", "j", "x")
+    val agg = partials.groupBy("i", "j").agg(sum("x").as("x"))
+    val n = agg.filter(col("i") === 0 && col("j") === 0).select(col("x").as("n"))
+    val means = agg.filter(col("i") === 0 && col("j") > 0)
+      .crossJoin(broadcast(n))
+      .select(col("j").as("pos"), (col("x") / col("n")).as("mu"))
+    agg.filter(col("i") > 0)
+      .crossJoin(broadcast(n))
+      .join(broadcast(means.select(col("pos").as("i"), col("mu").as("mu_i"))), "i")
+      .join(broadcast(means.select(col("pos").as("j"), col("mu").as("mu_j"))), "j")
+      .select(col("i"), col("j"),
+        (round(col("x") / col("n") - col("mu_i") * col("mu_j"), 4) + lit(0.0))
+          .as("cov"))
+      .orderBy("i", "j")
   }
 }

@@ -757,6 +757,13 @@ object LlmQueries {
       .orderBy("i", "j")
   }
 
+  /** q197's covariance by the matrix-accumulator path
+    * ([[Similarity.covarianceMatrix]]) — same output contract, same
+    * oracle; registered separately so the scale-path formulation rides
+    * its own green correctness row. */
+  val embCovarianceAccum: Q = (s, dir) =>
+    Similarity.covarianceMatrix(Tables.t(s, dir, "embeddings"))
+
   val embCovarianceSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |x AS (
@@ -852,6 +859,147 @@ object LlmQueries {
       |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) qq
       |LEFT JOIN h USING (query_id)
       |ORDER BY query_id""".stripMargin
+
+  /** Trained-vs-placeholder IVF recall (SCALE.md caveat 3 closed by
+    * measurement): the q194 recall harness run twice per query — once
+    * with [[Similarity.trainCentroidsReplayable]]'s sampled-k-means
+    * centroids, once with the first-N placeholder — so the choice
+    * "train or not" is a green oracle row, not advice. The trainer is
+    * integer-exact (6-dp micro-units, exact integer dots and sums), so
+    * the oracle replays BOTH the two Lloyd iterations and the serving
+    * path bit-for-bit.
+    *
+    * Measured verdict on THIS fixture: first-N wins (46 vs 37 of 50 at
+    * sf0.01; every (nlist, nprobe) in a 6-config sweep agrees). The
+    * fixture's embeddings have no cosine cluster structure (within- vs
+    * cross-label mean cosine both ≈ 0), and on structureless data
+    * data-point centroids preserve the query↔neighbor cell-rank
+    * correlation that mean-centroids destroy. The planted-corpus spec
+    * (LlmOpsSpec) shows the opposite on a clustered, sampling-biased
+    * corpus — trained 50 vs first-N 44 — which is exactly why this
+    * harness exists: run it on YOUR corpus before choosing.
+    *
+    * Scale shape: training is bounded by the seeded sample (≤256
+    * vectors to the driver — the offline-training contract); both
+    * serving legs are the q50 IVF plan (map-side assignment against
+    * broadcast centroids, one cell-keyed join); the brute-force truth
+    * leg is the eval harness's bounded probe set, never a serving
+    * path. */
+  val annTrainedRecall: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val trained = Similarity.trainCentroidsReplayable(emb)
+    val truth = Similarity.bruteForceTopK(q, emb, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(approx: org.apache.spark.sql.DataFrame, name: String) =
+      truth.join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).cast("int").as(name))
+    val ht = hits(Similarity.ivfTopK(q, emb, 5, centroids = Some(trained)), "hit_trained")
+    val hf = hits(Similarity.ivfTopK(q, emb, 5), "hit_firstn")
+    q.select(col("vec_id").as("query_id"))
+      .join(ht, Seq("query_id"), "left")
+      .join(hf, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hit_trained"), lit(0)).as("hit_trained"),
+        coalesce(col("hit_firstn"), lit(0)).as("hit_firstn"))
+      .orderBy("query_id")
+  }
+
+  val annTrainedRecallSql: String = {
+    // one unrolled Lloyd iteration: assign (exact integer dot, ties to
+    // the lowest cell), per-(cell, dim) integer sums, re-normalize +
+    // re-quantize; empty cells keep the previous centroid
+    def iter(n: Int, prev: String): String =
+      s"""a$n AS (
+         |  SELECT sn, q, cell FROM (
+         |    SELECT u.sn, u.q, c.cell,
+         |      row_number() OVER (PARTITION BY u.sn
+         |        ORDER BY list_sum([u.q[i] * c.cq[i]
+         |                 for i in range(1, len(u.q)+1)]) DESC,
+         |                 c.cell ASC) AS rk
+         |    FROM u CROSS JOIN $prev c) WHERE rk = 1),
+         |s$n AS (
+         |  SELECT cell, t.i AS i, sum(q[t.i])::BIGINT AS s
+         |  FROM a$n, unnest(range(1, len(q)+1)) AS t(i)
+         |  GROUP BY cell, t.i),
+         |n$n AS (SELECT cell, list(s ORDER BY i) AS sv FROM s$n GROUP BY cell),
+         |c$n AS (
+         |  SELECT p.cell,
+         |    CASE WHEN n$n.cell IS NULL THEN p.cq
+         |         ELSE [round(s / sqrt(list_sum([x*x for x in n$n.sv])::DOUBLE)
+         |                 * 1e6)::BIGINT for s in n$n.sv]
+         |    END AS cq
+         |  FROM $prev p LEFT JOIN n$n ON p.cell = n$n.cell)""".stripMargin
+    // one IVF serving leg + hit count against the shared brute-force top-5
+    def leg(tag: String, centCte: String): String =
+      s"""assigned_$tag AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT v.id, v.v, c.cell,
+         |      row_number() OVER (PARTITION BY v.id
+         |        ORDER BY round(list_cosine_similarity(v.v, c.cv), 6) DESC,
+         |                 c.cell ASC) AS ark
+         |    FROM v CROSS JOIN $centCte c) WHERE ark = 1),
+         |probes_$tag AS (
+         |  SELECT query_id, qv, cell FROM (
+         |    SELECT q.query_id, q.qv, c.cell,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+         |                 c.cell ASC) AS crk
+         |    FROM q CROSS JOIN $centCte c) WHERE crk <= 4),
+         |scored_$tag AS (
+         |  SELECT DISTINCT p.query_id, a.id AS neighbor_id,
+         |    round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+         |  FROM probes_$tag p JOIN assigned_$tag a ON p.cell = a.cell
+         |  WHERE p.query_id <> a.id),
+         |top_$tag AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY sim DESC, neighbor_id ASC) AS rk
+         |    FROM scored_$tag) WHERE rk <= 5),
+         |h_$tag AS (
+         |  SELECT bf.query_id, count(*) AS n_hit
+         |  FROM bf JOIN top_$tag USING (query_id, neighbor_id) GROUP BY 1)""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |samp AS (
+       |  SELECT id, v, row_number() OVER (ORDER BY id) AS sn
+       |  FROM v
+       |  WHERE (('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % 100) < 40
+       |    AND list_sum([y*y for y in v]) > 0
+       |  ORDER BY id LIMIT 256),
+       |u AS (
+       |  SELECT sn, [round(x / sqrt(list_sum([y*y for y in v])) * 1e6)::BIGINT
+       |              for x in v] AS q
+       |  FROM samp),
+       |c0 AS (SELECT sn - 1 AS cell, q AS cq FROM u WHERE sn <= 16),
+       |${iter(1, "c0")},
+       |${iter(2, "c1")},
+       |cent_t AS (SELECT cell, [x / 1000000.0 for x in cq] AS cv FROM c2),
+       |cent_f AS (SELECT id AS cell, v AS cv FROM v
+       |           WHERE id IN (SELECT id FROM v ORDER BY id LIMIT 16)),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < 10),
+       |bf_scored AS (
+       |  SELECT q.query_id, v.id AS neighbor_id,
+       |    round(list_cosine_similarity(q.qv, v.v), 4) AS sim
+       |  FROM v CROSS JOIN q WHERE v.id <> q.query_id),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY sim DESC, neighbor_id ASC) AS rk
+       |    FROM bf_scored) WHERE rk <= 5),
+       |${leg("t", "cent_t")},
+       |${leg("f", "cent_f")}
+       |SELECT qq.query_id,
+       |  coalesce(h_t.n_hit, 0)::INT AS hit_trained,
+       |  coalesce(h_f.n_hit, 0)::INT AS hit_firstn
+       |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) qq
+       |LEFT JOIN h_t USING (query_id)
+       |LEFT JOIN h_f USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
 
   /** One PQ block distance as an explicit left-assoc 8-term SQL sum —
     * the exact accumulation order of [[graft.functions.PqKernel]], so
@@ -1314,10 +1462,12 @@ object LlmQueries {
     "q86_hybrid_search" -> hybridSearch,
     "q191_bm25_topk" -> bm25TopK,
     "q194_ann_recall" -> annRecall,
+    "q208_ann_trained_recall" -> annTrainedRecall,
     "q196_containment_dup" -> containmentDup,
     "q199_dup_histogram" -> dupHistogram,
     "q201_minhash_calibration" -> minhashCalibration,
     "q197_emb_covariance" -> embCovariance,
+    "q207_emb_covariance_accum" -> embCovarianceAccum,
     "q53_ngram_jaccard" -> ngramJaccard,
     "q56_dedup_clusters" -> dedupClusters,
     "q178_cc_alternating" -> dedupClustersAlt,
@@ -1347,10 +1497,12 @@ object LlmQueries {
     "q86_hybrid_search" -> hybridSearchSql,
     "q191_bm25_topk" -> bm25TopKSql,
     "q194_ann_recall" -> annRecallSql,
+    "q208_ann_trained_recall" -> annTrainedRecallSql,
     "q196_containment_dup" -> containmentDupSql,
     "q199_dup_histogram" -> dupHistogramSql,
     "q201_minhash_calibration" -> minhashCalibrationSql,
     "q197_emb_covariance" -> embCovarianceSql,
+    "q207_emb_covariance_accum" -> embCovarianceSql,
     "q34_ann_topk" -> annTopKSql,
     "q181_semdedup" -> semDedupSql,
     "q183_semantic_decontam" -> semanticDecontamSql,

@@ -485,6 +485,65 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fps(0) === fps(1)); assert(fps(0) !== fps(2))
   }
 
+  test("matrix-accumulator covariance equals q197's explode formulation row for row") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val accum = Similarity.covarianceMatrix(emb)
+      .as[(Int, Int, Double)].collect().toSeq
+    val explode = graft.queries.LlmQueries.embCovariance(spark, sf)
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(accum.nonEmpty)
+    assert(accum === explode)
+  }
+
+  test("matrix-accumulator covariance rejects ragged embedding widths") {
+    val bad = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0, 2.0, 3.0)))
+      .toDF("vec_id", "embedding").coalesce(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Similarity.covarianceMatrix(bad).collect()
+    }
+    assert(ex.getMessage.contains("ragged embedding width")
+      || Option(ex.getCause).exists(_.getMessage.contains("ragged embedding width")))
+  }
+
+  test("trained centroids beat the first-N placeholder on a sampling-biased clustered corpus") {
+    // The case IVF training exists for: the first 16 ids all belong to
+    // ONE cluster (ids < 60 are cluster 0), so the first-N placeholder's
+    // centroids have zero coverage of the other 7 clusters and cross-
+    // cluster vectors land in noise-driven cells; the md5-bucket-sampled
+    // k-means sees every cluster. Clusters are moderately tight
+    // (within-cos ≈ 0.86, cross ≈ 0) with per-(id,dim) md5 noise so
+    // neighbor cell ranks are NOT trivially identical to the query's —
+    // the regime where centroid quality actually decides recall.
+    // (On the structureless embeddings fixture q208 measures the
+    // opposite outcome — that contrast is the point of the harness.)
+    val d = 16
+    def noise(i: Int, j: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i|$j".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 1000) / 1000.0 * 0.5 - 0.25
+    }
+    def vec(i: Int): Seq[Double] = {
+      val k = if (i < 60) 0 else i % 8
+      (0 until d).map(j =>
+        (if (j == 2 * k || j == 2 * k + 1) 1.0 else 0.0) + noise(i, j))
+    }
+    val planted = (0 until 200).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val q = planted.filter(col("vec_id").between(60, 69))
+    val truth = Similarity.bruteForceTopK(q, planted, 5)
+      .select("query_id", "neighbor_id")
+    def hitsOf(cents: Array[(Long, Array[Double])]): Long =
+      truth.join(
+        Similarity.ivfTopK(q, planted, 5, centroids = Some(cents))
+          .select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    val trained = hitsOf(Similarity.trainCentroidsReplayable(planted))
+    val firstN = hitsOf(Similarity.firstNCentroids(planted, 16))
+    assert(trained > firstN, s"trained=$trained firstN=$firstN")
+    assert(trained === 50L, s"trained should be perfect here, got $trained")
+  }
+
   test("BPE subwords match a hand-computed merge sequence") {
     // en16 table, rules applied IN ORDER, one greedy left-to-right pass
     // each. Hand derivation:
