@@ -67,6 +67,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only: "k=v;k2=v2" session confs (e.g. the presentationSort
+    // elision) for A/B timing; the driver never sets it
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
 
     def drain(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.TextOps
+
+/** Incremental-base compaction for the dedup family: folds a batch of
+  * documents into the PERSISTED base-corpus index that
+  * [[graft.llm.Dedup.minhashLshAgainstIndex]] (q177's serving shape) and
+  * the q110 fingerprint anti-join probe — so daily re-ingestion reads a
+  * ready-made index instead of re-shingling the whole accumulated base.
+  *
+  * State layout: `<stateDir>/index` parquet of
+  * `(id, fp, shingles, bands)` — the bag fingerprint (q110's identity),
+  * the shingle set (the LSH verify leg), and the fused band keys (the
+  * LSH candidate leg), all pure functions of the text.
+  *
+  * Write protocol (the S15 two-phase-commit discipline, batch-side): the
+  * merged index is fully materialized into `_staging` FIRST (the live
+  * dir is still being read lazily at that point), then the swap
+  * delete(live) → rename(staging, live) is the commit point.
+  * [[readIndex]] rolls an interrupted swap forward (staging complete +
+  * live missing ⇒ rename), so a crash between the two steps loses
+  * nothing. Re-running the same batch is a no-op by construction:
+  * merging is an id-keyed upsert (new rows replace, absent ids survive),
+  * and every indexed column is a deterministic function of the text.
+  *
+  * Scale shape: the merge is one anti-join of the existing index against
+  * the batch ids plus a union — O(index + batch) with the only exchange
+  * keyed on id; nothing re-shingles the base.
+  */
+object Compact {
+
+  private def live(stateDir: String) = new Path(stateDir, "index")
+  private def staging(stateDir: String) = new Path(stateDir, "_staging")
+
+  private def fs(spark: SparkSession, stateDir: String) =
+    new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The index rows for `batch` (id, fp, shingles, bands). */
+  private[graft] def indexRows(batch: DataFrame, shingleK: Int, bands: Int,
+                               rowsPerBand: Int, textCol: String,
+                               idCol: String): DataFrame =
+    batch.select(col(idCol).cast("long").as("id"),
+      TextOps.bagFingerprint(col(textCol)).as("fp"),
+      TextOps.wordShingles(col(textCol), shingleK).as("shingles"))
+      .withColumn("bands",
+        graft.functions.Hashing.minhashBands(col("shingles"), bands, rowsPerBand))
+
+  /** Read the live index, rolling an interrupted swap forward first.
+    * Returns None when no state exists yet. */
+  def readIndex(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val f = fs(spark, stateDir)
+    val l = live(stateDir)
+    val s = staging(stateDir)
+    if (!f.exists(l) && f.exists(new Path(s, "_SUCCESS"))) {
+      require(f.rename(s, l), s"roll-forward rename $s -> $l failed")
+    }
+    if (f.exists(l)) Some(spark.read.parquet(l.toString)) else None
+  }
+
+  /** Fold `batch` into the persisted index (id-keyed upsert). */
+  def run(spark: SparkSession, stateDir: String, batch: DataFrame,
+          shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
+          textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val f = fs(spark, stateDir)
+    val fresh = indexRows(batch, shingleK, bands, rowsPerBand, textCol, idCol)
+    val merged = readIndex(spark, stateDir) match {
+      case Some(existing) =>
+        existing.join(fresh.select("id"), Seq("id"), "left_anti")
+          .unionByName(fresh)
+      case None => fresh
+    }
+    // phase 1: materialize the merged index completely (the live dir is
+    // only READ here; overwrite of staging is safe on retry)
+    merged.write.mode("overwrite").parquet(staging(stateDir).toString)
+    // phase 2 (commit point): swap
+    f.delete(live(stateDir), true)
+    require(f.rename(staging(stateDir), live(stateDir)),
+      s"commit rename failed for $stateDir")
+    ()
+  }
+
+  /** CLI: `Compact <stateDir> <sfDir> <sourcesCsv>` — index the fixture
+    * documents whose `source` is in the comma-separated list (the q177
+    * batch convention) into the state at `<stateDir>`. */
+  def main(args: Array[String]): Unit = {
+    val Array(stateDir, sfDir, sourcesCsv) = args.take(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sources = sourcesCsv.split(',').map(_.trim).toSeq
+    val docs = Tables.t(spark, sfDir, "documents")
+      .filter(col("source").isin(sources: _*))
+    run(spark, stateDir, docs)
+    val n = readIndex(spark, stateDir).map(_.count()).getOrElse(0L)
+    println(s"""{"state":"$stateDir","indexed_docs":$n}""")
+    spark.stop()
+  }
+}

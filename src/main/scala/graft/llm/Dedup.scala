@@ -154,6 +154,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[minhashLshAgainst]] served from a PERSISTED base index
+    * ([[graft.Compact]]'s `(id, fp, shingles, bands)` state) instead of
+    * re-deriving the base side from raw text: candidates come from the
+    * batch's band keys joined against the index's stored band keys, and
+    * the Jaccard verify leg reads the index's stored shingle sets. Same
+    * output contract as [[minhashLshAgainst]] (spec-pinned equal); at
+    * 100 TB this is the difference between re-shingling the accumulated
+    * corpus every batch and one keyed join against state that
+    * [[graft.Compact]] maintains incrementally. */
+  def minhashLshAgainstIndex(index: DataFrame, batch: DataFrame,
+                             textCol: String = "text", idCol: String = "doc_id",
+                             shingleK: Int = 3, bands: Int = 32,
+                             rowsPerBand: Int = 4,
+                             threshold: Double = 0.8): DataFrame = {
+    val batchSh = batch
+      .select(col(idCol).cast("long").as("id"),
+        TextOps.wordShingles(col(textCol), shingleK).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val batchBanded = batchSh
+      .select(col("id"), lit(true).as("isBatch"),
+        posexplode(graft.functions.Hashing.minhashBands(
+          col("shingles"), bands, rowsPerBand)))
+      .select(col("id"), col("isBatch"), col("pos").as("band"), col("col").as("bh"))
+    val baseBanded = index
+      .filter(size(col("shingles")) > 0)
+      .select(col("id"), lit(false).as("isBatch"), posexplode(col("bands")))
+      .select(col("id"), col("isBatch"), col("pos").as("band"), col("col").as("bh"))
+    val cand = Lsh.crossBucketPairs(batchBanded.unionByName(baseBanded),
+      Seq("band", "bh"), "batch_id", "base_id")
+    cand
+      .join(batchSh.select(col("id").as("batch_id"), col("shingles").as("sh_a")),
+        "batch_id")
+      .join(index.select(col("id").as("base_id"), col("shingles").as("sh_b")),
+        "base_id")
+      .select(col("batch_id"), col("base_id"),
+        round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash fingerprint of the token multiset: bit k of the
     * fingerprint is the sign of Σ_tokens (±1 by bit k of xxhash64(token)).
     * Returned as array of 4 × 16-bit block values (int), which is both the

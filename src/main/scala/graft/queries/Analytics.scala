@@ -1039,7 +1039,12 @@ object Analytics {
     *
     * Scale shape: one map-side digit projection + one 9-group
     * map-combinable count + a single-row total broadcast. */
-  val benfordAudit: Q = (s, dir) => {
+  /** The audit body over any (valueCol) frame — split out so the
+    * planted boundary spec (totals in {0, 1}, negatives, sub-1e-3
+    * scientific-notation values) can drive it directly. */
+  private[graft] def benfordOn(totals: org.apache.spark.sql.DataFrame,
+                               valueCol: String): org.apache.spark.sql.DataFrame = {
+    val s = totals.sparkSession
     import s.implicits._
     val exp = Seq(
       1 -> 0.301029995663981, 2 -> 0.176091259055681, 3 -> 0.124938736608300,
@@ -1051,9 +1056,9 @@ object Analytics {
     // DuckDB writes '0.0005', and a negative sign would crash DuckDB's
     // '-'::INT — the >= 1 domain makes the first character the first
     // significant digit in both engines by construction
-    val d = Tables.t(s, dir, "orders")
-      .filter(col("o_totalprice") >= 1)
-      .select(substring(col("o_totalprice").cast("string"), 1, 1)
+    val d = totals
+      .filter(col(valueCol) >= 1)
+      .select(substring(col(valueCol).cast("string"), 1, 1)
         .cast("int").as("digit"))
     val tot = d.agg(count(lit(1)).as("n_tot"))
     d.groupBy("digit").agg(count(lit(1)).as("n"))
@@ -1067,6 +1072,9 @@ object Analytics {
           - round(col("benford"), 4)), 4).as("abs_dev"))
       .orderBy("digit")
   }
+
+  val benfordAudit: Q = (s, dir) =>
+    benfordOn(Tables.t(s, dir, "orders"), "o_totalprice")
 
   val benfordAuditSql: String =
     """WITH e(digit, benford) AS (VALUES

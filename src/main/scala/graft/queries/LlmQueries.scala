@@ -81,6 +81,23 @@ object LlmQueries {
        |        len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.8
        |ORDER BY batch_id, base_id""".stripMargin
 
+  /** q177's incremental near-dup SERVED FROM THE INDEX SHAPE
+    * ([[Dedup.minhashLshAgainstIndex]] over [[graft.Compact.indexRows]]):
+    * the base side is the compacted `(id, fp, shingles, bands)` state —
+    * stored band keys and stored shingle sets, nothing re-derived from
+    * base text. Must produce exactly q177's answer (same oracle), which
+    * is the cross-engine proof that the persisted-index serving path and
+    * the from-scratch path cannot drift. */
+  val indexedNearDup: Q = (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+    val isBatch = col("source").isin("src15", "src16", "src17", "src18", "src19")
+    val index = graft.Compact.indexRows(docs.filter(!isBatch),
+      shingleK = 3, bands = 32, rowsPerBand = 4,
+      textCol = "text", idCol = "doc_id")
+    Dedup.minhashLshAgainstIndex(index, docs.filter(isBatch))
+      .orderBy("batch_id", "base_id")
+  }
+
   val dedupMinhashSql: String =
     s"""WITH sh AS (
        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -1423,6 +1440,36 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus subword vocabulary — the tokenizer-evaluation companion to
+    * q205: the 30 most frequent BPE subwords with document frequency,
+    * the table a tokenizer owner reads to see whether the merges fit
+    * the corpus (high-rank single chars ⇒ missing merges). One kernel
+    * pass + explode to (doc, subword), map-combinable counts, top-30 by
+    * count with deterministic ties. */
+  val bpeVocab: Q = (s, dir) => {
+    val sw = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.bpeSubwords(col("text"))).as("subword"))
+    sw.groupBy("subword")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("subword").asc)
+      .limit(30)
+  }
+
+  val bpeVocabSql: String = {
+    val chain = Fragments.bpeWordSql()
+    s"""WITH wd AS (
+       |  SELECT doc_id, ${Fragments.BpeWordsSql} AS words FROM documents),
+       |sw AS (
+       |  SELECT doc_id, unnest(flatten([string_split($chain, '${Fragments.BpeSep}')
+       |    for w in words])) AS subword
+       |  FROM wd)
+       |SELECT subword, count(*) AS n_occurrences,
+       |  count(DISTINCT doc_id) AS n_docs
+       |FROM sw GROUP BY subword
+       |ORDER BY n_occurrences DESC, subword ASC LIMIT 30""".stripMargin
+  }
+
   val bpeSubwordStatsSql: String = {
     val chain = Fragments.bpeWordSql()
     s"""WITH wd AS (
@@ -1447,6 +1494,7 @@ object LlmQueries {
     "q68_label_centroids" -> labelCentroids,
     "q32_dedup_minhash_lsh" -> dedupMinhash,
     "q177_incremental_neardup" -> incrementalNearDup,
+    "q209_indexed_neardup" -> indexedNearDup,
     "q33_dedup_simhash" -> dedupSimhash,
     "q182_dup_spans" -> dupSpans,
     "q190_ngram_novelty" -> ngramNovelty,
@@ -1477,6 +1525,7 @@ object LlmQueries {
     "q39_quality_score" -> qualityScore,
     "q40_token_count" -> tokenCount,
     "q205_bpe_subwords" -> bpeSubwordStats,
+    "q210_bpe_vocab" -> bpeVocab,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1486,6 +1535,7 @@ object LlmQueries {
     "q68_label_centroids" -> labelCentroidsSql,
     "q32_dedup_minhash_lsh" -> dedupMinhashSql,
     "q177_incremental_neardup" -> incrementalNearDupSql,
+    "q209_indexed_neardup" -> incrementalNearDupSql,
     "q33_dedup_simhash" -> dedupSimhashSql,
     "q182_dup_spans" -> dupSpansSql,
     "q190_ngram_novelty" -> ngramNoveltySql,
@@ -1516,5 +1566,6 @@ object LlmQueries {
     "q39_quality_score" -> qualityScoreSql,
     "q40_token_count" -> tokenCountSql,
     "q205_bpe_subwords" -> bpeSubwordStatsSql,
+    "q210_bpe_vocab" -> bpeVocabSql,
   )
 }

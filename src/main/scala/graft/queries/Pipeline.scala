@@ -41,7 +41,7 @@ object Pipeline {
         TextOps.redactPii(col("contact")).as("redacted"),
         TextOps.emailCount(col("contact")).as("n_emails"),
         TextOps.phoneCount(col("contact")).as("n_phones"))
-      .orderBy("c_custkey")
+      .transform(graft.Presentation.sort(_, "c_custkey"))
   }
 
   val piiRedactSql: String = {
@@ -77,7 +77,7 @@ object Pipeline {
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
           .otherwise("test").as("split"))
-      .orderBy("doc_id")
+      .transform(graft.Presentation.sort(_, "doc_id"))
 
   val splitAssignSql: String =
     s"""SELECT doc_id,
@@ -232,7 +232,8 @@ object Pipeline {
     val updates = orders.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
         (col("o_totalprice") + 10.0).as("o_totalprice"))
-    Merge.upsert(base, updates, Seq("o_orderkey")).orderBy("o_orderkey")
+    Merge.upsert(base, updates, Seq("o_orderkey"))
+      .transform(graft.Presentation.sort(_, "o_orderkey"))
   }
 
   val mergeUpsertSql: String =

@@ -461,7 +461,7 @@ object Relational {
         dayofmonth(col("o_orderdate")).as("dom"),
         date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd").as("qtr_start"),
         datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"))
-      .orderBy("o_orderkey")
+      .transform(graft.Presentation.sort(_, "o_orderkey"))
 
   val scalarDateSql: String =
     """SELECT o_orderkey,

@@ -479,4 +479,26 @@ class AnalyticsSpec extends AnyFunSuite {
     // an empty edge set must yield all-zero counts (not NULLs)
     assert(census(Seq.empty[(Long, Long)]) === ((0L, 0L, 0L, 0L, 0.0)))
   }
+
+  test("Benford audit boundary: totals below 1 are excluded, exactly 1 is included") {
+    // the q204 domain guard (totals >= 1) exists because sub-1e-3
+    // doubles render as scientific notation and negatives would break
+    // the digit cast — this planted corpus sits ON that boundary:
+    //   excluded: 0.0, 0.5, 0.9999999, 0.0005 (sci-notation form), -3.2
+    //   included: 1.0, 1.5 (digit 1), 9.99 (digit 9)
+    val totals = Seq(0.0, 0.5, 0.9999999, 0.0005, -3.2, 1.0, 1.5, 9.99)
+      .toDF("total")
+    val got = graft.queries.Analytics.benfordOn(totals, "total")
+      .select("digit", "n", "observed", "expected", "abs_dev")
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      (1, 2L, 0.6667, 0.3010, 0.3657),
+      (9, 1L, 0.3333, 0.0458, 0.2875)))
+  }
+
+  test("Benford audit on an all-sub-1 corpus yields zero rows, not a division error") {
+    val got = graft.queries.Analytics.benfordOn(
+      Seq(0.0, 0.25, 0.9999).toDF("total"), "total").collect()
+    assert(got.isEmpty)
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Dedup
+
+/** The incremental-base compaction contract ([[Compact]]): idempotent
+  * re-runs, id-keyed upsert semantics, crash roll-forward, and answer
+  * parity — the persisted index must give exactly the answers the
+  * from-scratch paths (q177's minhashLshAgainst, q110's fingerprint
+  * anti-join) compute from raw text. */
+class CompactSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val batchSources = Seq("src15", "src16", "src17", "src18", "src19")
+
+  private def tmpState(): String =
+    java.nio.file.Files.createTempDirectory("graft-compact").toString
+
+  private def rm(dir: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(go)); f.delete(); ()
+    }
+    go(new java.io.File(dir))
+  }
+
+  private lazy val docs = Tables.t(spark, sf, "documents").cache()
+  private lazy val base = docs.filter(!col("source").isin(batchSources: _*))
+  private lazy val batch = docs.filter(col("source").isin(batchSources: _*))
+
+  private def indexRows(state: String) =
+    Compact.readIndex(spark, state).get
+      .select(col("id"), col("fp"), col("shingles"), col("bands"))
+      .as[(Long, String, Seq[String], Seq[Long])].collect()
+      .map { case (i, f, sh, b) => (i, f, sh.toList, b.toList) }.toSet
+
+  test("compaction is idempotent: re-running the same batch leaves the state identical") {
+    val state = tmpState()
+    try {
+      Compact.run(spark, state, base)
+      val first = indexRows(state)
+      Compact.run(spark, state, base)
+      assert(indexRows(state) === first)
+      assert(first.map(_._1) === base.select("doc_id").as[Long].collect().toSet)
+    } finally rm(state)
+  }
+
+  test("compaction upserts: a re-indexed id's row is replaced, others survive") {
+    val state = tmpState()
+    try {
+      Compact.run(spark, state,
+        Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+          .toDF("doc_id", "text"))
+      Compact.run(spark, state,
+        Seq((2L, "delta epsilon zeta CHANGED"), (3L, "eta theta iota"))
+          .toDF("doc_id", "text"))
+      val rows = indexRows(state)
+      assert(rows.map(_._1) === Set(1L, 2L, 3L))
+      val fp2 = rows.find(_._1 == 2L).get._2
+      val expected2 = Seq((2L, "delta epsilon zeta CHANGED")).toDF("doc_id", "text")
+        .select(graft.llm.TextOps.bagFingerprint(col("text"))).as[String].head()
+      assert(fp2 === expected2)
+    } finally rm(state)
+  }
+
+  test("an interrupted swap rolls forward on the next read") {
+    val state = tmpState()
+    try {
+      Compact.run(spark, state, base)
+      val before = indexRows(state)
+      // simulate a crash between delete(live) and rename(staging, live):
+      // a COMPLETE staging exists, live is gone
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val live = new org.apache.hadoop.fs.Path(state, "index")
+      val staging = new org.apache.hadoop.fs.Path(state, "_staging")
+      assert(fs.rename(live, staging))
+      assert(!fs.exists(live))
+      assert(indexRows(state) === before) // readIndex rolled it forward
+      assert(fs.exists(live) && !fs.exists(staging))
+    } finally rm(state)
+  }
+
+  test("q177 parity: probing the compacted index equals minhashLshAgainst from raw text") {
+    val state = tmpState()
+    try {
+      Compact.run(spark, state, base)
+      val fromIndex = Dedup.minhashLshAgainstIndex(
+        Compact.readIndex(spark, state).get, batch)
+        .as[(Long, Long, Double)].collect().toSet
+      val fromScratch = Dedup.minhashLshAgainst(base, batch)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fromScratch.nonEmpty, "fixture should contain cross-split near-dups")
+      assert(fromIndex === fromScratch)
+    } finally rm(state)
+  }
+
+  test("q110 parity: the index's fingerprint set drives the same incremental exact dedup") {
+    val state = tmpState()
+    try {
+      // q110's split: base = everything but src19, batch = src19
+      val b110 = docs.filter(col("source") =!= "src19")
+      val n110 = docs.filter(col("source") === "src19")
+      Compact.run(spark, state, b110)
+      val baseFps = Compact.readIndex(spark, state).get.select("fp").distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      val viaIndex = n110
+        .select(col("doc_id"), col("lang"),
+          graft.llm.TextOps.bagFingerprint(col("text")).as("fp"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(baseFps, Seq("fp"), "left_anti")
+        .select("doc_id", "lang", "fp")
+        .as[(Long, String, String)].collect().toSet
+      val fromScratch = graft.queries.Analytics.incrementalDedup(spark, sf)
+        .as[(Long, String, String)].collect().toSet
+      assert(viaIndex === fromScratch)
+    } finally rm(state)
+  }
+}

@@ -169,6 +169,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1) Project [minhash_signature"), p.take(400))
   }
 
+  test("presentationSort=false elides the final range exchange on the row-level family") {
+    val family: Seq[graft.Q] = Seq(
+      graft.queries.Relational.scalarDate,
+      graft.queries.Pipeline.piiRedact,
+      graft.queries.Pipeline.splitAssign,
+      graft.queries.Pipeline.mergeUpsert)
+    def rangeExchanges(q: graft.Q): Int = {
+      val p = q(spark, sf).queryExecution.executedPlan.toString
+      "rangepartitioning".r.findAllIn(p).length
+    }
+    // oracle mode (default): every query carries exactly its
+    // deterministic presentation sort
+    family.foreach(q => assert(rangeExchanges(q) >= 1))
+    spark.conf.set(graft.Presentation.Key, "false")
+    try family.foreach(q => assert(rangeExchanges(q) === 0,
+      "library mode must not pay a global sort for presentation"))
+    finally spark.conf.unset(graft.Presentation.Key)
+  }
+
   test("BPE subword kernel runs inside whole-stage codegen") {
     val df = Tables.t(spark, sf, "documents")
       .select(graft.llm.TextOps.bpeSubwords(col("text")).as("sub"))
