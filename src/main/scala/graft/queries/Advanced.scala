@@ -379,7 +379,7 @@ object Advanced {
             (col("trail_n") * col("cents") - col("s1")) >
           lit(9L) * (col("trail_n") * col("s2") - col("s1") * col("s1")))
       .select("o_orderkey", "cents", "trail_n", "anomaly")
-      .orderBy("o_orderkey")
+      .transform(graft.Presentation.sort(_, "o_orderkey"))
   }
 
   val windowAnomalySql: String =
@@ -896,7 +896,7 @@ object Advanced {
       .withColumn("rk", row_number().over(ord))
       .filter(col("rk") === 1)
       .select("o_custkey", "first_cents", "last_cents", "third_cents")
-      .orderBy("o_custkey")
+      .transform(graft.Presentation.sort(_, "o_custkey"))
   }
 
   val valueWindowsSql: String =

@@ -342,7 +342,7 @@ object Analytics {
         (lit(1998 * 12 + 8) -
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))))
           .as("months_to_end"))
-      .orderBy("o_orderkey")
+      .transform(graft.Presentation.sort(_, "o_orderkey"))
 
   val datetimeBatterySql: String =
     """SELECT o_orderkey, o_orderdate,
@@ -376,7 +376,7 @@ object Analytics {
         size(expr("regexp_extract_all(props, '[0-9]+', 0)")).as("n_num"),
         regexp_replace(col("event_type"), "[aeiou]", "*").as("masked_type"),
         col("event_type").rlike("^(click|view)$").as("is_engagement"))
-      .orderBy("event_id")
+      .transform(graft.Presentation.sort(_, "event_id"))
 
   val regexBatterySql: String =
     """SELECT event_id, props,
@@ -655,7 +655,7 @@ object Analytics {
         expr("nullif(c_nationkey, 0)").as("nation_nz"),
         expr("nvl2(tot, 'has', 'none')").as("order_flag"),
         (col("tot") + lit(1)).as("tot_plus1"))
-      .orderBy("c_custkey")
+      .transform(graft.Presentation.sort(_, "c_custkey"))
   }
 
   val nullBatterySql: String =
@@ -693,7 +693,7 @@ object Analytics {
         round(array_max(e).cast("double"), 6).as("max_elem"),
         round(aggregate(zip_with(e, reverse(e), (x, y) => d(x) * d(y)),
           lit(0.0), (acc, v) => acc + v), 6).as("dot_rev"))
-      .orderBy("vec_id")
+      .transform(graft.Presentation.sort(_, "vec_id"))
   }
 
   val higherOrderSql: String =

@@ -250,7 +250,7 @@ object Curation {
       .select(col("vec_id"), col("pos"),
         round((d("x") - d("sx") / d("n")) /
           (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) / d("n")), 4).as("z"))
-      .orderBy("vec_id", "pos")
+      .transform(graft.Presentation.sort(_, "vec_id", "pos"))
   }
 
   val zscoreNormSql: String =

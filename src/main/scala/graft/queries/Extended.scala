@@ -37,7 +37,7 @@ object Extended {
         from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
           .getField("k").as("k_schema"))
-      .orderBy("event_id")
+      .transform(graft.Presentation.sort(_, "event_id"))
 
   val jsonExtractSql: String =
     """SELECT event_id,
@@ -201,7 +201,7 @@ object Extended {
         col("p_name").contains("a").as("has_a"),
         col("p_size").isin(5, 10, 15).as("size_in"),
         col("p_retailprice").between(500, 1500).as("price_band"))
-      .orderBy("p_partkey")
+      .transform(graft.Presentation.sort(_, "p_partkey"))
 
   val predicatesSql: String =
     """SELECT p_partkey,
@@ -223,7 +223,7 @@ object Extended {
         array_contains(TextOps.tokens(col("text")), "the").as("has_the"),
         size(TextOps.tokens(col("text"))).as("n_toks"),
         size(array_distinct(TextOps.tokens(col("text")))).as("n_uniq"))
-      .orderBy("doc_id")
+      .transform(graft.Presentation.sort(_, "doc_id"))
 
   val arrayFuncsSql: String = {
     val toks = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"

@@ -295,7 +295,7 @@ object Pipeline {
       .select(col("vec_id"), col("pos"),
         (floor((col("v") - col("mn")) / (col("mx") - col("mn")) * 255) - 128)
           .cast("int").as("q"))
-      .orderBy("vec_id", "pos")
+      .transform(graft.Presentation.sort(_, "vec_id", "pos"))
   }
 
   val quantizeInt8Sql: String =

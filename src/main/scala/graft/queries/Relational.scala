@@ -443,7 +443,7 @@ object Relational {
         substring(col("p_brand"), 7, 2).as("brand_id"),
         concat_ws("|", col("p_type"), col("p_brand")).as("type_brand"),
         ltrim(rtrim(col("p_name"))).as("trimmed"))
-      .orderBy("p_partkey")
+      .transform(graft.Presentation.sort(_, "p_partkey"))
 
   val scalarStringSql: String =
     """SELECT p_partkey, upper(p_name) AS uname, length(p_name)::INTEGER AS name_len,
@@ -506,7 +506,7 @@ object Relational {
         col("c_acctbal").cast("int").as("bal_int"),
         col("c_custkey").cast("double").as("key_dbl"),
         col("c_custkey").cast("string").as("key_str"))
-      .orderBy("c_custkey")
+      .transform(graft.Presentation.sort(_, "c_custkey"))
 
   val scalarCaseCastSql: String =
     """SELECT c_custkey,

@@ -262,13 +262,13 @@ object StreamOps {
     new UnpersistOnStopQuery(underlying, baseDist)
   }
 
-  /** Delegating [[StreamingQuery]] handle whose `stop()` also releases a
-    * DataFrame the monitor cached for its lifetime — without it, repeated
-    * monitor starts on a long-lived session would accumulate persisted
-    * base distributions with no way to free them. */
+  /** Delegating [[StreamingQuery]] handle whose `stop()` also releases
+    * the DataFrames the monitor cached for its lifetime — without it,
+    * repeated monitor starts on a long-lived session would accumulate
+    * persisted static sides with no way to free them. */
   private final class UnpersistOnStopQuery(
       underlying: org.apache.spark.sql.streaming.StreamingQuery,
-      cached: DataFrame)
+      cached: DataFrame*)
       extends org.apache.spark.sql.streaming.StreamingQuery {
     def name: String = underlying.name
     def id: java.util.UUID = underlying.id
@@ -289,7 +289,7 @@ object StreamOps {
     def processAllAvailable(): Unit = underlying.processAllAvailable()
     def stop(): Unit = {
       try underlying.stop()
-      finally { cached.unpersist(); () }
+      finally { cached.foreach(_.unpersist()); () }
     }
     def explain(): Unit = underlying.explain()
     def explain(extended: Boolean): Unit = underlying.explain(extended)
@@ -325,15 +325,53 @@ object StreamOps {
       .select(col("doc_id").as("corpus_id"),
         TextOps.wordShingles(col("text"), shingleK).as("c_shingles"))
       .filter(size(col("c_shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusBanded = corpusShingles
       .select(col("corpus_id"),
         posexplode(graft.functions.Hashing.minhashBands(
           col("c_shingles"), bands, rowsPerBand)))
       .select(col("corpus_id"), col("pos").as("band"), col("col").as("bh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nearDupAlertsWith(docs, corpusShingles, corpusBanded, alertDir,
+      checkpointDir, threshold, shingleK, bands, rowsPerBand)
+  }
 
-    docs.writeStream
+  /** [[nearDupAlerts]] served from a [[graft.Compact]]-maintained base
+    * index (`(id, fp, shingles, bands)`) instead of re-shingling the
+    * corpus at monitor start — the streaming twin of
+    * [[graft.llm.Dedup.minhashLshAgainstIndex]], and the shape the 100 TB
+    * deployment actually runs: `Compact` folds each accepted batch into
+    * the state; the alert monitor reads the same state's stored shingle
+    * sets and band keys. Spec-pinned to emit exactly the batch path's
+    * answers. */
+  def nearDupAlertsFromIndex(docs: DataFrame, index: DataFrame,
+                             alertDir: String, checkpointDir: String,
+                             threshold: Double = 0.8, shingleK: Int = 3,
+                             bands: Int = 32, rowsPerBand: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val nonEmpty = index.filter(size(col("shingles")) > 0)
+    val corpusShingles = nonEmpty
+      .select(col("id").as("corpus_id"), col("shingles").as("c_shingles"))
+    val corpusBanded = nonEmpty
+      .select(col("id").as("corpus_id"), posexplode(col("bands")))
+      .select(col("corpus_id"), col("pos").as("band"), col("col").as("bh"))
+    nearDupAlertsWith(docs, corpusShingles, corpusBanded, alertDir,
+      checkpointDir, threshold, shingleK, bands, rowsPerBand)
+  }
+
+  /** Shared alert loop: the static side arrives as (corpus_id,
+    * c_shingles) + (corpus_id, band, bh), is cached for the monitor's
+    * lifetime, and released by the returned handle's `stop()` (the
+    * driftMonitor cache discipline). */
+  private def nearDupAlertsWith(docs: DataFrame, corpusShinglesRaw: DataFrame,
+                                corpusBandedRaw: DataFrame, alertDir: String,
+                                checkpointDir: String, threshold: Double,
+                                shingleK: Int, bands: Int, rowsPerBand: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.TextOps
+    val corpusShingles = corpusShinglesRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBanded = corpusBandedRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val underlying = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sh = batch
@@ -354,6 +392,7 @@ object StreamOps {
         ()
       }
       .start()
+    new UnpersistOnStopQuery(underlying, corpusShingles, corpusBanded)
   }
 
   // ---- custom state: sessionization via flatMapGroupsWithState ----

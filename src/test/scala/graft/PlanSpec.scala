@@ -172,9 +172,22 @@ class PlanSpec extends AnyFunSuite {
   test("presentationSort=false elides the final range exchange on the row-level family") {
     val family: Seq[graft.Q] = Seq(
       graft.queries.Relational.scalarDate,
+      graft.queries.Relational.scalarString,
+      graft.queries.Relational.scalarCaseCast,
       graft.queries.Pipeline.piiRedact,
       graft.queries.Pipeline.splitAssign,
-      graft.queries.Pipeline.mergeUpsert)
+      graft.queries.Pipeline.mergeUpsert,
+      graft.queries.Pipeline.quantizeInt8,
+      graft.queries.Extended.jsonExtract,
+      graft.queries.Extended.predicates,
+      graft.queries.Extended.arrayFuncs,
+      graft.queries.Curation.zscoreNorm,
+      graft.queries.Analytics.datetimeBattery,
+      graft.queries.Analytics.regexBattery,
+      graft.queries.Analytics.nullBattery,
+      graft.queries.Analytics.higherOrder,
+      graft.queries.Advanced.windowAnomaly,
+      graft.queries.Advanced.valueWindows)
     def rangeExchanges(q: graft.Q): Int = {
       val p = q(spark, sf).queryExecution.executedPlan.toString
       "rangepartitioning".r.findAllIn(p).length

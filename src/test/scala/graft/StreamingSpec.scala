@@ -378,6 +378,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup alerts served from the Compact state equal the rebuilt-corpus path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-idx").toFile
+    val alertDir = new java.io.File(dir, "alerts").getPath
+    val ckDir = new java.io.File(dir, "ck").getPath
+    val stateDir = new java.io.File(dir, "state").getPath
+    try {
+      // q177's split: base state maintained by Compact, batch streamed
+      val docs = Tables.t(spark, sf, "documents")
+      val batchSrc = Seq("src15", "src16", "src17", "src18", "src19")
+      val base = docs.filter(!col("source").isin(batchSrc: _*))
+      val batch = docs.filter(col("source").isin(batchSrc: _*))
+      graft.Compact.run(spark, stateDir, base)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](spark)
+      val q = StreamOps.nearDupAlertsFromIndex(
+        stream.toDS().toDF("doc_id", "text"),
+        graft.Compact.readIndex(spark, stateDir).get, alertDir, ckDir)
+      stream.addData(batch.select("doc_id", "text")
+        .as[(Long, String)].collect().toIndexedSeq: _*)
+      q.processAllAvailable(); q.stop()
+
+      val alerts = spark.read.parquet(alertDir)
+        .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+      val expected = graft.llm.Dedup.minhashLshAgainst(base, batch)
+        .select("batch_id", "base_id").as[(Long, Long)].collect().toSet
+      assert(expected.nonEmpty)
+      assert(alerts === expected)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("streaming upsert sink maintains a last-writer-wins snapshot across batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toFile
     val snapDir = new java.io.File(dir, "snap").getPath
