@@ -1180,6 +1180,52 @@ object Advanced {
       |ORDER BY c_acctbal DESC, c_custkey ASC
       |LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------- q213
+
+  /** Pareto frontier (skyline) of orders over (o_orderdate, o_totalprice),
+    * both maximized: an order survives iff no other order is at least as
+    * late AND at least as expensive with one dimension strict — the
+    * multi-criteria selection operator (Börzsönyi et al., ICDE '01
+    * "The Skyline Operator"). The 2-D skyline needs NO dominance
+    * self-join: group to the distinct-date spine keeping each date's max
+    * price, one running-max window over dates descending (a row is
+    * dominated exactly when some strictly-later date reaches its price),
+    * then a broadcast join back picks the surviving rows. The spine is
+    * calendar-bounded, so the window input stays O(dates) at any corpus
+    * size; d>2 skylines decompose the same way (per-partition local
+    * skyline, then skyline-of-skylines — skyline(∪Sᵢ) = skyline(∪
+    * skyline(Sᵢ))). Prices compare/output as exact cents. */
+  val paretoFrontier: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val grp = o.groupBy("o_orderdate").agg(max("o_totalprice").as("maxp"))
+    val w = Window.orderBy(col("o_orderdate").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = grp.withColumn("rm", max("maxp").over(w))
+      .filter(col("rm").isNull || col("maxp") > col("rm"))
+      .select(col("o_orderdate"), col("maxp"))
+    o.join(broadcast(front), Seq("o_orderdate"))
+      .filter(col("o_totalprice") === col("maxp"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .orderBy(col("o_date").desc, col("o_orderkey"))
+  }
+
+  val paretoFrontierSql: String =
+    """WITH grp AS (
+      |  SELECT o_orderdate, max(o_totalprice) AS maxp FROM orders GROUP BY 1),
+      |front AS (
+      |  SELECT o_orderdate, maxp,
+      |    max(maxp) OVER (ORDER BY o_orderdate DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+      |  FROM grp)
+      |SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+      |  round(o.o_totalprice * 100)::BIGINT AS price_cents
+      |FROM orders o JOIN front f
+      |  ON o.o_orderdate = f.o_orderdate AND o.o_totalprice = f.maxp
+      |WHERE f.rm IS NULL OR f.maxp > f.rm
+      |ORDER BY o_date DESC, o.o_orderkey""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1214,6 +1260,7 @@ object Advanced {
     "q157_conditional_distinct" -> conditionalDistinct,
     "q158_cumulative_distinct" -> cumulativeDistinct,
     "q159_keyset_pagination" -> keysetPagination,
+    "q213_pareto_frontier" -> paretoFrontier,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1248,5 +1295,6 @@ object Advanced {
     "q157_conditional_distinct" -> conditionalDistinctSql,
     "q158_cumulative_distinct" -> cumulativeDistinctSql,
     "q159_keyset_pagination" -> keysetPaginationSql,
+    "q213_pareto_frontier" -> paretoFrontierSql,
   )
 }

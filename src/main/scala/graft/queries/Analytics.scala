@@ -1432,6 +1432,57 @@ object Analytics {
        |ORDER BY k, node""".stripMargin
   }
 
+  /** HyperBall neighborhood-function estimation over the co-purchase
+    * graph ([[graft.operators.Graph.hyperBall]] — Boldi & Vigna's
+    * HyperANF/HyperBall): per node, HLL-register estimates of its 1-,
+    * 2- and 3-hop ball sizes, the primitive behind effective-diameter /
+    * closeness-centrality reporting at graph scales where exact r-hop
+    * neighborhoods are quadratic. The Spark side carries only O(n·16)
+    * registers per round; the ORACLE (and only the oracle) materializes
+    * the exact bounded-radius reachability pairs and derives the SAME
+    * md5 registers from them, so the estimator is replayed bit for bit
+    * — raw Flajolet form, no ln() anywhere (see the operator doc). */
+  val hyperBall: Q = (s, dir) =>
+    graft.operators.Graph.hyperBall(coPurchaseEdges(s, dir), rounds = 3)
+      .orderBy("node", "r")
+
+  val hyperBallSql: String = {
+    def reach(i: Int): String =
+      s"""r$i AS MATERIALIZED (
+         |  SELECT DISTINCT n, w FROM (
+         |    SELECT n, w FROM r${i - 1}
+         |    UNION ALL
+         |    SELECT r.n, u.b AS w FROM r${i - 1} r JOIN und u ON r.w = u.a))""".stripMargin
+    def est(i: Int): String =
+      s"""SELECT g.n AS node, $i AS r,
+         |  round(172.288 / ((16.0 - g.nb) + g.zn), 4) AS est_ball
+         |FROM (
+         |  SELECT rg.n, count(*) AS nb, sum(1.0 / (1::BIGINT << rg.m)) AS zn
+         |  FROM (
+         |    SELECT r.n, h.bkt, max(h.m) AS m
+         |    FROM r$i r JOIN h ON r.w = h.n GROUP BY 1, 2) rg
+         |  GROUP BY 1) g""".stripMargin
+    s"""WITH $CoPurchaseSql,
+       |nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM und),
+       |h AS MATERIALIZED (
+       |  SELECT n,
+       |    (('0x' || substr(md5(n::VARCHAR), 1, 4))::BIGINT % 16)::INTEGER AS bkt,
+       |    (CASE WHEN ('0x' || substr(md5(n::VARCHAR), 5, 6))::BIGINT = 0 THEN 25
+       |          ELSE 25 - length(bin(('0x' || substr(md5(n::VARCHAR), 5, 6))::BIGINT))
+       |     END)::INTEGER AS m
+       |  FROM nodes),
+       |r0 AS MATERIALIZED (SELECT n, n AS w FROM nodes),
+       |${reach(1)},
+       |${reach(2)},
+       |${reach(3)}
+       |${est(1)}
+       |UNION ALL
+       |${est(2)}
+       |UNION ALL
+       |${est(3)}
+       |ORDER BY node, r""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1465,7 +1516,8 @@ object Analytics {
     "q179_triangle_count" -> triangleCount,
     "q184_kcore" -> kcoreLayers,
     "q186_collocations" -> collocations,
-    "q189_bloom_gate" -> bloomGate)
+    "q189_bloom_gate" -> bloomGate,
+    "q211_hyperball" -> hyperBall)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -1498,5 +1550,6 @@ object Analytics {
     "q179_triangle_count" -> triangleCountSql,
     "q184_kcore" -> kcoreLayersSql,
     "q186_collocations" -> collocationsSql,
-    "q189_bloom_gate" -> bloomGateSql)
+    "q189_bloom_gate" -> bloomGateSql,
+    "q211_hyperball" -> hyperBallSql)
 }

@@ -303,6 +303,52 @@ object Extended {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Per-user time-weighted average event value (q214): each event's
+    * value holds until the user's next event; the average weights each
+    * value by its holding duration in whole seconds — the
+    * temporal-aggregation complement of q60's as-of join (point lookup)
+    * and q61's sessionization (gap partitioning). Determinism: values
+    * quantized to exact milli-units (the fixture is 2-dp), durations
+    * floor-divided to whole seconds on integer epoch-micros, so the
+    * weighted sum is a BIGINT in both engines and the single final
+    * division is the only float op. One window + one aggregate, both on
+    * the user key — one shuffle total at any scale. */
+  val timeWeightedAvg: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 1000).cast("long").as("v_milli"))
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dt_s", expr("(next_us - unix_micros(ts)) DIV 1000000"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("dt_s").as("held_s"),
+        sum(col("v_milli") * col("dt_s")).as("num_milli_s"))
+      .filter(col("held_s") > 0)
+      .select(col("user_id"), col("n_intervals"), col("held_s"),
+        round(col("num_milli_s").cast("double") /
+          (col("held_s").cast("double") * 1000.0), 6).as("twa"))
+      .orderBy("user_id")
+  }
+
+  val timeWeightedAvgSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, ts,
+      |    round(value * 1000)::BIGINT AS v_milli,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_us
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, count(*)::BIGINT AS n_intervals,
+      |    sum((next_us - epoch_us(ts)) // 1000000)::BIGINT AS held_s,
+      |    sum(v_milli * ((next_us - epoch_us(ts)) // 1000000))::BIGINT
+      |      AS num_milli_s
+      |  FROM iv WHERE next_us IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n_intervals, held_s,
+      |  round(num_milli_s::DOUBLE / (held_s::DOUBLE * 1000.0), 6) AS twa
+      |FROM g WHERE held_s > 0 ORDER BY user_id""".stripMargin
+
   /** Bucketized range join (graft.operators.RangeJoin): shipments whose
     * ship date falls in a sampled order's first week — a PURE range
     * predicate (no equi key), planned as an equi-join on time bins
@@ -407,6 +453,7 @@ object Extended {
     "q64_interval_join" -> intervalJoinBatch,
     "q65_approx_percentiles" -> approxPercentiles,
     "q61_sessionize_batch" -> sessionizeBatch,
+    "q214_time_weighted" -> timeWeightedAvg,
     "q60_asof_join" -> asofJoin,
     "q58_array_funcs" -> arrayFuncs,
     "q54_percentiles" -> percentiles,
@@ -428,6 +475,7 @@ object Extended {
     "q64_interval_join" -> intervalJoinBatchSql,
     "q65_approx_percentiles" -> approxPercentilesSql,
     "q61_sessionize_batch" -> sessionizeBatchSql,
+    "q214_time_weighted" -> timeWeightedAvgSql,
     "q60_asof_join" -> asofJoinSql,
     "q58_array_funcs" -> arrayFuncsSql,
     "q54_percentiles" -> percentilesSql,

@@ -1470,6 +1470,48 @@ object LlmQueries {
        |ORDER BY n_occurrences DESC, subword ASC LIMIT 30""".stripMargin
   }
 
+  /** Per-language BPE fertility (q215) — a-z characters consumed per
+    * emitted subword, the tokenizer-efficiency metric a pipeline owner
+    * tracks per language before committing a merges table (high
+    * fertility = long subwords = the merges fit; near-1.0 = the
+    * tokenizer degenerates to characters for that language). Char and
+    * subword counts are exact integers derived from the same
+    * normalization the kernel applies (a-z stripping), aggregated
+    * map-combinably per language; the single division is the only
+    * float op. Embarrassment-parallel at any corpus size. */
+  val bpeFertility: Q = (s, dir) => {
+    val base = Tables.t(s, dir, "documents").select(col("lang"),
+      length(regexp_replace(TextOps.normalized(col("text")), "[^a-z]", ""))
+        .cast("long").as("n_az"),
+      size(TextOps.bpeSubwords(col("text"))).cast("long").as("n_sub"))
+    base.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_az").as("n_az_chars"),
+      sum("n_sub").as("n_subwords"))
+      .select(col("lang"), col("n_docs"), col("n_az_chars"), col("n_subwords"),
+        when(col("n_subwords") > 0,
+          round(col("n_az_chars").cast("double") /
+            col("n_subwords").cast("double"), 6)).as("fertility"))
+      .orderBy("lang")
+  }
+
+  val bpeFertilitySql: String = {
+    val chain = Fragments.bpeWordSql()
+    s"""WITH wd AS (
+       |  SELECT lang, ${Fragments.BpeWordsSql} AS words FROM documents),
+       |b AS (
+       |  SELECT lang,
+       |    coalesce(list_sum([len(w) for w in words]), 0)::BIGINT AS n_az,
+       |    coalesce(list_sum([len(string_split($chain, '${Fragments.BpeSep}'))
+       |      for w in words]), 0)::BIGINT AS n_sub
+       |  FROM wd)
+       |SELECT lang, count(*)::BIGINT AS n_docs, sum(n_az)::BIGINT AS n_az_chars,
+       |  sum(n_sub)::BIGINT AS n_subwords,
+       |  CASE WHEN sum(n_sub) > 0
+       |       THEN round(sum(n_az)::DOUBLE / sum(n_sub)::DOUBLE, 6) END AS fertility
+       |FROM b GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val bpeSubwordStatsSql: String = {
     val chain = Fragments.bpeWordSql()
     s"""WITH wd AS (
@@ -1526,6 +1568,7 @@ object LlmQueries {
     "q40_token_count" -> tokenCount,
     "q205_bpe_subwords" -> bpeSubwordStats,
     "q210_bpe_vocab" -> bpeVocab,
+    "q215_bpe_fertility" -> bpeFertility,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1567,5 +1610,6 @@ object LlmQueries {
     "q40_token_count" -> tokenCountSql,
     "q205_bpe_subwords" -> bpeSubwordStatsSql,
     "q210_bpe_vocab" -> bpeVocabSql,
+    "q215_bpe_fertility" -> bpeFertilitySql,
   )
 }

@@ -740,6 +740,128 @@ object Pipeline {
        |ORDER BY metric""".stripMargin
   }
 
+  // -------------------------------------------------------------- q212
+
+  /** DSIR-style importance weights for domain-targeted data selection
+    * (Xie et al., NeurIPS '23 "Data Selection for Language Models via
+    * Importance Resampling"): documents scored by how much more likely
+    * their hashed unigram features are under a TARGET domain (source
+    * 'src0' — the curated slice) than under the raw corpus; the top-30
+    * become the selection. Features are md5-hashed into 64 buckets
+    * map-side ([[Fragments.hashBucket]]); both distributions reduce to
+    * 64-row broadcast tables (add-½ smoothing ⇒ 2c+1 integers).
+    * Determinism: each bucket's importance ratio is an exact BIGINT in
+    * micro-units — (2·t_k+1)·10⁶ DIV (2·r_k+1) — and a document's weight
+    * is the exact integer sum of its tokens' ratios: the log-free form
+    * of DSIR's log-likelihood-ratio sum (per-bucket the same monotone
+    * evidence, accumulated linearly instead of in log space, so no libm
+    * call exists anywhere; the length-normalizing constant (2R+K)/(2T+K)
+    * scales every ratio uniformly and is rank-neutral, so it is
+    * dropped). Scale: one corpus tokenize pass, two 64-row aggregates,
+    * one broadcast join back — no shuffle carries anything wider than
+    * (doc_id, bucket). */
+  val dsirWeights: Q = (s, dir) => {
+    val toks = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .withColumn("b", Fragments.hashBucket(col("term"), 64))
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("r_k"))
+    val tgt = toks.filter(col("source") === "src0")
+      .groupBy("b").agg(count(lit(1)).as("t_k"))
+    val scores = raw.join(tgt, Seq("b"), "left")
+      .selectExpr("b",
+        "((coalesce(t_k, 0L) * 2 + 1) * 1000000) DIV (r_k * 2 + 1) AS score_micro")
+    toks.join(broadcast(scores), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("score_micro").as("weight_micro"))
+      .withColumn("mean_micro", expr("weight_micro DIV n_tok"))
+      .orderBy(col("weight_micro").desc, col("doc_id"))
+      .limit(30)
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, unnest($ToksSql) AS term FROM documents),
+       |tb AS (
+       |  SELECT doc_id, source, ${Fragments.hashBucketSql("term", 64)} AS b
+       |  FROM tok),
+       |raw AS (SELECT b, count(*)::BIGINT AS r_k FROM tb GROUP BY 1),
+       |tgt AS (SELECT b, count(*)::BIGINT AS t_k FROM tb
+       |        WHERE source = 'src0' GROUP BY 1),
+       |sc AS (
+       |  SELECT raw.b,
+       |    ((coalesce(t_k, 0) * 2 + 1) * 1000000) // (r_k * 2 + 1)
+       |      AS score_micro
+       |  FROM raw LEFT JOIN tgt USING (b)),
+       |w AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_tok,
+       |    sum(score_micro)::BIGINT AS weight_micro
+       |  FROM tb JOIN sc USING (b) GROUP BY 1)
+       |SELECT doc_id, n_tok, weight_micro,
+       |  weight_micro // n_tok AS mean_micro
+       |FROM w ORDER BY weight_micro DESC, doc_id LIMIT 30""".stripMargin
+
+  // -------------------------------------------------------------- q216
+
+  /** Blocked entity-resolution BEST-MATCH (q216): the resolution step on
+    * top of q72/q123's pairing primitives. Every part is scored against
+    * candidates sharing its blocking key (name noun + adjective initial
+    * — the blocking-key discipline of the record-linkage literature),
+    * and only the argmax survives, gated by an absolute threshold and a
+    * margin over the runner-up (the Fellegi–Sunter accept-region shape:
+    * a best match you would auto-link only when it clearly beats the
+    * alternative). Pair space is per-block quadratic, never
+    * corpus-quadratic; argmax + margin are one window per left id over
+    * rank-capped candidates. Scores round to 6 dp BEFORE ranking with
+    * id tie-breaks, so the ordering is total and engine-independent
+    * ([[graft.functions.JaroWinkler]] is bit-identical to DuckDB's). */
+  val erBestMatch: Q = (s, dir) => {
+    val p = Tables.t(s, dir, "part").select(
+      col("p_partkey"), col("p_name"),
+      element_at(split(col("p_name"), " "), -1).as("blk_noun"),
+      substring(col("p_name"), 1, 1).as("blk_ini"))
+    val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+      col("blk_noun"), col("blk_ini"))
+    val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
+      col("blk_noun"), col("blk_ini"))
+    val w = Window.partitionBy("id_a").orderBy(col("jw").desc, col("id_b").asc)
+    a.join(b, Seq("blk_noun", "blk_ini"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("name_a"), col("id_b"),
+        round(graft.functions.JaroWinkler(col("name_a"), col("name_b")), 6)
+          .as("jw"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("jw2", lead("jw", 1).over(w))
+      .filter(col("rk") === 1 && col("jw") >= 0.9)
+      .select(col("id_a"), col("name_a"), col("id_b"), col("jw"),
+        round(col("jw") - coalesce(col("jw2"), lit(0.0)), 6).as("margin"),
+        (round(col("jw") - coalesce(col("jw2"), lit(0.0)), 6) >= 0.05)
+          .as("confident"))
+      .orderBy("id_a")
+  }
+
+  val erBestMatchSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name,
+      |    string_split(p_name, ' ')[-1] AS blk_noun,
+      |    substr(p_name, 1, 1) AS blk_ini
+      |  FROM part),
+      |pairs AS (
+      |  SELECT a.p_partkey AS id_a, a.p_name AS name_a, b.p_partkey AS id_b,
+      |    round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      |  FROM p a JOIN p b ON a.blk_noun = b.blk_noun AND a.blk_ini = b.blk_ini
+      |    AND a.p_partkey <> b.p_partkey),
+      |ranked AS (
+      |  SELECT id_a, name_a, id_b, jw,
+      |    row_number() OVER (PARTITION BY id_a ORDER BY jw DESC, id_b) AS rk,
+      |    lead(jw) OVER (PARTITION BY id_a ORDER BY jw DESC, id_b) AS jw2
+      |  FROM pairs)
+      |SELECT id_a, name_a, id_b, jw,
+      |  round(jw - coalesce(jw2, 0.0), 6) AS margin,
+      |  round(jw - coalesce(jw2, 0.0), 6) >= 0.05 AS confident
+      |FROM ranked WHERE rk = 1 AND jw >= 0.9
+      |ORDER BY id_a""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -759,7 +881,9 @@ object Pipeline {
     "q188_ccnet_buckets" -> ccnetBuckets,
     "q195_weighted_median" -> weightedMedian,
     "q200_corpus_report" -> corpusReport,
-    "q202_halflife_decay" -> halflifeDecay)
+    "q202_halflife_decay" -> halflifeDecay,
+    "q212_dsir_weights" -> dsirWeights,
+    "q216_er_best_match" -> erBestMatch)
 
   val oracleSql: Map[String, String] = Map(
     "q70_pii_redact" -> piiRedactSql,
@@ -778,5 +902,7 @@ object Pipeline {
     "q188_ccnet_buckets" -> ccnetBucketsSql,
     "q195_weighted_median" -> weightedMedianSql,
     "q200_corpus_report" -> corpusReportSql,
-    "q202_halflife_decay" -> halflifeDecaySql)
+    "q202_halflife_decay" -> halflifeDecaySql,
+    "q212_dsir_weights" -> dsirWeightsSql,
+    "q216_er_best_match" -> erBestMatchSql)
 }
