@@ -1226,9 +1226,105 @@ object Advanced {
       |WHERE f.rm IS NULL OR f.maxp > f.rm
       |ORDER BY o_date DESC, o.o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------- q220
+
+  /** Trailing-window distinct (q220): distinct active users over each
+    * observed day's trailing 7-day window — the rolling-cardinality
+    * shape Spark's window functions cannot express (no DISTINCT inside
+    * a frame). Instead of a per-day self-join (O(days²) probes) each
+    * distinct (day, user) pair is EXPLODED onto the ≤7 future days it
+    * covers and the answer is one hash count-distinct per covered day —
+    * the cover fan-out is a constant ×7, map-side, and the distinct
+    * aggregation shuffles on the day key, so the plan is two keyed
+    * shuffles at any scale (swap countDistinct for approx HLL when the
+    * per-day user set itself is huge). A semi-join against observed
+    * days drops cover rows that run past the series end. */
+  val rollingDistinct: Q = (s, dir) => {
+    val pairs = Tables.t(s, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val days = pairs.select(col("d").as("d2")).distinct()
+    pairs
+      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("d2"),
+        col("user_id"))
+      .join(days, Seq("d2"), "left_semi")
+      .groupBy("d2")
+      .agg(countDistinct("user_id").as("u7"), count(lit(1)).as("n_pairs"))
+      .select(date_format(col("d2"), "yyyy-MM-dd").as("day"), col("u7"),
+        col("n_pairs"))
+      .orderBy("day")
+  }
+
+  val rollingDistinctSql: String =
+    """WITH p AS (SELECT DISTINCT ts::DATE AS d, user_id FROM events),
+      |days AS (SELECT DISTINCT d FROM p)
+      |SELECT strftime(days.d, '%Y-%m-%d') AS day,
+      |  count(DISTINCT p.user_id)::BIGINT AS u7,
+      |  count(*)::BIGINT AS n_pairs
+      |FROM days JOIN p ON p.d BETWEEN days.d - 6 AND days.d
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q231
+
+  /** Brand association rules (q231): support / confidence / lift for
+    * every co-ordered brand pair — market-basket mining over the order
+    * "baskets", the transactional sibling of q137's contingency lift
+    * and q186's text collocations. The basket table is the DISTINCT
+    * (order, brand) projection, so the pair stage is an ORDER-KEYED
+    * self-join with fan-out bounded by (brands-per-order)² — never an
+    * all-pairs product — and brand marginals are a 25-row broadcast.
+    * Counts are exact BIGINTs; confidence and lift are one fixed IEEE
+    * division each over those integers, rounded at 6 dp. */
+  val assocRules: Q = (s, dir) => {
+    val baskets = Tables.t(s, dir, "lineitem")
+      .join(Tables.t(s, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .distinct()
+    val marg = baskets.groupBy("b").agg(count(lit(1)).as("nb"))
+    val tot = baskets.agg(countDistinct("o").as("nn"))
+    baskets.as("x").join(baskets.as("y"), "o")
+      .filter(col("x.b") < col("y.b"))
+      .groupBy(col("x.b").as("brand_a"), col("y.b").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(marg.select(col("b").as("brand_a"),
+        col("nb").as("n_a"))), "brand_a")
+      .join(broadcast(marg.select(col("b").as("brand_b"),
+        col("nb").as("n_b"))), "brand_b")
+      .crossJoin(broadcast(tot))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("conf"),
+        round(col("n_ab").cast("double") * col("nn").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("lift"))
+      .orderBy("brand_a", "brand_b")
+  }
+
+  val assocRulesSql: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |marg AS (SELECT b, count(*)::BIGINT AS nb FROM baskets GROUP BY 1),
+      |tot AS (SELECT count(DISTINCT o)::BIGINT AS nn FROM baskets),
+      |pairs AS (
+      |  SELECT x.b AS brand_a, y.b AS brand_b, count(*)::BIGINT AS n_ab
+      |  FROM baskets x JOIN baskets y ON x.o = y.o AND x.b < y.b
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, n_ab,
+      |  round(n_ab::DOUBLE / ma.nb::DOUBLE, 6) AS conf,
+      |  round(n_ab::DOUBLE * nn::DOUBLE / (ma.nb::DOUBLE * mb.nb::DOUBLE), 6)
+      |    AS lift
+      |FROM pairs
+      |JOIN marg ma ON ma.b = brand_a
+      |JOIN marg mb ON mb.b = brand_b
+      |CROSS JOIN tot
+      |ORDER BY brand_a, brand_b""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "q220_rolling_distinct" -> rollingDistinct,
+    "q231_assoc_rules" -> assocRules,
     "q129_mincost_supplier" -> mincostSupplier,
     "q130_promo_share" -> promoShare,
     "q131_disjunctive_join" -> disjunctiveJoin,
@@ -1264,6 +1360,8 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q220_rolling_distinct" -> rollingDistinctSql,
+    "q231_assoc_rules" -> assocRulesSql,
     "q129_mincost_supplier" -> mincostSupplierSql,
     "q130_promo_share" -> promoShareSql,
     "q131_disjunctive_join" -> disjunctiveJoinSql,

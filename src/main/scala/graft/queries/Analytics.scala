@@ -1483,6 +1483,341 @@ object Analytics {
        |ORDER BY node, r""".stripMargin
   }
 
+  // -------------------------------------------------------------- q217
+
+  /** Group-wise ordinary least squares (q217): per (returnflag,
+    * linestatus) regress price-in-whole-units on quantity — the
+    * `regr_slope`/`regr_intercept`/`regr_r2` family, but computed from
+    * EXACT integer moment sums instead of the engines' streaming
+    * covariance accumulators (whose partial-aggregation float order
+    * differs between Spark and DuckDB and between runs). x = quantity
+    * (integral 1..50), y = round(extendedprice) in whole currency units
+    * (cents would push Σy² past BIGINT at sf0.1: 2e5·(1.05e7)² ≈ 2e19 >
+    * 2^63). All six sums are exact BIGINTs; slope/intercept/r² are then
+    * a FIXED sequence of IEEE add/sub/mul/div ops on their double conversions —
+    * identical in both engines — with one round each. One map-combined
+    * aggregate over 6 groups: a single shuffle of 6 rows at any scale. */
+  val olsGroup: Q = (s, dir) => {
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+    Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("num_xy", nd * col("sxy").cast("double") - sxd * syd)
+      .withColumn("den_x", nd * col("sxx").cast("double") - sxd * sxd)
+      .withColumn("den_y", nd * col("syy").cast("double") - syd * syd)
+      .filter(col("den_x") > 0 && col("den_y") > 0)
+      .withColumn("slope_raw", col("num_xy") / col("den_x"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        round(col("slope_raw"), 6).as("slope"),
+        round((syd - col("slope_raw") * sxd) / nd, 4).as("intercept"),
+        round(col("num_xy") * col("num_xy") / (col("den_x") * col("den_y")),
+          6).as("r2"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val olsGroupSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+      |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |    sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+      |    sum(y * y)::BIGINT AS syy
+      |  FROM (SELECT l_returnflag, l_linestatus,
+      |          l_quantity::BIGINT AS x,
+      |          round(l_extendedprice)::BIGINT AS y FROM lineitem)
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT *,
+      |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num_xy,
+      |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS den_x,
+      |    n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS den_y
+      |  FROM m)
+      |SELECT l_returnflag, l_linestatus, n,
+      |  round(num_xy / den_x, 6) AS slope,
+      |  round((sy::DOUBLE - (num_xy / den_x) * sx::DOUBLE) / n::DOUBLE, 4)
+      |    AS intercept,
+      |  round(num_xy * num_xy / (den_x * den_y), 6) AS r2
+      |FROM d WHERE den_x > 0 AND den_y > 0
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -------------------------------------------------------------- q218
+
+  /** Daily-series autocorrelation (q218): per event type, the Pearson
+    * correlation between the observed daily event-count series and its
+    * lag-1 / lag-2 shifts (ACF over observed days — gaps, if any, are
+    * adjacent in series order; the fixture has none). Counts are small
+    * BIGINTs, so every moment sum is exact; r is one fixed IEEE
+    * expression (add/sub/mul/div and the two correctly-rounded sqrt
+    * calls — `pow` stays banned per the module doc). The daily rollup is the only
+    * data-scale shuffle; the lag windows run over ≤ a few hundred rows
+    * per type (days × types, data-volume-independent at any corpus
+    * size). */
+  val acfDaily: Q = (s, dir) => {
+    val daily = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    // both lags melt out of ONE pass over the daily rollup (a unionAll
+    // of two filters on the same subtree would run the events scan +
+    // aggregate twice)
+    val pairs = daily
+      .withColumn("c1", lag("c", 1).over(w))
+      .withColumn("c2", lag("c", 2).over(w))
+      .select(col("event_type"), explode(array(
+        struct(lit(1).as("k"), col("c").as("x"), col("c1").as("y")),
+        struct(lit(2).as("k"), col("c").as("x"), col("c2").as("y"))))
+        .as("p"))
+      .select(col("event_type"), col("p.k").as("k"), col("p.x").as("x"),
+        col("p.y").as("y"))
+      .filter(col("y").isNotNull)
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+    pairs.groupBy("event_type", "k")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("num_xy", nd * col("sxy").cast("double") - sxd * syd)
+      .withColumn("den_x", nd * col("sxx").cast("double") - sxd * sxd)
+      .withColumn("den_y", nd * col("syy").cast("double") - syd * syd)
+      .filter(col("den_x") > 0 && col("den_y") > 0)
+      .select(col("event_type"), col("k"), col("n"),
+        round(col("num_xy") / (sqrt(col("den_x")) * sqrt(col("den_y"))),
+          6).as("acf"))
+      .orderBy("event_type", "k")
+  }
+
+  val acfDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT event_type, c,
+      |    lag(c, 1) OVER (PARTITION BY event_type ORDER BY d) AS c1,
+      |    lag(c, 2) OVER (PARTITION BY event_type ORDER BY d) AS c2
+      |  FROM daily),
+      |pairs AS (
+      |  SELECT event_type, 1 AS k, c AS x, c1 AS y FROM lagged
+      |  WHERE c1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT event_type, 2 AS k, c AS x, c2 AS y FROM lagged
+      |  WHERE c2 IS NOT NULL),
+      |m AS (
+      |  SELECT event_type, k, count(*)::BIGINT AS n,
+      |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |    sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+      |    sum(y * y)::BIGINT AS syy
+      |  FROM pairs GROUP BY 1, 2),
+      |d AS (
+      |  SELECT *,
+      |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num_xy,
+      |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS den_x,
+      |    n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS den_y
+      |  FROM m)
+      |SELECT event_type, k, n,
+      |  round(num_xy / (sqrt(den_x) * sqrt(den_y)), 6) AS acf
+      |FROM d WHERE den_x > 0 AND den_y > 0
+      |ORDER BY event_type, k""".stripMargin
+
+  // -------------------------------------------------------------- q221
+
+  /** Chi-square independence audit (q221): is `lang` independent of
+    * `source` in the corpus? Per-source partial chi-square over the
+    * source×lang contingency table (the per-source rows sum to the
+    * global statistic; dof = (n_sources−1)(n_langs−1) is derivable from
+    * the n_langs column). Observed/row/column/grand totals are exact
+    * integer counts; each cell's (O−E)²/E is ONE fixed IEEE op sequence
+    * on those integers, quantized to exact micro-units (round ×1e6 →
+    * BIGINT) BEFORE the cross-cell sum so the final aggregation is
+    * order-free integer addition — the same discipline as q198's
+    * tv_dist, with the float-sum-order exposure removed entirely. The
+    * contingency table is ≤ sources×langs rows at any corpus scale; the
+    * only data-scale work is the first count aggregate. */
+  val chisqIndependence: Q = (s, dir) => {
+    val cells = Tables.t(s, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("source").agg(sum("o").as("r"))
+    val colTot = cells.groupBy("lang").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("nn"))
+    cells.join(rowTot, "source").join(colTot, "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        col("r").cast("double") * col("c").cast("double") /
+          col("nn").cast("double"))
+      .withColumn("dd", col("o").cast("double") - col("e"))
+      .withColumn("micro",
+        round(col("dd") * col("dd") / col("e") * 1e6).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_langs"), sum("micro").as("m"))
+      .select(col("source"), col("n_langs"),
+        round(col("m").cast("double") / 1e6, 6).as("chi2_part"))
+      .orderBy("source")
+  }
+
+  val chisqIndependenceSql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, count(*)::BIGINT AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT source, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+      |ct AS (SELECT lang, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+      |t AS (SELECT sum(o)::BIGINT AS nn FROM cells),
+      |contrib AS (
+      |  SELECT cells.source,
+      |    round((o::DOUBLE - rt.r::DOUBLE * ct.c::DOUBLE / t.nn::DOUBLE)
+      |          * (o::DOUBLE - rt.r::DOUBLE * ct.c::DOUBLE / t.nn::DOUBLE)
+      |          / (rt.r::DOUBLE * ct.c::DOUBLE / t.nn::DOUBLE) * 1e6
+      |          )::BIGINT AS micro
+      |  FROM cells JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN t)
+      |SELECT source, count(*)::BIGINT AS n_langs,
+      |  round(sum(micro)::DOUBLE / 1e6, 6) AS chi2_part
+      |FROM contrib GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------- q223
+
+  /** Two-sample Kolmogorov–Smirnov audit (q223): for each source, the
+    * KS distance between its document-length distribution and the rest
+    * of the corpus — the distribution-drift test behind "did this crawl
+    * slice change shape?" alarms (the exact-CDF complement of q198's
+    * binned total-variation). D = max_v |F₁(v)−F₂(v)| is computed as an
+    * INTEGER maximum: with cumulative counts F₁ (source) and C (global),
+    * |F₁·(N−n₁) − (C−F₁)·n₁| is an exact BIGINT, maxed per source, and
+    * the single final division by n₁(N−n₁) is the only float op. The
+    * CDF spine is (distinct values × sources) — bounded-domain small at
+    * any corpus scale (like q222's reference table) — and the only
+    * data-scale work is the first (source, value) count aggregate. */
+  val ksAudit: Q = (s, dir) => {
+    val cellCnt = Tables.t(s, dir, "documents")
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+    val srcTot = cellCnt.groupBy("source").agg(sum("cnt").as("n1"))
+    val tot = cellCnt.agg(sum("cnt").as("nn"))
+    val values = cellCnt.select("n_chars").distinct()
+    val cum = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gcum = cellCnt.groupBy("n_chars").agg(sum("cnt").as("gc"))
+      .withColumn("cg", sum("gc").over(Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("n_chars", "cg")
+    values.crossJoin(broadcast(srcTot))
+      .join(cellCnt, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("f1", sum("cnt").over(cum))
+      .join(broadcast(gcum), "n_chars")
+      .crossJoin(broadcast(tot))
+      .withColumn("num", abs(col("f1") * (col("nn") - col("n1")) -
+        (col("cg") - col("f1")) * col("n1")))
+      .groupBy("source", "n1", "nn").agg(max("num").as("mx"))
+      .select(col("source"), col("n1"),
+        round(col("mx").cast("double") /
+          (col("n1") * (col("nn") - col("n1"))).cast("double"), 6).as("ks"))
+      .orderBy("source")
+  }
+
+  val ksAuditSql: String =
+    """WITH cellcnt AS (
+      |  SELECT source, n_chars, count(*)::BIGINT AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |srctot AS (SELECT source, sum(cnt)::BIGINT AS n1 FROM cellcnt GROUP BY 1),
+      |t AS (SELECT sum(cnt)::BIGINT AS nn FROM cellcnt),
+      |vals AS (SELECT DISTINCT n_chars FROM cellcnt),
+      |gcum AS (
+      |  SELECT n_chars,
+      |    sum(sum(cnt)) OVER (ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cg
+      |  FROM cellcnt GROUP BY 1),
+      |spine AS (
+      |  SELECT st.source, st.n1, v.n_chars, coalesce(c.cnt, 0) AS cnt
+      |  FROM vals v CROSS JOIN srctot st
+      |  LEFT JOIN cellcnt c ON c.source = st.source AND c.n_chars = v.n_chars),
+      |f AS (
+      |  SELECT source, n1, n_chars, cnt,
+      |    sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS f1
+      |  FROM spine),
+      |nums AS (
+      |  SELECT f.source, f.n1, t.nn,
+      |    abs(f.f1 * (t.nn - f.n1) - (g.cg - f.f1) * f.n1) AS num
+      |  FROM f JOIN gcum g USING (n_chars) CROSS JOIN t)
+      |SELECT source, n1,
+      |  round(max(num)::DOUBLE / ((n1 * (nn - n1))::DOUBLE), 6) AS ks
+      |FROM nums GROUP BY source, n1, nn ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------- q224
+
+  /** Mann–Whitney U audit (q224): the rank-sum test of q223's question
+    * — does this source's length distribution stochastically dominate
+    * the rest of the corpus? Average ranks over the GLOBAL value table
+    * are carried doubled (lo+hi per tie group) so the per-source rank
+    * sum R₁, U₁ and the tie-correction Σ(t³−t) are all exact BIGINTs;
+    * the normal-approximation z (with tie correction) is then one fixed
+    * IEEE expression over their double conversions (mul/div/sub and one
+    * correctly-rounded sqrt — no pow). Only data-scale work: the
+    * (source, value) count aggregate; everything after runs on the
+    * bounded distinct-value table. */
+  val mwuAudit: Q = (s, dir) => {
+    val cellCnt = Tables.t(s, dir, "documents")
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+    val g = cellCnt.groupBy("n_chars").agg(sum("cnt").as("t"))
+      .withColumn("hi", sum("t").over(Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("n_chars"), (col("hi") - col("t") + 1 + col("hi")).as("r2"),
+        (col("t") * col("t") * col("t") - col("t")).as("tc"))
+    val ties = g.agg(sum("tc").as("tsum"))
+    val tot = cellCnt.agg(sum("cnt").as("nn"))
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val nnd = col("nn").cast("double")
+    cellCnt.join(broadcast(g.select("n_chars", "r2")), "n_chars")
+      .groupBy("source")
+      .agg(sum("cnt").as("n1"), sum(col("cnt") * col("r2")).as("r1_2"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+      .withColumn("n2", col("nn") - col("n1"))
+      .withColumn("u1",
+        (lit(2) * col("n1") * col("n2") + col("n1") * (col("n1") + 1) -
+          col("r1_2")).cast("double") / 2.0)
+      .withColumn("sigma2",
+        n1d * n2d / 12.0 * ((nnd + 1.0) -
+          col("tsum").cast("double") / (nnd * (nnd - 1.0))))
+      .filter(col("sigma2") > 0)
+      .select(col("source"), col("n1"), col("u1"),
+        round((col("u1") - n1d * n2d / 2.0) / sqrt(col("sigma2")), 6)
+          .as("z"))
+      .orderBy("source")
+  }
+
+  val mwuAuditSql: String =
+    """WITH cellcnt AS (
+      |  SELECT source, n_chars, count(*)::BIGINT AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |g AS (
+      |  SELECT n_chars, sum(cnt)::BIGINT AS t,
+      |    sum(sum(cnt)) OVER (ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS hi
+      |  FROM cellcnt GROUP BY 1),
+      |g2 AS (SELECT n_chars, hi - t + 1 + hi AS r2, t * t * t - t AS tc FROM g),
+      |ties AS (SELECT sum(tc)::BIGINT AS tsum FROM g2),
+      |t AS (SELECT sum(cnt)::BIGINT AS nn FROM cellcnt),
+      |pers AS (
+      |  SELECT source, sum(cnt)::BIGINT AS n1,
+      |    sum(cnt * r2)::BIGINT AS r1_2
+      |  FROM cellcnt JOIN g2 USING (n_chars) GROUP BY 1),
+      |z AS (
+      |  SELECT source, n1, nn - n1 AS n2, tsum, nn,
+      |    (2 * n1 * (nn - n1) + n1 * (n1 + 1) - r1_2)::DOUBLE / 2.0 AS u1
+      |  FROM pers CROSS JOIN t CROSS JOIN ties),
+      |s2 AS (
+      |  SELECT *,
+      |    n1::DOUBLE * n2::DOUBLE / 12.0 * ((nn::DOUBLE + 1.0) -
+      |      tsum::DOUBLE / (nn::DOUBLE * (nn::DOUBLE - 1.0))) AS sigma2
+      |  FROM z)
+      |SELECT source, n1, u1,
+      |  round((u1 - n1::DOUBLE * n2::DOUBLE / 2.0) / sqrt(sigma2), 6) AS z
+      |FROM s2 WHERE sigma2 > 0 ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1517,7 +1852,12 @@ object Analytics {
     "q184_kcore" -> kcoreLayers,
     "q186_collocations" -> collocations,
     "q189_bloom_gate" -> bloomGate,
-    "q211_hyperball" -> hyperBall)
+    "q211_hyperball" -> hyperBall,
+    "q217_ols_group" -> olsGroup,
+    "q218_acf_daily" -> acfDaily,
+    "q221_chisq_audit" -> chisqIndependence,
+    "q223_ks_audit" -> ksAudit,
+    "q224_mwu_audit" -> mwuAudit)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -1551,5 +1891,10 @@ object Analytics {
     "q184_kcore" -> kcoreLayersSql,
     "q186_collocations" -> collocationsSql,
     "q189_bloom_gate" -> bloomGateSql,
-    "q211_hyperball" -> hyperBallSql)
+    "q211_hyperball" -> hyperBallSql,
+    "q217_ols_group" -> olsGroupSql,
+    "q218_acf_daily" -> acfDailySql,
+    "q221_chisq_audit" -> chisqIndependenceSql,
+    "q223_ks_audit" -> ksAuditSql,
+    "q224_mwu_audit" -> mwuAuditSql)
 }

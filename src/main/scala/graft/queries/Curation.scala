@@ -1208,7 +1208,223 @@ object Curation {
 
   // ----------------------------------------------------------- registry
 
+  // -------------------------------------------------------------- q222
+
+  /** Cross-source quantile normalization (q222): each document's length
+    * is re-expressed as the GLOBAL length at the same quantile its
+    * length occupies WITHIN its source — the rank-based distribution
+    * alignment used to make per-source quality/length scores comparable
+    * before mixing (the bioinformatics quantile-normalization recipe
+    * applied to corpus curation). Mechanics: percent_rank inside each
+    * source (a source-keyed window — distributes on the natural key),
+    * mapped to a global rank index, resolved against a cumulative
+    * reference table of DISTINCT lengths (bounded domain — hundreds of
+    * rows regardless of corpus size) via a broadcast interval join, so
+    * the only global-ordering structure lives on the tiny distinct-value
+    * table, never on the corpus. percent_rank is (rank−1)/(n−1) in both
+    * engines — one exact-integer division — and the rank index is one
+    * IEEE multiply + round on that, so the mapping is bit-identical. */
+  val quantileNormalize: Q = (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val tot = docs.agg(count(lit(1)).as("nn"))
+    val ref = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      .withColumn("hi", sum("cnt").over(Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("n_chars").as("v"), (col("hi") - col("cnt") + 1).as("lo"),
+        col("hi"))
+    docs
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy("source").orderBy("n_chars", "doc_id")))
+      .crossJoin(broadcast(tot))
+      .withColumn("idx",
+        round(col("pr") * (col("nn") - 1).cast("double")).cast("long") + 1)
+      .join(broadcast(ref),
+        col("idx") >= col("lo") && col("idx") <= col("hi"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("v").as("norm_chars"))
+      .transform(graft.Presentation.sort(_, "doc_id"))
+  }
+
+  val quantileNormalizeSql: String =
+    """WITH t AS (SELECT count(*)::BIGINT AS nn FROM documents),
+      |ref AS (
+      |  SELECT n_chars AS v, count(*)::BIGINT AS cnt,
+      |    sum(count(*)) OVER (ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS hi
+      |  FROM documents GROUP BY 1),
+      |ref2 AS (SELECT v, hi - cnt + 1 AS lo, hi FROM ref),
+      |p AS (
+      |  SELECT doc_id, source, n_chars,
+      |    percent_rank() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS pr
+      |  FROM documents)
+      |SELECT p.doc_id, p.source, p.n_chars, r.v AS norm_chars
+      |FROM p CROSS JOIN t JOIN ref2 r
+      |  ON (round(p.pr * (t.nn - 1)::DOUBLE)::BIGINT + 1) BETWEEN r.lo AND r.hi
+      |ORDER BY p.doc_id""".stripMargin
+
+  // -------------------------------------------------------------- q225
+
+  /** Per-source Gini coefficient (q225): how unequally is text volume
+    * distributed across a source's documents? (A source where one doc
+    * carries half the characters mixes differently from a uniform one —
+    * the inequality lens on the q169/q192 mixing family.) Uses the
+    * rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    * within-source ascending sort: every term is an exact BIGINT from
+    * one source-keyed window + one aggregate (two source-keyed
+    * shuffles, no global structure), and the single division is the
+    * only float op. */
+  val giniBySource: Q = (s, dir) => {
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    Tables.t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sx"),
+        sum(col("i") * col("n_chars")).as("six"))
+      .filter(col("sx") > 0)
+      .select(col("source"), col("n"),
+        round((lit(2) * col("six") - (col("n") + 1) * col("sx"))
+          .cast("double") / (col("n") * col("sx")).cast("double"), 6)
+          .as("gini"))
+      .orderBy("source")
+  }
+
+  val giniBySourceSql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id)::BIGINT AS i
+      |  FROM documents),
+      |m AS (
+      |  SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sx,
+      |    sum(i * n_chars)::BIGINT AS six
+      |  FROM r GROUP BY 1)
+      |SELECT source, n,
+      |  round((2 * six - (n + 1) * sx)::DOUBLE / ((n * sx)::DOUBLE), 6)
+      |    AS gini
+      |FROM m WHERE sx > 0 ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------- q226
+
+  /** Per-source winsorization (q226): clip document lengths at the
+    * source's nearest-rank p10/p90 — the outlier-taming step before
+    * the q91 standardization family. The percentile is the pure-integer
+    * nearest-rank definition k = ⌈p·n⌉ (k₁₀ = (n+9) DIV 10, k₉₀ =
+    * (9n+9) DIV 10): no interpolation, no floats anywhere. One
+    * source-keyed rank window, a 2-value-per-source conditional
+    * aggregate, and a broadcast join back — row-level output at scan
+    * cost with a single shuffle on the source key. */
+  val winsorize: Q = (s, dir) => {
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val ranked = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    val bounds = ranked.groupBy("source")
+      .agg(max(when(col("rnk") === expr("(n + 9) DIV 10"), col("n_chars")))
+        .as("lo_v"),
+        max(when(col("rnk") === expr("(n * 9 + 9) DIV 10"), col("n_chars")))
+          .as("hi_v"))
+    ranked.join(broadcast(bounds), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        least(greatest(col("n_chars"), col("lo_v")), col("hi_v"))
+          .as("clipped"))
+      .transform(graft.Presentation.sort(_, "doc_id"))
+  }
+
+  val winsorizeSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id)::BIGINT AS rnk,
+      |    count(*) OVER (PARTITION BY source)::BIGINT AS n
+      |  FROM documents),
+      |bounds AS (
+      |  SELECT source,
+      |    max(CASE WHEN rnk = (n + 9) // 10 THEN n_chars END) AS lo_v,
+      |    max(CASE WHEN rnk = (n * 9 + 9) // 10 THEN n_chars END) AS hi_v
+      |  FROM ranked GROUP BY 1)
+      |SELECT r.doc_id, r.source, r.n_chars,
+      |  least(greatest(r.n_chars, b.lo_v), b.hi_v) AS clipped
+      |FROM ranked r JOIN bounds b USING (source)
+      |ORDER BY r.doc_id""".stripMargin
+
+  // -------------------------------------------------------------- q227
+
+  /** Spearman rank correlation (q227): per (returnflag) group, the
+    * rank correlation between quantity and extended price — the
+    * monotone-association complement of q217's linear OLS (Spearman is
+    * Pearson on average ranks, so it survives the nonlinearity and
+    * outliers OLS is blind to). Tie-averaged ranks are carried DOUBLED
+    * (2·avgrank = 2·minrank + ties − 1, an exact BIGINT from a rank
+    * window + a tie-count window, both on the group key), so all five
+    * moment sums are exact integers and ρ is one fixed IEEE expression
+    * over their double conversions (q217's discipline; sqrt is
+    * correctly-rounded, `pow` stays banned). Window + aggregate on the
+    * same group key — one shuffle of the data at any scale. */
+  val spearmanGroup: Q = (s, dir) => {
+    val base = Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+    val grp = Window.partitionBy("l_returnflag")
+    val ranked = base
+      .withColumn("rx", lit(2) * rank().over(grp.orderBy("x")) +
+        count(lit(1)).over(Window.partitionBy("l_returnflag", "x")) - 1)
+      .withColumn("ry", lit(2) * rank().over(grp.orderBy("y")) +
+        count(lit(1)).over(Window.partitionBy("l_returnflag", "y")) - 1)
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+    ranked.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("ry") * col("ry")).as("syy"))
+      .withColumn("num", nd * col("sxy").cast("double") - sxd * syd)
+      .withColumn("den_x", nd * col("sxx").cast("double") - sxd * sxd)
+      .withColumn("den_y", nd * col("syy").cast("double") - syd * syd)
+      .filter(col("den_x") > 0 && col("den_y") > 0)
+      .select(col("l_returnflag"), col("n"),
+        round(col("num") / (sqrt(col("den_x")) * sqrt(col("den_y"))), 6)
+          .as("rho"))
+      .orderBy("l_returnflag")
+  }
+
+  val spearmanGroupSql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag, l_quantity::BIGINT AS x,
+      |    round(l_extendedprice)::BIGINT AS y FROM lineitem),
+      |ranked AS (
+      |  SELECT l_returnflag,
+      |    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY x) +
+      |      count(*) OVER (PARTITION BY l_returnflag, x) - 1 AS rx,
+      |    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY y) +
+      |      count(*) OVER (PARTITION BY l_returnflag, y) - 1 AS ry
+      |  FROM base),
+      |m AS (
+      |  SELECT l_returnflag, count(*)::BIGINT AS n,
+      |    sum(rx)::BIGINT AS sx, sum(ry)::BIGINT AS sy,
+      |    sum(rx * rx)::BIGINT AS sxx, sum(rx * ry)::BIGINT AS sxy,
+      |    sum(ry * ry)::BIGINT AS syy
+      |  FROM ranked GROUP BY 1),
+      |d AS (
+      |  SELECT *,
+      |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+      |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS den_x,
+      |    n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS den_y
+      |  FROM m)
+      |SELECT l_returnflag, n,
+      |  round(num / (sqrt(den_x) * sqrt(den_y)), 6) AS rho
+      |FROM d WHERE den_x > 0 AND den_y > 0
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q222_quantile_norm" -> quantileNormalize,
+    "q225_gini_source" -> giniBySource,
+    "q226_winsorize" -> winsorize,
+    "q227_spearman" -> spearmanGroup,
     "q87_decontam_ngram" -> decontam,
     "q88_cohort_retention" -> cohortRetention,
     "q89_window_range_frame" -> rangeFrameHour,
@@ -1242,6 +1458,10 @@ object Curation {
     "q198_domain_shift" -> domainShift)
 
   val oracleSql: Map[String, String] = Map(
+    "q222_quantile_norm" -> quantileNormalizeSql,
+    "q225_gini_source" -> giniBySourceSql,
+    "q226_winsorize" -> winsorizeSql,
+    "q227_spearman" -> spearmanGroupSql,
     "q87_decontam_ngram" -> decontamSql,
     "q88_cohort_retention" -> cohortRetentionSql,
     "q89_window_range_frame" -> rangeFrameHourSql,

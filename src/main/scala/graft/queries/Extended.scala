@@ -447,7 +447,76 @@ object Extended {
       |WHERE o_orderkey % 61 = 0
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // -------------------------------------------------------------- q219
+
+  /** Truncated exponential smoothing (q219): each user's event-value
+    * series smoothed with EWMA(α=1/2) truncated at 8 taps — the
+    * stream-shaped complement of q214's time-weighted average (q214
+    * weights by holding time; this weights by recency). α=1/2 makes
+    * every weight an exact power of two (128, 64, …, 1), and values are
+    * 2-dp → exact cents, so numerator and present-weight denominator
+    * are exact BIGINTs built from an 8-term lag chain; the single final
+    * division is the only float op (then one round). Output is the
+    * smoothed value AT each user's last event. Everything runs in one
+    * user-keyed window — one shuffle on the natural key at any scale,
+    * no unbounded state (the 8-tap truncation is what makes the
+    * operator streaming/backfill-safe, unlike a full-history EWMA whose
+    * integer form would overflow at 2^63). */
+  val ewmaSmooth: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val taps = 8
+    val base = Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("v"))
+    val withLags = (0 until taps).foldLeft(base) { (df, k) =>
+      df.withColumn(s"l$k", if (k == 0) col("v") else lag("v", k).over(w))
+    }
+    val num = (0 until taps).map { k =>
+      when(col(s"l$k").isNotNull, col(s"l$k") * lit(1L << (taps - 1 - k)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val den = (0 until taps).map { k =>
+      when(col(s"l$k").isNotNull, lit(1L << (taps - 1 - k))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withLags
+      .withColumn("num", num).withColumn("den", den)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nmax", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === col("nmax"))
+      .select(col("user_id"), col("nmax").as("n_events"),
+        round(col("num").cast("double") /
+          (col("den").cast("double") * 100.0), 4).as("ewma"))
+      .orderBy("user_id")
+  }
+
+  val ewmaSmoothSql: String = {
+    val lags = (0 until 8).map { k =>
+      if (k == 0) "v AS l0"
+      else s"lag(v, $k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l$k"
+    }.mkString(",\n      |    ")
+    val num = (0 until 8).map(k =>
+      s"CASE WHEN l$k IS NOT NULL THEN l$k * ${1L << (7 - k)} ELSE 0 END")
+      .mkString(" + ")
+    val den = (0 until 8).map(k =>
+      s"CASE WHEN l$k IS NOT NULL THEN ${1L << (7 - k)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT user_id, event_id, ts,
+       |    round(value * 100)::BIGINT AS v FROM events),
+       |lagged AS (
+       |  SELECT user_id, event_id, ts,
+       |    $lags,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS nmax
+       |  FROM base)
+       |SELECT user_id, nmax::BIGINT AS n_events,
+       |  round(($num)::DOUBLE / (($den)::DOUBLE * 100.0), 4) AS ewma
+       |FROM lagged WHERE rn = nmax ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q219_ewma_smooth" -> ewmaSmooth,
     "q66_salted_join" -> saltedJoin,
     "q63_range_join" -> rangeJoin,
     "q64_interval_join" -> intervalJoinBatch,
@@ -470,6 +539,7 @@ object Extended {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q219_ewma_smooth" -> ewmaSmoothSql,
     "q66_salted_join" -> saltedJoinSql,
     "q63_range_join" -> rangeJoinSql,
     "q64_interval_join" -> intervalJoinBatchSql,

@@ -1527,9 +1527,62 @@ object LlmQueries {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- q229
+
+  /** Source-profile cosine matrix (q229): pairwise cosine similarity
+    * between the unigram term-count profiles of every source pair —
+    * "which crawl slices speak the same language?" for mix design
+    * (the source-level complement of q181's doc-level SemDeDup). Term
+    * counts and squared norms are exact BIGINTs; the dot product is a
+    * TERM-KEYED self-join of the aggregated profile table (per term at
+    * most |sources|² pair rows — bounded fan-out, never an all-pairs
+    * doc join), and cosine is one division by two correctly-rounded
+    * sqrts. Data-scale work: the single token-explode aggregate. */
+  val sourceProfileSim: Q = (s, dir) => {
+    val tf = Tables.t(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val norms = tf.groupBy("source").agg(sum(col("c") * col("c")).as("n2"))
+    val dots = tf.as("a").join(tf.as("b"), "term")
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("source").as("source_a"),
+        col("n2").as("na2"))), "source_a")
+      .join(broadcast(norms.select(col("source").as("source_b"),
+        col("n2").as("nb2"))), "source_b")
+      .select(col("source_a"), col("source_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))),
+          6).as("cos"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceProfileSimSql: String =
+    s"""WITH tf AS (
+       |  SELECT source, term, count(*)::BIGINT AS c FROM (
+       |    SELECT source, unnest($ToksSql) AS term FROM documents)
+       |  WHERE term <> '' GROUP BY 1, 2),
+       |norms AS (SELECT source, sum(c * c)::BIGINT AS n2 FROM tf GROUP BY 1),
+       |dots AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    sum(a.c * b.c)::BIGINT AS dot
+       |  FROM tf a JOIN tf b ON a.term = b.term AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b,
+       |  round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6)
+       |    AS cos
+       |FROM dots
+       |JOIN norms na ON na.source = source_a
+       |JOIN norms nb ON nb.source = source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "q229_source_profile_sim" -> sourceProfileSim,
     "q30_dedup_exact" -> dedupExact,
     "q31_doc_fingerprint" -> docFingerprint,
     "q67_partial_dup_aligned" -> partialDupAligned,
@@ -1572,6 +1625,7 @@ object LlmQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q229_source_profile_sim" -> sourceProfileSimSql,
     "q30_dedup_exact" -> dedupExactSql,
     "q31_doc_fingerprint" -> docFingerprintSql,
     "q67_partial_dup_aligned" -> partialDupAlignedSql,

@@ -862,9 +862,151 @@ object Pipeline {
       |FROM ranked WHERE rk = 1 AND jw >= 0.9
       |ORDER BY id_a""".stripMargin
 
+  // -------------------------------------------------------------- q228
+
+  /** RFM segmentation (q228): classic recency/frequency/monetary user
+    * quartiles, built WITHOUT a global window over the user table (the
+    * usual ntile formulation single-partitions the whole corpus).
+    * Instead each dimension's three quartile cut values come from a
+    * cumulative count over its DISTINCT-value spine (whole hours /
+    * counts / whole currency units — bounded domains, q223's trick),
+    * extracted with
+    * the nearest-rank rule k_q = ⌈q·n/4⌉ = (q·n+3) DIV 4 in pure
+    * integer arithmetic, then broadcast back as three 1-row frames.
+    * Bucket = 1 + Σ(v > cut) — no floats anywhere. Output is the 4³
+    * segment grid with user counts and monetary totals. */
+  val rfmSegments: Q = (s, dir) => {
+    val ev = Tables.t(s, dir, "events")
+    val maxT = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
+    val users = ev
+      .groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("f"),
+        sum(round(col("value") * 100).cast("long")).as("m_cents"))
+      .crossJoin(broadcast(maxT))
+      // whole-hour recency: day granularity degenerates on dense activity
+      .select(col("user_id"),
+        expr("(max_us - last_us) DIV 3600000000").as("r"),
+        col("f"), expr("m_cents DIV 100").as("m"))
+    def cuts(c: String): org.apache.spark.sql.DataFrame = {
+      val spine = users.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(users.agg(count(lit(1)).as("n"))))
+      spine.agg(
+        min(when(col("cum") >= expr("(1 * n + 3) DIV 4"), col("v")))
+          .as(s"${c}1"),
+        min(when(col("cum") >= expr("(2 * n + 3) DIV 4"), col("v")))
+          .as(s"${c}2"),
+        min(when(col("cum") >= expr("(3 * n + 3) DIV 4"), col("v")))
+          .as(s"${c}3"))
+    }
+    def bucket(c: String) =
+      lit(1) + when(col(c) > col(s"${c}1"), 1).otherwise(0) +
+        when(col(c) > col(s"${c}2"), 1).otherwise(0) +
+        when(col(c) > col(s"${c}3"), 1).otherwise(0)
+    users
+      .crossJoin(broadcast(cuts("r")))
+      .crossJoin(broadcast(cuts("f")))
+      .crossJoin(broadcast(cuts("m")))
+      .select(col("user_id"), col("m"),
+        bucket("r").as("r_b"), bucket("f").as("f_b"), bucket("m").as("m_b"))
+      .groupBy("r_b", "f_b", "m_b")
+      .agg(count(lit(1)).as("n_users"), sum("m").as("sum_m"))
+      .orderBy("r_b", "f_b", "m_b")
+  }
+
+  val rfmSegmentsSql: String = {
+    def cutsSql(c: String): String =
+      s"""cuts_$c AS (
+         |  SELECT
+         |    min(CASE WHEN cum >= (1 * n + 3) // 4 THEN v END) AS ${c}1,
+         |    min(CASE WHEN cum >= (2 * n + 3) // 4 THEN v END) AS ${c}2,
+         |    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS ${c}3
+         |  FROM (
+         |    SELECT $c AS v,
+         |      sum(count(*)) OVER (ORDER BY $c
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |        AS cum
+         |    FROM users GROUP BY $c) sp
+         |  CROSS JOIN (SELECT count(*)::BIGINT AS n FROM users) t)""".stripMargin
+    def bucketSql(c: String): String =
+      s"1 + (CASE WHEN $c > ${c}1 THEN 1 ELSE 0 END) + " +
+        s"(CASE WHEN $c > ${c}2 THEN 1 ELSE 0 END) + " +
+        s"(CASE WHEN $c > ${c}3 THEN 1 ELSE 0 END)"
+    s"""WITH maxt AS (SELECT max(epoch_us(ts))::BIGINT AS max_us FROM events),
+       |users AS (
+       |  SELECT user_id,
+       |    (((SELECT max_us FROM maxt) - max(epoch_us(ts))) // 3600000000)::BIGINT
+       |      AS r,
+       |    count(*)::BIGINT AS f,
+       |    (sum(round(value * 100)::BIGINT) // 100)::BIGINT AS m
+       |  FROM events GROUP BY 1),
+       |${cutsSql("r")},
+       |${cutsSql("f")},
+       |${cutsSql("m")},
+       |b AS (
+       |  SELECT user_id, m,
+       |    ${bucketSql("r")} AS r_b,
+       |    ${bucketSql("f")} AS f_b,
+       |    ${bucketSql("m")} AS m_b
+       |  FROM users CROSS JOIN cuts_r CROSS JOIN cuts_f CROSS JOIN cuts_m)
+       |SELECT r_b, f_b, m_b, count(*)::BIGINT AS n_users,
+       |  sum(m)::BIGINT AS sum_m
+       |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  // -------------------------------------------------------------- q230
+
+  /** Audience-overlap matrix (q230): Jaccard overlap between the user
+    * audiences of every event-type pair — "do purchasers also share?"
+    * for attribution/mix design (the behavioral twin of q229's content
+    * cosine). The intersection is a USER-KEYED self-join of the
+    * distinct (type, user) table — per user at most |types|² pair rows,
+    * bounded fan-out — and Jaccard is exact-integer
+    * |A∩B| / (|A|+|B|−|A∩B|) with one final division. */
+  val audienceOverlap: Q = (s, dir) => {
+    val p = Tables.t(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val tot = p.groupBy("event_type").agg(count(lit(1)).as("t"))
+    p.as("a").join(p.as("b"), "user_id")
+      .filter(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(tot.select(col("event_type").as("type_a"),
+        col("t").as("n_a"))), "type_a")
+      .join(broadcast(tot.select(col("event_type").as("type_b"),
+        col("t").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        round(col("n_ab").cast("double") /
+          (col("n_a") + col("n_b") - col("n_ab")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val audienceOverlapSql: String =
+    """WITH p AS (SELECT DISTINCT event_type, user_id FROM events),
+      |tot AS (SELECT event_type, count(*)::BIGINT AS t FROM p GROUP BY 1),
+      |inter AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*)::BIGINT AS n_ab
+      |  FROM p a JOIN p b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, ta.t AS n_a, tb.t AS n_b, n_ab,
+      |  round(n_ab::DOUBLE / ((ta.t + tb.t - n_ab)::DOUBLE), 6) AS jaccard
+      |FROM inter
+      |JOIN tot ta ON ta.event_type = type_a
+      |JOIN tot tb ON tb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "q228_rfm_segments" -> rfmSegments,
+    "q230_audience_overlap" -> audienceOverlap,
     "q70_pii_redact" -> piiRedact,
     "q71_split_assign" -> splitAssign,
     "q72_fuzzy_pairs" -> fuzzyPairs,
@@ -886,6 +1028,8 @@ object Pipeline {
     "q216_er_best_match" -> erBestMatch)
 
   val oracleSql: Map[String, String] = Map(
+    "q228_rfm_segments" -> rfmSegmentsSql,
+    "q230_audience_overlap" -> audienceOverlapSql,
     "q70_pii_redact" -> piiRedactSql,
     "q71_split_assign" -> splitAssignSql,
     "q72_fuzzy_pairs" -> fuzzyPairsSql,

@@ -1,0 +1,407 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ground-truth specs for the statistics/normalization additions
+  * (q217–q222): each operator is replayed sequentially on collected
+  * data with an INDEPENDENT formulation (naive two-pass moments,
+  * per-user fold, brute-force window sets, textbook chi-square,
+  * rank-walk quantile mapping) and must agree exactly after the same
+  * final rounding. (The DuckDB oracle is the cross-engine gate; these
+  * pin the SEMANTICS.) */
+class StatOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def round6(v: Double) =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round4(v: Double) =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ------------------------------------------------------------ q217
+
+  test("q217 OLS matches a naive least-squares replay per group") {
+    val rows = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long"),
+        round(col("l_extendedprice")).cast("long"))
+      .as[(String, String, Long, Long)].collect()
+    val expect = rows.groupBy(r => (r._1, r._2)).map { case ((rf, ls), g) =>
+      val n = g.length.toDouble
+      val xs = g.map(_._3.toDouble); val ys = g.map(_._4.toDouble)
+      val sx = xs.sum; val sy = ys.sum
+      val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+      val sxy = g.map(r => r._3.toDouble * r._4.toDouble).sum
+      val numXy = n * sxy - sx * sy
+      val denX = n * sxx - sx * sx; val denY = n * syy - sy * sy
+      val slope = numXy / denX
+      (rf, ls, g.length.toLong, round6(slope),
+        round4((sy - slope * sx) / n), round6(numXy * numXy / (denX * denY)))
+    }.toSet
+    // the naive replay sums doubles in collection order, so allow 1-ulp
+    // slack at the 6-dp rounding boundary via exact string compare of
+    // the integer-moment operator vs a BigDecimal-exact recomputation:
+    // sums here are small enough (sf0.001) that double sums are exact
+    val got = graft.queries.Analytics.olsGroup(spark, sf)
+      .as[(String, String, Long, Double, Double, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q218
+
+  test("q218 ACF matches a collected Pearson on the lagged daily series") {
+    val daily = Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("d").cast("string"), col("c"))
+      .as[(String, String, Long)].collect()
+    val expect = daily.groupBy(_._1).flatMap { case (et, g) =>
+      val series = g.sortBy(_._2).map(_._3.toDouble)
+      Seq(1, 2).flatMap { k =>
+        val pairs = series.drop(k).zip(series.dropRight(k))
+        val n = pairs.length.toDouble
+        if (pairs.isEmpty) None
+        else {
+          val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+          val sxx = pairs.map(p => p._1 * p._1).sum
+          val syy = pairs.map(p => p._2 * p._2).sum
+          val sxy = pairs.map(p => p._1 * p._2).sum
+          val num = n * sxy - sx * sy
+          val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+          if (dx > 0 && dy > 0)
+            Some((et, k, pairs.length.toLong,
+              round6(num / (math.sqrt(dx) * math.sqrt(dy)))))
+          else None
+        }
+      }
+    }.toSet
+    val got = graft.queries.Analytics.acfDaily(spark, sf)
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q219
+
+  test("q219 EWMA matches a sequential per-user 8-tap fold") {
+    val evs = Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")), round(col("value") * 100).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val expect = evs.groupBy(_._1).map { case (u, g) =>
+      val cents = g.sortBy(r => (r._3, r._2)).map(_._4)
+      val tail = cents.takeRight(8).reverse // lag0 first
+      val num = tail.zipWithIndex.map { case (v, k) => v << (7 - k) }.sum
+      val den = tail.indices.map(k => 1L << (7 - k)).sum
+      (u, g.length.toLong, round4(num.toDouble / (den.toDouble * 100.0)))
+    }.toSet
+    val got = graft.queries.Extended.ewmaSmooth(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q220
+
+  test("q220 trailing distinct matches brute-force per-day set unions") {
+    val pairs = Tables.t(spark, sf, "events")
+      .select(to_date(col("ts")).cast("string"), col("user_id"))
+      .distinct().as[(String, Long)].collect()
+    val byDay = pairs.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val days = byDay.keySet.toSeq.sorted
+    def minus(d: String, k: Int): String =
+      java.time.LocalDate.parse(d).minusDays(k.toLong).toString
+    val expect = days.map { d =>
+      val win = (0 until 7).map(minus(d, _)).flatMap(byDay.get)
+      (d, win.foldLeft(Set.empty[Long])(_ ++ _).size.toLong,
+        win.map(_.size.toLong).sum)
+    }.toSet
+    val got = graft.queries.Advanced.rollingDistinct(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q221
+
+  test("q221 chi-square matches the textbook statistic on the collected table") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("lang")).as[(String, String)].collect()
+    val cells = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nn = docs.length.toDouble
+    val expect = cells.keySet.groupBy(_._1).map { case (src, ks) =>
+      val micros = ks.toSeq.map { case (s0, l0) =>
+        val e = rt(s0).toDouble * ct(l0).toDouble / nn
+        val d = cells((s0, l0)).toDouble - e
+        // HALF_UP (round half away from zero) like both engines' round()
+        BigDecimal(d * d / e * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      (src, ks.size.toLong, round6(micros.sum.toDouble / 1e6))
+    }.toSet
+    val got = graft.queries.Analytics.chisqIndependence(spark, sf)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q223
+
+  test("q223 KS matches a brute-force CDF-gap maximum") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("n_chars")).as[(String, Long)].collect()
+    val nn = docs.length.toLong
+    val values = docs.map(_._2).distinct.sorted
+    val expect = docs.groupBy(_._1).map { case (src, g) =>
+      val n1 = g.length.toLong
+      val inSrc = g.map(_._2)
+      val mx = values.map { v =>
+        val f1 = inSrc.count(_ <= v).toLong
+        val fg = docs.count(_._2 <= v).toLong
+        math.abs(f1 * (nn - n1) - (fg - f1) * n1)
+      }.max
+      (src, n1, round6(mx.toDouble / (n1 * (nn - n1)).toDouble))
+    }.toSet
+    val got = graft.queries.Analytics.ksAudit(spark, sf)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q224
+
+  test("q224 MWU matches a rank-sum replay with tie correction") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("n_chars")).as[(String, Long)].collect()
+    val nn = docs.length.toLong
+    val sortedAll = docs.map(_._2).sorted
+    // doubled average rank per value (lo+hi over the tie group)
+    val r2 = sortedAll.distinct.map { v =>
+      val lo = sortedAll.indexWhere(_ == v) + 1L
+      val hi = sortedAll.lastIndexWhere(_ == v) + 1L
+      v -> (lo + hi)
+    }.toMap
+    val tsum = sortedAll.groupBy(identity).values
+      .map { g => val t = g.length.toLong; t * t * t - t }.sum
+    val expect = docs.groupBy(_._1).flatMap { case (src, g) =>
+      val n1 = g.length.toLong; val n2 = nn - n1
+      val r12 = g.map(r => r2(r._2)).sum
+      val u1 = (2 * n1 * n2 + n1 * (n1 + 1) - r12).toDouble / 2.0
+      val sigma2 = n1.toDouble * n2.toDouble / 12.0 * ((nn.toDouble + 1.0) -
+        tsum.toDouble / (nn.toDouble * (nn.toDouble - 1.0)))
+      if (sigma2 > 0)
+        Some((src, n1, u1,
+          round6((u1 - n1.toDouble * n2.toDouble / 2.0) / math.sqrt(sigma2))))
+      else None
+    }.toSet
+    val got = graft.queries.Analytics.mwuAudit(spark, sf)
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q225
+
+  test("q225 Gini matches the sorted rank-formula replay") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)].collect()
+    val expect = docs.groupBy(_._1).flatMap { case (src, g) =>
+      val xs = g.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = xs.length.toLong; val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      if (sx > 0)
+        Some((src, n,
+          round6((2 * six - (n + 1) * sx).toDouble / (n * sx).toDouble)))
+      else None
+    }.toSet
+    val got = graft.queries.Curation.giniBySource(spark, sf)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q226
+
+  test("q226 winsorize matches a nearest-rank clip replay") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+    val expect = docs.groupBy(_._2).flatMap { case (src, g) =>
+      val ordered = g.sortBy(r => (r._3, r._1)).map(_._3)
+      val n = ordered.length
+      val lo = ordered((n + 9) / 10 - 1)
+      val hi = ordered((n * 9 + 9) / 10 - 1)
+      g.toSeq.map(r => (r._1, src, r._3, math.min(math.max(r._3, lo), hi)))
+    }.toSet
+    val got = graft.queries.Curation.winsorize(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q227
+
+  test("q227 Spearman matches Pearson-on-average-ranks replay") {
+    val rows = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        round(col("l_extendedprice")).cast("long"))
+      .as[(String, Long, Long)].collect()
+    def doubledRanks(vs: Array[Long]): Map[Long, Long] = {
+      val sorted = vs.sorted
+      sorted.distinct.map { v =>
+        val lo = sorted.indexWhere(_ == v) + 1L
+        val hi = sorted.lastIndexWhere(_ == v) + 1L
+        v -> (lo + hi)
+      }.toMap
+    }
+    val expect = rows.groupBy(_._1).flatMap { case (rf, g) =>
+      val rx = doubledRanks(g.map(_._2)); val ry = doubledRanks(g.map(_._3))
+      val pairs = g.map(r => (rx(r._2).toDouble, ry(r._3).toDouble))
+      val n = pairs.length.toDouble
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val num = n * sxy - sx * sy
+      val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+      if (dx > 0 && dy > 0)
+        Some((rf, pairs.length.toLong,
+          round6(num / (math.sqrt(dx) * math.sqrt(dy)))))
+      else None
+    }.toSet
+    val got = graft.queries.Curation.spearmanGroup(spark, sf)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q228
+
+  test("q228 RFM grid matches a sequential quartile-cut replay") {
+    val evs = Tables.t(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")),
+        round(col("value") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val maxUs = evs.map(_._2).max
+    val users = evs.groupBy(_._1).map { case (u, g) =>
+      (u, (maxUs - g.map(_._2).max) / 3600000000L, g.length.toLong,
+        g.map(_._3).sum / 100L)
+    }.toSeq
+    val n = users.length.toLong
+    def cuts(vs: Seq[Long]): (Long, Long, Long) = {
+      val sorted = vs.sorted
+      def cut(q: Int): Long = {
+        val k = (q * n + 3) / 4
+        // smallest distinct value whose cumulative count reaches k
+        sorted(k.toInt - 1)
+      }
+      (cut(1), cut(2), cut(3))
+    }
+    val (r1, r2, r3) = cuts(users.map(_._2))
+    val (f1, f2, f3) = cuts(users.map(_._3))
+    val (m1, m2, m3) = cuts(users.map(_._4))
+    def b(v: Long, c1: Long, c2: Long, c3: Long): Int =
+      1 + (if (v > c1) 1 else 0) + (if (v > c2) 1 else 0) +
+        (if (v > c3) 1 else 0)
+    val expect = users
+      .groupBy(u => (b(u._2, r1, r2, r3), b(u._3, f1, f2, f3),
+        b(u._4, m1, m2, m3)))
+      .map { case ((rb, fb, mb), g) =>
+        (rb, fb, mb, g.size.toLong, g.map(_._4).sum)
+      }.toSet
+    val got = graft.queries.Pipeline.rfmSegments(spark, sf)
+      .as[(Int, Int, Int, Long, Long)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q229
+
+  test("q229 source cosine matches collected term-count profiles") {
+    val tf = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .flatMap { case (src, text) =>
+        text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+          .filter(_.nonEmpty).map(t => (src, t))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bySrc = tf.groupBy(_._1._1).map { case (s0, m) =>
+      s0 -> m.map { case ((_, t), c) => t -> c }
+    }
+    val sources = bySrc.keySet.toSeq.sorted
+    val expect = (for {
+      a <- sources; b <- sources if a < b
+    } yield {
+      val pa = bySrc(a); val pb = bySrc(b)
+      val dot = pa.keysIterator.filter(pb.contains)
+        .map(t => pa(t) * pb(t)).sum
+      val na = math.sqrt(pa.values.map(c => (c * c).toDouble).sum)
+      val nb2 = math.sqrt(pb.values.map(c => (c * c).toDouble).sum)
+      (a, b, round6(dot.toDouble / (na * nb2)))
+    }).toSet
+    val got = graft.queries.LlmQueries.sourceProfileSim(spark, sf)
+      .as[(String, String, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q230
+
+  test("q230 audience overlap matches collected per-type user sets") {
+    val p = Tables.t(spark, sf, "events")
+      .select(col("event_type"), col("user_id"))
+      .distinct().as[(String, Long)].collect()
+    val sets = p.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = sets.keySet.toSeq.sorted
+    val expect = (for {
+      a <- types; b <- types if a < b
+      inter = (sets(a) & sets(b)).size.toLong if inter > 0
+    } yield (a, b, sets(a).size.toLong, sets(b).size.toLong, inter,
+      round6(inter.toDouble /
+        (sets(a).size + sets(b).size - inter).toDouble))).toSet
+    val got = graft.queries.Pipeline.audienceOverlap(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q231
+
+  test("q231 association rules match collected basket counts") {
+    val baskets = Tables.t(spark, sf, "lineitem")
+      .join(Tables.t(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+      .distinct().as[(Long, String)].collect()
+    val byBrand = baskets.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).toMap
+    val nn = baskets.map(_._1).distinct.length.toLong
+    val brands = byBrand.keySet.toSeq.sorted
+    val expect = (for {
+      a <- brands; b <- brands if a < b
+      nab = (byBrand(a) & byBrand(b)).size.toLong if nab > 0
+    } yield (a, b, nab,
+      round6(nab.toDouble / byBrand(a).size.toDouble),
+      round6(nab.toDouble * nn.toDouble /
+        (byBrand(a).size.toDouble * byBrand(b).size.toDouble)))).toSet
+    val got = graft.queries.Advanced.assocRules(spark, sf)
+      .as[(String, String, Long, Double, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q222
+
+  test("q222 quantile normalization matches a rank-walk replay") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+    val globalSorted = docs.map(_._3).sorted
+    val nn = docs.length
+    val expect = docs.groupBy(_._2).flatMap { case (src, g) =>
+      val ordered = g.sortBy(r => (r._3, r._1))
+      val m = ordered.length
+      ordered.zipWithIndex.toSeq.map { case ((id, _, nc), i) =>
+        val pr = if (m == 1) 0.0 else i.toDouble / (m - 1).toDouble
+        val idx = BigDecimal(pr * (nn - 1).toDouble)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+        (id, src, nc, globalSorted(idx))
+      }
+    }.toSet
+    val got = graft.queries.Curation.quantileNormalize(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got === expect)
+  }
+}
