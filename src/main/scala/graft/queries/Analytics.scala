@@ -1762,11 +1762,14 @@ object Analytics {
   val mwuAudit: Q = (s, dir) => {
     val cellCnt = Tables.t(s, dir, "documents")
       .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+    // t³ − t accumulates in DECIMAL(38,0) (DuckDB: HUGEINT): the cubic
+    // tie term passes BIGINT around 2M-row tie groups
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val g = cellCnt.groupBy("n_chars").agg(sum("cnt").as("t"))
       .withColumn("hi", sum("t").over(Window.orderBy("n_chars")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("n_chars"), (col("hi") - col("t") + 1 + col("hi")).as("r2"),
-        (col("t") * col("t") * col("t") - col("t")).as("tc"))
+        (col("t").cast(dec38) * col("t") * col("t") - col("t")).as("tc"))
     val ties = g.agg(sum("tc").as("tsum"))
     val tot = cellCnt.agg(sum("cnt").as("nn"))
     val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
@@ -1798,8 +1801,9 @@ object Analytics {
       |    sum(sum(cnt)) OVER (ORDER BY n_chars
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS hi
       |  FROM cellcnt GROUP BY 1),
-      |g2 AS (SELECT n_chars, hi - t + 1 + hi AS r2, t * t * t - t AS tc FROM g),
-      |ties AS (SELECT sum(tc)::BIGINT AS tsum FROM g2),
+      |g2 AS (SELECT n_chars, hi - t + 1 + hi AS r2,
+      |         t::HUGEINT * t * t - t AS tc FROM g),
+      |ties AS (SELECT sum(tc) AS tsum FROM g2),
       |t AS (SELECT sum(cnt)::BIGINT AS nn FROM cellcnt),
       |pers AS (
       |  SELECT source, sum(cnt)::BIGINT AS n1,

@@ -1369,19 +1369,50 @@ object Curation {
       .select(col("l_returnflag"),
         col("l_quantity").cast("long").as("x"),
         round(col("l_extendedprice")).cast("long").as("y"))
-    val grp = Window.partitionBy("l_returnflag")
-    val ranked = base
-      .withColumn("rx", lit(2) * rank().over(grp.orderBy("x")) +
-        count(lit(1)).over(Window.partitionBy("l_returnflag", "x")) - 1)
-      .withColumn("ry", lit(2) * rank().over(grp.orderBy("y")) +
-        count(lit(1)).over(Window.partitionBy("l_returnflag", "y")) - 1)
+    // One data-scale pass: the (group, x, y) count cube (bounded by the
+    // two value domains) carries everything downstream. Doubled
+    // tie-averaged ranks 2·avg = 2·hi − ties + 1 come from per-group
+    // cumulative counts over each value spine (tiny windows over the
+    // cube, never over rows — a rank window partitioned by 3 groups
+    // would serialize the corpus onto 3 tasks), and the moment sums run
+    // over the cube weighted by cell count. Rank products are O(n³)
+    // magnitudes, so they accumulate in DECIMAL(38,0) (DuckDB: HUGEINT)
+    // — exact far past BIGINT's ~1.3M-rows-per-group ceiling.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // eager localCheckpoint (the graph-family discipline): the cube is
+    // consumed three times (both rank spines + the moment pass) and
+    // would otherwise re-run the corpus scan + aggregate per consumer
+    val pairCnt = base.groupBy("l_returnflag", "x", "y")
+      .agg(count(lit(1)).as("pc"))
+      .localCheckpoint(true)
+    def rankTbl(c: String): org.apache.spark.sql.DataFrame =
+      pairCnt.groupBy(col("l_returnflag"), col(c).as("v"))
+        .agg(sum("pc").as("cnt"))
+        .withColumn("hi", sum("cnt").over(
+          Window.partitionBy("l_returnflag").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("l_returnflag"), col("v"),
+          (lit(2) * col("hi") - col("cnt") + 1).as(s"r_$c"))
+    // x-spine (≤ |quantity domain|·groups rows) broadcasts; the y-spine
+    // scales with the price domain, so it joins shuffle-hash — hashing
+    // two cube-sized sides beats single-threading a quarter-million-row
+    // broadcast build on the driver
+    val ranked = pairCnt
+      .join(broadcast(rankTbl("x")).withColumnRenamed("v", "x"),
+        Seq("l_returnflag", "x"))
+      .join(rankTbl("y").withColumnRenamed("v", "y").hint("shuffle_hash"),
+        Seq("l_returnflag", "y"))
+      .select(col("l_returnflag"), col("pc"),
+        col("r_x").as("rx"), col("r_y").as("ry"))
     val nd = col("n").cast("double")
     val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
     ranked.groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"), sum("rx").as("sx"), sum("ry").as("sy"),
-        sum(col("rx") * col("rx")).as("sxx"),
-        sum(col("rx") * col("ry")).as("sxy"),
-        sum(col("ry") * col("ry")).as("syy"))
+      .agg(sum("pc").as("n"),
+        sum(col("pc").cast(dec) * col("rx")).as("sx"),
+        sum(col("pc").cast(dec) * col("ry")).as("sy"),
+        sum(col("pc").cast(dec) * col("rx") * col("rx")).as("sxx"),
+        sum(col("pc").cast(dec) * col("rx") * col("ry")).as("sxy"),
+        sum(col("pc").cast(dec) * col("ry") * col("ry")).as("syy"))
       .withColumn("num", nd * col("sxy").cast("double") - sxd * syd)
       .withColumn("den_x", nd * col("sxx").cast("double") - sxd * sxd)
       .withColumn("den_y", nd * col("syy").cast("double") - syd * syd)
@@ -1396,19 +1427,33 @@ object Curation {
     """WITH base AS (
       |  SELECT l_returnflag, l_quantity::BIGINT AS x,
       |    round(l_extendedprice)::BIGINT AS y FROM lineitem),
-      |ranked AS (
-      |  SELECT l_returnflag,
-      |    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY x) +
-      |      count(*) OVER (PARTITION BY l_returnflag, x) - 1 AS rx,
-      |    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY y) +
-      |      count(*) OVER (PARTITION BY l_returnflag, y) - 1 AS ry
-      |  FROM base),
+      |pc AS (
+      |  SELECT l_returnflag, x, y, count(*)::BIGINT AS pc
+      |  FROM base GROUP BY 1, 2, 3),
+      |xt AS (
+      |  SELECT l_returnflag, v, 2 * hi - cnt + 1 AS r FROM (
+      |    SELECT l_returnflag, x AS v, sum(pc)::BIGINT AS cnt,
+      |      sum(sum(pc)) OVER (PARTITION BY l_returnflag ORDER BY x
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |        AS hi
+      |    FROM pc GROUP BY 1, 2) s),
+      |yt AS (
+      |  SELECT l_returnflag, v, 2 * hi - cnt + 1 AS r FROM (
+      |    SELECT l_returnflag, y AS v, sum(pc)::BIGINT AS cnt,
+      |      sum(sum(pc)) OVER (PARTITION BY l_returnflag ORDER BY y
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |        AS hi
+      |    FROM pc GROUP BY 1, 2) s),
       |m AS (
-      |  SELECT l_returnflag, count(*)::BIGINT AS n,
-      |    sum(rx)::BIGINT AS sx, sum(ry)::BIGINT AS sy,
-      |    sum(rx * rx)::BIGINT AS sxx, sum(rx * ry)::BIGINT AS sxy,
-      |    sum(ry * ry)::BIGINT AS syy
-      |  FROM ranked GROUP BY 1),
+      |  SELECT p.l_returnflag, sum(p.pc)::BIGINT AS n,
+      |    sum(p.pc::HUGEINT * xt.r) AS sx, sum(p.pc::HUGEINT * yt.r) AS sy,
+      |    sum(p.pc::HUGEINT * xt.r * xt.r) AS sxx,
+      |    sum(p.pc::HUGEINT * xt.r * yt.r) AS sxy,
+      |    sum(p.pc::HUGEINT * yt.r * yt.r) AS syy
+      |  FROM pc p
+      |  JOIN xt ON xt.l_returnflag = p.l_returnflag AND xt.v = p.x
+      |  JOIN yt ON yt.l_returnflag = p.l_returnflag AND yt.v = p.y
+      |  GROUP BY 1),
       |d AS (
       |  SELECT *,
       |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,

@@ -816,20 +816,46 @@ object Pipeline {
     * id tie-breaks, so the ordering is total and engine-independent
     * ([[graft.functions.JaroWinkler]] is bit-identical to DuckDB's). */
   val erBestMatch: Q = (s, dir) => {
+    // Canonicalize-first: exact-duplicate records share one score, so JW
+    // runs per DISTINCT (name_a, name_b) pair — never per record pair —
+    // and records re-enter only through each name's three smallest ids.
+    // Identical output to the definitional record-level formulation (the
+    // oracle + Round6OpsSpec replay): the record-level rank-1 and rank-2
+    // candidates are always among each candidate-name group's two
+    // smallest member ids (three carried so a self-id can be excluded),
+    // because ties in (jw DESC, id ASC) interleave groups by id. On a
+    // corpus of 20k records over 64 distinct names this cuts 6.2M JW
+    // evaluations to ~500 — the standard dedupe-before-score move of the
+    // record-linkage literature.
     val p = Tables.t(s, dir, "part").select(
-      col("p_partkey"), col("p_name"),
+      col("p_partkey"), col("p_name"))
+    val wN = Window.partitionBy("p_name").orderBy("p_partkey")
+    val mins = p.withColumn("rn", row_number().over(wN))
+      .filter(col("rn") <= 3)
+      .groupBy("p_name")
+      .agg(max(when(col("rn") === 1, col("p_partkey"))).as("m1"),
+        max(when(col("rn") === 2, col("p_partkey"))).as("m2"),
+        max(when(col("rn") === 3, col("p_partkey"))).as("m3"))
+    val nameTbl = mins.select(col("p_name"),
       element_at(split(col("p_name"), " "), -1).as("blk_noun"),
-      substring(col("p_name"), 1, 1).as("blk_ini"))
-    val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+      substring(col("p_name"), 1, 1).as("blk_ini"),
+      col("m1"), col("m2"), col("m3"))
+    val na = nameTbl.select(col("p_name").as("name_a"),
       col("blk_noun"), col("blk_ini"))
-    val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
-      col("blk_noun"), col("blk_ini"))
-    val w = Window.partitionBy("id_a").orderBy(col("jw").desc, col("id_b").asc)
-    a.join(b, Seq("blk_noun", "blk_ini"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("name_a"), col("id_b"),
+    val nb = nameTbl.select(col("p_name").as("name_b"),
+      col("blk_noun"), col("blk_ini"),
+      col("m1"), col("m2"), col("m3"))
+    val npairs = na.join(nb, Seq("blk_noun", "blk_ini"))
+      .select(col("name_a"), col("name_b"),
         round(graft.functions.JaroWinkler(col("name_a"), col("name_b")), 6)
-          .as("jw"))
+          .as("jw"),
+        col("m1"), col("m2"), col("m3"))
+    val w = Window.partitionBy("id_a").orderBy(col("jw").desc, col("id_b").asc)
+    p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+      .join(broadcast(npairs), "name_a")
+      .select(col("id_a"), col("name_a"), col("jw"),
+        explode(slice(filter(array(col("m1"), col("m2"), col("m3")),
+          x => x.isNotNull && x =!= col("id_a")), 1, 2)).as("id_b"))
       .withColumn("rk", row_number().over(w))
       .withColumn("jw2", lead("jw", 1).over(w))
       .filter(col("rk") === 1 && col("jw") >= 0.9)
