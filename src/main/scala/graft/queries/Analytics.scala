@@ -1822,6 +1822,77 @@ object Analytics {
       |  round((u1 - n1::DOUBLE * n2::DOUBLE / 2.0) / sqrt(sigma2), 6) AS z
       |FROM s2 WHERE sigma2 > 0 ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- q232
+
+  /** KMV distinct sketch (q232): per-source vocabulary cardinality
+    * estimated from the k=64 MINIMUM md5 hash values — the
+    * order-statistics sketch next to q111's HLL register algebra, and
+    * unlike HLL its construction is EXACTLY oracle-replayable (the k
+    * smallest 32-bit hash prefixes are a deterministic set; the
+    * estimator (k−1)·2³²/h₍ₖ₎ is one fixed IEEE division). Mergeable by
+    * construction: the k smallest of a union is the k smallest of the
+    * pooled sketches, so partial sketches combine associatively across
+    * partitions/shards. The rank-≤-k filter compiles to Spark's
+    * WindowGroupLimit (per-group top-k, no full sort), keyed on source;
+    * the hash domain is the distinct vocabulary — bounded, like every
+    * value-spine in this module. Sub-k sources fall back to their exact
+    * hash count (the sketch IS the set there). */
+  val kmvDistinct: Q = (s, dir) => {
+    val k = 64
+    val terms = Tables.t(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val hDist = terms.select(col("source"),
+      conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long").as("h"))
+      .distinct()
+    val counts = terms.groupBy("source")
+      .agg(count(lit(1)).as("n_exact"))
+    val nHash = hDist.groupBy("source").agg(count(lit(1)).as("n_hash"))
+    val kth = hDist
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("h")))
+      .filter(col("rn") === k)
+      .select(col("source"), col("h").as("hk"))
+    counts.join(nHash, "source").join(kth, Seq("source"), "left")
+      .select(col("source"), col("n_exact"), col("n_hash"),
+        when(col("hk").isNotNull,
+          round(lit((k - 1).toDouble) * 4294967296.0 /
+            col("hk").cast("double"), 2))
+          .otherwise(col("n_hash").cast("double")).as("est"))
+      .withColumn("rel_err",
+        round(abs(col("est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 4))
+      .orderBy("source")
+  }
+
+  val kmvDistinctSql: String =
+    s"""WITH terms AS (
+       |  SELECT DISTINCT source, term FROM (
+       |    SELECT source, unnest($ToksSql) AS term FROM documents)
+       |  WHERE term <> ''),
+       |hdist AS (
+       |  SELECT DISTINCT source,
+       |    ('0x' || substr(md5(term), 1, 8))::BIGINT AS h
+       |  FROM terms),
+       |counts AS (
+       |  SELECT source, count(*)::BIGINT AS n_exact FROM terms GROUP BY 1),
+       |nhash AS (SELECT source, count(*)::BIGINT AS n_hash FROM hdist GROUP BY 1),
+       |kth AS (
+       |  SELECT source, h AS hk FROM (
+       |    SELECT source, h,
+       |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM hdist) r WHERE rn = 64),
+       |e AS (
+       |  SELECT c.source, c.n_exact, nh.n_hash,
+       |    CASE WHEN kth.hk IS NOT NULL
+       |         THEN round(63.0 * 4294967296.0 / kth.hk::DOUBLE, 2)
+       |         ELSE nh.n_hash::DOUBLE END AS est
+       |  FROM counts c JOIN nhash nh USING (source)
+       |  LEFT JOIN kth USING (source))
+       |SELECT source, n_exact, n_hash, est,
+       |  round(abs(est - n_exact::DOUBLE) / n_exact::DOUBLE, 4) AS rel_err
+       |FROM e ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1861,7 +1932,8 @@ object Analytics {
     "q218_acf_daily" -> acfDaily,
     "q221_chisq_audit" -> chisqIndependence,
     "q223_ks_audit" -> ksAudit,
-    "q224_mwu_audit" -> mwuAudit)
+    "q224_mwu_audit" -> mwuAudit,
+    "q232_kmv_distinct" -> kmvDistinct)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -1900,5 +1972,6 @@ object Analytics {
     "q218_acf_daily" -> acfDailySql,
     "q221_chisq_audit" -> chisqIndependenceSql,
     "q223_ks_audit" -> ksAuditSql,
-    "q224_mwu_audit" -> mwuAuditSql)
+    "q224_mwu_audit" -> mwuAuditSql,
+    "q232_kmv_distinct" -> kmvDistinctSql)
 }

@@ -382,6 +382,58 @@ class StatOpsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  // ------------------------------------------------------------ q232
+
+  private def h32(s0: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).take(4).map("%02x".format(_))
+        .mkString, 16)
+
+  test("q232 KMV estimate matches the k-smallest-hash replay") {
+    val terms = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .flatMap { case (src, text) =>
+        text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+          .filter(_.nonEmpty).map(t => (src, t))
+      }.distinct
+    val expect = terms.groupBy(_._1).map { case (src, g) =>
+      val toks = g.map(_._2).distinct
+      val hashes = toks.map(h32).distinct.sorted
+      val est =
+        if (hashes.length >= 64)
+          BigDecimal(63.0 * 4294967296.0 / hashes(63).toDouble)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else hashes.length.toDouble
+      val rel = BigDecimal(math.abs(est - toks.length.toDouble) /
+        toks.length.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (src, toks.length.toLong, hashes.length.toLong, est, rel)
+    }.toSet
+    val got = graft.queries.Analytics.kmvDistinct(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  test("q232 KMV sketches merge associatively (k-min of union = k-min of pooled sketches)") {
+    val terms = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .flatMap { case (src, text) =>
+        text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+          .filter(_.nonEmpty).map(t => (src, t))
+      }.distinct
+    val bySrc = terms.groupBy(_._1).view
+      .mapValues(_.map(t => h32(t._2)).distinct.sorted.take(64).toVector)
+      .toMap
+    val srcs = bySrc.keySet.toSeq.sorted
+    for (Seq(a, b) <- srcs.combinations(2).take(10)) {
+      val unionHashes = terms.filter(t => t._1 == a || t._1 == b)
+        .map(t => h32(t._2)).distinct.sorted.take(64).toVector
+      val pooled = (bySrc(a) ++ bySrc(b)).distinct.sorted.take(64).toVector
+      assert(pooled === unionHashes, s"merge law broken for ($a, $b)")
+    }
+  }
+
   // ------------------------------------------------------------ q222
 
   test("q222 quantile normalization matches a rank-walk replay") {
