@@ -1240,8 +1240,11 @@ object Advanced {
     * per-day user set itself is huge). A semi-join against observed
     * days drops cover rows that run past the series end. */
   val rollingDistinct: Q = (s, dir) => {
+    // eager localCheckpoint: consumed by the day spine AND the cover
+    // explode — unchecked, each branch re-runs the scan + distinct
     val pairs = Tables.t(s, dir, "events")
       .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .localCheckpoint(true)
     val days = pairs.select(col("d").as("d2")).distinct()
     pairs
       .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("d2"),
@@ -1275,11 +1278,14 @@ object Advanced {
     * Counts are exact BIGINTs; confidence and lift are one fixed IEEE
     * division each over those integers, rounded at 6 dp. */
   val assocRules: Q = (s, dir) => {
+    // eager localCheckpoint: the basket table feeds marginals, the
+    // grand total, and both self-join sides — one scan+join, not four
     val baskets = Tables.t(s, dir, "lineitem")
       .join(Tables.t(s, dir, "part"),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
       .distinct()
+      .localCheckpoint(true)
     val marg = baskets.groupBy("b").agg(count(lit(1)).as("nb"))
     val tot = baskets.agg(countDistinct("o").as("nn"))
     baskets.as("x").join(baskets.as("y"), "o")

@@ -1640,8 +1640,11 @@ object Analytics {
     * contingency table is ≤ sources×langs rows at any corpus scale; the
     * only data-scale work is the first count aggregate. */
   val chisqIndependence: Q = (s, dir) => {
+    // eager localCheckpoint: the contingency table feeds row/column/
+    // grand totals and the cell join — one corpus aggregate, not four
     val cells = Tables.t(s, dir, "documents")
       .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
     val rowTot = cells.groupBy("source").agg(sum("o").as("r"))
     val colTot = cells.groupBy("lang").agg(sum("o").as("c"))
     val tot = cells.agg(sum("o").as("nn"))
@@ -1692,8 +1695,11 @@ object Analytics {
     * any corpus scale (like q222's reference table) — and the only
     * data-scale work is the first (source, value) count aggregate. */
   val ksAudit: Q = (s, dir) => {
+    // eager localCheckpoint: the (source, value) counts feed totals,
+    // the value spine, the global CDF, and the per-source CDF
     val cellCnt = Tables.t(s, dir, "documents")
       .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val srcTot = cellCnt.groupBy("source").agg(sum("cnt").as("n1"))
     val tot = cellCnt.agg(sum("cnt").as("nn"))
     val values = cellCnt.select("n_chars").distinct()
@@ -1760,8 +1766,10 @@ object Analytics {
     * (source, value) count aggregate; everything after runs on the
     * bounded distinct-value table. */
   val mwuAudit: Q = (s, dir) => {
+    // eager localCheckpoint, as in q223
     val cellCnt = Tables.t(s, dir, "documents")
       .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     // t³ − t accumulates in DECIMAL(38,0) (DuckDB: HUGEINT): the cubic
     // tie term passes BIGINT around 2M-row tie groups
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -1839,12 +1847,15 @@ object Analytics {
     * hash count (the sketch IS the set there). */
   val kmvDistinct: Q = (s, dir) => {
     val k = 64
+    // eager localCheckpoints: vocab-bounded tables with 2-3 consumers
     val terms = Tables.t(s, dir, "documents")
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
       .filter(col("term") =!= "").distinct()
+      .localCheckpoint(true)
     val hDist = terms.select(col("source"),
       conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long").as("h"))
       .distinct()
+      .localCheckpoint(true)
     val counts = terms.groupBy("source")
       .agg(count(lit(1)).as("n_exact"))
     val nHash = hDist.groupBy("source").agg(count(lit(1)).as("n_hash"))

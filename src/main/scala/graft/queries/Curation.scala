@@ -1227,12 +1227,17 @@ object Curation {
   val quantileNormalize: Q = (s, dir) => {
     val docs = Tables.t(s, dir, "documents")
       .select("doc_id", "source", "n_chars")
-    val tot = docs.agg(count(lit(1)).as("nn"))
+    // the reference table is checkpointed (bounded distinct-value
+    // domain) and the grand total derives from IT, so the corpus scan
+    // runs once for the reference and once for the row pass — not three
+    // times
     val ref = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
       .withColumn("hi", sum("cnt").over(Window.orderBy("n_chars")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("n_chars").as("v"), (col("hi") - col("cnt") + 1).as("lo"),
         col("hi"))
+      .localCheckpoint(true)
+    val tot = ref.agg(sum(col("hi") - col("lo") + 1).as("nn"))
     docs
       .withColumn("pr", percent_rank().over(
         Window.partitionBy("source").orderBy("n_chars", "doc_id")))

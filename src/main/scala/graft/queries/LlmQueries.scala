@@ -1539,10 +1539,13 @@ object LlmQueries {
     * doc join), and cosine is one division by two correctly-rounded
     * sqrts. Data-scale work: the single token-explode aggregate. */
   val sourceProfileSim: Q = (s, dir) => {
+    // eager localCheckpoint: the profile table is read by the norms
+    // aggregate and BOTH self-join sides — one token explode, not three
     val tf = Tables.t(s, dir, "documents")
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val norms = tf.groupBy("source").agg(sum(col("c") * col("c")).as("n2"))
     val dots = tf.as("a").join(tf.as("b"), "term")
       .filter(col("a.source") < col("b.source"))

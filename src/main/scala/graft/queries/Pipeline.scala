@@ -904,6 +904,9 @@ object Pipeline {
   val rfmSegments: Q = (s, dir) => {
     val ev = Tables.t(s, dir, "events")
     val maxT = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
+    // eager localCheckpoint: the per-user table feeds the cut spines AND
+    // the final bucketing — without it every branch re-runs the events
+    // scan + aggregate (the unchecked plan held 28 scans)
     val users = ev
       .groupBy("user_id")
       .agg(max(unix_micros(col("ts"))).as("last_us"),
@@ -914,27 +917,42 @@ object Pipeline {
       .select(col("user_id"),
         expr("(max_us - last_us) DIV 3600000000").as("r"),
         col("f"), expr("m_cents DIV 100").as("m"))
-    def cuts(c: String): org.apache.spark.sql.DataFrame = {
-      val spine = users.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum("cnt").over(Window.orderBy("v")
+      .localCheckpoint(true)
+    // all three cut spines melt out of ONE pass over the users table
+    val melt = users.select(explode(array(
+      struct(lit("r").as("dim"), col("r").cast("long").as("v")),
+      struct(lit("f").as("dim"), col("f").cast("long").as("v")),
+      struct(lit("m").as("dim"), col("m").cast("long").as("v")))).as("p"))
+      .select(col("p.dim").as("dim"), col("p.v").as("v"))
+    val nrow = users.agg(count(lit(1)).as("n"))
+    val perDim = melt.groupBy("dim", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("dim").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .crossJoin(broadcast(users.agg(count(lit(1)).as("n"))))
-      spine.agg(
-        min(when(col("cum") >= expr("(1 * n + 3) DIV 4"), col("v")))
-          .as(s"${c}1"),
+      .crossJoin(broadcast(nrow))
+      .groupBy("dim")
+      .agg(min(when(col("cum") >= expr("(1 * n + 3) DIV 4"), col("v")))
+        .as("c1"),
         min(when(col("cum") >= expr("(2 * n + 3) DIV 4"), col("v")))
-          .as(s"${c}2"),
+          .as("c2"),
         min(when(col("cum") >= expr("(3 * n + 3) DIV 4"), col("v")))
-          .as(s"${c}3"))
-    }
+          .as("c3"))
+    val cutsRow = perDim.groupBy().agg(
+      max(when(col("dim") === "r", col("c1"))).as("r1"),
+      max(when(col("dim") === "r", col("c2"))).as("r2"),
+      max(when(col("dim") === "r", col("c3"))).as("r3"),
+      max(when(col("dim") === "f", col("c1"))).as("f1"),
+      max(when(col("dim") === "f", col("c2"))).as("f2"),
+      max(when(col("dim") === "f", col("c3"))).as("f3"),
+      max(when(col("dim") === "m", col("c1"))).as("m1"),
+      max(when(col("dim") === "m", col("c2"))).as("m2"),
+      max(when(col("dim") === "m", col("c3"))).as("m3"))
     def bucket(c: String) =
       lit(1) + when(col(c) > col(s"${c}1"), 1).otherwise(0) +
         when(col(c) > col(s"${c}2"), 1).otherwise(0) +
         when(col(c) > col(s"${c}3"), 1).otherwise(0)
     users
-      .crossJoin(broadcast(cuts("r")))
-      .crossJoin(broadcast(cuts("f")))
-      .crossJoin(broadcast(cuts("m")))
+      .crossJoin(broadcast(cutsRow))
       .select(col("user_id"), col("m"),
         bucket("r").as("r_b"), bucket("f").as("f_b"), bucket("m").as("m_b"))
       .groupBy("r_b", "f_b", "m_b")
@@ -992,8 +1010,10 @@ object Pipeline {
     * bounded fan-out — and Jaccard is exact-integer
     * |A∩B| / (|A|+|B|−|A∩B|) with one final division. */
   val audienceOverlap: Q = (s, dir) => {
+    // eager localCheckpoint: audience pairs feed totals + both join legs
     val p = Tables.t(s, dir, "events")
       .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(true)
     val tot = p.groupBy("event_type").agg(count(lit(1)).as("t"))
     p.as("a").join(p.as("b"), "user_id")
       .filter(col("a.event_type") < col("b.event_type"))
