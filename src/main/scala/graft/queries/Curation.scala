@@ -1470,11 +1470,62 @@ object Curation {
       |FROM d WHERE den_x > 0 AND den_y > 0
       |ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------- q234
+
+  /** Per-source trimmed mean (q234): the mean of document lengths after
+    * discarding the bottom and top 10% BY RANK (k = n DIV 10 rows off
+    * each end) next to the plain mean — the estimator q226 clips toward
+    * (winsorize keeps mass at the fence; trimming removes it). Pure
+    * integers: rank window on the source key, kept-range filter, exact
+    * BIGINT sums; each mean is one division + round. One keyed window +
+    * one aggregate — two source-keyed shuffles at any scale. */
+  val trimmedMean: Q = (s, dir) => {
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("k", expr("n DIV 10"))
+      .groupBy("source")
+      .agg(max("n").as("n"), sum("n_chars").as("s_all"),
+        sum(when(col("rnk") > col("k") && col("rnk") <= col("n") - col("k"),
+          col("n_chars")).otherwise(0L)).as("s_trim"),
+        sum(when(col("rnk") > col("k") && col("rnk") <= col("n") - col("k"),
+          1L).otherwise(0L)).as("n_trim"))
+      .filter(col("n_trim") > 0)
+      .select(col("source"), col("n"), col("n_trim"),
+        round(col("s_all").cast("double") / col("n").cast("double"), 4)
+          .as("mean_all"),
+        round(col("s_trim").cast("double") / col("n_trim").cast("double"), 4)
+          .as("mean_trimmed"))
+      .orderBy("source")
+  }
+
+  val trimmedMeanSql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id)::BIGINT AS rnk,
+      |    count(*) OVER (PARTITION BY source)::BIGINT AS n
+      |  FROM documents),
+      |m AS (
+      |  SELECT source, max(n)::BIGINT AS n, sum(n_chars)::BIGINT AS s_all,
+      |    sum(CASE WHEN rnk > n // 10 AND rnk <= n - n // 10
+      |             THEN n_chars ELSE 0 END)::BIGINT AS s_trim,
+      |    sum(CASE WHEN rnk > n // 10 AND rnk <= n - n // 10
+      |             THEN 1 ELSE 0 END)::BIGINT AS n_trim
+      |  FROM r GROUP BY 1)
+      |SELECT source, n, n_trim,
+      |  round(s_all::DOUBLE / n::DOUBLE, 4) AS mean_all,
+      |  round(s_trim::DOUBLE / n_trim::DOUBLE, 4) AS mean_trimmed
+      |FROM m WHERE n_trim > 0 ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q222_quantile_norm" -> quantileNormalize,
     "q225_gini_source" -> giniBySource,
     "q226_winsorize" -> winsorize,
     "q227_spearman" -> spearmanGroup,
+    "q234_trimmed_mean" -> trimmedMean,
     "q87_decontam_ngram" -> decontam,
     "q88_cohort_retention" -> cohortRetention,
     "q89_window_range_frame" -> rangeFrameHour,
@@ -1512,6 +1563,7 @@ object Curation {
     "q225_gini_source" -> giniBySourceSql,
     "q226_winsorize" -> winsorizeSql,
     "q227_spearman" -> spearmanGroupSql,
+    "q234_trimmed_mean" -> trimmedMeanSql,
     "q87_decontam_ngram" -> decontamSql,
     "q88_cohort_retention" -> cohortRetentionSql,
     "q89_window_range_frame" -> rangeFrameHourSql,

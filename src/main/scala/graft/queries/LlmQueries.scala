@@ -1582,10 +1582,98 @@ object LlmQueries {
        |JOIN norms nb ON nb.source = source_b
        |ORDER BY source_a, source_b""".stripMargin
 
+  // -------------------------------------------------------------- q233
+
+  /** Reciprocal-rank fusion (q233): fuse q86's two retrieval legs — the
+    * lexical term-hit ranking and the embedding-cosine ranking — with
+    * the standard RRF(d) = Σ 1/(60 + rank_leg(d)) over the legs that
+    * retrieved d (Cormack et al.'s rank-only fusion: no score
+    * calibration between legs needed, which is the whole point). Each
+    * leg contributes its TOP-50 only (TakeOrderedAndProject — the
+    * serving cut, so corpus size never enters the fusion stage), ranks
+    * are row_numbers with doc-id tie-breaks over the rounded leg scores
+    * (total order, engine-independent), and the fused score is a fixed
+    * two-term IEEE sum of exact-integer reciprocals. */
+  val rrfFusion: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    val e = Tables.t(s, dir, "embeddings")
+    val qTerms = d.filter(col("doc_id") === 0)
+      .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    val lexTop = d.select(col("doc_id"),
+      explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      .join(broadcast(qTerms), "term")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("hits").desc, col("doc_id").asc).limit(50)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("hits").desc, col("doc_id").asc)).cast("long"))
+    val vecTop = e.select(col("vec_id").as("doc_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .filter(col("doc_id") =!= 0)
+      .crossJoin(broadcast(qVec))
+      .select(col("doc_id"),
+        round(Similarity.cosine(col("v"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(50)
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
+    lexTop.select(col("doc_id"), col("r_lex"))
+      .join(vecTop.select(col("doc_id"), col("r_vec")), Seq("doc_id"),
+        "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_vec"),
+        round(
+          when(col("r_lex").isNotNull,
+            lit(1.0) / (lit(60) + col("r_lex")).cast("double"))
+            .otherwise(lit(0.0)) +
+          when(col("r_vec").isNotNull,
+            lit(1.0) / (lit(60) + col("r_vec")).cast("double"))
+            .otherwise(lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val rrfFusionSql: String =
+    s"""WITH qt AS (
+       |  SELECT DISTINCT unnest(list_distinct($ToksSql)) AS term
+       |  FROM documents WHERE doc_id = 0),
+       |dt AS (
+       |  SELECT doc_id, unnest(list_distinct($ToksSql)) AS term FROM documents),
+       |lex AS (
+       |  SELECT dt.doc_id, count(*)::BIGINT AS hits
+       |  FROM dt JOIN qt USING (term) WHERE dt.doc_id <> 0 GROUP BY 1
+       |  ORDER BY hits DESC, doc_id ASC LIMIT 50),
+       |lexr AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY hits DESC, doc_id ASC)::BIGINT
+       |      AS r_lex
+       |  FROM lex),
+       |qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |vec AS (
+       |  SELECT vec_id AS doc_id,
+       |    round(list_cosine_similarity(embedding::DOUBLE[], qv.qv), 4) AS cos
+       |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0
+       |  ORDER BY cos DESC, doc_id ASC LIMIT 50),
+       |vecr AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY cos DESC, doc_id ASC)::BIGINT AS r_vec
+       |  FROM vec)
+       |SELECT coalesce(lexr.doc_id, vecr.doc_id) AS doc_id,
+       |  r_lex, r_vec,
+       |  round(
+       |    (CASE WHEN r_lex IS NOT NULL
+       |          THEN 1.0::DOUBLE / (60 + r_lex)::DOUBLE ELSE 0.0 END) +
+       |    (CASE WHEN r_vec IS NOT NULL
+       |          THEN 1.0::DOUBLE / (60 + r_vec)::DOUBLE ELSE 0.0 END), 6)
+       |    AS rrf
+       |FROM lexr FULL OUTER JOIN vecr ON lexr.doc_id = vecr.doc_id
+       |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "q229_source_profile_sim" -> sourceProfileSim,
+    "q233_rrf_fusion" -> rrfFusion,
     "q30_dedup_exact" -> dedupExact,
     "q31_doc_fingerprint" -> docFingerprint,
     "q67_partial_dup_aligned" -> partialDupAligned,
@@ -1629,6 +1717,7 @@ object LlmQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q229_source_profile_sim" -> sourceProfileSimSql,
+    "q233_rrf_fusion" -> rrfFusionSql,
     "q30_dedup_exact" -> dedupExactSql,
     "q31_doc_fingerprint" -> docFingerprintSql,
     "q67_partial_dup_aligned" -> partialDupAlignedSql,

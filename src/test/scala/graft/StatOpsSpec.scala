@@ -434,6 +434,67 @@ class StatOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------ q233
+
+  test("q233 RRF matches a sequential fusion of the collected legs") {
+    // legs re-derived with the same public leg definitions (each leg's
+    // scoring is itself cross-engine pinned via q86/q233's oracle);
+    // this test pins the FUSION: rank assignment, outer join, top-20
+    val d = Tables.t(spark, sf, "documents")
+    val e = Tables.t(spark, sf, "embeddings")
+    val qTerms = d.filter(col("doc_id") === 0)
+      .select(explode(array_distinct(graft.llm.TextOps.tokens(col("text"))))
+        .as("term"))
+    val lex = d.select(col("doc_id"),
+      explode(array_distinct(graft.llm.TextOps.tokens(col("text"))))
+        .as("term"))
+      .join(broadcast(qTerms), "term")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .filter(col("doc_id") =!= 0)
+      .as[(Long, Long)].collect()
+      .sortBy(r => (-r._2, r._1)).take(50)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).as[Seq[Double]]
+      .head()
+    val vec = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .withColumn("cos", round(graft.llm.Similarity.cosine(
+        col("embedding"), typedLit(qv)), 4))
+      .select(col("vec_id"), col("cos")).as[(Long, Double)].collect()
+      .sortBy(r => (-r._2, r._1)).take(50)
+    val rl = lex.zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val rv = vec.zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expect = (rl.keySet ++ rv.keySet).toSeq.map { id =>
+      val s0 = rl.get(id).map(r => 1.0 / (60 + r).toDouble).getOrElse(0.0) +
+        rv.get(id).map(r => 1.0 / (60 + r).toDouble).getOrElse(0.0)
+      (id, rl.get(id), rv.get(id),
+        BigDecimal(s0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(r => (-r._4, r._1)).take(20).toSet
+    val got = graft.queries.LlmQueries.rrfFusion(spark, sf)
+      .as[(Long, Option[Long], Option[Long], Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q234
+
+  test("q234 trimmed mean matches a sorted-slice replay") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+    val expect = docs.groupBy(_._2).flatMap { case (src, g) =>
+      val xs = g.sortBy(r => (r._3, r._1)).map(_._3)
+      val n = xs.length; val k = n / 10
+      val kept = xs.slice(k, n - k)
+      if (kept.isEmpty) None
+      else Some((src, n.toLong, kept.length.toLong,
+        round4(xs.sum.toDouble / n.toDouble),
+        round4(kept.sum.toDouble / kept.length.toDouble)))
+    }.toSet
+    val got = graft.queries.Curation.trimmedMean(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(got === expect)
+  }
+
   // ------------------------------------------------------------ q222
 
   test("q222 quantile normalization matches a rank-walk replay") {
