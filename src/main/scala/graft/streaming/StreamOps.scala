@@ -395,6 +395,52 @@ object StreamOps {
     new UnpersistOnStopQuery(underlying, corpusShingles, corpusBanded)
   }
 
+  // ---- custom state: KMV distinct-cardinality monitor (q232's twin) ----
+
+  case class KmvState(hashes: List[Long], updates: Int)
+  case class KmvUpdate(source: String, updates: Int, n_sketch: Int,
+                       est: Double)
+
+  /** Streaming per-source vocabulary-cardinality monitor: the k-minimum-
+    * values sketch of batch q232 ([[graft.queries.Analytics.kmvDistinct]])
+    * maintained as keyed state — each micro-batch's token hashes merge
+    * into the k smallest seen, which by the KMV merge law (StatOpsSpec
+    * pins it) makes the streamed fold EQUAL the batch sketch over the
+    * same corpus, regardless of batching. State is exactly ≤k longs per
+    * source; one estimate row is emitted per source per touching batch,
+    * with a monotone `updates` counter so consumers can keep the latest.
+    * The hash kernel is the same codegen'd md5-prefix expression the
+    * batch query uses, applied BEFORE the stateful stage so the shuffle
+    * carries (source, hash) pairs only. */
+  def kmvMonitor(docs: DataFrame, k: Int = 64): Dataset[KmvUpdate] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("source"),
+        explode(graft.llm.TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("source"),
+        conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KmvState, KmvUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long)],
+         state: GroupState[KmvState]) =>
+          val prev = state.getOption.getOrElse(KmvState(Nil, 0))
+          val merged = (prev.hashes ++ rows.map(_._2))
+            .distinct.sorted.take(k)
+          val st = KmvState(merged, prev.updates + 1)
+          state.update(st)
+          val est =
+            if (merged.length >= k)
+              BigDecimal((k - 1).toDouble * 4294967296.0 /
+                merged.last.toDouble)
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+            else merged.length.toDouble
+          Iterator.single(KmvUpdate(src, st.updates, merged.length, est))
+      }
+  }
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -310,6 +310,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming KMV monitor converges to the batch q232 sketch across batch splits") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](spark)
+    val q = StreamOps.kmvMonitor(
+      stream.toDS().toDF("doc_id", "text", "source"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_kmv").start()
+    // two arbitrary splits — the KMV merge law makes the fold order
+    // irrelevant, so the final state must equal the batch sketch
+    stream.addData(docs.take(docs.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    stream.addData(docs.drop(docs.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val latest = spark.table("t_kmv")
+      .as[StreamOps.KmvUpdate].collect()
+      .groupBy(_.source).map { case (_, g) => g.maxBy(_.updates) }
+    val batch = graft.queries.Analytics.kmvDistinct(spark, sf)
+      .select(col("source"), col("n_hash"), col("est"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (math.min(r._2, 64L), r._3)).toMap
+    assert(latest.nonEmpty)
+    latest.foreach { u =>
+      val (nh, est) = batch(u.source)
+      assert(u.n_sketch.toLong === nh,
+        s"${u.source}: sketch size ${u.n_sketch} vs batch $nh")
+      assert(u.est === est, s"${u.source}: est ${u.est} vs batch $est")
+    }
+  }
+
   test("streaming decontamination admits exactly the docs batch q87 would keep") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decontam").toFile
     val outDir = new java.io.File(dir, "clean").getPath
