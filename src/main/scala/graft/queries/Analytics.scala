@@ -1904,6 +1904,105 @@ object Analytics {
        |  round(abs(est - n_exact::DOUBLE) / n_exact::DOUBLE, 4) AS rel_err
        |FROM e ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- q235
+
+  /** KMV sketch ALGEBRA, relationally (q235): sketch each md5-split
+    * half of the corpus independently, merge the two sketches (union →
+    * k smallest — pure relational ops over ≤2k rows per source), and
+    * put the merged estimate next to the whole-corpus estimate. The KMV
+    * merge law says they are EQUAL — this query exhibits the law the
+    * distributed path relies on (shard-local sketches unioned at the
+    * coordinator; q232's streaming twin carries the same state), and
+    * the oracle replays all three sketches. Per-half sketches ride the
+    * same WindowGroupLimit rank-cap as q232. */
+  val kmvMerge: Q = (s, dir) => {
+    val k = 64
+    def estCol(n: org.apache.spark.sql.Column,
+               hk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(n >= k, round(lit((k - 1).toDouble) * 4294967296.0 /
+        hk.cast("double"), 2)).otherwise(n.cast("double"))
+    val hashes = Tables.t(s, dir, "documents")
+      .select(col("source"), (Fragments.splitBucket(col("doc_id")) < 50)
+        .as("half_a"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("source"), col("half_a"),
+        conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long").as("h"))
+      .distinct()
+      .localCheckpoint(true)
+    def sketch(df: org.apache.spark.sql.DataFrame,
+               part: Seq[String]): org.apache.spark.sql.DataFrame =
+      df.withColumn("rn", row_number().over(
+        Window.partitionBy(part.map(col): _*).orderBy("h")))
+        .filter(col("rn") <= k)
+    val halfSk = sketch(hashes.select("source", "half_a", "h").distinct(),
+      Seq("source", "half_a")).localCheckpoint(true)
+    def estOf(df: org.apache.spark.sql.DataFrame, label: String) =
+      df.groupBy("source")
+        .agg(count(lit(1)).as("n"), max(when(col("rn") === k, col("h")))
+          .as("hk"))
+        .select(col("source"), estCol(col("n"), col("hk")).as(label))
+    val estA = estOf(halfSk.filter(col("half_a")), "est_a")
+    val estB = estOf(halfSk.filter(!col("half_a")), "est_b")
+    val merged = estOf(sketch(halfSk.select("source", "h").distinct(),
+      Seq("source")), "est_merged")
+    val whole = estOf(sketch(hashes.select("source", "h").distinct(),
+      Seq("source")), "est_whole")
+    estA.join(estB, Seq("source"), "full_outer")
+      .join(merged, "source").join(whole, "source")
+      .select(col("source"), col("est_a"), col("est_b"), col("est_merged"),
+        col("est_whole"),
+        (col("est_merged") === col("est_whole")).as("law_holds"))
+      .orderBy("source")
+  }
+
+  val kmvMergeSql: String = {
+    def sk(src: String, part: String, out: String): String =
+      s"""$out AS (
+         |  SELECT source, n, hk,
+         |    CASE WHEN n >= 64
+         |         THEN round(63.0 * 4294967296.0 / hk::DOUBLE, 2)
+         |         ELSE n::DOUBLE END AS est
+         |  FROM (
+         |    SELECT source, count(*)::BIGINT AS n,
+         |      max(CASE WHEN rn = 64 THEN h END) AS hk
+         |    FROM (
+         |      SELECT source, h,
+         |        row_number() OVER (PARTITION BY $part ORDER BY h) AS rn
+         |      FROM $src) r
+         |    WHERE rn <= 64 GROUP BY 1) g)""".stripMargin
+    s"""WITH hashes AS (
+       |  SELECT DISTINCT source,
+       |    ${Fragments.hashBucketSql("doc_id::VARCHAR", 100)} < 50 AS half_a,
+       |    ('0x' || substr(md5(term), 1, 8))::BIGINT AS h
+       |  FROM (
+       |    SELECT doc_id, source, unnest($ToksSql) AS term FROM documents)
+       |  WHERE term <> ''),
+       |halfsk AS (
+       |  SELECT source, half_a, h FROM (
+       |    SELECT source, half_a, h,
+       |      row_number() OVER (PARTITION BY source, half_a ORDER BY h)
+       |        AS rn
+       |    FROM (SELECT DISTINCT source, half_a, h FROM hashes) hh) r
+       |  WHERE rn <= 64),
+       |ha AS (SELECT source, h FROM halfsk WHERE half_a),
+       |hb AS (SELECT source, h FROM halfsk WHERE NOT half_a),
+       |hm AS (SELECT DISTINCT source, h FROM halfsk),
+       |hw AS (SELECT DISTINCT source, h FROM hashes),
+       |${sk("ha", "source", "ea")},
+       |${sk("hb", "source", "eb")},
+       |${sk("hm", "source", "em")},
+       |${sk("hw", "source", "ew")}
+       |SELECT coalesce(ea.source, eb.source) AS source,
+       |  ea.est AS est_a, eb.est AS est_b,
+       |  em.est AS est_merged, ew.est AS est_whole,
+       |  em.est = ew.est AS law_holds
+       |FROM ea FULL OUTER JOIN eb ON ea.source = eb.source
+       |JOIN em ON em.source = coalesce(ea.source, eb.source)
+       |JOIN ew ON ew.source = coalesce(ea.source, eb.source)
+       |ORDER BY source""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1944,7 +2043,8 @@ object Analytics {
     "q221_chisq_audit" -> chisqIndependence,
     "q223_ks_audit" -> ksAudit,
     "q224_mwu_audit" -> mwuAudit,
-    "q232_kmv_distinct" -> kmvDistinct)
+    "q232_kmv_distinct" -> kmvDistinct,
+    "q235_kmv_merge" -> kmvMerge)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -1984,5 +2084,6 @@ object Analytics {
     "q221_chisq_audit" -> chisqIndependenceSql,
     "q223_ks_audit" -> ksAuditSql,
     "q224_mwu_audit" -> mwuAuditSql,
-    "q232_kmv_distinct" -> kmvDistinctSql)
+    "q232_kmv_distinct" -> kmvDistinctSql,
+    "q235_kmv_merge" -> kmvMergeSql)
 }

@@ -1048,10 +1048,106 @@ object Pipeline {
       |JOIN tot tb ON tb.event_type = type_b
       |ORDER BY type_a, type_b""".stripMargin
 
+  // -------------------------------------------------------------- q236
+
+  /** Deterministic Poisson bootstrap CI (q236): a 90% confidence
+    * interval on each source's mean document length from B=32
+    * hash-seeded resamples — the online-bootstrap trick (each replicate
+    * weights every row by an independent Poisson(1) draw, so resampling
+    * is one map-side explode, no sampling-with-replacement shuffle; the
+    * draw is the inverse CDF applied to an md5 uniform of (doc_id, b),
+    * truncated at 3, so both engines derive identical weights from
+    * identical literals). Replicate b=0 carries weight 1 — the full-
+    * sample mean rides the same pass. Per-replicate means are exact
+    * integer ratios; the 90% CI takes the nearest-rank 5th/95th
+    * percentile of the B replicate means (rank window over ≤B rows per
+    * source). One explode + one keyed aggregate + a B-row window: scan
+    * cost ×(B+1) map-side, one shuffle on (source, b). */
+  val bootstrapCi: Q = (s, dir) => {
+    val b = 32
+    // Poisson(1) CDF breakpoints, written as identical literals in both
+    // engines: P(X<=0)=e^-1, P(X<=1)=2e^-1, P(X<=2)=2.5e^-1
+    val u = col("h").cast("double") / 4294967296.0
+    val w = when(col("b") === 0, 1L)
+      .when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .otherwise(3L)
+    val reps = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        explode(sequence(lit(0), lit(b))).as("b"))
+      .withColumn("h", conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit("_"),
+          col("b").cast("string"))), 1, 8), 16, 10)
+        .cast("long"))
+      .withColumn("w", w)
+      .groupBy("source", "b")
+      .agg(sum(col("w") * col("n_chars")).as("sx"), sum("w").as("sw"))
+      .filter(col("sw") > 0)
+      .withColumn("mean_b",
+        col("sx").cast("double") / col("sw").cast("double"))
+      .localCheckpoint(true)
+    val full = reps.filter(col("b") === 0)
+      .select(col("source"), round(col("mean_b"), 4).as("mean_full"))
+    val boots = reps.filter(col("b") > 0)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy("mean_b", "b")))
+      .withColumn("nr", count(lit(1)).over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(max("nr").as("n_reps"),
+        max(when(col("rnk") === expr("(5 * nr + 99) DIV 100"),
+          col("mean_b"))).as("lo"),
+        max(when(col("rnk") === expr("(95 * nr + 99) DIV 100"),
+          col("mean_b"))).as("hi"))
+    full.join(boots, "source")
+      .select(col("source"), col("mean_full"), col("n_reps"),
+        round(col("lo"), 4).as("ci_lo"), round(col("hi"), 4).as("ci_hi"))
+      .orderBy("source")
+  }
+
+  val bootstrapCiSql: String =
+    """WITH reps AS (
+      |  SELECT source, b,
+      |    sum(w * n_chars)::BIGINT AS sx, sum(w)::BIGINT AS sw
+      |  FROM (
+      |    SELECT source, n_chars, b,
+      |      CASE WHEN b = 0 THEN 1
+      |           WHEN u < 0.36787944117144233 THEN 0
+      |           WHEN u < 0.7357588823428847 THEN 1
+      |           WHEN u < 0.9196986029286058 THEN 2
+      |           ELSE 3 END AS w
+      |    FROM (
+      |      SELECT doc_id, source, n_chars, b,
+      |        (('0x' || substr(md5(doc_id::VARCHAR || '_' || b::VARCHAR),
+      |          1, 8))::BIGINT)::DOUBLE / 4294967296.0 AS u
+      |      FROM documents
+      |      CROSS JOIN (SELECT unnest(range(0, 33)) AS b) t) uu) ww
+      |  GROUP BY 1, 2 HAVING sum(w) > 0),
+      |m AS (
+      |  SELECT source, b, sx::DOUBLE / sw::DOUBLE AS mean_b FROM reps),
+      |full_m AS (
+      |  SELECT source, round(mean_b, 4) AS mean_full FROM m WHERE b = 0),
+      |ranked AS (
+      |  SELECT source, mean_b,
+      |    row_number() OVER (PARTITION BY source ORDER BY mean_b, b)
+      |      AS rnk,
+      |    count(*) OVER (PARTITION BY source) AS nr
+      |  FROM m WHERE b > 0),
+      |ci AS (
+      |  SELECT source, max(nr)::BIGINT AS n_reps,
+      |    max(CASE WHEN rnk = (5 * nr + 99) // 100 THEN mean_b END) AS lo,
+      |    max(CASE WHEN rnk = (95 * nr + 99) // 100 THEN mean_b END) AS hi
+      |  FROM ranked GROUP BY 1)
+      |SELECT f.source, f.mean_full, ci.n_reps,
+      |  round(ci.lo, 4) AS ci_lo, round(ci.hi, 4) AS ci_hi
+      |FROM full_m f JOIN ci USING (source)
+      |ORDER BY f.source""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "q228_rfm_segments" -> rfmSegments,
+    "q236_bootstrap_ci" -> bootstrapCi,
     "q230_audience_overlap" -> audienceOverlap,
     "q70_pii_redact" -> piiRedact,
     "q71_split_assign" -> splitAssign,
@@ -1076,6 +1172,7 @@ object Pipeline {
   val oracleSql: Map[String, String] = Map(
     "q228_rfm_segments" -> rfmSegmentsSql,
     "q230_audience_overlap" -> audienceOverlapSql,
+    "q236_bootstrap_ci" -> bootstrapCiSql,
     "q70_pii_redact" -> piiRedactSql,
     "q71_split_assign" -> splitAssignSql,
     "q72_fuzzy_pairs" -> fuzzyPairsSql,

@@ -495,6 +495,67 @@ class StatOpsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  // ------------------------------------------------------------ q235
+
+  test("q235 sketch-merge law holds on every source and replays sequentially") {
+    val rows = graft.queries.Analytics.kmvMerge(spark, sf)
+      .as[(String, Option[Double], Option[Double], Double, Double, Boolean)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._6, s"${r._1}: merge law violated (${r._4} vs ${r._5})")
+      assert(r._4 === r._5)
+    }
+    // independent replay of the whole-corpus estimate per source
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val expectWhole = docs.groupBy(_._1).map { case (src, g) =>
+      val hashes = g.flatMap(d =>
+        d._2.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+          .filter(_.nonEmpty)).distinct.map(h32).distinct.sorted
+      val est = if (hashes.length >= 64)
+        BigDecimal(63.0 * 4294967296.0 / hashes(63).toDouble)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else hashes.length.toDouble
+      src -> est
+    }
+    rows.foreach(r => assert(r._5 === expectWhole(r._1), r._1))
+  }
+
+  // ------------------------------------------------------------ q236
+
+  test("q236 bootstrap CI matches a sequential hash-weighted replay") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+    def weight(id: Long, b: Int): Long =
+      if (b == 0) 1L
+      else {
+        val u = h32(s"${id}_$b").toDouble / 4294967296.0
+        if (u < 0.36787944117144233) 0L
+        else if (u < 0.7357588823428847) 1L
+        else if (u < 0.9196986029286058) 2L else 3L
+      }
+    val expect = docs.groupBy(_._2).flatMap { case (src, g) =>
+      val means = (0 to 32).flatMap { b =>
+        val ws = g.map(d => (weight(d._1, b), d._3))
+        val sw = ws.map(_._1).sum
+        if (sw == 0) None
+        else Some((b, ws.map(p => p._1 * p._2).sum.toDouble / sw.toDouble))
+      }
+      val full = means.find(_._1 == 0).map(_._2)
+      val boots = means.filter(_._1 > 0).sortBy(m => (m._2, m._1)).map(_._2)
+      val nr = boots.length
+      if (full.isEmpty || nr == 0) None
+      else Some((src, round4(full.get), nr.toLong,
+        round4(boots((5 * nr + 99) / 100 - 1)),
+        round4(boots((95 * nr + 99) / 100 - 1))))
+    }.toSet
+    val got = graft.queries.Pipeline.bootstrapCi(spark, sf)
+      .as[(String, Double, Long, Double, Double)].collect().toSet
+    assert(got === expect)
+  }
+
   // ------------------------------------------------------------ q222
 
   test("q222 quantile normalization matches a rank-walk replay") {
