@@ -515,8 +515,157 @@ object Extended {
        |FROM lagged WHERE rn = nmax ORDER BY user_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- q237
+
+  /** Lead–lag cross-correlation (q237): CCF between the daily click
+    * series and the daily purchase series at lags −3..+3 — "do clicks
+    * lead purchases, and by how many days?" (q218's bivariate sibling;
+    * the lag with the largest correlation is the discovered lead). One
+    * pass builds the daily rollup (checkpointed — both series and every
+    * lag read it); each lag is a day-shifted equi-join of the two tiny
+    * series, and r is the exact-integer-moment Pearson form. All
+    * post-rollup work is days×lags-sized — data-volume-independent. */
+  val ccfLeadLag: Q = (s, dir) => {
+    val daily = Tables.t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val x = daily.filter(col("event_type") === "click")
+      .select(col("d"), col("c").as("x"))
+    val y = daily.filter(col("event_type") === "purchase")
+      .select(col("d").as("dy"), col("c").as("y"))
+    val lags = x.select(col("d"), col("x"),
+      explode(sequence(lit(-3), lit(3))).as("k"))
+      .join(y, expr("dy = date_add(d, k)"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+    lags.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", nd * col("sxy").cast("double") - sxd * syd)
+      .withColumn("den_x", nd * col("sxx").cast("double") - sxd * sxd)
+      .withColumn("den_y", nd * col("syy").cast("double") - syd * syd)
+      .filter(col("den_x") > 0 && col("den_y") > 0)
+      .select(col("k"), col("n"),
+        round(col("num") / (sqrt(col("den_x")) * sqrt(col("den_y"))), 6)
+          .as("ccf"))
+      .orderBy("k")
+  }
+
+  val ccfLeadLagSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS c
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1, 2),
+      |x AS (SELECT d, c AS x FROM daily WHERE event_type = 'click'),
+      |y AS (SELECT d AS dy, c AS y FROM daily WHERE event_type = 'purchase'),
+      |lags AS (
+      |  SELECT k, x.x, y.y
+      |  FROM x CROSS JOIN (SELECT unnest(range(-3, 4))::INTEGER AS k) ks
+      |  JOIN y ON y.dy = x.d + k),
+      |m AS (
+      |  SELECT k, count(*)::BIGINT AS n,
+      |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |    sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+      |    sum(y * y)::BIGINT AS syy
+      |  FROM lags GROUP BY 1),
+      |d AS (
+      |  SELECT *,
+      |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+      |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS den_x,
+      |    n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS den_y
+      |  FROM m)
+      |SELECT k::INTEGER AS k, n,
+      |  round(num / (sqrt(den_x) * sqrt(den_y)), 6) AS ccf
+      |FROM d WHERE den_x > 0 AND den_y > 0
+      |ORDER BY k""".stripMargin
+
+  // -------------------------------------------------------------- q238
+
+  /** Index-base-100 rebase (q238): each event type's daily volume
+    * re-expressed relative to its own first observed day (= 100) — the
+    * classic comparability transform for series with different scales.
+    * first_value rides the same type-keyed window as the presentation
+    * of the series; the index is one exact-integer ratio × 100. */
+  val indexRebase: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("c0", first("c").over(w))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd")
+        .as("day"),
+        col("c"),
+        round(col("c").cast("double") * 100.0 / col("c0").cast("double"), 2)
+          .as("idx"))
+      .orderBy("event_type", "day")
+  }
+
+  val indexRebaseSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |f AS (
+      |  SELECT event_type, d, c,
+      |    first_value(c) OVER (PARTITION BY event_type ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0
+      |  FROM daily)
+      |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, c,
+      |  round(c::DOUBLE * 100.0 / c0::DOUBLE, 2) AS idx
+      |FROM f ORDER BY event_type, day""".stripMargin
+
+  // -------------------------------------------------------------- q239
+
+  /** Day-of-week seasonality profile (q239): per event type, each
+    * weekday's share of daily volume relative to a flat week — ratio =
+    * (Σc_dow · n_days) / (n_dow · Σc_all), exact integers with one
+    * final division (weekday numbering pinned cross-engine: Monday=0
+    * via Spark `weekday` = DuckDB `isodow − 1`). The 7×types profile
+    * is the seasonal factor table a decomposition would divide out. */
+  val dowSeasonality: Q = (s, dir) => {
+    val daily = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tot = daily.groupBy("event_type")
+      .agg(sum("c").as("s_all"), count(lit(1)).as("n_all"))
+    daily.withColumn("dow", weekday(col("d")))
+      .groupBy("event_type", "dow")
+      .agg(sum("c").as("s_dow"), count(lit(1)).as("n_dow"))
+      .join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow"), col("n_dow"),
+        round((col("s_dow") * col("n_all")).cast("double") /
+          (col("n_dow") * col("s_all")).cast("double"), 4).as("factor"))
+      .orderBy("event_type", "dow")
+  }
+
+  val dowSeasonalitySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, sum(c)::BIGINT AS s_all,
+      |    count(*)::BIGINT AS n_all
+      |  FROM daily GROUP BY 1),
+      |dw AS (
+      |  SELECT event_type, (isodow(d) - 1)::INTEGER AS dow,
+      |    sum(c)::BIGINT AS s_dow, count(*)::BIGINT AS n_dow
+      |  FROM daily GROUP BY 1, 2)
+      |SELECT dw.event_type, dow, n_dow,
+      |  round((s_dow * n_all)::DOUBLE / ((n_dow * s_all)::DOUBLE), 4)
+      |    AS factor
+      |FROM dw JOIN tot USING (event_type)
+      |ORDER BY event_type, dow""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q219_ewma_smooth" -> ewmaSmooth,
+    "q237_ccf_leadlag" -> ccfLeadLag,
+    "q238_index_rebase" -> indexRebase,
+    "q239_dow_seasonality" -> dowSeasonality,
     "q66_salted_join" -> saltedJoin,
     "q63_range_join" -> rangeJoin,
     "q64_interval_join" -> intervalJoinBatch,
@@ -540,6 +689,9 @@ object Extended {
 
   val oracleSql: Map[String, String] = Map(
     "q219_ewma_smooth" -> ewmaSmoothSql,
+    "q237_ccf_leadlag" -> ccfLeadLagSql,
+    "q238_index_rebase" -> indexRebaseSql,
+    "q239_dow_seasonality" -> dowSeasonalitySql,
     "q66_salted_join" -> saltedJoinSql,
     "q63_range_join" -> rangeJoinSql,
     "q64_interval_join" -> intervalJoinBatchSql,

@@ -556,6 +556,87 @@ class StatOpsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  // ------------------------------------------------------------ q237
+
+  test("q237 CCF matches a collected lead-lag Pearson replay") {
+    val daily = Tables.t(spark, sf, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+    def series(t: String) = daily.filter(_._1 == t)
+      .map(r => java.time.LocalDate.parse(r._2) -> r._3).toMap
+    val x = series("click"); val y = series("purchase")
+    val expect = (-3 to 3).flatMap { k =>
+      val pairs = x.toSeq.flatMap { case (d0, xv) =>
+        y.get(d0.plusDays(k.toLong)).map(yv => (xv.toDouble, yv.toDouble))
+      }
+      val n = pairs.length.toDouble
+      if (pairs.isEmpty) None
+      else {
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val num = n * sxy - sx * sy
+        val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+        if (dx > 0 && dy > 0)
+          Some((k, pairs.length.toLong,
+            round6(num / (math.sqrt(dx) * math.sqrt(dy)))))
+        else None
+      }
+    }.toSet
+    val got = graft.queries.Extended.ccfLeadLag(spark, sf)
+      .as[(Int, Long, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q238
+
+  test("q238 rebase indexes every series to its first day = 100") {
+    val rows = graft.queries.Extended.indexRebase(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val ordered = g.sortBy(_._2)
+      assert(ordered.head._4 === 100.0)
+      val c0 = ordered.head._3.toDouble
+      ordered.foreach { r =>
+        assert(r._4 === round4(BigDecimal(r._3.toDouble * 100.0 / c0)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ q239
+
+  test("q239 seasonality factors weight-average to 1 per series") {
+    // Σ (n_dow/n_all)·factor = 1 exactly by construction
+    val got = graft.queries.Extended.dowSeasonality(spark, sf)
+      .as[(String, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val daily = Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("d").cast("string"), col("c"))
+      .as[(String, String, Long)].collect()
+    got.groupBy(_._1).foreach { case (et, g) =>
+      val days = daily.filter(_._1 == et)
+      val nAll = days.length.toDouble; val sAll = days.map(_._3).sum.toDouble
+      val mix = g.map(r => r._3.toDouble / nAll * r._4).sum
+      assert(math.abs(mix - 1.0) < 1e-3, s"$et: $mix")
+      // and each factor replays from the per-dow sums
+      g.foreach { r =>
+        val dws = days.filter(d =>
+          java.time.LocalDate.parse(d._2).getDayOfWeek.getValue - 1 == r._2)
+        val expect = round4(
+          (dws.map(_._3).sum * days.length).toDouble /
+            (dws.length * days.map(_._3).sum).toDouble)
+        assert(r._4 === expect, s"$et dow ${r._2}")
+      }
+    }
+  }
+
   // ------------------------------------------------------------ q222
 
   test("q222 quantile normalization matches a rank-walk replay") {
