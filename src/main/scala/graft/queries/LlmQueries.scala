@@ -1669,11 +1669,101 @@ object LlmQueries {
        |FROM lexr FULL OUTER JOIN vecr ON lexr.doc_id = vecr.doc_id
        |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------- q240
+
+  /** Centroid silhouette score (q240): per-label clustering quality of
+    * the labeled embedding space — for each point, a = distance to its
+    * OWN label centroid, b = distance to the nearest OTHER centroid,
+    * s = (b−a)/max(a,b) (the simplified/centroid silhouette; the
+    * classic all-pairs form is corpus-quadratic and adds nothing at
+    * this granularity). Determinism without any order-sensitive float
+    * sum: components quantize to micro-ints, centroid SUMS stay exact
+    * BIGINTs (order-free), and the squared distance to centroid L is
+    * the cross-multiplied integer Σ(x·n_L − S_L)² accumulated in
+    * DECIMAL(38,0)/HUGEINT — sqrt and the two divisions are the only
+    * float ops, one fixed sequence per (point, centroid). Per-point
+    * silhouettes micro-quantize before the per-label mean, so the final
+    * aggregate is order-free integer addition. Plan: one posexplode
+    * pass, a 640-row broadcast of centroid sums, map-side distance
+    * terms, keyed aggregates — no data-scale window, no pair join. */
+  val silhouette: Q = (s, dir) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pts = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(col("embedding").cast("array<double>"),
+          x => round(x * 1e6).cast("long"))))
+      .withColumnRenamed("col", "x6")
+      .localCheckpoint(true)
+    val cents = pts.groupBy(col("label").as("label_c"), col("pos"))
+      .agg(sum("x6").as("sl"), count(lit(1)).as("nl"))
+    val d2 = pts.join(broadcast(cents), Seq("pos"))
+      .withColumn("diff",
+        (col("x6") * col("nl") - col("sl")).cast(dec))
+      .groupBy("vec_id", "label", "label_c")
+      .agg(sum(col("diff") * col("diff")).as("d2"), max("nl").as("nl"))
+      .withColumn("dist",
+        sqrt(col("d2").cast("double")) /
+          (col("nl").cast("double") * 1e6))
+    val perPoint = d2.groupBy("vec_id", "label")
+      .agg(max(when(col("label") === col("label_c"), col("dist"))).as("a"),
+        min(when(col("label") =!= col("label_c"), col("dist"))).as("b"))
+      .withColumn("s_micro",
+        when(greatest(col("a"), col("b")) > 0,
+          round((col("b") - col("a")) / greatest(col("a"), col("b")) * 1e6))
+          .otherwise(lit(0.0)).cast("long"))
+    perPoint.groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("s_micro").as("sm"),
+        sum(when(col("s_micro") < 0, 1L).otherwise(0L)).as("n_neg"))
+      .select(col("label"), col("n"),
+        round(col("sm").cast("double") / (col("n").cast("double") * 1e6), 4)
+          .as("mean_sil"),
+        col("n_neg"))
+      .orderBy("label")
+  }
+
+  val silhouetteSql: String =
+    """WITH pts AS (
+      |  SELECT vec_id, label, k::INTEGER AS pos,
+      |    round((embedding::DOUBLE[])[k + 1] * 1e6)::BIGINT AS x6
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS k)),
+      |cents AS (
+      |  SELECT label AS label_c, pos, sum(x6)::BIGINT AS sl,
+      |    count(*)::BIGINT AS nl
+      |  FROM pts GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT vec_id, label, label_c,
+      |    sum((p.x6 * c.nl - c.sl)::HUGEINT * (p.x6 * c.nl - c.sl)::HUGEINT)
+      |      AS d2,
+      |    max(c.nl) AS nl
+      |  FROM pts p JOIN cents c USING (pos)
+      |  GROUP BY 1, 2, 3),
+      |dist AS (
+      |  SELECT vec_id, label, label_c,
+      |    sqrt(d2::DOUBLE) / (nl::DOUBLE * 1e6) AS dist
+      |  FROM d2),
+      |pp AS (
+      |  SELECT vec_id, label,
+      |    max(CASE WHEN label = label_c THEN dist END) AS a,
+      |    min(CASE WHEN label <> label_c THEN dist END) AS b
+      |  FROM dist GROUP BY 1, 2),
+      |sm AS (
+      |  SELECT label,
+      |    CASE WHEN greatest(a, b) > 0
+      |         THEN round((b - a) / greatest(a, b) * 1e6)
+      |         ELSE 0.0 END::BIGINT AS s_micro
+      |  FROM pp)
+      |SELECT label, count(*)::BIGINT AS n,
+      |  round(sum(s_micro)::DOUBLE / (count(*)::DOUBLE * 1e6), 4)
+      |    AS mean_sil,
+      |  sum(CASE WHEN s_micro < 0 THEN 1 ELSE 0 END)::BIGINT AS n_neg
+      |FROM sm GROUP BY label ORDER BY label""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "q229_source_profile_sim" -> sourceProfileSim,
     "q233_rrf_fusion" -> rrfFusion,
+    "q240_silhouette" -> silhouette,
     "q30_dedup_exact" -> dedupExact,
     "q31_doc_fingerprint" -> docFingerprint,
     "q67_partial_dup_aligned" -> partialDupAligned,
@@ -1718,6 +1808,7 @@ object LlmQueries {
   val oracleSql: Map[String, String] = Map(
     "q229_source_profile_sim" -> sourceProfileSimSql,
     "q233_rrf_fusion" -> rrfFusionSql,
+    "q240_silhouette" -> silhouetteSql,
     "q30_dedup_exact" -> dedupExactSql,
     "q31_doc_fingerprint" -> docFingerprintSql,
     "q67_partial_dup_aligned" -> partialDupAlignedSql,

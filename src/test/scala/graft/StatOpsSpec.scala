@@ -637,6 +637,46 @@ class StatOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------ q240
+
+  test("q240 silhouette matches a sequential centroid replay") {
+    val vecs = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1e6).cast("long")))
+      .as[(Long, Int, Seq[Long])].collect()
+    val byLabel = vecs.groupBy(_._2)
+    val cents = byLabel.view.mapValues { g =>
+      val n = g.length.toLong
+      val sums: Seq[Long] = g.map(_._3).toSeq.transpose.map(_.sum)
+      (sums, n)
+    }.toMap
+    def dist(x: Seq[Long], l: Int): Double = {
+      val (sums, n) = cents(l)
+      val d2 = x.zip(sums).map { case (xi, si) =>
+        val d = BigInt(xi * n - si); d * d
+      }.sum
+      math.sqrt(d2.toDouble) / (n.toDouble * 1e6)
+    }
+    val labels = cents.keySet
+    val expect = vecs.groupBy(_._2).map { case (l, g) =>
+      val micros = g.map { v =>
+        val a = dist(v._3, l)
+        val b = labels.filter(_ != l).map(dist(v._3, _)).min
+        if (math.max(a, b) > 0)
+          BigDecimal((b - a) / math.max(a, b) * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        else 0L
+      }
+      (l, g.length.toLong,
+        round4(micros.sum.toDouble / (g.length.toDouble * 1e6)),
+        micros.count(_ < 0).toLong)
+    }.toSet
+    val got = graft.queries.LlmQueries.silhouette(spark, sf)
+      .as[(Int, Long, Double, Long)].collect().toSet
+    assert(got === expect)
+  }
+
   // ------------------------------------------------------------ q222
 
   test("q222 quantile normalization matches a rank-walk replay") {
