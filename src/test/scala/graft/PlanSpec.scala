@@ -526,4 +526,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial"),
       "per-(doc, shingle) counts should map-side combine:\n" + p.take(800))
   }
+
+  test("q216 ER: JW scores per distinct name pair, records resolve by broadcast") {
+    val p = plan("q216_er_best_match")
+    assert(p.contains("BroadcastHashJoin"),
+      "the name-pair score table must broadcast back onto records:\n" + p.take(800))
+    assert(p.contains("WindowGroupLimit"),
+      "the rk=1 argmax must pre-prune per id:\n" + p.take(800))
+  }
+
+  test("q228 RFM: the per-user table is checkpointed — no repeated events scans") {
+    val p = plan("q228_rfm_segments")
+    assert(!p.contains("Scan parquet"),
+      "every branch must read the checkpointed users table, not re-scan events:\n" +
+        p.take(800))
+  }
+
+  test("q232 KMV: the rank<=k cut compiles to WindowGroupLimit") {
+    val p = plan("q232_kmv_distinct")
+    assert(p.contains("WindowGroupLimit"),
+      "the k-smallest cut must pre-prune per source:\n" + p.take(800))
+  }
+
+  test("q227 Spearman: no data-scale window, moments ride the count cube") {
+    val p = plan("q227_spearman")
+    // after the cube checkpoint the plan must hold no parquet scan and
+    // only cube-sized windows (the 3-partition rank window variant
+    // serialized the corpus onto 3 tasks)
+    assert(!p.contains("Scan parquet"), p.take(800))
+  }
+
+  test("q240 silhouette: centroid sums broadcast, distance terms map-side") {
+    val p = plan("q240_silhouette")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the 640-row centroid table must broadcast:\n" + p.take(800))
+  }
 }
