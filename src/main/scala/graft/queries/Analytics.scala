@@ -2003,6 +2003,190 @@ object Analytics {
        |ORDER BY source""".stripMargin
   }
 
+  // -------------------------------------------------------------- q241
+
+  /** Sketch-based set similarity (q241): pairwise vocabulary Jaccard
+    * between sources estimated FROM THE KMV SKETCHES ALONE (the k-min
+    * coincidence estimator: of the k smallest hashes of A∪B, the
+    * fraction present in both sketches estimates J) next to the exact
+    * term-keyed Jaccard — the audit that says how far the 64-hash
+    * sketch answer is from truth. This is the join-size/overlap
+    * estimation primitive: at 100 TB the exact leg is the expensive
+    * keyed join, the sketch leg touches 190 pairs × ≤128 bounded rows.
+    * Everything is integer counts until the two final divisions. */
+  val kmvJaccard: Q = (s, dir) => {
+    val k = 64
+    val terms = Tables.t(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "").distinct()
+      .localCheckpoint(true)
+    val sk = terms
+      .select(col("source"),
+        conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long").as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("h")))
+      .filter(col("rn") <= k).drop("rn")
+      .localCheckpoint(true)
+    val srcs = sk.select("source").distinct()
+    val pairs = srcs.select(col("source").as("a"))
+      .crossJoin(srcs.select(col("source").as("b")))
+      .filter(col("a") < col("b"))
+    val ph = pairs.join(broadcast(sk),
+        col("source") === col("a") || col("source") === col("b"))
+      .groupBy("a", "b", "h")
+      .agg(countDistinct("source").as("n_src"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a", "b").orderBy("h")))
+      .filter(col("rn") <= k)
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_merged"),
+        sum(when(col("n_src") === 2, 1L).otherwise(0L)).as("m"))
+    val cnt = terms.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = terms.as("x").join(terms.as("y"), "term")
+      .filter(col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("a"), col("y.source").as("b"))
+      .agg(count(lit(1)).as("ni"))
+    ph.join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("ni"))
+      .join(broadcast(cnt.select(col("source").as("a"), col("n").as("na"))),
+        "a")
+      .join(broadcast(cnt.select(col("source").as("b"), col("n").as("nb"))),
+        "b")
+      .select(col("a").as("source_a"), col("b").as("source_b"),
+        col("n_merged"),
+        round(col("m").cast("double") / col("n_merged").cast("double"), 4)
+          .as("j_est"),
+        round(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double"), 4)
+          .as("j_exact"))
+      .withColumn("err", round(abs(col("j_est") - col("j_exact")), 4))
+      .orderBy("source_a", "source_b")
+  }
+
+  val kmvJaccardSql: String =
+    s"""WITH terms AS (
+       |  SELECT DISTINCT source, term FROM (
+       |    SELECT source, unnest($ToksSql) AS term FROM documents)
+       |  WHERE term <> ''),
+       |hd AS (
+       |  SELECT DISTINCT source,
+       |    ('0x' || substr(md5(term), 1, 8))::BIGINT AS h
+       |  FROM terms),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM hd) r WHERE rn <= 64),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |pairs AS (
+       |  SELECT a.source AS a, b.source AS b
+       |  FROM srcs a CROSS JOIN srcs b WHERE a.source < b.source),
+       |ph AS (
+       |  SELECT a, b, h, count(DISTINCT source)::BIGINT AS n_src
+       |  FROM pairs JOIN sk ON sk.source = a OR sk.source = b
+       |  GROUP BY 1, 2, 3),
+       |merged AS (
+       |  SELECT a, b, count(*)::BIGINT AS n_merged,
+       |    sum(CASE WHEN n_src = 2 THEN 1 ELSE 0 END)::BIGINT AS m
+       |  FROM (
+       |    SELECT a, b, h, n_src,
+       |      row_number() OVER (PARTITION BY a, b ORDER BY h) AS rn
+       |    FROM ph) r
+       |  WHERE rn <= 64 GROUP BY 1, 2),
+       |cnt AS (SELECT source, count(*)::BIGINT AS n FROM terms GROUP BY 1),
+       |inter AS (
+       |  SELECT x.source AS a, y.source AS b, count(*)::BIGINT AS ni
+       |  FROM terms x JOIN terms y
+       |    ON x.term = y.term AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT mg.a AS source_a, mg.b AS source_b, mg.n_merged,
+       |  round(mg.m::DOUBLE / mg.n_merged::DOUBLE, 4) AS j_est,
+       |  round(coalesce(i.ni, 0)::DOUBLE /
+       |    ((ca.n + cb.n - coalesce(i.ni, 0))::DOUBLE), 4) AS j_exact,
+       |  round(abs(round(mg.m::DOUBLE / mg.n_merged::DOUBLE, 4) -
+       |    round(coalesce(i.ni, 0)::DOUBLE /
+       |      ((ca.n + cb.n - coalesce(i.ni, 0))::DOUBLE), 4)), 4) AS err
+       |FROM merged mg
+       |LEFT JOIN inter i ON i.a = mg.a AND i.b = mg.b
+       |JOIN cnt ca ON ca.source = mg.a
+       |JOIN cnt cb ON cb.source = mg.b
+       |ORDER BY source_a, source_b""".stripMargin
+
+  // -------------------------------------------------------------- q242
+
+  /** Personalized PageRank (q242): q116's integer-arithmetic PageRank
+    * with the teleport mass restricted to a SEED SET (users ≡ 0 mod 7)
+    * — "importance relative to these users", the random-walk-with-
+    * restart primitive behind graph-based recommendation and
+    * contamination tracing. Same exact-integer update as q116 (scaled
+    * ranks, per-edge integer division), but each round adds the whole
+    * 15% teleport mass split over the seeds only (integer DIV over a
+    * broadcast seed/count table) and non-seed sinks get 0 — seeds known
+    * at plan time, per-iteration plans kept flat by the same eager
+    * localCheckpoint discipline. */
+  val personalizedPagerank: Q = (s, dir) => {
+    val clicks = Tables.t(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("u"),
+        (lit(-1L) - get_json_object(col("props"), "$.k").cast("long")).as("v"))
+      .distinct()
+    val edges = clicks.union(clicks.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "u").persist()
+    val nodes = deg.select(col("u").as("id"))
+      .withColumn("seed", col("id") >= 0 && col("id") % 7 === 0)
+    val counts = nodes.agg(count(lit(1)).as("nn"),
+      sum(when(col("seed"), 1L).otherwise(0L)).as("ns"))
+    val tele = nodes.crossJoin(broadcast(counts))
+      .select(col("id"),
+        when(col("seed"), expr("(150000 * nn) DIV ns")).otherwise(0L)
+          .as("t"))
+      .localCheckpoint(true)
+    var ranks = tele.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to 5) {
+      val contrib = e.join(ranks, col("u") === col("id"))
+        .groupBy(col("v"))
+        .agg(sum(expr("(r * 85) div (100 * deg)")).as("c"))
+      ranks = tele.join(contrib, tele("id") === contrib("v"), "left")
+        .select(tele("id"),
+          (coalesce(col("c"), lit(0L)) + col("t")).as("r"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    ranks.orderBy("id")
+  }
+
+  val personalizedPagerankSql: String = {
+    val head =
+      """WITH ed AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    -1 - json_extract(props, 'k')::BIGINT AS v
+        |  FROM events WHERE event_type = 'click'),
+        |edges AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+        |deg AS (SELECT u, count(*)::BIGINT AS deg FROM edges GROUP BY u),
+        |e AS (SELECT edges.u, edges.v, deg.deg FROM edges JOIN deg USING (u)),
+        |nodes AS (
+        |  SELECT u AS id, (u >= 0 AND u % 7 = 0) AS seed FROM deg),
+        |cts AS (
+        |  SELECT count(*)::BIGINT AS nn,
+        |    sum(CASE WHEN seed THEN 1 ELSE 0 END)::BIGINT AS ns
+        |  FROM nodes),
+        |tele AS (
+        |  SELECT id,
+        |    CASE WHEN seed THEN (150000 * nn) // ns ELSE 0 END::BIGINT AS t
+        |  FROM nodes CROSS JOIN cts),
+        |r0 AS (SELECT id, 1000000::BIGINT AS r FROM tele)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s""",
+         |c$i AS (SELECT e.v, sum((r.r * 85) // (100 * e.deg))::BIGINT AS c
+         |  FROM e JOIN r${i - 1} r ON e.u = r.id GROUP BY e.v),
+         |r$i AS (SELECT tele.id,
+         |  (coalesce(c$i.c, 0) + tele.t)::BIGINT AS r
+         |  FROM tele LEFT JOIN c$i ON c$i.v = tele.id)""".stripMargin
+    }.mkString
+    head + iters + "\nSELECT id, r FROM r5 ORDER BY id"
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -2044,7 +2228,9 @@ object Analytics {
     "q223_ks_audit" -> ksAudit,
     "q224_mwu_audit" -> mwuAudit,
     "q232_kmv_distinct" -> kmvDistinct,
-    "q235_kmv_merge" -> kmvMerge)
+    "q235_kmv_merge" -> kmvMerge,
+    "q241_kmv_jaccard" -> kmvJaccard,
+    "q242_ppr" -> personalizedPagerank)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -2085,5 +2271,7 @@ object Analytics {
     "q223_ks_audit" -> ksAuditSql,
     "q224_mwu_audit" -> mwuAuditSql,
     "q232_kmv_distinct" -> kmvDistinctSql,
-    "q235_kmv_merge" -> kmvMergeSql)
+    "q235_kmv_merge" -> kmvMergeSql,
+    "q241_kmv_jaccard" -> kmvJaccardSql,
+    "q242_ppr" -> personalizedPagerankSql)
 }

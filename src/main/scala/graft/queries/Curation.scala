@@ -1520,8 +1520,43 @@ object Curation {
       |  round(s_trim::DOUBLE / n_trim::DOUBLE, 4) AS mean_trimmed
       |FROM m WHERE n_trim > 0 ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- q243
+
+  /** Deterministic bottom-k evaluation sample (q243): exactly k=10 docs
+    * per source, chosen as the k smallest md5 priorities — the
+    * fixed-size-per-stratum complement of q175's threshold hash sample
+    * (threshold → fixed RATE, bottom-k → fixed COUNT; both are pure
+    * functions of the ids, so any engine / any rerun / any scale draws
+    * the same sample, and a grown corpus only ever replaces samples
+    * with lower-priority newcomers — the classic consistent bottom-k
+    * property). Plans as WindowGroupLimit on the source key: each task
+    * pre-prunes to its local k before the shuffle. */
+  val bottomKSample: Q = (s, dir) => {
+    val w = Window.partitionBy("source")
+      .orderBy(col("pri"), col("doc_id"))
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        Fragments.hashBucket(col("doc_id").cast("string"), 1000000)
+          .as("pri"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("doc_id"), col("source"), col("pri"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
+  val bottomKSampleSql: String =
+    s"""SELECT doc_id, source, pri, rk FROM (
+       |  SELECT doc_id, source,
+       |    ${Fragments.hashBucketSql("doc_id::VARCHAR", 1000000)} AS pri,
+       |    (row_number() OVER (PARTITION BY source
+       |      ORDER BY ${Fragments.hashBucketSql("doc_id::VARCHAR", 1000000)},
+       |               doc_id))::INTEGER AS rk
+       |  FROM documents) r
+       |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q222_quantile_norm" -> quantileNormalize,
+    "q243_bottomk_sample" -> bottomKSample,
     "q225_gini_source" -> giniBySource,
     "q226_winsorize" -> winsorize,
     "q227_spearman" -> spearmanGroup,
@@ -1560,6 +1595,7 @@ object Curation {
 
   val oracleSql: Map[String, String] = Map(
     "q222_quantile_norm" -> quantileNormalizeSql,
+    "q243_bottomk_sample" -> bottomKSampleSql,
     "q225_gini_source" -> giniBySourceSql,
     "q226_winsorize" -> winsorizeSql,
     "q227_spearman" -> spearmanGroupSql,

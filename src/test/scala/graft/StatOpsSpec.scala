@@ -677,6 +677,94 @@ class StatOpsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  // ------------------------------------------------------------ q241
+
+  test("q241 KMV Jaccard estimate matches a sketch replay; exact leg matches sets") {
+    val terms = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .flatMap { case (src, text) =>
+        text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+          .filter(_.nonEmpty).map(t => (src, t))
+      }.distinct
+    val termSets = terms.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sketches = termSets.view.mapValues(
+      _.map(h32).toSeq.distinct.sorted.take(64)).toMap
+    val srcs = termSets.keySet.toSeq.sorted
+    val expect = (for { a <- srcs; b <- srcs if a < b } yield {
+      val merged = (sketches(a) ++ sketches(b)).distinct.sorted.take(64)
+      val m = merged.count(h => sketches(a).contains(h) &&
+        sketches(b).contains(h))
+      val ni = (termSets(a) & termSets(b)).size
+      val jEst = round4(m.toDouble / merged.length.toDouble)
+      val jEx = round4(ni.toDouble /
+        (termSets(a).size + termSets(b).size - ni).toDouble)
+      (a, b, merged.length.toLong, jEst, jEx, round4(math.abs(jEst - jEx)))
+    }).toSet
+    val got = graft.queries.Analytics.kmvJaccard(spark, sf)
+      .as[(String, String, Long, Double, Double, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q242
+
+  test("q242 personalized PageRank matches a sequential integer replay") {
+    val clicks = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        (lit(-1L) - get_json_object(col("props"), "$.k").cast("long")))
+      .distinct().as[(Long, Long)].collect()
+    val edges = clicks ++ clicks.map(_.swap)
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nodes = deg.keySet
+    val seeds = nodes.filter(n => n >= 0 && n % 7 == 0)
+    val tele = nodes.map(n =>
+      n -> (if (seeds(n)) 150000L * nodes.size / seeds.size else 0L)).toMap
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((u, v) <- edges)
+        contrib(v) += java.lang.Math.floorDiv(r(u) * 85, 100 * deg(u))
+      r = nodes.map(n => n -> (contrib(n) + tele(n))).toMap
+    }
+    val got = graft.queries.Analytics.personalizedPagerank(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got === r)
+    // seeds hold teleport mass; in a connected component non-seeds
+    // still accumulate walk mass
+    assert(seeds.forall(s0 => got(s0) >= tele(s0)))
+  }
+
+  // ------------------------------------------------------------ q243
+
+  test("q243 bottom-k sample matches an md5-priority replay and is consistent under growth") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect()
+    def pri(id: Long): Int =
+      (java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8")).take(4)
+          .map("%02x".format(_)).mkString, 16) % 1000000).toInt
+    val expect = docs.groupBy(_._2).flatMap { case (src, g) =>
+      g.toSeq.map(d => (d._1, src, pri(d._1))).sortBy(r => (r._3, r._1))
+        .take(10)
+        .zipWithIndex.map { case ((id, s0, p), i) => (id, s0, p, i + 1) }
+    }.toSet
+    val got = graft.queries.Curation.bottomKSample(spark, sf)
+      .as[(Long, String, Int, Int)].collect().toSet
+    assert(got === expect)
+    // consistency: dropping any doc NOT in the sample never changes it
+    val sampled = expect.map(_._1)
+    val victim = docs.map(_._1).filterNot(sampled).head
+    val expect2 = docs.filter(_._1 != victim).groupBy(_._2)
+      .flatMap { case (src, g) =>
+        g.toSeq.map(d => (d._1, src, pri(d._1))).sortBy(r => (r._3, r._1))
+          .take(10)
+          .zipWithIndex.map { case ((id, s0, p), i) => (id, s0, p, i + 1) }
+      }.toSet
+    assert(expect2 === expect)
+  }
+
   // ------------------------------------------------------------ q222
 
   test("q222 quantile normalization matches a rank-walk replay") {
