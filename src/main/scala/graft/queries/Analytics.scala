@@ -2187,6 +2187,169 @@ object Analytics {
     head + iters + "\nSELECT id, r FROM r5 ORDER BY id"
   }
 
+  // -------------------------------------------------------------- q244
+
+  /** Degree assortativity (q244): the Pearson correlation of endpoint
+    * degrees over every ORIENTED edge of the co-purchase graph (Newman
+    * r — do popular parts co-occur with popular parts?). Same exact-
+    * integer moment discipline as q217/q227: degrees are exact BIGINTs
+    * from the edge aggregate, the five sums are exact, r is one fixed
+    * IEEE expression. Two keyed joins of the edge list against the
+    * degree table, one scalar aggregate — no new shape beyond the
+    * graph family's. */
+  val assortativity: Q = (s, dir) => {
+    val e = coPurchaseEdges(s, dir)
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
+    val pairs = und
+      .join(broadcast(deg.select(col("a"), col("d").as("x"))), "a")
+      .join(broadcast(deg.select(col("a").as("b"), col("d").as("y"))), "b")
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+    // degree moments in DECIMAL(38,0) (DuckDB sums are HUGEINT anyway):
+    // m·d² passes BIGINT on dense graphs
+    val decA = org.apache.spark.sql.types.DecimalType(38, 0)
+    pairs.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x").cast(decA) * col("x")).as("sxx"),
+        sum(col("x").cast(decA) * col("y")).as("sxy"),
+        sum(col("y").cast(decA) * col("y")).as("syy"))
+      .withColumn("num", nd * col("sxy").cast("double") - sxd * syd)
+      .withColumn("den_x", nd * col("sxx").cast("double") - sxd * sxd)
+      .withColumn("den_y", nd * col("syy").cast("double") - syd * syd)
+      .filter(col("den_x") > 0 && col("den_y") > 0)
+      .select(col("n").as("n_oriented"),
+        round(col("num") / (sqrt(col("den_x")) * sqrt(col("den_y"))), 6)
+          .as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    s"""WITH $CoPurchaseSql,
+       |deg AS (SELECT a AS n0, count(*)::BIGINT AS d FROM und GROUP BY a),
+       |p AS (
+       |  SELECT dx.d AS x, dy.d AS y
+       |  FROM und JOIN deg dx ON und.a = dx.n0 JOIN deg dy ON und.b = dy.n0),
+       |m AS (
+       |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+       |    sum(y)::BIGINT AS sy, sum(x::HUGEINT * x) AS sxx,
+       |    sum(x::HUGEINT * y) AS sxy, sum(y::HUGEINT * y) AS syy
+       |  FROM p),
+       |d AS (
+       |  SELECT *,
+       |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+       |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS den_x,
+       |    n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS den_y
+       |  FROM m)
+       |SELECT n AS n_oriented,
+       |  round(num / (sqrt(den_x) * sqrt(den_y)), 6) AS assortativity
+       |FROM d WHERE den_x > 0 AND den_y > 0""".stripMargin
+
+  // -------------------------------------------------------------- q245
+
+  /** Component-size profile (q245): connected components of the
+    * co-purchase graph (the SAME alternating large-star/small-star
+    * operator the dedup family uses — q178's algorithm on a different
+    * graph) rolled up into a size histogram plus the
+    * largest-component fraction — the percolation summary that says
+    * whether the graph is one giant blob or fragments. Everything
+    * after the CC fixpoint is two tiny aggregates. */
+  val componentProfile: Q = (s, dir) => {
+    val comps = graft.llm.Dedup.connectedComponentsAlternating(
+      coPurchaseEdges(s, dir), aCol = "a", bCol = "b")
+    val sizes = comps.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    val tot = sizes.agg(sum("sz").as("nn"), max("sz").as("mx"),
+      count(lit(1)).as("n_comp"))
+    sizes.groupBy("sz").agg(count(lit(1)).as("n_components"))
+      .crossJoin(broadcast(tot))
+      .select(col("sz"), col("n_components"), col("n_comp"),
+        round(col("mx").cast("double") / col("nn").cast("double"), 4)
+          .as("giant_frac"))
+      .orderBy("sz")
+  }
+
+  val componentProfileSql: String = {
+    // the same recursive-CTE reachability truth the q56/q178 oracles use:
+    // cluster id = min reachable node
+    s"""WITH RECURSIVE $CoPurchaseSql,
+       |nodes AS (SELECT DISTINCT a AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, und.b FROM reach JOIN und ON reach.r = und.a),
+       |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster, count(*)::BIGINT AS sz FROM comp GROUP BY 1),
+       |tot AS (
+       |  SELECT sum(sz)::BIGINT AS nn, max(sz)::BIGINT AS mx,
+       |    count(*)::BIGINT AS n_comp
+       |  FROM sizes)
+       |SELECT sz, count(*)::BIGINT AS n_components, tot.n_comp,
+       |  round(tot.mx::DOUBLE / tot.nn::DOUBLE, 4) AS giant_frac
+       |FROM sizes CROSS JOIN tot
+       |GROUP BY sz, tot.n_comp, tot.mx, tot.nn
+       |ORDER BY sz""".stripMargin
+  }
+
+  // -------------------------------------------------------------- q246
+
+  /** Zipf exponent fit (q246): OLS slope of ln(freq) on ln(rank) over
+    * the top-100 corpus tokens — "how Zipfian is this corpus?" (a
+    * healthy natural-language crawl sits near −1; a templated/spammy
+    * one flattens). `ln` is the one libm call the exactness discipline
+    * admits (the q25/q191 precedent), and each row's ln values are
+    * micro-quantized BEFORE the moment sums so the regression
+    * arithmetic itself is exact-integer (no float-sum order exposure —
+    * the q221 quantize-then-sum pattern). Top-100 is a
+    * TakeOrderedAndProject over the token counts; the fit runs on 100
+    * bounded rows. */
+  val zipfFit: Q = (s, dir) => {
+    val top = Tables.t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(100)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("c").desc, col("tok").asc)))
+    val pts = top.select(
+      round(log(col("rnk").cast("double")) * 1e6).cast("long").as("x6"),
+      round(log(col("c").cast("double")) * 1e6).cast("long").as("y6"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+    pts.agg(count(lit(1)).as("n"), sum("x6").as("sx"), sum("y6").as("sy"),
+        sum(col("x6") * col("x6")).as("sxx"),
+        sum(col("x6") * col("y6")).as("sxy"))
+      .withColumn("num", nd * col("sxy").cast("double") - sxd * syd)
+      .withColumn("den", nd * col("sxx").cast("double") - sxd * sxd)
+      .filter(col("den") > 0)
+      .select(col("n"), round(col("num") / col("den"), 4).as("zipf_slope"))
+  }
+
+  val zipfFitSql: String =
+    s"""WITH tf AS (
+       |  SELECT tok, count(*)::BIGINT AS c FROM (
+       |    SELECT unnest($ToksSql) AS tok FROM documents)
+       |  WHERE tok <> '' GROUP BY tok
+       |  ORDER BY c DESC, tok ASC LIMIT 100),
+       |rk AS (
+       |  SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rnk
+       |  FROM tf),
+       |pts AS (
+       |  SELECT round(ln(rnk::DOUBLE) * 1e6)::BIGINT AS x6,
+       |    round(ln(c::DOUBLE) * 1e6)::BIGINT AS y6
+       |  FROM rk),
+       |m AS (
+       |  SELECT count(*)::BIGINT AS n, sum(x6)::BIGINT AS sx,
+       |    sum(y6)::BIGINT AS sy, sum(x6 * x6)::BIGINT AS sxx,
+       |    sum(x6 * y6)::BIGINT AS sxy
+       |  FROM pts),
+       |d AS (
+       |  SELECT n,
+       |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+       |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS den
+       |  FROM m)
+       |SELECT n, round(num / den, 4) AS zipf_slope
+       |FROM d WHERE den > 0""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -2230,7 +2393,10 @@ object Analytics {
     "q232_kmv_distinct" -> kmvDistinct,
     "q235_kmv_merge" -> kmvMerge,
     "q241_kmv_jaccard" -> kmvJaccard,
-    "q242_ppr" -> personalizedPagerank)
+    "q242_ppr" -> personalizedPagerank,
+    "q244_assortativity" -> assortativity,
+    "q245_component_profile" -> componentProfile,
+    "q246_zipf_fit" -> zipfFit)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -2273,5 +2439,8 @@ object Analytics {
     "q232_kmv_distinct" -> kmvDistinctSql,
     "q235_kmv_merge" -> kmvMergeSql,
     "q241_kmv_jaccard" -> kmvJaccardSql,
-    "q242_ppr" -> personalizedPagerankSql)
+    "q242_ppr" -> personalizedPagerankSql,
+    "q244_assortativity" -> assortativitySql,
+    "q245_component_profile" -> componentProfileSql,
+    "q246_zipf_fit" -> zipfFitSql)
 }

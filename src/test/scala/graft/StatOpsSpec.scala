@@ -765,6 +765,95 @@ class StatOpsSpec extends AnyFunSuite {
     assert(expect2 === expect)
   }
 
+  // ------------------------------------------------------------ q244/q245
+
+  private def coEdges(): Seq[(Long, Long)] = {
+    val items = Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    items.groupBy(_._1).values.toSeq.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+  }
+
+  test("q244 assortativity matches a collected degree-Pearson replay") {
+    val und = coEdges().flatMap(e => Seq(e, e.swap))
+    val deg = und.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val pairs = und.map { case (u, v) => (deg(u).toDouble, deg(v).toDouble) }
+    val n = pairs.length.toDouble
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val num = n * sxy - sx * sy
+    val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+    val expect = (pairs.length.toLong,
+      round6(num / (math.sqrt(dx) * math.sqrt(dy))))
+    val got = graft.queries.Analytics.assortativity(spark, sf)
+      .as[(Long, Double)].collect()
+    assert(got.toSeq === Seq(expect))
+  }
+
+  test("q245 component profile matches a BFS components replay") {
+    val edges = coEdges()
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    var unvisited = adj.keySet.toSet
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (unvisited.nonEmpty) {
+      var frontier = Set(unvisited.head); var comp = Set.empty[Long]
+      while (frontier.nonEmpty) {
+        comp ++= frontier
+        frontier = frontier.flatMap(adj).diff(comp)
+      }
+      sizes += comp.size.toLong
+      unvisited = unvisited.diff(comp)
+    }
+    val nn = sizes.sum.toDouble; val mx = sizes.max.toDouble
+    val gf = round4(mx / nn)
+    val expect = sizes.groupBy(identity).map { case (sz, g) =>
+      (sz, g.size.toLong, sizes.length.toLong, gf)
+    }.toSet
+    val got = graft.queries.Analytics.componentProfile(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  // ------------------------------------------------------------ q246
+
+  test("q246 Zipf slope matches a collected log-log OLS replay") {
+    val tf = Tables.t(spark, sf, "documents")
+      .select(col("text")).as[String].collect()
+      .flatMap(_.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+        .filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy(r => (-r._2, r._1)).take(100)
+    val pts = tf.zipWithIndex.map { case ((_, c), i) =>
+      def q6(v: Double) = BigDecimal(v * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (q6(math.log((i + 1).toDouble)), q6(math.log(c.toDouble)))
+    }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1.toDouble).sum; val sy = pts.map(_._2.toDouble).sum
+    val sxx = pts.map(p => p._1.toDouble * p._1.toDouble).sum
+    val sxy = pts.map(p => p._1.toDouble * p._2.toDouble).sum
+    val expect = (pts.length.toLong,
+      round4((n * sxy - sx * sy) / (n * sxx - sx * sx)))
+    val got = graft.queries.Analytics.zipfFit(spark, sf)
+      .as[(Long, Double)].collect()
+    assert(got.toSeq === Seq(expect))
+    // the synthetic corpus is far flatter than natural text (measured
+    // ≈ −0.18 at sf0.001 vs ≈ −1 for a real crawl) — which is exactly
+    // the signal the operator exists to surface; only the sign is a
+    // structural invariant (ranks sort by descending frequency)
+    assert(expect._2 < 0.0, s"slope must be negative: ${expect._2}")
+  }
+
   // ------------------------------------------------------------ q222
 
   test("q222 quantile normalization matches a rank-walk replay") {
