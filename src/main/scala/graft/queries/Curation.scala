@@ -1554,8 +1554,92 @@ object Curation {
        |  FROM documents) r
        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
 
+  // -------------------------------------------------------------- q247
+
+  /** Exact water-filling allocation (q247): split a token budget (half
+    * the corpus) across sources toward a UNIFORM target, capped by each
+    * source's availability — small sources contribute everything they
+    * have (saturated), the rest fill to a common level λ. The optimal-
+    * allocation step q169/q192's proportional mixes skip. Entirely
+    * integer: sources sort ascending by capacity (a window over the
+    * per-source table — bounded, the value-spine pattern), saturation is
+    * the cross-multiplied prefix test cᵢ·(n−i) ≤ B−cumᵢ, λ is carried
+    * as an exact (numerator, denominator) pair, and the division
+    * remainder goes to the lexicographically-first unsaturated sources
+    * (largest-remainder rounding) so Σalloc = B EXACTLY — the spec
+    * asserts the invariant, the oracle replays every step. */
+  val waterfill: Q = (s, dir) => {
+    val caps = Tables.t(s, dir, "documents")
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"), size(col("toks")).cast("long").as("tk"))
+      .groupBy("source").agg(sum("tk").as("cap"))
+      .localCheckpoint(true)
+    val tot = caps.agg(sum("cap").as("ct"), count(lit(1)).as("n"))
+    val ranked = caps.crossJoin(broadcast(tot))
+      .withColumn("b", expr("ct DIV 2"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy("cap", "source")).cast("long"))
+      .withColumn("cum", sum("cap").over(Window.orderBy("cap", "source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sat",
+        col("cap") * (col("n") - col("rn")) <= col("b") - col("cum"))
+      .localCheckpoint(true)
+    val lam = ranked.agg(
+      sum(when(col("sat"), 1L).otherwise(0L)).as("k"),
+      coalesce(max(when(col("sat"), col("cum"))), lit(0L)).as("cum_k"),
+      max("b").as("b"), max("n").as("n"))
+      .select(col("k"), (col("b") - col("cum_k")).as("lam_n"),
+        (col("n") - col("k")).as("lam_d"))
+    val w2 = Window.orderBy("source")
+    ranked.crossJoin(broadcast(lam))
+      .withColumn("rn2",
+        sum(when(!col("sat"), 1L).otherwise(0L)).over(
+          w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("alloc",
+        when(col("sat"), col("cap")).otherwise(
+          expr("lam_n DIV lam_d") +
+            when(col("rn2") <= expr("lam_n % lam_d"), 1L).otherwise(0L)))
+      .select(col("source"), col("cap"), col("alloc"), col("sat"))
+      .orderBy("source")
+  }
+
+  val waterfillSql: String =
+    s"""WITH caps AS (
+       |  SELECT source, sum(len($ToksSql))::BIGINT AS cap
+       |  FROM documents GROUP BY 1),
+       |tot AS (
+       |  SELECT sum(cap)::BIGINT AS ct, count(*)::BIGINT AS n FROM caps),
+       |ranked AS (
+       |  SELECT source, cap, ct // 2 AS b, n,
+       |    row_number() OVER (ORDER BY cap, source)::BIGINT AS rn,
+       |    sum(cap) OVER (ORDER BY cap, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+       |      AS cum
+       |  FROM caps CROSS JOIN tot),
+       |r2 AS (
+       |  SELECT *, cap * (n - rn) <= b - cum AS sat FROM ranked),
+       |lam AS (
+       |  SELECT sum(CASE WHEN sat THEN 1 ELSE 0 END)::BIGINT AS k,
+       |    (max(b) - coalesce(max(CASE WHEN sat THEN cum END), 0))::BIGINT
+       |      AS lam_n,
+       |    (max(n) - sum(CASE WHEN sat THEN 1 ELSE 0 END))::BIGINT AS lam_d
+       |  FROM r2),
+       |r3 AS (
+       |  SELECT r2.*, lam.lam_n, lam.lam_d,
+       |    sum(CASE WHEN NOT sat THEN 1 ELSE 0 END) OVER (ORDER BY source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+       |      AS rn2
+       |  FROM r2 CROSS JOIN lam)
+       |SELECT source, cap,
+       |  CASE WHEN sat THEN cap
+       |       ELSE lam_n // lam_d +
+       |         (CASE WHEN rn2 <= lam_n % lam_d THEN 1 ELSE 0 END)
+       |  END::BIGINT AS alloc, sat
+       |FROM r3 ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q222_quantile_norm" -> quantileNormalize,
+    "q247_waterfill" -> waterfill,
     "q243_bottomk_sample" -> bottomKSample,
     "q225_gini_source" -> giniBySource,
     "q226_winsorize" -> winsorize,
@@ -1596,6 +1680,7 @@ object Curation {
   val oracleSql: Map[String, String] = Map(
     "q222_quantile_norm" -> quantileNormalizeSql,
     "q243_bottomk_sample" -> bottomKSampleSql,
+    "q247_waterfill" -> waterfillSql,
     "q225_gini_source" -> giniBySourceSql,
     "q226_winsorize" -> winsorizeSql,
     "q227_spearman" -> spearmanGroupSql,

@@ -854,6 +854,41 @@ class StatOpsSpec extends AnyFunSuite {
     assert(expect._2 < 0.0, s"slope must be negative: ${expect._2}")
   }
 
+  // ------------------------------------------------------------ q247
+
+  test("q247 water-filling replays sequentially and sums exactly to the budget") {
+    val caps = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(d =>
+        d._2.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+          .length.toLong).sum).toMap
+    val n = caps.size.toLong
+    val b = caps.values.sum / 2
+    val asc = caps.toSeq.sortBy(r => (r._2, r._1))
+    // sequential water-fill: saturate while the smallest cap sits below
+    // the level the remaining budget implies
+    var cum = 0L; var k = 0L; var cumK = 0L
+    asc.zipWithIndex.foreach { case ((_, c), i) =>
+      cum += c
+      if (c * (n - (i + 1)) <= b - cum) { k = i + 1; cumK = cum }
+    }
+    val lamN = b - cumK; val lamD = n - k
+    val satSet = asc.take(k.toInt).map(_._1).toSet
+    val unsatOrdered = caps.keySet.toSeq.sorted.filterNot(satSet)
+    val expect = caps.map { case (src, c) =>
+      val alloc =
+        if (satSet(src)) c
+        else lamN / lamD +
+          (if (unsatOrdered.indexOf(src) + 1 <= lamN % lamD) 1L else 0L)
+      (src, c, alloc, satSet(src))
+    }.toSet
+    val got = graft.queries.Curation.waterfill(spark, sf)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(got === expect)
+    assert(got.toSeq.map(_._3).sum === b, "allocations must sum to the budget")
+    got.foreach(r => assert(r._3 <= r._2, s"alloc over cap: $r"))
+  }
+
   // ------------------------------------------------------------ q222
 
   test("q222 quantile normalization matches a rank-walk replay") {
