@@ -1637,8 +1637,210 @@ object Curation {
        |  END::BIGINT AS alloc, sat
        |FROM r3 ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- q248
+
+  /** Effective-unique token budget (q248): per source, raw token count
+    * vs the count surviving exact deduplication (tokens attributed only
+    * to each duplicate cluster's representative — min doc_id per
+    * normalized-text fingerprint, q30's rule) and the inflation ratio —
+    * "how much data do I ACTUALLY have?", the honest denominator for
+    * every budget the q170/q206/q247 family allocates. One fingerprint
+    * aggregate (map-side md5), a representative semi-join, two keyed
+    * sums — the q30 dedup shape with a budget rollup on top. */
+  val effectiveTokens: Q = (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("tk"),
+        md5(TextOps.normalized(col("text"))).as("fp"))
+      .localCheckpoint(true)
+    val reps = docs.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val uniq = docs.join(reps, Seq("fp", "doc_id"), "left_semi")
+      .groupBy("source").agg(sum("tk").as("unique_tokens"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tk").as("raw_tokens"))
+      .join(uniq, "source")
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("unique_tokens"),
+        round(col("raw_tokens").cast("double") /
+          col("unique_tokens").cast("double"), 4).as("inflation"))
+      .orderBy("source")
+  }
+
+  val effectiveTokensSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, len($ToksSql)::BIGINT AS tk,
+       |    md5($NormSql) AS fp
+       |  FROM documents),
+       |reps AS (SELECT fp, min(doc_id) AS doc_id FROM docs GROUP BY 1),
+       |uniq AS (
+       |  SELECT d.source, sum(d.tk)::BIGINT AS unique_tokens
+       |  FROM docs d SEMI JOIN reps r
+       |    ON d.fp = r.fp AND d.doc_id = r.doc_id
+       |  GROUP BY 1),
+       |raw AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs,
+       |    sum(tk)::BIGINT AS raw_tokens
+       |  FROM docs GROUP BY 1)
+       |SELECT raw.source AS source, n_docs, raw_tokens, unique_tokens,
+       |  round(raw_tokens::DOUBLE / unique_tokens::DOUBLE, 4) AS inflation
+       |FROM raw JOIN uniq ON uniq.source = raw.source
+       |ORDER BY raw.source""".stripMargin
+
+  // -------------------------------------------------------------- q249
+
+  /** Split-leakage audit (q249): does any exact-duplicate content
+    * straddle the q71 train/val/test boundary? For each ordered split
+    * pair, the number of distinct fingerprints present on BOTH sides
+    * and the leaked-doc count on the target side — the governance check
+    * that a deterministic doc-id split does NOT guarantee content
+    * disjointness when duplicates exist (the reason q87's decontam
+    * exists). Fingerprint-keyed joins of two bounded per-split
+    * fingerprint tables. */
+  val splitLeakage: Q = (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), md5(TextOps.normalized(col("text"))).as("fp"),
+        when(Fragments.splitBucket(col("doc_id")) < 80, "train")
+          .when(Fragments.splitBucket(col("doc_id")) < 90, "val")
+          .otherwise("test").as("split"))
+      .localCheckpoint(true)
+    val fps = docs.select("split", "fp").distinct().localCheckpoint(true)
+    val leakedFp = fps.as("a").join(fps.as("b"), "fp")
+      .filter(col("a.split") < col("b.split"))
+      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+    val leakedDocs = docs.as("d")
+      .join(fps.as("o"), col("d.fp") === col("o.fp") &&
+        col("d.split") < col("o.split"))
+      .groupBy(col("d.split").as("split_a"), col("o.split").as("split_b"))
+      .agg(countDistinct(col("d.doc_id")).as("n_leaked_docs"))
+    // seed the full ordered-pair grid so a leak-free corpus reports
+    // three explicit zero rows instead of an empty result
+    import s.implicits._
+    val grid = Seq(("test", "train"), ("test", "val"), ("train", "val"))
+      .toDF("split_a", "split_b")
+    grid.join(leakedFp, Seq("split_a", "split_b"), "left")
+      .join(leakedDocs, Seq("split_a", "split_b"), "left")
+      .na.fill(0L, Seq("n_shared_fp", "n_leaked_docs"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, md5($NormSql) AS fp,
+       |    CASE WHEN ${Fragments.BucketSql} < 80 THEN 'train'
+       |         WHEN ${Fragments.BucketSql} < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |fps AS (SELECT DISTINCT split, fp FROM docs),
+       |sh AS (
+       |  SELECT a.split AS split_a, b.split AS split_b,
+       |    count(*)::BIGINT AS n_shared_fp
+       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.split < b.split
+       |  GROUP BY 1, 2),
+       |ld AS (
+       |  SELECT d.split AS split_a, o.split AS split_b,
+       |    count(DISTINCT d.doc_id)::BIGINT AS n_leaked_docs
+       |  FROM docs d JOIN fps o ON d.fp = o.fp AND d.split < o.split
+       |  GROUP BY 1, 2)
+       |SELECT g.split_a, g.split_b,
+       |  coalesce(n_shared_fp, 0)::BIGINT AS n_shared_fp,
+       |  coalesce(n_leaked_docs, 0)::BIGINT AS n_leaked_docs
+       |FROM (VALUES ('test', 'train'), ('test', 'val'), ('train', 'val'))
+       |  g(split_a, split_b)
+       |LEFT JOIN sh ON sh.split_a = g.split_a AND sh.split_b = g.split_b
+       |LEFT JOIN ld ON ld.split_a = g.split_a AND ld.split_b = g.split_b
+       |ORDER BY g.split_a, g.split_b""".stripMargin
+
+  // -------------------------------------------------------------- q250
+
+  /** Joint 2-D histogram (q250): document count over length-quartile ×
+    * quality-tercile cells — the heatmap behind "are short docs the
+    * low-quality ones?". Both cut vectors come from nearest-rank
+    * spines over DISTINCT values (the q228 integer recipe; quality here
+    * is the exact integer stopword-free ratio in basis points so its
+    * spine is bounded too), buckets are pure integer comparisons
+    * against a broadcast 1-row cut frame, and the output is the ≤12
+    * cell counts. */
+  val jointHistogram: Q = (s, dir) => {
+    val base = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("len"),
+        size(TextOps.tokens(col("text"))).cast("long").as("tk"),
+        size(filter(TextOps.tokens(col("text")),
+          t => t.isin("the", "a", "of", "and", "to"))).cast("long")
+          .as("sw"))
+      .select(col("doc_id"), col("len"),
+        when(col("tk") > 0,
+          expr("((tk - sw) * 10000) DIV tk")).otherwise(0L).as("q_bp"))
+      .localCheckpoint(true)
+    def cuts(c: String, parts: Int): org.apache.spark.sql.DataFrame = {
+      val spine = base.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("n"))))
+      val exprs = (1 until parts).map { q =>
+        min(when(col("cum") >=
+          expr(s"($q * n + ${parts - 1}) DIV $parts"), col("v")))
+          .as(s"${c}$q")
+      }
+      spine.agg(exprs.head, exprs.tail: _*)
+    }
+    base
+      .crossJoin(broadcast(cuts("len", 4)))
+      .crossJoin(broadcast(cuts("q_bp", 3)))
+      .select(col("doc_id"),
+        (lit(1) + when(col("len") > col("len1"), 1).otherwise(0) +
+          when(col("len") > col("len2"), 1).otherwise(0) +
+          when(col("len") > col("len3"), 1).otherwise(0)).as("len_q"),
+        (lit(1) + when(col("q_bp") > col("q_bp1"), 1).otherwise(0) +
+          when(col("q_bp") > col("q_bp2"), 1).otherwise(0)).as("qual_t"))
+      .groupBy("len_q", "qual_t")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("len_q", "qual_t")
+  }
+
+  val jointHistogramSql: String = {
+    def cutsSql(c: String, parts: Int, out: String): String = {
+      val mins = (1 until parts).map { q =>
+        s"min(CASE WHEN cum >= ($q * n + ${parts - 1}) // $parts THEN v END) AS ${c}$q"
+      }.mkString(",\n         |    ")
+      s"""$out AS (
+         |  SELECT
+         |    $mins
+         |  FROM (
+         |    SELECT $c AS v,
+         |      sum(count(*)) OVER (ORDER BY $c
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |        AS cum
+         |    FROM base GROUP BY $c) sp
+         |  CROSS JOIN (SELECT count(*)::BIGINT AS n FROM base) t)""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT doc_id, n_chars AS len,
+       |    CASE WHEN len($ToksSql) > 0
+       |         THEN ((len($ToksSql) -
+       |           len([x for x in $ToksSql
+       |                IF list_contains(['the','a','of','and','to'], x)]))
+       |           * 10000) // len($ToksSql)
+       |         ELSE 0 END::BIGINT AS q_bp
+       |  FROM documents),
+       |${cutsSql("len", 4, "lc")},
+       |${cutsSql("q_bp", 3, "qc")}
+       |SELECT
+       |  (1 + (CASE WHEN len > len1 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN len > len2 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN len > len3 THEN 1 ELSE 0 END)) AS len_q,
+       |  (1 + (CASE WHEN q_bp > q_bp1 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN q_bp > q_bp2 THEN 1 ELSE 0 END)) AS qual_t,
+       |  count(*)::BIGINT AS n_docs
+       |FROM base CROSS JOIN lc CROSS JOIN qc
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q222_quantile_norm" -> quantileNormalize,
+    "q248_effective_tokens" -> effectiveTokens,
+    "q249_split_leakage" -> splitLeakage,
+    "q250_joint_histogram" -> jointHistogram,
     "q247_waterfill" -> waterfill,
     "q243_bottomk_sample" -> bottomKSample,
     "q225_gini_source" -> giniBySource,
@@ -1681,6 +1883,9 @@ object Curation {
     "q222_quantile_norm" -> quantileNormalizeSql,
     "q243_bottomk_sample" -> bottomKSampleSql,
     "q247_waterfill" -> waterfillSql,
+    "q248_effective_tokens" -> effectiveTokensSql,
+    "q249_split_leakage" -> splitLeakageSql,
+    "q250_joint_histogram" -> jointHistogramSql,
     "q225_gini_source" -> giniBySourceSql,
     "q226_winsorize" -> winsorizeSql,
     "q227_spearman" -> spearmanGroupSql,

@@ -889,6 +889,73 @@ class StatOpsSpec extends AnyFunSuite {
     got.foreach(r => assert(r._3 <= r._2, s"alloc over cap: $r"))
   }
 
+  // ------------------------------------------------------------ q248
+
+  test("q248 effective tokens matches a representative-attribution replay") {
+    def md5hex(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+      .map { case (id, src, text) =>
+        val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+        (id, src, norm.split(" ", -1).length.toLong, md5hex(norm))
+      }
+    val reps = docs.groupBy(_._4).view.mapValues(_.map(_._1).min).toMap
+    val expect = docs.groupBy(_._2).map { case (src, g) =>
+      val raw = g.map(_._3).sum
+      val uniq = g.filter(d => reps(d._4) == d._1).map(_._3).sum
+      (src, g.length.toLong, raw, uniq, round4(raw.toDouble / uniq.toDouble))
+    }.toSet
+    val got = graft.queries.Curation.effectiveTokens(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(got === expect)
+    got.foreach(r => assert(r._5 >= 1.0, s"inflation < 1: $r"))
+  }
+
+  // ------------------------------------------------------------ q249
+
+  test("q249 split leakage reports the full pair grid with exact overlap counts") {
+    val got = graft.queries.Curation.splitLeakage(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet ===
+      Set(("test", "train"), ("test", "val"), ("train", "val")))
+    // replay: md5 bucket split + fingerprint overlap
+    def md5hex(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val b = java.lang.Long.parseLong(
+          md5hex(id.toString).take(8), 16) % 100
+        val split = if (b < 80) "train" else if (b < 90) "val" else "test"
+        (id, split, md5hex(text.trim.toLowerCase.replaceAll("\\s+", " ")))
+      }
+    val bySplit = docs.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    got.foreach { case (a, b, nfp, nd) =>
+      val shared = bySplit(a) & bySplit(b)
+      assert(nfp === shared.size.toLong, s"($a,$b)")
+      assert(nd === docs.count(d => d._2 == a && shared(d._3)).toLong,
+        s"($a,$b) docs")
+    }
+  }
+
+  // ------------------------------------------------------------ q250
+
+  test("q250 joint histogram covers the corpus exactly once") {
+    val got = graft.queries.Curation.jointHistogram(spark, sf)
+      .as[(Int, Int, Long)].collect()
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(got.map(_._3).sum === total, "cells must partition the corpus")
+    assert(got.forall(r => r._1 >= 1 && r._1 <= 4 && r._2 >= 1 && r._2 <= 3))
+    // quartile marginals: each length quartile holds ~n/4 (nearest-rank
+    // cuts guarantee within one distinct-value run)
+    val byLen = got.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    assert(byLen.values.forall(v => v > 0))
+  }
+
   // ------------------------------------------------------------ q222
 
   test("q222 quantile normalization matches a rank-walk replay") {
