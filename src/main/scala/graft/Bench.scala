@@ -65,6 +65,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 250 queries × reps leave dereferenced localCheckpoint blocks
+      // behind; the ContextCleaner only reclaims them after a driver GC,
+      // and the default 30-min periodic GC never fires inside one bench
+      // run — late queries were measuring memory pressure, not plans
+      // (q211 13.5 s in-suite vs 2.9 s solo before this)
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev-only: "k=v;k2=v2" session confs (e.g. the presentationSort
@@ -87,15 +93,21 @@ object Bench {
     // dev-only substring filter for single-query iteration; the driver
     // never sets it, so the contract (full registry) is unchanged
     val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
+    var sinceGc = 0
     val results = SparkEntry.queries
       .filter(_._1.contains(nameFilter)).map { case (name, fn) =>
       // a crashing query must surface as -1, not as its (fast) failure
       // latency — which min-of-reps would otherwise select as the winner
-      name -> (1 to reps).map { _ =>
+      val t = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { drain(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }.min
+      // deterministic complement to the periodic cleaner GC: release the
+      // previous queries' checkpoint blocks OUTSIDE any timed region
+      sinceGc += 1
+      if (sinceGc >= 16) { sinceGc = 0; System.gc() }
+      name -> t
     }
 
     // BASELINE scan protocol (IdIdSimRow shape): warmup pass, then the
