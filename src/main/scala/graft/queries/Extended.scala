@@ -661,8 +661,113 @@ object Extended {
       |FROM dw JOIN tot USING (event_type)
       |ORDER BY event_type, dow""".stripMargin
 
+  // -------------------------------------------------------------- q251
+
+  /** Seasonal anomaly days (q251): the composition the q239 profile
+    * exists for — divide each day's volume by its weekday factor
+    * (deseasonalize), then flag days beyond a 3×MAD robust fence. The
+    * deseasonalized ratio c·fd/fn is ONE fixed IEEE expression over
+    * exact integers, micro-quantized immediately (the quantize-then-sum
+    * discipline), and the median/MAD fence is pure integer arithmetic
+    * on doubled/quadrupled rank extracts (med2 = sum of the two middle
+    * ranks, mad4 = doubled MAD of doubled deviations) so the flag
+    * 2·dev2 > 3·mad4 never touches a float. All windows run on the
+    * daily rollup — days×types rows, data-volume-independent. */
+  val seasonalAnomaly: Q = (s, dir) => {
+    val daily = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tot = daily.groupBy("event_type")
+      .agg(sum("c").as("s_all"), count(lit(1)).as("n_all"))
+    val dw = daily.withColumn("dow", weekday(col("d")))
+      .groupBy("event_type", "dow")
+      .agg(sum("c").as("s_dow"), count(lit(1)).as("n_dow"))
+    val des = daily.withColumn("dow", weekday(col("d")))
+      .join(broadcast(dw), Seq("event_type", "dow"))
+      .join(broadcast(tot), "event_type")
+      .withColumn("rm",
+        round((col("c") * col("n_dow") * col("s_all")).cast("double") /
+          (col("s_dow") * col("n_all")).cast("double") * 1e6).cast("long"))
+      .localCheckpoint(true)
+    val byT = Window.partitionBy("event_type")
+    val w1 = byT.orderBy("rm", "d")
+    val ranked = des
+      .withColumn("rnk", row_number().over(w1).cast("long"))
+      .withColumn("n", count(lit(1)).over(byT))
+    val med = ranked.groupBy("event_type")
+      .agg((max(when(col("rnk") === expr("(n + 1) DIV 2"), col("rm"))) +
+        max(when(col("rnk") === expr("(n + 2) DIV 2"), col("rm"))))
+        .as("med2"))
+    val dev = ranked.join(broadcast(med), "event_type")
+      .withColumn("dev2", abs(lit(2) * col("rm") - col("med2")))
+    val w2 = byT.orderBy("dev2", "d")
+    val ranked2 = dev.withColumn("rnk2", row_number().over(w2).cast("long"))
+    val mad = ranked2.groupBy("event_type")
+      .agg((max(when(col("rnk2") === expr("(n + 1) DIV 2"), col("dev2"))) +
+        max(when(col("rnk2") === expr("(n + 2) DIV 2"), col("dev2"))))
+        .as("mad4"))
+    ranked2.join(broadcast(mad), "event_type")
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd")
+        .as("day"), col("c"),
+        round(col("rm").cast("double") / 1e6, 4).as("deseasonalized"),
+        (lit(2) * col("dev2") > lit(3) * col("mad4")).as("anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  val seasonalAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, sum(c)::BIGINT AS s_all,
+      |    count(*)::BIGINT AS n_all
+      |  FROM daily GROUP BY 1),
+      |dw AS (
+      |  SELECT event_type, (isodow(d) - 1)::INTEGER AS dow,
+      |    sum(c)::BIGINT AS s_dow, count(*)::BIGINT AS n_dow
+      |  FROM daily GROUP BY 1, 2),
+      |des AS (
+      |  SELECT daily.event_type, daily.d, daily.c,
+      |    round((daily.c * dw.n_dow * tot.s_all)::DOUBLE /
+      |      ((dw.s_dow * tot.n_all)::DOUBLE) * 1e6)::BIGINT AS rm
+      |  FROM daily
+      |  JOIN dw ON dw.event_type = daily.event_type
+      |    AND dw.dow = (isodow(daily.d) - 1)::INTEGER
+      |  JOIN tot ON tot.event_type = daily.event_type),
+      |ranked AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY rm, d)::BIGINT
+      |      AS rnk,
+      |    count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+      |  FROM des),
+      |med AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN rnk = (n + 1) // 2 THEN rm END) +
+      |    max(CASE WHEN rnk = (n + 2) // 2 THEN rm END) AS med2
+      |  FROM ranked GROUP BY 1),
+      |dev AS (
+      |  SELECT r.*, abs(2 * r.rm - m.med2) AS dev2
+      |  FROM ranked r JOIN med m USING (event_type)),
+      |r2 AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY dev2, d)::BIGINT AS rnk2
+      |  FROM dev),
+      |mad AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN rnk2 = (n + 1) // 2 THEN dev2 END) +
+      |    max(CASE WHEN rnk2 = (n + 2) // 2 THEN dev2 END) AS mad4
+      |  FROM r2 GROUP BY 1)
+      |SELECT r2.event_type, strftime(r2.d, '%Y-%m-%d') AS day, r2.c,
+      |  round(r2.rm::DOUBLE / 1e6, 4) AS deseasonalized,
+      |  2 * r2.dev2 > 3 * ma.mad4 AS anomaly
+      |FROM r2 JOIN mad ma USING (event_type)
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q219_ewma_smooth" -> ewmaSmooth,
+    "q251_seasonal_anomaly" -> seasonalAnomaly,
     "q237_ccf_leadlag" -> ccfLeadLag,
     "q238_index_rebase" -> indexRebase,
     "q239_dow_seasonality" -> dowSeasonality,
@@ -689,6 +794,7 @@ object Extended {
 
   val oracleSql: Map[String, String] = Map(
     "q219_ewma_smooth" -> ewmaSmoothSql,
+    "q251_seasonal_anomaly" -> seasonalAnomalySql,
     "q237_ccf_leadlag" -> ccfLeadLagSql,
     "q238_index_rebase" -> indexRebaseSql,
     "q239_dow_seasonality" -> dowSeasonalitySql,

@@ -441,6 +441,44 @@ object StreamOps {
       }
   }
 
+  // ---- custom state: 8-tap EWMA smoothing (q219's streaming twin) ----
+
+  case class EwmaState(cents: List[Long], n: Long)
+  case class EwmaUpdate(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Streaming truncated exponential smoothing: the per-user 8-tap
+    * EWMA(α=1/2) of batch q219 ([[graft.queries.Extended.ewmaSmooth]])
+    * as keyed state — exactly the last ≤8 event values (cents) per
+    * user, so the streamed fold over any batching equals the batch
+    * window's answer at the same prefix (StreamingSpec proves the final
+    * emission matches q219 row for row). Events inside a micro-batch
+    * fold in (ts, event_id) order; power-of-two weights keep the
+    * smoothed value an exact integer ratio. */
+  def ewmaMonitor(events: Dataset[Ev]): Dataset[EwmaUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[EwmaState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val prev = state.getOption.getOrElse(EwmaState(Nil, 0L))
+          // newest first, capped at 8 — the exact state the batch lag
+          // chain reads
+          val cents = sorted.foldLeft(prev.cents) { (acc, e) =>
+            (math.round(e.value * 100) :: acc).take(8)
+          }
+          val st = EwmaState(cents, prev.n + sorted.length)
+          state.update(st)
+          val num = cents.zipWithIndex.map { case (v, k) =>
+            v << (7 - k)
+          }.sum
+          val den = cents.indices.map(k => 1L << (7 - k)).sum
+          val ewma = BigDecimal(num.toDouble / (den.toDouble * 100.0))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator.single(EwmaUpdate(userId, st.n, ewma))
+      }
+  }
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

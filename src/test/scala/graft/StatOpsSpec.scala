@@ -956,6 +956,40 @@ class StatOpsSpec extends AnyFunSuite {
     assert(byLen.values.forall(v => v > 0))
   }
 
+  // ------------------------------------------------------------ q251
+
+  test("q251 seasonal anomaly matches a sequential deseasonalize+MAD replay") {
+    val daily = Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+    val expect = daily.groupBy(_._1).flatMap { case (et, g) =>
+      val days = g.toSeq
+      val sAll = days.map(_._3).sum; val nAll = days.length.toLong
+      def dow(d: String) =
+        java.time.LocalDate.parse(d).getDayOfWeek.getValue - 1
+      val byDow = days.groupBy(r => dow(r._2))
+        .view.mapValues(v => (v.map(_._3).sum, v.length.toLong)).toMap
+      val rm = days.map { case (_, d, c) =>
+        val (sd, nd) = byDow(dow(d))
+        (d, c, BigDecimal((c * nd * sAll).toDouble / (sd * nAll).toDouble
+          * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
+      val sorted = rm.map(_._3).sorted
+      val n = sorted.length
+      val med2 = sorted((n + 1) / 2 - 1) + sorted((n + 2) / 2 - 1)
+      val dev2s = rm.map(r => math.abs(2 * r._3 - med2)).sorted
+      val mad4 = dev2s((n + 1) / 2 - 1) + dev2s((n + 2) / 2 - 1)
+      rm.map { case (d, c, r) =>
+        (et, d, c, round4(r.toDouble / 1e6),
+          2 * math.abs(2 * r - med2) > 3 * mad4)
+      }
+    }.toSet
+    val got = graft.queries.Extended.seasonalAnomaly(spark, sf)
+      .as[(String, String, Long, Double, Boolean)].collect().toSet
+    assert(got === expect)
+  }
+
   // ------------------------------------------------------------ q222
 
   test("q222 quantile normalization matches a rank-walk replay") {

@@ -342,6 +342,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming EWMA monitor converges to batch q219 across batch splits") {
+    val evs = batchEvents
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[StreamOps.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamOps.Ev](spark)
+    val q = StreamOps.ewmaMonitor(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_ewma").start()
+    // time-ordered delivery split at an arbitrary point: the 8-value
+    // state must make the final emission equal the batch window's answer
+    stream.addData(evs.take(evs.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    stream.addData(evs.drop(evs.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val latest = spark.table("t_ewma").as[StreamOps.EwmaUpdate].collect()
+      .groupBy(_.user_id).map { case (_, g) => g.maxBy(_.n_events) }
+    val batch = graft.queries.Extended.ewmaSmooth(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(latest.nonEmpty && latest.size === batch.size)
+    latest.foreach { u =>
+      val (n, e) = batch(u.user_id)
+      assert(u.n_events === n && u.ewma === e,
+        s"user ${u.user_id}: stream (${u.n_events}, ${u.ewma}) vs batch ($n, $e)")
+    }
+  }
+
   test("streaming decontamination admits exactly the docs batch q87 would keep") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decontam").toFile
     val outDir = new java.io.File(dir, "clean").getPath
