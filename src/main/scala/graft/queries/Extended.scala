@@ -765,8 +765,63 @@ object Extended {
       |FROM r2 JOIN mad ma USING (event_type)
       |ORDER BY event_type, day""".stripMargin
 
+  // -------------------------------------------------------------- q253
+
+  /** Top session paths (q253): the most common ordered event-type
+    * journeys within q61's 30-minute sessions — the free-form "sankey"
+    * complement of q80's fixed funnel and q125's 1-step transition
+    * matrix. The path string is assembled by an ORDERED collect over
+    * the session window (deterministic — a bare collect_list's order is
+    * not), counted, and top-10 cut with a path tie-break. Sessions are
+    * user-keyed windows; the path aggregate shuffles one row per
+    * session. */
+  val topPaths: Q = (s, dir) => {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val marked = Tables.t(s, dir, "events")
+      .withColumn("prev", lag("ts", 1).over(wOrd))
+      .withColumn("brk",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L,
+          1L).otherwise(0L))
+      .withColumn("sid", sum("brk").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    val paths = marked
+      .withColumn("path", array_join(collect_list("event_type").over(
+        wSess.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)), ">"))
+      .withColumn("rn", row_number().over(wSess))
+      .filter(col("rn") === 1)
+      .select("path")
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(10)
+  }
+
+  val topPathsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id)) > 1800000000
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |paths AS (
+      |  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT path, count(*)::BIGINT AS n_sessions
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q219_ewma_smooth" -> ewmaSmooth,
+    "q253_top_paths" -> topPaths,
     "q251_seasonal_anomaly" -> seasonalAnomaly,
     "q237_ccf_leadlag" -> ccfLeadLag,
     "q238_index_rebase" -> indexRebase,
@@ -795,6 +850,7 @@ object Extended {
   val oracleSql: Map[String, String] = Map(
     "q219_ewma_smooth" -> ewmaSmoothSql,
     "q251_seasonal_anomaly" -> seasonalAnomalySql,
+    "q253_top_paths" -> topPathsSql,
     "q237_ccf_leadlag" -> ccfLeadLagSql,
     "q238_index_rebase" -> indexRebaseSql,
     "q239_dow_seasonality" -> dowSeasonalitySql,

@@ -1758,10 +1758,49 @@ object LlmQueries {
       |  sum(CASE WHEN s_micro < 0 THEN 1 ELSE 0 END)::BIGINT AS n_neg
       |FROM sm GROUP BY label ORDER BY label""".stripMargin
 
+  // -------------------------------------------------------------- q252
+
+  /** Positional phrase search (q252): documents containing the exact
+    * two-token phrase "the data", found through POSITIONAL postings —
+    * the adjacency join (doc, pos) ⋈ (doc, pos+1) the q143 inverted
+    * index cannot answer (it stores no positions). Both term filters
+    * push into the posting explode, so the join sides carry only the
+    * two terms' postings — at corpus scale the shuffle is proportional
+    * to the PHRASE TERMS' frequency, never the corpus. Emits match
+    * counts and first match position per doc — exact integers. */
+  val phraseSearch: Q = (s, dir) => {
+    val post = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .withColumnRenamed("col", "term")
+    val a = post.filter(col("term") === "the")
+      .select(col("doc_id"), col("pos").as("pa"))
+    val b = post.filter(col("term") === "data")
+      .select(col("doc_id"), col("pos").as("pb"))
+    a.join(b, a("doc_id") === b("doc_id") && col("pb") === col("pa") + 1)
+      .groupBy(a("doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min("pa").cast("int").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  val phraseSearchSql: String =
+    s"""WITH post AS (
+       |  SELECT doc_id, term, pos::INTEGER AS pos FROM (
+       |    SELECT doc_id, unnest($ToksSql) AS term,
+       |      generate_subscripts($ToksSql, 1) - 1 AS pos
+       |    FROM documents) u),
+       |a AS (SELECT doc_id, pos AS pa FROM post WHERE term = 'the'),
+       |b AS (SELECT doc_id, pos AS pb FROM post WHERE term = 'data')
+       |SELECT a.doc_id, count(*)::BIGINT AS n_matches,
+       |  min(pa)::INTEGER AS first_pos
+       |FROM a JOIN b ON a.doc_id = b.doc_id AND b.pb = a.pa + 1
+       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "q229_source_profile_sim" -> sourceProfileSim,
+    "q252_phrase_search" -> phraseSearch,
     "q233_rrf_fusion" -> rrfFusion,
     "q240_silhouette" -> silhouette,
     "q30_dedup_exact" -> dedupExact,
@@ -1809,6 +1848,7 @@ object LlmQueries {
     "q229_source_profile_sim" -> sourceProfileSimSql,
     "q233_rrf_fusion" -> rrfFusionSql,
     "q240_silhouette" -> silhouetteSql,
+    "q252_phrase_search" -> phraseSearchSql,
     "q30_dedup_exact" -> dedupExactSql,
     "q31_doc_fingerprint" -> docFingerprintSql,
     "q67_partial_dup_aligned" -> partialDupAlignedSql,

@@ -990,6 +990,49 @@ class StatOpsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  // ------------------------------------------------------------ q252
+
+  test("q252 phrase search matches a sequential bigram scan") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val expect = docs.flatMap { case (id, text) =>
+      val toks = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+      val hits = toks.indices.dropRight(1)
+        .filter(i => toks(i) == "the" && toks(i + 1) == "data")
+      if (hits.isEmpty) None
+      else Some((id, hits.length.toLong, hits.min))
+    }.toSet
+    val got = graft.queries.LlmQueries.phraseSearch(spark, sf)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.nonEmpty && got === expect)
+  }
+
+  // ------------------------------------------------------------ q253
+
+  test("q253 top paths matches a sequential sessionize+count replay") {
+    val evs = Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val paths = evs.groupBy(_._1).values.flatMap { g =>
+      val ordered = g.sortBy(r => (r._3, r._2))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      var last = Long.MinValue
+      ordered.foreach { e =>
+        if (last != Long.MinValue && e._3 - last > 1800000000L)
+          sessions += scala.collection.mutable.ArrayBuffer.empty[String]
+        sessions.last += e._4; last = e._3
+      }
+      sessions.map(_.mkString(">"))
+    }.toSeq
+    val expect = paths.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(r => (-r._2, r._1)).take(10).toSet
+    val got = graft.queries.Extended.topPaths(spark, sf)
+      .as[(String, Long)].collect().toSet
+    assert(got === expect)
+  }
+
   // ------------------------------------------------------------ q222
 
   test("q222 quantile normalization matches a rank-walk replay") {
