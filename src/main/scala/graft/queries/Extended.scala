@@ -819,8 +819,73 @@ object Extended {
       |FROM paths GROUP BY path
       |ORDER BY n_sessions DESC, path ASC LIMIT 10""".stripMargin
 
+  // -------------------------------------------------------------- q254
+
+  /** Theil–Sen robust trend (q254): per event type, the median of all
+    * pairwise day-slopes of the daily series — the robust alternative
+    * to q217's OLS trend (one wild day moves OLS, not the pairwise
+    * median; the estimator behind robust telemetry trend lines). The
+    * pair stage is quadratic IN DAYS — a bounded time-spine, never the
+    * corpus (the q223 bounded-domain rule; 30 days → 435 pairs) — and
+    * each slope Δc/Δd is micro-quantized by its single division before
+    * the integer doubled-median extract, so nothing order-sensitive
+    * survives. */
+  val theilSenTrend: Q = (s, dir) => {
+    val daily = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dn", datediff(col("d"), lit("2024-01-01").cast("date"))
+        .cast("long"))
+      .localCheckpoint(true)
+    val pairs = daily.as("x").join(daily.as("y"), "event_type")
+      .filter(col("x.dn") < col("y.dn"))
+      .select(col("event_type"),
+        round((col("y.c") - col("x.c")).cast("double") /
+          (col("y.dn") - col("x.dn")).cast("double") * 1e6).cast("long")
+          .as("sm"),
+        col("x.dn").as("da"), col("y.dn").as("db"))
+    val w = Window.partitionBy("event_type").orderBy("sm", "da", "db")
+    pairs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max("n").as("n_pairs"),
+        (max(when(col("rnk") === expr("(n + 1) DIV 2"), col("sm"))) +
+          max(when(col("rnk") === expr("(n + 2) DIV 2"), col("sm"))))
+          .as("med2"))
+      .select(col("event_type"), col("n_pairs"),
+        round(col("med2").cast("double") / 2e6, 4).as("slope_per_day"))
+      .orderBy("event_type")
+  }
+
+  val theilSenTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS c,
+      |    (ts::DATE - DATE '2024-01-01')::BIGINT AS dn
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT x.event_type,
+      |    round((y.c - x.c)::DOUBLE / ((y.dn - x.dn)::DOUBLE) * 1e6)::BIGINT
+      |      AS sm,
+      |    x.dn AS da, y.dn AS db
+      |  FROM daily x JOIN daily y
+      |    ON x.event_type = y.event_type AND x.dn < y.dn),
+      |ranked AS (
+      |  SELECT event_type, sm,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY sm, da, db)::BIGINT AS rnk,
+      |    count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+      |  FROM pairs)
+      |SELECT event_type, max(n)::BIGINT AS n_pairs,
+      |  round((max(CASE WHEN rnk = (n + 1) // 2 THEN sm END) +
+      |         max(CASE WHEN rnk = (n + 2) // 2 THEN sm END))::DOUBLE
+      |        / 2e6, 4) AS slope_per_day
+      |FROM ranked GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q219_ewma_smooth" -> ewmaSmooth,
+    "q254_theilsen_trend" -> theilSenTrend,
     "q253_top_paths" -> topPaths,
     "q251_seasonal_anomaly" -> seasonalAnomaly,
     "q237_ccf_leadlag" -> ccfLeadLag,
@@ -851,6 +916,7 @@ object Extended {
     "q219_ewma_smooth" -> ewmaSmoothSql,
     "q251_seasonal_anomaly" -> seasonalAnomalySql,
     "q253_top_paths" -> topPathsSql,
+    "q254_theilsen_trend" -> theilSenTrendSql,
     "q237_ccf_leadlag" -> ccfLeadLagSql,
     "q238_index_rebase" -> indexRebaseSql,
     "q239_dow_seasonality" -> dowSeasonalitySql,

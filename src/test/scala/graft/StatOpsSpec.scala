@@ -1033,6 +1033,31 @@ class StatOpsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  // ------------------------------------------------------------ q254
+
+  test("q254 Theil-Sen matches a sequential pairwise-slope median replay") {
+    val daily = Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+    val base = java.time.LocalDate.parse("2024-01-01")
+    val expect = daily.groupBy(_._1).map { case (et, g) =>
+      val pts = g.toSeq.map(r =>
+        (java.time.temporal.ChronoUnit.DAYS.between(
+          base, java.time.LocalDate.parse(r._2)), r._3))
+      val slopes = (for {
+        (da, ca) <- pts; (db, cb) <- pts if da < db
+      } yield BigDecimal((cb - ca).toDouble / (db - da).toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sorted
+      val n = slopes.length
+      val med2 = slopes((n + 1) / 2 - 1) + slopes((n + 2) / 2 - 1)
+      (et, n.toLong, round4(med2.toDouble / 2e6))
+    }.toSet
+    val got = graft.queries.Extended.theilSenTrend(spark, sf)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === expect)
+  }
+
   // ------------------------------------------------------------ q222
 
   test("q222 quantile normalization matches a rank-walk replay") {
