@@ -1796,10 +1796,155 @@ object LlmQueries {
        |FROM a JOIN b ON a.doc_id = b.doc_id AND b.pb = a.pa + 1
        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
 
+  // ------------------------------------------------------- q255 / q256
+
+  /** Shared q233 legs: the lexical term-hit top-50 and the embedding-
+    * cosine top-50 against query doc 0, each with a total-order rank. */
+  private def retrievalLegs(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val d = Tables.t(s, dir, "documents")
+    val e = Tables.t(s, dir, "embeddings")
+    val qTerms = d.filter(col("doc_id") === 0)
+      .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    val lexTop = d.select(col("doc_id"),
+      explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      .join(broadcast(qTerms), "term")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("hits").desc, col("doc_id").asc).limit(50)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("hits").desc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "r_lex")
+    val vecTop = e.select(col("vec_id").as("doc_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .filter(col("doc_id") =!= 0)
+      .crossJoin(broadcast(qVec))
+      .select(col("doc_id"),
+        round(Similarity.cosine(col("v"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(50)
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "r_vec")
+    (lexTop, vecTop)
+  }
+
+  /** The DuckDB twin of [[retrievalLegs]] as `lexr` / `vecr` CTE bodies
+    * (prefix with WITH; column sets (doc_id, r_lex) / (doc_id, r_vec)). */
+  private val RetrievalLegsSql: String =
+    s"""qt AS (
+       |  SELECT DISTINCT unnest(list_distinct($ToksSql)) AS term
+       |  FROM documents WHERE doc_id = 0),
+       |dt AS (
+       |  SELECT doc_id, unnest(list_distinct($ToksSql)) AS term FROM documents),
+       |lex AS (
+       |  SELECT dt.doc_id, count(*)::BIGINT AS hits
+       |  FROM dt JOIN qt USING (term) WHERE dt.doc_id <> 0 GROUP BY 1
+       |  ORDER BY hits DESC, doc_id ASC LIMIT 50),
+       |lexr AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY hits DESC, doc_id ASC)::BIGINT
+       |      AS r_lex
+       |  FROM lex),
+       |qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |vec AS (
+       |  SELECT vec_id AS doc_id,
+       |    round(list_cosine_similarity(embedding::DOUBLE[], qv.qv), 4) AS cos
+       |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0
+       |  ORDER BY cos DESC, doc_id ASC LIMIT 50),
+       |vecr AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY cos DESC, doc_id ASC)::BIGINT AS r_vec
+       |  FROM vec)""".stripMargin
+
+  /** Rank-biased overlap (q255): how much do the two retrieval legs
+    * agree, weighted toward the top — RBO with persistence p = 1/2, so
+    * every depth weight is an exact power of two (the same no-libm move
+    * as q202's half-life): RBO = Σ_d A_d/2^d with A_d the fractional
+    * overlap of the depth-d prefixes. Per-depth terms are one fixed
+    * division each, quantized to pico-units before the order-free
+    * integer sum (terms past d≈40 round to 0 — exactly the tail RBO's
+    * geometric weighting discards). Depth prefixes come from a
+    * rank-pair cross of the two 50-row lists — bounded, never
+    * corpus-sized. */
+  val rboAgreement: Q = (s, dir) => {
+    val (lexTop, vecTop) = retrievalLegs(s, dir)
+    val both = lexTop.join(vecTop, "doc_id").localCheckpoint(true)
+    // overlap at depth d = # common docs with BOTH ranks <= d
+    val depths = s.range(1, 51).toDF("d")
+    val ad = depths.join(broadcast(both),
+        col("r_lex") <= col("d") && col("r_vec") <= col("d"), "left")
+      .groupBy("d").agg(count(col("doc_id")).as("ov"))
+      .select(col("d"),
+        // 2^d via integer shift — exact, no libm pow anywhere
+        round(col("ov").cast("double") / col("d").cast("double") /
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(d AS INT))")
+            .cast("double") * 1e12).cast("long")
+          .as("pico"))
+    ad.agg(sum("pico").as("sp"))
+      .select(round(col("sp").cast("double") / 1e12, 6).as("rbo"))
+      .crossJoin(broadcast(both.agg(count(lit(1)).as("n_common"))))
+      .select(col("n_common"), col("rbo"))
+  }
+
+  val rboAgreementSql: String =
+    s"""WITH $RetrievalLegsSql,
+       |both_r AS (
+       |  SELECT lexr.doc_id, r_lex, r_vec
+       |  FROM lexr JOIN vecr ON lexr.doc_id = vecr.doc_id),
+       |ad AS (
+       |  SELECT d,
+       |    round((SELECT count(*) FROM both_r
+       |           WHERE r_lex <= d AND r_vec <= d)::DOUBLE
+       |      / d::DOUBLE / ((1::BIGINT << d)::DOUBLE) * 1e12)::BIGINT AS pico
+       |  FROM (SELECT unnest(range(1, 51))::BIGINT AS d) ds)
+       |SELECT (SELECT count(*)::BIGINT FROM both_r) AS n_common,
+       |  round(sum(pico)::DOUBLE / 1e12, 6) AS rbo
+       |FROM ad""".stripMargin
+
+  /** Kendall tau-a (q256): rank agreement of the two legs over their
+    * COMMON documents — concordant minus discordant pairs over all
+    * pairs, entirely exact integers (the pair stage is quadratic in the
+    * ≤50-row intersection, bounded). τ = +1 when the legs order shared
+    * docs identically, −1 when reversed — the complementary
+    * whole-ranking view to q255's top-weighted RBO. */
+  val kendallTau: Q = (s, dir) => {
+    val (lexTop, vecTop) = retrievalLegs(s, dir)
+    val both = lexTop.join(vecTop, "doc_id").localCheckpoint(true)
+    val pairs = both.as("x").join(both.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(
+        ((col("x.r_lex") < col("y.r_lex")) === (col("x.r_vec") < col("y.r_vec")))
+          .as("conc"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("conc"), 1L).otherwise(0L)).as("nc"))
+      .filter(col("n_pairs") > 0)
+      .select(col("n_pairs"),
+        round((lit(2) * col("nc") - col("n_pairs")).cast("double") /
+          col("n_pairs").cast("double"), 6).as("tau"))
+  }
+
+  val kendallTauSql: String =
+    s"""WITH $RetrievalLegsSql,
+       |both_r AS (
+       |  SELECT lexr.doc_id, r_lex, r_vec
+       |  FROM lexr JOIN vecr ON lexr.doc_id = vecr.doc_id),
+       |p AS (
+       |  SELECT ((x.r_lex < y.r_lex) = (x.r_vec < y.r_vec)) AS conc
+       |  FROM both_r x JOIN both_r y ON x.doc_id < y.doc_id)
+       |SELECT count(*)::BIGINT AS n_pairs,
+       |  round((2 * sum(CASE WHEN conc THEN 1 ELSE 0 END) - count(*))::DOUBLE
+       |    / count(*)::DOUBLE, 6) AS tau
+       |FROM p HAVING count(*) > 0""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "q229_source_profile_sim" -> sourceProfileSim,
+    "q255_rbo_agreement" -> rboAgreement,
+    "q256_kendall_tau" -> kendallTau,
     "q252_phrase_search" -> phraseSearch,
     "q233_rrf_fusion" -> rrfFusion,
     "q240_silhouette" -> silhouette,
@@ -1849,6 +1994,8 @@ object LlmQueries {
     "q233_rrf_fusion" -> rrfFusionSql,
     "q240_silhouette" -> silhouetteSql,
     "q252_phrase_search" -> phraseSearchSql,
+    "q255_rbo_agreement" -> rboAgreementSql,
+    "q256_kendall_tau" -> kendallTauSql,
     "q30_dedup_exact" -> dedupExactSql,
     "q31_doc_fingerprint" -> docFingerprintSql,
     "q67_partial_dup_aligned" -> partialDupAlignedSql,

@@ -1058,6 +1058,64 @@ class StatOpsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  // ------------------------------------------------------- q255 / q256
+
+  private def collectedLegs(): (Map[Long, Long], Map[Long, Long]) = {
+    val d = Tables.t(spark, sf, "documents")
+    val e = Tables.t(spark, sf, "embeddings")
+    val qTerms = d.filter(col("doc_id") === 0)
+      .select(explode(array_distinct(graft.llm.TextOps.tokens(col("text"))))
+        .as("term"))
+    val lex = d.select(col("doc_id"),
+      explode(array_distinct(graft.llm.TextOps.tokens(col("text"))))
+        .as("term"))
+      .join(broadcast(qTerms), "term")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .filter(col("doc_id") =!= 0)
+      .as[(Long, Long)].collect()
+      .sortBy(r => (-r._2, r._1)).take(50)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).as[Seq[Double]]
+      .head()
+    val vec = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .withColumn("cos", round(graft.llm.Similarity.cosine(
+        col("embedding"), typedLit(qv)), 4))
+      .select(col("vec_id"), col("cos")).as[(Long, Double)].collect()
+      .sortBy(r => (-r._2, r._1)).take(50)
+    (lex.zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap,
+      vec.zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap)
+  }
+
+  test("q255 RBO matches a sequential prefix-overlap replay") {
+    val (rl, rv) = collectedLegs()
+    val common = rl.keySet & rv.keySet
+    val picos = (1 to 50).map { dd =>
+      val ov = common.count(id => rl(id) <= dd && rv(id) <= dd)
+      BigDecimal(ov.toDouble / dd.toDouble / (1L << dd).toDouble * 1e12)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expect = (common.size.toLong, round6(picos.sum.toDouble / 1e12))
+    val got = graft.queries.LlmQueries.rboAgreement(spark, sf)
+      .as[(Long, Double)].collect()
+    assert(got.toSeq === Seq(expect))
+    assert(expect._2 >= 0.0 && expect._2 <= 1.0)
+  }
+
+  test("q256 Kendall tau matches a pairwise concordance replay") {
+    val (rl, rv) = collectedLegs()
+    val common = (rl.keySet & rv.keySet).toSeq.sorted
+    val pairs = for {
+      i <- common.indices; j <- (i + 1) until common.length
+    } yield (rl(common(i)) < rl(common(j))) == (rv(common(i)) < rv(common(j)))
+    val np = pairs.length.toLong
+    val nc = pairs.count(identity).toLong
+    val expect = (np, round6((2 * nc - np).toDouble / np.toDouble))
+    val got = graft.queries.LlmQueries.kendallTau(spark, sf)
+      .as[(Long, Double)].collect()
+    assert(got.toSeq === Seq(expect))
+  }
+
   // ------------------------------------------------------------ q222
 
   test("q222 quantile normalization matches a rank-walk replay") {
