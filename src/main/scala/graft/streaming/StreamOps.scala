@@ -464,8 +464,13 @@ object StreamOps {
           val prev = state.getOption.getOrElse(EwmaState(Nil, 0L))
           // newest first, capped at 8 — the exact state the batch lag
           // chain reads
+          // HALF_UP (away-from-zero), NOT math.round's floor(x+0.5):
+          // batch q219 and the oracle round() a -0.005 cent to -1, while
+          // floor(-0.005*100+0.5) = 0 — the one value class where the
+          // streamed state would diverge from the batch answer
           val cents = sorted.foldLeft(prev.cents) { (acc, e) =>
-            (math.round(e.value * 100) :: acc).take(8)
+            (BigDecimal(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong :: acc).take(8)
           }
           val st = EwmaState(cents, prev.n + sorted.length)
           state.update(st)

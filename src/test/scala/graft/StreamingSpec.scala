@@ -371,6 +371,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("EWMA monitor rounds negative half-cents HALF_UP like batch round()") {
+    // -0.005 * 100 == -0.5 exactly in IEEE; batch q219's round() maps it
+    // to -1 cent (away from zero) while math.round would give 0 — the one
+    // value class where the old streamed fold diverged from batch
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamOps.Ev](spark)
+    val q = StreamOps.ewmaMonitor(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_ewma_neg").start()
+    stream.addData(
+      StreamOps.Ev(1L, ts(0), 9001L, "click", -0.005),
+      StreamOps.Ev(2L, ts(1), 9002L, "click", 0.005))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("t_ewma_neg").as[StreamOps.EwmaUpdate].collect()
+      .map(u => u.user_id -> u.ewma).toMap
+    assert(out(9001L) === -0.01, s"negative half-cent: ${out(9001L)}")
+    assert(out(9002L) === 0.01, s"positive half-cent: ${out(9002L)}")
+  }
+
   test("streaming decontamination admits exactly the docs batch q87 would keep") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decontam").toFile
     val outDir = new java.io.File(dir, "clean").getPath
