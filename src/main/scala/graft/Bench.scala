@@ -89,6 +89,22 @@ object Bench {
     drain(li.select("l_orderkey", "l_partkey", "l_quantity"))
     drain(li.groupBy("l_returnflag").agg(sum("l_quantity")))
 
+    // Build the shared graph-edge artifact ONCE and serve the graph
+    // family (q116/q179/q184/q211/q242/q244/q245) from it — the
+    // production lifecycle (operators/GraphArtifact). The build cost is
+    // reported as its own timed entry ("q000_graph_build", counted in
+    // the total) so the amortization is visible, not hidden.
+    val artifactSec = try {
+      val art = java.nio.file.Files
+        .createTempDirectory("graft-graph-artifact").resolve("graph").toString
+      val t0 = System.nanoTime()
+      graft.operators.GraphArtifact.build(spark, sfDir, art)
+      spark.conf.set(graft.operators.GraphArtifact.Key, art)
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable =>
+      spark.conf.unset(graft.operators.GraphArtifact.Key); -1.0
+    }
+
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     // dev-only substring filter for single-query iteration; the driver
     // never sets it, so the contract (full registry) is unchanged
@@ -108,7 +124,8 @@ object Bench {
       sinceGc += 1
       if (sinceGc >= 16) { sinceGc = 0; System.gc() }
       name -> t
-    }
+    } ++ (if (nameFilter.isEmpty) Map("q000_graph_build" -> artifactSec)
+          else Map.empty[String, Double])
 
     // BASELINE scan protocol (IdIdSimRow shape): warmup pass, then the
     // best of three timed passes — min-of-N is the steady-state
@@ -143,6 +160,35 @@ object Bench {
     // to BENCH_FULL.json for humans.
     // Locale.ROOT: the f interpolator uses the default locale, which on
     // comma-decimal locales would emit "1,234" and break the JSON parse
+    // Per-query regression gate: diff this run against the committed
+    // BENCH_FULL.json (the prior round's full-name artifact) and flag
+    // any query at >2x its prior time AND >0.5 s absolute — the
+    // harness must surface a real regression, not mask it in the
+    // total. Emitted to BENCH_DIFF.md + stderr only: stdout stays one
+    // driver-parseable JSON line.
+    if (nameFilter.isEmpty) try {
+      val priorPath = java.nio.file.Paths.get("BENCH_FULL.json")
+      if (java.nio.file.Files.exists(priorPath)) {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = m.readTree(java.nio.file.Files.readString(priorPath))
+          .path("queries")
+        val flags = results.toSeq.sorted.flatMap { case (name, t) =>
+          val p = node.path(name)
+          if (p.isNumber && p.asDouble > 0 && t > 2 * p.asDouble && t > 0.5)
+            Some(f"| $name | ${p.asDouble}%.2f | $t%.2f | ${t / p.asDouble}%.1fx |")
+          else None
+        }
+        val body =
+          if (flags.isEmpty) "No per-query regressions (>2x and >0.5 s) vs prior BENCH_FULL.json.\n"
+          else ("| query | prior s | now s | ratio |\n|---|---|---|---|\n"
+            + flags.mkString("\n") + "\n")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_DIFF.md"),
+          ("# Bench regression gate\n\n" + body).getBytes("UTF-8"))
+        flags.foreach(f => System.err.println(s"[bench-diff] $f"))
+      }
+    } catch { case _: Throwable => () }
+
     val qs = compactQueries(results)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = results.toSeq.sortBy(_._1)

@@ -20,6 +20,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Build the shared graph-edge artifact once and serve every graph
+    // query from it (operators/GraphArtifact): the DuckDB oracle still
+    // derives edges inline, so the green rows verify the SERVED path.
+    // Best-effort — on any failure the queries fall back inline.
+    try {
+      val art = Files.createTempDirectory("graft-graph-artifact")
+        .resolve("graph").toString
+      graft.operators.GraphArtifact.build(spark, sfDir, art)
+      spark.conf.set(graft.operators.GraphArtifact.Key, art)
+    } catch { case e: Throwable =>
+      spark.conf.unset(graft.operators.GraphArtifact.Key)
+      System.err.println(s"[verify] graph artifact build failed: ${e.getMessage}")
+    }
     SparkEntry.queries.filter(_._1.contains(nameFilter)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -444,14 +444,12 @@ object Analytics {
     * never rebuilds. The oracle replays the identical recurrence as
     * five unrolled CTEs. */
   val pagerank: Q = (s, dir) => {
-    val clicks = Tables.t(s, dir, "events")
-      .filter(col("event_type") === "click")
-      // key nodes live in the negative id space (-1-k): disjoint from
-      // any non-negative user_id at ANY scale, unlike an additive
-      // offset a large corpus's user ids would eventually collide with
-      .select(col("user_id").as("u"),
-        (lit(-1L) - get_json_object(col("props"), "$.k").cast("long")).as("v"))
-      .distinct()
+    // key nodes live in the negative id space (-1-k): disjoint from
+    // any non-negative user_id at ANY scale, unlike an additive
+    // offset a large corpus's user ids would eventually collide with.
+    // Edge list is artifact-served when one is configured
+    // (operators/GraphArtifact) — built once, shared with q242.
+    val clicks = graft.operators.GraphArtifact.clickEdges(s, dir)
     val edges = clicks.union(clicks.select(col("v").as("u"), col("u").as("v")))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
     val e = edges.join(deg, "u").persist()
@@ -1335,18 +1333,13 @@ object Analytics {
     * is counted exactly once (its π-least vertex owns it). */
   /** Co-purchase projection of the order–part bipartite graph: an edge
     * between two parts appearing together in ≥2 distinct orders — the
-    * shared input of the q179 census and the q184 core decomposition
-    * (one definition so the two graph queries can never drift). */
-  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val items = Tables.t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    items.as("x").join(items.as("y"), Seq("o"))
-      .where(col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("support"))
-      .where(col("support") >= 2)
-      .select("a", "b")
-  }
+    * shared input of the whole graph family (q179/q184/q211/q244/q245;
+    * one definition so the queries can never drift). Served from the
+    * persisted artifact when `spark.graft.graphArtifact` is set
+    * ([[graft.operators.GraphArtifact]] — built ONCE per corpus instead
+    * of re-derived per query), inline-derived otherwise. */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.GraphArtifact.coPurchase(s, dir)
 
   /** DuckDB twin of [[coPurchaseEdges]], as `edges` + both-direction
     * `und` CTE bodies (prefix with WITH). */
@@ -2125,11 +2118,7 @@ object Analytics {
     * at plan time, per-iteration plans kept flat by the same eager
     * localCheckpoint discipline. */
   val personalizedPagerank: Q = (s, dir) => {
-    val clicks = Tables.t(s, dir, "events")
-      .filter(col("event_type") === "click")
-      .select(col("user_id").as("u"),
-        (lit(-1L) - get_json_object(col("props"), "$.k").cast("long")).as("v"))
-      .distinct()
+    val clicks = graft.operators.GraphArtifact.clickEdges(s, dir)
     val edges = clicks.union(clicks.select(col("v").as("u"), col("u").as("v")))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
     val e = edges.join(deg, "u").persist()
@@ -2350,6 +2339,70 @@ object Analytics {
        |SELECT n, round(num / den, 4) AS zipf_slope
        |FROM d WHERE den > 0""".stripMargin
 
+  // -------------------------------------------------------------- q257
+
+  /** Mergeable quantile sketch vs exact ranks (q257): the bottom-k-by-
+    * hash sample sketch ([[graft.functions.QuantileSketchAgg]] — the
+    * KMV merge-law discipline applied to order statistics, completing
+    * the sketch algebra: HLL/KMV/CMS/MG/quantiles) over lineitem's
+    * price cents at k=256, reporting for each target rank p the sketch
+    * quantile AND its exact rank in the full data — the measured
+    * rank-error envelope, not a trusted one. Two scans total: one
+    * partial-aggregated sketch build (state O(k) per partition), one
+    * rank probe against the 5-row broadcast estimate table. The DuckDB
+    * oracle replays the IDENTICAL sample (ORDER BY h, v LIMIT k — the
+    * sketch's selection is a pure function of the data, never of
+    * encounter order), which is the entire reason this sketch is
+    * oracle-verifiable where a stream-order-dependent KLL would not
+    * be. */
+  val quantileSketch: Q = (s, dir) => {
+    val k = 256
+    val sketch = udaf(new graft.functions.QuantileSketchAgg(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.HV])
+    val base = Tables.t(s, dir, "lineitem").select(
+      Fragments.sampleHash(concat(col("l_orderkey").cast("string"),
+        lit(":"), col("l_linenumber").cast("string"))).as("h"),
+      round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val sk = base.agg(sketch(col("h"), col("v")).as("sk"))
+      .select(col("sk.sample").as("sample"), col("sk.n").as("nn"))
+    val est = sk.select(col("nn"),
+        explode(typedLit(Seq(0.1, 0.25, 0.5, 0.75, 0.9))).as("p"),
+        col("sample"))
+      .select(col("p"), col("nn"),
+        element_at(col("sample"), ceil(col("p") * k).cast("int"))
+          .as("est_cents"))
+    base.join(broadcast(est), col("v") <= col("est_cents"))
+      .groupBy("p", "est_cents", "nn")
+      .agg(count(lit(1)).as("exact_rank"))
+      .select(col("p"), col("est_cents"), col("exact_rank"), col("nn"),
+        round(abs(col("exact_rank").cast("double") /
+          col("nn").cast("double") - col("p")), 6).as("rank_err6"))
+      .orderBy("p")
+  }
+
+  val quantileSketchSql: String = {
+    val h = Fragments.sampleHashSql(
+      "l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR")
+    s"""WITH base AS (
+       |  SELECT $h AS h, round(l_extendedprice * 100)::BIGINT AS v
+       |  FROM lineitem),
+       |samp AS (SELECT v FROM base ORDER BY h, v LIMIT 256),
+       |ord AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM samp),
+       |n AS (SELECT count(*)::BIGINT AS nn FROM base),
+       |ps AS (SELECT unnest([0.1e0, 0.25e0, 0.5e0, 0.75e0, 0.9e0]) AS p),
+       |est AS (
+       |  SELECT p, (SELECT v FROM ord WHERE r = ceil(p * 256)::BIGINT)
+       |    AS est_cents FROM ps),
+       |rk AS (
+       |  SELECT e.p, e.est_cents,
+       |    (SELECT count(*) FROM base b WHERE b.v <= e.est_cents)::BIGINT
+       |      AS exact_rank
+       |  FROM est e)
+       |SELECT p, est_cents, exact_rank, nn,
+       |  round(abs(exact_rank::DOUBLE / nn::DOUBLE - p), 6) AS rank_err6
+       |FROM rk, n ORDER BY p""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -2396,7 +2449,8 @@ object Analytics {
     "q242_ppr" -> personalizedPagerank,
     "q244_assortativity" -> assortativity,
     "q245_component_profile" -> componentProfile,
-    "q246_zipf_fit" -> zipfFit)
+    "q246_zipf_fit" -> zipfFit,
+    "q257_quantile_sketch" -> quantileSketch)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -2442,5 +2496,6 @@ object Analytics {
     "q242_ppr" -> personalizedPagerankSql,
     "q244_assortativity" -> assortativitySql,
     "q245_component_profile" -> componentProfileSql,
-    "q246_zipf_fit" -> zipfFitSql)
+    "q246_zipf_fit" -> zipfFitSql,
+    "q257_quantile_sketch" -> quantileSketchSql)
 }
