@@ -26,6 +26,17 @@ private[graft] object Fragments {
   def hashBucketSql(expr: String, width: Int): String =
     s"(('0x' || substr(md5($expr), 1, 8))::BIGINT % $width)::INTEGER"
 
+  /** Deterministic 60-bit sample hash: first 15 hex chars of md5(key)
+    * as a non-negative BIGINT — the bottom-k sampling key of the
+    * quantile sketch (q257). 60 bits so the value always fits a signed
+    * long; identical in any engine and at any scale. */
+  def sampleHash(key: Column): Column =
+    conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB twin of [[sampleHash]] — MUST stay in bit-lockstep. */
+  def sampleHashSql(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
   /** Deterministic split bucket 0..99 over the `doc_id` column. */
   def splitBucket(docId: Column): Column =
     hashBucket(docId.cast("string"), 100)

@@ -441,6 +441,43 @@ object StreamOps {
       }
   }
 
+  // ---- custom state: quantile-sketch monitor (q257's twin) ----
+
+  case class QuantUpdate(key: String, n: Long, n_sample: Int, p50_cents: Long)
+
+  /** Streaming quantile monitor: the bottom-k-by-hash sample sketch of
+    * batch q257 maintained as keyed state, folding each micro-batch
+    * through the SAME [[graft.functions.QuantileSketchAgg]]
+    * reduce/merge the batch aggregate uses — so by the sketch's merge
+    * law (QuantileSketchSpec pins it) the streamed fold EQUALS the
+    * batch sketch over the same rows regardless of batching.
+    * Input rows are (key, h, v) with `h` the
+    * [[graft.queries.Fragments.sampleHash]] of the row key, computed
+    * BEFORE the stateful stage so the shuffle carries three longs per
+    * row. State is ≤4k (h, v) pairs per key; emits the running median
+    * estimate per key per touching batch. */
+  def quantileMonitor(rows: Dataset[(String, Long, Long)],
+                      k: Int = 256): Dataset[QuantUpdate] = {
+    import rows.sparkSession.implicits._
+    val agg = new graft.functions.QuantileSketchAgg(k)
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[graft.functions.QsBuf, QuantUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[graft.functions.QsBuf]) =>
+          val prev = state.getOption.getOrElse(agg.zero)
+          val st = it.foldLeft(prev) { (b, r) =>
+            agg.reduce(b, graft.functions.HV(r._2, r._3))
+          }
+          state.update(st)
+          val res = agg.finish(st)
+          val p50 =
+            if (res.sample.isEmpty) 0L
+            else res.sample(math.ceil(0.5 * res.sample.length).toInt - 1)
+          Iterator.single(QuantUpdate(key, res.n, res.sample.length, p50))
+      }
+  }
+
   // ---- custom state: 8-tap EWMA smoothing (q219's streaming twin) ----
 
   case class EwmaState(cents: List[Long], n: Long)

@@ -371,6 +371,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming quantile monitor converges to batch q257 across batch splits") {
+    // same hash/value exprs as batch q257, computed up front
+    val rows = Tables.t(spark, sf, "lineitem")
+      .select(lit("all").as("key"),
+        graft.queries.Fragments.sampleHash(
+          concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))).as("h"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .as[(String, Long, Long)].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long)](spark)
+    val q = StreamOps.quantileMonitor(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_qsk").start()
+    stream.addData(rows.take(rows.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    stream.addData(rows.drop(rows.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("t_qsk").as[StreamOps.QuantUpdate].collect()
+      .maxBy(_.n)
+    val batch = graft.queries.Analytics.quantileSketch(spark, sf)
+      .filter(col("p") === 0.5).select("est_cents", "nn")
+      .as[(Long, Long)].collect().head
+    assert(last.n === batch._2, "row count must match batch")
+    assert(last.p50_cents === batch._1,
+      s"streamed median ${last.p50_cents} vs batch ${batch._1}")
+  }
+
   test("EWMA monitor rounds negative half-cents HALF_UP like batch round()") {
     // -0.005 * 100 == -0.5 exactly in IEEE; batch q219's round() maps it
     // to -1 cent (away from zero) while math.round would give 0 — the one
