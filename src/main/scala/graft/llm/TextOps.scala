@@ -138,4 +138,35 @@ object TextOps {
     val stopOk = least(stopwordRatio(text) * 4.0, lit(1.0))
     round(lenSat * (lit(0.5) + lit(0.25) * punctOk + lit(0.25) * stopOk), 4)
   }
+
+  /** Learned-classifier inference (q258): a hashed-ngram LINEAR scorer —
+    * the fastText-style quality gate of published curation pipelines,
+    * next to the rule-based (q39/q74), unigram-LM (q82) and DSIR (q212)
+    * scorers. Features are the distinct unigrams plus distinct word
+    * bigrams of the normalized text (binary bag — a unigram can never
+    * collide with a bigram: bigrams contain a space); each feature
+    * hashes to one of `weights.length` buckets via the repo's lockstep
+    * md5 bucket ([[graft.queries.Fragments.hashBucket]]) and
+    * contributes its integer milli-weight to an exact BIGINT sum.
+    *
+    * The weight vector rides the plan as a literal array with a
+    * codegen'd `element_at` lookup — model-as-data
+    * ([[graft.functions.QualityModel]]) with zero joins, zero shuffles,
+    * zero UDFs: the whole scorer is one whole-stage-codegen'd
+    * expression over the document scan, the shape that serves a
+    * 100 TB corpus at scan speed.
+    *
+    * Returns struct(w_sum BIGINT, n_feats INT); callers derive the
+    * normalized score (w_sum / 1000·n_feats) and the keep decision
+    * (w_sum > 0 — an exact integer compare, no float threshold). */
+  def linearQualityScore(text: Column, weights: Array[Int]): Column = {
+    val uni = filter(array_distinct(tokens(text)), f => f =!= "")
+    val feats = concat(uni, wordShingles(text, 2))
+    val wlit = typedLit(weights.toSeq)
+    val wsum = aggregate(feats, lit(0L), (acc, f) =>
+      acc + element_at(wlit,
+        graft.queries.Fragments.hashBucket(f, weights.length) + 1)
+        .cast("long"))
+    struct(wsum.as("w_sum"), size(feats).as("n_feats"))
+  }
 }

@@ -476,7 +476,15 @@ object Curation {
     * this query proves the COMPOSITION end to end. Plan shape: linear
     * scans + keyed windows + one broadcast semi-join — nothing
     * quadratic, nothing driver-side; the same DAG runs at 100 TB. */
-  val pipelineCapstone: Q = (s, dir) => {
+  val pipelineCapstone: Q = (s, dir) =>
+    capstoneWith(s, dir, TextOps.qualityScore(col("text")) >= 0.3)
+
+  /** q100's pipeline with the quality gate as a parameter — q259 swaps
+    * the rule-based score for the learned classifier without touching
+    * any other stage. `keepGate` is a boolean expression over
+    * col("text"). */
+  private def capstoneWith(s: org.apache.spark.sql.SparkSession,
+      dir: String, keepGate: org.apache.spark.sql.Column) = {
     val budget = 2048
     val d = Tables.t(s, dir, "documents").select(
       col("doc_id"), col("text"), col("source"), bucket.as("bucket"))
@@ -484,11 +492,11 @@ object Curation {
       when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
         .otherwise("test").as("split"),
       TextOps.fingerprint(col("text")).as("fp"),
-      TextOps.qualityScore(col("text")).as("quality"),
+      keepGate.as("keep"),
       TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
     val deduped = base
       .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
-      .filter(col("doc_id") === col("keeper") && col("quality") >= 0.3)
+      .filter(col("doc_id") === col("keeper") && col("keep"))
     val testSh = deduped.filter(col("split") === "test")
       .select(explode(TextOps.wordShingles(col("text"), 8)).as("sh")).distinct()
     val contaminated = deduped.filter(col("split") === "train")
@@ -507,22 +515,26 @@ object Curation {
       .orderBy("split", "source")
   }
 
-  val pipelineCapstoneSql: String = {
+  val pipelineCapstoneSql: String =
+    capstoneSqlWith(s"${Fragments.qualitySql} >= 0.3")
+
+  /** DuckDB twin of [[capstoneWith]] — `keepSql` is the boolean gate
+    * over the base CTE's columns (text/toks available). */
+  private def capstoneSqlWith(keepSql: String): String = {
     val nTok = s"len($ToksSql)"
-    val quality = Fragments.qualitySql
     s"""WITH base AS (
        |  SELECT doc_id, text, source,
        |    CASE WHEN $BucketSql < 80 THEN 'train'
        |         WHEN $BucketSql < 90 THEN 'val' ELSE 'test' END AS split,
        |    md5($NormSql) AS fp,
-       |    $quality AS quality,
+       |    ($keepSql) AS keep,
        |    $nTok::BIGINT AS n_tok,
        |    $ToksSql AS toks
        |  FROM documents),
        |deduped AS (
        |  SELECT * FROM (
        |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM base)
-       |  WHERE doc_id = keeper AND quality >= 0.3),
+       |  WHERE doc_id = keeper AND keep),
        |tst AS (
        |  SELECT DISTINCT unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
        |    for i in range(1, len(toks) - 6)])) AS sh
@@ -546,6 +558,75 @@ object Curation {
        |  (max((cum - n_tok) // 2048) + 1)::INTEGER AS n_packs
        |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  // -------------------------------------------------------------- q258
+
+  /** DuckDB list of the learned scorer's features over a token-list
+    * expression: distinct non-empty unigrams ++ distinct word bigrams —
+    * the twin of [[TextOps.linearQualityScore]]'s feature set. */
+  private def learnedFeatsSql(toks: String): String =
+    s"([x for x in list_distinct($toks) if x <> ''] || " +
+      s"list_distinct([array_to_string(($toks)[i:i+1], ' ') " +
+      s"for i in range(1, len($toks))]))"
+
+  /** DuckDB twin of the learned scorer's exact integer weight sum: the
+    * fixture model recomputed inline per feature (the BpeKernel
+    * discipline — the oracle replays the MODEL, not the training). */
+  private def learnedWsumSql(toks: String): String = {
+    val w = graft.functions.QualityModel.fixtureSql(
+      Fragments.hashBucketSql("f", graft.functions.QualityModel.Buckets))
+    s"coalesce(list_sum([$w for f in ${learnedFeatsSql(toks)}]), 0)"
+  }
+
+  /** Learned quality-classifier inference (q258): the hashed-ngram
+    * linear scorer ([[TextOps.linearQualityScore]] — model-as-data,
+    * [[graft.functions.QualityModel]]) over every document: exact
+    * BIGINT weight sum, feature count, normalized 4-dp score, and the
+    * integer-compare keep decision. One codegen'd scan projection —
+    * no joins, no shuffles beyond the presentation sort; the inference
+    * shape that gates a 100 TB corpus at scan speed. */
+  val learnedQuality: Q = (s, dir) => {
+    val w = graft.functions.QualityModel.fixture()
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.linearQualityScore(col("text"), w).as("lq"))
+      .select(col("doc_id"),
+        col("lq.n_feats").as("n_feats"), col("lq.w_sum").as("w_sum"))
+      .select(col("doc_id"), col("n_feats"), col("w_sum"),
+        round(col("w_sum").cast("double") /
+          (greatest(col("n_feats"), lit(1)).cast("double") * 1000.0), 4)
+          .as("quality4"),
+        (col("w_sum") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val learnedQualitySql: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |    len(${learnedFeatsSql("toks")})::INTEGER AS n_feats,
+       |    (${learnedWsumSql("toks")})::BIGINT AS w_sum
+       |  FROM t)
+       |SELECT doc_id, n_feats, w_sum,
+       |  round(w_sum::DOUBLE / (greatest(n_feats, 1) * 1000.0), 4)
+       |    AS quality4,
+       |  w_sum > 0 AS keep
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- q259
+
+  /** q100's capstone with the learned classifier as the quality gate
+    * (q259): identical split/dedup/decontam/pack stages, but documents
+    * survive on `w_sum > 0` ([[TextOps.linearQualityScore]]) instead of
+    * the rule-based score — the one-line model swap a production
+    * pipeline performs when a trained gate replaces heuristics. */
+  val capstoneLearnedGate: Q = (s, dir) =>
+    capstoneWith(s, dir,
+      TextOps.linearQualityScore(col("text"),
+        graft.functions.QualityModel.fixture()).getField("w_sum") > 0)
+
+  val capstoneLearnedGateSql: String =
+    capstoneSqlWith(s"${learnedWsumSql(ToksSql)} > 0")
 
   // -------------------------------------------------------------- q101
 
@@ -1861,6 +1942,8 @@ object Curation {
     "q98_rank_battery" -> rankBattery,
     "q99_string_agg" -> stringAgg,
     "q100_pipeline_capstone" -> pipelineCapstone,
+    "q258_learned_quality" -> learnedQuality,
+    "q259_capstone_learned_gate" -> capstoneLearnedGate,
     "q101_unpivot" -> unpivotMeasures,
     "q102_map_functions" -> mapFunctions,
     "q103_windowed_distinct" -> windowedDistinct,
@@ -1904,6 +1987,8 @@ object Curation {
     "q98_rank_battery" -> rankBatterySql,
     "q99_string_agg" -> stringAggSql,
     "q100_pipeline_capstone" -> pipelineCapstoneSql,
+    "q258_learned_quality" -> learnedQualitySql,
+    "q259_capstone_learned_gate" -> capstoneLearnedGateSql,
     "q101_unpivot" -> unpivotMeasuresSql,
     "q102_map_functions" -> mapFunctionsSql,
     "q103_windowed_distinct" -> windowedDistinctSql,
