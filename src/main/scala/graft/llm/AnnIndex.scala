@@ -29,7 +29,26 @@ object AnnIndex {
 
   private def asDouble(c: org.apache.spark.sql.Column) = c.cast("array<double>")
 
-  /** Build the index at `dir` from a corpus of (idCol, vecCol). */
+  /** Encode (id, codes, cell) rows for `df` under a frozen model —
+    * the one pipeline both [[build]] and [[append]] run, so appended
+    * rows are bit-identical to what a rebuild would produce. */
+  private def encodeRows(df: DataFrame, model: Array[(Long, Array[Double])],
+                         nlist: Int, m: Int, codes: Int,
+                         idCol: String, vecCol: String): DataFrame = {
+    val cents = model.take(nlist)
+    val cb = model.take(codes)
+    df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .transform(Similarity.assignCells(_, cents, "v"))
+      .withColumn("codes",
+        graft.functions.VectorOps.pqEncode(col("v"), cb.map(_._1), cb.map(_._2), m))
+      .select("id", "codes", "cell")
+  }
+
+  /** Build the index at `dir` from a corpus of (idCol, vecCol). Also
+    * persists `stats/` — the per-cell row counts at build time, the
+    * baseline the [[drift]] guard compares serving-time occupancy
+    * against. */
   def build(corpus: DataFrame, dir: String, nlist: Int = 16, m: Int = 8,
             codes: Int = 16, idCol: String = "vec_id",
             vecCol: String = "embedding"): Unit = {
@@ -41,15 +60,98 @@ object AnnIndex {
       .map { case ((id, vec), pos) => (pos, id, vec.toSeq) }.toSeq
       .toDF("pos", "id", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
-    val cents = firstN.take(nlist)
-    val cb = firstN.take(codes)
-    corpus.select(col(idCol).cast("long").as("id"),
-        asDouble(col(vecCol)).as("v"))
-      .transform(Similarity.assignCells(_, cents, "v"))
-      .withColumn("codes",
-        graft.functions.VectorOps.pqEncode(col("v"), cb.map(_._1), cb.map(_._2), m))
-      .select("id", "codes", "cell")
+    encodeRows(corpus, firstN, nlist, m, codes, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
+    spark.read.parquet(s"$dir/index").groupBy("cell")
+      .agg(count(lit(1)).as("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Fold a batch of vectors into the persisted index under the FROZEN
+    * build-time model: cell-assign + PQ-encode the batch with the same
+    * centroids/codebook, id-keyed upsert against the live index, then
+    * the staging/swap commit of [[graft.Compact]] (phase 1 fully
+    * materializes `index.staging`; the delete→rename pair is the commit
+    * point, and [[lookup]]/[[topK]] roll an interrupted swap forward).
+    * Re-running the same batch is a no-op by construction.
+    *
+    * Scale shape: one anti-join keyed on id plus a union — O(index +
+    * batch) in PQ-code bytes (~1/32 of the embedding bytes), never
+    * re-encoding the base. The model is NOT retrained here — that is
+    * the point (lookups stay consistent with every previously served
+    * result) and the risk: a drifting corpus degrades recall as cells
+    * overfill, which is what [[drift]] measures. */
+  def append(batch: DataFrame, dir: String, nlist: Int = 16, m: Int = 8,
+             codes: Int = 16, idCol: String = "vec_id",
+             vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val model = readModel(spark, dir)
+    val fresh = encodeRows(batch, model, nlist, m, codes, idCol, vecCol)
+    val merged = indexDf(spark, dir)
+      .join(fresh.select("id"), Seq("id"), "left_anti")
+      .unionByName(fresh)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/index.staging")
+    val live = new org.apache.hadoop.fs.Path(s"$dir/index")
+    merged.write.mode("overwrite").partitionBy("cell")
+      .parquet(staging.toString)
+    fs.delete(live, true)
+    require(fs.rename(staging, live), s"index commit rename failed: $dir")
+    ()
+  }
+
+  /** Per-cell occupancy drift vs the build-time baseline, plus the
+    * retrain recommendation: (cell, n_build, n_now, share_build6,
+    * share_now6, drift6, retrain) where drift6 = |share_now −
+    * share_build| at 6 dp and retrain flags cells whose absolute share
+    * moved more than `threshold`. A frozen-model index serves correct
+    * (model-consistent) results forever; what decays is RECALL, as new
+    * mass concentrates in cells the probe budget under-covers — share
+    * drift is the cheap observable proxy (counts only, no vector
+    * math). Retrain when any cell trips. */
+  def drift(spark: SparkSession, dir: String,
+            threshold: Double = 0.1): DataFrame = {
+    val build = spark.read.parquet(s"$dir/stats")
+      .select(col("cell"), col("n").as("n_build"))
+    val now = indexDf(spark, dir).groupBy("cell")
+      .agg(count(lit(1)).as("n_now"))
+    build.join(now, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_build"), lit(0L)).as("n_build"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"))
+      .crossJoin(broadcast(
+        build.agg(sum("n_build").as("tb"))
+          .crossJoin(now.agg(sum("n_now").as("tn")))))
+      .select(col("cell"), col("n_build"), col("n_now"),
+        round(col("n_build").cast("double") / col("tb"), 6).as("share_build6"),
+        round(col("n_now").cast("double") / col("tn"), 6).as("share_now6"))
+      .withColumn("drift6",
+        round(abs(col("share_now6") - col("share_build6")), 6))
+      .withColumn("retrain", col("drift6") > threshold)
+      .orderBy("cell")
+  }
+
+  /** Does any cell's occupancy drift trip the retrain guard? */
+  def recommendRetrain(spark: SparkSession, dir: String,
+                       threshold: Double = 0.1): Boolean =
+    drift(spark, dir, threshold)
+      .agg(max(col("retrain").cast("int")).as("r"))
+      .collect()(0).getInt(0) == 1
+
+  /** Live index frame, rolling an interrupted append swap forward
+    * first (staging complete + live missing ⇒ rename — the Compact
+    * crash-recovery discipline). */
+  private def indexDf(spark: SparkSession, dir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/index")
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/index.staging")
+    if (!fs.exists(live) &&
+        fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+      require(fs.rename(staging, live), s"roll-forward failed: $dir")
+    }
+    spark.read.parquet(live.toString)
   }
 
   private def readModel(spark: SparkSession, dir: String): Array[(Long, Array[Double])] =
@@ -83,7 +185,7 @@ object AnnIndex {
       .sorted.take(nprobe).map(_._2)
     val qLit = typedLit(query.toSeq)
     val w = Window.partitionBy(lit(1)).orderBy(col("adist").asc, col("neighbor_id").asc)
-    spark.read.parquet(s"$dir/index")
+    indexDf(spark, dir)
       .filter(col("cell").isin(probeCells: _*))
       .select(col("id").as("neighbor_id"),
         round(graft.functions.VectorOps.pqAdc(qLit, col("codes"),
@@ -102,7 +204,7 @@ object AnnIndex {
     val model = readModel(spark, dir)
     val cents = model.take(nlist)
     val cb = model.take(codes)
-    val index = spark.read.parquet(s"$dir/index")
+    val index = indexDf(spark, dir)
     val probes = queries
       .select(col(idCol).cast("long").as("query_id"), asDouble(col(vecCol)).as("qv"))
       .select(col("query_id"), col("qv"),

@@ -62,4 +62,54 @@ class AnnIndexSpec extends AnyFunSuite {
         assert(viaBatch(n) === r.getAs[Double]("adist"))
     }
   }
+
+  test("append under the frozen model equals a full rebuild with that model") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val base = emb.filter(col("vec_id") < 350)
+    val batch = emb.filter(col("vec_id") >= 350)
+    // the model is first-N by id, and base contains ids 0..349 ⊇ first 16,
+    // so build(base) and build(all) freeze the IDENTICAL model
+    val incDir = java.nio.file.Files.createTempDirectory("ann-inc").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("ann-full").toString
+    AnnIndex.build(base, incDir)
+    AnnIndex.append(batch, incDir)
+    AnnIndex.build(emb, fullDir)
+    def rows(d: String) = spark.read.parquet(s"$d/index")
+      .select(col("id"), col("cell"), col("codes").cast("array<int>"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(rows(incDir) === rows(fullDir))
+    // and the serving path agrees end to end
+    val queries = emb.filter(col("vec_id") < 3)
+    def served(d: String) = AnnIndex.topK(queries, d, k = 8)
+      .select("query_id", "neighbor_id", "adist", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served(incDir) === served(fullDir))
+    // idempotence: re-appending the same batch changes nothing
+    AnnIndex.append(batch, incDir)
+    assert(rows(incDir) === rows(fullDir))
+    assert(!new java.io.File(s"$incDir/index.staging").exists())
+  }
+
+  test("drift guard: balanced append stays quiet, skewed append trips retrain") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("ann-drift").toString
+    AnnIndex.build(emb.filter(col("vec_id") < 350), d)
+    // balanced growth: the remaining fixture vectors follow the same
+    // distribution the model was built on
+    AnnIndex.append(emb.filter(col("vec_id") >= 350), d)
+    assert(!AnnIndex.recommendRetrain(spark, d),
+      "same-distribution growth must not recommend retrain")
+    // skewed growth: clone one vector many times — its cell's share
+    // balloons past any reasonable threshold
+    val one = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).crossJoin(
+        spark.range(600, 1400).select(col("id").as("vec_id")))
+    AnnIndex.append(one, d)
+    assert(AnnIndex.recommendRetrain(spark, d),
+      "cell-concentrated growth must recommend retrain")
+    val report = AnnIndex.drift(spark, d)
+    assert(report.columns.toSeq === Seq("cell", "n_build", "n_now",
+      "share_build6", "share_now6", "drift6", "retrain"))
+    assert(report.filter(col("retrain")).count() >= 1)
+  }
 }
