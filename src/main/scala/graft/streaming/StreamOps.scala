@@ -561,6 +561,85 @@ object StreamOps {
       }
   }
 
+  // ---- custom state: session paths (q253's streaming twin) ----
+
+  case class PathState(startUs: Long, lastUs: Long, path: List[String])
+  case class SessionPath(user_id: Long, path: String, n_events: Int,
+                         start_us: Long, end_us: Long)
+
+  /** Exact event-time micros of a timestamp — `getTime` alone truncates
+    * to millis, which would move a gap that straddles a millisecond
+    * boundary relative to batch q253's `unix_micros` compare. */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  /** Sticky-session path assembly: per-user ordered event-type journeys
+    * within 30-minute-gap sessions — the streaming twin of batch q253
+    * ([[graft.queries.Extended.topPaths]]), whose session rule
+    * (strictly-greater-than-gap in MICROSECONDS, (ts, event_id) order
+    * within a session) is reproduced exactly, so the closed paths
+    * streamed over any batching equal the batch paths over the same
+    * prefix (StreamingSpec proves top-path parity against q253).
+    *
+    * State per user is ONE open session: (start, last, reversed path) —
+    * bounded by session length, not history. A session closes when a
+    * later event breaches the gap (deterministic, replay-safe) or — when
+    * `timeoutMs` > 0 — when processing time passes with no events, via
+    * `ProcessingTimeTimeout` (the operational close for abandoned
+    * sessions; inherently wall-clock, so parity specs use the gap
+    * path). */
+  /** The per-group transition of [[sessionPaths]], exposed so the
+    * timeout branch is testable against
+    * `org.apache.spark.sql.streaming.TestGroupState` without a live
+    * wall clock (a ProcessingTimeTimeout livelocks
+    * `processAllAvailable` under MemoryStream replay — timers keep the
+    * engine perpetually "not caught up", so specs drive this function
+    * directly instead). */
+  private[graft] def pathStep(userId: Long, evs: Iterator[Ev],
+      state: GroupState[PathState], gapUs: Long,
+      timeoutMs: Long): Iterator[SessionPath] = {
+    def close(s: PathState) = SessionPath(userId,
+      s.path.reverse.mkString(">"), s.path.length, s.startUs, s.lastUs)
+    if (state.hasTimedOut) {
+      // operational close: flush the open session after inactivity
+      val out = state.getOption.map(close).iterator
+      state.remove()
+      out
+    } else {
+      val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var cur = state.getOption
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionPath]
+      for (e <- sorted) {
+        val t = micros(e.ts)
+        cur match {
+          case Some(s) if t - s.lastUs <= gapUs =>
+            cur = Some(PathState(s.startUs, t, e.event_type :: s.path))
+          case Some(s) =>
+            closed += close(s)
+            cur = Some(PathState(t, t, e.event_type :: Nil))
+          case None =>
+            cur = Some(PathState(t, t, e.event_type :: Nil))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+      }
+      closed.iterator
+    }
+  }
+
+  def sessionPaths(events: Dataset[Ev], gapUs: Long = 1800000000L,
+                   timeoutMs: Long = 0L): Dataset[SessionPath] = {
+    import events.sparkSession.implicits._
+    val mode =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, SessionPath](
+        OutputMode.Append, mode)(pathStep(_, _, _, gapUs, timeoutMs))
+  }
+
   // ---- custom state: last-touch attribution (q176's streaming twin) ----
 
   case class AttrEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -371,6 +371,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming session paths replay to exactly the batch q253 top paths") {
+    val evs = Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[StreamOps.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // one far-future sentinel per user breaches every open session's gap,
+    // so the CLOSED paths streamed out cover every real session; the
+    // sentinel's own 1-event session stays open in state and is dropped
+    val maxTs = evs.map(_.ts.getTime).max
+    val sentinels = evs.map(_.user_id).distinct.map { u =>
+      StreamOps.Ev(-u - 1, new java.sql.Timestamp(maxTs + 7200000L), u,
+        " sentinel", 0.0)
+    }
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamOps.Ev](spark)
+    val q = StreamOps.sessionPaths(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_paths").start()
+    stream.addData(evs.take(evs.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    stream.addData(evs.drop(evs.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    stream.addData(sentinels.toIndexedSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val streamedTop = spark.table("t_paths").as[StreamOps.SessionPath]
+      .collect().groupBy(_.path).map { case (p, g) => (p, g.length.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    val batchTop = graft.queries.Extended.topPaths(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(streamedTop === batchTop)
+  }
+
+  test("session paths close on processing-time timeout when enabled") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // batch 1: two events open a session and arm the timer
+    val st1 = TestGroupState.create[StreamOps.PathState](
+      optionalState = org.apache.spark.api.java.Optional.empty[StreamOps.PathState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout
+        .ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val out1 = StreamOps.pathStep(7L,
+      Iterator(StreamOps.Ev(1, ts(0), 7L, "a", 1.0),
+        StreamOps.Ev(2, ts(1), 7L, "b", 1.0)),
+      st1, gapUs = 1800000000L, timeoutMs = 300L).toSeq
+    assert(out1.isEmpty, "open session must not emit")
+    assert(st1.exists && st1.get.path === List("b", "a"))
+    assert(st1.getTimeoutTimestampMs.isPresent)
+    // batch 2: the timer fired — the open session flushes and state clears
+    val st2 = TestGroupState.create[StreamOps.PathState](
+      optionalState = org.apache.spark.api.java.Optional.of(st1.get),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout
+        .ProcessingTimeTimeout,
+      batchProcessingTimeMs = 2000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out2 = StreamOps.pathStep(7L, Iterator.empty, st2,
+      gapUs = 1800000000L, timeoutMs = 300L).toSeq
+    assert(out2 === Seq(StreamOps.SessionPath(7L, "a>b", 2, 0L, 60000000L)))
+    assert(st2.isRemoved, "flushed session must clear its state")
+  }
+
   test("streaming quantile monitor converges to batch q257 across batch splits") {
     // same hash/value exprs as batch q257, computed up front
     val rows = Tables.t(spark, sf, "lineitem")
