@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic-corpus generator for scaling evidence
+  * (dev tool, not part of the shipped library surface): emits
+  * schema-compatible `lineitem` / `events` / `documents` / `embeddings`
+  * parquet at `multiplier`× the sf0.1 fixture row rates, so the slow
+  * query families can be timed at two scales and superlinear behavior
+  * flagged (SCALE.md's measured scaling table — the one empirical point
+  * behind the plan-structural 100 TB arguments).
+  *
+  * Everything is a pure function of (seed, row id) via a splitmix-style
+  * mixer — no RNG state, so any subset of any table regenerates
+  * identically at any parallelism. Distribution shapes mirror the
+  * fixture where the probed queries are sensitive to them:
+  * triangular-skewed part keys (so the co-purchase projection has hubs
+  * and a real support-≥2 edge set), zipf-ish token draws (so
+  * collocation/n-gram tops exist), planted near-duplicate documents
+  * every 37th row (so the MinHash/set-sim candidate structure is
+  * non-trivial), and 16-cluster embeddings (so IVF cells are
+  * meaningful). Only the four tables the 15 slowest queries read are
+  * generated. */
+object ScaleGen {
+
+  def mix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def h(seed: Long, id: Long, salt: Long): Long =
+    mix(seed ^ mix(id ^ mix(salt))) & Long.MaxValue
+
+  /** Tokens of document `id`: 10..100 draws from a zipf-ish vocab
+    * (triangular min-of-two skew over 20k words). Pure function. */
+  private[graft] def docTokens(seed: Long, id: Long): Array[String] = {
+    val n = 10 + (h(seed, id, 1) % 91).toInt
+    Array.tabulate(n) { i =>
+      val a = h(seed, id * 131 + i, 2) % 20000
+      val b = h(seed, id * 131 + i, 3) % 20000
+      "w" + math.min(a, b)
+    }
+  }
+
+  /** Document text: every 37th doc (id % 37 == 1, id > 0) is a
+    * near-duplicate of its predecessor with one token substituted —
+    * plants the near-dup pair structure the LSH family prunes on. */
+  private[graft] def docText(seed: Long, id: Long): Array[String] = {
+    if (id > 0 && id % 37 == 1) {
+      val base = docTokens(seed, id - 1)
+      val pos = (h(seed, id, 4) % base.length).toInt
+      val out = base.clone()
+      out(pos) = "w" + (h(seed, id, 5) % 20000)
+      out
+    } else docTokens(seed, id)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(outDir, multStr) = args.take(2)
+    val mult = multStr.toDouble
+    val seed = if (args.length > 2) args(2).toLong else 42L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def rows(base: Long): Long = (base * mult).toLong
+    val parts = cpus.toInt * 2
+
+    // documents: doc_id, text, lang, source, n_chars
+    spark.range(0, rows(5000), 1, parts).map { id =>
+      val toks = docText(seed, id)
+      val text = toks.mkString(" ")
+      val lang = (h(seed, id, 6) % 10) match {
+        case 0 => "de"; case 1 => "fr"; case 2 => "es"; case _ => "en"
+      }
+      (id, text, lang, "src" + (h(seed, id, 7) % 20), text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // lineitem: skewed part keys -> hubby co-purchase graph
+    val nOrders = rows(150000)
+    val nParts = rows(20000)
+    spark.range(0, nOrders, 1, parts).flatMap { o =>
+      val nl = 1 + (h(seed, o, 8) % 7).toInt
+      (1 to nl).map { ln =>
+        val a = h(seed, o * 17 + ln, 9) % nParts
+        val b = h(seed, o * 17 + ln, 10) % nParts
+        val p = math.min(a, b)
+        val qty = 1.0 + (h(seed, o * 17 + ln, 11) % 50).toDouble
+        val price = qty * ((90000 + p % 100000).toDouble / 100.0)
+        val rf = Array("A", "N", "R").apply((h(seed, o * 17 + ln, 12) % 3).toInt)
+        val ls = Array("F", "O").apply((h(seed, o * 17 + ln, 13) % 2).toInt)
+        val day = (h(seed, o * 17 + ln, 14) % 2400).toInt
+        (o, p, h(seed, o * 17 + ln, 15) % rows(1000), ln,
+          qty, math.round(price * 100) / 100.0,
+          (h(seed, o * 17 + ln, 16) % 11).toDouble / 100.0,
+          (h(seed, o * 17 + ln, 17) % 9).toDouble / 100.0,
+          rf, ls,
+          java.sql.Timestamp.valueOf(
+            java.time.LocalDate.of(1992, 1, 1).plusDays(day).atStartOfDay()))
+      }
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    // events: 30 days, 5 types, JSON props {"k": 0..99}
+    val nUsers = rows(1500)
+    spark.range(0, rows(100000), 1, parts).map { e =>
+      val us = h(seed, e, 18) % (30L * 86400 * 1000000)
+      val types = Array("click", "view", "purchase", "signup", "error")
+      (e,
+        java.sql.Timestamp.from(java.time.Instant
+          .parse("2024-01-01T00:00:00Z").plusNanos(us * 1000)),
+        h(seed, e, 19) % nUsers,
+        types.apply((h(seed, e, 20) % 5).toInt),
+        (h(seed, e, 21) % 10000).toDouble / 100.0,
+        s"""{"k": ${h(seed, e, 22) % 100}}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // embeddings: 16 deterministic cluster centers + small noise
+    spark.range(0, rows(2000), 1, parts).map { v =>
+      val c = (h(seed, v, 23) % 16).toInt
+      val emb = Array.tabulate(64) { d =>
+        val center = ((mix(c * 64L + d) % 1000).toDouble / 500.0).toFloat
+        val noise = ((h(seed, v * 64 + d, 24) % 200).toDouble / 1000.0 - 0.1).toFloat
+        center + noise
+      }
+      (v, emb, c)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    println(s"""{"out":"$outDir","multiplier":$mult}""")
+    spark.stop()
+  }
+}

@@ -2403,6 +2403,76 @@ object Analytics {
        |FROM rk, n ORDER BY p""".stripMargin
   }
 
+  // -------------------------------------------------------------- q260
+
+  /** Grouped quantile sketches (q260): q257's bottom-k sample sketch as
+    * a PER-GROUP aggregate — document-length quartiles per source, each
+    * group carrying its own O(k) state through partial aggregation
+    * (ObjectHashAggregate partial → final, the same two-phase shape as
+    * any sum). k=64 here, and groups SMALLER than k degrade gracefully
+    * to the exact order statistic (the sf0.001 fixture exercises that
+    * branch: 25 docs/source < 64). Rank probes join the tiny broadcast
+    * estimate table back against one scan. */
+  val quantileBySource: Q = (s, dir) => {
+    val k = 64
+    val sketch = udaf(new graft.functions.QuantileSketchAgg(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.HV])
+    val base = Tables.t(s, dir, "documents").select(col("source"),
+      Fragments.sampleHash(col("doc_id").cast("string")).as("h"),
+      col("n_chars").as("v"))
+    val est = base.groupBy("source")
+      .agg(sketch(col("h"), col("v")).as("sk"))
+      .select(col("source"), col("sk.sample").as("sample"),
+        col("sk.n").as("nn"))
+      .select(col("source"), col("nn"),
+        explode(typedLit(Seq(0.25, 0.5, 0.75))).as("p"), col("sample"))
+      .select(col("source"), col("nn"), col("p"),
+        element_at(col("sample"),
+          ceil(col("p") * least(col("nn"), lit(k.toLong))).cast("int"))
+          .as("est_chars"))
+    val probe = base.select(col("source").as("psrc"), col("v"))
+    probe.join(broadcast(est),
+        col("psrc") === col("source") && col("v") <= col("est_chars"))
+      .groupBy("source", "p", "est_chars", "nn")
+      .agg(count(lit(1)).as("exact_rank"))
+      .select(col("source"), col("p"), col("est_chars"), col("exact_rank"),
+        col("nn"),
+        round(abs(col("exact_rank").cast("double") /
+          col("nn").cast("double") - col("p")), 6).as("rank_err6"))
+      .orderBy("source", "p")
+  }
+
+  val quantileBySourceSql: String = {
+    val h = Fragments.sampleHashSql("doc_id::VARCHAR")
+    s"""WITH base AS (
+       |  SELECT source, $h AS h, n_chars AS v FROM documents),
+       |samp AS (
+       |  SELECT source, v FROM base
+       |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY h, v) <= 64),
+       |ord AS (
+       |  SELECT source, v,
+       |    row_number() OVER (PARTITION BY source ORDER BY v) AS r,
+       |    count(*) OVER (PARTITION BY source) AS sn
+       |  FROM samp),
+       |n AS (SELECT source, count(*)::BIGINT AS nn FROM base GROUP BY 1),
+       |ps AS (SELECT unnest([0.25e0, 0.5e0, 0.75e0]) AS p),
+       |est AS (
+       |  SELECT o.source, p.p, o.v AS est_chars
+       |  FROM (SELECT DISTINCT source, sn FROM ord) g
+       |  CROSS JOIN ps p
+       |  JOIN ord o ON o.source = g.source
+       |    AND o.r = ceil(p.p * g.sn)::BIGINT),
+       |rk AS (
+       |  SELECT e.source, e.p, e.est_chars,
+       |    (SELECT count(*) FROM base b
+       |     WHERE b.source = e.source AND b.v <= e.est_chars)::BIGINT
+       |      AS exact_rank
+       |  FROM est e)
+       |SELECT r.source, p, est_chars, exact_rank, nn,
+       |  round(abs(exact_rank::DOUBLE / nn::DOUBLE - p), 6) AS rank_err6
+       |FROM rk r JOIN n USING (source) ORDER BY source, p""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -2450,7 +2520,8 @@ object Analytics {
     "q244_assortativity" -> assortativity,
     "q245_component_profile" -> componentProfile,
     "q246_zipf_fit" -> zipfFit,
-    "q257_quantile_sketch" -> quantileSketch)
+    "q257_quantile_sketch" -> quantileSketch,
+    "q260_quantile_by_source" -> quantileBySource)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -2497,5 +2568,6 @@ object Analytics {
     "q244_assortativity" -> assortativitySql,
     "q245_component_profile" -> componentProfileSql,
     "q246_zipf_fit" -> zipfFitSql,
-    "q257_quantile_sketch" -> quantileSketchSql)
+    "q257_quantile_sketch" -> quantileSketchSql,
+    "q260_quantile_by_source" -> quantileBySourceSql)
 }

@@ -91,10 +91,19 @@ object Pipeline {
 
   /** Fuzzy near-dup pairs by edit distance on the 64-char normalized
     * prefix, blocked on (lang, source, length band) so the pair space is
-    * per-block quadratic, never corpus-quadratic — the block key bounds
-    * each bucket (fixture max ~25 docs/block) and the 64-char cap bounds
-    * each DP to 64×64 regardless of document length, so cost per pair is
-    * O(1) at any corpus size. */
+    * per-block quadratic, never corpus-quadratic; the 64-char cap bounds
+    * each DP to 64×64, so cost per pair is O(1) at any corpus size.
+    *
+    * SCALE CAVEAT (measured, SCALE.md scaling table): the block key's
+    * cardinality is corpus-INDEPENDENT (langs × sources × ~100 bands),
+    * so blocks grow linearly with the corpus and the intra-block pair
+    * space quadratically — the 10× ScaleProbe run measured 250× on a
+    * shared-vocab synthetic corpus. This is the audit/EDA shape for
+    * corpora whose block sizes are operationally bounded; at open scale
+    * use the candidate-bounded near-dup paths — MinHash-LSH (q32,
+    * `llm/Dedup.minhashLsh`) or the prefix-filtered set-similarity
+    * join (q136, `llm/SetSimilarity`) — whose bucket sizes track
+    * content, not corpus size, and verify survivors exactly. */
   val fuzzyPairs: Q = (s, dir) => {
     val d = Tables.t(s, dir, "documents").select(
       col("doc_id"), col("lang"), col("source"),
