@@ -1941,7 +1941,176 @@ object LlmQueries {
 
   // ------------------------------------------------------------- registry
 
+  // -------------------------------------------------------------- q261
+
+  /** Top principal component of the embedding covariance (q261): eight
+    * power-iteration rounds on the ORACLE-VERIFIED 4-dp covariance
+    * matrix (q197's output contract), every step in exact integer
+    * micro-units so the iteration is bit-replayable in any engine —
+    * C entries as c4 = cov·10⁴ BIGINTs, the vector as v6 = v·10⁶
+    * BIGINTs, w = C·v exact integer sums, and ONE quantized
+    * float op per entry per round (round(w·10⁶ / √Σw²), the q221
+    * quantize-then-sum discipline applied to linear algebra). Output:
+    * the unit eigenvector (integer micro-units — no float compare at
+    * all) plus the Rayleigh-quotient eigenvalue at 4 dp.
+    *
+    * Scale shape: the covariance build is the distributed part (q197 /
+    * q207's matrix accumulator — partial-aggregated, combine input
+    * partitions × d²); the iteration itself runs on the collected d×d
+    * matrix (d = 64 ⇒ 2 080 rows — the AnnIndex bounded-model-collect
+    * rule: bounded by DIMENSION, never by corpus). The oracle unrolls
+    * the identical eight rounds as CTEs over the same covariance SQL. */
+  val pcaTopComponent: Q = (s, dir) => {
+    val covRows = embCovariance(s, dir).collect()
+    val d = covRows.iterator.map(_.getInt(1)).max
+    val c = Array.ofDim[Long](d + 1, d + 1)
+    covRows.foreach { r =>
+      val c4 = math.round(r.getDouble(2) * 1e4)
+      c(r.getInt(0))(r.getInt(1)) = c4
+      c(r.getInt(1))(r.getInt(0)) = c4
+    }
+    var v = Array.fill(d)(1000000L)
+    def mul(vec: Array[Long]): Array[Long] =
+      Array.tabulate(d) { i =>
+        var sum = 0L; var j = 0
+        while (j < d) { sum += c(i + 1)(j + 1) * vec(j); j += 1 }; sum
+      }
+    for (_ <- 1 to 8) {
+      val w = mul(v)
+      val norm2 = w.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * x)
+      val nrm = math.sqrt(norm2.toDouble)
+      v = w.map(x => BigDecimal(x.toDouble * 1e6 / nrm)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val w = mul(v)
+    val num = v.indices.foldLeft(BigInt(0))((a, i) => a + BigInt(v(i)) * w(i))
+    val den = v.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * x)
+    val eig4 = math.round(num.toDouble / den.toDouble) / 1e4
+    import s.implicits._
+    v.zipWithIndex.map { case (v6, i) => (i + 1, v6, eig4) }.toSeq
+      .toDF("dim", "v6", "eig4").orderBy("dim")
+  }
+
+  val pcaTopComponentSql: String = {
+    // split q197's SQL into its CTE chain and final SELECT, so the
+    // SELECT can become one more CTE (covq) in this query's chain
+    val q197 = embCovarianceSql.stripSuffix("\nORDER BY p.i, p.j")
+    val sel = q197.lastIndexOf("SELECT p.i::INT")
+    val covPrefix = q197.substring("WITH ".length, sel).trim.stripSuffix(",")
+    val covSelect = q197.substring(sel)
+    // the q197 SELECT becomes a CTE body; mirror the upper triangle and
+    // quantize to c4 BIGINTs, then unroll 8 identical rounds
+    val rounds = (1 to 8).map { k =>
+      s"""w$k AS (
+         |  SELECT c.i AS dim, sum(c.c4 * v${k - 1}.v6)::BIGINT AS w
+         |  FROM c JOIN v${k - 1} ON c.j = v${k - 1}.dim GROUP BY 1),
+         |n$k AS (SELECT sum(w::HUGEINT * w::HUGEINT) AS n2 FROM w$k),
+         |v$k AS (
+         |  SELECT dim, round((w::DOUBLE * 1e6) / sqrt(n2::DOUBLE))::BIGINT
+         |    AS v6 FROM w$k, n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $covPrefix,
+       |covq AS MATERIALIZED ($covSelect),
+       |c AS MATERIALIZED (
+       |  SELECT i, j, round(cov * 10000)::BIGINT AS c4 FROM covq
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, round(cov * 10000)::BIGINT AS c4
+       |  FROM covq WHERE i <> j),
+       |v0 AS (SELECT unnest(range(1, 65))::INT AS dim, 1000000::BIGINT AS v6),
+       |$rounds,
+       |wf AS (
+       |  SELECT c.i AS dim, sum(c.c4 * v8.v6)::BIGINT AS w
+       |  FROM c JOIN v8 ON c.j = v8.dim GROUP BY 1),
+       |ray AS (
+       |  SELECT sum(v8.v6::HUGEINT * wf.w::HUGEINT) AS num,
+       |    (SELECT sum(v6::HUGEINT * v6::HUGEINT) FROM v8) AS den
+       |  FROM v8 JOIN wf USING (dim))
+       |SELECT v8.dim::INT AS dim, v8.v6,
+       |  round(num::DOUBLE / den::DOUBLE) / 10000 AS eig4
+       |FROM v8, ray ORDER BY dim""".stripMargin
+  }
+
+  // -------------------------------------------------------------- q262
+
+  /** Jensen–Shannon divergence of each source's unigram distribution
+    * against the REST of the corpus (q262) — the data-mixture
+    * diagnostic behind domain-weighting decisions: a source with
+    * jsd ≈ 0 duplicates the mixture, a high-jsd source contributes
+    * genuinely different text (the q223 source-vs-rest shape applied to
+    * distributions instead of CDFs). Both KL legs share one integer
+    * denominator D = c·N_r + r·N_s per (source, token); the only float
+    * ops are one ln per present term — micro-quantized to l6 BEFORE the
+    * weighted sums (the q246 quantize-then-sum discipline), so the sums
+    * are exact BIGINTs — and the final assembled expression. Tokens
+    * absent from the source contribute the closed-form ln 2 mass
+    * (l6 = 693147), a SCALAR per source — no source × vocabulary cross
+    * product anywhere. Plan: one (source, tok) count, two keyed joins
+    * (token totals, broadcast source totals), one grouped sum. */
+  val jsDivergence: Q = (s, dir) => {
+    val toks = Tables.t(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tot = st.groupBy("tok").agg(sum("c").as("t"))
+    val ns = st.groupBy("source").agg(sum("c").as("n_s"))
+    val nAll = ns.agg(sum("n_s").as("n_all"))
+    val j = st.join(tot, "tok")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nAll))
+      .withColumn("r", col("t") - col("c"))
+      .withColumn("n_r", col("n_all") - col("n_s"))
+      .withColumn("d", col("c") * col("n_r") + col("r") * col("n_s"))
+      .withColumn("l6p", round(log((lit(2) * col("c") * col("n_r"))
+        .cast("double") / col("d").cast("double")) * 1e6).cast("long"))
+      .withColumn("l6q", when(col("r") > 0,
+        round(log((lit(2) * col("r") * col("n_s")).cast("double") /
+          col("d").cast("double")) * 1e6).cast("long")).otherwise(0L))
+    j.groupBy("source", "n_s", "n_r").agg(
+        sum(col("c") * col("l6p")).as("s1"),
+        sum(col("r") * col("l6q")).as("s2"),
+        sum(col("r")).as("rsum"))
+      .select(col("source"), col("n_s"),
+        round((col("s1").cast("double") / col("n_s").cast("double") +
+          (col("s2").cast("double") + lit(693147.0) *
+            (col("n_r") - col("rsum")).cast("double")) /
+            col("n_r").cast("double")) / 2e6, 6).as("jsd6"))
+      .orderBy("source")
+  }
+
+  val jsDivergenceSql: String =
+    s"""WITH toks AS (SELECT source, unnest($ToksSql) AS tok FROM documents),
+       |st AS MATERIALIZED (
+       |  SELECT source, tok, count(*)::BIGINT AS c FROM toks
+       |  WHERE tok <> '' GROUP BY 1, 2),
+       |tot AS (SELECT tok, sum(c)::BIGINT AS t FROM st GROUP BY 1),
+       |ns AS (SELECT source, sum(c)::BIGINT AS n_s FROM st GROUP BY 1),
+       |na AS (SELECT sum(c)::BIGINT AS n_all FROM st),
+       |j AS (
+       |  SELECT st.source, st.c, tot.t - st.c AS r, ns.n_s,
+       |    na.n_all - ns.n_s AS n_r,
+       |    st.c * (na.n_all - ns.n_s) + (tot.t - st.c) * ns.n_s AS d
+       |  FROM st JOIN tot USING (tok) JOIN ns USING (source), na),
+       |l AS (
+       |  SELECT source, n_s, n_r, c, r,
+       |    round(ln((2 * c * n_r)::DOUBLE / d::DOUBLE) * 1e6)::BIGINT AS l6p,
+       |    CASE WHEN r > 0 THEN
+       |      round(ln((2 * r * n_s)::DOUBLE / d::DOUBLE) * 1e6)::BIGINT
+       |    ELSE 0 END AS l6q
+       |  FROM j),
+       |a AS (
+       |  SELECT source, n_s, n_r, sum(c * l6p)::BIGINT AS s1,
+       |    sum(r * l6q)::BIGINT AS s2, sum(r)::BIGINT AS rsum
+       |  FROM l GROUP BY 1, 2, 3)
+       |SELECT source, n_s,
+       |  round((s1::DOUBLE / n_s::DOUBLE +
+       |    (s2::DOUBLE + 693147.0 * (n_r - rsum)::DOUBLE) / n_r::DOUBLE)
+       |    / 2e6, 6) AS jsd6
+       |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q262_js_divergence" -> jsDivergence,
+    "q261_pca_power" -> pcaTopComponent,
     "q229_source_profile_sim" -> sourceProfileSim,
     "q255_rbo_agreement" -> rboAgreement,
     "q256_kendall_tau" -> kendallTau,
@@ -1990,6 +2159,8 @@ object LlmQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q261_pca_power" -> pcaTopComponentSql,
+    "q262_js_divergence" -> jsDivergenceSql,
     "q229_source_profile_sim" -> sourceProfileSimSql,
     "q233_rrf_fusion" -> rrfFusionSql,
     "q240_silhouette" -> silhouetteSql,
