@@ -111,11 +111,19 @@ object AnnIndex {
     * drift is the cheap observable proxy (counts only, no vector
     * math). Retrain when any cell trips. */
   def drift(spark: SparkSession, dir: String,
-            threshold: Double = 0.1): DataFrame = {
-    val build = spark.read.parquet(s"$dir/stats")
-      .select(col("cell"), col("n").as("n_build"))
-    val now = indexDf(spark, dir).groupBy("cell")
-      .agg(count(lit(1)).as("n_now"))
+            threshold: Double = 0.1): DataFrame =
+    driftFrom(
+      spark.read.parquet(s"$dir/stats")
+        .select(col("cell"), col("n").as("n_build")),
+      indexDf(spark, dir).groupBy("cell").agg(count(lit(1)).as("n_now")),
+      threshold)
+
+  /** The drift arithmetic over two (cell, count) tables — shared by the
+    * persisted-index [[drift]] and q263's oracle-gated replay, so the
+    * guard a deployment trusts and the arithmetic the DuckDB oracle
+    * hash-verifies can never diverge. */
+  def driftFrom(build: DataFrame, now: DataFrame,
+                threshold: Double = 0.1): DataFrame =
     build.join(now, Seq("cell"), "full_outer")
       .select(col("cell"),
         coalesce(col("n_build"), lit(0L)).as("n_build"),
@@ -130,7 +138,6 @@ object AnnIndex {
         round(abs(col("share_now6") - col("share_build6")), 6))
       .withColumn("retrain", col("drift6") > threshold)
       .orderBy("cell")
-  }
 
   /** Does any cell's occupancy drift trip the retrain guard? */
   def recommendRetrain(spark: SparkSession, dir: String,

@@ -2108,8 +2108,67 @@ object LlmQueries {
        |    / 2e6, 6) AS jsd6
        |FROM a ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- q263
+
+  /** ANN index occupancy drift (q263): the [[graft.llm.AnnIndex]]
+    * retrain guard run through the correctness gate. The first 350
+    * vectors play the build-time corpus (they contain the first-16
+    * frozen model, so build and serve assign with the SAME centroids —
+    * the q50-verified 6-dp rule); the full fixture plays the drifted
+    * serving state. Per cell: build/now counts, 6-dp occupancy shares,
+    * absolute share drift, and the retrain flag at threshold 0.1 —
+    * computed by the SAME [[graft.llm.AnnIndex.driftFrom]] arithmetic
+    * the persisted-index guard uses, so what the oracle hash-verifies
+    * here IS what a deployment trusts. Counts only — no vector math
+    * after the one assignment pass. */
+  val annDrift: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") < 350)
+    val cents = Similarity.firstNCentroids(base, 16)
+    val assigned = emb
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .transform(Similarity.assignCells(_, cents, "v"))
+      .localCheckpoint(true)
+    graft.llm.AnnIndex.driftFrom(
+      assigned.filter(col("id") < 350).groupBy("cell")
+        .agg(count(lit(1)).as("n_build")),
+      assigned.groupBy("cell").agg(count(lit(1)).as("n_now")))
+  }
+
+  val annDriftSql: String =
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |b0 AS (SELECT id, v FROM v WHERE id < 350),
+      |cent AS (SELECT id AS cell, v AS cv FROM b0
+      |         WHERE id IN (SELECT id FROM b0 ORDER BY id LIMIT 16)),
+      |assigned AS MATERIALIZED (
+      |  SELECT id, cell FROM (
+      |    SELECT v.id, c.cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY round(list_cosine_similarity(v.v, c.cv), 6) DESC,
+      |                 c.cell ASC) AS ark
+      |    FROM v CROSS JOIN cent c) WHERE ark = 1),
+      |b AS (SELECT cell, count(*)::BIGINT AS n_build FROM assigned
+      |      WHERE id < 350 GROUP BY 1),
+      |n AS (SELECT cell, count(*)::BIGINT AS n_now FROM assigned GROUP BY 1),
+      |t AS (SELECT (SELECT sum(n_build) FROM b)::BIGINT AS tb,
+      |             (SELECT sum(n_now) FROM n)::BIGINT AS tn),
+      |j AS (SELECT coalesce(b.cell, n.cell) AS cell,
+      |        coalesce(n_build, 0)::BIGINT AS n_build,
+      |        coalesce(n_now, 0)::BIGINT AS n_now
+      |      FROM b FULL OUTER JOIN n ON b.cell = n.cell),
+      |sh AS (SELECT cell, n_build, n_now,
+      |        round(n_build::DOUBLE / tb, 6) AS share_build6,
+      |        round(n_now::DOUBLE / tn, 6) AS share_now6
+      |      FROM j, t)
+      |SELECT cell, n_build, n_now, share_build6, share_now6,
+      |  round(abs(share_now6 - share_build6), 6) AS drift6,
+      |  round(abs(share_now6 - share_build6), 6) > 0.1 AS retrain
+      |FROM sh ORDER BY cell""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q262_js_divergence" -> jsDivergence,
+    "q263_ann_drift" -> annDrift,
     "q261_pca_power" -> pcaTopComponent,
     "q229_source_profile_sim" -> sourceProfileSim,
     "q255_rbo_agreement" -> rboAgreement,
@@ -2161,6 +2220,7 @@ object LlmQueries {
   val oracleSql: Map[String, String] = Map(
     "q261_pca_power" -> pcaTopComponentSql,
     "q262_js_divergence" -> jsDivergenceSql,
+    "q263_ann_drift" -> annDriftSql,
     "q229_source_profile_sim" -> sourceProfileSimSql,
     "q233_rrf_fusion" -> rrfFusionSql,
     "q240_silhouette" -> silhouetteSql,
