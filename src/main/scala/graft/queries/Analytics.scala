@@ -2473,6 +2473,72 @@ object Analytics {
        |FROM rk r JOIN n USING (source) ORDER BY source, p""".stripMargin
   }
 
+  // -------------------------------------------------------------- q264
+
+  /** Quantile-sketch merge law, oracle-gated (q264; the q235 KMV-merge
+    * analog): bottom-k(whole) must equal bottom-k(bottom-k(even half) ∪
+    * bottom-k(odd half)). The WHOLE side runs through the
+    * [[graft.functions.QuantileSketchAgg]] Aggregator (the production
+    * path — partial aggregation IS the merge under test); the MERGED
+    * side is built relationally from the two half-sketches, each a
+    * windowed bottom-k over (h, v). The DuckDB oracle replays both
+    * constructions and the row-by-row equality, so the merge law the
+    * spec asserts in-JVM is hash-verified cross-engine. Output: one row
+    * per sample position with both values and the match flag (and any
+    * mismatch would also flip rows/hash outright). */
+  val quantileMerge: Q = (s, dir) => {
+    val k = 256
+    val sketch = udaf(new graft.functions.QuantileSketchAgg(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.HV])
+    val base = Tables.t(s, dir, "lineitem").select(
+      col("l_orderkey"),
+      Fragments.sampleHash(concat(col("l_orderkey").cast("string"),
+        lit(":"), col("l_linenumber").cast("string"))).as("h"),
+      round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val whole = base.agg(sketch(col("h"), col("v")).as("sk"))
+      .select(posexplode(col("sk.sample")).as(Seq("p0", "v_whole")))
+      .select((col("p0") + 1).as("pos"), col("v_whole"))
+    val halves = base
+      .withColumn("half", (col("l_orderkey") % 2).cast("int"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("half").orderBy("h", "v")))
+      .filter(col("rk") <= k)
+    val merged = halves
+      .withColumn("mrk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy("h", "v")))
+      .filter(col("mrk") <= k)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(lit(1)).orderBy("v", "h")).cast("int"))
+      .select(col("pos"), col("v").as("v_merged"))
+    whole.join(merged, "pos")
+      .select(col("pos"), col("v_whole"), col("v_merged"),
+        (col("v_whole") === col("v_merged")).as("match"))
+      .orderBy("pos")
+  }
+
+  val quantileMergeSql: String = {
+    val h = Fragments.sampleHashSql(
+      "l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR")
+    s"""WITH base AS (
+       |  SELECT l_orderkey, $h AS h,
+       |    round(l_extendedprice * 100)::BIGINT AS v
+       |  FROM lineitem),
+       |whole AS (
+       |  SELECT row_number() OVER (ORDER BY v, h) AS pos, v AS v_whole
+       |  FROM (SELECT h, v FROM base ORDER BY h, v LIMIT 256)),
+       |halves AS (
+       |  SELECT h, v FROM (
+       |    SELECT h, v, row_number() OVER (
+       |      PARTITION BY l_orderkey % 2 ORDER BY h, v) AS rk
+       |    FROM base) WHERE rk <= 256),
+       |merged AS (
+       |  SELECT row_number() OVER (ORDER BY v, h) AS pos, v AS v_merged
+       |  FROM (SELECT h, v FROM halves ORDER BY h, v LIMIT 256))
+       |SELECT w.pos::INT AS pos, v_whole, v_merged,
+       |  v_whole = v_merged AS match
+       |FROM whole w JOIN merged USING (pos) ORDER BY pos""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -2521,7 +2587,8 @@ object Analytics {
     "q245_component_profile" -> componentProfile,
     "q246_zipf_fit" -> zipfFit,
     "q257_quantile_sketch" -> quantileSketch,
-    "q260_quantile_by_source" -> quantileBySource)
+    "q260_quantile_by_source" -> quantileBySource,
+    "q264_quantile_merge" -> quantileMerge)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -2569,5 +2636,6 @@ object Analytics {
     "q245_component_profile" -> componentProfileSql,
     "q246_zipf_fit" -> zipfFitSql,
     "q257_quantile_sketch" -> quantileSketchSql,
-    "q260_quantile_by_source" -> quantileBySourceSql)
+    "q260_quantile_by_source" -> quantileBySourceSql,
+    "q264_quantile_merge" -> quantileMergeSql)
 }
