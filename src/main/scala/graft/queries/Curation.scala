@@ -592,10 +592,16 @@ object Curation {
         TextOps.linearQualityScore(col("text"), w).as("lq"))
       .select(col("doc_id"),
         col("lq.n_feats").as("n_feats"), col("lq.w_sum").as("w_sum"))
+      // 4-dp score by EXACT integer half-away rounding of w_sum*10/n:
+      // a float round() here differs between engines precisely on the
+      // half-boundary docs (w_sum*10 ≡ n/2 mod n — sf0.1 has one), the
+      // q221 quantize-in-integers lesson applied to the output itself
+      .withColumn("nf", greatest(col("n_feats"), lit(1)).cast("long"))
+      .withColumn("q4i", expr(
+        "CASE WHEN w_sum >= 0 THEN (w_sum * 20 + nf) DIV (2 * nf) " +
+        "ELSE -((-w_sum * 20 + nf) DIV (2 * nf)) END"))
       .select(col("doc_id"), col("n_feats"), col("w_sum"),
-        round(col("w_sum").cast("double") /
-          (greatest(col("n_feats"), lit(1)).cast("double") * 1000.0), 4)
-          .as("quality4"),
+        (col("q4i").cast("double") / 10000.0).as("quality4"),
         (col("w_sum") > 0).as("keep"))
       .orderBy("doc_id")
   }
@@ -608,8 +614,11 @@ object Curation {
        |    (${learnedWsumSql("toks")})::BIGINT AS w_sum
        |  FROM t)
        |SELECT doc_id, n_feats, w_sum,
-       |  round(w_sum::DOUBLE / (greatest(n_feats, 1) * 1000.0), 4)
-       |    AS quality4,
+       |  (CASE WHEN w_sum >= 0
+       |     THEN (w_sum * 20 + greatest(n_feats, 1)) //
+       |          (2 * greatest(n_feats, 1))
+       |     ELSE -((-w_sum * 20 + greatest(n_feats, 1)) //
+       |          (2 * greatest(n_feats, 1))) END) / 10000.0 AS quality4,
        |  w_sum > 0 AS keep
        |FROM w ORDER BY doc_id""".stripMargin
 
