@@ -637,6 +637,120 @@ object Curation {
   val capstoneLearnedGateSql: String =
     capstoneSqlWith(s"${learnedWsumSql(ToksSql)} > 0")
 
+  // -------------------------------------------------------------- q265
+
+  /** Corpus version diff (q265): the dataset-versioning primitive —
+    * given two snapshots, report every document that was added, removed,
+    * or changed (same id, different content fingerprint), dropping the
+    * unchanged mass. Snapshots are derived deterministically from the
+    * fixture (A = buckets 0–89, B = buckets 10–99 with every 13th doc
+    * revised), so the oracle replays both sides. One full-outer join
+    * keyed on doc_id over md5 content fingerprints — entirely map-side
+    * + one keyed shuffle; at 100 TB this is the cheap daily answer to
+    * "what changed between yesterday's corpus and today's", feeding
+    * incremental recompute (the `graft.Compact` / AnnIndex.append
+    * batches) instead of full rebuilds. */
+  val corpusDiff: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), bucket.as("bucket"))
+    val a = d.filter(col("bucket") < 90)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp_a"))
+    val b = d.filter(col("bucket") >= 10)
+      .select(col("doc_id"), TextOps.fingerprint(
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev")))
+          .otherwise(col("text"))).as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_b").isNull, "removed")
+          .when(col("fp_a").isNull, "added")
+          .when(col("fp_a") =!= col("fp_b"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+      .orderBy("doc_id")
+  }
+
+  val corpusDiffSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, $BucketSql AS bucket FROM documents),
+       |a AS (
+       |  SELECT doc_id, md5($NormSql) AS fp_a FROM d WHERE bucket < 90),
+       |b AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(lower(trim(
+       |      CASE WHEN doc_id % 13 = 0 THEN text || ' rev' ELSE text END)),
+       |      '\\s+', ' ', 'g')) AS fp_b
+       |  FROM d WHERE bucket >= 10)
+       |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |  CASE WHEN fp_b IS NULL THEN 'removed'
+       |       WHEN fp_a IS NULL THEN 'added'
+       |       WHEN fp_a <> fp_b THEN 'changed' END AS status
+       |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+       |WHERE (CASE WHEN fp_b IS NULL THEN 'removed'
+       |       WHEN fp_a IS NULL THEN 'added'
+       |       WHEN fp_a <> fp_b THEN 'changed' END) IS NOT NULL
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- q266
+
+  /** Neyman-allocation stratified sampling plan (q266): split a
+    * B=10 000-doc annotation/eval budget across sources proportional to
+    * N_h·σ_h — the variance-minimizing classical allocation, the
+    * principled alternative to proportional splits when strata differ
+    * in spread. The identity N_h·σ_h = √(n_h·Σx² − (Σx)²) makes the
+    * Neyman weight ONE sqrt of an exact BIGINT moment per stratum
+    * (milli-quantized, the q246 discipline); allocation integerizes by
+    * largest remainder (the q247 rounding), so Σalloc = B exactly —
+    * spec-invariant, not approximately. Per-stratum moments are one
+    * map-combinable aggregate; everything after is strata-sized. */
+  val neymanAlloc: Q = (s, dir) => {
+    val budget = 10000L
+    val st = Tables.t(s, dir, "documents")
+      .select(col("source"), col("n_chars").as("x"))
+      .groupBy("source").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("m", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("w3",
+        round(sqrt(col("m").cast("double")) * 1000).cast("long"))
+      .localCheckpoint(true)
+    val wt = st.agg(sum("w3").as("wt"))
+    val j = st.crossJoin(broadcast(wt))
+      .withColumn("base", expr(s"($budget * w3) DIV wt"))
+      .withColumn("rem", expr(s"($budget * w3) % wt"))
+      .localCheckpoint(true)
+    val sb = j.agg(sum("base").as("sb"))
+    j.crossJoin(broadcast(sb))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      .withColumn("alloc", col("base") +
+        when(col("rk") <= lit(budget) - col("sb"), 1L).otherwise(0L))
+      .select(col("source"), col("n"), col("w3"), col("alloc"))
+      .orderBy("source")
+  }
+
+  val neymanAllocSql: String =
+    """WITH st AS (
+      |  SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sx,
+      |    sum(n_chars * n_chars)::BIGINT AS sxx
+      |  FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT source, n, n * sxx - sx * sx AS m,
+      |    round(sqrt((n * sxx - sx * sx)::DOUBLE) * 1000)::BIGINT AS w3
+      |  FROM st),
+      |t AS (SELECT sum(w3)::BIGINT AS wt FROM w),
+      |j AS (
+      |  SELECT source, n, w3, (10000 * w3) // wt AS base,
+      |    (10000 * w3) % wt AS rem
+      |  FROM w, t),
+      |s2 AS (SELECT sum(base)::BIGINT AS sb FROM j),
+      |r AS (
+      |  SELECT j.*, s2.sb,
+      |    row_number() OVER (ORDER BY rem DESC, source ASC)::BIGINT AS rk
+      |  FROM j, s2)
+      |SELECT source, n, w3,
+      |  (base + CASE WHEN rk <= 10000 - sb THEN 1 ELSE 0 END)::BIGINT
+      |    AS alloc
+      |FROM r ORDER BY source""".stripMargin
+
   // -------------------------------------------------------------- q101
 
   /** Unpivot / melt (wide → long reshaping): lineitem's four measure
@@ -1953,6 +2067,8 @@ object Curation {
     "q100_pipeline_capstone" -> pipelineCapstone,
     "q258_learned_quality" -> learnedQuality,
     "q259_capstone_learned_gate" -> capstoneLearnedGate,
+    "q265_corpus_diff" -> corpusDiff,
+    "q266_neyman_alloc" -> neymanAlloc,
     "q101_unpivot" -> unpivotMeasures,
     "q102_map_functions" -> mapFunctions,
     "q103_windowed_distinct" -> windowedDistinct,
@@ -1998,6 +2114,8 @@ object Curation {
     "q100_pipeline_capstone" -> pipelineCapstoneSql,
     "q258_learned_quality" -> learnedQualitySql,
     "q259_capstone_learned_gate" -> capstoneLearnedGateSql,
+    "q265_corpus_diff" -> corpusDiffSql,
+    "q266_neyman_alloc" -> neymanAllocSql,
     "q101_unpivot" -> unpivotMeasuresSql,
     "q102_map_functions" -> mapFunctionsSql,
     "q103_windowed_distinct" -> windowedDistinctSql,
