@@ -866,6 +866,62 @@ object Analytics {
        |  round(cnt::DOUBLE / total::DOUBLE, 6) AS p, rk::INT AS rk
        |FROM rk WHERE rk <= 3 ORDER BY w1, rk""".stripMargin
 
+  // -------------------------------------------------------------- q267
+
+  /** Per-document bigram cross-entropy (q267): the perplexity-style
+    * quality gate of published pipelines — score every document by the
+    * average negative log-probability of its bigrams under the corpus's
+    * own bigram LM (q126's model, applied per document; documents whose
+    * transitions the corpus finds surprising score high). ln is
+    * micro-quantized per DISTINCT (w1, next) pair BEFORE the exact
+    * BIGINT per-document occurrence sums (the q246/q262 discipline), so
+    * only the final h6 division is float. Plan: one bigram explode, the
+    * LM count/total aggregates, one keyed rejoin of occurrences against
+    * the LM — all map-combinable or keyed on the bigram, nothing
+    * quadratic, nothing driver-side. */
+  val docCrossEntropy: Q = (s, dir) => {
+    val toks = TextOps.tokens(col("text"))
+    val bg = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS nxt))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.nxt").as("nxt"))
+      .localCheckpoint(true)
+    val c = bg.groupBy("w1", "nxt").agg(count(lit(1)).as("cnt"))
+    val tot = c.groupBy("w1").agg(sum("cnt").as("total"))
+    val lm = c.join(tot, "w1")
+      .withColumn("l6", round(log(col("cnt").cast("double") /
+        col("total").cast("double")) * 1e6).cast("long"))
+    bg.join(lm, Seq("w1", "nxt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("l6").as("s6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round((-col("s6")).cast("double") /
+          (col("n_bigrams").cast("double") * 1e6), 6).as("h6"))
+      .orderBy("doc_id")
+  }
+
+  val docCrossEntropySql: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |bg AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest([{'w1': toks[i], 'nxt': toks[i+1]}
+       |      for i in range(1, len(toks))]) AS b
+       |  FROM t WHERE len(toks) >= 2),
+       |o AS (SELECT doc_id, b.w1 AS w1, b.nxt AS nxt FROM bg),
+       |c AS (SELECT w1, nxt, count(*)::BIGINT AS cnt FROM o GROUP BY 1, 2),
+       |tot AS (SELECT w1, sum(cnt)::BIGINT AS total FROM c GROUP BY 1),
+       |lm AS (
+       |  SELECT c.w1, c.nxt,
+       |    round(ln(cnt::DOUBLE / total::DOUBLE) * 1e6)::BIGINT AS l6
+       |  FROM c JOIN tot USING (w1))
+       |SELECT o.doc_id, count(*)::BIGINT AS n_bigrams,
+       |  round((-sum(l6))::DOUBLE / (count(*)::DOUBLE * 1e6), 6) AS h6
+       |FROM o JOIN lm USING (w1, nxt)
+       |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin
+
   // -------------------------------------------------------------- q186
 
   /** Windowed co-occurrence collocations: token pairs that appear
@@ -2588,7 +2644,8 @@ object Analytics {
     "q246_zipf_fit" -> zipfFit,
     "q257_quantile_sketch" -> quantileSketch,
     "q260_quantile_by_source" -> quantileBySource,
-    "q264_quantile_merge" -> quantileMerge)
+    "q264_quantile_merge" -> quantileMerge,
+    "q267_doc_cross_entropy" -> docCrossEntropy)
 
   val oracleSql: Map[String, String] = Map(
     "q108_chunk_sliding" -> chunkSlidingSql,
@@ -2637,5 +2694,6 @@ object Analytics {
     "q246_zipf_fit" -> zipfFitSql,
     "q257_quantile_sketch" -> quantileSketchSql,
     "q260_quantile_by_source" -> quantileBySourceSql,
-    "q264_quantile_merge" -> quantileMergeSql)
+    "q264_quantile_merge" -> quantileMergeSql,
+    "q267_doc_cross_entropy" -> docCrossEntropySql)
 }

@@ -751,6 +751,65 @@ object Curation {
       |    AS alloc
       |FROM r ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- q268
+
+  /** Contrastive training-pair mining (q268): labeled (anchor, partner)
+    * pairs for embedding/reranker training. Positives are the verified
+    * bag-of-words duplicate pairs (same order-invariant fingerprint,
+    * [[TextOps.bagFingerprint]] — shuffled near-copies collide; exact
+    * fingerprints find nothing in this fixture; canonical a < b, pair
+    * fan-out bounded by dup-group size, the q110 discipline); negatives
+    * pair each positive anchor with the document at a fixed id-space
+    * shift ((id + 37) mod (max+1)) — a deterministic derangement with
+    * NO global window or randomness, then anti-joined against the
+    * positive set so an accidental true duplicate can never be labeled
+    * negative. Every stage is a keyed join or map-side expression; at
+    * 100 TB the only care is the id-shift assumption (contiguous ids —
+    * production swaps in a hash-bucket partner with the same plan
+    * shape). */
+  val contrastivePairs: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.bagFingerprint(col("text")).as("fp"))
+      .localCheckpoint(true)
+    val pos = d.as("x").join(d.as("y"), Seq("fp"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .localCheckpoint(true)
+    val mx = d.agg(max("doc_id").as("mx"))
+    val neg = pos.select(col("doc_a")).distinct()
+      .crossJoin(broadcast(mx))
+      .withColumn("nid", (col("doc_a") + 37) % (col("mx") + 1))
+      .join(d.select(col("doc_id").as("nid")), "nid")
+      .select(least(col("doc_a"), col("nid")).as("a"),
+        greatest(col("doc_a"), col("nid")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+      .join(pos, Seq("doc_a", "doc_b"), "left_anti")
+    pos.withColumn("label", lit(1))
+      .unionByName(neg.withColumn("label", lit(0)))
+      .orderBy(col("label").desc, col("doc_a"), col("doc_b"))
+  }
+
+  val contrastivePairsSql: String =
+    s"""WITH d AS (SELECT doc_id, ${Fragments.BagFpSql} AS fp FROM documents),
+       |pos AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM d x JOIN d y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+       |mx AS (SELECT max(doc_id) AS mx FROM d),
+       |neg AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT least(p.doc_a, n.doc_id) AS doc_a,
+       |           greatest(p.doc_a, n.doc_id) AS doc_b
+       |    FROM (SELECT DISTINCT doc_a FROM pos) p, mx
+       |    JOIN d n ON n.doc_id = (p.doc_a + 37) % (mx.mx + 1))
+       |  WHERE doc_a <> doc_b AND (doc_a, doc_b) NOT IN
+       |    (SELECT (doc_a, doc_b) FROM pos)
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, 1::INT AS label FROM pos
+       |UNION ALL
+       |SELECT doc_a, doc_b, 0::INT AS label FROM neg
+       |ORDER BY label DESC, doc_a, doc_b""".stripMargin
+
   // -------------------------------------------------------------- q101
 
   /** Unpivot / melt (wide → long reshaping): lineitem's four measure
@@ -2069,6 +2128,7 @@ object Curation {
     "q259_capstone_learned_gate" -> capstoneLearnedGate,
     "q265_corpus_diff" -> corpusDiff,
     "q266_neyman_alloc" -> neymanAlloc,
+    "q268_contrastive_pairs" -> contrastivePairs,
     "q101_unpivot" -> unpivotMeasures,
     "q102_map_functions" -> mapFunctions,
     "q103_windowed_distinct" -> windowedDistinct,
@@ -2116,6 +2176,7 @@ object Curation {
     "q259_capstone_learned_gate" -> capstoneLearnedGateSql,
     "q265_corpus_diff" -> corpusDiffSql,
     "q266_neyman_alloc" -> neymanAllocSql,
+    "q268_contrastive_pairs" -> contrastivePairsSql,
     "q101_unpivot" -> unpivotMeasuresSql,
     "q102_map_functions" -> mapFunctionsSql,
     "q103_windowed_distinct" -> windowedDistinctSql,
