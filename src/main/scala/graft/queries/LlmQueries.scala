@@ -2166,7 +2166,114 @@ object LlmQueries {
       |  round(abs(share_now6 - share_build6), 6) > 0.1 AS retrain
       |FROM sh ORDER BY cell""".stripMargin
 
+  // -------------------------------------------------------------- q269
+
+  /** nDCG@10 of the IVF search against brute-force truth (q269):
+    * completes the retrieval-eval battery — recall@5 (q194) counts hits,
+    * RBO (q255) and Kendall τ (q256) compare orderings, nDCG weights
+    * hits by POSITION, the metric an actual search team reports. The
+    * log2 discount table is ten integer micro-constants computed once
+    * in Scala and embedded verbatim in the oracle (zero libm-portability
+    * surface — the BpeKernel embed-the-model discipline), so the DCG
+    * sums are exact BIGINTs and the one float op is the final
+    * DCG/IDCG division. Truth leg is the bounded eval-sample
+    * brute-force (q194's contract: queries × corpus with broadcast
+    * queries, an EVAL harness, never a serving path); the IVF leg is
+    * the q50 serving plan. */
+  val ndcgEval: Q = (s, dir) => {
+    val k = 10
+    val d6 = Seq.tabulate(k)(i =>
+      math.round(1e6 / (math.log(i + 2) / math.log(2))))
+    val idcg = d6.sum
+    val emb = Tables.t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(q, emb, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.ivfTopK(q, emb, k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+    val scored = approx
+      .join(truth.withColumn("rel", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .withColumn("d6", element_at(typedLit(d6), col("rk").cast("int")))
+      .groupBy("query_id").agg(
+        sum(when(col("rel").isNotNull, col("d6")).otherwise(0L)).as("dcg6"),
+        sum(when(col("rel").isNotNull, 1L).otherwise(0L)).cast("int")
+          .as("n_hit"))
+    q.select(col("vec_id").as("query_id"))
+      .join(scored, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0)).as("n_hit"),
+        coalesce(col("dcg6"), lit(0L)).as("dcg6"),
+        round(coalesce(col("dcg6"), lit(0L)).cast("double") /
+          lit(idcg.toDouble), 6).as("ndcg6"))
+      .orderBy("query_id")
+  }
+
+  val ndcgEvalSql: String = {
+    val d6 = Seq.tabulate(10)(i =>
+      math.round(1e6 / (math.log(i + 2) / math.log(2))))
+    val dt = d6.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+    val idcg = d6.sum
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT id AS cell, v AS cv FROM v
+       |         WHERE id IN (SELECT id FROM v ORDER BY id LIMIT 16)),
+       |assigned AS (
+       |  SELECT id, v, cell FROM (
+       |    SELECT v.id, v.v, c.cell,
+       |      row_number() OVER (PARTITION BY v.id
+       |        ORDER BY round(list_cosine_similarity(v.v, c.cv), 6) DESC,
+       |                 c.cell ASC) AS ark
+       |    FROM v CROSS JOIN cent c) WHERE ark = 1),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+       |                 c.cell ASC) AS crk
+       |    FROM q CROSS JOIN cent c) WHERE crk <= 4),
+       |ivf_scored AS (
+       |  SELECT DISTINCT p.query_id, a.id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qv, a.v), 4) AS sim
+       |  FROM probes p JOIN assigned a ON p.cell = a.cell
+       |  WHERE p.query_id <> a.id),
+       |ivf AS (
+       |  SELECT query_id, neighbor_id, rk FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id ASC) AS rk
+       |    FROM ivf_scored) WHERE rk <= 10),
+       |bf_scored AS (
+       |  SELECT q.query_id, v.id AS neighbor_id,
+       |    round(list_cosine_similarity(q.qv, v.v), 4) AS sim
+       |  FROM v CROSS JOIN q WHERE v.id <> q.query_id),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id ASC) AS rk
+       |    FROM bf_scored) WHERE rk <= 10),
+       |dt(rk, d6) AS (VALUES $dt),
+       |sc AS (
+       |  SELECT i.query_id,
+       |    sum(CASE WHEN b.neighbor_id IS NOT NULL THEN dt.d6 ELSE 0 END)::BIGINT AS dcg6,
+       |    sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::INT AS n_hit
+       |  FROM ivf i JOIN dt ON dt.rk = i.rk
+       |  LEFT JOIN bf b ON b.query_id = i.query_id
+       |    AND b.neighbor_id = i.neighbor_id
+       |  GROUP BY 1)
+       |SELECT qq.query_id, coalesce(n_hit, 0)::INT AS n_hit,
+       |  coalesce(dcg6, 0)::BIGINT AS dcg6,
+       |  round(coalesce(dcg6, 0)::DOUBLE / $idcg.0, 6) AS ndcg6
+       |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) qq
+       |LEFT JOIN sc USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q269_ndcg_eval" -> ndcgEval,
     "q262_js_divergence" -> jsDivergence,
     "q263_ann_drift" -> annDrift,
     "q261_pca_power" -> pcaTopComponent,
@@ -2221,6 +2328,7 @@ object LlmQueries {
     "q261_pca_power" -> pcaTopComponentSql,
     "q262_js_divergence" -> jsDivergenceSql,
     "q263_ann_drift" -> annDriftSql,
+    "q269_ndcg_eval" -> ndcgEvalSql,
     "q229_source_profile_sim" -> sourceProfileSimSql,
     "q233_rrf_fusion" -> rrfFusionSql,
     "q240_silhouette" -> silhouetteSql,
