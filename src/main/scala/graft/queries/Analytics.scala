@@ -1879,6 +1879,83 @@ object Analytics {
       |  round((u1 - n1::DOUBLE * n2::DOUBLE / 2.0) / sqrt(sigma2), 6) AS z
       |FROM s2 WHERE sigma2 > 0 ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- q274
+
+  /** Kruskal–Wallis H test (q274): does ANY source's length
+    * distribution differ from the others — the k-sample generalization
+    * of q224's two-sample Mann–Whitney, the one-shot screen run before
+    * per-source drill-downs. Doubled mid-ranks over the global
+    * distinct-value spine keep every per-source rank sum exact; the
+    * per-source term R_h²/n_h is materialized as an exact integral
+    * quotient ((2R_h)² DIV (4n_h), DECIMAL(38) product, BIGINT
+    * quotient — the q267 micro-quantization discipline: both engines
+    * floor identically, error < 1 per source against an H in the
+    * thousands), so the statistic's only float ops are one fixed IEEE
+    * expression over exact integers. Tie-corrected H_c = H / (1 −
+    * Σ(t³−t)/(N³−N)). Data-scale work: one (source, n_chars) count
+    * aggregate; everything downstream runs on the bounded spine. */
+  val kruskalWallis: Q = (s, dir) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cellCnt = Tables.t(s, dir, "documents")
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val g = cellCnt.groupBy("n_chars").agg(sum("cnt").as("t"))
+      .withColumn("hi", sum("t").over(Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("n_chars"), (col("hi") - col("t") + 1 + col("hi")).as("r2"),
+        (col("t").cast(dec38) * col("t") * col("t") - col("t")).as("tc"))
+    val ties = g.agg(sum("tc").as("tsum"))
+    val tot = cellCnt.agg(sum("cnt").as("nn"))
+    val pers = cellCnt.join(broadcast(g.select("n_chars", "r2")), "n_chars")
+      .groupBy("source")
+      .agg(sum("cnt").as("n1"), sum(col("cnt") * col("r2")).as("r1_2"))
+      // exact integral quotient of (2R_h)²/(4n_h): DECIMAL(38) square
+      // (≈5e23 at sf0.1 — past BIGINT), BIGINT-ranged quotient
+      .withColumn("qh", expr(
+        "(CAST(r1_2 AS DECIMAL(38,0)) * r1_2) DIV (4 * n1)"))
+      .agg(count(lit(1)).cast("int").as("n_groups"), sum("qh").as("sq"))
+    val nnd = col("nn").cast("double")
+    pers.crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+      .withColumn("h", lit(12.0) * col("sq").cast("double") /
+        (nnd * (nnd + 1.0)) - lit(3.0) * (nnd + 1.0))
+      .withColumn("c", lit(1.0) - col("tsum").cast("double") /
+        (nnd * nnd * nnd - nnd))
+      .select(col("n_groups"), col("nn"),
+        round(col("h"), 6).as("h6"),
+        round(col("h") / col("c"), 6).as("hc6"))
+  }
+
+  val kruskalWallisSql: String =
+    """WITH cellcnt AS (
+      |  SELECT source, n_chars, count(*)::BIGINT AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |g AS (
+      |  SELECT n_chars, sum(cnt)::BIGINT AS t,
+      |    sum(sum(cnt)) OVER (ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS hi
+      |  FROM cellcnt GROUP BY 1),
+      |g2 AS (SELECT n_chars, hi - t + 1 + hi AS r2,
+      |         t::HUGEINT * t * t - t AS tc FROM g),
+      |ties AS (SELECT sum(tc) AS tsum FROM g2),
+      |t AS (SELECT sum(cnt)::BIGINT AS nn FROM cellcnt),
+      |pers AS (
+      |  SELECT source, sum(cnt)::BIGINT AS n1,
+      |    sum(cnt * r2)::BIGINT AS r1_2
+      |  FROM cellcnt JOIN g2 USING (n_chars) GROUP BY 1),
+      |sq AS (
+      |  SELECT count(*)::INT AS n_groups,
+      |    sum((r1_2::HUGEINT * r1_2) // (4 * n1))::HUGEINT AS sq
+      |  FROM pers),
+      |h AS (
+      |  SELECT n_groups, nn,
+      |    12.0 * sq::DOUBLE / (nn::DOUBLE * (nn::DOUBLE + 1.0)) -
+      |      3.0 * (nn::DOUBLE + 1.0) AS h,
+      |    1.0 - tsum::DOUBLE /
+      |      (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE) AS c
+      |  FROM sq CROSS JOIN t CROSS JOIN ties)
+      |SELECT n_groups, nn, round(h, 6) AS h6, round(h / c, 6) AS hc6
+      |FROM h""".stripMargin
+
   // -------------------------------------------------------------- q232
 
   /** KMV distinct sketch (q232): per-source vocabulary cardinality
@@ -2635,6 +2712,7 @@ object Analytics {
     "q221_chisq_audit" -> chisqIndependence,
     "q223_ks_audit" -> ksAudit,
     "q224_mwu_audit" -> mwuAudit,
+    "q274_kruskal_wallis" -> kruskalWallis,
     "q232_kmv_distinct" -> kmvDistinct,
     "q235_kmv_merge" -> kmvMerge,
     "q241_kmv_jaccard" -> kmvJaccard,
@@ -2685,6 +2763,7 @@ object Analytics {
     "q221_chisq_audit" -> chisqIndependenceSql,
     "q223_ks_audit" -> ksAuditSql,
     "q224_mwu_audit" -> mwuAuditSql,
+    "q274_kruskal_wallis" -> kruskalWallisSql,
     "q232_kmv_distinct" -> kmvDistinctSql,
     "q235_kmv_merge" -> kmvMergeSql,
     "q241_kmv_jaccard" -> kmvJaccardSql,

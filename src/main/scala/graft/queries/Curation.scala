@@ -810,6 +810,280 @@ object Curation {
        |SELECT doc_a, doc_b, 0::INT AS label FROM neg
        |ORDER BY label DESC, doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------- q270–q273 shared
+
+  /** Per-document (learned score, rule label, learned keep) triple —
+    * the shared input of the classifier-evaluation family q270–q273.
+    * `q4i` is q258's exact 4-dp integer score (half-away integer DIV,
+    * never a float round), `label` is the rule-based Gopher-style gate
+    * that the capstones q100/q175 already oracle-verify at ≥ 0.3, and
+    * `pred` is the learned gate (w_sum > 0) of q259. One codegen'd scan
+    * projection — the evaluation family measures the trained model
+    * against the heuristic it replaces, the standard acceptance gate
+    * before a classifier swap ships (FineWeb-Edu / DCLM practice). */
+  private def scoredLabeled(s: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame = {
+    val w = graft.functions.QualityModel.fixture()
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.linearQualityScore(col("text"), w).as("lq"),
+        (TextOps.qualityScore(col("text")) >= 0.3).as("label"))
+      .withColumn("w_sum", col("lq.w_sum"))
+      .withColumn("nf", greatest(col("lq.n_feats"), lit(1)).cast("long"))
+      .withColumn("q4i", expr(
+        "CASE WHEN w_sum >= 0 THEN (w_sum * 20 + nf) DIV (2 * nf) " +
+        "ELSE -((-w_sum * 20 + nf) DIV (2 * nf)) END"))
+      .select(col("doc_id"), col("q4i"), col("label"),
+        (col("w_sum") > 0).as("pred"))
+  }
+
+  /** DuckDB twin of [[scoredLabeled]], rendered as a WITH-prefix whose
+    * final CTE is `scored(doc_id, q4i, label, pred)`. */
+  private val ScoredLabeledSql: String =
+    s"""raw AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+       |feats AS (
+       |  SELECT doc_id,
+       |    (${learnedWsumSql("toks")})::BIGINT AS w_sum,
+       |    greatest(len(${learnedFeatsSql("toks")}), 1)::BIGINT AS nf,
+       |    (${Fragments.qualitySql}) >= 0.3 AS label
+       |  FROM raw),
+       |scored AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN w_sum >= 0 THEN (w_sum * 20 + nf) // (2 * nf)
+       |          ELSE -((-w_sum * 20 + nf) // (2 * nf)) END) AS q4i,
+       |    label, w_sum > 0 AS pred
+       |  FROM feats)""".stripMargin
+
+  // -------------------------------------------------------------- q270
+
+  /** ROC-AUC of the learned quality score against the rule-based gate
+    * (q270): the probability a random kept-by-rule document outscores a
+    * random dropped one — the single-number acceptance test run before
+    * a trained classifier replaces a heuristic gate. Computed in the
+    * exact Mann–Whitney rank form over the DISTINCT-score spine (the
+    * q224 discipline): doubled mid-ranks keep the positive rank sum
+    * R⁺, and AUC = (2R⁺ − 2n⁺(n⁺+1)/2) / (2n⁺n⁻), an exact-BIGINT
+    * ratio evaluated in one IEEE division. Data-scale work is one
+    * (q4i, label) count aggregate; the spine windows run on the bounded
+    * distinct-score table. */
+  val rocAuc: Q = (s, dir) => {
+    val cell = scoredLabeled(s, dir)
+      .groupBy("q4i", "label").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    // doubled mid-rank per distinct score: r2 = lo + hi (q224's spine)
+    val g = cell.groupBy("q4i").agg(sum("cnt").as("t"))
+      .withColumn("hi", sum("t").over(Window.orderBy("q4i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("q4i"), (col("hi") - col("t") + 1 + col("hi")).as("r2"))
+    cell.join(broadcast(g), "q4i")
+      .agg(
+        sum(when(col("label"), col("cnt")).otherwise(0L)).as("n_pos"),
+        sum(when(!col("label"), col("cnt")).otherwise(0L)).as("n_neg"),
+        sum(when(col("label"), col("cnt") * col("r2")).otherwise(0L))
+          .as("rpos2"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("rpos2") - col("n_pos") * (col("n_pos") + 1))
+            .cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double")), 6).as("auc"))
+  }
+
+  val rocAucSql: String =
+    s"""WITH $ScoredLabeledSql,
+       |cell AS (
+       |  SELECT q4i, label, count(*)::BIGINT AS cnt
+       |  FROM scored GROUP BY 1, 2),
+       |g AS (
+       |  SELECT q4i, sum(cnt)::BIGINT AS t,
+       |    sum(sum(cnt)) OVER (ORDER BY q4i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS hi
+       |  FROM cell GROUP BY 1),
+       |g2 AS (SELECT q4i, hi - t + 1 + hi AS r2 FROM g),
+       |a AS (
+       |  SELECT
+       |    sum(CASE WHEN label THEN cnt ELSE 0 END)::BIGINT AS n_pos,
+       |    sum(CASE WHEN NOT label THEN cnt ELSE 0 END)::BIGINT AS n_neg,
+       |    sum(CASE WHEN label THEN cnt * r2 ELSE 0 END)::BIGINT AS rpos2
+       |  FROM cell JOIN g2 USING (q4i))
+       |SELECT n_pos, n_neg,
+       |  round((rpos2 - n_pos * (n_pos + 1))::DOUBLE /
+       |    (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6) AS auc
+       |FROM a""".stripMargin
+
+  // -------------------------------------------------------------- q271
+
+  /** Score-calibration bins (q271): ten equal-width bins over the
+    * learned score's [min, max] range, each reporting document count,
+    * rule-positive count, the positive fraction, and the mean score —
+    * the reliability diagram that says WHERE the classifier's threshold
+    * can safely sit. Bin edges, fractions, and means are all exact
+    * integer arithmetic ((q4i−mn)·10 DIV (mx−mn+1) bin index; half-away
+    * DIV for the 4-dp fractions) so both engines agree bit-for-bit.
+    * One scan + one broadcast min/max scalar + one 10-row aggregate. */
+  val calibrationBins: Q = (s, dir) => {
+    val d = scoredLabeled(s, dir).localCheckpoint(true)
+    val mm = d.agg(min("q4i").as("mn"), max("q4i").as("mx"))
+    d.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        expr("((q4i - mn) * 10) DIV (mx - mn + 1)").cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+        sum("q4i").as("sq"))
+      .withColumn("pos_frac4", expr(
+        "((n_pos * 20000 + n) DIV (2 * n))").cast("double") / 10000.0)
+      .withColumn("mean_score4", expr(
+        "CASE WHEN sq >= 0 THEN (sq * 2 + n) DIV (2 * n) " +
+        "ELSE -((-sq * 2 + n) DIV (2 * n)) END").cast("double") / 10000.0)
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("pos_frac4"), col("mean_score4"))
+      .orderBy("bin")
+  }
+
+  val calibrationBinsSql: String =
+    s"""WITH $ScoredLabeledSql,
+       |mm AS (SELECT min(q4i) AS mn, max(q4i) AS mx FROM scored),
+       |b AS (
+       |  SELECT ((q4i - mn) * 10 // (mx - mn + 1))::INT AS bin,
+       |    label, q4i
+       |  FROM scored CROSS JOIN mm),
+       |g AS (
+       |  SELECT bin, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |    sum(q4i)::BIGINT AS sq
+       |  FROM b GROUP BY 1)
+       |SELECT bin, n, n_pos,
+       |  ((n_pos * 20000 + n) // (2 * n))::DOUBLE / 10000.0 AS pos_frac4,
+       |  (CASE WHEN sq >= 0 THEN (sq * 2 + n) // (2 * n)
+       |        ELSE -((-sq * 2 + n) // (2 * n)) END)::DOUBLE / 10000.0
+       |    AS mean_score4
+       |FROM g ORDER BY bin""".stripMargin
+
+  // -------------------------------------------------------------- q272
+
+  /** Operating-point sweep (q272): confusion counts and exact 4-dp
+    * precision / recall / F1 at five thresholds spanning the learned
+    * score's range (mn + i·(mx−mn) DIV 4, i = 0..4) — the
+    * threshold-picking table behind every "keep the top X%" curation
+    * decision. The five thresholds broadcast against one scan; every
+    * derived metric is a half-away integer DIV of exact counts, so the
+    * knife-edge float rounds that bit q258 at sf0.1 cannot recur. */
+  val thresholdSweep: Q = (s, dir) => {
+    val d = scoredLabeled(s, dir).localCheckpoint(true)
+    val thr = d.agg(min("q4i").as("mn"), max("q4i").as("mx"))
+      .crossJoin(d.sparkSession.range(0, 5).toDF("i"))
+      .select(col("i").cast("int").as("thr_i"),
+        expr("mn + ((mx - mn) * i) DIV 4").as("thr"))
+    d.crossJoin(broadcast(thr))
+      .groupBy("thr_i", "thr")
+      .agg(
+        sum(when(col("label") && col("q4i") >= col("thr"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(!col("label") && col("q4i") >= col("thr"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("label") && col("q4i") < col("thr"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(!col("label") && col("q4i") < col("thr"), 1L)
+          .otherwise(0L)).as("tn"))
+      .withColumn("prec4", expr(
+        "CASE WHEN tp + fp = 0 THEN NULL ELSE " +
+        "((tp * 20000 + (tp + fp)) DIV (2 * (tp + fp))) END")
+        .cast("double") / 10000.0)
+      .withColumn("rec4", expr(
+        "CASE WHEN tp + fn = 0 THEN NULL ELSE " +
+        "((tp * 20000 + (tp + fn)) DIV (2 * (tp + fn))) END")
+        .cast("double") / 10000.0)
+      .withColumn("f14", expr(
+        "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE " +
+        "((2 * tp * 20000 + (2 * tp + fp + fn)) DIV " +
+        "(2 * (2 * tp + fp + fn))) END").cast("double") / 10000.0)
+      .select(col("thr_i"), col("thr"), col("tp"), col("fp"),
+        col("fn"), col("tn"), col("prec4"), col("rec4"), col("f14"))
+      .orderBy("thr_i")
+  }
+
+  val thresholdSweepSql: String =
+    s"""WITH $ScoredLabeledSql,
+       |mm AS (SELECT min(q4i) AS mn, max(q4i) AS mx FROM scored),
+       |thr AS (
+       |  SELECT i::INT AS thr_i, mn + ((mx - mn) * i) // 4 AS thr
+       |  FROM mm CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS i)),
+       |g AS (
+       |  SELECT thr_i, thr,
+       |    sum(CASE WHEN label AND q4i >= thr THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |    sum(CASE WHEN NOT label AND q4i >= thr THEN 1 ELSE 0 END)::BIGINT AS fp,
+       |    sum(CASE WHEN label AND q4i < thr THEN 1 ELSE 0 END)::BIGINT AS fn,
+       |    sum(CASE WHEN NOT label AND q4i < thr THEN 1 ELSE 0 END)::BIGINT AS tn
+       |  FROM scored CROSS JOIN thr GROUP BY 1, 2)
+       |SELECT thr_i, thr, tp, fp, fn, tn,
+       |  (CASE WHEN tp + fp = 0 THEN NULL ELSE
+       |    (tp * 20000 + (tp + fp)) // (2 * (tp + fp)) END)::DOUBLE
+       |    / 10000.0 AS prec4,
+       |  (CASE WHEN tp + fn = 0 THEN NULL ELSE
+       |    (tp * 20000 + (tp + fn)) // (2 * (tp + fn)) END)::DOUBLE
+       |    / 10000.0 AS rec4,
+       |  (CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE
+       |    (2 * tp * 20000 + (2 * tp + fp + fn)) //
+       |    (2 * (2 * tp + fp + fn)) END)::DOUBLE / 10000.0 AS f14
+       |FROM g ORDER BY thr_i""".stripMargin
+
+  // -------------------------------------------------------------- q273
+
+  /** Gate-agreement audit (q273): the 2×2 confusion matrix between the
+    * rule-based gate and the learned gate plus Cohen's κ — observed
+    * agreement corrected for the agreement two independent gates with
+    * these marginals would reach by chance. κ uses the exact 2×2
+    * identity 2(n₁₁n₀₀ − n₁₀n₀₁) / ((n₁₁+n₁₀)(n₁₀+n₀₀) +
+    * (n₁₁+n₀₁)(n₀₁+n₀₀)): a signed ratio of exact BIGINTs, quantized
+    * 4-dp by half-away integer DIV. One scan, one single-row
+    * conditional aggregate — the "did the model swap change WHO we
+    * keep, beyond chance" number a curation sign-off wants. */
+  val kappaAgreement: Q = (s, dir) =>
+    scoredLabeled(s, dir)
+      .agg(
+        sum(when(col("label") && col("pred"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("label") && !col("pred"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("label") && col("pred"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("label") && !col("pred"), 1L).otherwise(0L)).as("n00"))
+      .withColumn("po4", expr(
+        "((n11 + n00) * 20000 + (n11 + n10 + n01 + n00)) DIV " +
+        "(2 * (n11 + n10 + n01 + n00))").cast("double") / 10000.0)
+      .withColumn("den",
+        (col("n11") + col("n10")) * (col("n10") + col("n00")) +
+          (col("n11") + col("n01")) * (col("n01") + col("n00")))
+      .withColumn("num",
+        lit(2) * (col("n11") * col("n00") - col("n10") * col("n01")))
+      .withColumn("kappa4", expr(
+        "CASE WHEN den = 0 THEN NULL " +
+        "WHEN num >= 0 THEN (num * 20000 + den) DIV (2 * den) " +
+        "ELSE -((-num * 20000 + den) DIV (2 * den)) END")
+        .cast("double") / 10000.0)
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        col("po4"), col("kappa4"))
+
+  val kappaAgreementSql: String =
+    s"""WITH $ScoredLabeledSql,
+       |c AS (
+       |  SELECT
+       |    sum(CASE WHEN label AND pred THEN 1 ELSE 0 END)::BIGINT AS n11,
+       |    sum(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END)::BIGINT AS n10,
+       |    sum(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END)::BIGINT AS n01,
+       |    sum(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END)::BIGINT AS n00
+       |  FROM scored),
+       |k AS (
+       |  SELECT *,
+       |    2 * (n11 * n00 - n10 * n01) AS num,
+       |    (n11 + n10) * (n10 + n00) + (n11 + n01) * (n01 + n00) AS den
+       |  FROM c)
+       |SELECT n11, n10, n01, n00,
+       |  (((n11 + n00) * 20000 + (n11 + n10 + n01 + n00)) //
+       |    (2 * (n11 + n10 + n01 + n00)))::DOUBLE / 10000.0 AS po4,
+       |  (CASE WHEN den = 0 THEN NULL
+       |        WHEN num >= 0 THEN (num * 20000 + den) // (2 * den)
+       |        ELSE -((-num * 20000 + den) // (2 * den)) END)::DOUBLE
+       |    / 10000.0 AS kappa4
+       |FROM k""".stripMargin
+
   // -------------------------------------------------------------- q101
 
   /** Unpivot / melt (wide → long reshaping): lineitem's four measure
@@ -2129,6 +2403,10 @@ object Curation {
     "q265_corpus_diff" -> corpusDiff,
     "q266_neyman_alloc" -> neymanAlloc,
     "q268_contrastive_pairs" -> contrastivePairs,
+    "q270_roc_auc" -> rocAuc,
+    "q271_calibration_bins" -> calibrationBins,
+    "q272_threshold_sweep" -> thresholdSweep,
+    "q273_kappa_agreement" -> kappaAgreement,
     "q101_unpivot" -> unpivotMeasures,
     "q102_map_functions" -> mapFunctions,
     "q103_windowed_distinct" -> windowedDistinct,
@@ -2177,6 +2455,10 @@ object Curation {
     "q265_corpus_diff" -> corpusDiffSql,
     "q266_neyman_alloc" -> neymanAllocSql,
     "q268_contrastive_pairs" -> contrastivePairsSql,
+    "q270_roc_auc" -> rocAucSql,
+    "q271_calibration_bins" -> calibrationBinsSql,
+    "q272_threshold_sweep" -> thresholdSweepSql,
+    "q273_kappa_agreement" -> kappaAgreementSql,
     "q101_unpivot" -> unpivotMeasuresSql,
     "q102_map_functions" -> mapFunctionsSql,
     "q103_windowed_distinct" -> windowedDistinctSql,

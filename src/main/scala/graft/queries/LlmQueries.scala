@@ -2209,13 +2209,13 @@ object LlmQueries {
       .orderBy("query_id")
   }
 
-  val ndcgEvalSql: String = {
-    val d6 = Seq.tabulate(10)(i =>
-      math.round(1e6 / (math.log(i + 2) / math.log(2))))
-    val dt = d6.zipWithIndex
-      .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
-    val idcg = d6.sum
-    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** Shared WITH-prefix of the retrieval-eval oracles (q269 nDCG, q275
+    * MRR): DuckDB replay of [[Similarity.ivfTopK]] (16 first-N
+    * centroids, 4 probes) and [[Similarity.bruteForceTopK]] truth for
+    * the vec_id < 10 query set, ending in CTEs `ivf(query_id,
+    * neighbor_id, rk)` and `bf(query_id, neighbor_id)`. */
+  private val AnnEvalCtes: String =
+    s"""v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT id AS cell, v AS cv FROM v
        |         WHERE id IN (SELECT id FROM v ORDER BY id LIMIT 16)),
        |assigned AS (
@@ -2254,7 +2254,15 @@ object LlmQueries {
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY sim DESC, neighbor_id ASC) AS rk
-       |    FROM bf_scored) WHERE rk <= 10),
+       |    FROM bf_scored) WHERE rk <= 10)""".stripMargin
+
+  val ndcgEvalSql: String = {
+    val d6 = Seq.tabulate(10)(i =>
+      math.round(1e6 / (math.log(i + 2) / math.log(2))))
+    val dt = d6.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+    val idcg = d6.sum
+    s"""WITH $AnnEvalCtes,
        |dt(rk, d6) AS (VALUES $dt),
        |sc AS (
        |  SELECT i.query_id,
@@ -2272,7 +2280,59 @@ object LlmQueries {
        |ORDER BY query_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- q275
+
+  /** MRR@10 retrieval eval (q275): q269's companion number — per query,
+    * the rank of the FIRST true top-10 neighbor the IVF index returns,
+    * and its reciprocal-rank credit. Mirrors the nDCG harness exactly
+    * (same [[Similarity.ivfTopK]] candidates vs
+    * [[Similarity.bruteForceTopK]] truth, same bounded eval set); the
+    * reciprocal table ⌊10⁶/rank⌉ for ranks 1–10 is computed once on the
+    * driver and embedded verbatim in both engines, so the metric is
+    * exact-BIGINT end to end — zero runtime division. Queries whose
+    * IVF list contains no true neighbor score first_rk = 0, rr6 = 0
+    * (the miss shows up instead of vanishing). */
+  val mrrEval: Q = (s, dir) => {
+    val k = 10
+    val r6 = Seq.tabulate(k)(i => math.round(1e6 / (i + 1).toDouble))
+    val emb = Tables.t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(q, emb, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val firstHit = Similarity.ivfTopK(q, emb, k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(min("rk").cast("int").as("first_rk"))
+    q.select(col("vec_id").as("query_id"))
+      .join(firstHit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("first_rk"), lit(0)).as("first_rk"),
+        coalesce(element_at(typedLit(r6), col("first_rk")), lit(0L))
+          .as("rr6"))
+      .orderBy("query_id")
+  }
+
+  val mrrEvalSql: String = {
+    val r6 = Seq.tabulate(10)(i => math.round(1e6 / (i + 1).toDouble))
+    val rt = r6.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+    s"""WITH $AnnEvalCtes,
+       |rt(rk, r6) AS (VALUES $rt),
+       |fh AS (
+       |  SELECT i.query_id, min(i.rk)::INT AS first_rk
+       |  FROM ivf i JOIN bf b ON b.query_id = i.query_id
+       |    AND b.neighbor_id = i.neighbor_id
+       |  GROUP BY 1)
+       |SELECT qq.query_id, coalesce(first_rk, 0)::INT AS first_rk,
+       |  coalesce(rt.r6, 0)::BIGINT AS rr6
+       |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) qq
+       |LEFT JOIN fh USING (query_id)
+       |LEFT JOIN rt ON rt.rk = fh.first_rk
+       |ORDER BY query_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q275_mrr_eval" -> mrrEval,
     "q269_ndcg_eval" -> ndcgEval,
     "q262_js_divergence" -> jsDivergence,
     "q263_ann_drift" -> annDrift,
@@ -2329,6 +2389,7 @@ object LlmQueries {
     "q262_js_divergence" -> jsDivergenceSql,
     "q263_ann_drift" -> annDriftSql,
     "q269_ndcg_eval" -> ndcgEvalSql,
+    "q275_mrr_eval" -> mrrEvalSql,
     "q229_source_profile_sim" -> sourceProfileSimSql,
     "q233_rrf_fusion" -> rrfFusionSql,
     "q240_silhouette" -> silhouetteSql,
