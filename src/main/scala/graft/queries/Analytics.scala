@@ -1879,6 +1879,156 @@ object Analytics {
       |  round((u1 - n1::DOUBLE * n2::DOUBLE / 2.0) / sqrt(sigma2), 6) AS z
       |FROM s2 WHERE sigma2 > 0 ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- q276
+
+  /** Heaps'-law fit (q276): vocabulary-growth exponent β in
+    * V(n) ≈ K·n^β, the companion diagnostic to q246's Zipf slope — a
+    * natural crawl sits near β ≈ 0.5; templated or looping text pushes
+    * β toward 0. The corpus is cut into 50 fixed doc_id-range buckets;
+    * per bucket one count of token volume and one count of NEW
+    * vocabulary (tokens whose minimum bucket is this one), then the 50
+    * cumulative (tokens, vocab) checkpoints are ln-micro-quantized and
+    * OLS-fit exactly as q246 (quantize-then-sum: the regression's
+    * moment arithmetic is exact-integer). Data-scale work is two keyed
+    * aggregates; the cumulative windows and the fit run on the 50-row
+    * bucket spine — never a data-scale single-partition window. */
+  val heapsFit: Q = (s, dir) => {
+    val b = 50
+    val d = Tables.t(s, dir, "documents")
+    val mx = d.agg(max("doc_id").as("mx"))
+    val tok = d
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .crossJoin(broadcast(mx))
+      .withColumn("b", expr(s"(doc_id * $b) DIV (mx + 1)"))
+      .localCheckpoint(true)
+    val vol = tok.groupBy("b").agg(count(lit(1)).as("ntok"))
+    val nv = tok.groupBy("tok").agg(min("b").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("nvocab"))
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = vol.join(nv, Seq("b"), "full_outer")
+      .na.fill(0L, Seq("ntok", "nvocab"))
+      .withColumn("ct", sum("ntok").over(w))
+      .withColumn("cv", sum("nvocab").over(w))
+      .filter(col("ct") > 0 && col("cv") > 0)
+      .select(round(log(col("ct").cast("double")) * 1e6).cast("long").as("x6"),
+        round(log(col("cv").cast("double")) * 1e6).cast("long").as("y6"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+    pts.agg(count(lit(1)).as("n"), sum("x6").as("sx"), sum("y6").as("sy"),
+        sum(col("x6") * col("x6")).as("sxx"),
+        sum(col("x6") * col("y6")).as("sxy"))
+      .withColumn("num", nd * col("sxy").cast("double") - sxd * syd)
+      .withColumn("den", nd * col("sxx").cast("double") - sxd * sxd)
+      .filter(col("den") > 0)
+      .select(col("n"), round(col("num") / col("den"), 4).as("heaps_beta"))
+  }
+
+  val heapsFitSql: String =
+    s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+       |tok AS (
+       |  SELECT doc_id, (doc_id * 50) // (mx + 1) AS b, tok
+       |  FROM (SELECT doc_id, unnest($ToksSql) AS tok FROM documents)
+       |  CROSS JOIN mx WHERE tok <> ''),
+       |vol AS (SELECT b, count(*)::BIGINT AS ntok FROM tok GROUP BY 1),
+       |nv AS (
+       |  SELECT b, count(*)::BIGINT AS nvocab FROM (
+       |    SELECT tok, min(b) AS b FROM tok GROUP BY 1) GROUP BY 1),
+       |cum AS (
+       |  SELECT coalesce(vol.b, nv.b) AS b,
+       |    sum(coalesce(ntok, 0)) OVER (ORDER BY coalesce(vol.b, nv.b)
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS ct,
+       |    sum(coalesce(nvocab, 0)) OVER (ORDER BY coalesce(vol.b, nv.b)
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cv
+       |  FROM vol FULL OUTER JOIN nv ON vol.b = nv.b),
+       |pts AS (
+       |  SELECT round(ln(ct::DOUBLE) * 1e6)::BIGINT AS x6,
+       |    round(ln(cv::DOUBLE) * 1e6)::BIGINT AS y6
+       |  FROM cum WHERE ct > 0 AND cv > 0),
+       |m AS (
+       |  SELECT count(*)::BIGINT AS n, sum(x6)::BIGINT AS sx,
+       |    sum(y6)::BIGINT AS sy, sum(x6 * x6)::BIGINT AS sxx,
+       |    sum(x6 * y6)::BIGINT AS sxy
+       |  FROM pts),
+       |d AS (
+       |  SELECT n,
+       |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+       |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS den
+       |  FROM m)
+       |SELECT n, round(num / den, 4) AS heaps_beta FROM d
+       |WHERE den > 0""".stripMargin
+
+  // -------------------------------------------------------------- q278
+
+  /** Mutual information of (lang, source) (q278): how much does
+    * knowing a document's source tell you about its language — the
+    * dependence diagnostic a mixture designer reads before assuming
+    * language balance is per-source uniform. Over the bounded
+    * lang×source contingency table: each cell quantizes
+    * ln(c·N/(r·s)) to micro-nats (the exact-integer products c·N and
+    * r·s are < 2⁵³, so the double division and ln see identical
+    * arguments in both engines — the q246/q267 discipline), the MI sum
+    * Σ c·m6 is then exact-BIGINT, and the normalized MI divides by
+    * √(H_lang·H_src) computed the same way. Data-scale work: one
+    * (lang, source) count; everything else runs on the ≤ |langs|·|srcs|
+    * cell table. */
+  val mutualInfo: Q = (s, dir) => {
+    val cell = Tables.t(s, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val rl = cell.groupBy("lang").agg(sum("c").as("rl"))
+    val cs = cell.groupBy("source").agg(sum("c").as("cs"))
+    val tot = cell.agg(sum("c").as("nn"))
+    val hl = rl.crossJoin(broadcast(tot))
+      .select(sum(col("rl") *
+        round(log(col("nn").cast("double") / col("rl").cast("double")) * 1e6)
+          .cast("long")).as("hl6s"))
+    val hs = cs.crossJoin(broadcast(tot))
+      .select(sum(col("cs") *
+        round(log(col("nn").cast("double") / col("cs").cast("double")) * 1e6)
+          .cast("long")).as("hs6s"))
+    val nnd = col("nn").cast("double") * 1e6
+    cell.join(broadcast(rl), "lang").join(broadcast(cs), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("m6",
+        round(log((col("c") * col("nn")).cast("double") /
+          (col("rl") * col("cs")).cast("double")) * 1e6).cast("long"))
+      .agg(count(lit(1)).cast("int").as("n_cells"),
+        first(col("nn")).as("nn"), sum(col("c") * col("m6")).as("mi6s"))
+      .crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
+      .select(col("n_cells"), col("nn"),
+        round(col("mi6s").cast("double") / nnd, 6).as("mi_nats"),
+        round(col("mi6s").cast("double") /
+          sqrt(col("hl6s").cast("double") * col("hs6s").cast("double")), 6)
+          .as("nmi"))
+  }
+
+  val mutualInfoSql: String =
+    """WITH cell AS (
+      |  SELECT lang, source, count(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2),
+      |rl AS (SELECT lang, sum(c)::BIGINT AS rl FROM cell GROUP BY 1),
+      |cs AS (SELECT source, sum(c)::BIGINT AS cs FROM cell GROUP BY 1),
+      |t AS (SELECT sum(c)::BIGINT AS nn FROM cell),
+      |hl AS (
+      |  SELECT sum(rl * round(ln(nn::DOUBLE / rl::DOUBLE) * 1e6)::BIGINT)
+      |    ::BIGINT AS hl6s
+      |  FROM rl CROSS JOIN t),
+      |hs AS (
+      |  SELECT sum(cs * round(ln(nn::DOUBLE / cs::DOUBLE) * 1e6)::BIGINT)
+      |    ::BIGINT AS hs6s
+      |  FROM cs CROSS JOIN t),
+      |mi AS (
+      |  SELECT count(*)::INT AS n_cells, any_value(nn) AS nn,
+      |    sum(c * round(ln((c * nn)::DOUBLE / (rl * cs)::DOUBLE) * 1e6)
+      |      ::BIGINT)::BIGINT AS mi6s
+      |  FROM cell JOIN rl USING (lang) JOIN cs USING (source) CROSS JOIN t)
+      |SELECT n_cells, nn,
+      |  round(mi6s::DOUBLE / (nn::DOUBLE * 1e6), 6) AS mi_nats,
+      |  round(mi6s::DOUBLE / sqrt(hl6s::DOUBLE * hs6s::DOUBLE), 6) AS nmi
+      |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin
+
   // -------------------------------------------------------------- q274
 
   /** Kruskal–Wallis H test (q274): does ANY source's length
@@ -2713,6 +2863,8 @@ object Analytics {
     "q223_ks_audit" -> ksAudit,
     "q224_mwu_audit" -> mwuAudit,
     "q274_kruskal_wallis" -> kruskalWallis,
+    "q276_heaps_fit" -> heapsFit,
+    "q278_mutual_info" -> mutualInfo,
     "q232_kmv_distinct" -> kmvDistinct,
     "q235_kmv_merge" -> kmvMerge,
     "q241_kmv_jaccard" -> kmvJaccard,
@@ -2764,6 +2916,8 @@ object Analytics {
     "q223_ks_audit" -> ksAuditSql,
     "q224_mwu_audit" -> mwuAuditSql,
     "q274_kruskal_wallis" -> kruskalWallisSql,
+    "q276_heaps_fit" -> heapsFitSql,
+    "q278_mutual_info" -> mutualInfoSql,
     "q232_kmv_distinct" -> kmvDistinctSql,
     "q235_kmv_merge" -> kmvMergeSql,
     "q241_kmv_jaccard" -> kmvJaccardSql,

@@ -883,7 +883,76 @@ object Extended {
       |FROM ranked GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------- q279
+
+  /** One-sided CUSUM mean-shift detector (q279): per event type, the
+    * cumulative-sum control chart S_i = max(0, S_{i−1} + (x_i − μ))
+    * over the daily count series, reporting the peak excursion, the
+    * number of alarm days (S > 3μ), and the first alarm's day index —
+    * the sequential complement to q174's pointwise spike test (CUSUM
+    * accumulates small persistent shifts a per-day test misses). All
+    * arithmetic is exact-integer: the recursion carries S·n_days so the
+    * mean never becomes a float (S·nd ← max(0, S·nd + c_i·nd − Σc)),
+    * and the 3μ threshold compares S·nd > 3·Σc. The recursion runs on
+    * the bounded per-type daily spine — Spark folds it with a
+    * higher-order `aggregate` over the sorted day array, the oracle
+    * replays it as a recursive CTE; data-scale work is one daily count
+    * aggregate. */
+  val cusumShift: Q = (s, dir) => {
+    val daily = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val per = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("d"), col("c")))).as("ds"),
+        sum("c").as("tot"), count(lit(1)).as("nd"))
+      .withColumn("ss", expr(
+        "aggregate(ds, CAST(array() AS ARRAY<BIGINT>), (acc, x) -> " +
+        "concat(acc, array(greatest(0L, " +
+        "IF(size(acc) = 0, 0L, element_at(acc, size(acc))) " +
+        "+ x.c * nd - tot))))"))
+    per.select(col("event_type"), col("nd"), col("tot"),
+        posexplode(col("ss")))
+      .groupBy("event_type", "nd", "tot")
+      .agg(max("col").as("cusum_max"),
+        sum(when(col("col") > lit(3) * col("tot"), 1L).otherwise(0L))
+          .as("n_alarm"),
+        min(when(col("col") > lit(3) * col("tot"),
+          (col("pos") + 1).cast("long"))).as("fa"))
+      .select(col("event_type"), col("nd"), col("tot"), col("cusum_max"),
+        col("n_alarm"), coalesce(col("fa"), lit(0L)).as("first_alarm"))
+      .orderBy("event_type")
+  }
+
+  val cusumShiftSql: String =
+    """WITH RECURSIVE daily AS MATERIALIZED (
+      |  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |idx AS MATERIALIZED (
+      |  SELECT event_type, c,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY d)::BIGINT AS i
+      |  FROM daily),
+      |t AS MATERIALIZED (
+      |  SELECT event_type, sum(c)::BIGINT AS tot, count(*)::BIGINT AS nd
+      |  FROM daily GROUP BY 1),
+      |rec AS (
+      |  SELECT event_type, 0::BIGINT AS i, 0::BIGINT AS sv FROM t
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1,
+      |    greatest(0, r.sv + x.c * t.nd - t.tot)
+      |  FROM rec r
+      |  JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1
+      |  JOIN t ON t.event_type = r.event_type)
+      |SELECT s.event_type, t.nd, t.tot,
+      |  max(sv)::BIGINT AS cusum_max,
+      |  sum(CASE WHEN sv > 3 * t.tot THEN 1 ELSE 0 END)::BIGINT AS n_alarm,
+      |  coalesce(min(CASE WHEN sv > 3 * t.tot THEN i END), 0)::BIGINT
+      |    AS first_alarm
+      |FROM (SELECT event_type, i, sv FROM rec WHERE i > 0) s
+      |JOIN t ON t.event_type = s.event_type
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q279_cusum_shift" -> cusumShift,
     "q219_ewma_smooth" -> ewmaSmooth,
     "q254_theilsen_trend" -> theilSenTrend,
     "q253_top_paths" -> topPaths,
@@ -915,6 +984,7 @@ object Extended {
   val oracleSql: Map[String, String] = Map(
     "q219_ewma_smooth" -> ewmaSmoothSql,
     "q251_seasonal_anomaly" -> seasonalAnomalySql,
+    "q279_cusum_shift" -> cusumShiftSql,
     "q253_top_paths" -> topPathsSql,
     "q254_theilsen_trend" -> theilSenTrendSql,
     "q237_ccf_leadlag" -> ccfLeadLagSql,

@@ -2331,8 +2331,70 @@ object LlmQueries {
        |ORDER BY query_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- q277
+
+  /** Distinct-n diversity (q277): per source, the distinct-1 and
+    * distinct-2 ratios (unique unigrams / total unigrams, unique
+    * bigrams / total bigrams) — the standard lexical-diversity metric
+    * for spotting templated, looping, or machine-duplicated text
+    * (near-0 distinct-2 = the same phrases over and over; LLM-output
+    * eval uses the same statistic). Token/bigram explosion is map-side;
+    * the two exact count-distinct aggregates shuffle on (source, gram);
+    * ratios are half-away integer DIV at 4 dp. */
+  val distinctN: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+    val uni = d.select(col("source"), explode(col("toks")).as("g"))
+      .filter(col("g") =!= "")
+      .groupBy("source")
+      .agg(count(lit(1)).as("u_tot"), countDistinct("g").as("u_d"))
+    val big = d.select(col("source"), explode(expr(
+        "filter(transform(toks, (x, i) -> IF(i < size(toks) - 1, " +
+        "concat(x, ' ', element_at(toks, i + 2)), NULL)), " +
+        "x -> x IS NOT NULL)")).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("b_tot"), countDistinct("g").as("b_d"))
+    uni.join(big, Seq("source"), "left")
+      .na.fill(0L, Seq("b_tot", "b_d"))
+      .select(col("source"), col("u_tot"), col("u_d"),
+        col("b_tot"), col("b_d"),
+        (expr("(u_d * 20000 + u_tot) DIV (2 * u_tot)").cast("double") /
+          10000.0).as("distinct1_4"),
+        (expr("CASE WHEN b_tot = 0 THEN NULL ELSE " +
+          "(b_d * 20000 + b_tot) DIV (2 * b_tot) END").cast("double") /
+          10000.0).as("distinct2_4"))
+      .orderBy("source")
+  }
+
+  val distinctNSql: String =
+    s"""WITH d AS (SELECT source, $ToksSql AS toks FROM documents),
+       |uni AS (
+       |  SELECT source, count(*)::BIGINT AS u_tot,
+       |    count(DISTINCT g)::BIGINT AS u_d
+       |  FROM (SELECT source, unnest(toks) AS g FROM d) WHERE g <> ''
+       |  GROUP BY 1),
+       |big AS (
+       |  SELECT source, count(*)::BIGINT AS b_tot,
+       |    count(DISTINCT g)::BIGINT AS b_d
+       |  FROM (SELECT source,
+       |          unnest([toks[i] || ' ' || toks[i+1]
+       |                  for i in range(1, len(toks))]) AS g
+       |        FROM d)
+       |  GROUP BY 1)
+       |SELECT uni.source, u_tot, u_d,
+       |  coalesce(b_tot, 0)::BIGINT AS b_tot,
+       |  coalesce(b_d, 0)::BIGINT AS b_d,
+       |  ((u_d * 20000 + u_tot) // (2 * u_tot))::DOUBLE / 10000.0
+       |    AS distinct1_4,
+       |  (CASE WHEN coalesce(b_tot, 0) = 0 THEN NULL ELSE
+       |    (b_d * 20000 + b_tot) // (2 * b_tot) END)::DOUBLE / 10000.0
+       |    AS distinct2_4
+       |FROM uni LEFT JOIN big ON uni.source = big.source
+       |ORDER BY uni.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q275_mrr_eval" -> mrrEval,
+    "q277_distinct_n" -> distinctN,
     "q269_ndcg_eval" -> ndcgEval,
     "q262_js_divergence" -> jsDivergence,
     "q263_ann_drift" -> annDrift,
@@ -2390,6 +2452,7 @@ object LlmQueries {
     "q263_ann_drift" -> annDriftSql,
     "q269_ndcg_eval" -> ndcgEvalSql,
     "q275_mrr_eval" -> mrrEvalSql,
+    "q277_distinct_n" -> distinctNSql,
     "q229_source_profile_sim" -> sourceProfileSimSql,
     "q233_rrf_fusion" -> rrfFusionSql,
     "q240_silhouette" -> silhouetteSql,

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent replays for the corpus-diagnostics wave (q276–q279):
+  * Heaps' fit, distinct-n, mutual information, and the CUSUM fold are
+  * each recomputed sequentially on collected data with the SAME
+  * quantization, so every assert is exact. (The DuckDB oracle is the
+  * cross-engine gate; these pin the semantics.)
+  */
+class CorpusDiagnosticsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def round4(v: Double) =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round6(v: Double) =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** (doc_id, source, tokens) collected once via the shared tokenizer
+    * (tokenization itself is oracle-verified through q38/q39 et al.;
+    * these specs verify the counting on top of it). */
+  private lazy val docToks: Array[(Long, String, Seq[String])] =
+    Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.llm.TextOps.tokens(col("text")).as("toks"))
+      .as[(Long, String, Seq[String])].collect()
+
+  test("q276 Heaps fit equals a sequential bucket replay") {
+    val maxId = docToks.map(_._1).max
+    // per-doc bucket, token volume, and per-token first bucket
+    val firstB = scala.collection.mutable.Map[String, Long]()
+    val vol = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val nv = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((id, _, toks) <- docToks.sortBy(_._1); t <- toks if t.nonEmpty) {
+      val b = id * 50 / (maxId + 1)
+      vol(b) += 1
+      if (!firstB.contains(t) || firstB(t) > b) firstB(t) = b
+    }
+    firstB.values.foreach(b => nv(b) += 1)
+    val bs = (vol.keySet ++ nv.keySet).toSeq.sorted
+    var ct = 0L; var cv = 0L
+    val pts = bs.map { b =>
+      ct += vol(b); cv += nv(b)
+      (math.round(math.log(ct.toDouble) * 1e6),
+        math.round(math.log(cv.toDouble) * 1e6))
+    }
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+    val den = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+    val got = graft.queries.Analytics.heapsFit(spark, sf)
+      .as[(Long, Double)].collect().head
+    assert(got._1 === n)
+    assert(got._2 === round4(num / den))
+    // sublinear vocabulary growth; the synthetic fixture draws from a
+    // bounded vocab pool, so β sits at ~0 — exactly the "templated
+    // text" signal the diagnostic exists to surface
+    assert(got._2 >= 0.0 && got._2 < 1.0)
+  }
+
+  test("q277 distinct-n equals direct per-source recounting") {
+    val expect = docToks.groupBy(_._2).map { case (src, docs) =>
+      val unis = docs.flatMap(_._3).filter(_.nonEmpty)
+      val bigs = docs.flatMap(d => d._3.sliding(2).filter(_.length == 2)
+        .map(p => p(0) + " " + p(1)).toSeq)
+      val (ut, ud) = (unis.length.toLong, unis.distinct.length.toLong)
+      val (bt, bd) = (bigs.length.toLong, bigs.distinct.length.toLong)
+      val d1 = (BigDecimal(ud) / BigDecimal(ut))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val d2 = if (bt == 0) None else Some((BigDecimal(bd) / BigDecimal(bt))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (src, ut, ud, bt, bd, d1, d2)
+    }.toSet
+    val got = graft.queries.LlmQueries.distinctN(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Option[Double])]
+      .collect().toSet
+    assert(got === expect)
+  }
+
+  test("q278 mutual information equals a quantized contingency replay") {
+    val cells = Tables.t(spark, sf, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+    val nn = cells.map(_._3).sum
+    val rl = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cs = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val mi6s = cells.map { case (l, s0, c) =>
+      c * math.round(math.log((c * nn).toDouble / (rl(l) * cs(s0)).toDouble) * 1e6)
+    }.sum
+    val hl6s = rl.values.map(r =>
+      r * math.round(math.log(nn.toDouble / r.toDouble) * 1e6)).sum
+    val hs6s = cs.values.map(c0 =>
+      c0 * math.round(math.log(nn.toDouble / c0.toDouble) * 1e6)).sum
+    val got = graft.queries.Analytics.mutualInfo(spark, sf)
+      .as[(Int, Long, Double, Double)].collect().head
+    assert(got._1 === cells.length)
+    assert(got._2 === nn)
+    assert(got._3 === round6(mi6s.toDouble / (nn.toDouble * 1e6)))
+    assert(got._4 === round6(mi6s.toDouble /
+      math.sqrt(hl6s.toDouble * hs6s.toDouble)))
+    // MI is nonnegative up to micro-quantization slack
+    assert(got._3 >= -1e-4)
+    assert(got._4 <= 1.0 + 1e-4)
+  }
+
+  test("q279 CUSUM equals a plain sequential fold") {
+    val daily = Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("d").cast("string"), col("c"))
+      .as[(String, String, Long)].collect()
+    val expect = daily.groupBy(_._1).map { case (et, g) =>
+      val cs = g.sortBy(_._2).map(_._3)
+      val tot = cs.sum; val nd = cs.length.toLong
+      var sv = 0L; var mx = 0L; var nAlarm = 0L; var first = 0L
+      for ((c, i) <- cs.zipWithIndex) {
+        sv = math.max(0L, sv + c * nd - tot)
+        mx = math.max(mx, sv)
+        if (sv > 3 * tot) {
+          nAlarm += 1
+          if (first == 0L) first = i + 1L
+        }
+      }
+      (et, nd, tot, mx, nAlarm, first)
+    }.toSet
+    val got = graft.queries.Extended.cusumShift(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === expect)
+  }
+}
