@@ -1879,6 +1879,187 @@ object Analytics {
       |  round((u1 - n1::DOUBLE * n2::DOUBLE / 2.0) / sqrt(sigma2), 6) AS z
       |FROM s2 WHERE sigma2 > 0 ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- q280
+
+  /** Exact vocabulary Jaccard between source pairs (q280): the audit
+    * table for q241's KMV-sketch estimate — |V_a ∩ V_b| / |V_a ∪ V_b|
+    * computed exactly from the distinct (source, token) inverted list.
+    * The self-join keys on token, so a token shared by k sources costs
+    * k² pair rows — bounded by the vocabulary domain times the (small,
+    * fixed) source count, never by corpus size; union sizes come from
+    * inclusion–exclusion, and the ratio is a half-away integer DIV at
+    * 4 dp. Pairs with an empty intersection never materialize (the
+    * join IS the sparsity filter). */
+  val vocabJaccard: Q = (s, dir) => {
+    val ts = Tables.t(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+      .localCheckpoint(true)
+    val sizes = ts.groupBy("source").agg(count(lit(1)).as("nv"))
+    ts.as("a").join(ts.as("b"), Seq("tok"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("nv").as("nv_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("nv").as("nv_b"))), "src_b")
+      .withColumn("uni", col("nv_a") + col("nv_b") - col("inter"))
+      .select(col("src_a"), col("src_b"), col("nv_a"), col("nv_b"),
+        col("inter"),
+        (expr("(inter * 20000 + uni) DIV (2 * uni)").cast("double") /
+          10000.0).as("jacc4"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val vocabJaccardSql: String =
+    s"""WITH ts AS MATERIALIZED (
+       |  SELECT DISTINCT source, tok FROM (
+       |    SELECT source, unnest($ToksSql) AS tok FROM documents)
+       |  WHERE tok <> ''),
+       |sz AS MATERIALIZED (
+       |  SELECT source, count(*)::BIGINT AS nv FROM ts GROUP BY 1),
+       |it AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    count(*)::BIGINT AS inter
+       |  FROM ts a JOIN ts b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, x.nv AS nv_a, y.nv AS nv_b, inter,
+       |  ((inter * 20000 + (x.nv + y.nv - inter)) //
+       |   (2 * (x.nv + y.nv - inter)))::DOUBLE / 10000.0 AS jacc4
+       |FROM it JOIN sz x ON x.source = it.src_a
+       |JOIN sz y ON y.source = it.src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
+  // -------------------------------------------------------------- q281
+
+  /** Cramér's V effect size (q281): q221 reports the lang×source
+    * chi-square parts; V = √(χ² / (N·min(r−1, c−1))) turns the global
+    * statistic into a 0–1 association strength that is comparable
+    * across table shapes — the number a mixture report quotes next to
+    * q278's mutual information. Reuses q221's exact cell construction
+    * (micro-quantized (O−E)²/E summed as BIGINTs); r, c, N are exact
+    * counts; the only float ops are the fixed final expression and one
+    * correctly-rounded sqrt. */
+  val cramersV: Q = (s, dir) => {
+    val cells = Tables.t(s, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val rowTot = cells.groupBy("source").agg(sum("o").as("r"))
+    val colTot = cells.groupBy("lang").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("nn"))
+    cells.join(rowTot, "source").join(colTot, "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        col("r").cast("double") * col("c").cast("double") /
+          col("nn").cast("double"))
+      .withColumn("dd", col("o").cast("double") - col("e"))
+      .withColumn("micro",
+        round(col("dd") * col("dd") / col("e") * 1e6).cast("long"))
+      .agg(countDistinct("source").cast("int").as("n_rows"),
+        countDistinct("lang").cast("int").as("n_cols"),
+        first("nn").as("nn"), sum("micro").as("m"))
+      .withColumn("k",
+        least(col("n_rows") - 1, col("n_cols") - 1).cast("long"))
+      .select(col("n_rows"), col("n_cols"), col("nn"),
+        round(col("m").cast("double") / 1e6, 6).as("chi2"),
+        round(sqrt(col("m").cast("double") / 1e6 /
+          (col("nn").cast("double") * col("k").cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
+  val cramersVSql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, count(*)::BIGINT AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT source, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+      |ct AS (SELECT lang, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+      |t AS (SELECT sum(o)::BIGINT AS nn FROM cells),
+      |agg AS (
+      |  SELECT count(DISTINCT cells.source)::INT AS n_rows,
+      |    count(DISTINCT cells.lang)::INT AS n_cols,
+      |    any_value(t.nn) AS nn,
+      |    sum(round((o::DOUBLE - rt.r::DOUBLE * ct.c::DOUBLE / t.nn::DOUBLE)
+      |        * (o::DOUBLE - rt.r::DOUBLE * ct.c::DOUBLE / t.nn::DOUBLE)
+      |        / (rt.r::DOUBLE * ct.c::DOUBLE / t.nn::DOUBLE) * 1e6
+      |        )::BIGINT)::BIGINT AS m
+      |  FROM cells JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN t)
+      |SELECT n_rows, n_cols, nn,
+      |  round(m::DOUBLE / 1e6, 6) AS chi2,
+      |  round(sqrt(m::DOUBLE / 1e6 /
+      |    (nn::DOUBLE * least(n_rows - 1, n_cols - 1)::BIGINT::DOUBLE)), 6)
+      |    AS cramers_v
+      |FROM agg""".stripMargin
+
+  // -------------------------------------------------------------- q282
+
+  /** Transition conditional entropy (q282): how predictable is the
+    * NEXT event given the current one — H(next), H(next | prev), and
+    * their difference (the information the previous event carries),
+    * over q125's per-user transition table. Each bounded transition
+    * cell quantizes ln(n_prev/c) (and each marginal ln(N/c_next)) to
+    * micro-nats before the exact-BIGINT weighted sums — the q278
+    * discipline — so the entropies are order-free integer aggregations
+    * with one fixed IEEE division at the end. Data-scale work: the
+    * keyed per-user lag and one transition count. */
+  val transitionEntropy: Q = (s, dir) => {
+    val seqW = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val t = Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag("event_type", 1).over(seqW))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("nxt"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tp = t.groupBy("prev").agg(sum("c").as("np"))
+    val tn = t.groupBy("nxt").agg(sum("c").as("cn"))
+    val tot = t.agg(sum("c").as("nn"))
+    val hc = t.join(broadcast(tp), "prev")
+      .withColumn("m6",
+        round(log(col("np").cast("double") / col("c").cast("double")) * 1e6)
+          .cast("long"))
+      .agg(count(lit(1)).cast("int").as("n_cells"),
+        sum(col("c") * col("m6")).as("hc6s"))
+    val hn = tn.crossJoin(broadcast(tot))
+      .select(sum(col("cn") *
+        round(log(col("nn").cast("double") / col("cn").cast("double")) * 1e6)
+          .cast("long")).as("hn6s"))
+    val nnd = col("nn").cast("double") * 1e6
+    hc.crossJoin(broadcast(hn)).crossJoin(broadcast(tot))
+      .select(col("n_cells"), col("nn"),
+        round(col("hn6s").cast("double") / nnd, 6).as("h_next"),
+        round(col("hc6s").cast("double") / nnd, 6).as("h_next_given_prev"),
+        round((col("hn6s") - col("hc6s")).cast("double") / nnd, 6)
+          .as("info_gain"))
+  }
+
+  val transitionEntropySql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |tr AS MATERIALIZED (
+      |  SELECT prev, event_type AS nxt, count(*)::BIGINT AS c FROM s
+      |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |tp AS (SELECT prev, sum(c)::BIGINT AS np FROM tr GROUP BY 1),
+      |tn AS (SELECT nxt, sum(c)::BIGINT AS cn FROM tr GROUP BY 1),
+      |t AS (SELECT sum(c)::BIGINT AS nn FROM tr),
+      |hc AS (
+      |  SELECT count(*)::INT AS n_cells,
+      |    sum(c * round(ln(np::DOUBLE / c::DOUBLE) * 1e6)::BIGINT)
+      |      ::BIGINT AS hc6s
+      |  FROM tr JOIN tp USING (prev)),
+      |hn AS (
+      |  SELECT sum(cn * round(ln(nn::DOUBLE / cn::DOUBLE) * 1e6)::BIGINT)
+      |    ::BIGINT AS hn6s
+      |  FROM tn CROSS JOIN t)
+      |SELECT n_cells, nn,
+      |  round(hn6s::DOUBLE / (nn::DOUBLE * 1e6), 6) AS h_next,
+      |  round(hc6s::DOUBLE / (nn::DOUBLE * 1e6), 6) AS h_next_given_prev,
+      |  round((hn6s - hc6s)::DOUBLE / (nn::DOUBLE * 1e6), 6) AS info_gain
+      |FROM hc CROSS JOIN hn CROSS JOIN t""".stripMargin
+
   // -------------------------------------------------------------- q276
 
   /** Heaps'-law fit (q276): vocabulary-growth exponent β in
@@ -2865,6 +3046,9 @@ object Analytics {
     "q274_kruskal_wallis" -> kruskalWallis,
     "q276_heaps_fit" -> heapsFit,
     "q278_mutual_info" -> mutualInfo,
+    "q280_vocab_jaccard" -> vocabJaccard,
+    "q281_cramers_v" -> cramersV,
+    "q282_transition_entropy" -> transitionEntropy,
     "q232_kmv_distinct" -> kmvDistinct,
     "q235_kmv_merge" -> kmvMerge,
     "q241_kmv_jaccard" -> kmvJaccard,
@@ -2918,6 +3102,9 @@ object Analytics {
     "q274_kruskal_wallis" -> kruskalWallisSql,
     "q276_heaps_fit" -> heapsFitSql,
     "q278_mutual_info" -> mutualInfoSql,
+    "q280_vocab_jaccard" -> vocabJaccardSql,
+    "q281_cramers_v" -> cramersVSql,
+    "q282_transition_entropy" -> transitionEntropySql,
     "q232_kmv_distinct" -> kmvDistinctSql,
     "q235_kmv_merge" -> kmvMergeSql,
     "q241_kmv_jaccard" -> kmvJaccardSql,

@@ -107,6 +107,75 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(got._4 <= 1.0 + 1e-4)
   }
 
+  test("q280 vocab Jaccard equals brute-force set arithmetic") {
+    val vocab = docToks.groupBy(_._2).view
+      .mapValues(_.flatMap(_._3).filter(_.nonEmpty).toSet).toMap
+    val srcs = vocab.keys.toSeq.sorted
+    val expect = (for {
+      a <- srcs; b <- srcs if a < b
+      inter = (vocab(a) & vocab(b)).size.toLong if inter > 0
+    } yield {
+      val uni = (vocab(a) | vocab(b)).size.toLong
+      (a, b, vocab(a).size.toLong, vocab(b).size.toLong, inter,
+        (BigDecimal(inter) / BigDecimal(uni))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).toSet
+    val got = graft.queries.Analytics.vocabJaccard(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  test("q281 Cramer's V equals a quantized chi-square replay") {
+    val cells = Tables.t(spark, sf, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+      .as[(String, String, Long)].collect()
+    val nn = cells.map(_._3).sum
+    val rt = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ct = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val m = cells.map { case (s0, l, o) =>
+      val e = rt(s0).toDouble * ct(l).toDouble / nn.toDouble
+      val dd = o.toDouble - e
+      math.round(dd * dd / e * 1e6)
+    }.sum
+    val k = math.min(rt.size - 1, ct.size - 1).toLong
+    val got = graft.queries.Analytics.cramersV(spark, sf)
+      .as[(Int, Int, Long, Double, Double)].collect().head
+    assert((got._1, got._2, got._3) === ((rt.size, ct.size, nn)))
+    assert(got._4 === round6(m.toDouble / 1e6))
+    assert(got._5 === round6(
+      math.sqrt(m.toDouble / 1e6 / (nn.toDouble * k.toDouble))))
+    assert(got._5 >= 0.0 && got._5 <= 1.0 + 1e-6)
+  }
+
+  test("q282 transition entropies equal a sequential replay; gain >= 0") {
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("event_id"))
+      .as[(Long, String, Long, Long)].collect()
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val s0 = g.sortBy(x => (x._3, x._4)).map(_._2)
+      s0.zip(s0.tail)
+    }
+    val cellCnt = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val np = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cn = trans.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nn = trans.length.toLong
+    val hc6s = cellCnt.map { case ((p, _), c) =>
+      c * math.round(math.log(np(p).toDouble / c.toDouble) * 1e6)
+    }.sum
+    val hn6s = cn.values.map(c =>
+      c * math.round(math.log(nn.toDouble / c.toDouble) * 1e6)).sum
+    val got = graft.queries.Analytics.transitionEntropy(spark, sf)
+      .as[(Int, Long, Double, Double, Double)].collect().head
+    assert(got._1 === cellCnt.size)
+    assert(got._2 === nn)
+    assert(got._3 === round6(hn6s.toDouble / (nn.toDouble * 1e6)))
+    assert(got._4 === round6(hc6s.toDouble / (nn.toDouble * 1e6)))
+    assert(got._5 === round6((hn6s - hc6s).toDouble / (nn.toDouble * 1e6)))
+    // conditioning can only reduce entropy (up to micro-quant slack)
+    assert(got._5 >= -1e-4)
+  }
+
   test("q279 CUSUM equals a plain sequential fold") {
     val daily = Tables.t(spark, sf, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
