@@ -521,6 +521,50 @@ object StreamOps {
       }
   }
 
+  // ---- custom state: CUSUM mean-shift monitor (q279's twin) ----
+
+  case class CusumState(sv: Long, mx: Long, nAlarm: Long, first: Long,
+                        idx: Long)
+  case class CusumUpdate(event_type: String, n_days: Long, sv: Long,
+                         cusum_max: Long, n_alarm: Long, first_alarm: Long)
+
+  /** Streaming one-sided CUSUM control chart: batch q279's
+    * integer-exact recursion S·nd ← max(0, S·nd + c·nd − Σc) folded as
+    * keyed state over in-order daily counts, against a FIXED
+    * calibration reference (Σc, nd of the calibration window) — the
+    * offline-calibrate / online-monitor split production control
+    * charts use (the monitor must not rederive its mean from the data
+    * it is judging). Input rows are (event_type, day, count)
+    * pre-aggregated daily rollups arriving in day order; days inside a
+    * micro-batch fold in day order. State is five longs per type; one
+    * update per type per touching batch, alarm when S·nd > 3·Σc
+    * (StreamingSpec proves the final emission equals q279 row for
+    * row when calibrated on the same window). */
+  def cusumMonitor(daily: Dataset[(String, String, Long)],
+                   ref: Map[String, (Long, Long)]): Dataset[CusumUpdate] = {
+    import daily.sparkSession.implicits._
+    daily.groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[(String, String, Long)],
+         state: GroupState[CusumState]) =>
+          val (tot, nd) = ref.getOrElse(et, (0L, 1L))
+          var st = state.getOption
+            .getOrElse(CusumState(0L, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_._2).foreach { r =>
+            val sv = math.max(0L, st.sv + r._3 * nd - tot)
+            val idx = st.idx + 1
+            val alarm = sv > 3 * tot
+            st = CusumState(sv, math.max(st.mx, sv),
+              st.nAlarm + (if (alarm) 1L else 0L),
+              if (st.first == 0L && alarm) idx else st.first, idx)
+          }
+          state.update(st)
+          Iterator.single(CusumUpdate(et, st.idx, st.sv, st.mx,
+            st.nAlarm, st.first))
+      }
+  }
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -371,6 +371,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CUSUM monitor replays to exactly the batch q279 chart") {
+    // the calibration window IS the batch corpus: daily per-type counts
+    val daily = Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect().sortBy(r => (r._2, r._1))
+    val ref = daily.groupBy(_._1).view
+      .mapValues(g => (g.map(_._3).sum, g.length.toLong)).toMap
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Long)](spark)
+    val q = StreamOps.cusumMonitor(stream.toDS(), ref)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_cusum").start()
+    // in-day-order delivery split at an arbitrary point
+    stream.addData(daily.take(daily.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    stream.addData(daily.drop(daily.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val latest = spark.table("t_cusum").as[StreamOps.CusumUpdate].collect()
+      .groupBy(_.event_type).map { case (_, g) => g.maxBy(_.n_days) }
+    val batch = graft.queries.Extended.cusumShift(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(latest.nonEmpty && latest.size === batch.size)
+    latest.foreach { u =>
+      val (_, nd, _, mx, nAlarm, first) = batch(u.event_type)
+      assert(u.n_days === nd && u.cusum_max === mx &&
+        u.n_alarm === nAlarm && u.first_alarm === first,
+        s"type ${u.event_type}: stream ($u) vs batch ${batch(u.event_type)}")
+    }
+  }
+
   test("streaming session paths replay to exactly the batch q253 top paths") {
     val evs = Tables.t(spark, sf, "events")
       .select(col("event_id"), col("ts"), col("user_id"),
