@@ -1879,6 +1879,105 @@ object Analytics {
       |  round((u1 - n1::DOUBLE * n2::DOUBLE / 2.0) / sqrt(sigma2), 6) AS z
       |FROM s2 WHERE sigma2 > 0 ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- q284
+
+  /** Token burstiness / Fano factor (q284): for the top-50 corpus
+    * tokens, the variance-to-mean ratio of per-document counts (zeros
+    * included) — content words clump (F ≫ 1), function words scatter
+    * Poisson-like (F ≈ 1), so the table separates topical vocabulary
+    * from glue and flags template-injected tokens (huge F at high
+    * frequency). With D docs, F = (D·Σc² − (Σc)²) / (D·Σc): exact
+    * BIGINT moments from one (doc, token) count aggregate (absent docs
+    * contribute zero to both sums, so the zeros never materialize),
+    * half-away integer DIV at 4 dp. Top-50 is a
+    * TakeOrderedAndProject over the bounded token table. */
+  val fanoBurstiness: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    val nd = d.agg(count(lit(1)).as("ndocs"))
+    d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("tok")
+      .agg(sum("c").as("tot"), sum(col("c") * col("c")).as("s2"))
+      .crossJoin(broadcast(nd))
+      .withColumn("fano4", expr(
+        "((ndocs * s2 - tot * tot) * 20000 + (ndocs * tot)) DIV " +
+        "(2 * ndocs * tot)").cast("double") / 10000.0)
+      .select(col("tok"), col("tot"), col("fano4"))
+      .orderBy(col("tot").desc, col("tok").asc).limit(50)
+  }
+
+  val fanoBurstinessSql: String =
+    s"""WITH dc AS (
+       |  SELECT doc_id, tok, count(*)::BIGINT AS c FROM (
+       |    SELECT doc_id, unnest($ToksSql) AS tok FROM documents)
+       |  WHERE tok <> '' GROUP BY 1, 2),
+       |nd AS (SELECT count(*)::BIGINT AS ndocs FROM documents),
+       |m AS (
+       |  SELECT tok, sum(c)::BIGINT AS tot, sum(c * c)::BIGINT AS s2
+       |  FROM dc GROUP BY 1)
+       |SELECT tok, tot,
+       |  (((ndocs * s2 - tot * tot) * 20000 + (ndocs * tot)) //
+       |   (2 * ndocs * tot))::DOUBLE / 10000.0 AS fano4
+       |FROM m CROSS JOIN nd
+       |ORDER BY tot DESC, tok ASC LIMIT 50""".stripMargin
+
+  // -------------------------------------------------------------- q285
+
+  /** Two-proportion z-test (q285): the A/B acceptance statistic — do
+    * the two (deterministic, id-parity) arms convert at different
+    * rates? The unit is the active user-day; a day converts when it
+    * contains a `purchase`. Exact (n, x) per arm from one keyed
+    * aggregate; the pooled z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) is one
+    * fixed IEEE expression over those four integers (one sqrt, no
+    * pow), NULL when the pooled rate is degenerate (0 or 1 — zero
+    * variance, no test). */
+  val twoProportionZ: Q = (s, dir) =>
+    Tables.t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("v", (col("user_id") % 2).cast("int"))
+      .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("v") === 0, col("conv")).otherwise(0L)).as("x1"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("v") === 1, col("conv")).otherwise(0L)).as("x2"))
+      .select(col("n1"), col("x1"), col("n2"), col("x2"),
+        when(col("n1") === 0 || col("n2") === 0 ||
+          col("x1") + col("x2") === 0 ||
+          col("x1") + col("x2") === col("n1") + col("n2"), lit(null))
+          .otherwise(
+            round((col("x1").cast("double") / col("n1").cast("double") -
+              col("x2").cast("double") / col("n2").cast("double")) /
+              sqrt((col("x1") + col("x2")).cast("double") /
+                (col("n1") + col("n2")).cast("double") *
+                (lit(1.0) - (col("x1") + col("x2")).cast("double") /
+                  (col("n1") + col("n2")).cast("double")) *
+                (lit(1.0) / col("n1").cast("double") +
+                  lit(1.0) / col("n2").cast("double"))), 6)).as("z"))
+
+  val twoProportionZSql: String =
+    """WITH conv AS (
+      |  SELECT user_id, ts::DATE AS d,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+      |      AS conv
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT
+      |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)::BIGINT AS x1,
+      |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n2,
+      |    sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)::BIGINT AS x2
+      |  FROM conv)
+      |SELECT n1, x1, n2, x2,
+      |  CASE WHEN n1 = 0 OR n2 = 0 OR x1 + x2 = 0
+      |            OR x1 + x2 = n1 + n2 THEN NULL ELSE
+      |    round((x1::DOUBLE / n1::DOUBLE - x2::DOUBLE / n2::DOUBLE) /
+      |      sqrt((x1 + x2)::DOUBLE / (n1 + n2)::DOUBLE *
+      |        (1.0 - (x1 + x2)::DOUBLE / (n1 + n2)::DOUBLE) *
+      |        (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE)), 6) END AS z
+      |FROM a""".stripMargin
+
   // -------------------------------------------------------------- q280
 
   /** Exact vocabulary Jaccard between source pairs (q280): the audit
@@ -3047,6 +3146,8 @@ object Analytics {
     "q276_heaps_fit" -> heapsFit,
     "q278_mutual_info" -> mutualInfo,
     "q280_vocab_jaccard" -> vocabJaccard,
+    "q284_fano_burstiness" -> fanoBurstiness,
+    "q285_two_proportion_z" -> twoProportionZ,
     "q281_cramers_v" -> cramersV,
     "q282_transition_entropy" -> transitionEntropy,
     "q232_kmv_distinct" -> kmvDistinct,
@@ -3103,6 +3204,8 @@ object Analytics {
     "q276_heaps_fit" -> heapsFitSql,
     "q278_mutual_info" -> mutualInfoSql,
     "q280_vocab_jaccard" -> vocabJaccardSql,
+    "q284_fano_burstiness" -> fanoBurstinessSql,
+    "q285_two_proportion_z" -> twoProportionZSql,
     "q281_cramers_v" -> cramersVSql,
     "q282_transition_entropy" -> transitionEntropySql,
     "q232_kmv_distinct" -> kmvDistinctSql,

@@ -951,8 +951,87 @@ object Extended {
       |JOIN t ON t.event_type = s.event_type
       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q283
+
+  /** Kaplan–Meier user-lifetime survival (q283): the retention curve —
+    * per distinct active-lifetime t (days between a user's first and
+    * last event), the at-risk count, the churn count (last event more
+    * than 7 days before the corpus horizon = an observed "death";
+    * anything later is right-censored), and the LOG survival in exact
+    * micro-nats: each factor ln((n_i−d_i)/n_i) is quantized before the
+    * cumulative sum (the q278/q282 discipline), so the curve is an
+    * order-free integer aggregation — no exp/product float chains, and
+    * consumers exponentiate at read time. The lifetime spine is
+    * bounded by the observation window's day count; data-scale work is
+    * one per-user min/max aggregate. An absorbed step (n_risk = d,
+    * survival exactly 0) yields a NULL log — flagged, not fudged. */
+  val kaplanMeier: Q = (s, dir) => {
+    val perUser = Tables.t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("first_d"),
+        max(to_date(col("ts"))).as("last_d"))
+    val endD = Tables.t(s, dir, "events")
+      .agg(max(to_date(col("ts"))).as("end_d"))
+    val cnt = perUser.crossJoin(broadcast(endD))
+      .select(datediff(col("last_d"), col("first_d")).cast("long").as("t"),
+        (datediff(col("end_d"), col("last_d")) > 7).as("churned"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_t"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d"))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cnt.agg(sum("n_t").as("nn"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("n_t").over(w))
+      .withColumn("n_risk", col("nn") - col("cum") + col("n_t"))
+      .withColumn("ls6", expr(
+        "CASE WHEN d = 0 THEN 0L WHEN n_risk > d THEN " +
+        "CAST(round(ln(CAST(n_risk - d AS DOUBLE) / " +
+        "CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT) ELSE NULL END"))
+      .withColumn("log_surv_micro", sum("ls6").over(w))
+      .select(col("t"), col("n_risk"), col("d").as("n_churn"),
+        when(col("ls6").isNull, lit(null)).otherwise(col("log_surv_micro"))
+          .as("log_surv_micro"))
+      .orderBy("t")
+  }
+
+  val kaplanMeierSql: String =
+    """WITH pu AS (
+      |  SELECT user_id, min(ts::DATE) AS first_d, max(ts::DATE) AS last_d
+      |  FROM events GROUP BY 1),
+      |e AS (SELECT max(ts::DATE) AS end_d FROM events),
+      |life AS (
+      |  SELECT (last_d - first_d)::BIGINT AS t,
+      |    (end_d - last_d) > 7 AS churned
+      |  FROM pu CROSS JOIN e),
+      |cnt AS (
+      |  SELECT t, count(*)::BIGINT AS n_t,
+      |    sum(CASE WHEN churned THEN 1 ELSE 0 END)::BIGINT AS d
+      |  FROM life GROUP BY 1),
+      |t2 AS (SELECT sum(n_t)::BIGINT AS nn FROM cnt),
+      |k AS (
+      |  SELECT t, n_t, d,
+      |    (nn - sum(n_t) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + n_t)
+      |      ::BIGINT AS n_risk
+      |  FROM cnt CROSS JOIN t2),
+      |ls AS (
+      |  SELECT t, n_risk, d,
+      |    CASE WHEN d = 0 THEN 0
+      |         WHEN n_risk > d THEN round(ln((n_risk - d)::DOUBLE /
+      |           n_risk::DOUBLE) * 1e6)::BIGINT
+      |         ELSE NULL END AS ls6
+      |  FROM k)
+      |SELECT t, n_risk, d AS n_churn,
+      |  (CASE WHEN ls6 IS NULL THEN NULL ELSE
+      |    sum(ls6) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END)
+      |    ::BIGINT AS log_surv_micro
+      |FROM ls ORDER BY t""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q279_cusum_shift" -> cusumShift,
+    "q283_kaplan_meier" -> kaplanMeier,
     "q219_ewma_smooth" -> ewmaSmooth,
     "q254_theilsen_trend" -> theilSenTrend,
     "q253_top_paths" -> topPaths,
@@ -985,6 +1064,7 @@ object Extended {
     "q219_ewma_smooth" -> ewmaSmoothSql,
     "q251_seasonal_anomaly" -> seasonalAnomalySql,
     "q279_cusum_shift" -> cusumShiftSql,
+    "q283_kaplan_meier" -> kaplanMeierSql,
     "q253_top_paths" -> topPathsSql,
     "q254_theilsen_trend" -> theilSenTrendSql,
     "q237_ccf_leadlag" -> ccfLeadLagSql,

@@ -176,6 +176,88 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(got._5 >= -1e-4)
   }
 
+  test("q283 Kaplan-Meier equals a sequential life-table walk") {
+    val pu = Tables.t(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("f"), max(to_date(col("ts"))).as("l"))
+      .select(col("user_id"), datediff(col("l"), col("f")).cast("long"),
+        col("l").cast("string"))
+      .as[(Long, Long, String)].collect()
+    val endD = pu.map(_._3).max
+    def days(a: String, b: String) =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(a), java.time.LocalDate.parse(b))
+    val lives = pu.map(r => (r._2, days(r._3, endD) > 7))
+    val spine = lives.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = lives.length.toLong
+    var cum = 0L
+    val expect = spine.map { case (t, g) =>
+      val d = g.count(_._2).toLong
+      val nRisk = atRisk
+      val ls6: Option[Long] =
+        if (d == 0) Some(0L)
+        else if (nRisk > d)
+          Some(math.round(math.log((nRisk - d).toDouble / nRisk.toDouble) * 1e6))
+        else None
+      ls6.foreach(cum += _)
+      atRisk -= g.length
+      (t, nRisk, d, ls6.map(_ => cum))
+    }
+    val got = graft.queries.Extended.kaplanMeier(spark, sf)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(got === expect)
+    // survival only decays: the defined log values are non-increasing
+    val defined = got.flatMap(_._4)
+    assert(defined.zip(defined.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("q284 Fano factors equal direct per-token moment replay") {
+    val ndocs = docToks.length.toLong
+    val perDoc = docToks.flatMap { case (id, _, toks) =>
+      toks.filter(_.nonEmpty).groupBy(identity).map {
+        case (t, g) => (t, g.size.toLong)
+      }
+    }
+    val moments = perDoc.groupBy(_._1).view.mapValues { g =>
+      (g.map(_._2).sum, g.map(x => x._2 * x._2).sum)
+    }.toMap
+    val got = graft.queries.Analytics.fanoBurstiness(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(got.length === math.min(50, moments.size))
+    // returned rows are the top tokens by count, in order
+    val expTop = moments.toSeq.map { case (t, (tot, _)) => (t, tot) }
+      .sortBy { case (t, tot) => (-tot, t) }.take(got.length)
+    assert(got.map(r => (r._1, r._2)).toSeq === expTop)
+    got.foreach { case (tok, tot, f4) =>
+      val (_, s2) = moments(tok)
+      val num = ndocs * s2 - tot * tot
+      assert(f4 === (BigDecimal(num) / BigDecimal(ndocs * tot))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, tok)
+      assert(f4 >= 0.0)
+    }
+  }
+
+  test("q285 two-proportion z equals a direct replay") {
+    val ud = Tables.t(spark, sf, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(col("user_id"), col("conv")).as[(Long, Long)].collect()
+    val (a, b) = ud.partition(_._1 % 2 == 0)
+    val (n1, x1) = (a.length.toLong, a.map(_._2).sum)
+    val (n2, x2) = (b.length.toLong, b.map(_._2).sum)
+    val got = graft.queries.Analytics.twoProportionZ(spark, sf)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert((got._1, got._2, got._3, got._4) === ((n1, x1, n2, x2)))
+    if (x1 + x2 == 0 || x1 + x2 == n1 + n2) assert(got._5.isEmpty)
+    else {
+      val p = (x1 + x2).toDouble / (n1 + n2).toDouble
+      val z = (x1.toDouble / n1.toDouble - x2.toDouble / n2.toDouble) /
+        math.sqrt(p * (1.0 - p) * (1.0 / n1.toDouble + 1.0 / n2.toDouble))
+      assert(got._5 === Some(round6(z)))
+    }
+  }
+
   test("q279 CUSUM equals a plain sequential fold") {
     val daily = Tables.t(spark, sf, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
