@@ -1978,6 +1978,118 @@ object Analytics {
       |        (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE)), 6) END AS z
       |FROM a""".stripMargin
 
+  // -------------------------------------------------------------- q286
+
+  /** A/B sample-size calculator (q286): q285's design-time companion —
+    * given the corpus baseline user-day conversion rate p̂, the user-days
+    * per arm needed to detect a 10% relative lift at α = 0.05 (two-
+    * sided), power 0.8: n = (z_{α/2}+z_β)²·(p₁q₁+p₂q₂)/δ². The normal
+    * quantiles are fixed literals (1.959964, 0.841621 — micro-exact in
+    * both engines); p̂ comes from exact counts, the rest is one fixed
+    * IEEE expression and a ceiling. Output also reports how many days
+    * of the observed corpus volume that sample represents. */
+  val sampleSize: Q = (s, dir) => {
+    val base = Tables.t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .agg(count(lit(1)).as("n"), sum("conv").as("x"),
+        countDistinct("d").as("n_days"))
+    val p1 = col("x").cast("double") / col("n").cast("double")
+    val p2 = p1 * 1.1
+    val zsum = lit(1.959964 + 0.841621)
+    base
+      .withColumn("n_arm",
+        ceil(zsum * zsum * (p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2)) /
+          ((p2 - p1) * (p2 - p1))).cast("long"))
+      .select(col("n"), col("x"),
+        // exact 6-dp baseline rate (half-away integer DIV, not a float
+        // round of the ratio — the q258 knife-edge lesson)
+        (expr("(x * 2000000 + n) DIV (2 * n)").cast("double") / 1e6)
+          .as("p_base"),
+        col("n_arm"),
+        // days of corpus volume per arm at the observed daily rate,
+        // half-away integer DIV over exact counts
+        expr("(n_arm * n_days * 2 + n) DIV (2 * n)").as("days_needed"))
+  }
+
+  val sampleSizeSql: String =
+    """WITH conv AS (
+      |  SELECT user_id, ts::DATE AS d,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+      |      AS conv
+      |  FROM events GROUP BY 1, 2),
+      |b AS (
+      |  SELECT count(*)::BIGINT AS n, sum(conv)::BIGINT AS x,
+      |    count(DISTINCT d)::BIGINT AS n_days
+      |  FROM conv),
+      |c AS (
+      |  SELECT n, x, n_days, x::DOUBLE / n::DOUBLE AS p1,
+      |    x::DOUBLE / n::DOUBLE * 1.1 AS p2
+      |  FROM b),
+      |z AS (
+      |  SELECT n, x, n_days, p1,
+      |    ceil((1.959964 + 0.841621) * (1.959964 + 0.841621) *
+      |      (p1 * (1.0 - p1) + p2 * (1.0 - p2)) /
+      |      ((p2 - p1) * (p2 - p1)))::BIGINT AS n_arm
+      |  FROM c)
+      |SELECT n, x,
+      |  ((x * 2000000 + n) // (2 * n))::DOUBLE / 1e6 AS p_base, n_arm,
+      |  (n_arm * n_days * 2 + n) // (2 * n) AS days_needed
+      |FROM z""".stripMargin
+
+  // -------------------------------------------------------------- q287
+
+  /** Hill tail-index estimator (q287): how heavy is the document-length
+    * tail — γ̂ = (1/k)·Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k = 200 largest
+    * lengths (tail index α = 1/γ̂; α ≤ 2 means infinite variance, the
+    * "a few giant documents dominate token mass" regime that breaks
+    * uniform-partition assumptions). The top-(k+1) VALUE multiset is
+    * order-invariant under ties, each log term is micro-quantized
+    * before the exact integer sum (q246 discipline), and the spine is
+    * 201 rows off a TakeOrderedAndProject — no global sort. */
+  val hillTail: Q = (s, dir) => {
+    val k = 200
+    val top = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc).limit(k + 1)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_chars").desc, col("doc_id").asc)))
+    val ref = top.filter(col("rk") === k + 1)
+      .select(col("n_chars").as("x_ref"))
+    top.filter(col("rk") <= k).crossJoin(broadcast(ref))
+      .select(round(log(col("n_chars").cast("double") /
+        col("x_ref").cast("double")) * 1e6).cast("long").as("t6"),
+        col("x_ref"))
+      .groupBy("x_ref").agg(count(lit(1)).cast("int").as("k"),
+        sum("t6").as("s6"))
+      .select(col("k"), col("x_ref"),
+        round(col("s6").cast("double") / (col("k").cast("double") * 1e6), 6)
+          .as("hill_gamma"),
+        when(col("s6") === 0, lit(null)).otherwise(
+          round(col("k").cast("double") * 1e6 / col("s6").cast("double"), 4))
+          .as("tail_alpha"))
+  }
+
+  val hillTailSql: String =
+    """WITH top AS (
+      |  SELECT n_chars,
+      |    row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rk
+      |  FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 201),
+      |ref AS (SELECT n_chars AS x_ref FROM top WHERE rk = 201),
+      |t AS (
+      |  SELECT round(ln(n_chars::DOUBLE / x_ref::DOUBLE) * 1e6)::BIGINT
+      |      AS t6, x_ref
+      |  FROM top CROSS JOIN ref WHERE rk <= 200),
+      |m AS (
+      |  SELECT x_ref, count(*)::INT AS k, sum(t6)::BIGINT AS s6
+      |  FROM t GROUP BY 1)
+      |SELECT k, x_ref,
+      |  round(s6::DOUBLE / (k::DOUBLE * 1e6), 6) AS hill_gamma,
+      |  CASE WHEN s6 = 0 THEN NULL ELSE
+      |    round(k::DOUBLE * 1e6 / s6::DOUBLE, 4) END AS tail_alpha
+      |FROM m""".stripMargin
+
   // -------------------------------------------------------------- q280
 
   /** Exact vocabulary Jaccard between source pairs (q280): the audit
@@ -3147,6 +3259,8 @@ object Analytics {
     "q278_mutual_info" -> mutualInfo,
     "q280_vocab_jaccard" -> vocabJaccard,
     "q284_fano_burstiness" -> fanoBurstiness,
+    "q286_sample_size" -> sampleSize,
+    "q287_hill_tail" -> hillTail,
     "q285_two_proportion_z" -> twoProportionZ,
     "q281_cramers_v" -> cramersV,
     "q282_transition_entropy" -> transitionEntropy,
@@ -3205,6 +3319,8 @@ object Analytics {
     "q278_mutual_info" -> mutualInfoSql,
     "q280_vocab_jaccard" -> vocabJaccardSql,
     "q284_fano_burstiness" -> fanoBurstinessSql,
+    "q286_sample_size" -> sampleSizeSql,
+    "q287_hill_tail" -> hillTailSql,
     "q285_two_proportion_z" -> twoProportionZSql,
     "q281_cramers_v" -> cramersVSql,
     "q282_transition_entropy" -> transitionEntropySql,

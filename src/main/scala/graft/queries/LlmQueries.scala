@@ -2392,9 +2392,79 @@ object LlmQueries {
        |FROM uni LEFT JOIN big ON uni.source = big.source
        |ORDER BY uni.source""".stripMargin
 
+  // -------------------------------------------------------------- q288
+
+  /** Readability scoring + grade gate (q288): a Flesch-style proxy
+    * score = 206.835 − 1.015·(words/sentence) − 8.46·(chars/word)
+    * (chars-per-word standing in for syllables-per-word — the standard
+    * syllable-free adaptation) with a five-band grade label — the
+    * audience-targeting curation gate published pipelines run next to
+    * quality scores. The whole score is EXACT integer arithmetic: with
+    * M = 206835·s·w − 1015·w² − 8460·c·s the 2-dp score is the
+    * half-away integer quotient M/(10·s·w) — no float ratio ever
+    * rounds (the q258 knife-edge lesson, applied per doc at corpus
+    * scale where boundary hits are guaranteed eventually). One codegen
+    * scan projection; no shuffle beyond the presentation sort. */
+  val readability: Q = (s, dir) =>
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextOps.tokens(col("text")).as("toks"))
+      .withColumn("w",
+        greatest(expr("size(filter(toks, x -> x != ''))"), lit(1))
+          .cast("long"))
+      .withColumn("sn",
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast("long"))
+      .withColumn("c", length(col("text")).cast("long"))
+      .withColumn("m",
+        lit(206835L) * col("sn") * col("w") - lit(1015L) * col("w") * col("w") -
+          lit(8460L) * col("c") * col("sn"))
+      .withColumn("den", lit(10L) * col("sn") * col("w"))
+      .withColumn("s2", expr(
+        "CASE WHEN m >= 0 THEN (m * 2 + den) DIV (2 * den) " +
+        "ELSE -((-m * 2 + den) DIV (2 * den)) END"))
+      .select(col("doc_id"), col("w").as("n_words"),
+        col("sn").as("n_sentences"),
+        (col("s2").cast("double") / 100.0).as("score2"),
+        when(col("s2") >= 9000, "very_easy")
+          .when(col("s2") >= 7000, "easy")
+          .when(col("s2") >= 5000, "standard")
+          .when(col("s2") >= 3000, "difficult")
+          .otherwise("very_difficult").as("grade"))
+      .orderBy("doc_id")
+
+  val readabilitySql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    greatest(len(list_filter($ToksSql, x -> x <> '')), 1)::BIGINT
+       |      AS w,
+       |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+       |      AS sn,
+       |    length(text)::BIGINT AS c
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, w, sn,
+       |    206835 * sn * w - 1015 * w * w - 8460 * c * sn AS m,
+       |    10 * sn * w AS den
+       |  FROM b),
+       |s AS (
+       |  SELECT doc_id, w, sn,
+       |    (CASE WHEN m >= 0 THEN (m * 2 + den) // (2 * den)
+       |          ELSE -((-m * 2 + den) // (2 * den)) END)::BIGINT AS s2
+       |  FROM m)
+       |SELECT doc_id, w AS n_words, sn AS n_sentences,
+       |  s2::DOUBLE / 100.0 AS score2,
+       |  CASE WHEN s2 >= 9000 THEN 'very_easy'
+       |       WHEN s2 >= 7000 THEN 'easy'
+       |       WHEN s2 >= 5000 THEN 'standard'
+       |       WHEN s2 >= 3000 THEN 'difficult'
+       |       ELSE 'very_difficult' END AS grade
+       |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q275_mrr_eval" -> mrrEval,
     "q277_distinct_n" -> distinctN,
+    "q288_readability" -> readability,
     "q269_ndcg_eval" -> ndcgEval,
     "q262_js_divergence" -> jsDivergence,
     "q263_ann_drift" -> annDrift,
@@ -2453,6 +2523,7 @@ object LlmQueries {
     "q269_ndcg_eval" -> ndcgEvalSql,
     "q275_mrr_eval" -> mrrEvalSql,
     "q277_distinct_n" -> distinctNSql,
+    "q288_readability" -> readabilitySql,
     "q229_source_profile_sim" -> sourceProfileSimSql,
     "q233_rrf_fusion" -> rrfFusionSql,
     "q240_silhouette" -> silhouetteSql,

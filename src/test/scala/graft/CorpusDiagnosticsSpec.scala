@@ -258,6 +258,71 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q286 sample size equals the textbook formula on exact counts") {
+    val ud = Tables.t(spark, sf, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(col("d").cast("string"), col("conv"))
+      .as[(String, Long)].collect()
+    val n = ud.length.toLong; val x = ud.map(_._2).sum
+    val nDays = ud.map(_._1).distinct.length.toLong
+    val p1 = x.toDouble / n.toDouble; val p2 = p1 * 1.1
+    val zs = 1.959964 + 0.841621
+    val nArm = math.ceil(zs * zs * (p1 * (1.0 - p1) + p2 * (1.0 - p2)) /
+      ((p2 - p1) * (p2 - p1))).toLong
+    val got = graft.queries.Analytics.sampleSize(spark, sf)
+      .as[(Long, Long, Double, Long, Long)].collect().head
+    assert((got._1, got._2) === ((n, x)))
+    assert(got._3 === (BigDecimal(x) / BigDecimal(n))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got._4 === nArm)
+    assert(got._5 === (BigDecimal(nArm * nDays) / BigDecimal(n))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+  }
+
+  test("q287 Hill estimator equals a sorted-tail replay") {
+    val lens = Tables.t(spark, sf, "documents")
+      .select(col("n_chars")).as[Long].collect().sorted.reverse
+    assume(lens.length > 201)
+    val ref = lens(200) // 201st largest value (multiset order-invariant)
+    val s6 = lens.take(200)
+      .map(x => math.round(math.log(x.toDouble / ref.toDouble) * 1e6)).sum
+    val got = graft.queries.Analytics.hillTail(spark, sf)
+      .as[(Int, Long, Double, Option[Double])].collect().head
+    assert(got._1 === 200)
+    assert(got._2 === ref)
+    assert(got._3 === round6(s6.toDouble / (200.0 * 1e6)))
+    if (s6 == 0) assert(got._4.isEmpty)
+    else assert(got._4 === Some(BigDecimal(200.0 * 1e6 / s6.toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  test("q288 readability equals exact rational arithmetic per doc") {
+    val rows = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"),
+        graft.llm.TextOps.tokens(col("text")).as("toks"))
+      .as[(Long, String, Seq[String])].collect()
+    val expect = rows.map { case (id, text, toks) =>
+      val w = math.max(toks.count(_.nonEmpty), 1).toLong
+      val sn = math.max("[.!?]+".r.findAllIn(text).length, 1).toLong
+      val c = text.length.toLong
+      val m = BigInt(206835) * sn * w - BigInt(1015) * w * w -
+        BigInt(8460) * c * sn
+      val den = BigInt(10) * sn * w
+      val s2 = (BigDecimal(m) / BigDecimal(den))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val grade =
+        if (s2 >= 9000) "very_easy" else if (s2 >= 7000) "easy"
+        else if (s2 >= 5000) "standard" else if (s2 >= 3000) "difficult"
+        else "very_difficult"
+      (id, w, sn, s2.toDouble / 100.0, grade)
+    }.toSet
+    val got = graft.queries.LlmQueries.readability(spark, sf)
+      .as[(Long, Long, Long, Double, String)].collect().toSet
+    assert(got === expect)
+  }
+
   test("q279 CUSUM equals a plain sequential fold") {
     val daily = Tables.t(spark, sf, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
