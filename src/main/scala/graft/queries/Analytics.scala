@@ -1879,6 +1879,131 @@ object Analytics {
       |  round((u1 - n1::DOUBLE * n2::DOUBLE / 2.0) / sqrt(sigma2), 6) AS z
       |FROM s2 WHERE sigma2 > 0 ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- q289
+
+  /** Link prediction on the co-purchase graph (q289): for node pairs
+    * NOT yet connected, the two classic scores — common-neighbor
+    * Jaccard and Adamic–Adar (Σ 1/ln(deg(c)) over shared neighbors,
+    * down-weighting promiscuous hubs) — and the top-20 predicted
+    * edges. The wedge self-join on the center node is the q179
+    * triangle bound (Σdeg², never corpus-quadratic); AA weights are
+    * micro-quantized per center BEFORE the exact BIGINT sum (centers
+    * have deg ≥ 2, so ln > 0); existing edges drop via one left-anti;
+    * the cut is a TakeOrderedAndProject with a full (aa6, a, b)
+    * tiebreak. Serves from the persisted edge artifact like the rest
+    * of the graph family. */
+  val linkPrediction: Q = (s, dir) => {
+    val edges = graft.operators.GraphArtifact.coPurchase(s, dir)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint(true)
+    val und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
+      .select(col("a").as("n"), col("d")).localCheckpoint(true)
+    val w = und.select(col("a").as("c"), col("b").as("x"))
+    val cand = w.as("l").join(w.as("r"), Seq("c"))
+      .where(col("l.x") < col("r.x"))
+      .join(deg.select(col("n").as("c"), col("d").as("dc")), Seq("c"))
+      .select(col("l.x").as("a"), col("r.x").as("b"),
+        expr("CAST(round(1e6 / ln(CAST(dc AS DOUBLE))) AS BIGINT)")
+          .as("w6"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum("w6").as("aa6"))
+      .join(edges, Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .withColumn("jacc4",
+        expr("(cn * 20000 + (da + db - cn)) DIV (2 * (da + db - cn))")
+          .cast("double") / 10000.0)
+      .select(col("a"), col("b"), col("cn"), col("aa6"), col("jacc4"))
+      .orderBy(col("aa6").desc, col("a").asc, col("b").asc).limit(20)
+  }
+
+  val linkPredictionSql: String =
+    s"""WITH $CoPurchaseSql,
+       |deg AS MATERIALIZED (
+       |  SELECT a AS n, count(*)::BIGINT AS d FROM und GROUP BY a),
+       |cand AS MATERIALIZED (
+       |  SELECT a, b, count(*)::BIGINT AS cn, sum(w6)::BIGINT AS aa6
+       |  FROM (
+       |    SELECT l.b AS a, r.b AS b,
+       |      round(1e6 / ln(g.d::DOUBLE))::BIGINT AS w6
+       |    FROM und l JOIN und r ON l.a = r.a AND l.b < r.b
+       |    JOIN deg g ON g.n = l.a)
+       |  GROUP BY 1, 2),
+       |newc AS (
+       |  SELECT c.a, c.b, c.cn, c.aa6 FROM cand c
+       |  LEFT JOIN edges e ON c.a = e.a AND c.b = e.b
+       |  WHERE e.a IS NULL)
+       |SELECT n.a, n.b, cn, aa6,
+       |  ((cn * 20000 + (x.d + y.d - cn)) //
+       |   (2 * (x.d + y.d - cn)))::DOUBLE / 10000.0 AS jacc4
+       |FROM newc n JOIN deg x ON x.n = n.a JOIN deg y ON y.n = n.b
+       |ORDER BY aa6 DESC, a ASC, b ASC LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------- q290
+
+  /** Funnel conversion latency (q290): among users whose first
+    * `purchase` lands on or after their first `signup`, the exact
+    * p25/p50/p75/p90 of the signup→purchase day gap plus the cohort
+    * size — the time-to-convert read-out next to q80's step counts.
+    * Quantiles are type-1 order statistics picked off the bounded
+    * day-gap spine with integer rank boundaries ((n·q + 99) DIV 100 —
+    * no data-scale window, no float interpolation); data-scale work is
+    * one per-user conditional min aggregate. */
+  val conversionLatency: Q = (s, dir) => {
+    val firsts = Tables.t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", to_date(col("ts"))))
+        .as("s_d"),
+        min(when(col("event_type") === "purchase", to_date(col("ts"))))
+          .as("p_d"))
+      .filter(col("s_d").isNotNull && col("p_d").isNotNull &&
+        col("p_d") >= col("s_d"))
+      .select(datediff(col("p_d"), col("s_d")).cast("long").as("lat"))
+    val cnt = firsts.groupBy("lat").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("lat")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cnt.agg(sum("c").as("n"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("c").over(w))
+      .agg(first(col("n")).as("n_users"),
+        min(when(col("cum") >= expr("(n * 25 + 99) DIV 100"), col("lat")))
+          .as("p25_days"),
+        min(when(col("cum") >= expr("(n * 50 + 99) DIV 100"), col("lat")))
+          .as("p50_days"),
+        min(when(col("cum") >= expr("(n * 75 + 99) DIV 100"), col("lat")))
+          .as("p75_days"),
+        min(when(col("cum") >= expr("(n * 90 + 99) DIV 100"), col("lat")))
+          .as("p90_days"))
+  }
+
+  val conversionLatencySql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts::DATE END) AS s_d,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts::DATE END) AS p_d
+      |  FROM events GROUP BY 1),
+      |lat AS (
+      |  SELECT (p_d - s_d)::BIGINT AS lat FROM f
+      |  WHERE s_d IS NOT NULL AND p_d IS NOT NULL AND p_d >= s_d),
+      |cnt AS (SELECT lat, count(*)::BIGINT AS c FROM lat GROUP BY 1),
+      |t AS (SELECT sum(c)::BIGINT AS n FROM cnt),
+      |cum AS (
+      |  SELECT lat,
+      |    sum(c) OVER (ORDER BY lat
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |      AS cum, n
+      |  FROM cnt CROSS JOIN t)
+      |SELECT any_value(n) AS n_users,
+      |  min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN lat END) AS p25_days,
+      |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN lat END) AS p50_days,
+      |  min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN lat END) AS p75_days,
+      |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN lat END) AS p90_days
+      |FROM cum""".stripMargin
+
   // -------------------------------------------------------------- q284
 
   /** Token burstiness / Fano factor (q284): for the top-50 corpus
@@ -3261,6 +3386,8 @@ object Analytics {
     "q284_fano_burstiness" -> fanoBurstiness,
     "q286_sample_size" -> sampleSize,
     "q287_hill_tail" -> hillTail,
+    "q289_link_prediction" -> linkPrediction,
+    "q290_conversion_latency" -> conversionLatency,
     "q285_two_proportion_z" -> twoProportionZ,
     "q281_cramers_v" -> cramersV,
     "q282_transition_entropy" -> transitionEntropy,
@@ -3321,6 +3448,8 @@ object Analytics {
     "q284_fano_burstiness" -> fanoBurstinessSql,
     "q286_sample_size" -> sampleSizeSql,
     "q287_hill_tail" -> hillTailSql,
+    "q289_link_prediction" -> linkPredictionSql,
+    "q290_conversion_latency" -> conversionLatencySql,
     "q285_two_proportion_z" -> twoProportionZSql,
     "q281_cramers_v" -> cramersVSql,
     "q282_transition_entropy" -> transitionEntropySql,

@@ -323,6 +323,64 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("q289 link prediction equals brute-force neighborhood arithmetic") {
+    val items = Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    val pairCnt = items.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val edges = pairCnt.filter(_._2 >= 2).keySet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val nodes = adj.keys.toSeq
+    val cands = (for {
+      c <- nodes; ns = adj(c).toSeq.sorted
+      i <- ns.indices; j <- i + 1 until ns.length
+    } yield ((ns(i), ns(j)), c))
+      .groupBy(_._1).filterNot(p => edges(p._1))
+      .map { case ((a, b), g) =>
+        val cn = g.length.toLong
+        val aa6 = g.map { case (_, c) =>
+          math.round(1e6 / math.log(adj(c).size.toDouble)) }.sum
+        val uni = adj(a).size.toLong + adj(b).size.toLong - cn
+        val j4 = (BigDecimal(cn) / BigDecimal(uni))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (a, b, cn, aa6, j4)
+      }.toSeq
+    val expect = cands.sortBy(r => (-r._4, r._1, r._2)).take(20)
+    val got = graft.queries.Analytics.linkPrediction(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === expect)
+  }
+
+  test("q290 conversion latency equals sorted order statistics") {
+    val lats = Tables.t(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", to_date(col("ts"))))
+        .cast("string").as("s"),
+        min(when(col("event_type") === "purchase", to_date(col("ts"))))
+          .cast("string").as("p"))
+      .as[(Long, Option[String], Option[String])].collect()
+      .flatMap { case (_, s, p) =>
+        for (a <- s; b <- p
+             if !java.time.LocalDate.parse(b).isBefore(
+               java.time.LocalDate.parse(a)))
+          yield java.time.temporal.ChronoUnit.DAYS.between(
+            java.time.LocalDate.parse(a), java.time.LocalDate.parse(b))
+      }.sorted
+    assume(lats.nonEmpty)
+    val n = lats.length.toLong
+    def q(pct: Long) = lats(((n * pct + 99) / 100 - 1).toInt.max(0))
+    val got = graft.queries.Analytics.conversionLatency(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got === ((n, q(25), q(50), q(75), q(90))))
+  }
+
   test("q279 CUSUM equals a plain sequential fold") {
     val daily = Tables.t(spark, sf, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
