@@ -1277,6 +1277,68 @@ object Advanced {
     * all-pairs product — and brand marginals are a 25-row broadcast.
     * Counts are exact BIGINTs; confidence and lift are one fixed IEEE
     * division each over those integers, rounded at 6 dp. */
+  // -------------------------------------------------------------- q292
+
+  /** Frequent triple itemsets (q292): the A-priori level after q231's
+    * pairs — brand triples co-purchased in ≥ 2 orders, with the
+    * three-way lift P(abc)/(P(a)P(b)P(c)) = support·N²/(n_a·n_b·n_c)
+    * as a half-away 4-dp integer quotient of exact counts. The double
+    * self-join keys on the order id, so fan-out is C(k,3) per order —
+    * bounded by basket size (≤ C(|brands|,3) distinct outputs), never
+    * corpus-quadratic; marginals broadcast. Top-20 by support with a
+    * full lexical tiebreak. */
+  val tripleItemsets: Q = (s, dir) => {
+    val baskets = Tables.t(s, dir, "lineitem")
+      .join(Tables.t(s, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val marg = baskets.groupBy("b").agg(count(lit(1)).as("nb"))
+    val tot = baskets.agg(countDistinct("o").as("nn"))
+    baskets.as("x").join(baskets.as("y"), "o")
+      .filter(col("x.b") < col("y.b"))
+      .join(baskets.as("z"), "o")
+      .filter(col("y.b") < col("z.b"))
+      .groupBy(col("x.b").as("ba"), col("y.b").as("bb"),
+        col("z.b").as("bc"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .join(broadcast(marg.select(col("b").as("ba"), col("nb").as("na"))), "ba")
+      .join(broadcast(marg.select(col("b").as("bb"), col("nb").as("nb2"))), "bb")
+      .join(broadcast(marg.select(col("b").as("bc"), col("nb").as("nc"))), "bc")
+      .crossJoin(broadcast(tot))
+      // DECIMAL(38) numerator: support·nn²·2e4 can pass BIGINT at scale
+      .withColumn("lift3", expr(
+        "(CAST(support AS DECIMAL(38,0)) * nn * nn * 20000 + " +
+        "(na * nb2 * nc)) DIV (2 * na * nb2 * nc)").cast("double") / 10000.0)
+      .select(col("ba"), col("bb"), col("bc"), col("support"), col("lift3"))
+      .orderBy(col("support").desc, col("ba"), col("bb"), col("bc"))
+      .limit(20)
+  }
+
+  val tripleItemsetsSql: String =
+    """WITH baskets AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |marg AS (SELECT b, count(*)::BIGINT AS nb FROM baskets GROUP BY 1),
+      |tot AS (SELECT count(DISTINCT o)::BIGINT AS nn FROM baskets),
+      |tri AS (
+      |  SELECT x.b AS ba, y.b AS bb, z.b AS bc, count(*)::BIGINT AS support
+      |  FROM baskets x
+      |  JOIN baskets y ON x.o = y.o AND x.b < y.b
+      |  JOIN baskets z ON y.o = z.o AND y.b < z.b
+      |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+      |SELECT ba, bb, bc, support,
+      |  ((support::HUGEINT * nn * nn * 20000 + (ma.nb * mb.nb * mc.nb)) //
+      |   (2 * ma.nb * mb.nb * mc.nb))::DOUBLE / 10000.0 AS lift3
+      |FROM tri
+      |JOIN marg ma ON ma.b = ba
+      |JOIN marg mb ON mb.b = bb
+      |JOIN marg mc ON mc.b = bc
+      |CROSS JOIN tot
+      |ORDER BY support DESC, ba, bb, bc LIMIT 20""".stripMargin
+
   val assocRules: Q = (s, dir) => {
     // eager localCheckpoint: the basket table feeds marginals, the
     // grand total, and both self-join sides — one scan+join, not four
@@ -1331,6 +1393,7 @@ object Advanced {
   val queries: Map[String, Q] = Map(
     "q220_rolling_distinct" -> rollingDistinct,
     "q231_assoc_rules" -> assocRules,
+    "q292_triple_itemsets" -> tripleItemsets,
     "q129_mincost_supplier" -> mincostSupplier,
     "q130_promo_share" -> promoShare,
     "q131_disjunctive_join" -> disjunctiveJoin,
@@ -1368,6 +1431,7 @@ object Advanced {
   val oracleSql: Map[String, String] = Map(
     "q220_rolling_distinct" -> rollingDistinctSql,
     "q231_assoc_rules" -> assocRulesSql,
+    "q292_triple_itemsets" -> tripleItemsetsSql,
     "q129_mincost_supplier" -> mincostSupplierSql,
     "q130_promo_share" -> promoShareSql,
     "q131_disjunctive_join" -> disjunctiveJoinSql,

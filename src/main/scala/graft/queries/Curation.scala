@@ -1084,6 +1084,52 @@ object Curation {
        |    / 10000.0 AS kappa4
        |FROM k""".stripMargin
 
+  // -------------------------------------------------------------- q293
+
+  /** Hashing-trick collision audit (q293): the load histogram of
+    * q258's 512-bucket feature hash — how many buckets carry k
+    * distinct corpus features each (plus the empty-bucket row) — the
+    * standard diagnostic before trusting a hashed linear model: heavy
+    * collisions mean weights are shared across unrelated n-grams. The
+    * feature space is exactly [[TextOps.linearQualityScore]]'s
+    * (distinct unigrams ∪ distinct bigrams, corpus-deduped); one
+    * distinct + two bounded aggregates (≤ 512 rows after the first). */
+  val hashCollisionAudit: Q = (s, dir) => {
+    val b = graft.functions.QualityModel.Buckets
+    val feats = Tables.t(s, dir, "documents")
+      .select(explode(concat(
+        filter(array_distinct(TextOps.tokens(col("text"))), f => f =!= ""),
+        TextOps.wordShingles(col("text"), 2))).as("f"))
+      .distinct()
+    val loads = feats
+      .select(Fragments.hashBucket(col("f"), b).as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("load"))
+      .localCheckpoint(true)
+    val hist = loads.groupBy("load").agg(count(lit(1)).as("n_buckets"))
+    val empty = loads.agg((lit(b.toLong) - count(lit(1))).as("n_buckets"))
+      .select(lit(0L).as("load"), col("n_buckets"))
+    hist.unionByName(empty)
+      .filter(col("n_buckets") > 0)
+      .orderBy("load")
+  }
+
+  val hashCollisionAuditSql: String = {
+    val b = graft.functions.QualityModel.Buckets
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |feats AS MATERIALIZED (
+       |  SELECT DISTINCT f FROM (
+       |    SELECT unnest(${learnedFeatsSql("toks")}) AS f FROM t)),
+       |loads AS MATERIALIZED (
+       |  SELECT ${Fragments.hashBucketSql("f", b)} AS bkt,
+       |    count(*)::BIGINT AS load
+       |  FROM feats GROUP BY 1),
+       |h AS (SELECT load, count(*)::BIGINT AS n_buckets FROM loads GROUP BY 1
+       |      UNION ALL
+       |      SELECT 0::BIGINT, ($b - count(*))::BIGINT FROM loads)
+       |SELECT load, n_buckets FROM h WHERE n_buckets > 0
+       |ORDER BY load""".stripMargin
+  }
+
   // -------------------------------------------------------------- q101
 
   /** Unpivot / melt (wide → long reshaping): lineitem's four measure
@@ -2407,6 +2453,7 @@ object Curation {
     "q271_calibration_bins" -> calibrationBins,
     "q272_threshold_sweep" -> thresholdSweep,
     "q273_kappa_agreement" -> kappaAgreement,
+    "q293_hash_collision_audit" -> hashCollisionAudit,
     "q101_unpivot" -> unpivotMeasures,
     "q102_map_functions" -> mapFunctions,
     "q103_windowed_distinct" -> windowedDistinct,
@@ -2459,6 +2506,7 @@ object Curation {
     "q271_calibration_bins" -> calibrationBinsSql,
     "q272_threshold_sweep" -> thresholdSweepSql,
     "q273_kappa_agreement" -> kappaAgreementSql,
+    "q293_hash_collision_audit" -> hashCollisionAuditSql,
     "q101_unpivot" -> unpivotMeasuresSql,
     "q102_map_functions" -> mapFunctionsSql,
     "q103_windowed_distinct" -> windowedDistinctSql,

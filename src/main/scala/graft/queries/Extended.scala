@@ -1029,9 +1029,59 @@ object Extended {
       |    ::BIGINT AS log_surv_micro
       |FROM ls ORDER BY t""".stripMargin
 
+  // -------------------------------------------------------------- q294
+
+  /** Inter-arrival burstiness (q294): per event type, the squared
+    * coefficient of variation of inter-arrival gaps — CV² ≈ 1 is
+    * Poisson traffic, CV² ≫ 1 is bursty, CV² ≪ 1 is a scheduler's
+    * heartbeat. The keyed lag runs per event type; gaps floor to whole
+    * seconds (identical integral division both engines), and
+    * CV² = (nΣg² − (Σg)²)/(Σg)² is a half-away 4-dp quotient of exact
+    * DECIMAL(38) moments — no float variance chain. The exact mean gap
+    * rides along at 2 dp. */
+  val interArrivalCv: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    Tables.t(s, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) - unix_micros(prev)) DIV 1000000").as("g"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("g").as("sg"),
+        sum(expr("CAST(g AS DECIMAL(38,0)) * g")).as("sg2"))
+      .filter(col("sg") > 0)
+      .withColumn("mean_gap2",
+        expr("(sg * 200 + n) DIV (2 * n)").cast("double") / 100.0)
+      .withColumn("cv2_4", expr(
+        "((CAST(n AS DECIMAL(38,0)) * sg2 - CAST(sg AS DECIMAL(38,0)) * sg)" +
+        " * 20000 + CAST(sg AS DECIMAL(38,0)) * sg) DIV " +
+        "(2 * CAST(sg AS DECIMAL(38,0)) * sg)").cast("double") / 10000.0)
+      .select(col("event_type"), col("n"), col("mean_gap2"), col("cv2_4"))
+      .orderBy("event_type")
+  }
+
+  val interArrivalCvSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id))) // 1000000 AS g
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, count(*)::BIGINT AS n, sum(g)::BIGINT AS sg,
+      |    sum(g::HUGEINT * g)::HUGEINT AS sg2
+      |  FROM g WHERE g IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n,
+      |  ((sg * 200 + n) // (2 * n))::DOUBLE / 100.0 AS mean_gap2,
+      |  (((n::HUGEINT * sg2 - sg::HUGEINT * sg) * 20000
+      |    + sg::HUGEINT * sg) //
+      |   (2 * sg::HUGEINT * sg))::DOUBLE / 10000.0 AS cv2_4
+      |FROM m WHERE sg > 0 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q279_cusum_shift" -> cusumShift,
     "q283_kaplan_meier" -> kaplanMeier,
+    "q294_interarrival_cv" -> interArrivalCv,
     "q219_ewma_smooth" -> ewmaSmooth,
     "q254_theilsen_trend" -> theilSenTrend,
     "q253_top_paths" -> topPaths,
@@ -1065,6 +1115,7 @@ object Extended {
     "q251_seasonal_anomaly" -> seasonalAnomalySql,
     "q279_cusum_shift" -> cusumShiftSql,
     "q283_kaplan_meier" -> kaplanMeierSql,
+    "q294_interarrival_cv" -> interArrivalCvSql,
     "q253_top_paths" -> topPathsSql,
     "q254_theilsen_trend" -> theilSenTrendSql,
     "q237_ccf_leadlag" -> ccfLeadLagSql,

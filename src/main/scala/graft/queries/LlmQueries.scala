@@ -2461,10 +2461,105 @@ object LlmQueries {
        |       ELSE 'very_difficult' END AS grade
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q291
+
+  /** Pseudo-relevance-feedback query expansion (q291): run q191's BM25
+    * for the fixed query, take the top-10 documents, and rank the
+    * candidate expansion terms inside them by Σtf · idf — the classic
+    * PRF/RM1 step between first-pass retrieval and the re-query. The
+    * idf of each candidate is micro-quantized (round(ln(N/df)·10⁶),
+    * the q246 discipline) before the exact tf-weighted BIGINT sum, so
+    * the ranking is order-free; query terms and stopwords are excluded;
+    * corpus df is computed only for the candidate terms via one
+    * semi-joined aggregate. Output: top-5 expansion terms with their
+    * in-feedback tf, corpus df, and score. */
+  val prfExpansion: Q = (s, dir) => {
+    val qTerms = Seq("vector", "spark", "customer")
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        col("toks")).localCheckpoint(true)
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val top10 = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") * col("n_docs") / col("sum_dl")))))
+      .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+      .select("doc_id").localCheckpoint(true)
+    val cand = d.join(broadcast(top10), "doc_id")
+      .select(explode(col("toks")).as("term"))
+      .filter(col("term") =!= "" && !col("term").isin(qTerms: _*) &&
+        !col("term").isin(TextOps.StopEn: _*))
+      .groupBy("term").agg(count(lit(1)).as("tf_sel"))
+      .localCheckpoint(true)
+    val dfAll = d.select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(broadcast(cand.select("term")), "term")
+      .select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    cand.join(dfAll, "term").crossJoin(broadcast(stats))
+      .withColumn("idf6",
+        round(log(col("n_docs").cast("double") / col("df").cast("double")) * 1e6)
+          .cast("long"))
+      .select(col("term"), col("tf_sel"), col("df"),
+        (col("tf_sel") * col("idf6")).as("score6"))
+      .orderBy(col("score6").desc, col("term").asc).limit(5)
+  }
+
+  val prfExpansionSql: String = {
+    val stop = TextOps.StopEn.mkString("('", "', '", "')")
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |d AS MATERIALIZED (
+       |  SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM t),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+       |  WHERE term IN ('vector', 'spark', 'customer')
+       |  GROUP BY 1, 2, 3),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |top10 AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      round(sum(
+       |        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+       |        (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n_docs / sum_dl)))), 4)
+       |        AS score
+       |    FROM tf JOIN df USING (term) CROSS JOIN stats
+       |    GROUP BY doc_id)
+       |  ORDER BY score DESC, doc_id ASC LIMIT 10),
+       |cand AS MATERIALIZED (
+       |  SELECT term, count(*)::BIGINT AS tf_sel FROM (
+       |    SELECT unnest(toks) AS term
+       |    FROM d JOIN top10 USING (doc_id))
+       |  WHERE term <> '' AND term NOT IN ('vector', 'spark', 'customer')
+       |    AND term NOT IN $stop
+       |  GROUP BY 1),
+       |dfall AS (
+       |  SELECT term, count(*)::BIGINT AS df FROM (
+       |    SELECT DISTINCT term, doc_id FROM (
+       |      SELECT doc_id, unnest(toks) AS term FROM d)
+       |    WHERE term IN (SELECT term FROM cand))
+       |  GROUP BY 1)
+       |SELECT term, tf_sel, df,
+       |  (tf_sel * round(ln(n_docs::DOUBLE / df::DOUBLE) * 1e6)::BIGINT)
+       |    ::BIGINT AS score6
+       |FROM cand JOIN dfall USING (term) CROSS JOIN stats
+       |ORDER BY score6 DESC, term ASC LIMIT 5""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q275_mrr_eval" -> mrrEval,
     "q277_distinct_n" -> distinctN,
     "q288_readability" -> readability,
+    "q291_prf_expansion" -> prfExpansion,
     "q269_ndcg_eval" -> ndcgEval,
     "q262_js_divergence" -> jsDivergence,
     "q263_ann_drift" -> annDrift,
@@ -2524,6 +2619,7 @@ object LlmQueries {
     "q275_mrr_eval" -> mrrEvalSql,
     "q277_distinct_n" -> distinctNSql,
     "q288_readability" -> readabilitySql,
+    "q291_prf_expansion" -> prfExpansionSql,
     "q229_source_profile_sim" -> sourceProfileSimSql,
     "q233_rrf_fusion" -> rrfFusionSql,
     "q240_silhouette" -> silhouetteSql,

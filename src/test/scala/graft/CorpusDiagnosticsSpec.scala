@@ -381,6 +381,101 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(got === ((n, q(25), q(50), q(75), q(90))))
   }
 
+  test("q291 PRF expansion is internally consistent and well-formed") {
+    val qTerms = Set("vector", "spark", "customer")
+    val nDocs = docToks.length.toLong
+    val rows = graft.queries.LlmQueries.prfExpansion(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length === 5)
+    // corpus df recomputed independently per returned term
+    val dfTruth = rows.map { case (t, _, _, _) =>
+      t -> docToks.count(_._3.contains(t)).toLong
+    }.toMap
+    rows.foreach { case (term, tfSel, df, score6) =>
+      assert(!qTerms(term) && !graft.llm.TextOps.StopEn.contains(term))
+      assert(df === dfTruth(term), term)
+      assert(score6 ===
+        tfSel * math.round(math.log(nDocs.toDouble / df.toDouble) * 1e6))
+    }
+    val scores = rows.map(_._4)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q292 triple itemsets equal brute-force basket enumeration") {
+    val baskets = Tables.t(spark, sf, "lineitem")
+      .join(Tables.t(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .as[(Long, String)].collect()
+    val nn = baskets.map(_._1).distinct.length.toLong
+    val marg = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val tri = baskets.groupBy(_._1).values.flatMap { g =>
+      val bs = g.map(_._2).sorted
+      for (i <- bs.indices; j <- i + 1 until bs.length;
+           k <- j + 1 until bs.length) yield (bs(i), bs(j), bs(k))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2).toSeq
+    val expect = tri.map { case ((a, b, c), sup) =>
+      val den = BigInt(marg(a)) * marg(b) * marg(c)
+      val l3 = ((BigInt(sup) * nn * nn * 20000 + den) / (2 * den)).toDouble / 10000.0
+      (a, b, c, sup, l3)
+    }.sortBy(r => (-r._4, r._1, r._2, r._3)).take(20)
+    val got = graft.queries.Advanced.tripleItemsets(spark, sf)
+      .as[(String, String, String, Long, Double)].collect().toSeq
+    assert(got === expect)
+  }
+
+  test("q293 hash-collision histogram equals an md5 replay") {
+    val feats = docToks.flatMap { case (_, _, toks) =>
+      val uni = toks.distinct.filter(_.nonEmpty)
+      val big = toks.sliding(2).filter(_.length == 2)
+        .map(p => p(0) + " " + p(1)).toSeq.distinct
+      uni ++ big
+    }.distinct
+    def bucket(f: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(f.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 512
+    }
+    val loads = feats.groupBy(bucket).view.mapValues(_.size.toLong)
+    val hist = loads.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val empty = 512L - loads.size
+    val expect = (hist ++ (if (empty > 0) Map(0L -> empty) else Map.empty))
+      .toSeq.sortBy(_._1)
+    val got = graft.queries.Curation.hashCollisionAudit(spark, sf)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === expect)
+    assert(got.map(r => r._1 * r._2).sum === feats.length.toLong)
+    assert(got.map(_._2).sum === 512L)
+  }
+
+  test("q294 inter-arrival CV equals a sequential gap replay") {
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("event_type"), unix_micros(col("ts")), col("event_id"))
+      .as[(String, Long, Long)].collect()
+    val expect = ev.groupBy(_._1).flatMap { case (et, g) =>
+      val ts = g.sortBy(x => (x._2, x._3)).map(_._2)
+      val gaps = ts.zip(ts.tail).map { case (a, b) => (b - a) / 1000000L }
+      val n = gaps.length.toLong
+      val sg = gaps.sum
+      val sg2 = gaps.map(x => BigInt(x) * x).sum
+      if (sg <= 0) None
+      else {
+        val mean2 = (BigDecimal(sg) / BigDecimal(n))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val num = BigInt(n) * sg2 - BigInt(sg) * sg
+        val cv24 = (BigDecimal(num) / BigDecimal(BigInt(sg) * sg))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some((et, n, mean2, cv24))
+      }
+    }.toSet
+    val got = graft.queries.Extended.interArrivalCv(spark, sf)
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(got === expect)
+  }
+
   test("q279 CUSUM equals a plain sequential fold") {
     val daily = Tables.t(spark, sf, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
