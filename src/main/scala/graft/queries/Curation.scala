@@ -572,7 +572,7 @@ object Curation {
   /** DuckDB twin of the learned scorer's exact integer weight sum: the
     * fixture model recomputed inline per feature (the BpeKernel
     * discipline — the oracle replays the MODEL, not the training). */
-  private def learnedWsumSql(toks: String): String = {
+  private[queries] def learnedWsumSql(toks: String): String = {
     val w = graft.functions.QualityModel.fixtureSql(
       Fragments.hashBucketSql("f", graft.functions.QualityModel.Buckets))
     s"coalesce(list_sum([$w for f in ${learnedFeatsSql(toks)}]), 0)"
@@ -1129,6 +1129,171 @@ object Curation {
        |SELECT load, n_buckets FROM h WHERE n_buckets > 0
        |ORDER BY load""".stripMargin
   }
+
+  // -------------------------------------------------------------- q295
+
+  /** Cross-source duplicate-leakage matrix (q295): for every source
+    * pair, how many exact-dup fingerprints they share and what fraction
+    * of the smaller source's content that is — the governance table
+    * that catches one crawl re-ingesting another (and the licensing
+    * question "whose text is this really"). Keyed on the
+    * order-invariant bag-of-words fingerprint (q110's key), so
+    * shuffled near-copies collide too; one distinct (source, fp)
+    * projection; the fp-keyed self-join fans out only where content
+    * actually collides; containment is a half-away 4-dp integer DIV.
+    * Pairs with zero overlap never materialize. */
+  val sourceLeakage: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("source"), TextOps.bagFingerprint(col("text")).as("fp"))
+      .distinct().localCheckpoint(true)
+    val sizes = d.groupBy("source").agg(count(lit(1)).as("nv"))
+    d.as("a").join(d.as("b"), Seq("fp"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("nv").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("nv").as("n_b"))), "src_b")
+      .withColumn("containment4", expr(
+        "(n_shared * 20000 + least(n_a, n_b)) DIV (2 * least(n_a, n_b))")
+        .cast("double") / 10000.0)
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_shared"), col("containment4"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val sourceLeakageSql: String =
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT DISTINCT source, ${Fragments.BagFpSql} AS fp FROM documents),
+       |sz AS MATERIALIZED (
+       |  SELECT source, count(*)::BIGINT AS nv FROM d GROUP BY 1),
+       |sh AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    count(*)::BIGINT AS n_shared
+       |  FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, x.nv AS n_a, y.nv AS n_b, n_shared,
+       |  ((n_shared * 20000 + least(x.nv, y.nv)) //
+       |   (2 * least(x.nv, y.nv)))::DOUBLE / 10000.0 AS containment4
+       |FROM sh JOIN sz x ON x.source = sh.src_a
+       |JOIN sz y ON y.source = sh.src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
+  // -------------------------------------------------------------- q298
+
+  /** Snapshot quality drift (q298): q265's corpus-version diff asked
+    * WHAT changed; this asks whether the change moved QUALITY — per
+    * source, the exact 4-dp mean rule-quality of snapshot A (buckets
+    * 0–89) vs snapshot B (buckets 10–99, every 13th doc revised) and
+    * the delta. Per-doc scores quantize to exact 1e-4 integers before
+    * the sums (the q200 exact-mean discipline), so the drift table is
+    * order-free integer arithmetic end to end. */
+  val snapshotQualityDrift: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        bucket.as("bucket"))
+      .localCheckpoint(true)
+    def q4(t: org.apache.spark.sql.Column) =
+      round(TextOps.qualityScore(t) * 1e4).cast("long")
+    val a = d.filter(col("bucket") < 90)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_a"), sum(q4(col("text"))).as("s_a"))
+    val b = d.filter(col("bucket") >= 10)
+      .withColumn("t2",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev")))
+          .otherwise(col("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_b"), sum(q4(col("t2"))).as("s_b"))
+    a.join(b, Seq("source"), "full_outer")
+      .na.fill(0L, Seq("n_a", "s_a", "n_b", "s_b"))
+      .withColumn("m_a", expr(
+        "CASE WHEN n_a = 0 THEN NULL ELSE (s_a * 2 + n_a) DIV (2 * n_a) END"))
+      .withColumn("m_b", expr(
+        "CASE WHEN n_b = 0 THEN NULL ELSE (s_b * 2 + n_b) DIV (2 * n_b) END"))
+      .select(col("source"), col("n_a"), col("n_b"),
+        (col("m_a").cast("double") / 1e4).as("mean_a4"),
+        (col("m_b").cast("double") / 1e4).as("mean_b4"),
+        ((col("m_b") - col("m_a")).cast("double") / 1e4).as("delta4"))
+      .orderBy("source")
+  }
+
+  val snapshotQualityDriftSql: String = {
+    val q4 = s"round((${Fragments.qualitySql}) * 10000)::BIGINT"
+    val q4b = q4.replace("text", "t2")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text, $BucketSql AS bucket FROM documents),
+       |a AS (
+       |  SELECT source, count(*)::BIGINT AS n_a, sum($q4)::BIGINT AS s_a
+       |  FROM d WHERE bucket < 90 GROUP BY 1),
+       |b AS (
+       |  SELECT source, count(*)::BIGINT AS n_b, sum($q4b)::BIGINT AS s_b
+       |  FROM (SELECT source,
+       |          CASE WHEN doc_id % 13 = 0 THEN text || ' rev' ELSE text END
+       |            AS t2
+       |        FROM d WHERE bucket >= 10)
+       |  GROUP BY 1),
+       |j AS (
+       |  SELECT coalesce(a.source, b.source) AS source,
+       |    coalesce(n_a, 0) AS n_a, coalesce(s_a, 0) AS s_a,
+       |    coalesce(n_b, 0) AS n_b, coalesce(s_b, 0) AS s_b
+       |  FROM a FULL OUTER JOIN b ON a.source = b.source),
+       |m AS (
+       |  SELECT source, n_a, n_b,
+       |    CASE WHEN n_a = 0 THEN NULL
+       |         ELSE (s_a * 2 + n_a) // (2 * n_a) END AS m_a,
+       |    CASE WHEN n_b = 0 THEN NULL
+       |         ELSE (s_b * 2 + n_b) // (2 * n_b) END AS m_b
+       |  FROM j)
+       |SELECT source, n_a, n_b,
+       |  m_a::DOUBLE / 1e4 AS mean_a4, m_b::DOUBLE / 1e4 AS mean_b4,
+       |  (m_b - m_a)::DOUBLE / 1e4 AS delta4
+       |FROM m ORDER BY source""".stripMargin
+  }
+
+  // -------------------------------------------------------------- q299
+
+  /** Effective sample size of the temperature mixture (q299): q192's
+    * T = 2 weights flatten the source distribution — ESS = (Σw)²/Σw²
+    * says how many EFFECTIVE sources the reweighted mixture behaves
+    * like (n_sources when uniform, 1 when degenerate). Each source's
+    * w = √(share) is micro-quantized once (one division + one
+    * correctly-rounded sqrt per source, both engines identical), then
+    * ESS is a half-away 4-dp quotient of the exact DECIMAL(38)
+    * moment sums. Data-scale work: one token-count aggregate. */
+  val mixtureEss: Q = (s, dir) => {
+    val perSrc = Tables.t(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tok"))
+    val tot = perSrc.agg(sum("n_tok").as("nn"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("w6",
+        round(sqrt(col("n_tok").cast("double") / col("nn").cast("double"))
+          * 1e6).cast("long"))
+      .agg(count(lit(1)).cast("int").as("n_sources"),
+        sum("w6").as("s1"),
+        sum(expr("CAST(w6 AS DECIMAL(38,0)) * w6")).as("s2"))
+      .select(col("n_sources"),
+        expr("(CAST(s1 AS DECIMAL(38,0)) * s1 * 20000 + s2) DIV (2 * s2)")
+          .cast("double").divide(10000.0).as("ess4"))
+  }
+
+  val mixtureEssSql: String =
+    s"""WITH p AS (
+       |  SELECT source, sum(len($ToksSql))::BIGINT AS n_tok
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT sum(n_tok)::BIGINT AS nn FROM p),
+       |w AS (
+       |  SELECT round(sqrt(n_tok::DOUBLE / nn::DOUBLE) * 1e6)::BIGINT AS w6
+       |  FROM p CROSS JOIN t),
+       |m AS (
+       |  SELECT count(*)::INT AS n_sources, sum(w6)::BIGINT AS s1,
+       |    sum(w6::HUGEINT * w6)::HUGEINT AS s2
+       |  FROM w)
+       |SELECT n_sources,
+       |  ((s1::HUGEINT * s1 * 20000 + s2) // (2 * s2))::DOUBLE / 10000.0
+       |    AS ess4
+       |FROM m""".stripMargin
 
   // -------------------------------------------------------------- q101
 
@@ -2454,6 +2619,9 @@ object Curation {
     "q272_threshold_sweep" -> thresholdSweep,
     "q273_kappa_agreement" -> kappaAgreement,
     "q293_hash_collision_audit" -> hashCollisionAudit,
+    "q295_source_leakage" -> sourceLeakage,
+    "q298_snapshot_quality_drift" -> snapshotQualityDrift,
+    "q299_mixture_ess" -> mixtureEss,
     "q101_unpivot" -> unpivotMeasures,
     "q102_map_functions" -> mapFunctions,
     "q103_windowed_distinct" -> windowedDistinct,
@@ -2507,6 +2675,9 @@ object Curation {
     "q272_threshold_sweep" -> thresholdSweepSql,
     "q273_kappa_agreement" -> kappaAgreementSql,
     "q293_hash_collision_audit" -> hashCollisionAuditSql,
+    "q295_source_leakage" -> sourceLeakageSql,
+    "q298_snapshot_quality_drift" -> snapshotQualityDriftSql,
+    "q299_mixture_ess" -> mixtureEssSql,
     "q101_unpivot" -> unpivotMeasuresSql,
     "q102_map_functions" -> mapFunctionsSql,
     "q103_windowed_distinct" -> windowedDistinctSql,

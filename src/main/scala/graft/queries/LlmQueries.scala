@@ -2555,11 +2555,121 @@ object LlmQueries {
        |ORDER BY score6 DESC, term ASC LIMIT 5""".stripMargin
   }
 
+  // -------------------------------------------------------------- q296
+
+  /** PQ reconstruction-error audit (q296): how much signal does q78's
+    * product quantizer destroy — per vector, the self-ADC against its
+    * own codes (Σ_blocks min-centroid distance = exact reconstruction
+    * error of the compressed representation), aggregated to corpus
+    * mean/max plus the count of exactly-representable vectors (codebook
+    * members reconstruct to 0). Per-vector errors quantize to 1e-4
+    * integers before the sums (order-free); encode and score are the
+    * same map-side kernels the serving path uses, so the audit measures
+    * the production index, not a replica. */
+  val pqReconError: Q = (s, dir) => {
+    val m = 8
+    val emb = Tables.t(s, dir, "embeddings")
+    val cb = Similarity.firstNCentroids(emb, 16)
+    val ids = cb.map(_._1); val cents = cb.map(_._2)
+    emb.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("codes",
+        graft.functions.VectorOps.pqEncode(col("v"), ids, cents, m))
+      .withColumn("e4",
+        round(round(graft.functions.VectorOps.pqAdc(
+          col("v"), col("codes"), ids, cents, m), 4) * 1e4).cast("long"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("e4") === 0, 1L).otherwise(0L)).as("n_exact"),
+        sum("e4").as("se4"), max("e4").as("mx4"))
+      .select(col("n_vectors"), col("n_exact"),
+        (expr("(se4 * 2 + n_vectors) DIV (2 * n_vectors)").cast("double")
+          / 1e4).as("mean_err4"),
+        (col("mx4").cast("double") / 1e4).as("max_err4"))
+  }
+
+  val pqReconErrorSql: String = {
+    val vDist = pqBlockDistSql("v.embedding", "cb.cv")
+    s"""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings),
+       |cb AS (SELECT id AS code, embedding AS cv FROM v
+       |       WHERE id IN (SELECT id FROM v ORDER BY id LIMIT 16)),
+       |blocks AS (SELECT unnest(range(8)) AS b),
+       |bd AS (
+       |  SELECT v.id, cb.code, b.b AS b, round($vDist, 6) AS d2
+       |  FROM v CROSS JOIN cb CROSS JOIN blocks b),
+       |mind AS (SELECT id, b, min(d2) AS md FROM bd GROUP BY 1, 2),
+       |pv AS (
+       |  SELECT id,
+       |    max(CASE WHEN b = 0 THEN md END) AS d0,
+       |    max(CASE WHEN b = 1 THEN md END) AS d1,
+       |    max(CASE WHEN b = 2 THEN md END) AS d2,
+       |    max(CASE WHEN b = 3 THEN md END) AS d3,
+       |    max(CASE WHEN b = 4 THEN md END) AS d4,
+       |    max(CASE WHEN b = 5 THEN md END) AS d5,
+       |    max(CASE WHEN b = 6 THEN md END) AS d6,
+       |    max(CASE WHEN b = 7 THEN md END) AS d7
+       |  FROM mind GROUP BY 1),
+       |e AS (
+       |  SELECT id,
+       |    round(round(d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, 4) * 1e4)
+       |      ::BIGINT AS e4
+       |  FROM pv)
+       |SELECT count(*)::BIGINT AS n_vectors,
+       |  sum(CASE WHEN e4 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+       |  ((sum(e4) * 2 + count(*)) // (2 * count(*)))::DOUBLE / 1e4
+       |    AS mean_err4,
+       |  max(e4)::DOUBLE / 1e4 AS max_err4
+       |FROM e""".stripMargin
+  }
+
+  // -------------------------------------------------------------- q297
+
+  /** Language-ID confusion matrix (q297): q38's n-gram/stopword
+    * heuristic evaluated against the corpus's labeled `lang` column —
+    * (true, predicted) counts plus each cell's share of its true-lang
+    * row as a half-away 4-dp integer quotient. The diagonal is the
+    * per-language recall; off-diagonal mass says which stopword lists
+    * collide. One scan + one bounded (langs²) aggregate. */
+  val langConfusion: Q = (s, dir) => {
+    val cell = Tables.t(s, dir, "documents")
+      .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val rowTot = cell.groupBy("lang").agg(sum("n").as("nt"))
+    cell.join(broadcast(rowTot), "lang")
+      .withColumn("row_frac4",
+        expr("(n * 20000 + nt) DIV (2 * nt)").cast("double") / 10000.0)
+      .select(col("lang"), col("lang_pred"), col("n"), col("row_frac4"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  val langConfusionSql: String = {
+    def hits(lst: Seq[String]) =
+      s"len(list_filter($ToksSql, t -> list_contains(${lst.mkString("['", "', '", "']")}, t)))"
+    val en = hits(TextOps.StopEn); val de = hits(TextOps.StopDe)
+    val fr = hits(TextOps.StopFr); val es = hits(TextOps.StopEs)
+    s"""WITH p AS (
+       |  SELECT lang,
+       |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |         WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+       |         WHEN $de >= $fr AND $de >= $es THEN 'de'
+       |         WHEN $fr >= $es THEN 'fr'
+       |         ELSE 'es' END AS lang_pred
+       |  FROM documents),
+       |cell AS (
+       |  SELECT lang, lang_pred, count(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+       |rt AS (SELECT lang, sum(n)::BIGINT AS nt FROM cell GROUP BY 1)
+       |SELECT lang, lang_pred, n,
+       |  ((n * 20000 + nt) // (2 * nt))::DOUBLE / 10000.0 AS row_frac4
+       |FROM cell JOIN rt USING (lang)
+       |ORDER BY lang, lang_pred""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q275_mrr_eval" -> mrrEval,
     "q277_distinct_n" -> distinctN,
     "q288_readability" -> readability,
     "q291_prf_expansion" -> prfExpansion,
+    "q296_pq_recon_error" -> pqReconError,
+    "q297_lang_confusion" -> langConfusion,
     "q269_ndcg_eval" -> ndcgEval,
     "q262_js_divergence" -> jsDivergence,
     "q263_ann_drift" -> annDrift,
@@ -2620,6 +2730,8 @@ object LlmQueries {
     "q277_distinct_n" -> distinctNSql,
     "q288_readability" -> readabilitySql,
     "q291_prf_expansion" -> prfExpansionSql,
+    "q296_pq_recon_error" -> pqReconErrorSql,
+    "q297_lang_confusion" -> langConfusionSql,
     "q229_source_profile_sim" -> sourceProfileSimSql,
     "q233_rrf_fusion" -> rrfFusionSql,
     "q240_silhouette" -> silhouetteSql,

@@ -749,6 +749,122 @@ object Pipeline {
        |ORDER BY metric""".stripMargin
   }
 
+  // -------------------------------------------------------------- q300
+
+  /** Model-gate governance report (q300): q200 opened the curation run
+    * with volume/dup/quality numbers; this closes it with the ROUND-7
+    * gate metrics, all from ONE corpus pass — learned-classifier keep
+    * rate (q258's gate), rule↔learned agreement (q273's observed
+    * agreement as a dashboard number), the readability mix (share at
+    * 'standard' or easier, q288's integer score), mean readability,
+    * and language-ID accuracy (q297's diagonal). Every value is an
+    * exact half-away integer quotient of exact counts — the report two
+    * runs diff with a join, with zero float-rounding exposure. */
+  val modelGateReport: Q = (s, dir) => {
+    val w = graft.functions.QualityModel.fixture()
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"),
+        TextOps.linearQualityScore(col("text"), w).getField("w_sum")
+          .as("w_sum"),
+        (TextOps.qualityScore(col("text")) >= 0.3).as("rule_keep"),
+        (TextOps.langId(col("text")) === col("lang")).as("lang_hit"),
+        TextOps.tokens(col("text")).as("toks"))
+      .withColumn("wds",
+        greatest(expr("size(filter(toks, x -> x != ''))"), lit(1))
+          .cast("long"))
+      .withColumn("sn",
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast("long"))
+      .withColumn("ch", length(col("text")).cast("long"))
+      .withColumn("mm",
+        lit(206835L) * col("sn") * col("wds") -
+          lit(1015L) * col("wds") * col("wds") -
+          lit(8460L) * col("ch") * col("sn"))
+      .withColumn("den", lit(10L) * col("sn") * col("wds"))
+      .withColumn("s2", expr(
+        "CASE WHEN mm >= 0 THEN (mm * 2 + den) DIV (2 * den) " +
+        "ELSE -((-mm * 2 + den) DIV (2 * den)) END"))
+    val a = d.agg(count(lit(1)).as("nd"),
+      sum(when(col("w_sum") > 0, 1L).otherwise(0L)).as("keepn"),
+      sum(when(col("rule_keep") === (col("w_sum") > 0), 1L).otherwise(0L))
+        .as("agreen"),
+      sum(when(col("s2") >= 5000, 1L).otherwise(0L)).as("stdn"),
+      sum("s2").as("ss2"),
+      sum(when(col("lang_hit"), 1L).otherwise(0L)).as("langn"))
+    def frac6(x: String) =
+      expr(s"($x * 2000000 + nd) DIV (2 * nd)").cast("double") / 1e6
+    def m(name: String, value: org.apache.spark.sql.Column) =
+      struct(lit(name).as("metric"), value.cast("double").as("value"))
+    a.select(explode(array(
+      m("gate_agreement_frac", frac6("agreen")),
+      m("langid_accuracy", frac6("langn")),
+      m("learned_keep_frac", frac6("keepn")),
+      m("mean_readability2", expr(
+        "CASE WHEN ss2 >= 0 THEN (ss2 * 2 + nd) DIV (2 * nd) " +
+        "ELSE -((-ss2 * 2 + nd) DIV (2 * nd)) END").cast("double") / 100.0),
+      m("n_docs", col("nd")),
+      m("readability_std_plus_frac", frac6("stdn")))).as("r"))
+      .select(col("r.metric"), col("r.value"))
+      .orderBy("metric")
+  }
+
+  val modelGateReportSql: String = {
+    val wsum = s"(${Curation.learnedWsumSql("toks")})::BIGINT"
+    def hits(lst: Seq[String]) =
+      s"len(list_filter(toks, t -> list_contains(${lst.mkString("['", "', '", "']")}, t)))"
+    val en = hits(TextOps.StopEn); val de = hits(TextOps.StopDe)
+    val fr = hits(TextOps.StopFr); val es = hits(TextOps.StopEs)
+    s"""WITH t AS (SELECT doc_id, text, lang, $ToksSql AS toks FROM documents),
+       |d AS (
+       |  SELECT doc_id,
+       |    $wsum > 0 AS keep,
+       |    (${Fragments.qualitySql}) >= 0.3 AS rule_keep,
+       |    (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |          WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+       |          WHEN $de >= $fr AND $de >= $es THEN 'de'
+       |          WHEN $fr >= $es THEN 'fr'
+       |          ELSE 'es' END) = lang AS lang_hit,
+       |    greatest(len(list_filter(toks, x -> x <> '')), 1)::BIGINT AS wds,
+       |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS sn,
+       |    length(text)::BIGINT AS ch
+       |  FROM t),
+       |r AS (
+       |  SELECT *,
+       |    206835 * sn * wds - 1015 * wds * wds - 8460 * ch * sn AS mm,
+       |    10 * sn * wds AS den
+       |  FROM d),
+       |s AS (
+       |  SELECT keep, rule_keep, lang_hit,
+       |    (CASE WHEN mm >= 0 THEN (mm * 2 + den) // (2 * den)
+       |          ELSE -((-mm * 2 + den) // (2 * den)) END)::BIGINT AS s2
+       |  FROM r),
+       |a AS (
+       |  SELECT count(*)::BIGINT AS nd,
+       |    sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS keepn,
+       |    sum(CASE WHEN rule_keep = keep THEN 1 ELSE 0 END)::BIGINT
+       |      AS agreen,
+       |    sum(CASE WHEN s2 >= 5000 THEN 1 ELSE 0 END)::BIGINT AS stdn,
+       |    sum(s2)::BIGINT AS ss2,
+       |    sum(CASE WHEN lang_hit THEN 1 ELSE 0 END)::BIGINT AS langn
+       |  FROM s)
+       |SELECT metric, value FROM (
+       |  SELECT 'gate_agreement_frac' AS metric,
+       |    ((agreen * 2000000 + nd) // (2 * nd))::DOUBLE / 1e6 AS value
+       |  FROM a
+       |  UNION ALL SELECT 'langid_accuracy',
+       |    ((langn * 2000000 + nd) // (2 * nd))::DOUBLE / 1e6 FROM a
+       |  UNION ALL SELECT 'learned_keep_frac',
+       |    ((keepn * 2000000 + nd) // (2 * nd))::DOUBLE / 1e6 FROM a
+       |  UNION ALL SELECT 'mean_readability2',
+       |    (CASE WHEN ss2 >= 0 THEN (ss2 * 2 + nd) // (2 * nd)
+       |          ELSE -((-ss2 * 2 + nd) // (2 * nd)) END)::DOUBLE / 100.0
+       |  FROM a
+       |  UNION ALL SELECT 'n_docs', nd::DOUBLE FROM a
+       |  UNION ALL SELECT 'readability_std_plus_frac',
+       |    ((stdn * 2000000 + nd) // (2 * nd))::DOUBLE / 1e6 FROM a)
+       |ORDER BY metric""".stripMargin
+  }
+
   // -------------------------------------------------------------- q212
 
   /** DSIR-style importance weights for domain-targeted data selection
@@ -1174,6 +1290,7 @@ object Pipeline {
     "q188_ccnet_buckets" -> ccnetBuckets,
     "q195_weighted_median" -> weightedMedian,
     "q200_corpus_report" -> corpusReport,
+    "q300_model_gate_report" -> modelGateReport,
     "q202_halflife_decay" -> halflifeDecay,
     "q212_dsir_weights" -> dsirWeights,
     "q216_er_best_match" -> erBestMatch)
@@ -1198,6 +1315,7 @@ object Pipeline {
     "q188_ccnet_buckets" -> ccnetBucketsSql,
     "q195_weighted_median" -> weightedMedianSql,
     "q200_corpus_report" -> corpusReportSql,
+    "q300_model_gate_report" -> modelGateReportSql,
     "q202_halflife_decay" -> halflifeDecaySql,
     "q212_dsir_weights" -> dsirWeightsSql,
     "q216_er_best_match" -> erBestMatchSql)

@@ -476,6 +476,128 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  private def md5hex(s0: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("q295 source leakage equals a bag-fingerprint set replay") {
+    val bySrc = docToks.groupBy(_._2).view.mapValues(_.map { case (_, _, t) =>
+      md5hex(t.distinct.sorted.mkString(" "))
+    }.toSet).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val expect = (for {
+      a <- srcs; b <- srcs if a < b
+      sh = (bySrc(a) & bySrc(b)).size.toLong if sh > 0
+    } yield {
+      val (na, nb) = (bySrc(a).size.toLong, bySrc(b).size.toLong)
+      val c4 = (BigDecimal(sh) / BigDecimal(math.min(na, nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, na, nb, sh, c4)
+    }).toSet
+    val got = graft.queries.Curation.sourceLeakage(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  test("q296 PQ reconstruction error is well-formed") {
+    val nVec = Tables.t(spark, sf, "embeddings").count()
+    val got = graft.queries.LlmQueries.pqReconError(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got._1 === nVec)
+    // the 16 codebook vectors reconstruct themselves exactly
+    assert(got._2 >= 16L)
+    assert(got._3 >= 0.0 && got._3 <= got._4)
+  }
+
+  test("q297 lang confusion equals a recount of the q38 output") {
+    val rows = graft.queries.LlmQueries.langId(spark, sf)
+      .select("lang", "lang_pred").as[(String, String)].collect()
+    val cells = rows.groupBy(identity).view.mapValues(_.length.toLong)
+    val rowTot = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expect = cells.map { case ((l, p), n) =>
+      (l, p, n, (BigDecimal(n) / BigDecimal(rowTot(l)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = graft.queries.LlmQueries.langConfusion(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === expect)
+  }
+
+  test("q298 snapshot drift equals an exact integer-mean replay") {
+    val d = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        round(graft.llm.TextOps.qualityScore(col("text")) * 1e4)
+          .cast("long").as("qa"),
+        round(graft.llm.TextOps.qualityScore(
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev")))
+            .otherwise(col("text"))) * 1e4).cast("long").as("qb"),
+        graft.queries.Fragments.splitBucket(col("doc_id")).as("bucket"))
+      .as[(Long, String, Long, Long, Int)].collect()
+    def mean4(xs: Seq[Long]): Option[Long] =
+      if (xs.isEmpty) None
+      else Some((BigDecimal(xs.sum) / BigDecimal(xs.length))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val expect = d.groupBy(_._2).map { case (src, g) =>
+      val a = g.filter(_._5 < 90).map(_._3)
+      val b = g.filter(_._5 >= 10).map(_._4)
+      val (ma, mb) = (mean4(a), mean4(b))
+      (src, a.length.toLong, b.length.toLong,
+        ma.map(_.toDouble / 1e4), mb.map(_.toDouble / 1e4),
+        for (x <- ma; y <- mb) yield (y - x).toDouble / 1e4)
+    }.toSet
+    val got = graft.queries.Curation.snapshotQualityDrift(spark, sf)
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().toSet
+    assert(got === expect)
+  }
+
+  test("q299 mixture ESS equals a quantized-weight replay") {
+    val perSrc = docToks.groupBy(_._2).view
+      .mapValues(_.map(_._3.length.toLong).sum).toMap
+    val nn = perSrc.values.sum
+    val w6 = perSrc.values.map(t =>
+      math.round(math.sqrt(t.toDouble / nn.toDouble) * 1e6)).toSeq
+    val s1 = w6.map(BigInt(_)).sum
+    val s2 = w6.map(x => BigInt(x) * x).sum
+    val ess4 = ((s1 * s1 * 20000 + s2) / (2 * s2)).toDouble / 10000.0
+    val got = graft.queries.Curation.mixtureEss(spark, sf)
+      .as[(Int, Double)].collect().head
+    assert(got._1 === perSrc.size)
+    assert(got._2 === ess4)
+    assert(got._2 <= perSrc.size.toDouble + 1e-9)
+  }
+
+  test("q300 model-gate report equals a join of its verified parts") {
+    val learned = graft.queries.Curation.learnedQuality(spark, sf)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    val rule = graft.queries.LlmQueries.qualityScore(spark, sf)
+      .select("doc_id", "quality").as[(Long, Double)].collect()
+      .map { case (id, q) => id -> (q >= 0.3) }.toMap
+    val lang = graft.queries.LlmQueries.langId(spark, sf)
+      .select("doc_id", "hit").as[(Long, Boolean)].collect().toMap
+    val read = graft.queries.LlmQueries.readability(spark, sf)
+      .select("doc_id", "score2").as[(Long, Double)].collect()
+      .map { case (id, s0) => id -> math.round(s0 * 100) }.toMap
+    val ids = learned.keys.toSeq
+    val nd = ids.length.toLong
+    def frac6(k: Long) = (BigDecimal(k) / BigDecimal(nd))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ss2 = ids.map(read).sum
+    val meanR = (BigDecimal(ss2) / BigDecimal(nd))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong.toDouble / 100.0
+    val expect = Map(
+      "gate_agreement_frac" -> frac6(ids.count(i => learned(i) == rule(i))),
+      "langid_accuracy" -> frac6(ids.count(lang)),
+      "learned_keep_frac" -> frac6(ids.count(learned)),
+      "mean_readability2" -> meanR,
+      "n_docs" -> nd.toDouble,
+      "readability_std_plus_frac" -> frac6(ids.count(read(_) >= 5000L)))
+    val got = graft.queries.Pipeline.modelGateReport(spark, sf)
+      .as[(String, Double)].collect().toMap
+    assert(got === expect)
+  }
+
   test("q279 CUSUM equals a plain sequential fold") {
     val daily = Tables.t(spark, sf, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
