@@ -65,22 +65,81 @@ object GraphArtifact {
         (lit(-1L) - get_json_object(col("props"), "$.k").cast("long")).as("v"))
       .distinct()
 
-  /** Derive both edge lists from `dir`'s tables and persist them under
-    * `outPath` (staging + atomic rename). Idempotent: a re-build
-    * replaces the artifact wholesale. */
-  def build(s: SparkSession, dir: String, outPath: String): Unit = {
+  /** Distinct (order, part) incidence — the additive unit of the
+    * co-purchase graph (orders are atomic, so per-order pair counts
+    * sum across disjoint order batches). */
+  private[graft] def itemsInline(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+
+  /** UNthresholded pair-support table (a, b, support) from an incidence
+    * batch — what the artifact persists so appends stay additive (the
+    * thresholded edge list is a projection, not the state). */
+  private[graft] def supportFromItems(items: DataFrame): DataFrame =
+    items.as("x").join(items.as("y"), Seq("o"))
+      .where(col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+
+  private def commit(s: SparkSession, outPath: String,
+                     support: DataFrame, clicks: DataFrame): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outPath), s.sparkContext.hadoopConfiguration)
     val out = new org.apache.hadoop.fs.Path(outPath)
     val staging = new org.apache.hadoop.fs.Path(outPath + ".staging")
     fs.delete(staging, true)
-    coPurchaseInline(s, dir).write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(staging, "copurchase").toString)
-    clickEdgesInline(s, dir).write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(staging, "click").toString)
+    support.write.mode("overwrite").parquet(
+      new org.apache.hadoop.fs.Path(staging, "copurchase_support").toString)
+    s.read.parquet(
+      new org.apache.hadoop.fs.Path(staging, "copurchase_support").toString)
+      .where(col("support") >= 2).select("a", "b")
+      .write.mode("overwrite").parquet(
+        new org.apache.hadoop.fs.Path(staging, "copurchase").toString)
+    clicks.write.mode("overwrite").parquet(
+      new org.apache.hadoop.fs.Path(staging, "click").toString)
     fs.delete(out, true)
     if (!fs.rename(staging, out))
       throw new IllegalStateException(s"artifact commit failed: $staging -> $out")
+  }
+
+  /** Derive both edge lists from `dir`'s tables and persist them under
+    * `outPath` (staging + atomic rename), along with the additive
+    * pair-support state [[append]] folds new batches into. Idempotent:
+    * a re-build replaces the artifact wholesale. */
+  def build(s: SparkSession, dir: String, outPath: String): Unit =
+    buildFrom(s, itemsInline(s, dir), clickEdgesInline(s, dir), outPath)
+
+  /** [[build]] from explicit incidence/click frames — the entry point
+    * for partial-corpus builds (and the append spec's base). */
+  private[graft] def buildFrom(s: SparkSession, items: DataFrame,
+                               clicks: DataFrame, outPath: String): Unit =
+    commit(s, outPath, supportFromItems(items), clicks.distinct())
+
+  /** Incremental maintenance (the `AnnIndex.append` pattern for the
+    * graph family): fold a batch of NEW orders' (order, part) incidence
+    * and new click events into an existing artifact — support counts
+    * sum (orders are atomic and batches must be order-disjoint with
+    * the base, the same precondition a daily ingest satisfies by
+    * construction), clicks union-distinct, and the thresholded edge
+    * list is re-projected; staging + atomic rename, so readers never
+    * see a partial state. Cost is O(batch pairs + touched support
+    * rows), never a corpus re-derivation. */
+  def append(s: SparkSession, itemsBatch: DataFrame,
+             clicksBatch: DataFrame, artPath: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(artPath), s.sparkContext.hadoopConfiguration)
+    val supPath = new org.apache.hadoop.fs.Path(artPath, "copurchase_support")
+    require(fs.exists(supPath),
+      s"no pair-support state under $artPath - rebuild with build() first")
+    val merged = s.read.parquet(supPath.toString)
+      .unionByName(supportFromItems(itemsBatch))
+      .groupBy("a", "b").agg(sum("support").as("support"))
+      .localCheckpoint(true) // cut lineage from the files being replaced
+    val clicks = s.read.parquet(
+      new org.apache.hadoop.fs.Path(artPath, "click").toString)
+      .unionByName(clicksBatch).distinct()
+      .localCheckpoint(true)
+    commit(s, artPath, merged, clicks)
   }
 
   private def serve(s: SparkSession, sub: String): Option[DataFrame] =

@@ -34,6 +34,48 @@ class GraphArtifactSpec extends AnyFunSuite {
     assert(fromArtifact === inline)
   }
 
+  test("append on an order-disjoint batch equals a full rebuild") {
+    import org.apache.spark.sql.functions._
+    val items = GraphArtifact.itemsInline(spark, sf)
+    val clicks = GraphArtifact.clickEdgesInline(spark, sf)
+    // base = 80% of orders; batch = the remaining 20% (order-disjoint,
+    // the daily-ingest precondition append documents)
+    val base = items.filter(col("o") % 5 =!= 0)
+    val batch = items.filter(col("o") % 5 === 0)
+    val cBase = clicks.filter(col("u") % 5 =!= 0)
+    val cBatch = clicks.filter(col("u") % 5 === 0)
+    val d = java.nio.file.Files.createTempDirectory("graph-append")
+      .resolve("graph").toString
+    // appending into a non-existent artifact must refuse loudly
+    val thrown = intercept[IllegalArgumentException] {
+      GraphArtifact.append(spark, batch, cBatch, d)
+    }
+    assert(thrown.getMessage.contains("rebuild"))
+    GraphArtifact.buildFrom(spark, base, cBase, d)
+    GraphArtifact.append(spark, batch, cBatch, d)
+    // appended state must equal a from-scratch build over the union
+    val full = java.nio.file.Files.createTempDirectory("graph-full")
+      .resolve("graph").toString
+    GraphArtifact.buildFrom(spark, items, clicks, full)
+    for (sub <- Seq("copurchase_support", "copurchase", "click")) {
+      val a = spark.read.parquet(s"$d/$sub").collect()
+        .map(_.toSeq).toSet
+      val b = spark.read.parquet(s"$full/$sub").collect()
+        .map(_.toSeq).toSet
+      assert(a === b, sub)
+      assert(a.nonEmpty, sub)
+    }
+    // and the appended artifact serves the graph queries unchanged
+    val inlineEdges = GraphArtifact.coPurchaseInline(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    spark.conf.set(GraphArtifact.Key, d)
+    try {
+      val servedEdges = GraphArtifact.coPurchase(spark, sf)
+        .as[(Long, Long)].collect().toSet
+      assert(servedEdges === inlineEdges)
+    } finally spark.conf.unset(GraphArtifact.Key)
+  }
+
   test("served click edges equal the inline derivation") {
     val inline = GraphArtifact.clickEdgesInline(spark, sf)
       .as[(Long, Long)].collect().toSet
