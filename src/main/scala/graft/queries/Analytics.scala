@@ -1879,6 +1879,35 @@ object Analytics {
       |  round((u1 - n1::DOUBLE * n2::DOUBLE / 2.0) / sqrt(sigma2), 6) AS z
       |FROM s2 WHERE sigma2 > 0 ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- q301
+
+  /** Incremental graph-merge proof (q301): the additive-support law
+    * behind [[graft.operators.GraphArtifact.append]], oracle-gated the
+    * way q209 gated `graft.Compact` — the corpus's orders split into a
+    * base (80%) and an order-disjoint ingest batch (20%), each side's
+    * pair-support table derives independently, the two merge by
+    * summing support (exactly what `append` persists), and the
+    * re-thresholded edge list feeds q179's triangle census. The oracle
+    * computes the census from the FULL corpus inline — so the hash
+    * compare proves merge(base, batch) ≡ full derivation end to end,
+    * through the downstream operator, not just on the edge set. */
+  val incrementalGraphMerge: Q = (s, dir) => {
+    val items = graft.operators.GraphArtifact.itemsInline(s, dir)
+      .localCheckpoint(true)
+    val base = graft.operators.GraphArtifact
+      .supportFromItems(items.filter(col("o") % 5 =!= 0))
+    val batch = graft.operators.GraphArtifact
+      .supportFromItems(items.filter(col("o") % 5 === 0))
+    val merged = base.unionByName(batch)
+      .groupBy("a", "b").agg(sum("support").as("support"))
+      .where(col("support") >= 2).select("a", "b")
+    graft.operators.Graph.triangleCensus(merged)
+  }
+
+  /** q301's oracle IS q179's: the incremental path must reproduce the
+    * full-corpus census bit for bit. */
+  def incrementalGraphMergeSql: String = triangleCountSql
+
   // -------------------------------------------------------------- q289
 
   /** Link prediction on the co-purchase graph (q289): for node pairs
@@ -3387,6 +3416,7 @@ object Analytics {
     "q286_sample_size" -> sampleSize,
     "q287_hill_tail" -> hillTail,
     "q289_link_prediction" -> linkPrediction,
+    "q301_incremental_graph" -> incrementalGraphMerge,
     "q290_conversion_latency" -> conversionLatency,
     "q285_two_proportion_z" -> twoProportionZ,
     "q281_cramers_v" -> cramersV,
@@ -3449,6 +3479,7 @@ object Analytics {
     "q286_sample_size" -> sampleSizeSql,
     "q287_hill_tail" -> hillTailSql,
     "q289_link_prediction" -> linkPredictionSql,
+    "q301_incremental_graph" -> incrementalGraphMergeSql,
     "q290_conversion_latency" -> conversionLatencySql,
     "q285_two_proportion_z" -> twoProportionZSql,
     "q281_cramers_v" -> cramersVSql,
