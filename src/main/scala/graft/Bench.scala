@@ -124,7 +124,11 @@ object Bench {
       sinceGc += 1
       if (sinceGc >= 16) { sinceGc = 0; System.gc() }
       name -> t
-    } ++ (if (nameFilter.isEmpty) Map("q000_graph_build" -> artifactSec)
+      // a failed artifact build (artifactSec = -1) must NOT leak a
+      // negative time into the totals/regression gate — the graph
+      // queries already fell back inline, which their own timings show
+    } ++ (if (nameFilter.isEmpty && artifactSec >= 0)
+            Map("q000_graph_build" -> artifactSec)
           else Map.empty[String, Double])
 
     // BASELINE scan protocol (IdIdSimRow shape): warmup pass, then the
@@ -164,23 +168,41 @@ object Bench {
     // BENCH_FULL.json (the prior round's full-name artifact) and flag
     // any query at >2x its prior time AND >0.5 s absolute — the
     // harness must surface a real regression, not mask it in the
-    // total. Emitted to BENCH_DIFF.md + stderr only: stdout stays one
-    // driver-parseable JSON line.
+    // total. LOAD-NORMALIZED: both runs carry the same scan-protocol
+    // probe (a fixed single-task decode workload), so the ratio of
+    // prior to current scan throughput measures background machine
+    // load, not code. Each current time is deflated by that factor
+    // before the threshold test — the round-7 driver rerun of an
+    // identical HEAD flagged six queries purely because the whole
+    // machine ran ~25% slower; a gate that cries wolf under load masks
+    // real regressions. Emitted to BENCH_DIFF.md + stderr only: stdout
+    // stays one driver-parseable JSON line.
     if (nameFilter.isEmpty) try {
       val priorPath = java.nio.file.Paths.get("BENCH_FULL.json")
       if (java.nio.file.Files.exists(priorPath)) {
         val m = new com.fasterxml.jackson.databind.ObjectMapper()
-        val node = m.readTree(java.nio.file.Files.readString(priorPath))
-          .path("queries")
+        val root = m.readTree(java.nio.file.Files.readString(priorPath))
+        val node = root.path("queries")
+        val priorMb = root.path("scan").path("parquet_mb_per_sec").asDouble(0)
+        val curMb = bytes / 1e6 / scanSec
+        // load > 1 ⇒ this run's machine is slower than the baseline's;
+        // clamp below at 1 so a FASTER machine never excuses a real
+        // slowdown (deflating by <1 would raise the bar, not lower it)
+        val load =
+          if (priorMb > 0 && curMb > 0) math.max(1.0, priorMb / curMb) else 1.0
         val flags = results.toSeq.sorted.flatMap { case (name, t) =>
           val p = node.path(name)
-          if (p.isNumber && p.asDouble > 0 && t > 2 * p.asDouble && t > 0.5)
-            Some(f"| $name | ${p.asDouble}%.2f | $t%.2f | ${t / p.asDouble}%.1fx |")
+          val tn = t / load
+          if (p.isNumber && p.asDouble > 0 && tn > 2 * p.asDouble && tn > 0.5)
+            Some(f"| $name | ${p.asDouble}%.2f | $t%.2f | ${t / p.asDouble}%.1fx | ${tn / p.asDouble}%.1fx |")
           else None
         }
+        val hdr = f"Load factor (prior scan MB/s / current): ${load}%.2f " +
+          f"(prior ${priorMb}%.1f, current ${curMb}%.1f MB/s).%n%n"
         val body =
-          if (flags.isEmpty) "No per-query regressions (>2x and >0.5 s) vs prior BENCH_FULL.json.\n"
-          else ("| query | prior s | now s | ratio |\n|---|---|---|---|\n"
+          if (flags.isEmpty) hdr +
+            "No per-query regressions (load-normalized >2x and >0.5 s) vs prior BENCH_FULL.json.\n"
+          else (hdr + "| query | prior s | now s | raw ratio | load-norm ratio |\n|---|---|---|---|---|\n"
             + flags.mkString("\n") + "\n")
         java.nio.file.Files.write(
           java.nio.file.Paths.get("BENCH_DIFF.md"),

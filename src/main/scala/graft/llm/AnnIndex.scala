@@ -69,36 +69,69 @@ object AnnIndex {
 
   /** Fold a batch of vectors into the persisted index under the FROZEN
     * build-time model: cell-assign + PQ-encode the batch with the same
-    * centroids/codebook, id-keyed upsert against the live index, then
-    * the staging/swap commit of [[graft.Compact]] (phase 1 fully
-    * materializes `index.staging`; the delete→rename pair is the commit
-    * point, and [[lookup]]/[[topK]] roll an interrupted swap forward).
-    * Re-running the same batch is a no-op by construction.
+    * centroids/codebook, then an id-keyed upsert of ONLY the touched
+    * cell partitions — the cells the batch lands in, plus any cell
+    * holding a superseded id (a re-ingested id whose vector moved
+    * cells leaves a stale row in its OLD cell, which must be rewritten
+    * too). The merge reads prune to those partitions and the write is
+    * a dynamic partition overwrite, so untouched cells' files are
+    * byte-for-byte untouched (AnnIndexSpec pins this) — O(batch +
+    * touched cells' codes), never a rewrite of the whole index. The
+    * one full-index read left is the 2-column (id, cell) probe for
+    * superseded ids — PQ-code metadata, no data rewrite.
+    * Re-running the same batch is a no-op by construction (same ids,
+    * same frozen model ⇒ same cells, same codes).
     *
-    * Scale shape: one anti-join keyed on id plus a union — O(index +
-    * batch) in PQ-code bytes (~1/32 of the embedding bytes), never
-    * re-encoding the base. The model is NOT retrained here — that is
-    * the point (lookups stay consistent with every previously served
-    * result) and the risk: a drifting corpus degrades recall as cells
-    * overfill, which is what [[drift]] measures. */
+    * The model is NOT retrained here — that is the point (lookups stay
+    * consistent with every previously served result) and the risk: a
+    * drifting corpus degrades recall as cells overfill, which is what
+    * [[drift]] measures. Crash semantics: the overwrite commits per
+    * Spark job; an interrupted run is repaired by simply re-running
+    * the same append (the upsert is idempotent, and the emptied-cell
+    * sweep below re-fires). */
   def append(batch: DataFrame, dir: String, nlist: Int = 16, m: Int = 8,
              codes: Int = 16, idCol: String = "vec_id",
              vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
     val model = readModel(spark, dir)
     val fresh = encodeRows(batch, model, nlist, m, codes, idCol, vecCol)
-    val merged = indexDf(spark, dir)
+      // partition inference types the live index's cell as INT; align
+      // the in-flight batch so the union and isin pruning stay typed
+      .withColumn("cell", col("cell").cast("int"))
+      .localCheckpoint(true) // reused thrice below; also cuts file lineage
+    val index = indexDf(spark, dir)
+    val batchCells = fresh.select("cell").distinct()
+      .collect().map(_.getInt(0)) // ≤ nlist rows
+    val oldCells = index.join(fresh.select("id"), Seq("id"))
+      .select("cell").distinct().collect().map(_.getInt(0))
+    val touched = (batchCells ++ oldCells).distinct.toSeq
+    if (touched.isEmpty) return // empty batch: nothing to do
+    // localCheckpoint: the merge reads the very partitions the dynamic
+    // overwrite replaces — materialize first so the plan holds no file
+    // lineage on the output path (and the merge computes exactly once)
+    val merged = index.where(col("cell").isin(touched: _*)) // partition-pruned
       .join(fresh.select("id"), Seq("id"), "left_anti")
       .unionByName(fresh)
+      .localCheckpoint(true)
+    val OverwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(OverwriteModeKey)
+    spark.conf.set(OverwriteModeKey, "dynamic")
+    try merged.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/index")
+    finally prev match {
+      case Some(v) => spark.conf.set(OverwriteModeKey, v)
+      case None    => spark.conf.unset(OverwriteModeKey)
+    }
+    // a touched cell can end up EMPTY (every row superseded into other
+    // cells): dynamic overwrite writes no partition for it, so its
+    // stale directory must be dropped explicitly
+    val remaining = merged.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(s"$dir/index.staging")
-    val live = new org.apache.hadoop.fs.Path(s"$dir/index")
-    merged.write.mode("overwrite").partitionBy("cell")
-      .parquet(staging.toString)
-    fs.delete(live, true)
-    require(fs.rename(staging, live), s"index commit rename failed: $dir")
-    ()
+    touched.filterNot(remaining).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/index/cell=$c"), true)
+    }
   }
 
   /** Per-cell occupancy drift vs the build-time baseline, plus the

@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
 
 /** Build-once / serve-many lifecycle for the two derived graphs every
   * graph-family query walks (the [[graft.llm.AnnIndex]] pattern applied
@@ -30,9 +33,46 @@ import org.apache.spark.sql.functions._
   * from it; the DuckDB oracle still derives edges inline, so a green
   * oracle row IS the proof the served path equals the derivation).
   *
-  * Commit discipline: each edge list is written to a staging directory
-  * and atomically renamed into place ([[graft.Compact]]'s swap), so a
-  * concurrent reader never sees a half-written artifact.
+  * == Partition-local state ==
+  *
+  * Every persisted table is hash-bucketed on its key — `bkt =
+  * pmod(hash(keys…), n)`, `n` fixed at build time
+  * (`spark.graft.graphArtifact.buckets`, recorded in
+  * `_meta/state.json` so appends can never mix bucket counts):
+  *
+  *  - `copurchase_support/bkt=K/` — the UNthresholded (a, b, support)
+  *    pair counts, the additive state [[append]] folds batches into;
+  *  - `copurchase/bkt=K/`        — the thresholded edge projection;
+  *  - `click/bkt=K/`             — distinct (u, v) click edges;
+  *  - `orders/bkt=K/`            — the seen-order ledger backing the
+  *    order-disjointness guard (replaying an ingest batch would
+  *    silently double-count support, so overlap fails loudly).
+  *
+  * [[append]] therefore touches ONLY the buckets the batch hashes
+  * into: it partition-prunes its reads to those buckets, stages the
+  * merged buckets, and swaps them in with directory renames — at
+  * 100 TB the base support state is the large table, and an append is
+  * O(batch pairs + the touched buckets' rows), never a reshuffle of
+  * the full state (GraphArtifactSpec pins that untouched buckets'
+  * files are byte-for-byte untouched across an append).
+  *
+  * == Commit discipline ==
+  *
+  * [[build]] stages the whole artifact and swaps it in with a
+  * roll-forward-able three-step (`live → .old`, `staging → live`,
+  * drop `.old`) — a crash between any two steps is repaired by
+  * [[recover]] (staging completeness is marked by its
+  * `_meta/state.json`, written last). [[append]] uses a write-ahead
+  * `_meta/pending.json` recording the touched buckets (and whether
+  * each had base data), renames the replaced buckets into `_backup/`
+  * before swapping staged ones in, and commits by atomically
+  * promoting `_meta/state.json` with the batch id. [[recover]] — run
+  * by every serve and append — rolls an interrupted append forward
+  * (batch id present in the committed state: drop backups) or back
+  * (absent: restore backups), so readers always observe either the
+  * full batch or none of it, and no crash window can strand the
+  * artifact without a live state (the round-7 delete-then-rename
+  * hazard).
   */
 object GraphArtifact {
 
@@ -40,20 +80,28 @@ object GraphArtifact {
     * persisted edge lists under this path instead of re-deriving. */
   val Key = "spark.graft.graphArtifact"
 
+  /** Bucket count for the hash-partitioned state, read at BUILD time
+    * only (32 suits local[32]/sf0.1; a 100 TB deployment raises it so
+    * one bucket's support rows fit an executor). Appends always reuse
+    * the build-time count persisted in `_meta/state.json`. */
+  val BucketsKey = "spark.graft.graphArtifact.buckets"
+
+  private val Subs = Seq("copurchase_support", "copurchase", "click", "orders")
+
+  private def bktCol(n: Int, cols: Column*): Column = pmod(hash(cols: _*), lit(n))
+
+  // ------------------------------------------------------------------
+  // Inline derivations (the fallback path and the oracle's semantics)
+  // ------------------------------------------------------------------
+
   /** Inline co-purchase derivation (the pre-artifact shape): DISTINCT
     * (order, part) incidence, per-order pair fan-out bounded by order
     * size (never corpus-quadratic), map-side-combinable support count,
     * support ≥ 2. */
-  private[graft] def coPurchaseInline(s: SparkSession, dir: String): DataFrame = {
-    val items = graft.Tables.t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    items.as("x").join(items.as("y"), Seq("o"))
-      .where(col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+  private[graft] def coPurchaseInline(s: SparkSession, dir: String): DataFrame =
+    supportFromItems(itemsInline(s, dir))
       .where(col("support") >= 2)
       .select("a", "b")
-  }
 
   /** Inline click-graph derivation: one DIRECTED (user → item) edge per
     * distinct (user, clicked key); item ids live at −1−k. Callers mirror
@@ -81,77 +129,319 @@ object GraphArtifact {
       .select(col("x.p").as("a"), col("y.p").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("support"))
 
-  private def commit(s: SparkSession, outPath: String,
-                     support: DataFrame, clicks: DataFrame): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(outPath), s.sparkContext.hadoopConfiguration)
-    val out = new org.apache.hadoop.fs.Path(outPath)
-    val staging = new org.apache.hadoop.fs.Path(outPath + ".staging")
-    fs.delete(staging, true)
-    support.write.mode("overwrite").parquet(
-      new org.apache.hadoop.fs.Path(staging, "copurchase_support").toString)
-    s.read.parquet(
-      new org.apache.hadoop.fs.Path(staging, "copurchase_support").toString)
-      .where(col("support") >= 2).select("a", "b")
-      .write.mode("overwrite").parquet(
-        new org.apache.hadoop.fs.Path(staging, "copurchase").toString)
-    clicks.write.mode("overwrite").parquet(
-      new org.apache.hadoop.fs.Path(staging, "click").toString)
-    fs.delete(out, true)
-    if (!fs.rename(staging, out))
-      throw new IllegalStateException(s"artifact commit failed: $staging -> $out")
+  // ------------------------------------------------------------------
+  // Meta / small-file plumbing
+  // ------------------------------------------------------------------
+
+  private case class Meta(buckets: Int, batches: Seq[String])
+
+  private def fsOf(s: SparkSession, path: String): FileSystem =
+    FileSystem.get(new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+
+  /** Atomic small-file write: tmp + rename (dest must not exist). */
+  private def writeSmall(fs: FileSystem, path: Path, content: String): Unit = {
+    val tmp = new Path(path.toString + ".tmp")
+    fs.delete(tmp, false)
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, path))
+      throw new IllegalStateException(s"atomic write failed: $tmp -> $path")
   }
 
+  private def readSmall(fs: FileSystem, path: Path): String = {
+    val in = fs.open(path)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  private def metaJson(m: Meta): String =
+    s"""{"buckets":${m.buckets},"batches":[${m.batches.map("\"" + _ + "\"").mkString(",")}]}"""
+
+  private def readMeta(fs: FileSystem, root: String): Meta = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readSmall(fs, new Path(root, "_meta/state.json")))
+    Meta(node.path("buckets").asInt(),
+      node.path("batches").elements().asScala.map(_.asText()).toSeq)
+  }
+
+  /** Promote a new state.json — the append COMMIT POINT. The dest may
+    * exist, and Hadoop rename refuses to clobber, so the replacement is
+    * write-next → delete-current → rename-next; [[recover]] rolls the
+    * delete→rename window forward (state missing + next present). */
+  private def commitState(fs: FileSystem, root: String, m: Meta): Unit = {
+    val state = new Path(root, "_meta/state.json")
+    val next = new Path(root, "_meta/state.json.next")
+    writeSmall(fs, next, metaJson(m))
+    fs.delete(state, false)
+    if (!fs.rename(next, state))
+      throw new IllegalStateException(s"state promote failed under $root")
+  }
+
+  // ------------------------------------------------------------------
+  // Recovery — every serve/append entry point runs this first
+  // ------------------------------------------------------------------
+
+  /** Repair any interrupted build swap or append so the artifact is
+    * always observed in a committed state. Idempotent; cheap (a few
+    * metadata probes) when there is nothing to repair. */
+  private[graft] def recover(s: SparkSession, root: String): Unit = {
+    val fs = fsOf(s, root)
+    val live = new Path(root)
+    val staging = new Path(root + ".staging")
+    val old = new Path(root + ".old")
+    // build swap: staging is complete iff its state.json (written last)
+    // exists; live missing + complete staging ⇒ roll the swap forward
+    if (!fs.exists(live) && fs.exists(new Path(staging, "_meta/state.json"))) {
+      if (!fs.rename(staging, live))
+        throw new IllegalStateException(s"build roll-forward failed: $root")
+    }
+    if (fs.exists(live) && fs.exists(old)) fs.delete(old, true)
+    if (!fs.exists(live)) return
+    // state promote window: delete happened, rename didn't
+    val state = new Path(root, "_meta/state.json")
+    val next = new Path(root, "_meta/state.json.next")
+    if (!fs.exists(state) && fs.exists(next)) {
+      if (!fs.rename(next, state))
+        throw new IllegalStateException(s"state roll-forward failed: $root")
+    } else if (fs.exists(next)) {
+      fs.delete(next, false) // uncommitted state beside a live one
+    }
+    // interrupted append: committed batch ⇒ drop backups; uncommitted ⇒
+    // restore every touched bucket from its backup (or drop the staged
+    // bucket if it never had base data), leaving the pre-append state
+    val pendP = new Path(root, "_meta/pending.json")
+    if (fs.exists(pendP)) {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readSmall(fs, pendP))
+      val batchId = node.path("batchId").asText()
+      val committed = readMeta(fs, root).batches.contains(batchId)
+      if (!committed) {
+        node.path("subs").fields().asScala.foreach { e =>
+          val sub = e.getKey
+          e.getValue.elements().asScala.foreach { b =>
+            val k = b.path("bkt").asInt()
+            val hadBase = b.path("hadBase").asBoolean()
+            val liveB = new Path(root, s"$sub/bkt=$k")
+            val backB = new Path(root, s"_backup/$sub/bkt=$k")
+            if (hadBase) {
+              if (fs.exists(backB)) {
+                fs.delete(liveB, true)
+                if (!fs.rename(backB, liveB))
+                  throw new IllegalStateException(
+                    s"append rollback failed: $backB -> $liveB")
+              } // else: the swap never reached this bucket — base intact
+            } else fs.delete(liveB, true) // new bucket: staged-in or absent
+          }
+        }
+      }
+      fs.delete(new Path(root, "_backup"), true)
+      fs.delete(new Path(root, "_staged"), true)
+      fs.delete(pendP, false)
+    } else {
+      // staged output from a crash before the pending marker is garbage
+      fs.delete(new Path(root, "_staged"), true)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Build
+  // ------------------------------------------------------------------
+
   /** Derive both edge lists from `dir`'s tables and persist them under
-    * `outPath` (staging + atomic rename), along with the additive
-    * pair-support state [[append]] folds new batches into. Idempotent:
-    * a re-build replaces the artifact wholesale. */
+    * `outPath` (full staging + roll-forward-able swap), along with the
+    * additive pair-support state and the seen-order ledger [[append]]
+    * maintains. Idempotent: a re-build replaces the artifact wholesale. */
   def build(s: SparkSession, dir: String, outPath: String): Unit =
     buildFrom(s, itemsInline(s, dir), clickEdgesInline(s, dir), outPath)
 
   /** [[build]] from explicit incidence/click frames — the entry point
     * for partial-corpus builds (and the append spec's base). */
   private[graft] def buildFrom(s: SparkSession, items: DataFrame,
-                               clicks: DataFrame, outPath: String): Unit =
-    commit(s, outPath, supportFromItems(items), clicks.distinct())
-
-  /** Incremental maintenance (the `AnnIndex.append` pattern for the
-    * graph family): fold a batch of NEW orders' (order, part) incidence
-    * and new click events into an existing artifact — support counts
-    * sum (orders are atomic and batches must be order-disjoint with
-    * the base, the same precondition a daily ingest satisfies by
-    * construction), clicks union-distinct, and the thresholded edge
-    * list is re-projected; staging + atomic rename, so readers never
-    * see a partial state. Cost is O(batch pairs + touched support
-    * rows), never a corpus re-derivation. */
-  def append(s: SparkSession, itemsBatch: DataFrame,
-             clicksBatch: DataFrame, artPath: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(artPath), s.sparkContext.hadoopConfiguration)
-    val supPath = new org.apache.hadoop.fs.Path(artPath, "copurchase_support")
-    require(fs.exists(supPath),
-      s"no pair-support state under $artPath - rebuild with build() first")
-    val merged = s.read.parquet(supPath.toString)
-      .unionByName(supportFromItems(itemsBatch))
-      .groupBy("a", "b").agg(sum("support").as("support"))
-      .localCheckpoint(true) // cut lineage from the files being replaced
-    val clicks = s.read.parquet(
-      new org.apache.hadoop.fs.Path(artPath, "click").toString)
-      .unionByName(clicksBatch).distinct()
-      .localCheckpoint(true)
-    commit(s, artPath, merged, clicks)
+                               clicks: DataFrame, outPath: String): Unit = {
+    val n = s.conf.getOption(BucketsKey).map(_.toInt).getOrElse(32)
+    val fs = fsOf(s, outPath)
+    val live = new Path(outPath)
+    val staging = new Path(outPath + ".staging")
+    fs.delete(staging, true)
+    def stagePath(sub: String) = new Path(staging, sub).toString
+    supportFromItems(items)
+      .withColumn("bkt", bktCol(n, col("a"), col("b")))
+      .write.partitionBy("bkt").parquet(stagePath("copurchase_support"))
+    // the edge projection reads the staged support back, so its bkt
+    // column (and thus its bucketing) is exactly the support table's
+    s.read.parquet(stagePath("copurchase_support"))
+      .where(col("support") >= 2).select("a", "b", "bkt")
+      .write.partitionBy("bkt").parquet(stagePath("copurchase"))
+    clicks.distinct()
+      .withColumn("bkt", bktCol(n, col("u"), col("v")))
+      .write.partitionBy("bkt").parquet(stagePath("click"))
+    items.select("o").distinct()
+      .withColumn("bkt", bktCol(n, col("o")))
+      .write.partitionBy("bkt").parquet(stagePath("orders"))
+    // state.json LAST: its presence marks the staging as complete
+    writeSmall(fs, new Path(staging, "_meta/state.json"), metaJson(Meta(n, Nil)))
+    val old = new Path(outPath + ".old")
+    fs.delete(old, true)
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new IllegalStateException(s"artifact swap (live aside) failed: $outPath")
+    if (!fs.rename(staging, live))
+      throw new IllegalStateException(s"artifact commit failed: $staging -> $live")
+    fs.delete(old, true)
   }
 
+  // ------------------------------------------------------------------
+  // Incremental append
+  // ------------------------------------------------------------------
+
+  /** Incremental maintenance: fold a batch of NEW orders' (order, part)
+    * incidence and new click events into an existing artifact. Support
+    * counts sum (orders are atomic, so batches must be order-disjoint
+    * with the base — ENFORCED against the persisted seen-order ledger,
+    * because replaying a batch would silently double-count support),
+    * clicks union-distinct (idempotent by nature), and the thresholded
+    * edge projection is refreshed for exactly the touched buckets.
+    *
+    * Cost is partition-local: reads prune to the buckets the batch
+    * hashes into, writes stage only those buckets, and the commit is a
+    * per-bucket directory swap behind a write-ahead pending marker —
+    * O(batch pairs + touched buckets' rows), never a reshuffle or
+    * rewrite of the full persisted state. Crash anywhere ⇒ [[recover]]
+    * restores either the full batch (committed) or the exact pre-append
+    * state (uncommitted), so a failed append can simply be retried. */
+  def append(s: SparkSession, itemsBatch: DataFrame,
+             clicksBatch: DataFrame, artPath: String): Unit = {
+    recover(s, artPath)
+    val fs = fsOf(s, artPath)
+    require(fs.exists(new Path(artPath, "copurchase_support")) &&
+        fs.exists(new Path(artPath, "_meta/state.json")),
+      s"no pair-support state under $artPath - rebuild with build() first")
+    val meta = readMeta(fs, artPath)
+    val n = meta.buckets
+
+    def readSub(sub: String, touched: Seq[Int]): DataFrame = {
+      val df = s.read.parquet(new Path(artPath, sub).toString)
+      if (touched.isEmpty) df.where(lit(false)) else
+        df.where(col("bkt").isin(touched: _*)) // partition-pruned
+    }
+    def buckets(df: DataFrame): Seq[Int] =
+      df.select("bkt").distinct().collect().map(_.getInt(0)).toSeq // ≤ n rows
+
+    // ---- disjointness guard against the persisted order ledger ----
+    val batchOrders = itemsBatch.select("o").distinct()
+      .withColumn("bkt", bktCol(n, col("o")))
+      .localCheckpoint(true)
+    val touchedOB = buckets(batchOrders)
+    val overlap = readSub("orders", touchedOB).select("o")
+      .join(batchOrders.select("o"), "o").limit(1).count()
+    require(overlap == 0,
+      s"ingest batch overlaps orders already in $artPath — appends must be " +
+        "order-disjoint (a replay would double-count pair support); " +
+        "rebuild with build() to reset")
+
+    // ---- merged buckets (computed BEFORE any live file moves) ----
+    val bSup = supportFromItems(itemsBatch)
+      .withColumn("bkt", bktCol(n, col("a"), col("b")))
+      .localCheckpoint(true)
+    val touchedPB = buckets(bSup)
+    val mergedSup = readSub("copurchase_support", touchedPB)
+      .select("a", "b", "support")
+      .unionByName(bSup.select("a", "b", "support"))
+      .groupBy("a", "b").agg(sum("support").as("support"))
+      .withColumn("bkt", bktCol(n, col("a"), col("b")))
+    val cB = clicksBatch.distinct()
+      .withColumn("bkt", bktCol(n, col("u"), col("v")))
+      .localCheckpoint(true)
+    val touchedCB = buckets(cB)
+    val mergedClicks = readSub("click", touchedCB).select("u", "v")
+      .unionByName(cB.select("u", "v")).distinct()
+      .withColumn("bkt", bktCol(n, col("u"), col("v")))
+    val mergedOrders = readSub("orders", touchedOB).select("o")
+      .unionByName(batchOrders.select("o"))
+      .withColumn("bkt", bktCol(n, col("o")))
+
+    if (touchedPB.isEmpty && touchedCB.isEmpty && touchedOB.isEmpty)
+      return // empty batch: a no-op, not a new committed state
+
+    // ---- stage the touched buckets ----
+    val stagedRoot = new Path(artPath, "_staged")
+    fs.delete(stagedRoot, true)
+    def stage(sub: String, df: DataFrame): Unit =
+      df.write.partitionBy("bkt").parquet(new Path(stagedRoot, sub).toString)
+    if (touchedPB.nonEmpty) {
+      stage("copurchase_support", mergedSup)
+      // project edges from the STAGED support (one merge computation,
+      // and the bkt column is exactly the support table's — build's rule)
+      stage("copurchase",
+        s.read.parquet(new Path(stagedRoot, "copurchase_support").toString)
+          .where(col("support") >= 2).select("a", "b", "bkt"))
+    }
+    if (touchedCB.nonEmpty) stage("click", mergedClicks)
+    if (touchedOB.nonEmpty) stage("orders", mergedOrders)
+
+    // staged bucket inventory: support monotonicity means a touched
+    // bucket never loses all its rows, so "buckets present in the
+    // staged output" is exactly the swap set per sub
+    def stagedBuckets(sub: String): Seq[Int] = {
+      val p = new Path(stagedRoot, sub)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bkt="))
+        .map(_.getPath.getName.stripPrefix("bkt=").toInt)
+    }
+    val plan: Seq[(String, Seq[(Int, Boolean)])] = Subs.map { sub =>
+      sub -> stagedBuckets(sub).map { k =>
+        k -> fs.exists(new Path(artPath, s"$sub/bkt=$k"))
+      }
+    }
+
+    // ---- write-ahead pending marker, then per-bucket swap ----
+    val batchId = java.util.UUID.randomUUID().toString
+    val pendJson = {
+      val subs = plan.map { case (sub, ks) =>
+        "\"" + sub + "\":[" + ks.map { case (k, had) =>
+          s"""{"bkt":$k,"hadBase":$had}"""
+        }.mkString(",") + "]"
+      }.mkString(",")
+      s"""{"batchId":"$batchId","subs":{$subs}}"""
+    }
+    writeSmall(fs, new Path(artPath, "_meta/pending.json"), pendJson)
+    plan.foreach { case (sub, ks) =>
+      if (ks.nonEmpty) fs.mkdirs(new Path(artPath, s"_backup/$sub"))
+      ks.foreach { case (k, hadBase) =>
+        val liveB = new Path(artPath, s"$sub/bkt=$k")
+        val backB = new Path(artPath, s"_backup/$sub/bkt=$k")
+        val stagB = new Path(stagedRoot, s"$sub/bkt=$k")
+        if (hadBase && !fs.rename(liveB, backB))
+          throw new IllegalStateException(s"backup rename failed: $liveB")
+        if (!fs.rename(stagB, liveB))
+          throw new IllegalStateException(s"swap rename failed: $stagB -> $liveB")
+      }
+    }
+
+    // ---- commit + cleanup ----
+    commitState(fs, artPath, meta.copy(batches = meta.batches :+ batchId))
+    fs.delete(new Path(artPath, "_backup"), true)
+    fs.delete(stagedRoot, true)
+    fs.delete(new Path(artPath, "_meta/pending.json"), false)
+  }
+
+  // ------------------------------------------------------------------
+  // Serving
+  // ------------------------------------------------------------------
+
   private def serve(s: SparkSession, sub: String): Option[DataFrame] =
-    s.conf.getOption(Key).flatMap { root =>
-      val p = new org.apache.hadoop.fs.Path(root, sub)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(root), s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) Some(s.read.parquet(p.toString)) else None
+    s.conf.getOption(Key).map { root =>
+      recover(s, root)
+      val p = new Path(root, sub)
+      if (!fsOf(s, root).exists(p))
+        throw new IllegalStateException(
+          s"$Key=$root is set but '$sub' is missing — silent inline fallback " +
+            "would drop appended batches; unset the conf or rebuild")
+      s.read.parquet(p.toString).drop("bkt")
     }
 
   /** Co-purchase edge list (a, b): served from the artifact when one is
-    * configured and present, inline-derived otherwise. */
+    * configured (failing loudly if it is configured but incomplete),
+    * inline-derived otherwise. */
   def coPurchase(s: SparkSession, dir: String): DataFrame =
     serve(s, "copurchase").getOrElse(coPurchaseInline(s, dir))
 

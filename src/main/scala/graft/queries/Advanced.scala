@@ -1308,10 +1308,15 @@ object Advanced {
       .join(broadcast(marg.select(col("b").as("bb"), col("nb").as("nb2"))), "bb")
       .join(broadcast(marg.select(col("b").as("bc"), col("nb").as("nc"))), "bc")
       .crossJoin(broadcast(tot))
-      // DECIMAL(38) numerator: support·nn²·2e4 can pass BIGINT at scale
+      // DECIMAL(38) everywhere: support·nn²·2e4 can pass BIGINT at
+      // scale, and so can the marginal products na·nb2·nc (~2^21 each
+      // suffices to wrap BIGINT silently in non-ANSI Spark while the
+      // DuckDB twin errors loudly) — widen na before BOTH products so
+      // the whole quotient stays in wide decimal
       .withColumn("lift3", expr(
         "(CAST(support AS DECIMAL(38,0)) * nn * nn * 20000 + " +
-        "(na * nb2 * nc)) DIV (2 * na * nb2 * nc)").cast("double") / 10000.0)
+        "(CAST(na AS DECIMAL(38,0)) * nb2 * nc)) DIV " +
+        "(2 * CAST(na AS DECIMAL(38,0)) * nb2 * nc)").cast("double") / 10000.0)
       .select(col("ba"), col("bb"), col("bc"), col("support"), col("lift3"))
       .orderBy(col("support").desc, col("ba"), col("bb"), col("bc"))
       .limit(20)

@@ -167,7 +167,7 @@ object Analytics {
       .select(col("maybe"), col("dup").isNotNull.as("is_dup"))
       .groupBy("maybe", "is_dup")
       .agg(count(lit(1)).as("n_docs"))
-      .crossJoin(nb)
+      .crossJoin(broadcast(nb)) // single-row aggregate: broadcast for plan-shape stability
       .orderBy("maybe", "is_dup")
   }
 

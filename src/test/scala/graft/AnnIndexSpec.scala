@@ -90,6 +90,42 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$incDir/index.staging").exists())
   }
 
+  test("append rewrites ONLY the touched cell partitions") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("ann-local").toString
+    AnnIndex.build(emb, d)
+    def snap: Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val base = java.nio.file.Paths.get(s"$d/index")
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .map(p => (base.relativize(p).toString,
+          (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+            java.nio.file.Files.size(p))))
+        .toMap
+    }
+    val before = snap
+    val baseCount = spark.read.parquet(s"$d/index").count()
+    // a new id carrying vector 0's embedding assigns (frozen model,
+    // same arithmetic as build) to exactly vector 0's cell
+    val cellOf0 = spark.read.parquet(s"$d/index")
+      .where(col("id") === 0L).select("cell").as[Int].head()
+    val batch = emb.filter(col("vec_id") === 0)
+      .select(lit(99999L).as("vec_id"), col("embedding"))
+    AnnIndex.append(batch, d)
+    val after = snap
+    val changedCells = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+      .flatMap(_.split('/').find(_.startsWith("cell=")))
+    assert(changedCells === Set(s"cell=$cellOf0"))
+    assert(before.keySet.flatMap(_.split('/').find(_.startsWith("cell=")))
+      .size > 4, "locality claim needs several cells to exist")
+    val idx = spark.read.parquet(s"$d/index")
+    assert(idx.count() === baseCount + 1)
+    assert(idx.where(col("id") === 99999L).select("cell").as[Int].head()
+      === cellOf0)
+  }
+
   test("drift guard: balanced append stays quiet, skewed append trips retrain") {
     val emb = Tables.t(spark, sf, "embeddings")
     val d = java.nio.file.Files.createTempDirectory("ann-drift").toString

@@ -1,13 +1,17 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.operators.GraphArtifact
 
 /** Build-once / serve-many graph-edge artifact (operators/GraphArtifact):
   * served edge lists must equal the inline derivation row for row, the
-  * graph queries must return identical results under both paths, and the
+  * graph queries must return identical results under both paths, the
   * served plan must read the artifact parquet instead of re-deriving
-  * from lineitem/events. */
+  * from lineitem/events, appends must be PARTITION-LOCAL (untouched
+  * buckets' files byte-identical across an append), replays must fail
+  * loudly against the seen-order ledger, and every crash window in the
+  * build-swap / append protocol must be repaired by recover(). */
 class GraphArtifactSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
@@ -24,6 +28,31 @@ class GraphArtifactSpec extends AnyFunSuite {
     try body finally spark.conf.unset(GraphArtifact.Key)
   }
 
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("graph").toString
+
+  /** Relative path → (mtime, size) for every regular file under dir. */
+  private def snapshot(dir: String): Map[String, (Long, Long)] = {
+    val base = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(base)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .map(p => (base.relativize(p).toString,
+          (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+            java.nio.file.Files.size(p))))
+        .toMap
+    }
+  }
+
+  private val AllSubs = Seq("copurchase_support", "copurchase", "click", "orders")
+
+  private def snapshotAll(root: String): Map[String, Map[String, (Long, Long)]] =
+    AllSubs.map(sub => sub -> snapshot(s"$root/$sub")).toMap
+
+  private def noClicks = Seq.empty[(Long, Long)].toDF("u", "v")
+
   test("served co-purchase edges equal the inline derivation") {
     val inline = GraphArtifact.coPurchaseInline(spark, sf)
       .as[(Long, Long)].collect().toSet
@@ -35,17 +64,15 @@ class GraphArtifactSpec extends AnyFunSuite {
   }
 
   test("append on an order-disjoint batch equals a full rebuild") {
-    import org.apache.spark.sql.functions._
     val items = GraphArtifact.itemsInline(spark, sf)
     val clicks = GraphArtifact.clickEdgesInline(spark, sf)
     // base = 80% of orders; batch = the remaining 20% (order-disjoint,
-    // the daily-ingest precondition append documents)
+    // the daily-ingest precondition append now ENFORCES via the ledger)
     val base = items.filter(col("o") % 5 =!= 0)
     val batch = items.filter(col("o") % 5 === 0)
     val cBase = clicks.filter(col("u") % 5 =!= 0)
     val cBatch = clicks.filter(col("u") % 5 === 0)
-    val d = java.nio.file.Files.createTempDirectory("graph-append")
-      .resolve("graph").toString
+    val d = tmp("graph-append")
     // appending into a non-existent artifact must refuse loudly
     val thrown = intercept[IllegalArgumentException] {
       GraphArtifact.append(spark, batch, cBatch, d)
@@ -54,10 +81,9 @@ class GraphArtifactSpec extends AnyFunSuite {
     GraphArtifact.buildFrom(spark, base, cBase, d)
     GraphArtifact.append(spark, batch, cBatch, d)
     // appended state must equal a from-scratch build over the union
-    val full = java.nio.file.Files.createTempDirectory("graph-full")
-      .resolve("graph").toString
+    val full = tmp("graph-full")
     GraphArtifact.buildFrom(spark, items, clicks, full)
-    for (sub <- Seq("copurchase_support", "copurchase", "click")) {
+    for (sub <- AllSubs) {
       val a = spark.read.parquet(s"$d/$sub").collect()
         .map(_.toSeq).toSet
       val b = spark.read.parquet(s"$full/$sub").collect()
@@ -74,6 +100,145 @@ class GraphArtifactSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().toSet
       assert(servedEdges === inlineEdges)
     } finally spark.conf.unset(GraphArtifact.Key)
+  }
+
+  test("append rewrites ONLY the touched buckets; replay fails loudly") {
+    val items = GraphArtifact.itemsInline(spark, sf)
+    val d = tmp("graph-local")
+    GraphArtifact.buildFrom(spark, items,
+      GraphArtifact.clickEdgesInline(spark, sf), d)
+    val before = snapshotAll(d)
+    // one new order with two parts ⇒ one support pair ⇒ one touched
+    // support bucket, one touched order bucket, zero click buckets
+    val batch = Seq((999999999L, 1L), (999999999L, 2L)).toDF("o", "p")
+    GraphArtifact.append(spark, batch, noClicks, d)
+    val after = snapshotAll(d)
+    val pairBkt = spark.range(1)
+      .select(pmod(hash(lit(1L), lit(2L)), lit(32))).collect()(0).getInt(0)
+    val orderBkt = spark.range(1)
+      .select(pmod(hash(lit(999999999L)), lit(32))).collect()(0).getInt(0)
+    def changedBuckets(sub: String): Set[String] = {
+      val b = before(sub); val a = after(sub)
+      (b.keySet ++ a.keySet).filter(k => b.get(k) != a.get(k))
+        .flatMap(_.split('/').find(_.startsWith("bkt=")))
+    }
+    assert(changedBuckets("copurchase_support") === Set(s"bkt=$pairBkt"))
+    assert(changedBuckets("copurchase").subsetOf(Set(s"bkt=$pairBkt")))
+    assert(changedBuckets("orders") === Set(s"bkt=$orderBkt"))
+    assert(changedBuckets("click") === Set.empty[String])
+    // the locality claim is only meaningful if many buckets existed
+    assert(before("copurchase_support").keySet
+      .flatMap(_.split('/').find(_.startsWith("bkt="))).size > 4)
+    // no transient state left behind
+    for (leftover <- Seq("_staged", "_backup", "_meta/pending.json"))
+      assert(!new java.io.File(s"$d/$leftover").exists(), leftover)
+    // the appended pair is present with merged support
+    val sup = spark.read.parquet(s"$d/copurchase_support")
+      .where(col("a") === 1L && col("b") === 2L)
+      .select("support").as[Long].collect()
+    assert(sup.length === 1 && sup(0) >= 1)
+    // replaying the SAME batch must fail loudly (double-count hazard)
+    val ex = intercept[IllegalArgumentException] {
+      GraphArtifact.append(spark, batch, noClicks, d)
+    }
+    assert(ex.getMessage.contains("order-disjoint"))
+    // ...and the failed replay must not have modified anything
+    assert(snapshotAll(d) === after)
+  }
+
+  test("empty append is a no-op (no new committed state, no file churn)") {
+    val d = tmp("graph-empty")
+    GraphArtifact.buildFrom(spark,
+      GraphArtifact.itemsInline(spark, sf),
+      GraphArtifact.clickEdgesInline(spark, sf), d)
+    val before = snapshotAll(d)
+    val stateBefore = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$d/_meta/state.json"))
+    GraphArtifact.append(spark, Seq.empty[(Long, Long)].toDF("o", "p"),
+      noClicks, d)
+    assert(snapshotAll(d) === before)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$d/_meta/state.json")) === stateBefore)
+  }
+
+  test("recover() rolls an UNcommitted append back to the pre-append state") {
+    val d = tmp("graph-rollback")
+    GraphArtifact.buildFrom(spark,
+      GraphArtifact.itemsInline(spark, sf),
+      GraphArtifact.clickEdgesInline(spark, sf), d)
+    val original = spark.read.parquet(s"$d/copurchase_support")
+      .collect().map(_.toSeq).toSet
+    // simulate a crash after the backup rename, before the staged
+    // swap-in: live bucket moved aside, pending written, batch id NOT
+    // in the committed state
+    val bkts = new java.io.File(s"$d/copurchase_support").listFiles()
+      .filter(_.getName.startsWith("bkt=")).map(_.getName).sorted
+    val k = bkts.head.stripPrefix("bkt=").toInt
+    new java.io.File(s"$d/_backup/copurchase_support").mkdirs()
+    assert(new java.io.File(s"$d/copurchase_support/bkt=$k")
+      .renameTo(new java.io.File(s"$d/_backup/copurchase_support/bkt=$k")))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/_meta/pending.json"),
+      s"""{"batchId":"deadbeef","subs":{"copurchase_support":[{"bkt":$k,"hadBase":true}]}}""")
+    GraphArtifact.recover(spark, d)
+    assert(!new java.io.File(s"$d/_meta/pending.json").exists())
+    assert(!new java.io.File(s"$d/_backup").exists())
+    val recovered = spark.read.parquet(s"$d/copurchase_support")
+      .collect().map(_.toSeq).toSet
+    assert(recovered === original)
+  }
+
+  test("recover() rolls a COMMITTED append forward (cleanup only)") {
+    val d = tmp("graph-rollfwd")
+    val items = GraphArtifact.itemsInline(spark, sf)
+    GraphArtifact.buildFrom(spark, items.filter(col("o") % 5 =!= 0),
+      GraphArtifact.clickEdgesInline(spark, sf), d)
+    GraphArtifact.append(spark, items.filter(col("o") % 5 === 0),
+      noClicks, d)
+    val appended = spark.read.parquet(s"$d/copurchase_support")
+      .collect().map(_.toSeq).toSet
+    // simulate a crash between the state promote and the cleanup: the
+    // pending marker and a stray backup survive with the batch id
+    // already committed
+    val state = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$d/_meta/state.json"))
+    val id = """"([0-9a-f-]{36})"""".r.findFirstMatchIn(state).get.group(1)
+    val bkts = new java.io.File(s"$d/copurchase_support").listFiles()
+      .filter(_.getName.startsWith("bkt=")).map(_.getName).sorted
+    val k = bkts.head.stripPrefix("bkt=").toInt
+    new java.io.File(s"$d/_backup/copurchase_support").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/_backup/copurchase_support/junk"), "stale")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/_meta/pending.json"),
+      s"""{"batchId":"$id","subs":{"copurchase_support":[{"bkt":$k,"hadBase":true}]}}""")
+    GraphArtifact.recover(spark, d)
+    assert(!new java.io.File(s"$d/_meta/pending.json").exists())
+    assert(!new java.io.File(s"$d/_backup").exists())
+    val after = spark.read.parquet(s"$d/copurchase_support")
+      .collect().map(_.toSeq).toSet
+    assert(after === appended)
+  }
+
+  test("recover() rolls an interrupted BUILD swap forward") {
+    val d = tmp("graph-buildswap")
+    GraphArtifact.buildFrom(spark,
+      GraphArtifact.itemsInline(spark, sf),
+      GraphArtifact.clickEdgesInline(spark, sf), d)
+    val original = spark.read.parquet(s"$d/copurchase")
+      .collect().map(_.toSeq).toSet
+    // simulate the crash between `live → .old` and `staging → live`:
+    // live missing, staging complete, stale .old present
+    assert(new java.io.File(d).renameTo(new java.io.File(d + ".staging")))
+    new java.io.File(d + ".old").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d + ".old/junk"), "previous artifact")
+    GraphArtifact.recover(spark, d)
+    assert(new java.io.File(d).exists())
+    assert(!new java.io.File(d + ".staging").exists())
+    assert(!new java.io.File(d + ".old").exists())
+    assert(spark.read.parquet(s"$d/copurchase")
+      .collect().map(_.toSeq).toSet === original)
   }
 
   test("served click edges equal the inline derivation") {
@@ -111,9 +276,21 @@ class GraphArtifactSpec extends AnyFunSuite {
     assert(plan.contains("lineitem"))
   }
 
-  test("rebuild is atomic: no .staging residue, artifact replaced wholesale") {
+  test("conf set but artifact incomplete fails loudly (no silent fallback)") {
+    val empty = java.nio.file.Files.createTempDirectory("graph-hollow").toString
+    spark.conf.set(GraphArtifact.Key, empty)
+    try {
+      val ex = intercept[IllegalStateException] {
+        GraphArtifact.coPurchase(spark, sf)
+      }
+      assert(ex.getMessage.contains("missing"))
+    } finally spark.conf.unset(GraphArtifact.Key)
+  }
+
+  test("rebuild is atomic: no .staging/.old residue, artifact replaced wholesale") {
     GraphArtifact.build(spark, sf, dir) // second build over the first
     assert(!new java.io.File(dir + ".staging").exists())
+    assert(!new java.io.File(dir + ".old").exists())
     val n = served { GraphArtifact.coPurchase(spark, sf).count() }
     assert(n === GraphArtifact.coPurchaseInline(spark, sf).count())
   }
