@@ -1270,7 +1270,79 @@ object Pipeline {
 
   // ----------------------------------------------------------- registry
 
+  // -------------------------------------------------------------- q302
+
+  /** End-to-end incremental-lifecycle capstone (q302): one simulated
+    * daily ingest drives ALL THREE persisted-state paths the engine
+    * owns — the dedup fingerprint index ([[graft.Compact]], q209), the
+    * frozen-model ANN index ([[graft.llm.AnnIndex]] append, q263), and
+    * the graph-edge artifact ([[graft.operators.GraphArtifact]] append,
+    * q301) — and emits ONE governance report read back from the
+    * PERSISTED states: corpus duplicate rate, worst-cell ANN occupancy
+    * drift (+ retrain flag), and the co-purchase triangle count. The
+    * corpus splits 80/20 (documents and orders by key mod 5, vectors at
+    * the q263 id boundary), each state builds on the base and appends
+    * the batch, and the oracle reproduces every number from the FULL
+    * corpus inline — so the green row proves base + append ≡ full for
+    * the whole lifecycle at once (the q301 proof pattern applied to all
+    * three states together). Quantization follows the house
+    * disciplines: exact integer DIV half-away for the rate, the q263
+    * 6-dp drift arithmetic, exact BIGINT census. */
+  val lifecycleCapstone: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-capstone")
+    // dedup state: base ingest, then the daily batch (id-keyed upsert)
+    val docs = Tables.t(s, dir, "documents")
+    val dState = tmp.resolve("dedup").toString
+    graft.Compact.run(s, dState, docs.filter(col("doc_id") % 5 =!= 0))
+    graft.Compact.run(s, dState, docs.filter(col("doc_id") % 5 === 0))
+    val dup = graft.Compact.readIndex(s, dState).get
+      .agg(count(lit(1)).as("n"), countDistinct("fp").as("dfp"))
+      .select((expr("((n - dfp) * 20000 + n) DIV (2 * n)")
+        .cast("double") / 10000.0).as("dup_rate4"))
+    // ANN state: frozen-model build on the base, append the rest
+    val emb = Tables.t(s, dir, "embeddings")
+    val aDir = tmp.resolve("ann").toString
+    graft.llm.AnnIndex.build(emb.filter(col("vec_id") < 350), aDir)
+    graft.llm.AnnIndex.append(emb.filter(col("vec_id") >= 350), aDir)
+    val drift = graft.llm.AnnIndex.drift(s, aDir)
+      .agg(max(col("drift6")).as("drift_max6"),
+        max(col("retrain").cast("int")).as("retrain"))
+    // graph state: partition-local append of the day's orders + clicks
+    val gDir = tmp.resolve("graph").toString
+    val items = graft.operators.GraphArtifact.itemsInline(s, dir)
+      .localCheckpoint(true)
+    val clicks = graft.operators.GraphArtifact.clickEdgesInline(s, dir)
+      .localCheckpoint(true)
+    graft.operators.GraphArtifact.buildFrom(s,
+      items.filter(col("o") % 5 =!= 0),
+      clicks.filter(col("u") % 5 =!= 0), gDir)
+    graft.operators.GraphArtifact.append(s,
+      items.filter(col("o") % 5 === 0),
+      clicks.filter(col("u") % 5 === 0), gDir)
+    val census = graft.operators.Graph.triangleCensus(
+      s.read.parquet(s"$gDir/copurchase").drop("bkt"))
+      .select(col("n_triangles"))
+    dup.crossJoin(broadcast(drift)).crossJoin(broadcast(census))
+  }
+
+  /** The drift and census legs reuse q263's and q179's oracle SQL
+    * verbatim as derived tables, so the capstone can never drift from
+    * the arithmetic those rows already gate. */
+  val lifecycleCapstoneSql: String =
+    s"""WITH dup AS (
+       |  SELECT count(*)::BIGINT AS n, count(DISTINCT fp)::BIGINT AS dfp
+       |  FROM (SELECT ${Fragments.BagFpSql} AS fp FROM documents))
+       |SELECT
+       |  (((n - dfp) * 20000 + n) // (2 * n))::DOUBLE / 10000.0 AS dup_rate4,
+       |  d.drift_max6, d.retrain, t.n_triangles
+       |FROM dup,
+       |  (SELECT max(drift6) AS drift_max6,
+       |          max(CASE WHEN retrain THEN 1 ELSE 0 END) AS retrain
+       |   FROM (${LlmQueries.annDriftSql})) d,
+       |  (SELECT n_triangles FROM (${Analytics.triangleCountSql})) t""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q302_lifecycle_capstone" -> lifecycleCapstone,
     "q228_rfm_segments" -> rfmSegments,
     "q236_bootstrap_ci" -> bootstrapCi,
     "q230_audience_overlap" -> audienceOverlap,
@@ -1296,6 +1368,7 @@ object Pipeline {
     "q216_er_best_match" -> erBestMatch)
 
   val oracleSql: Map[String, String] = Map(
+    "q302_lifecycle_capstone" -> lifecycleCapstoneSql,
     "q228_rfm_segments" -> rfmSegmentsSql,
     "q230_audience_overlap" -> audienceOverlapSql,
     "q236_bootstrap_ci" -> bootstrapCiSql,

@@ -124,6 +124,11 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(idx.count() === baseCount + 1)
     assert(idx.where(col("id") === 99999L).select("cell").as[Int].head()
       === cellOf0)
+    // an EMPTY append is a complete no-op: no file churn at all
+    val preEmpty = snap
+    AnnIndex.append(
+      Tables.t(spark, sf, "embeddings").where(lit(false)), d)
+    assert(snap === preEmpty)
   }
 
   test("drift guard: balanced append stays quiet, skewed append trips retrain") {
