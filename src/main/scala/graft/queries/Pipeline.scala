@@ -89,6 +89,37 @@ object Pipeline {
 
   // -------------------------------------------------------------- q72
 
+  /** Session conf key for q72's per-block size cap — the
+    * [[graft.llm.Lsh.MaxBucketConf]] discipline applied to the fuzzy
+    * join: when set to a positive count, blocks holding more documents
+    * are dropped from the pair join entirely (the output stays a strict
+    * subset of the exact semantics) and counted in
+    * [[fuzzyDroppedBlocks]]. OPT-IN, default unset/uncapped, because
+    * the DuckDB oracle replays the uncapped all-pairs semantics. */
+  val FuzzyMaxBlockConf = "spark.graft.fuzzy.maxBlock"
+
+  /** One dropped-block accumulator per session ("graft.fuzzy.
+    * droppedBlocks" in the Spark UI) — an accumulator, not `observe`,
+    * for the same AQE empty-relation reason as Lsh's. Diagnostic, not
+    * data (task retries may over-count). */
+  private val fuzzyAccs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.util.LongAccumulator]())
+
+  private def fuzzyAccFor(s: org.apache.spark.sql.SparkSession) =
+    fuzzyAccs.synchronized {
+      var acc = fuzzyAccs.get(s)
+      if (acc == null) {
+        acc = s.sparkContext.longAccumulator("graft.fuzzy.droppedBlocks")
+        fuzzyAccs.put(s, acc)
+      }
+      acc
+    }
+
+  /** Total fuzzy-join blocks dropped by the size cap this session. */
+  def fuzzyDroppedBlocks(s: org.apache.spark.sql.SparkSession): Long =
+    fuzzyAccFor(s).value
+
   /** Fuzzy near-dup pairs by edit distance on the 64-char normalized
     * prefix, blocked on (lang, source, length band) so the pair space is
     * per-block quadratic, never corpus-quadratic; the 64-char cap bounds
@@ -100,15 +131,34 @@ object Pipeline {
     * space quadratically — the 10× ScaleProbe run measured 250× on a
     * shared-vocab synthetic corpus. This is the audit/EDA shape for
     * corpora whose block sizes are operationally bounded; at open scale
-    * use the candidate-bounded near-dup paths — MinHash-LSH (q32,
+    * either enable the [[FuzzyMaxBlockConf]] cap (bounded growth,
+    * dropped blocks surfaced via the accumulator) or use the
+    * candidate-bounded near-dup paths — MinHash-LSH (q32,
     * `llm/Dedup.minhashLsh`) or the prefix-filtered set-similarity
     * join (q136, `llm/SetSimilarity`) — whose bucket sizes track
     * content, not corpus size, and verify survivors exactly. */
   val fuzzyPairs: Q = (s, dir) => {
-    val d = Tables.t(s, dir, "documents").select(
+    val dAll = Tables.t(s, dir, "documents").select(
       col("doc_id"), col("lang"), col("source"),
       floor(col("n_chars") / 64).as("band"),
       substring(TextOps.normalized(col("text")), 1, 64).as("p"))
+    val cap = s.conf.getOption(FuzzyMaxBlockConf)
+      .map(_.toInt).filter(_ > 0).getOrElse(Int.MaxValue)
+    val d = if (cap == Int.MaxValue) dAll else {
+      val acc = fuzzyAccFor(s)
+      val keep = udf { (n: Long) =>
+        val ok = n <= cap
+        if (!ok) acc.add(1L)
+        ok
+      }
+      // block-key cardinality is corpus-independent, so the kept-key
+      // list broadcasts at any corpus size
+      val keptKeys = dAll.groupBy("lang", "source", "band")
+        .agg(count(lit(1)).as("block_n"))
+        .filter(keep(col("block_n")))
+        .select("lang", "source", "band")
+      dAll.join(broadcast(keptKeys), Seq("lang", "source", "band"))
+    }
     val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
       col("band"), col("p").as("p_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("lang"), col("source"),

@@ -148,4 +148,28 @@ class PipelineSpec extends AnyFunSuite {
       assert(sim >= 0.35 && sim <= 1.0)
     }
   }
+
+  test("fuzzy block cap: opt-in, engages, reports, and stays a subset") {
+    import graft.queries.Pipeline
+    def run() = Pipeline.fuzzyPairs(spark, sf)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val uncapped = run()
+    assert(uncapped.nonEmpty)
+    // a cap of 1 drops every multi-document block: zero pairs survive
+    // and the accumulator reports the engaged drops
+    val dropsBefore = Pipeline.fuzzyDroppedBlocks(spark)
+    spark.conf.set(Pipeline.FuzzyMaxBlockConf, "1")
+    try {
+      assert(run().isEmpty)
+      assert(Pipeline.fuzzyDroppedBlocks(spark) > dropsBefore,
+        "dropped blocks must be surfaced via the accumulator")
+      // a generous cap drops nothing: exact semantics preserved
+      spark.conf.set(Pipeline.FuzzyMaxBlockConf, "1000000")
+      assert(run() === uncapped)
+      // an intermediate cap yields a strict subset
+      spark.conf.set(Pipeline.FuzzyMaxBlockConf, "3")
+      val capped = run()
+      assert(capped.subsetOf(uncapped))
+    } finally spark.conf.unset(Pipeline.FuzzyMaxBlockConf)
+  }
 }
