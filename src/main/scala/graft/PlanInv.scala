@@ -28,7 +28,8 @@ object PlanInv {
         val single = "Exchange SinglePartition".r.findAllIn(p).size
         val wgl = if (p.contains("WindowGroupLimit")) 1 else 0
         val top = if (p.contains("TakeOrderedAndProject")) 1 else 0
-        println(s"INV|$n|hash=$ex|range=$rp|single=$single|bcast=$bc|smj=$smj|bhj=$bhj|bnlj=$bnlj|wgl=$wgl|topk=$top")
+        val cart = "CartesianProduct".r.findAllIn(p).size // must be 0 everywhere
+        println(s"INV|$n|hash=$ex|range=$rp|single=$single|bcast=$bc|smj=$smj|bhj=$bhj|bnlj=$bnlj|wgl=$wgl|topk=$top|cart=$cart")
       } catch { case e: Throwable => println(s"INV|$n|ERR ${e.getMessage.take(60)}") }
     }
     spark.stop()

@@ -163,7 +163,7 @@ object AnnIndex {
         coalesce(col("n_now"), lit(0L)).as("n_now"))
       .crossJoin(broadcast(
         build.agg(sum("n_build").as("tb"))
-          .crossJoin(now.agg(sum("n_now").as("tn")))))
+          .crossJoin(broadcast(now.agg(sum("n_now").as("tn"))))))
       .select(col("cell"), col("n_build"), col("n_now"),
         round(col("n_build").cast("double") / col("tb"), 6).as("share_build6"),
         round(col("n_now").cast("double") / col("tn"), 6).as("share_now6"))

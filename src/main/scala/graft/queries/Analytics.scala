@@ -2852,7 +2852,7 @@ object Analytics {
       .localCheckpoint(true)
     val srcs = sk.select("source").distinct()
     val pairs = srcs.select(col("source").as("a"))
-      .crossJoin(srcs.select(col("source").as("b")))
+      .crossJoin(broadcast(srcs.select(col("source").as("b")))) // bounded source list
       .filter(col("a") < col("b"))
     val ph = pairs.join(broadcast(sk),
         col("source") === col("a") || col("source") === col("b"))

@@ -971,7 +971,7 @@ object Curation {
   val thresholdSweep: Q = (s, dir) => {
     val d = scoredLabeled(s, dir).localCheckpoint(true)
     val thr = d.agg(min("q4i").as("mn"), max("q4i").as("mx"))
-      .crossJoin(d.sparkSession.range(0, 5).toDF("i"))
+      .crossJoin(broadcast(d.sparkSession.range(0, 5).toDF("i")))
       .select(col("i").cast("int").as("thr_i"),
         expr("mn + ((mx - mn) * i) DIV 4").as("thr"))
     d.crossJoin(broadcast(thr))

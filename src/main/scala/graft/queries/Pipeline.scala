@@ -203,7 +203,7 @@ object Pipeline {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n"))
     val score = round((col("tf") * col("n")).cast("double") / col("df"), 4)
-    tf.join(df, "term").crossJoin(n)
+    tf.join(df, "term").crossJoin(broadcast(n)) // single-row corpus count
       .select(col("doc_id"), col("term"), score.as("tfidf"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id")

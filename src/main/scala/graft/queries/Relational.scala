@@ -292,7 +292,7 @@ object Relational {
   val joinCross: Q = (s, dir) => {
     val r1 = t(s, dir, "region").select(col("r_name").as("a"))
     val r2 = t(s, dir, "region").select(col("r_name").as("b"))
-    r1.crossJoin(r2).orderBy("a", "b")
+    r1.crossJoin(broadcast(r2)).orderBy("a", "b")
   }
 
   val joinCrossSql: String =

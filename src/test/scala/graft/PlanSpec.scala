@@ -562,4 +562,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       "the 640-row centroid table must broadcast:\n" + p.take(800))
   }
+
+  test("no CartesianProduct node anywhere in the full query registry") {
+    // every cross join in the registry pairs a data-scale side with a
+    // bounded/single-row side wrapped in broadcast(...) — a Cartesian
+    // product surviving to the physical plan means a scalar lost its
+    // broadcast hint and would shuffle-pair at corpus scale
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct planned in: ${offenders.mkString(", ")}")
+  }
 }
