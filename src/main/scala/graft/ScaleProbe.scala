@@ -2,20 +2,26 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Two-scale timing probe (dev tool): runs the named queries against two
-  * corpus directories — typically a [[ScaleGen]] 1× and 10× — and
-  * prints the markdown scaling table SCALE.md records, flagging any
-  * query whose time ratio exceeds `flagRatio` (superlinear at 10× data
-  * needs a documented reason). Both scales run in the SAME session with
-  * the same min-of-reps estimator, and the graph artifact is built per
-  * directory first (its build time is reported as its own row), so the
-  * ratio isolates data-dependent cost. */
+/** Multi-scale timing probe (dev tool): runs the named queries against
+  * two OR MORE corpus directories — typically [[ScaleGen]] 1×/10×/100×
+  * — and prints the markdown scaling table SCALE.md records, flagging
+  * any consecutive-scale time ratio above `flagRatio` (superlinear
+  * growth at 10× data needs a documented reason). All scales run in the
+  * SAME session with the same min-of-reps estimator, and the graph
+  * artifact is built per directory first (its build time is reported as
+  * its own row), so the ratios isolate data-dependent cost.
+  *
+  * Usage: `runMain graft.ScaleProbe <dir1,dir2[,dir3...]> <q1,q2,...>
+  * [flagRatio]`. A query name suffixed `@cap` runs with the q72 block
+  * cap enabled (`spark.graft.fuzzy.maxBlock=1000`) — the bounded-growth
+  * demonstration for the one known superlinear path. */
 object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
-    val Array(dirA, dirB, queriesCsv) = args.take(3)
-    val flagRatio =
-      if (args.length > 3) args(3).toDouble else 12.0
+    val dirs = args(0).split(',').map(_.trim).filter(_.nonEmpty)
+    require(dirs.length >= 2, "need at least two corpus dirs")
+    val names = args(1).split(',').map(_.trim).filter(_.nonEmpty)
+    val flagRatio = if (args.length > 2) args(2).toDouble else 12.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val spark = SparkSession.builder()
@@ -26,7 +32,6 @@ object ScaleProbe {
       .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = queriesCsv.split(',').map(_.trim).filter(_.nonEmpty)
 
     def drain(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()
@@ -41,22 +46,39 @@ object ScaleProbe {
         .createTempDirectory("graft-scale-art").resolve("graph").toString
       val buildSec = timeOf(graft.operators.GraphArtifact.build(spark, dir, art))
       spark.conf.set(graft.operators.GraphArtifact.Key, art)
-      val m = names.map { n =>
-        n -> timeOf(drain(SparkEntry.queries(n)(spark, dir)))
+      val CapSuffix = "@cap(\\d*)$".r
+      val m = names.map { raw =>
+        val (n, cap) = CapSuffix.findFirstMatchIn(raw) match {
+          case Some(mm) =>
+            (raw.substring(0, mm.start),
+              Some(if (mm.group(1).isEmpty) "1000" else mm.group(1)))
+          case None => (raw, None)
+        }
+        cap.foreach(c =>
+          spark.conf.set(graft.queries.Pipeline.FuzzyMaxBlockConf, c))
+        val t = timeOf(drain(SparkEntry.queries(n)(spark, dir)))
+        if (cap.isDefined)
+          spark.conf.unset(graft.queries.Pipeline.FuzzyMaxBlockConf)
+        System.gc() // release prior checkpoint blocks outside timed regions
+        raw -> t
       }.toMap
       spark.conf.unset(graft.operators.GraphArtifact.Key)
       m + ("graph_build" -> buildSec)
     }
 
-    val a = runScale(dirA)
-    val b = runScale(dirB)
+    val results = dirs.map(d => runScale(d))
     def f2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    println(s"| query | ${dirA.split('/').last} s | ${dirB.split('/').last} s | ratio | flag |")
-    println("|---|---|---|---|---|")
+    val labels = dirs.map(_.split('/').last)
+    val ratioHeads = labels.sliding(2).map(p => s"${p(1)}/${p(0)}").toSeq
+    println(s"| query | ${labels.map(_ + " s").mkString(" | ")} | " +
+      s"${ratioHeads.mkString(" | ")} | flag |")
+    println("|---|" + ("---|" * (labels.size + ratioHeads.size + 1)))
     (names.toSeq :+ "graph_build").foreach { n =>
-      val r = b(n) / math.max(a(n), 1e-9)
-      val flag = if (r > flagRatio) "SUPERLINEAR" else ""
-      println(s"| $n | ${f2(a(n))} | ${f2(b(n))} | ${f2(r)}x | $flag |")
+      val ts = results.map(_(n))
+      val ratios = ts.sliding(2).map(p => p(1) / math.max(p(0), 1e-9)).toSeq
+      val flag = if (ratios.exists(_ > flagRatio)) "SUPERLINEAR" else ""
+      println(s"| $n | ${ts.map(f2).mkString(" | ")} | " +
+        s"${ratios.map(r => f2(r) + "x").mkString(" | ")} | $flag |")
     }
     graft.llm.Dedup.clearShingleCache()
     spark.stop()

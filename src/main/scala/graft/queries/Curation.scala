@@ -637,6 +637,101 @@ object Curation {
   val capstoneLearnedGateSql: String =
     capstoneSqlWith(s"${learnedWsumSql(ToksSql)} > 0")
 
+  // -------------------------------------------------------------- q303
+
+  /** Oracle-replayable TRAINING for the learned quality gate (q303):
+    * two integer-quantized batch-perceptron steps distill the rule gate
+    * (qualityScore ≥ 0.3, the q100 capstone rule) into the q258
+    * hashed-ngram linear model over the train split (bucket < 80).
+    * Batch (epoch-level) updates instead of per-doc sequential ones:
+    * the update is a SUM over margin violators, so it is
+    * order-independent — which is exactly what makes the loop
+    * replayable bit-for-bit in SQL (a sequential perceptron's state
+    * chain is not). Step 1 from zero weights updates on every doc
+    * (score 0 always violates); step 2 re-scores under the clipped
+    * step-1 weights and updates on the violators only. Weights clip to
+    * ±1000 milli-units (the QualityModel.load contract). The trainer is
+    * three keyed aggregates + one broadcast join — no driver loop over
+    * docs, no floats anywhere, and the feature extraction is the
+    * scorer's own (distinct unigrams ++ distinct bigrams, md5-hashed
+    * into 512 buckets), so train and serve can never skew.
+    *
+    * Output: the full 512-row (bucket, w_milli) weight table — the
+    * serving artifact itself, hash-gated against the DuckDB replay of
+    * the same two steps. QualityModelSpec shows this table beating the
+    * fixture weights on held-out rule labels through the codegen
+    * scorer ([[graft.functions.QualityModel.load]] round trip). */
+  val trainedQuality: Q = (s, dir) => {
+    val B = graft.functions.QualityModel.Buckets
+    val train = Tables.t(s, dir, "documents")
+      .filter(bucket < 80)
+      .select(col("doc_id"),
+        when(TextOps.qualityScore(col("text")) >= 0.3, 1L)
+          .otherwise(-1L).as("y"),
+        col("text"))
+    val uni = filter(array_distinct(TextOps.tokens(col("text"))), f => f =!= "")
+    val fb = train
+      .select(col("doc_id"), col("y"),
+        explode(concat(uni, TextOps.wordShingles(col("text"), 2))).as("f"))
+      .groupBy(col("doc_id"), col("y"),
+        Fragments.hashBucket(col("f"), B).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // reused thrice: step-1 sum, scoring, step-2 sum
+    val w1 = fb.groupBy("b").agg(sum(col("y") * col("cnt")).as("u"))
+      .select(col("b"),
+        greatest(lit(-1000L), least(lit(1000L), col("u"))).as("w1"))
+    val viol = fb.join(broadcast(w1), "b") // model table ≤ B rows
+      .groupBy("doc_id", "y")
+      .agg(sum(col("cnt") * col("w1")).as("s"))
+      .filter(col("y") * col("s") <= 0)
+      .select("doc_id")
+    val u2 = fb.join(viol, "doc_id")
+      .groupBy("b").agg(sum(col("y") * col("cnt")).as("u2"))
+    val w2 = w1.join(u2, Seq("b"), "left")
+      .select(col("b").as("bucket"),
+        greatest(lit(-1000L),
+          least(lit(1000L), col("w1") + coalesce(col("u2"), lit(0L))))
+          .as("w"))
+    s.range(0, B).select(col("id").cast("int").as("bucket"))
+      .join(broadcast(w2), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("w"), lit(0L)).cast("int").as("w_milli"))
+      .orderBy("bucket")
+  }
+
+  val trainedQualitySql: String = {
+    val B = graft.functions.QualityModel.Buckets
+    s"""WITH t AS (
+       |  SELECT doc_id, text, $ToksSql AS toks FROM documents
+       |  WHERE ${Fragments.BucketSql} < 80),
+       |lab AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${Fragments.qualitySql} >= 0.3 THEN 1 ELSE -1 END AS y,
+       |    toks FROM t),
+       |fb AS MATERIALIZED (
+       |  SELECT doc_id, y, ${Fragments.hashBucketSql("f", B)} AS b,
+       |    count(*)::BIGINT AS cnt
+       |  FROM (SELECT doc_id, y, unnest(${learnedFeatsSql("toks")}) AS f
+       |        FROM lab)
+       |  GROUP BY 1, 2, 3),
+       |w1 AS MATERIALIZED (
+       |  SELECT b, greatest(-1000, least(1000, sum(y * cnt)))::BIGINT AS w1
+       |  FROM fb GROUP BY 1),
+       |viol AS (
+       |  SELECT fb.doc_id FROM fb JOIN w1 USING (b)
+       |  GROUP BY fb.doc_id, fb.y HAVING fb.y * sum(cnt * w1) <= 0),
+       |u2 AS (
+       |  SELECT b, sum(y * cnt)::BIGINT AS u2
+       |  FROM fb JOIN viol USING (doc_id) GROUP BY 1),
+       |w2 AS (
+       |  SELECT w1.b,
+       |    greatest(-1000, least(1000, w1 + coalesce(u2, 0)))::BIGINT AS w
+       |  FROM w1 LEFT JOIN u2 USING (b))
+       |SELECT r.range::INTEGER AS bucket, coalesce(w, 0)::INTEGER AS w_milli
+       |FROM range($B) r LEFT JOIN w2 ON w2.b = r.range
+       |ORDER BY bucket""".stripMargin
+  }
+
   // -------------------------------------------------------------- q265
 
   /** Corpus version diff (q265): the dataset-versioning primitive —
@@ -2610,6 +2705,7 @@ object Curation {
     "q99_string_agg" -> stringAgg,
     "q100_pipeline_capstone" -> pipelineCapstone,
     "q258_learned_quality" -> learnedQuality,
+    "q303_trained_quality" -> trainedQuality,
     "q259_capstone_learned_gate" -> capstoneLearnedGate,
     "q265_corpus_diff" -> corpusDiff,
     "q266_neyman_alloc" -> neymanAlloc,
@@ -2666,6 +2762,7 @@ object Curation {
     "q99_string_agg" -> stringAggSql,
     "q100_pipeline_capstone" -> pipelineCapstoneSql,
     "q258_learned_quality" -> learnedQualitySql,
+    "q303_trained_quality" -> trainedQualitySql,
     "q259_capstone_learned_gate" -> capstoneLearnedGateSql,
     "q265_corpus_diff" -> corpusDiffSql,
     "q266_neyman_alloc" -> neymanAllocSql,

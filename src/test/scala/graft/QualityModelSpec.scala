@@ -73,6 +73,28 @@ class QualityModelSpec extends AnyFunSuite {
     assert(a.count() > 0 && b.count() > 0)
   }
 
+  test("q303 trained weights beat the fixture on held-out rule labels") {
+    val wdf = graft.queries.Curation.trainedQuality(spark, sf)
+    val trained = QualityModel.load(wdf)
+    val fixture = QualityModel.fixture()
+    assert(trained.exists(_ != 0), "training must produce non-zero weights")
+    // held-out docs (bucket >= 80 — never seen by the trainer), labeled
+    // by the same rule gate the trainer distilled
+    val held = Tables.t(spark, sf, "documents")
+      .filter(graft.queries.Fragments.splitBucket(col("doc_id")) >= 80)
+      .select(col("text"),
+        (TextOps.qualityScore(col("text")) >= 0.3).as("label"))
+    assert(held.count() > 50)
+    def acc(w: Array[Int]): Double = held
+      .select(avg(when((TextOps.linearQualityScore(col("text"), w)
+        .getField("w_sum") > 0) === col("label"), 1.0).otherwise(0.0)).as("a"))
+      .collect()(0).getDouble(0)
+    val at = acc(trained)
+    val af = acc(fixture)
+    assert(at > af, s"trained ($at) must beat the fixture ($af) held-out")
+    assert(at >= 0.7, s"trained held-out accuracy implausibly low: $at")
+  }
+
   test("scorer plan is one codegen'd projection — no joins, no extra shuffles") {
     val w = QualityModel.fixture()
     val plan = Tables.t(spark, sf, "documents")
