@@ -60,6 +60,7 @@ object ScaleProbe {
         if (cap.isDefined)
           spark.conf.unset(graft.queries.Pipeline.FuzzyMaxBlockConf)
         System.gc() // release prior checkpoint blocks outside timed regions
+        System.err.println(f"[probe] $dir $raw $t%.2f s") // live progress
         raw -> t
       }.toMap
       spark.conf.unset(graft.operators.GraphArtifact.Key)

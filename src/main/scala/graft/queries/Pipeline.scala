@@ -644,15 +644,27 @@ object Pipeline {
     * q90 sketch path (broadcast approximate cut, exactness at the
     * boundary traded away). */
   val weightedMedian: Q = (s, dir) => {
+    // BOUNDED-SPINE shape (the q227 discipline): the running window
+    // partitions on l_returnflag — 3 keys — so a row-level cumulative
+    // sum serializes the whole corpus onto 3 tasks (measured 15.7× on
+    // the 10×→100× ScaleProbe decade before this rewrite). Instead,
+    // pre-aggregate weight onto the (flag, price) VALUE SPINE — a
+    // map-side-combinable keyed aggregate whose size is bounded by the
+    // price domain, not the corpus — and run the window over the spine.
+    // Selection is provably identical: the smallest price whose
+    // full-group cumulative reaches half the total is exactly the price
+    // of the first crossing row in the row-level order (rows below that
+    // price group all sit strictly under half by construction).
+    val spine = Tables.t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_extendedprice")
+      .agg(sum("l_quantity").as("w"))
     val cumW = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_extendedprice"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy("l_returnflag")
-    Tables.t(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice"),
-        col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("cum", sum("l_quantity").over(cumW))
-      .withColumn("tot", sum("l_quantity").over(totW))
+    spine
+      .withColumn("cum", sum("w").over(cumW))
+      .withColumn("tot", sum("w").over(totW))
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy("l_returnflag")
       .agg(min("l_extendedprice").as("w_median_price"),
@@ -661,13 +673,16 @@ object Pipeline {
   }
 
   val weightedMedianSql: String =
-    """WITH x AS (
-      |  SELECT l_returnflag, l_extendedprice, l_quantity,
-      |    sum(l_quantity) OVER (PARTITION BY l_returnflag
-      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+    """WITH spine AS (
+      |  SELECT l_returnflag, l_extendedprice, sum(l_quantity) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |x AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    sum(w) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-      |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
-      |  FROM lineitem)
+      |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM spine)
       |SELECT l_returnflag, min(l_extendedprice) AS w_median_price,
       |  max(tot)::BIGINT AS total_weight
       |FROM x WHERE cum * 2 >= tot
