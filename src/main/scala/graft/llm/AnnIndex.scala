@@ -61,6 +61,7 @@ object AnnIndex {
       .toDF("pos", "id", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
     encodeRows(corpus, firstN, nlist, m, codes, idCol, vecCol)
+      .repartition(col("cell")) // one file per cell, not tasks × cells
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
     spark.read.parquet(s"$dir/index").groupBy("cell")
       .agg(count(lit(1)).as("n"))
@@ -116,7 +117,8 @@ object AnnIndex {
     val OverwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(OverwriteModeKey)
     spark.conf.set(OverwriteModeKey, "dynamic")
-    try merged.write.mode("overwrite").partitionBy("cell")
+    try merged.repartition(col("cell")) // one file per rewritten cell
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/index")
     finally prev match {
       case Some(v) => spark.conf.set(OverwriteModeKey, v)

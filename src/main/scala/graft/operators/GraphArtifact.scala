@@ -263,19 +263,29 @@ object GraphArtifact {
     val staging = new Path(outPath + ".staging")
     fs.delete(staging, true)
     def stagePath(sub: String) = new Path(staging, sub).toString
+    // repartition ON the bucket column before every partitioned write:
+    // without it each of the shuffle-partitions tasks opens a file in
+    // every bucket directory (tasks × buckets small files — slower to
+    // write, list, read, and rename); with it each bucket is exactly
+    // one file, which is also what makes the per-bucket append renames
+    // O(1) metadata ops
     supportFromItems(items)
       .withColumn("bkt", bktCol(n, col("a"), col("b")))
+      .repartition(col("bkt"))
       .write.partitionBy("bkt").parquet(stagePath("copurchase_support"))
     // the edge projection reads the staged support back, so its bkt
     // column (and thus its bucketing) is exactly the support table's
     s.read.parquet(stagePath("copurchase_support"))
       .where(col("support") >= 2).select("a", "b", "bkt")
+      .repartition(col("bkt"))
       .write.partitionBy("bkt").parquet(stagePath("copurchase"))
     clicks.distinct()
       .withColumn("bkt", bktCol(n, col("u"), col("v")))
+      .repartition(col("bkt"))
       .write.partitionBy("bkt").parquet(stagePath("click"))
     items.select("o").distinct()
       .withColumn("bkt", bktCol(n, col("o")))
+      .repartition(col("bkt"))
       .write.partitionBy("bkt").parquet(stagePath("orders"))
     // state.json LAST: its presence marks the staging as complete
     writeSmall(fs, new Path(staging, "_meta/state.json"), metaJson(Meta(n, Nil)))
@@ -365,7 +375,8 @@ object GraphArtifact {
     val stagedRoot = new Path(artPath, "_staged")
     fs.delete(stagedRoot, true)
     def stage(sub: String, df: DataFrame): Unit =
-      df.write.partitionBy("bkt").parquet(new Path(stagedRoot, sub).toString)
+      df.repartition(col("bkt")) // one file per staged bucket (see buildFrom)
+        .write.partitionBy("bkt").parquet(new Path(stagedRoot, sub).toString)
     if (touchedPB.nonEmpty) {
       stage("copurchase_support", mergedSup)
       // project edges from the STAGED support (one merge computation,
