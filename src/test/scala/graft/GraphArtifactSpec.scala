@@ -129,6 +129,18 @@ class GraphArtifactSpec extends AnyFunSuite {
     // the locality claim is only meaningful if many buckets existed
     assert(before("copurchase_support").keySet
       .flatMap(_.split('/').find(_.startsWith("bkt="))).size > 4)
+    // bucket-aligned writes: each bucket directory is exactly ONE
+    // parquet file (tasks x buckets small-file sprawl is the thing the
+    // pre-write repartition exists to prevent)
+    for (sub <- AllSubs) {
+      val perBucket = after(sub).keySet.filter(_.endsWith(".parquet"))
+        .groupBy(_.split('/').find(_.startsWith("bkt=")).getOrElse(""))
+        .filter(_._1.nonEmpty)
+      assert(perBucket.nonEmpty, sub)
+      perBucket.foreach { case (bkt, files) =>
+        assert(files.size === 1, s"$sub/$bkt has ${files.size} files")
+      }
+    }
     // no transient state left behind
     for (leftover <- Seq("_staged", "_backup", "_meta/pending.json"))
       assert(!new java.io.File(s"$d/$leftover").exists(), leftover)
