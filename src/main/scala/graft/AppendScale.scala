@@ -21,7 +21,50 @@ import org.apache.spark.sql.functions._
   */
 object AppendScale {
 
+  /** ANN leg: `runMain graft.AppendScale ann <corpusDir> [nlist] [batchSizes...]`
+    * — same experiment against [[graft.llm.AnnIndex.append]]'s
+    * touched-cell dynamic partition overwrite. */
+  private def annMain(args: Array[String]): Unit = {
+    val dir = args(0)
+    val nlist = if (args.length > 1) args(1).toInt else 64
+    val batchSizes =
+      if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 100, 10000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = Tables.t(spark, dir, "embeddings").localCheckpoint(true)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-scale")
+      .toString
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, buildS) = timed(
+      graft.llm.AnnIndex.build(emb, idx, nlist = nlist, codes = nlist))
+    val n = spark.read.parquet(s"$idx/index").count()
+    println(f"ANNAPPEND|$dir|nlist=$nlist|build_s=$buildS%.2f|rows=$n")
+    var nextId = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
+    batchSizes.foreach { k =>
+      // k new ids re-carrying existing vectors (frozen-model ingest)
+      val batch = emb.limit(k)
+        .select((col("vec_id") + lit(nextId)).as("vec_id"), col("embedding"))
+      nextId += k
+      val (_, appendS) = timed(
+        graft.llm.AnnIndex.append(batch, idx, nlist = nlist, codes = nlist))
+      val cells = spark.read.parquet(s"$idx/index")
+        .where(col("id") >= nextId - k).select("cell").distinct().count()
+      println(f"ANNAPPEND|$dir|batch=$k|touched_cells=$cells/$nlist|" +
+        f"append_s=$appendS%.2f|vs_build=${appendS / buildS}%.3f")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "ann") { annMain(args.drop(1)); return }
     val dir = args(0)
     val buckets = if (args.length > 1) args(1).toInt else 512
     val batchSizes =
