@@ -15,19 +15,43 @@ import org.apache.spark.sql.SparkSession
   * Usage: `sbt "runMain graft.Close"` from the repo root. Pass `bench`
   * to also run [[Bench]] afterwards (same JVM, honoring the usual
   * SPARK_GRAFT_* env), refreshing BENCH_FULL.json/BENCH_DIFF.md in the
-  * same sweep.
+  * same sweep. Pass `commit` to finish the ritual the clean-tree way:
+  * stage and commit every artifact the sweep regenerates (plus any
+  * driver-refreshed round artifacts sitting in the tree), then FAIL
+  * LOUDLY if `git status --porcelain` still reports anything — so a
+  * round can no longer close with uncommitted work, the finding two
+  * consecutive verdicts flagged.
   */
 object Close {
 
-  private def fixCounts(content: String, n: Int): String = content
+  /** Passing-row count from the newest CORRECTNESS_r*.json, so the
+    * "N/M hash-match" references report the last MEASURED numerator
+    * instead of asserting registry-size/registry-size (which would
+    * silently upgrade a genuine partial-match report to a full-match
+    * claim). Falls back to `n` when no artifact exists. */
+  private[graft] def latestPassCount(n: Int,
+      root: java.nio.file.Path = Paths.get(".")): Int = {
+    import scala.jdk.CollectionConverters._
+    val arts = Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.matches("CORRECTNESS_r\\d+\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+    arts.lastOption.map { p =>
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(p))
+      root.properties().asScala.count(_.getValue.path("hash_match").asBoolean(false))
+    }.getOrElse(n)
+  }
+
+  private[graft] def fixCounts(content: String, n: Int, passes: Int): String = content
     .replaceAll("""all \d+ quer""", s"all $n quer")
     .replaceAll("""for all \d+ registered quer""", s"for all $n registered quer")
     .replaceAll("""\d+-query""", s"$n-query")
-    .replaceAll("""\d+/\d+ hash-match""", s"$n/$n hash-match")
+    .replaceAll("""\d+/\d+ hash-match""", s"${math.min(passes, n)}/$n hash-match")
     .replaceAll("""\d+-row plan inventory""", s"$n-row plan inventory")
 
   def main(args: Array[String]): Unit = {
     val n = SparkEntry.queries.size
+    val passes = latestPassCount(n)
 
     // 1. QUERIES.md — the python generator is stdlib-only
     val rc = new ProcessBuilder("python3", "tools/gen_queries_md.py")
@@ -61,16 +85,45 @@ object Close {
       s"|---|${"---|" * PlanInv.Cols.size}\n" +
       rows.mkString("\n") + "\n"
     Files.writeString(scalePath,
-      fixCounts(scale.substring(0, start) + section + scale.substring(end), n))
+      fixCounts(scale.substring(0, start) + section + scale.substring(end), n, passes))
 
     // 3. README registry-count references
     val readmePath = Paths.get("README.md")
-    Files.writeString(readmePath, fixCounts(Files.readString(readmePath), n))
+    Files.writeString(readmePath, fixCounts(Files.readString(readmePath), n, passes))
 
     println(s"[close] regenerated QUERIES.md, SCALE.md inventory " +
       s"(${rows.size} rows), count references -> $n")
 
     // 4. optional bench refresh in the same sweep
     if (args.contains("bench")) Bench.main(Array.empty)
+
+    // 5. clean-tree close: commit the regenerated artifacts, then gate
+    if (args.contains("commit")) {
+      def git(cmd: String*): (Int, String) = {
+        val pb = new ProcessBuilder(("git" +: cmd): _*).redirectErrorStream(true)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        (p.waitFor(), out)
+      }
+      import scala.jdk.CollectionConverters._
+      val roundArts = Files.list(Paths.get(".")).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("(CORRECTNESS|BENCH)_r\\d+\\.json")).toSeq
+      val targets = (Seq("QUERIES.md", "SCALE.md", "README.md",
+        "BENCH_FULL.json", "BENCH_DIFF.md", "LEAKCHECK.json") ++ roundArts)
+        .filter(f => Files.exists(Paths.get(f)))
+      require(git(("add" +: targets): _*)._1 == 0, "git add failed")
+      val (_, staged) = git("diff", "--cached", "--name-only")
+      if (staged.trim.nonEmpty) {
+        val (rc2, out) = git("commit", "-m",
+          "Round close: regenerate docs and refresh bench artifacts")
+        require(rc2 == 0, s"git commit failed:\n$out")
+        println(s"[close] committed: ${staged.trim.linesIterator.mkString(", ")}")
+      } else println("[close] artifacts already committed")
+      val (_, porcelain) = git("status", "--porcelain")
+      require(porcelain.trim.isEmpty,
+        s"close ritual must leave a CLEAN tree — commit or revert:\n$porcelain")
+      println("[close] tree clean")
+    }
   }
 }

@@ -86,21 +86,38 @@ object AnnIndex {
     * The model is NOT retrained here — that is the point (lookups stay
     * consistent with every previously served result) and the risk: a
     * drifting corpus degrades recall as cells overfill, which is what
-    * [[drift]] measures. Crash semantics: the overwrite commits per
-    * Spark job; an interrupted run is repaired by simply re-running
-    * the same append (the upsert is idempotent, and the emptied-cell
-    * sweep below re-fires). */
+    * [[drift]] measures.
+    *
+    * Crash semantics (AnnIndexSpec "crash between overwrite and sweep"
+    * exercises the worst window with an injected failure): a pending
+    * marker brackets the mutation — written before the dynamic
+    * overwrite, deleted after the emptied-cell sweep. A crash inside
+    * the bracket (in particular AFTER the overwrite commits but BEFORE
+    * the sweep, when a superseded id sits in both its old and new
+    * cells) leaves the marker in place, and every read path
+    * ([[lookup]]/[[topK]]/[[drift]] via [[indexDf]]) FAILS LOUDLY
+    * rather than serving the stale duplicate. Re-running the same
+    * append converges: the retry sees the stale row via the superseded
+    * probe, anti-joins it out, re-fires the sweep, and clears the
+    * marker (the upsert is idempotent under the frozen model). Readers
+    * never repair — mutation stays single-writer, the GraphArtifact
+    * discipline. */
   def append(batch: DataFrame, dir: String, nlist: Int = 16, m: Int = 8,
              codes: Int = 16, idCol: String = "vec_id",
              vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
     val model = readModel(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val pending = new org.apache.hadoop.fs.Path(s"$dir/_append_pending.json")
     val fresh = encodeRows(batch, model, nlist, m, codes, idCol, vecCol)
       // partition inference types the live index's cell as INT; align
       // the in-flight batch so the union and isin pruning stay typed
       .withColumn("cell", col("cell").cast("int"))
       .localCheckpoint(true) // reused thrice below; also cuts file lineage
-    val index = indexDf(spark, dir)
+    // the single writer may read through its own pending marker — a
+    // retry of an interrupted append is exactly how repair happens
+    val index = indexDf(spark, dir, allowPending = true)
     val batchCells = fresh.select("cell").distinct()
       .collect().map(_.getInt(0)) // ≤ nlist rows
     val oldCells = index.join(fresh.select("id"), Seq("id"))
@@ -114,6 +131,15 @@ object AnnIndex {
       .join(fresh.select("id"), Seq("id"), "left_anti")
       .unionByName(fresh)
       .localCheckpoint(true)
+    // WRITE-AHEAD pending marker: readers refuse to serve while it
+    // exists, so no torn window (stale duplicate between overwrite and
+    // sweep) is ever observable. Deleted only after the sweep.
+    locally {
+      val out = fs.create(pending, true)
+      try out.write(
+        s"""{"touched":[${touched.mkString(",")}]}""".getBytes("UTF-8"))
+      finally out.close()
+    }
     val OverwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(OverwriteModeKey)
     spark.conf.set(OverwriteModeKey, "dynamic")
@@ -124,17 +150,25 @@ object AnnIndex {
       case Some(v) => spark.conf.set(OverwriteModeKey, v)
       case None    => spark.conf.unset(OverwriteModeKey)
     }
+    if (injectCrashAfterOverwrite)
+      throw new IllegalStateException(
+        "injected crash: overwrite committed, emptied-cell sweep skipped")
     // a touched cell can end up EMPTY (every row superseded into other
     // cells): dynamic overwrite writes no partition for it, so its
     // stale directory must be dropped explicitly
     val remaining = merged.select("cell").distinct()
       .collect().map(_.getInt(0)).toSet
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     touched.filterNot(remaining).foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/index/cell=$c"), true)
     }
+    fs.delete(pending, false) // commit point for readers
   }
+
+  /** Test-only failpoint: when set, [[append]] dies between the
+    * dynamic-partition overwrite and the emptied-cell sweep — the
+    * worst crash window (AnnIndexSpec proves readers refuse the torn
+    * state and the retried append converges to the rebuild). */
+  private[graft] var injectCrashAfterOverwrite: Boolean = false
 
   /** Per-cell occupancy drift vs the build-time baseline, plus the
     * retrain recommendation: (cell, n_build, n_now, share_build6,
@@ -184,9 +218,17 @@ object AnnIndex {
   /** Live index frame, rolling an interrupted append swap forward
     * first (staging complete + live missing ⇒ rename — the Compact
     * crash-recovery discipline). */
-  private def indexDf(spark: SparkSession, dir: String): DataFrame = {
+  private def indexDf(spark: SparkSession, dir: String,
+                      allowPending: Boolean = false): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    if (!allowPending &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_append_pending.json")))
+      throw new IllegalStateException(
+        s"ANN index at $dir has an uncommitted append (pending marker " +
+          "present): a superseded id may sit in both its old and new " +
+          "cells — re-run the same append (idempotent) to repair before " +
+          "serving")
     val live = new org.apache.hadoop.fs.Path(s"$dir/index")
     val staging = new org.apache.hadoop.fs.Path(s"$dir/index.staging")
     if (!fs.exists(live) &&

@@ -62,7 +62,10 @@ object Graph {
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
       coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
     val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
-    degStats.crossJoin(edgeStats).crossJoin(tri)
+    // house rule (04cb0ef): broadcast every bounded crossJoin side
+    // explicitly — the sides are single-row aggregates, and the pin
+    // keeps the plan shape stable without relying on AQE's rescue
+    degStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         round(when(col("n_wedges") === 0, lit(0.0))
           .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")), 6)

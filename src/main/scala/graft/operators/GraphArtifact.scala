@@ -182,7 +182,15 @@ object GraphArtifact {
 
   /** Repair any interrupted build swap or append so the artifact is
     * always observed in a committed state. Idempotent; cheap (a few
-    * metadata probes) when there is nothing to repair. */
+    * metadata probes) when there is nothing to repair.
+    *
+    * MUTATING — runs only from the single-writer entry points
+    * ([[append]]; exposed as [[repair]] for operational use): a reader
+    * must never invoke it, because recovery cannot distinguish a
+    * CRASHED append from an IN-FLIGHT one owned by another session —
+    * rolling "back" a live append's renames while the appender is
+    * still working would corrupt the artifact. The serve path instead
+    * observes committed state read-only ([[serve]]). */
   private[graft] def recover(s: SparkSession, root: String): Unit = {
     val fs = fsOf(s, root)
     val live = new Path(root)
@@ -263,30 +271,55 @@ object GraphArtifact {
     val staging = new Path(outPath + ".staging")
     fs.delete(staging, true)
     def stagePath(sub: String) = new Path(staging, sub).toString
+    // An EMPTY sub (e.g. a corpus with no click events) writes only
+    // _SUCCESS under partitionBy — no partition dir, no schema-bearing
+    // file — and every later read.parquet would die with "Unable to
+    // infer schema", permanently bricking the artifact. Guard: when no
+    // bkt= dir exists after the write, persist the schema as a zero-row
+    // file inside a bkt=0 partition dir, so partition discovery, bucket
+    // pruning, and append's hadBase probes behave exactly as when data
+    // exists (GraphArtifactSpec empty-sub leg).
+    def ensureReadableSchema(path: String,
+                             schema: org.apache.spark.sql.types.StructType): Unit = {
+      val p = new Path(path)
+      val hasBkt = fs.exists(p) && fs.listStatus(p)
+        .exists(st => st.isDirectory && st.getPath.getName.startsWith("bkt="))
+      if (!hasBkt) {
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          schema.filterNot(_.name == "bkt"))
+        s.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), dataSchema)
+          .write.mode("overwrite").parquet(path + "/bkt=0")
+      }
+    }
     // repartition ON the bucket column before every partitioned write:
     // without it each of the shuffle-partitions tasks opens a file in
     // every bucket directory (tasks × buckets small files — slower to
     // write, list, read, and rename); with it each bucket is exactly
     // one file, which is also what makes the per-bucket append renames
     // O(1) metadata ops
-    supportFromItems(items)
+    val supStaged = supportFromItems(items)
       .withColumn("bkt", bktCol(n, col("a"), col("b")))
-      .repartition(col("bkt"))
+    supStaged.repartition(col("bkt"))
       .write.partitionBy("bkt").parquet(stagePath("copurchase_support"))
+    ensureReadableSchema(stagePath("copurchase_support"), supStaged.schema)
     // the edge projection reads the staged support back, so its bkt
     // column (and thus its bucketing) is exactly the support table's
-    s.read.parquet(stagePath("copurchase_support"))
+    val edgeStaged = s.read.parquet(stagePath("copurchase_support"))
       .where(col("support") >= 2).select("a", "b", "bkt")
-      .repartition(col("bkt"))
+    edgeStaged.repartition(col("bkt"))
       .write.partitionBy("bkt").parquet(stagePath("copurchase"))
-    clicks.distinct()
+    ensureReadableSchema(stagePath("copurchase"), edgeStaged.schema)
+    val clickStaged = clicks.distinct()
       .withColumn("bkt", bktCol(n, col("u"), col("v")))
-      .repartition(col("bkt"))
+    clickStaged.repartition(col("bkt"))
       .write.partitionBy("bkt").parquet(stagePath("click"))
-    items.select("o").distinct()
+    ensureReadableSchema(stagePath("click"), clickStaged.schema)
+    val ordersStaged = items.select("o").distinct()
       .withColumn("bkt", bktCol(n, col("o")))
-      .repartition(col("bkt"))
+    ordersStaged.repartition(col("bkt"))
       .write.partitionBy("bkt").parquet(stagePath("orders"))
+    ensureReadableSchema(stagePath("orders"), ordersStaged.schema)
     // state.json LAST: its presence marks the staging as complete
     writeSmall(fs, new Path(staging, "_meta/state.json"), metaJson(Meta(n, Nil)))
     val old = new Path(outPath + ".old")
@@ -439,11 +472,65 @@ object GraphArtifact {
   // Serving
   // ------------------------------------------------------------------
 
+  /** Operational repair entry point: [[recover]] under the artifact's
+    * single-writer contract. Call after a crashed [[build]]/[[append]]
+    * when only readers will run next (a retried append repairs
+    * implicitly); never run it concurrently with a live append. */
+  def repair(s: SparkSession, root: String): Unit = recover(s, root)
+
+  /** READ-ONLY committed-state observation — never repairs. A serve may
+    * run concurrently with an [[append]] from another session, and a
+    * mutating recovery here could not distinguish a crashed append from
+    * an in-flight one (rolling back a live append's renames would
+    * corrupt the artifact — the round-8 hazard). Instead:
+    *
+    *  - a crashed build swap (live renamed aside, complete staging not
+    *    yet renamed in) is served from the staging copy, read-only;
+    *  - a pending marker whose batch IS in the committed state means
+    *    every touched bucket already swapped in — live is the full
+    *    batch, the leftover backups are garbage for the next write
+    *    entry point to clear; safe to read;
+    *  - a pending marker whose batch is NOT committed is either a
+    *    mid-flight append (bucket renames may land between our listing
+    *    and our read) or a crash needing rollback — no consistent
+    *    read-only view exists, so serving FAILS LOUDLY rather than
+    *    guessing (retry the append, or run [[repair]] if no append is
+    *    live).
+    *
+    * GraphArtifactSpec pins that serving a crashed-uncommitted artifact
+    * throws without modifying a single file. */
   private def serve(s: SparkSession, sub: String): Option[DataFrame] =
     s.conf.getOption(Key).map { root =>
-      recover(s, root)
-      val p = new Path(root, sub)
-      if (!fsOf(s, root).exists(p))
+      val fs = fsOf(s, root)
+      val live = new Path(root)
+      val staging = new Path(root + ".staging")
+      val base =
+        if (!fs.exists(live) && fs.exists(new Path(staging, "_meta/state.json")))
+          staging.toString
+        else root
+      val pendP = new Path(base, "_meta/pending.json")
+      if (fs.exists(pendP)) {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val batchId = m.readTree(readSmall(fs, pendP)).path("batchId").asText()
+        // the state promote window (delete-current → rename-next) makes
+        // state.json.next the committed content when state.json is gone
+        val stateP = new Path(base, "_meta/state.json")
+        val metaP = if (fs.exists(stateP)) stateP
+                    else new Path(base, "_meta/state.json.next")
+        val committed = try {
+          m.readTree(readSmall(fs, metaP)).path("batches")
+            .elements().asScala.exists(_.asText == batchId)
+        } catch { case _: java.io.IOException => false }
+        if (!committed)
+          throw new IllegalStateException(
+            s"artifact at $base has an uncommitted append (batch $batchId): " +
+              "either an append is in flight in another session (retry the " +
+              "read after it commits) or a crashed append needs rollback " +
+              "(retry the append, or run GraphArtifact.repair with no " +
+              "concurrent writer) — serving now could observe a torn batch")
+      }
+      val p = new Path(base, sub)
+      if (!fs.exists(p))
         throw new IllegalStateException(
           s"$Key=$root is set but '$sub' is missing — silent inline fallback " +
             "would drop appended batches; unset the conf or rebuild")

@@ -6,6 +6,8 @@ import graft.operators.Merge
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Training-data pipeline utilities beyond the dedup/similarity core
   * (no reference analog — the reference stops at I/O,
   * hive-io-exp-core/src/main/java/com/facebook/hiveio/input/HiveApiInputFormat.java):
@@ -1355,6 +1357,7 @@ object Pipeline {
     * 6-dp drift arithmetic, exact BIGINT census. */
   val lifecycleCapstone: Q = (s, dir) => {
     val tmp = java.nio.file.Files.createTempDirectory("graft-capstone")
+    try {
     // dedup state: base ingest, then the daily batch (id-keyed upsert)
     val docs = Tables.t(s, dir, "documents")
     val dState = tmp.resolve("dedup").toString
@@ -1387,7 +1390,21 @@ object Pipeline {
     val census = graft.operators.Graph.triangleCensus(
       s.read.parquet(s"$gDir/copurchase").drop("bkt"))
       .select(col("n_triangles"))
-    dup.crossJoin(broadcast(drift)).crossJoin(broadcast(census))
+    // collect the single report row EAGERLY so the three persisted-state
+    // temp dirs can be deleted before returning (Bench runs this query
+    // reps× per sweep and PlanSpec executes it too — without the cleanup
+    // disk usage grew without bound across runs); the returned frame is
+    // a literal with the identical schema
+    val report = dup.crossJoin(broadcast(drift)).crossJoin(broadcast(census))
+    val rows = report.collect().toSeq
+    s.createDataFrame(rows.asJava, report.schema)
+    } finally {
+      // the states live on the local fs (createTempDirectory)
+      def rmrf(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
+      }
+      rmrf(tmp.toFile)
+    }
   }
 
   /** The drift and census legs reuse q263's and q179's oracle SQL

@@ -131,6 +131,59 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(snap === preEmpty)
   }
 
+  test("crash between overwrite and sweep: readers refuse, retry converges") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("ann-crash").toString
+    AnnIndex.build(emb, d)
+    // craft the worst window's precondition: the batch re-ingests EVERY
+    // id of the smallest cell with a vector that moves them all to a
+    // different cell, so after the overwrite (and before the sweep) the
+    // old cell holds only stale duplicates and is due for deletion
+    val loneCell = spark.read.parquet(s"$d/index")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .orderBy(col("n"), col("cell")).select("cell").as[Int].head()
+    val movedIds = spark.read.parquet(s"$d/index")
+      .where(col("cell") === loneCell).select("id").as[Long].collect().toSeq
+    val donor = spark.read.parquet(s"$d/index")
+      .where(col("cell") =!= loneCell).select("id").as[Long].head()
+    val donorVec = emb.where(col("vec_id") === donor).select("embedding")
+    val batch = movedIds.toDF("vec_id").crossJoin(donorVec)
+    AnnIndex.injectCrashAfterOverwrite = true
+    try intercept[IllegalStateException] { AnnIndex.append(batch, d) }
+    finally AnnIndex.injectCrashAfterOverwrite = false
+    // torn state on disk: marker present, stale old-cell dir survives
+    assert(new java.io.File(s"$d/_append_pending.json").exists())
+    assert(new java.io.File(s"$d/index/cell=$loneCell").exists())
+    // every read path fails loudly instead of serving the stale dup
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].head().toArray
+    Seq(
+      intercept[IllegalStateException] { AnnIndex.lookup(spark, d, q, k = 3) },
+      intercept[IllegalStateException] { AnnIndex.topK(emb.limit(1), d, k = 3) },
+      intercept[IllegalStateException] { AnnIndex.drift(spark, d) }
+    ).foreach(ex => assert(ex.getMessage.contains("uncommitted append")))
+    // the documented repair: re-run the SAME append — it must converge
+    // to exactly what the UNinterrupted append produces on a twin index
+    // (same corpus, same frozen model)
+    AnnIndex.append(batch, d)
+    assert(!new java.io.File(s"$d/_append_pending.json").exists())
+    assert(!new java.io.File(s"$d/index/cell=$loneCell").exists(),
+      "the emptied cell's stale directory must be swept on retry")
+    val idx = spark.read.parquet(s"$d/index")
+    movedIds.foreach { id =>
+      assert(idx.where(col("id") === id).count() === 1,
+        s"superseded id $id must appear exactly once after repair")
+    }
+    val twin = java.nio.file.Files.createTempDirectory("ann-crash-twin").toString
+    AnnIndex.build(emb, twin)
+    AnnIndex.append(batch, twin)
+    def rows(p: String) = spark.read.parquet(s"$p/index")
+      .select(col("id"), col("cell"), col("codes").cast("array<int>"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(rows(d) === rows(twin))
+  }
+
   test("drift guard: balanced append stays quiet, skewed append trips retrain") {
     val emb = Tables.t(spark, sf, "embeddings")
     val d = java.nio.file.Files.createTempDirectory("ann-drift").toString

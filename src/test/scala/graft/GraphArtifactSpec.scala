@@ -306,4 +306,106 @@ class GraphArtifactSpec extends AnyFunSuite {
     val n = served { GraphArtifact.coPurchase(spark, sf).count() }
     assert(n === GraphArtifact.coPurchaseInline(spark, sf).count())
   }
+
+  test("EMPTY sub at build time stays readable, servable, and appendable") {
+    // a corpus with no click events: partitionBy alone would leave a
+    // directory with only _SUCCESS, and every later read would die with
+    // "Unable to infer schema" — the build-time guard persists a
+    // zero-row schema file instead
+    val d = tmp("graph-emptysub")
+    GraphArtifact.buildFrom(spark,
+      GraphArtifact.itemsInline(spark, sf), noClicks, d)
+    val click = spark.read.parquet(s"$d/click")
+    assert(click.count() === 0)
+    assert(click.columns.sorted.toSeq === Seq("bkt", "u", "v"))
+    val servedClicks = {
+      spark.conf.set(GraphArtifact.Key, d)
+      try GraphArtifact.clickEdges(spark, sf).count()
+      finally spark.conf.unset(GraphArtifact.Key)
+    }
+    assert(servedClicks === 0)
+    // the empty sub accepts a later append exactly like a populated one
+    val batch = Seq((1L, 2L), (3L, 4L)).toDF("u", "v")
+    GraphArtifact.append(spark,
+      spark.emptyDataset[(Long, Long)].toDF("o", "p"), batch, d)
+    assert(spark.read.parquet(s"$d/click").select("u", "v")
+      .as[(Long, Long)].collect().toSet === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("serve is READ-ONLY: uncommitted pending fails loudly, zero file churn") {
+    val d = tmp("graph-serve-ro")
+    GraphArtifact.buildFrom(spark,
+      GraphArtifact.itemsInline(spark, sf),
+      GraphArtifact.clickEdgesInline(spark, sf), d)
+    // an append that looks IN FLIGHT from another session: pending
+    // marker present, batch id not committed, one bucket moved aside
+    val bkts = new java.io.File(s"$d/copurchase_support").listFiles()
+      .filter(_.getName.startsWith("bkt=")).map(_.getName).sorted
+    val k = bkts.head.stripPrefix("bkt=").toInt
+    new java.io.File(s"$d/_backup/copurchase_support").mkdirs()
+    assert(new java.io.File(s"$d/copurchase_support/bkt=$k")
+      .renameTo(new java.io.File(s"$d/_backup/copurchase_support/bkt=$k")))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/_meta/pending.json"),
+      s"""{"batchId":"deadbeef","subs":{"copurchase_support":[{"bkt":$k,"hadBase":true}]}}""")
+    val before = snapshot(d)
+    spark.conf.set(GraphArtifact.Key, d)
+    val ex = try intercept[IllegalStateException] {
+      GraphArtifact.coPurchase(spark, sf)
+    } finally spark.conf.unset(GraphArtifact.Key)
+    assert(ex.getMessage.contains("uncommitted append"))
+    // a reader must not have rolled the (possibly live) append back:
+    // every file byte-identical, marker and backups still in place
+    assert(snapshot(d) === before)
+    assert(new java.io.File(s"$d/_meta/pending.json").exists())
+    assert(new java.io.File(s"$d/_backup/copurchase_support/bkt=$k").exists())
+    // the OPERATIONAL repair entry point (single-writer contract) is
+    // what rolls back; serving then succeeds
+    GraphArtifact.repair(spark, d)
+    assert(!new java.io.File(s"$d/_meta/pending.json").exists())
+    val n = {
+      spark.conf.set(GraphArtifact.Key, d)
+      try GraphArtifact.coPurchase(spark, sf).count()
+      finally spark.conf.unset(GraphArtifact.Key)
+    }
+    assert(n === GraphArtifact.coPurchaseInline(spark, sf).count())
+  }
+
+  test("serve reads through a COMMITTED pending marker without repairing it") {
+    val d = tmp("graph-serve-committed")
+    val items = GraphArtifact.itemsInline(spark, sf)
+    GraphArtifact.buildFrom(spark, items.filter(col("o") % 5 =!= 0),
+      GraphArtifact.clickEdgesInline(spark, sf), d)
+    GraphArtifact.append(spark, items.filter(col("o") % 5 === 0),
+      noClicks, d)
+    val expected = {
+      spark.conf.set(GraphArtifact.Key, d)
+      try GraphArtifact.coPurchase(spark, sf)
+        .as[(Long, Long)].collect().toSet
+      finally spark.conf.unset(GraphArtifact.Key)
+    }
+    // crash window between state promote and cleanup: marker + stray
+    // backup survive with the batch id already committed — every
+    // touched bucket already swapped in, so a read-only serve is safe
+    val state = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$d/_meta/state.json"))
+    val id = """"([0-9a-f-]{36})"""".r.findFirstMatchIn(state).get.group(1)
+    new java.io.File(s"$d/_backup/copurchase_support").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/_backup/copurchase_support/junk"), "stale")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/_meta/pending.json"),
+      s"""{"batchId":"$id","subs":{"copurchase_support":[]}}""")
+    val before = snapshot(d)
+    val got = {
+      spark.conf.set(GraphArtifact.Key, d)
+      try GraphArtifact.coPurchase(spark, sf)
+        .as[(Long, Long)].collect().toSet
+      finally spark.conf.unset(GraphArtifact.Key)
+    }
+    assert(got === expected)
+    // read-only: the garbage is left for the next WRITE entry point
+    assert(snapshot(d) === before)
+    assert(new java.io.File(s"$d/_meta/pending.json").exists())
+  }
 }
