@@ -148,12 +148,26 @@ object Bench {
       rows = drain(scanDf)
       (System.nanoTime() - t0) / 1e9
     }.min
+    // MULTI-TASK load probe: a fixed all-core shuffle job (scan →
+    // 32-task hash aggregate). The single-task decode probe above is
+    // blind to scheduler/CPU contention that inflates every multi-stage
+    // query — the round-8 q116/q244 flags survived load factor 1.00
+    // because only this dimension had degraded. Same min-of-5
+    // steady-state estimator.
+    val mtDf = Tables.t(spark, sfDir, "lineitem")
+      .groupBy("l_partkey").agg(sum("l_quantity"))
+    drain(mtDf); drain(mtDf)
+    val mtSec = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      drain(mtDf)
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val bytes = new java.io.File(s"$sfDir/lineitem.parquet").length()
     // Locale.ROOT like the query map — the f interpolator would emit
     // comma decimals on comma-decimal locales and break the JSON parse
     def f4(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def f1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    val scan = s"""{"rows":$rows,"sec":${f4(scanSec)},"rows_per_sec":${(rows / scanSec).toLong},"parquet_mb_per_sec":${f1(bytes / 1e6 / scanSec)}}"""
+    val scan = s"""{"rows":$rows,"sec":${f4(scanSec)},"rows_per_sec":${(rows / scanSec).toLong},"parquet_mb_per_sec":${f1(bytes / 1e6 / scanSec)},"mt_sec":${f4(mtSec)}}"""
 
     // The driver keeps only the last ~2000 chars of stdout and parses the
     // JSON line out of that tail; sbt's "[success] ..." trailer eats ~80 of
@@ -185,11 +199,20 @@ object Bench {
         val node = root.path("queries")
         val priorMb = root.path("scan").path("parquet_mb_per_sec").asDouble(0)
         val curMb = bytes / 1e6 / scanSec
+        val priorMt = root.path("scan").path("mt_sec").asDouble(0)
         // load > 1 ⇒ this run's machine is slower than the baseline's;
         // clamp below at 1 so a FASTER machine never excuses a real
-        // slowdown (deflating by <1 would raise the bar, not lower it)
-        val load =
-          if (priorMb > 0 && curMb > 0) math.max(1.0, priorMb / curMb) else 1.0
+        // slowdown (deflating by <1 would raise the bar, not lower it).
+        // Two probe dimensions (worst wins): single-task decode
+        // throughput AND the multi-task shuffle probe — this burstable
+        // box degrades them independently (round-8 adjudication:
+        // 211 → 90 MB/s single-task across consecutive runs, and
+        // multi-task contention at single-task load 1.00)
+        val loadSt =
+          if (priorMb > 0 && curMb > 0) priorMb / curMb else 1.0
+        val loadMt =
+          if (priorMt > 0 && mtSec > 0) mtSec / priorMt else 1.0
+        val load = math.max(1.0, math.max(loadSt, loadMt))
         val flags = results.toSeq.sorted.flatMap { case (name, t) =>
           val p = node.path(name)
           val tn = t / load
@@ -197,8 +220,9 @@ object Bench {
             Some(f"| $name | ${p.asDouble}%.2f | $t%.2f | ${t / p.asDouble}%.1fx | ${tn / p.asDouble}%.1fx |")
           else None
         }
-        val hdr = f"Load factor (prior scan MB/s / current): ${load}%.2f " +
-          f"(prior ${priorMb}%.1f, current ${curMb}%.1f MB/s).%n%n"
+        val hdr = f"Load factor (worst of single-task scan and multi-task probe): ${load}%.2f " +
+          f"(scan prior ${priorMb}%.1f vs current ${curMb}%.1f MB/s; " +
+          f"mt probe prior ${priorMt}%.3f vs current ${mtSec}%.3f s).%n%n"
         val body =
           if (flags.isEmpty) hdr +
             "No per-query regressions (load-normalized >2x and >0.5 s) vs prior BENCH_FULL.json.\n"

@@ -534,7 +534,19 @@ object GraphArtifact {
         throw new IllegalStateException(
           s"$Key=$root is set but '$sub' is missing — silent inline fallback " +
             "would drop appended batches; unset the conf or rebuild")
-      s.read.parquet(p.toString).drop("bkt")
+      // Pack the one-file-per-bucket layout into byte-proportional scan
+      // partitions. With n buckets of small files and ≥n cores,
+      // FilePartition packing degenerates (bytesPerCore < openCost ⇒
+      // maxSplitBytes = openCostInBytes ⇒ one task per bucket file), so
+      // every downstream stage of an iterative query pays n-task
+      // scheduling overhead regardless of data volume — the round-8
+      // q116/q244 bench regression. coalesce to ceil(bytes /
+      // maxPartitionBytes): 1 task at KB scale, a strict no-op at scale
+      // (the target exceeds the file count long before 100 TB).
+      val bytes = fs.getContentSummary(p).getLength
+      val maxPart = s.sessionState.conf.filesMaxPartitionBytes
+      val target = math.max(1L, (bytes + maxPart - 1) / maxPart).toInt
+      s.read.parquet(p.toString).drop("bkt").coalesce(target)
     }
 
   /** Co-purchase edge list (a, b): served from the artifact when one is
