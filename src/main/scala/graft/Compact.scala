@@ -55,7 +55,12 @@ object Compact {
     val l = live(stateDir)
     val s = staging(stateDir)
     if (!f.exists(l) && f.exists(new Path(s, "_SUCCESS"))) {
-      require(f.rename(s, l), s"roll-forward rename $s -> $l failed")
+      // rename-race tolerant: live-missing + staging-complete is the
+      // COMMITTED direction, but a concurrent reader (or the compactor
+      // itself, mid-commit) may win the identical rename first — losing
+      // it is success as long as live now exists
+      if (!f.rename(s, l) && !f.exists(l))
+        throw new IllegalStateException(s"roll-forward rename $s -> $l failed")
     }
     if (f.exists(l)) Some(spark.read.parquet(l.toString)) else None
   }
@@ -75,10 +80,14 @@ object Compact {
     // phase 1: materialize the merged index completely (the live dir is
     // only READ here; overwrite of staging is safe on retry)
     merged.write.mode("overwrite").parquet(staging(stateDir).toString)
-    // phase 2 (commit point): swap
+    // phase 2 (commit point): swap. A reader's roll-forward may race us
+    // to the rename in the delete→rename window — the state is already
+    // committed either way, so losing the rename is success iff live
+    // exists and staging is gone
     f.delete(live(stateDir), true)
-    require(f.rename(staging(stateDir), live(stateDir)),
-      s"commit rename failed for $stateDir")
+    if (!f.rename(staging(stateDir), live(stateDir)) &&
+        !(f.exists(live(stateDir)) && !f.exists(staging(stateDir))))
+      throw new IllegalStateException(s"commit rename failed for $stateDir")
     ()
   }
 

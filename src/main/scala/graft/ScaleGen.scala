@@ -34,13 +34,29 @@ object ScaleGen {
   private def h(seed: Long, id: Long, salt: Long): Long =
     mix(seed ^ mix(id ^ mix(salt))) & Long.MaxValue
 
+  /** Heaps'-law vocabulary: V ∝ N^0.5 anchored at the fixture's 20 k
+    * words for the 1× corpus, so a 100× corpus draws from a 200 k-word
+    * vocabulary the way real text does (Heaps 1978, V = K·N^β with
+    * β ≈ 0.5) instead of re-hammering a corpus-independent 20 k — the
+    * SCALE.md caveat-10 artifact that inflated the token-frequency-bound
+    * families' measured ratios. */
+  private[graft] def vocabOf(mult: Double): Long =
+    math.max(20000L, math.round(20000.0 * math.sqrt(mult)))
+
+  /** Scale-proportional embedding cluster count (the same de-confound
+    * for cell-population-driven costs): 16 at 1×, 16·mult beyond, so
+    * cell occupancy stays corpus-independent the way a diversifying
+    * real embedding distribution's does. */
+  private[graft] def clustersOf(mult: Double): Int =
+    math.max(16L, math.round(16.0 * mult)).toInt
+
   /** Tokens of document `id`: 10..100 draws from a zipf-ish vocab
-    * (triangular min-of-two skew over 20k words). Pure function. */
-  private[graft] def docTokens(seed: Long, id: Long): Array[String] = {
+    * (triangular min-of-two skew over [[vocabOf]] words). Pure function. */
+  private[graft] def docTokens(seed: Long, id: Long, vocab: Long): Array[String] = {
     val n = 10 + (h(seed, id, 1) % 91).toInt
     Array.tabulate(n) { i =>
-      val a = h(seed, id * 131 + i, 2) % 20000
-      val b = h(seed, id * 131 + i, 3) % 20000
+      val a = h(seed, id * 131 + i, 2) % vocab
+      val b = h(seed, id * 131 + i, 3) % vocab
       "w" + math.min(a, b)
     }
   }
@@ -48,14 +64,14 @@ object ScaleGen {
   /** Document text: every 37th doc (id % 37 == 1, id > 0) is a
     * near-duplicate of its predecessor with one token substituted —
     * plants the near-dup pair structure the LSH family prunes on. */
-  private[graft] def docText(seed: Long, id: Long): Array[String] = {
+  private[graft] def docText(seed: Long, id: Long, vocab: Long): Array[String] = {
     if (id > 0 && id % 37 == 1) {
-      val base = docTokens(seed, id - 1)
+      val base = docTokens(seed, id - 1, vocab)
       val pos = (h(seed, id, 4) % base.length).toInt
       val out = base.clone()
-      out(pos) = "w" + (h(seed, id, 5) % 20000)
+      out(pos) = "w" + (h(seed, id, 5) % vocab)
       out
-    } else docTokens(seed, id)
+    } else docTokens(seed, id, vocab)
   }
 
   def main(args: Array[String]): Unit = {
@@ -76,8 +92,12 @@ object ScaleGen {
     val parts = cpus.toInt * 2
 
     // documents: doc_id, text, lang, source, n_chars
+    // args(3)/args(4) pin vocab / cluster count explicitly — the
+    // pre-round-9 corpus-independent behavior (vocab=20000 clusters=16
+    // at every mult), kept reproducible for artifact-vs-Heaps A/B
+    val vocab = if (args.length > 3) args(3).toLong else vocabOf(mult)
     spark.range(0, rows(5000), 1, parts).map { id =>
-      val toks = docText(seed, id)
+      val toks = docText(seed, id, vocab)
       val text = toks.mkString(" ")
       val lang = (h(seed, id, 6) % 10) match {
         case 0 => "de"; case 1 => "fr"; case 2 => "es"; case _ => "en"
@@ -128,9 +148,11 @@ object ScaleGen {
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
-    // embeddings: 16 deterministic cluster centers + small noise
+    // embeddings: deterministic cluster centers + small noise; cluster
+    // count scales with the corpus (clustersOf — 16 at 1×)
+    val nClusters = if (args.length > 4) args(4).toInt else clustersOf(mult)
     spark.range(0, rows(2000), 1, parts).map { v =>
-      val c = (h(seed, v, 23) % 16).toInt
+      val c = (h(seed, v, 23) % nClusters).toInt
       val emb = Array.tabulate(64) { d =>
         val center = ((mix(c * 64L + d) % 1000).toDouble / 500.0).toFloat
         val noise = ((h(seed, v * 64 + d, 24) % 200).toDouble / 1000.0 - 0.1).toFloat

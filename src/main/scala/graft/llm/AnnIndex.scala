@@ -233,7 +233,11 @@ object AnnIndex {
     val staging = new org.apache.hadoop.fs.Path(s"$dir/index.staging")
     if (!fs.exists(live) &&
         fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
-      require(fs.rename(staging, live), s"roll-forward failed: $dir")
+      // rename-race tolerant (Compact.readIndex discipline): losing the
+      // roll-forward rename to a concurrent reader is success as long
+      // as live now exists
+      if (!fs.rename(staging, live) && !fs.exists(live))
+        throw new IllegalStateException(s"roll-forward failed: $dir")
     }
     spark.read.parquet(live.toString)
   }

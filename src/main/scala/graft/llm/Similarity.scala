@@ -191,6 +191,25 @@ object Similarity {
     cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv.map(_ / 1e6)) }
   }
 
+  /** Sentinel for [[semDedupClusters]]'s `nlist`: derive cell count
+    * from the corpus (the IVF discipline, `autoNlist`). */
+  val AutoNlist: Int = 0
+
+  /** Cell-size target behind [[autoNlist]]: ~200 vectors per cell puts
+    * the derived nlist inside the measured-safe band of SCALE.md
+    * caveat 9 (at the 200 k-vector 100× probe corpus: nlist 256–1024
+    * measured fine, 1024 completed the full clusters query in 52 s;
+    * fixed nlist=16 measured fatal at 1.78 B within-cell pairs). */
+  val TargetCellSize: Long = 200L
+
+  /** nlist ∝ corpus: `max(16, corpusCount / TargetCellSize)` (capped at
+    * 2²⁰ cells — beyond that, train real centroids instead of widening
+    * a first-N model). Keeps the Σ|cell|² pair stage linear in corpus
+    * size; returns the fixture-compatible 16 for any corpus ≤ 3 200
+    * vectors, so every existing small-SF oracle is unchanged. */
+  def autoNlist(corpusCount: Long): Int =
+    math.min(math.max(16L, corpusCount / TargetCellSize), 1L << 20).toInt
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): cluster embeddings by nearest centroid, find
@@ -210,10 +229,16 @@ object Similarity {
     * uses the diameter-independent alternating CC
     * ([[Dedup.connectedComponentsAlternating]]). */
   def semDedupClusters(corpus: DataFrame, threshold: Double = 0.4,
-                       nlist: Int = 16, idCol: String = "vec_id",
+                       nlist: Int = AutoNlist, idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
-    val cents = centroids.getOrElse(firstNCentroids(corpus, nlist, idCol, vecCol))
+    // IVF discipline BY DEFAULT: a naive caller at 100× corpus must not
+    // be able to reproduce the caveat-9 explosion (fixed nlist=16 at
+    // 200 k vectors ⇒ 1.78 B within-cell pairs, measured fatal). The
+    // one extra corpus count() is noise next to the pair stage; callers
+    // with a pinned model (q181's oracle replay) pass nlist explicitly.
+    val n = if (nlist == AutoNlist) autoNlist(corpus.count()) else nlist
+    val cents = centroids.getOrElse(firstNCentroids(corpus, n, idCol, vecCol))
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     // materialize the assignment once (triangleCensus discipline): it
     // feeds both legs of the within-cell self-join and the final label

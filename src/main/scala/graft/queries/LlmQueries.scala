@@ -383,7 +383,10 @@ object LlmQueries {
     * the q32/q56-style exclusion list past sf0.01, while the Spark side
     * stays bounded by Σ|cell|². */
   val semDedup: Q = (s, dir) =>
-    Similarity.semDedupClusters(Tables.t(s, dir, "embeddings"))
+    // nlist PINNED at the fixture's 16: this oracle replays exactly that
+    // first-16 model; the operator's default is the corpus-derived
+    // autoNlist (IVF discipline) for naive production callers
+    Similarity.semDedupClusters(Tables.t(s, dir, "embeddings"), nlist = 16)
       .orderBy("vec_id")
 
   val semDedupSql: String =

@@ -152,9 +152,15 @@ object Relational {
   /** §2.4 GROUPING SETS via SQL (the canonical Spark surface for it). */
   val aggGroupingSets: Q = (s, dir) => {
     t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    // exact-cents sum (the q217 integer-moment discipline): a raw
+    // double SUM over millions of rows is addition-order-sensitive in
+    // its last ulp, which surfaced as a 0.01 hash mismatch at the sf1
+    // oracle point; round each price to cents, sum as BIGINT — exact
+    // and order-independent in both engines at every scale
     s.sql(
       """SELECT o_orderstatus, o_orderpriority,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  count(*) AS n,
+        |  round(sum(cast(round(o_totalprice * 100) AS BIGINT)) / cast(100 AS DOUBLE), 2) AS total
         |FROM orders_gs
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
@@ -162,7 +168,8 @@ object Relational {
 
   val aggGroupingSetsSql: String =
     """SELECT o_orderstatus, o_orderpriority,
-      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |  count(*) AS n,
+      |  round(sum(round(o_totalprice * 100)::BIGINT) / 100.0, 2) AS total
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin

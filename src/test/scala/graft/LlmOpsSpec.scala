@@ -265,6 +265,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.exists(g => !g._3), "fixture should contain at least one semantic dup")
   }
 
+  test("semdedup auto-nlist lands in the measured-safe band at both probe sizes") {
+    // SCALE.md caveat 9: at the 200k-vector 100x probe corpus, nlist
+    // 256..1024 is the measured-safe band (1024 ran the full clusters
+    // query in 52 s; fixed 16 measured fatal at 1.78 B within-cell
+    // pairs). The corpus-derived default must land inside it there and
+    // stay at the fixture-compatible 16 at oracle scales.
+    val big = Similarity.autoNlist(200000L)
+    assert(big >= 256 && big <= 1024,
+      s"auto nlist at 200k vectors must sit in the measured band, got $big")
+    assert(Similarity.autoNlist(2000L) === 16, "sf0.01 fixture unchanged")
+    assert(Similarity.autoNlist(200L) === 16, "sf0.001 fixture unchanged")
+    assert(Similarity.autoNlist(20000L) === 100, "sf0.1: ~200-vector cells")
+    assert(Similarity.autoNlist(Long.MaxValue / 4) === (1 << 20),
+      "cell-count cap: train real centroids instead of widening first-N")
+    // the default (auto) call and the pinned fixture model agree at
+    // fixture scale — auto derives 16 here, so existing oracles hold
+    val emb = Tables.t(spark, sf, "embeddings")
+    val auto = Similarity.semDedupClusters(emb)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val pinned = Similarity.semDedupClusters(emb, nlist = 16)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(auto === pinned)
+  }
+
   test("LSH bucket cap (opt-in) drops degenerate buckets instead of exploding") {
     // 10k byte-identical docs: every band hashes all ids into ONE bucket,
     // which uncapped would expand to ~50M pairs on one executor. The cap

@@ -25,7 +25,7 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return repr(round(v, 9) + 0.0)  # +0.0 collapses -0.0 into 0.0
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
@@ -48,9 +48,15 @@ def main():
     out_dir = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     con = duckdb.connect()
+    # optional thread cap so a long oracle run can share the box with
+    # timing probes (default: all cores)
+    if os.environ.get("DUCKDB_THREADS"):
+        con.sql(f"PRAGMA threads={int(os.environ['DUCKDB_THREADS'])}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table (SfGen fixtures)
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
