@@ -307,6 +307,19 @@ class GraphArtifactSpec extends AnyFunSuite {
     assert(n === GraphArtifact.coPurchaseInline(spark, sf).count())
   }
 
+  test("serve packs tiny bucket files into byte-proportional scan partitions") {
+    // one scan task per bucket file at KB scale is the round-8 q116/q244
+    // regression (maxSplitBytes degenerates to openCostInBytes once
+    // bytesPerCore < openCost) — serve must coalesce to
+    // ceil(bytes/maxPartitionBytes), which is 1 here and a no-op at scale
+    val parts = served {
+      GraphArtifact.clickEdges(spark, sf).rdd.getNumPartitions
+    }
+    assert(parts === 1,
+      s"KB-scale serve must read as ONE task, got $parts — the 32-bucket " +
+        "layout is leaking one task per bucket file again")
+  }
+
   test("EMPTY sub at build time stays readable, servable, and appendable") {
     // a corpus with no click events: partitionBy alone would leave a
     // directory with only _SUCCESS, and every later read would die with
