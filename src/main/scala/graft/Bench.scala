@@ -57,6 +57,33 @@ object Bench {
     }
   }
 
+  /** Load factor for the regression gate: the WORST of the single-task
+    * decode ratio (prior/current MB/s — slower current ⇒ > 1) and the
+    * multi-task probe ratio (current/prior seconds), clamped below at 1
+    * so a FASTER machine never excuses a real slowdown. Missing probes
+    * (0/NaN) contribute 1. */
+  private[graft] def loadFactor(priorMb: Double, curMb: Double,
+                                priorMt: Double, curMt: Double): Double = {
+    val st = if (priorMb > 0 && curMb > 0) priorMb / curMb else 1.0
+    val mt = if (priorMt > 0 && curMt > 0) curMt / priorMt else 1.0
+    math.max(1.0, math.max(st, mt))
+  }
+
+  /** The per-query flag rule: a query regresses iff its load-deflated
+    * time exceeds BOTH 2× its prior AND 0.5 s absolute (the and-guard
+    * keeps sub-second noise from flagging). Returns (name, prior,
+    * now) rows for queries present in both maps. */
+  private[graft] def gateFlags(prior: Map[String, Double],
+                               current: Map[String, Double],
+                               load: Double): Seq[(String, Double, Double)] =
+    current.toSeq.sorted.flatMap { case (name, t) =>
+      prior.get(name) match {
+        case Some(p) if p > 0 && t / load > 2 * p && t / load > 0.5 =>
+          Some((name, p, t))
+        case _ => None
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -200,25 +227,17 @@ object Bench {
         val priorMb = root.path("scan").path("parquet_mb_per_sec").asDouble(0)
         val curMb = bytes / 1e6 / scanSec
         val priorMt = root.path("scan").path("mt_sec").asDouble(0)
-        // load > 1 ⇒ this run's machine is slower than the baseline's;
-        // clamp below at 1 so a FASTER machine never excuses a real
-        // slowdown (deflating by <1 would raise the bar, not lower it).
-        // Two probe dimensions (worst wins): single-task decode
-        // throughput AND the multi-task shuffle probe — this burstable
-        // box degrades them independently (round-8 adjudication:
-        // 211 → 90 MB/s single-task across consecutive runs, and
-        // multi-task contention at single-task load 1.00)
-        val loadSt =
-          if (priorMb > 0 && curMb > 0) priorMb / curMb else 1.0
-        val loadMt =
-          if (priorMt > 0 && mtSec > 0) mtSec / priorMt else 1.0
-        val load = math.max(1.0, math.max(loadSt, loadMt))
-        val flags = results.toSeq.sorted.flatMap { case (name, t) =>
-          val p = node.path(name)
-          val tn = t / load
-          if (p.isNumber && p.asDouble > 0 && tn > 2 * p.asDouble && tn > 0.5)
-            Some(f"| $name | ${p.asDouble}%.2f | $t%.2f | ${t / p.asDouble}%.1fx | ${tn / p.asDouble}%.1fx |")
-          else None
+        // two probe dimensions, worst wins, clamped at 1 (loadFactor,
+        // spec-pinned): this burstable box degrades single-task decode
+        // and multi-task scheduling independently (round-8/9
+        // adjudication — 211 → 90 MB/s single-task across consecutive
+        // runs, multi-task contention at single-task load 1.00)
+        val load = loadFactor(priorMb, curMb, priorMt, mtSec)
+        import scala.jdk.CollectionConverters._
+        val priorQ = node.properties().asScala
+          .map(e => e.getKey -> e.getValue.asDouble(0)).toMap
+        val flags = gateFlags(priorQ, results, load).map { case (name, p, t) =>
+          f"| $name | $p%.2f | $t%.2f | ${t / p}%.1fx | ${t / load / p}%.1fx |"
         }
         val hdr = f"Load factor (worst of single-task scan and multi-task probe): ${load}%.2f " +
           f"(scan prior ${priorMb}%.1f vs current ${curMb}%.1f MB/s; " +

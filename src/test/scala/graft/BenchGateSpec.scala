@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression gate's arithmetic (graft.Bench.loadFactor /
+  * gateFlags) — previously inlined in main and unreachable by tests,
+  * which is how round 8 shipped a gate whose blind spot went unnoticed.
+  * Pins: worst-of-two-probes normalization, the clamp at 1, and the
+  * (>2× AND >0.5 s, load-deflated) flag rule. */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("loadFactor takes the WORST of the two probe dimensions") {
+    // single-task slower (prior 210 MB/s -> current 105): factor 2
+    assert(Bench.loadFactor(210, 105, 0.02, 0.02) === 2.0)
+    // multi-task slower (0.02 s -> 0.06 s): factor 3 even though the
+    // single-task probe reads load 1.00 — the round-8 blind spot
+    assert(Bench.loadFactor(210, 210, 0.02, 0.06) === 3.0)
+    // both degraded: max wins
+    assert(Bench.loadFactor(210, 105, 0.02, 0.08) === 4.0)
+  }
+
+  test("loadFactor clamps at 1: a faster machine never excuses a slowdown") {
+    assert(Bench.loadFactor(150, 300, 0.04, 0.01) === 1.0)
+  }
+
+  test("loadFactor treats missing probes as neutral") {
+    assert(Bench.loadFactor(0, 210, 0, 0.02) === 1.0)
+    // mt absent (prior round predates the probe): st still applies
+    assert(Bench.loadFactor(210, 105, 0, 0.02) === 2.0)
+  }
+
+  test("gateFlags fires only past 2x AND 0.5s, load-deflated") {
+    val prior = Map("a" -> 1.0, "b" -> 0.1, "c" -> 1.0, "d" -> 1.0)
+    // a: 2.6x raw, load 1 -> flagged
+    // b: 5x raw but 0.5s deflated is NOT > 0.5s absolute -> quiet
+    // c: 1.9x -> quiet; e: no prior -> quiet
+    val cur = Map("a" -> 2.6, "b" -> 0.5, "c" -> 1.9, "e" -> 9.0)
+    assert(Bench.gateFlags(prior, cur, load = 1.0)
+      .map(_._1) === Seq("a"))
+    // the same run under measured load 1.4: a deflates to 1.86x -> quiet
+    assert(Bench.gateFlags(prior, cur, load = 1.4).isEmpty)
+  }
+
+  test("gateFlags ignores non-positive priors (crashed prior run rows)") {
+    assert(Bench.gateFlags(Map("a" -> -1.0), Map("a" -> 9.0), 1.0).isEmpty)
+  }
+}
