@@ -1375,18 +1375,31 @@ object Pipeline {
     val drift = graft.llm.AnnIndex.drift(s, aDir)
       .agg(max(col("drift6")).as("drift_max6"),
         max(col("retrain").cast("int")).as("retrain"))
-    // graph state: partition-local append of the day's orders + clicks
+    // graph state: partition-local append of the day's orders + clicks.
+    // 8 buckets for THIS throwaway state (vs the serving default 32):
+    // bucket count is a layout knob — the base+append ≡ full law and
+    // every value below are bucket-agnostic (GraphArtifactSpec runs the
+    // law at several counts) — and at proof scale 4 sub-tables × 32
+    // partitioned writes are pure small-file overhead
     val gDir = tmp.resolve("graph").toString
     val items = graft.operators.GraphArtifact.itemsInline(s, dir)
       .localCheckpoint(true)
     val clicks = graft.operators.GraphArtifact.clickEdgesInline(s, dir)
       .localCheckpoint(true)
-    graft.operators.GraphArtifact.buildFrom(s,
-      items.filter(col("o") % 5 =!= 0),
-      clicks.filter(col("u") % 5 =!= 0), gDir)
-    graft.operators.GraphArtifact.append(s,
-      items.filter(col("o") % 5 === 0),
-      clicks.filter(col("u") % 5 === 0), gDir)
+    val Bk = graft.operators.GraphArtifact.BucketsKey
+    val prevBk = s.conf.getOption(Bk)
+    s.conf.set(Bk, "8")
+    try {
+      graft.operators.GraphArtifact.buildFrom(s,
+        items.filter(col("o") % 5 =!= 0),
+        clicks.filter(col("u") % 5 =!= 0), gDir)
+      graft.operators.GraphArtifact.append(s,
+        items.filter(col("o") % 5 === 0),
+        clicks.filter(col("u") % 5 === 0), gDir)
+    } finally prevBk match {
+      case Some(v) => s.conf.set(Bk, v)
+      case None    => s.conf.unset(Bk)
+    }
     val census = graft.operators.Graph.triangleCensus(
       s.read.parquet(s"$gDir/copurchase").drop("bkt"))
       .select(col("n_triangles"))

@@ -102,6 +102,32 @@ class GraphArtifactSpec extends AnyFunSuite {
     } finally spark.conf.unset(GraphArtifact.Key)
   }
 
+  test("the append law is bucket-count agnostic (8 buckets vs default 32)") {
+    // bucket count is a LAYOUT knob: base+append must equal a full
+    // rebuild at ANY count, and the logical content must not depend on
+    // the count at all (q302 runs its throwaway proof state at 8)
+    val items = GraphArtifact.itemsInline(spark, sf)
+    val clicks = GraphArtifact.clickEdgesInline(spark, sf)
+    val d8 = tmp("graph-bk8")
+    spark.conf.set(GraphArtifact.BucketsKey, "8")
+    try {
+      GraphArtifact.buildFrom(spark, items.filter(col("o") % 5 =!= 0),
+        clicks.filter(col("u") % 5 =!= 0), d8)
+      GraphArtifact.append(spark, items.filter(col("o") % 5 === 0),
+        clicks.filter(col("u") % 5 === 0), d8)
+    } finally spark.conf.unset(GraphArtifact.BucketsKey)
+    val bkts = new java.io.File(s"$d8/copurchase_support").listFiles()
+      .filter(_.getName.startsWith("bkt=")).map(_.getName).toSet
+    assert(bkts.nonEmpty && bkts.size <= 8, s"expected ≤8 buckets, got $bkts")
+    val full32 = tmp("graph-bk32")
+    GraphArtifact.buildFrom(spark, items, clicks, full32) // default count
+    for (sub <- AllSubs) {
+      def content(root: String) = spark.read.parquet(s"$root/$sub")
+        .drop("bkt").collect().map(_.toSeq).toSet
+      assert(content(d8) === content(full32), sub)
+    }
+  }
+
   test("append rewrites ONLY the touched buckets; replay fails loudly") {
     val items = GraphArtifact.itemsInline(spark, sf)
     val d = tmp("graph-local")
