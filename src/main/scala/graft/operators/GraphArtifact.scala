@@ -67,12 +67,18 @@ import scala.jdk.CollectionConverters._
   * each had base data), renames the replaced buckets into `_backup/`
   * before swapping staged ones in, and commits by atomically
   * promoting `_meta/state.json` with the batch id. [[recover]] — run
-  * by every serve and append — rolls an interrupted append forward
-  * (batch id present in the committed state: drop backups) or back
-  * (absent: restore backups), so readers always observe either the
-  * full batch or none of it, and no crash window can strand the
-  * artifact without a live state (the round-7 delete-then-rename
-  * hazard).
+  * by every append (and exposed as [[repair]] for operators) — rolls an
+  * interrupted append forward (batch id present in the committed state:
+  * drop backups) or back (absent: restore backups). Serving is strictly
+  * READ-ONLY: it observes committed state, reads through a
+  * committed-but-uncleaned pending marker, and fails loudly on an
+  * uncommitted one rather than repairing — a reader cannot distinguish
+  * a crashed append from one in flight in another session, so mutating
+  * recovery from the read path could roll back a LIVE append's renames
+  * (round-9 fix; GraphArtifactSpec pins zero file churn on a served
+  * uncommitted artifact). So readers always observe either the full
+  * batch or none of it, and no crash window can strand the artifact
+  * without a live state (the round-7 delete-then-rename hazard).
   */
 object GraphArtifact {
 

@@ -1379,7 +1379,7 @@ object Pipeline {
     // 8 buckets for THIS throwaway state (vs the serving default 32):
     // bucket count is a layout knob — the base+append ≡ full law and
     // every value below are bucket-agnostic (GraphArtifactSpec runs the
-    // law at several counts) — and at proof scale 4 sub-tables × 32
+    // law at 8 vs the default 32) — and at proof scale 4 sub-tables × 32
     // partitioned writes are pure small-file overhead
     val gDir = tmp.resolve("graph").toString
     val items = graft.operators.GraphArtifact.itemsInline(s, dir)
