@@ -184,6 +184,22 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rows(d) === rows(twin))
   }
 
+  test("crash BEFORE the overwrite (marker only): readers refuse, append clears") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("ann-crash-pre").toString
+    AnnIndex.build(emb, d)
+    // the earliest window: marker written, overwrite never started —
+    // the index is actually intact, but a reader cannot know that
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/_append_pending.json"), """{"touched":[0]}""")
+    val ex = intercept[IllegalStateException] { AnnIndex.drift(spark, d) }
+    assert(ex.getMessage.contains("uncommitted append"))
+    // the retried append (here: any idempotent batch) repairs the window
+    AnnIndex.append(emb.filter(col("vec_id") < 3), d)
+    assert(!new java.io.File(s"$d/_append_pending.json").exists())
+    assert(AnnIndex.drift(spark, d).count() > 0)
+  }
+
   test("drift guard: balanced append stays quiet, skewed append trips retrain") {
     val emb = Tables.t(spark, sf, "embeddings")
     val d = java.nio.file.Files.createTempDirectory("ann-drift").toString
