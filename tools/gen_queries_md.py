@@ -25,18 +25,29 @@ for mod, path in mods.items():
 quad = {'q32_dedup_minhash_lsh', 'q56_dedup_clusters', 'q59_corpus_filter',
         'q177_incremental_neardup', 'q178_cc_alternating'}
 spec_tier = {'q181_semdedup'}
+# sf1 tier: queries hash-matched against DuckDB on the 10x-bench-scale
+# SfGen corpus (CORRECTNESS_sf1.json, round 9)
+try:
+    sf1 = {k for k, v in json.load(open('CORRECTNESS_sf1.json'))['queries'].items()
+           if v.get('hash_match')}
+except Exception:
+    sf1 = set()
 lines = ['# QUERIES — registry index (generated; regenerate with tools/gen_queries_md.py)', '',
          'Every registered query with its implementation site and verification tier.',
          'Tiers: **sf0.01** = DuckDB-oracle hash-match (the driver gate);',
          '**sf0.1** = re-verified at 10× scale (DuckDB, or `TruthCheck` Spark',
          'brute-force for the quadratic-oracle family; **spec@sf0.1** = the',
          'sf0.1-sensitive stages ride other verified queries and a planted',
-         'union-find spec — see .claude/skills/verify/SKILL.md).', '',
+         'union-find spec — see .claude/skills/verify/SKILL.md);',
+         '**sf1** = hash-matched at 100× the driver gate (~6 M lineitem rows,',
+         'the SfGen corpus — CORRECTNESS_sf1.json).', '',
          '| query | impl | verified |', '|---|---|---|']
 for key in sorted(entries, key=lambda k: int(k[1:].split('_')[0])):
     mod, path, line, val = entries[key]
     tier = ('sf0.01 + TruthCheck@sf0.1' if key in quad
             else 'sf0.01 + spec@sf0.1' if key in spec_tier else 'sf0.01 + sf0.1')
+    if key in sf1:
+        tier += ' + sf1'
     lines.append(f'| {key} | `{path}:{line}` | {tier} |')
 open('QUERIES.md', 'w').write('\n'.join(lines) + '\n')
 print(len(entries), 'queries indexed')
