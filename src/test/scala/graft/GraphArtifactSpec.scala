@@ -410,6 +410,32 @@ class GraphArtifactSpec extends AnyFunSuite {
     assert(n === GraphArtifact.coPurchaseInline(spark, sf).count())
   }
 
+  test("serve reads a crashed BUILD swap from staging, read-only") {
+    // crash window: live renamed aside (gone), complete staging not yet
+    // renamed in — recover() would roll forward; a READER must instead
+    // serve the staging copy without moving anything
+    val d = tmp("graph-serve-staging")
+    GraphArtifact.buildFrom(spark,
+      GraphArtifact.itemsInline(spark, sf),
+      GraphArtifact.clickEdgesInline(spark, sf), d)
+    val expected = spark.read.parquet(s"$d/copurchase").drop("bkt")
+      .as[(Long, Long)].collect().toSet
+    assert(new java.io.File(d).renameTo(new java.io.File(d + ".staging")))
+    val before = snapshot(d + ".staging")
+    val got = {
+      spark.conf.set(GraphArtifact.Key, d)
+      try GraphArtifact.coPurchase(spark, sf).as[(Long, Long)].collect().toSet
+      finally spark.conf.unset(GraphArtifact.Key)
+    }
+    assert(got === expected)
+    assert(!new java.io.File(d).exists(), "reader must NOT perform the swap")
+    assert(snapshot(d + ".staging") === before)
+    // the write-entry-point repair then completes the swap for good
+    GraphArtifact.repair(spark, d)
+    assert(new java.io.File(s"$d/copurchase").exists())
+    assert(!new java.io.File(d + ".staging").exists())
+  }
+
   test("serve reads through a COMMITTED pending marker without repairing it") {
     val d = tmp("graph-serve-committed")
     val items = GraphArtifact.itemsInline(spark, sf)
