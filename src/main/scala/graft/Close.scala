@@ -32,9 +32,11 @@ object Close {
   private[graft] def latestPassCount(n: Int,
       root: java.nio.file.Path = Paths.get(".")): Int = {
     import scala.jdk.CollectionConverters._
-    val arts = Files.list(root).iterator().asScala
-      .filter(_.getFileName.toString.matches("CORRECTNESS_r\\d+\\.json"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val arts = scala.util.Using.resource(Files.list(root)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.matches("CORRECTNESS_r\\d+\\.json"))
+        .toSeq
+    }.sortBy(p => p.getFileName.toString.replaceAll("\\D", "").toInt)
     arts.lastOption.map { p =>
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(Files.readString(p))
@@ -46,7 +48,13 @@ object Close {
     .replaceAll("""all \d+ quer""", s"all $n quer")
     .replaceAll("""for all \d+ registered quer""", s"for all $n registered quer")
     .replaceAll("""\d+-query""", s"$n-query")
-    .replaceAll("""\d+/\d+ hash-match""", s"${math.min(passes, n)}/$n hash-match")
+    // Scoped to the sf0.01-gate phrase ONLY: other verification tiers
+    // (the sf1 "N/M DuckDB hash-matches" wording, sf0.1 counts) carry
+    // their own measured numerators and must never be rewritten to the
+    // gate's numbers — that exact clobber shipped a false 303/303 sf1
+    // claim at the round-9 close (ADVICE.md medium finding).
+    .replaceAll("""\d+/\d+ hash-match(?=\*{0,2} at\s+sf0\.01)""",
+      s"${math.min(passes, n)}/$n hash-match")
     .replaceAll("""\d+-row plan inventory""", s"$n-row plan inventory")
 
   def main(args: Array[String]): Unit = {
@@ -106,9 +114,11 @@ object Close {
         (p.waitFor(), out)
       }
       import scala.jdk.CollectionConverters._
-      val roundArts = Files.list(Paths.get(".")).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.matches("(CORRECTNESS|BENCH)_r\\d+\\.json")).toSeq
+      val roundArts = scala.util.Using.resource(Files.list(Paths.get("."))) { s =>
+        s.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.matches("(CORRECTNESS|BENCH)_r\\d+\\.json")).toSeq
+      }
       val targets = (Seq("QUERIES.md", "SCALE.md", "README.md",
         "BENCH_FULL.json", "BENCH_DIFF.md", "LEAKCHECK.json") ++ roundArts)
         .filter(f => Files.exists(Paths.get(f)))

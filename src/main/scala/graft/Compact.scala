@@ -19,10 +19,11 @@ import graft.llm.TextOps
   * Write protocol (the S15 two-phase-commit discipline, batch-side): the
   * merged index is fully materialized into `_staging` FIRST (the live
   * dir is still being read lazily at that point), then the swap
-  * delete(live) → rename(staging, live) is the commit point.
-  * [[readIndex]] rolls an interrupted swap forward (staging complete +
-  * live missing ⇒ rename), so a crash between the two steps loses
-  * nothing. Re-running the same batch is a no-op by construction:
+  * delete(live) → rename(staging, live) is the commit point. A crash
+  * between the two steps loses nothing: [[readIndex]] serves the
+  * complete staging copy in place READ-ONLY, and the next [[run]]
+  * (the single writer) rolls the swap forward at entry.
+  * Re-running the same batch is a no-op by construction:
   * merging is an id-keyed upsert (new rows replace, absent ids survive),
   * and every indexed column is a deterministic function of the text.
   *
@@ -48,21 +49,35 @@ object Compact {
       .withColumn("bands",
         graft.functions.Hashing.minhashBands(col("shingles"), bands, rowsPerBand))
 
-  /** Read the live index, rolling an interrupted swap forward first.
-    * Returns None when no state exists yet. */
+  /** Read the live index — STRICTLY read-only (the GraphArtifact serve
+    * discipline): an interrupted swap (live missing + complete staging)
+    * is served FROM the staging copy in place, never renamed here. A
+    * reader that renamed could race a re-running compactor's staging
+    * overwrite — observe `_SUCCESS` an instant before the overwrite
+    * deletes it, then rename a partially rewritten staging dir into
+    * live. The roll-forward rename belongs to the single writer
+    * ([[run]] recovers at entry). Returns None when no state exists. */
   def readIndex(spark: SparkSession, stateDir: String): Option[DataFrame] = {
     val f = fs(spark, stateDir)
     val l = live(stateDir)
     val s = staging(stateDir)
+    if (f.exists(l)) Some(spark.read.parquet(l.toString))
+    else if (f.exists(new Path(s, "_SUCCESS")))
+      Some(spark.read.parquet(s.toString))
+    else None
+  }
+
+  /** Writer-side crash recovery: roll an interrupted swap forward
+    * (staging complete + live missing ⇒ rename). Called only from the
+    * single-writer entry point [[run]] — readers never mutate. */
+  private def recover(spark: SparkSession, stateDir: String): Unit = {
+    val f = fs(spark, stateDir)
+    val l = live(stateDir)
+    val s = staging(stateDir)
     if (!f.exists(l) && f.exists(new Path(s, "_SUCCESS"))) {
-      // rename-race tolerant: live-missing + staging-complete is the
-      // COMMITTED direction, but a concurrent reader (or the compactor
-      // itself, mid-commit) may win the identical rename first — losing
-      // it is success as long as live now exists
       if (!f.rename(s, l) && !f.exists(l))
         throw new IllegalStateException(s"roll-forward rename $s -> $l failed")
     }
-    if (f.exists(l)) Some(spark.read.parquet(l.toString)) else None
   }
 
   /** Fold `batch` into the persisted index (id-keyed upsert). */
@@ -70,6 +85,7 @@ object Compact {
           shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
           textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val f = fs(spark, stateDir)
+    recover(spark, stateDir) // writer entry: finish any interrupted swap
     val fresh = indexRows(batch, shingleK, bands, rowsPerBand, textCol, idCol)
     val merged = readIndex(spark, stateDir) match {
       case Some(existing) =>
@@ -80,10 +96,11 @@ object Compact {
     // phase 1: materialize the merged index completely (the live dir is
     // only READ here; overwrite of staging is safe on retry)
     merged.write.mode("overwrite").parquet(staging(stateDir).toString)
-    // phase 2 (commit point): swap. A reader's roll-forward may race us
-    // to the rename in the delete→rename window — the state is already
-    // committed either way, so losing the rename is success iff live
-    // exists and staging is gone
+    // phase 2 (commit point): swap. Readers are strictly read-only now,
+    // but keep the rename tolerant: under the single-writer contract a
+    // crashed-then-retried compactor's own recover() may have finished
+    // the identical rename — losing it is success iff live exists and
+    // staging is gone
     f.delete(live(stateDir), true)
     if (!f.rename(staging(stateDir), live(stateDir)) &&
         !(f.exists(live(stateDir)) && !f.exists(staging(stateDir))))

@@ -215,9 +215,17 @@ object AnnIndex {
       .agg(max(col("retrain").cast("int")).as("r"))
       .collect()(0).getInt(0) == 1
 
-  /** Live index frame, rolling an interrupted append swap forward
-    * first (staging complete + live missing ⇒ rename — the Compact
-    * crash-recovery discipline). */
+  /** Live index frame — STRICTLY read-only (the GraphArtifact serve
+    * discipline, extended here per the round-9 review): an interrupted
+    * staged swap (live missing + complete `index.staging`) is served
+    * FROM the staging copy in place, never renamed from the read path.
+    * A renaming reader could observe `_SUCCESS` an instant before a
+    * re-running writer's staging overwrite deletes it and promote a
+    * partially rewritten staging dir to live. No current writer stages
+    * the whole index ([[append]] is an in-place dynamic partition
+    * overwrite bracketed by the pending marker), so this branch is
+    * purely defensive — but defensive code must still obey the
+    * readers-never-mutate contract. */
   private def indexDf(spark: SparkSession, dir: String,
                       allowPending: Boolean = false): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -231,15 +239,12 @@ object AnnIndex {
           "serving")
     val live = new org.apache.hadoop.fs.Path(s"$dir/index")
     val staging = new org.apache.hadoop.fs.Path(s"$dir/index.staging")
-    if (!fs.exists(live) &&
-        fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
-      // rename-race tolerant (Compact.readIndex discipline): losing the
-      // roll-forward rename to a concurrent reader is success as long
-      // as live now exists
-      if (!fs.rename(staging, live) && !fs.exists(live))
-        throw new IllegalStateException(s"roll-forward failed: $dir")
-    }
-    spark.read.parquet(live.toString)
+    val base =
+      if (!fs.exists(live) &&
+          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+        staging
+      else live
+    spark.read.parquet(base.toString)
   }
 
   private def readModel(spark: SparkSession, dir: String): Array[(Long, Array[Double])] =

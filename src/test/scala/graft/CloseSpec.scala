@@ -22,8 +22,36 @@ class CloseSpec extends AnyFunSuite {
   }
 
   test("fixCounts clamps an over-counted numerator to the registry size") {
-    assert(Close.fixCounts("12/300 hash-match", n = 10, passes = 99)
-      .contains("10/10 hash-match"))
+    assert(Close.fixCounts("12/300 hash-match at sf0.01", n = 10, passes = 99)
+      .contains("10/10 hash-match at sf0.01"))
+  }
+
+  test("fixCounts rewrites ONLY the sf0.01-gate phrase — other tiers untouched") {
+    // The round-9 close clobbered README's measured sf1 count (296/296)
+    // with the sf0.01 gate's 303/303. The rewrite is now scoped to the
+    // "at sf0.01" suffix; tier-distinct wording survives verbatim.
+    val in = "gate: 298/300 hash-match at sf0.01; " +
+      "sf1: **296/303 DuckDB hash-matches** there; " +
+      "bare 50/60 hash-match with no tier suffix"
+    val out = Close.fixCounts(in, n = 303, passes = 301)
+    assert(out.contains("301/303 hash-match at sf0.01"))
+    assert(out.contains("**296/303 DuckDB hash-matches** there"),
+      "an sf1-tier measured count must never be rewritten to gate numbers")
+    assert(out.contains("bare 50/60 hash-match with no tier suffix"),
+      "an untiered count is not the gate's to rewrite")
+    // bold-wrapped gate phrase (README style) is still matched
+    assert(Close.fixCounts("**290/300 hash-match** at sf0.01", 303, 301)
+      .contains("**301/303 hash-match** at sf0.01"))
+  }
+
+  test("latestPassCount sorts rounds numerically, not lexicographically") {
+    val d = java.nio.file.Files.createTempDirectory("close-numeric")
+    def w(name: String, body: String) =
+      java.nio.file.Files.writeString(d.resolve(name), body)
+    // lexicographic sort would pick r99 as newest; numeric must pick r100
+    w("CORRECTNESS_r99.json", """{"a":{"hash_match":true},"b":{"hash_match":true}}""")
+    w("CORRECTNESS_r100.json", """{"a":{"hash_match":true}}""")
+    assert(Close.latestPassCount(99, d) === 1)
   }
 
   test("latestPassCount reads hash_match from the NEWEST round artifact") {

@@ -64,7 +64,7 @@ class CompactSpec extends AnyFunSuite {
     } finally rm(state)
   }
 
-  test("an interrupted swap rolls forward on the next read") {
+  test("an interrupted swap: reads serve staging READ-ONLY; the next run rolls forward") {
     val state = tmpState()
     try {
       Compact.run(spark, state, base)
@@ -77,8 +77,17 @@ class CompactSpec extends AnyFunSuite {
       val staging = new org.apache.hadoop.fs.Path(state, "_staging")
       assert(fs.rename(live, staging))
       assert(!fs.exists(live))
-      assert(indexRows(state) === before) // readIndex rolled it forward
+      // read path: full committed content, WITHOUT mutating the layout —
+      // a renaming reader could race a re-running compactor's staging
+      // overwrite and promote a half-rewritten dir (round-9 ADVICE)
+      assert(indexRows(state) === before)
+      assert(!fs.exists(live) && fs.exists(staging),
+        "readIndex must never repair — readers are strictly read-only")
+      // writer entry point recovers, then folds the batch as usual
+      Compact.run(spark, state,
+        Seq((99L, "kappa lambda mu")).toDF("doc_id", "text"))
       assert(fs.exists(live) && !fs.exists(staging))
+      assert(indexRows(state).map(_._1) === (before.map(_._1) + 99L))
     } finally rm(state)
   }
 

@@ -27,10 +27,15 @@ quad = {'q32_dedup_minhash_lsh', 'q56_dedup_clusters', 'q59_corpus_filter',
 spec_tier = {'q181_semdedup'}
 # sf1 tier: queries hash-matched against DuckDB on the 10x-bench-scale
 # SfGen corpus (CORRECTNESS_sf1.json, round 9)
+# Missing artifact is legitimate (pre-round-9 checkouts); a MALFORMED one
+# must fail loudly — a bare except here silently dropped every sf1 tier
+# annotation when the file couldn't parse (ADVICE.md round-9 finding).
 try:
     sf1 = {k for k, v in json.load(open('CORRECTNESS_sf1.json'))['queries'].items()
            if v.get('hash_match')}
-except Exception:
+    print(f'[gen_queries_md] sf1 tier: {len(sf1)} hash-matched queries')
+except FileNotFoundError:
+    print('[gen_queries_md] WARNING: CORRECTNESS_sf1.json absent — no sf1 tiers')
     sf1 = set()
 lines = ['# QUERIES — registry index (generated; regenerate with tools/gen_queries_md.py)', '',
          'Every registered query with its implementation site and verification tier.',
