@@ -12,9 +12,11 @@ import org.apache.spark.sql.SparkSession
   * its own row), so the ratios isolate data-dependent cost.
   *
   * Usage: `runMain graft.ScaleProbe <dir1,dir2[,dir3...]> <q1,q2,...>
-  * [flagRatio]`. A query name suffixed `@cap` runs with the q72 block
-  * cap enabled (`spark.graft.fuzzy.maxBlock=1000`) — the bounded-growth
-  * demonstration for the one known superlinear path. */
+  * [flagRatio]`. A query name suffixed `@cap` runs with a fixed q72
+  * block cap (`spark.graft.fuzzy.maxBlock=1000`, or `@capN` for N);
+  * `@auto` runs the OPERATOR-DEFAULT auto-derived cap (the registry
+  * entry otherwise pins the exact oracle semantics) — the
+  * bounded-growth demonstrations for the one known superlinear path. */
 object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
@@ -46,12 +48,14 @@ object ScaleProbe {
         .createTempDirectory("graft-scale-art").resolve("graph").toString
       val buildSec = timeOf(graft.operators.GraphArtifact.build(spark, dir, art))
       spark.conf.set(graft.operators.GraphArtifact.Key, art)
-      val CapSuffix = "@cap(\\d*)$".r
+      val CapSuffix = "@(cap(\\d*)|auto)$".r
       val m = names.map { raw =>
         val (n, cap) = CapSuffix.findFirstMatchIn(raw) match {
+          case Some(mm) if mm.group(1) == "auto" =>
+            (raw.substring(0, mm.start), Some("auto"))
           case Some(mm) =>
             (raw.substring(0, mm.start),
-              Some(if (mm.group(1).isEmpty) "1000" else mm.group(1)))
+              Some(if (mm.group(2).isEmpty) "1000" else mm.group(2)))
           case None => (raw, None)
         }
         cap.foreach(c =>

@@ -93,12 +93,64 @@ object Pipeline {
 
   /** Session conf key for q72's per-block size cap — the
     * [[graft.llm.Lsh.MaxBucketConf]] discipline applied to the fuzzy
-    * join: when set to a positive count, blocks holding more documents
-    * are dropped from the pair join entirely (the output stays a strict
-    * subset of the exact semantics) and counted in
-    * [[fuzzyDroppedBlocks]]. OPT-IN, default unset/uncapped, because
-    * the DuckDB oracle replays the uncapped all-pairs semantics. */
+    * join. Three modes:
+    *
+    *  - **unset (the DEFAULT): AUTO** — the cap is derived from the
+    *    corpus's own block-size distribution via [[autoMaxBlock]], the
+    *    largest per-block population whose kept-block pair work fits
+    *    [[FuzzyPairBudgetConf]]. A corpus whose total pair space
+    *    already fits runs EXACT (no block dropped — the fixture case);
+    *    one whose blocks have exploded (the block key's cardinality is
+    *    corpus-independent, so block populations grow linearly with the
+    *    corpus and the pair space quadratically) sheds only its largest
+    *    blocks until the work is bounded. The autoNlist precedent
+    *    (`llm/Similarity.scala`): a naive call at 100× the corpus must
+    *    not reproduce a measured explosion by default.
+    *  - **a positive count**: fixed cap — blocks holding more documents
+    *    are dropped from the pair join entirely.
+    *  - **zero or negative: EXACT** — uncapped all-pairs semantics,
+    *    what the q72 oracle replays (the registry entry pins this
+    *    explicitly, the q181 nlist=16 discipline).
+    *
+    * Every dropped block is counted in [[fuzzyDroppedBlocks]]; the
+    * capped output stays a strict subset of the exact semantics. */
   val FuzzyMaxBlockConf = "spark.graft.fuzzy.maxBlock"
+
+  /** Session conf key for the AUTO mode's total pair budget (default
+    * [[DefaultFuzzyPairBudget]]): the kept blocks' Σ n·(n−1)/2 is held
+    * at or under this, bounding the Levenshtein DP work absolutely —
+    * each pair's DP is a fixed 64×64, so budget × O(1) is the whole
+    * join cost regardless of corpus size. */
+  val FuzzyPairBudgetConf = "spark.graft.fuzzy.pairBudget"
+
+  /** ~2·10⁷ capped 64×64 DPs — a few seconds of distributed compute,
+    * comfortably above every measured fixture's total pair space
+    * (sf0.1: 1.96·10⁴ pairs) so real corpora at test scale run exact,
+    * and ~100× under the pair space that measured 153 s on the 10×
+    * synthetic corpus (SCALE.md q72 row). */
+  val DefaultFuzzyPairBudget = 20000000L
+
+  /** The largest per-block population cap such that the pair work of
+    * the KEPT blocks (every block at or under the cap; larger blocks
+    * drop entirely) fits `budget`. Returns Int.MaxValue when the whole
+    * distribution fits — the exact case. Monotone water-filling: blocks
+    * are admitted smallest-first, so the cap sheds as few blocks as
+    * possible, always the largest ones. */
+  private[graft] def autoMaxBlock(sizes: Array[Long], budget: Long): Int = {
+    def pairs(n: Long) = n * (n - 1) / 2
+    if (sizes.map(pairs).sum <= budget) return Int.MaxValue
+    // group by population: a cap of c keeps EVERY block sized c, so
+    // feasibility is judged per size class, cumulatively smallest-first
+    val classes = sizes.groupBy(identity).toSeq
+      .map { case (n, g) => (n, pairs(n) * g.length) }.sortBy(_._1)
+    var work = 0L
+    var best = 1L
+    classes.foreach { case (n, w) =>
+      work += w
+      if (work <= budget) best = n
+    }
+    math.min(best, Int.MaxValue.toLong).toInt
+  }
 
   /** One dropped-block accumulator per session ("graft.fuzzy.
     * droppedBlocks" in the Spark UI) — an accumulator, not `observe`,
@@ -132,20 +184,35 @@ object Pipeline {
     * so blocks grow linearly with the corpus and the intra-block pair
     * space quadratically — the 10× ScaleProbe run measured 250× on a
     * shared-vocab synthetic corpus. This is the audit/EDA shape for
-    * corpora whose block sizes are operationally bounded; at open scale
-    * either enable the [[FuzzyMaxBlockConf]] cap (bounded growth,
-    * dropped blocks surfaced via the accumulator) or use the
-    * candidate-bounded near-dup paths — MinHash-LSH (q32,
-    * `llm/Dedup.minhashLsh`) or the prefix-filtered set-similarity
-    * join (q136, `llm/SetSimilarity`) — whose bucket sizes track
-    * content, not corpus size, and verify survivors exactly. */
+    * corpora whose block sizes are operationally bounded; the DEFAULT
+    * [[FuzzyMaxBlockConf]] AUTO cap bounds it for everyone else
+    * (dropped blocks surfaced via the accumulator). For lossless
+    * open-scale near-dup use the candidate-bounded paths — MinHash-LSH
+    * (q32, `llm/Dedup.minhashLsh`) or the prefix-filtered
+    * set-similarity join (q136, `llm/SetSimilarity`) — whose bucket
+    * sizes track content, not corpus size, and verify survivors
+    * exactly. (No lossless candidate filter exists for THIS predicate:
+    * at sim ≥ 0.35 the q-gram count bound `shared ≥ len − q + 1 − k·q`
+    * is vacuous for k = 0.65·64 ≈ 41 edits, so any prefix-filter
+    * routing of oversized blocks would silently change semantics —
+    * bounded-subset-with-accounting is the honest contract.) */
   val fuzzyPairs: Q = (s, dir) => {
     val dAll = Tables.t(s, dir, "documents").select(
       col("doc_id"), col("lang"), col("source"),
       floor(col("n_chars") / 64).as("band"),
       substring(TextOps.normalized(col("text")), 1, 64).as("p"))
-    val cap = s.conf.getOption(FuzzyMaxBlockConf)
-      .map(_.toInt).filter(_ > 0).getOrElse(Int.MaxValue)
+    val cap = s.conf.getOption(FuzzyMaxBlockConf) match {
+      case Some(v) if v != "auto" && v.toInt > 0 => v.toInt // explicit fixed cap
+      case Some(v) if v != "auto" => Int.MaxValue // explicit 0/negative: exact
+      case _ => // DEFAULT (unset or literal "auto"): derive from the distribution
+        // one extra bounded aggregation pass (block-key cardinality is
+        // corpus-independent, so the collect is a few-thousand longs)
+        val sizes = dAll.groupBy("lang", "source", "band")
+          .agg(count(lit(1)).as("block_n"))
+          .select("block_n").collect().map(_.getLong(0))
+        autoMaxBlock(sizes, s.conf.getOption(FuzzyPairBudgetConf)
+          .map(_.toLong).getOrElse(DefaultFuzzyPairBudget))
+    }
     val d = if (cap == Int.MaxValue) dAll else {
       val acc = fuzzyAccFor(s)
       val keep = udf { (n: Long) =>
@@ -174,6 +241,21 @@ object Pipeline {
       .filter(col("sim") >= 0.35)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** The q72 REGISTRY entry: pins the exact uncapped semantics the
+    * DuckDB oracle replays when the caller hasn't set
+    * [[FuzzyMaxBlockConf]] (the q181 nlist=16 discipline — the OPERATOR
+    * default is the auto cap; the ORACLE ROW is exact all-pairs). An
+    * explicitly set conf passes through untouched, so ScaleProbe's
+    * `@cap`/`@auto` suffixes still steer the registry query. */
+  val fuzzyPairsExact: Q = (s, dir) =>
+    if (s.conf.getOption(FuzzyMaxBlockConf).isDefined) fuzzyPairs(s, dir)
+    else {
+      s.conf.set(FuzzyMaxBlockConf, "0")
+      // the cap conf is read eagerly at plan-construction time, so the
+      // unset cannot race the (lazy) execution of the returned frame
+      try fuzzyPairs(s, dir) finally s.conf.unset(FuzzyMaxBlockConf)
+    }
 
   val fuzzyPairsSql: String =
     s"""WITH d AS (
@@ -1443,7 +1525,7 @@ object Pipeline {
     "q230_audience_overlap" -> audienceOverlap,
     "q70_pii_redact" -> piiRedact,
     "q71_split_assign" -> splitAssign,
-    "q72_fuzzy_pairs" -> fuzzyPairs,
+    "q72_fuzzy_pairs" -> fuzzyPairsExact,
     "q73_tfidf_topterms" -> tfidfTopTerms,
     "q74_repetition_quality" -> repetitionQuality,
     "q75_merge_upsert" -> mergeUpsert,

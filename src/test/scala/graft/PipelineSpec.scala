@@ -149,10 +149,12 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("fuzzy block cap: opt-in, engages, reports, and stays a subset") {
+  test("fuzzy block cap: engages, reports, and stays a subset") {
     import graft.queries.Pipeline
     def run() = Pipeline.fuzzyPairs(spark, sf)
       .as[(Long, Long, Int, Double)].collect().toSet
+    // conf unset = AUTO; the fixture's whole pair space fits the default
+    // budget, so the default run IS the exact semantics here
     val uncapped = run()
     assert(uncapped.nonEmpty)
     // a cap of 1 drops every multi-document block: zero pairs survive
@@ -171,5 +173,69 @@ class PipelineSpec extends AnyFunSuite {
       val capped = run()
       assert(capped.subsetOf(uncapped))
     } finally spark.conf.unset(Pipeline.FuzzyMaxBlockConf)
+  }
+
+  test("fuzzy auto cap math: water-fill sheds only the largest size classes") {
+    import graft.queries.Pipeline.autoMaxBlock
+    // whole distribution fits -> exact (no cap)
+    assert(autoMaxBlock(Array(5L, 5L, 5L), budget = 100) === Int.MaxValue)
+    assert(autoMaxBlock(Array.empty[Long], budget = 0) === Int.MaxValue)
+    assert(autoMaxBlock(Array(1L, 1L), budget = 0) === Int.MaxValue)
+    // pairs: 2->1, 3->3, 10->45; budget 10 keeps {2,3} (work 4), sheds 10
+    assert(autoMaxBlock(Array(10L, 2L, 3L), budget = 10) === 3)
+    // equal-size classes keep or shed TOGETHER (a cap can't split them):
+    // two 5-blocks are 20 pairs, budget 15 fits neither beyond the 2-block
+    assert(autoMaxBlock(Array(5L, 5L, 2L), budget = 15) === 2)
+    // budget under even the smallest multi-doc class -> cap 1 (no pair work)
+    assert(autoMaxBlock(Array(4L, 4L), budget = 5) === 1)
+  }
+
+  test("naive fuzzy call is scale-safe BY DEFAULT: oversized blocks shed, work bounded") {
+    import graft.queries.Pipeline
+    // planted corpus: one pathological block (60 docs -> 1770 pairs, the
+    // miniature of a 100x-grown block) plus two healthy 3-doc blocks
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy-planted").toString
+    try {
+      val rows =
+        (0 until 60).map(i => (i.toLong, s"lorem ipsum dolor sit amet $i", "en", "big", 64L)) ++
+        (100 until 103).map(i => (i.toLong, s"alpha beta gamma delta $i", "en", "s1", 64L)) ++
+        (200 until 203).map(i => (i.toLong, s"epsilon zeta eta theta $i", "fr", "s2", 64L))
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      def collect() = Pipeline.fuzzyPairs(spark, dir)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      // exact reference (explicit 0 = the oracle semantics)
+      spark.conf.set(Pipeline.FuzzyMaxBlockConf, "0")
+      val exact = try collect() finally spark.conf.unset(Pipeline.FuzzyMaxBlockConf)
+      assert(exact.exists(p => p._1 < 60),
+        "the planted big block must contribute pairs to the exact run")
+      // naive run: conf UNSET, budget tightened so the big block can't fit
+      val dropsBefore = Pipeline.fuzzyDroppedBlocks(spark)
+      spark.conf.set(Pipeline.FuzzyPairBudgetConf, "100")
+      val auto = try collect() finally spark.conf.unset(Pipeline.FuzzyPairBudgetConf)
+      assert(Pipeline.fuzzyDroppedBlocks(spark) > dropsBefore,
+        "the shed block must be surfaced via the accumulator")
+      // bounded-work contract: exactly the oversized block's pairs are
+      // shed — everything in a block at or under the derived cap survives
+      assert(auto === exact.filter(p => p._1 >= 100 && p._2 >= 100))
+      // the registry entry pins EXACT when the conf is unset (oracle row)
+      val registry = Pipeline.fuzzyPairsExact(spark, dir)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(registry === exact,
+        "q72's registry semantics must stay the exact oracle replay")
+      assert(spark.conf.getOption(Pipeline.FuzzyMaxBlockConf).isEmpty,
+        "the registry pin must not leak conf state")
+      // ...and passes an explicit caller setting through
+      spark.conf.set(Pipeline.FuzzyMaxBlockConf, "3")
+      val steered = try Pipeline.fuzzyPairsExact(spark, dir)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      finally spark.conf.unset(Pipeline.FuzzyMaxBlockConf)
+      assert(steered === exact.filter(p => p._1 >= 100 && p._2 >= 100))
+    } finally {
+      def go(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(go)); f.delete(); ()
+      }
+      go(new java.io.File(dir))
+    }
   }
 }
