@@ -17,6 +17,23 @@ import org.apache.spark.sql.functions._
   * as the verifier; the shipped operators never do this.
   */
 object TruthCheck {
+
+  /** Connected components of a pair set as (member -> min id of its
+    * component) — the driver-side union-find both truth gates
+    * canonicalize cluster answers with (here and [[TruthCheckSf1]]). */
+  private[graft] def components(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -56,18 +73,6 @@ object TruthCheck {
 
     // cluster truth: connected components of the brute-force pair graph,
     // canonicalized as (member -> min id of its component)
-    def components(pairs: Set[(Long, Long)]): Map[Long, Long] = {
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      pairs.foreach { case (x, y) =>
-        val (rx, ry) = (find(x), find(y))
-        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
-      }
-      parent.keys.map(k => k -> find(k)).toMap
-    }
     val truthComp = components(truth)
     val got = graft.llm.Dedup.connectedComponents(lshDf)
       .as[(Long, Long)].collect().toMap

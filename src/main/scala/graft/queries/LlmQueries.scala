@@ -1907,15 +1907,46 @@ object LlmQueries {
        |  round(sum(pico)::DOUBLE / 1e12, 6) AS rbo
        |FROM ad""".stripMargin
 
-  /** Kendall tau-a (q256): rank agreement of the two legs over their
-    * COMMON documents — concordant minus discordant pairs over all
-    * pairs, entirely exact integers (the pair stage is quadratic in the
-    * ≤50-row intersection, bounded). τ = +1 when the legs order shared
-    * docs identically, −1 when reversed — the complementary
-    * whole-ranking view to q255's top-weighted RBO. */
+  /** Kendall tau-a (q256): rank agreement of the two retrieval
+    * measures over a SHARED candidate pool — the lexical top-50, each
+    * member ranked by term hits AND by embedding cosine against the
+    * query, then concordant minus discordant pairs over all pool
+    * pairs, entirely exact integers (the pair stage is quadratic in
+    * the ≤50-row pool, bounded). τ = +1 when the measures order the
+    * pool identically, −1 when reversed — the complementary
+    * whole-ranking view to q255's top-weighted RBO.
+    *
+    * Pool-based on purpose (round-9 verdict): intersecting the two
+    * legs' independent top-50s shrinks with the corpus — at sf1
+    * (50 k docs) the intersection is EMPTY, so the old τ compared zero
+    * pairs and its sf1 oracle row was vacuously green. Ranking one
+    * fixed pool by both measures keeps n_pairs = C(|pool|, 2) at any
+    * scale, so every verification tier exercises the τ arithmetic. */
   val kendallTau: Q = (s, dir) => {
-    val (lexTop, vecTop) = retrievalLegs(s, dir)
-    val both = lexTop.join(vecTop, "doc_id").localCheckpoint(true)
+    val d = Tables.t(s, dir, "documents")
+    val e = Tables.t(s, dir, "embeddings")
+    val qTerms = d.filter(col("doc_id") === 0)
+      .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+    val qVec = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    val pool = d.select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      .join(broadcast(qTerms), "term")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("hits").desc, col("doc_id").asc).limit(50)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("hits").desc, col("doc_id").asc)).cast("long"))
+    val both = pool
+      .join(e.select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("v")), "doc_id")
+      .crossJoin(broadcast(qVec))
+      .select(col("doc_id"), col("r_lex"),
+        round(Similarity.cosine(col("v"), col("qv")), 4).as("cos"))
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "r_lex", "r_vec")
+      .localCheckpoint(true)
     val pairs = both.as("x").join(both.as("y"),
         col("x.doc_id") < col("y.doc_id"))
       .select(
@@ -1930,10 +1961,27 @@ object LlmQueries {
   }
 
   val kendallTauSql: String =
-    s"""WITH $RetrievalLegsSql,
+    s"""WITH qt AS (
+       |  SELECT DISTINCT unnest(list_distinct($ToksSql)) AS term
+       |  FROM documents WHERE doc_id = 0),
+       |dt AS (
+       |  SELECT doc_id, unnest(list_distinct($ToksSql)) AS term FROM documents),
+       |pool AS (
+       |  SELECT dt.doc_id, count(*)::BIGINT AS hits
+       |  FROM dt JOIN qt USING (term) WHERE dt.doc_id <> 0 GROUP BY 1
+       |  ORDER BY hits DESC, doc_id ASC LIMIT 50),
+       |poolr AS (
+       |  SELECT doc_id, hits,
+       |    row_number() OVER (ORDER BY hits DESC, doc_id ASC)::BIGINT AS r_lex
+       |  FROM pool),
+       |qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
        |both_r AS (
-       |  SELECT lexr.doc_id, r_lex, r_vec
-       |  FROM lexr JOIN vecr ON lexr.doc_id = vecr.doc_id),
+       |  SELECT doc_id, r_lex,
+       |    row_number() OVER (
+       |      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qv), 4)
+       |        DESC, doc_id ASC)::BIGINT AS r_vec
+       |  FROM poolr JOIN embeddings e ON e.vec_id = poolr.doc_id
+       |  CROSS JOIN qv),
        |p AS (
        |  SELECT ((x.r_lex < y.r_lex) = (x.r_vec < y.r_vec)) AS conc
        |  FROM both_r x JOIN both_r y ON x.doc_id < y.doc_id)

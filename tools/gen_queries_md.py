@@ -37,6 +37,16 @@ try:
 except FileNotFoundError:
     print('[gen_queries_md] WARNING: CORRECTNESS_sf1.json absent — no sf1 tiers')
     sf1 = set()
+# sf1 TRUTH tier: the quadratic-oracle family, set-compared at sf1
+# against the lifted planted truth (TRUTHCHECK_sf1.json, round 10) —
+# same missing-vs-malformed discipline as above
+try:
+    truth_sf1 = {k for k, v in json.load(open('TRUTHCHECK_sf1.json')).items()
+                 if v.get('pass')}
+    print(f'[gen_queries_md] sf1-truth tier: {len(truth_sf1)} queries')
+except FileNotFoundError:
+    print('[gen_queries_md] WARNING: TRUTHCHECK_sf1.json absent — no sf1-truth tiers')
+    truth_sf1 = set()
 lines = ['# QUERIES — registry index (generated; regenerate with tools/gen_queries_md.py)', '',
          'Every registered query with its implementation site and verification tier.',
          'Tiers: **sf0.01** = DuckDB-oracle hash-match (the driver gate);',
@@ -45,7 +55,11 @@ lines = ['# QUERIES — registry index (generated; regenerate with tools/gen_que
          'sf0.1-sensitive stages ride other verified queries and a planted',
          'union-find spec — see .claude/skills/verify/SKILL.md);',
          '**sf1** = hash-matched at 100× the driver gate (~6 M lineitem rows,',
-         'the SfGen corpus — CORRECTNESS_sf1.json).', '',
+         'the SfGen corpus — CORRECTNESS_sf1.json);',
+         '**truth@sf1** = quadratic-oracle family set-compared at sf1 against',
+         'the complete lifted planted truth (text is copy-invariant under',
+         'SfGen, so the sf0.1 brute-force truth lifts exactly —',
+         '`graft.TruthCheckSf1`, TRUTHCHECK_sf1.json).', '',
          '| query | impl | verified |', '|---|---|---|']
 for key in sorted(entries, key=lambda k: int(k[1:].split('_')[0])):
     mod, path, line, val = entries[key]
@@ -53,6 +67,8 @@ for key in sorted(entries, key=lambda k: int(k[1:].split('_')[0])):
             else 'sf0.01 + spec@sf0.1' if key in spec_tier else 'sf0.01 + sf0.1')
     if key in sf1:
         tier += ' + sf1'
+    if key in truth_sf1:
+        tier += ' + truth@sf1'
     lines.append(f'| {key} | `{path}:{line}` | {tier} |')
 open('QUERIES.md', 'w').write('\n'.join(lines) + '\n')
 print(len(entries), 'queries indexed')
