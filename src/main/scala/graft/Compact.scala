@@ -85,6 +85,20 @@ object Compact {
           shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
           textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val f = fs(spark, stateDir)
+    // single-writer enforcement (the GraphArtifact/AnnIndex round-10
+    // lease): two concurrent compactions would interleave the
+    // staging-overwrite/delete/rename triple undetected
+    graft.common.WriterLease.withLease(f,
+        new Path(stateDir, "_writer.lease")) {
+      runUnlocked(spark, f, stateDir, batch, shingleK, bands, rowsPerBand,
+        textCol, idCol)
+    }
+  }
+
+  private def runUnlocked(spark: SparkSession,
+          f: org.apache.hadoop.fs.FileSystem, stateDir: String,
+          batch: DataFrame, shingleK: Int, bands: Int, rowsPerBand: Int,
+          textCol: String, idCol: String): Unit = {
     recover(spark, stateDir) // writer entry: finish any interrupted swap
     val fresh = indexRows(batch, shingleK, bands, rowsPerBand, textCol, idCol)
     val merged = readIndex(spark, stateDir) match {

@@ -54,6 +54,7 @@ object AnnIndex {
             vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    graft.common.WriterLease.withLease(fsFor(spark, dir), leasePath(dir)) {
     val firstN = Similarity.firstNCentroids(corpus, math.max(nlist, codes),
       idCol, vecCol)
     firstN.zipWithIndex
@@ -66,7 +67,19 @@ object AnnIndex {
     spark.read.parquet(s"$dir/index").groupBy("cell")
       .agg(count(lit(1)).as("n"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    }
   }
+
+  /** The index's single-writer lock (inside the state dir — its root is
+    * never renamed, unlike GraphArtifact's). Enforced at [[build]] and
+    * [[append]]; AnnIndexSpec's two-appender leg pins the loser failing
+    * fast and the winner's lease releasing on every in-process exit. */
+  private def leasePath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/_writer.lease")
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
 
   /** Fold a batch of vectors into the persisted index under the FROZEN
     * build-time model: cell-assign + PQ-encode the batch with the same
@@ -104,7 +117,15 @@ object AnnIndex {
     * discipline. */
   def append(batch: DataFrame, dir: String, nlist: Int = 16, m: Int = 8,
              codes: Int = 16, idCol: String = "vec_id",
-             vecCol: String = "embedding"): Unit = {
+             vecCol: String = "embedding"): Unit =
+    graft.common.WriterLease.withLease(
+        fsFor(batch.sparkSession, dir), leasePath(dir)) {
+      appendUnlocked(batch, dir, nlist, m, codes, idCol, vecCol)
+    }
+
+  private def appendUnlocked(batch: DataFrame, dir: String, nlist: Int,
+                             m: Int, codes: Int, idCol: String,
+                             vecCol: String): Unit = {
     val spark = batch.sparkSession
     val model = readModel(spark, dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -58,6 +58,15 @@ import scala.jdk.CollectionConverters._
   *
   * == Commit discipline ==
   *
+  * Mutation is SINGLE-WRITER, and since round 10 that is enforced, not
+  * just documented: every write entry point ([[build]]/[[append]]/
+  * [[repair]]) runs under an exclusive [[graft.common.WriterLease]]
+  * (`<artifact>.lease`, a sibling so build's live-dir swap cannot move
+  * it) — a second simultaneous writer fails fast instead of
+  * interleaving renames undetected; a crashed holder's lease is
+  * reclaimed by the same owner instantly or by anyone after its TTL
+  * (GraphArtifactSpec two-appender leg).
+  *
   * [[build]] stages the whole artifact and swaps it in with a
   * roll-forward-able three-step (`live → .old`, `staging → live`,
   * drop `.old`) — a crash between any two steps is repaired by
@@ -270,7 +279,13 @@ object GraphArtifact {
   /** [[build]] from explicit incidence/click frames — the entry point
     * for partial-corpus builds (and the append spec's base). */
   private[graft] def buildFrom(s: SparkSession, items: DataFrame,
-                               clicks: DataFrame, outPath: String): Unit = {
+                               clicks: DataFrame, outPath: String): Unit =
+    graft.common.WriterLease.withLease(fsOf(s, outPath), leasePath(outPath)) {
+      buildUnlocked(s, items, clicks, outPath)
+    }
+
+  private def buildUnlocked(s: SparkSession, items: DataFrame,
+                            clicks: DataFrame, outPath: String): Unit = {
     val n = s.conf.getOption(BucketsKey).map(_.toInt).getOrElse(32)
     val fs = fsOf(s, outPath)
     val live = new Path(outPath)
@@ -357,7 +372,19 @@ object GraphArtifact {
     * restores either the full batch (committed) or the exact pre-append
     * state (uncommitted), so a failed append can simply be retried. */
   def append(s: SparkSession, itemsBatch: DataFrame,
-             clicksBatch: DataFrame, artPath: String): Unit = {
+             clicksBatch: DataFrame, artPath: String): Unit =
+    graft.common.WriterLease.withLease(fsOf(s, artPath), leasePath(artPath)) {
+      appendUnlocked(s, itemsBatch, clicksBatch, artPath)
+    }
+
+  /** The artifact's single-writer lock, a SIBLING of the live dir —
+    * build swaps the live dir itself, so an in-tree lock would move out
+    * from under its holder. GraphArtifactSpec's two-appender leg pins
+    * the loser failing fast with zero file churn. */
+  private def leasePath(artPath: String) = new Path(artPath + ".lease")
+
+  private def appendUnlocked(s: SparkSession, itemsBatch: DataFrame,
+                             clicksBatch: DataFrame, artPath: String): Unit = {
     recover(s, artPath)
     val fs = fsOf(s, artPath)
     require(fs.exists(new Path(artPath, "copurchase_support")) &&
@@ -482,7 +509,10 @@ object GraphArtifact {
     * single-writer contract. Call after a crashed [[build]]/[[append]]
     * when only readers will run next (a retried append repairs
     * implicitly); never run it concurrently with a live append. */
-  def repair(s: SparkSession, root: String): Unit = recover(s, root)
+  def repair(s: SparkSession, root: String): Unit =
+    graft.common.WriterLease.withLease(fsOf(s, root), leasePath(root)) {
+      recover(s, root)
+    }
 
   /** READ-ONLY committed-state observation — never repairs. A serve may
     * run concurrently with an [[append]] from another session, and a

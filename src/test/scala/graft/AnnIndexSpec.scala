@@ -63,6 +63,46 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("two concurrent appenders: the loser fails fast, the index untouched") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val d = java.nio.file.Files.createTempDirectory("ann-lease").toString
+    AnnIndex.build(emb.filter(col("vec_id") < 350), d)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$d/_writer.lease")
+    def snap: Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val base = java.nio.file.Paths.get(s"$d/index")
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (base.relativize(p).toString,
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+    }
+    val batch = emb.filter(col("vec_id") >= 350)
+    // a LIVE appender from another session holds the lease
+    graft.common.WriterLease.acquire(fs, lease, owner = "other-pid@elsewhere")
+    val before = snap
+    val ex = intercept[IllegalStateException] { AnnIndex.append(batch, d) }
+    assert(ex.getMessage.contains("writer lease"))
+    assert(snap === before, "a fenced-out appender must not touch the index")
+    assert(fs.exists(lease), "the loser must not release the holder's lease")
+    graft.common.WriterLease.release(fs, lease)
+    // the retried append proceeds, releases its lease, and lands the
+    // same state a rebuild would
+    AnnIndex.append(batch, d)
+    assert(!fs.exists(lease))
+    val full = java.nio.file.Files.createTempDirectory("ann-lease-full").toString
+    AnnIndex.build(emb, full)
+    def rows(p: String) = spark.read.parquet(s"$p/index")
+      .select(col("id"), col("cell"), col("codes").cast("array<int>"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(rows(d) === rows(full))
+    // a crashed holder's stale lease (expired TTL) is reclaimed
+    graft.common.WriterLease.acquire(fs, lease, owner = "dead@elsewhere", ttlMs = -1)
+    AnnIndex.append(batch.limit(0), d) // empty batch still walks the lease path
+    assert(!fs.exists(lease))
+  }
+
   test("append under the frozen model equals a full rebuild with that model") {
     val emb = Tables.t(spark, sf, "embeddings")
     val base = emb.filter(col("vec_id") < 350)

@@ -116,4 +116,34 @@ class CommonSpec extends AnyFunSuite {
     assert(lines.get(0) === line)
     assert(lines.get(1).startsWith("[tail] orders: 5 rows"))
   }
+
+  test("WriterLease: exclusion, same-owner reclaim, TTL break, release-on-throw") {
+    import graft.common.WriterLease
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("lease").toString, "w.lease")
+    // exclusion: a fresh foreign lease fences a second writer out
+    WriterLease.acquire(fs, lease, owner = "a@host")
+    val ex = intercept[IllegalStateException] {
+      WriterLease.acquire(fs, lease, owner = "b@host")
+    }
+    assert(ex.getMessage.contains("a@host"), "the loser learns the holder")
+    assert(fs.exists(lease), "a failed acquire must not break a live lease")
+    // same-owner reclaim: a retried writer in the same process proceeds
+    WriterLease.acquire(fs, lease, owner = "a@host")
+    WriterLease.release(fs, lease)
+    // TTL break: an expired lease (crashed holder) yields to anyone
+    WriterLease.acquire(fs, lease, owner = "dead@host", ttlMs = -1)
+    WriterLease.acquire(fs, lease, owner = "b@host")
+    assert(fs.exists(lease))
+    // withLease releases on BOTH exits — normal and thrown
+    WriterLease.release(fs, lease)
+    assert(WriterLease.withLease(fs, lease)(42) === 42)
+    assert(!fs.exists(lease))
+    intercept[RuntimeException] {
+      WriterLease.withLease(fs, lease)(throw new RuntimeException("boom"))
+    }
+    assert(!fs.exists(lease), "an in-process failure must release the lease")
+  }
 }

@@ -102,6 +102,40 @@ class GraphArtifactSpec extends AnyFunSuite {
     } finally spark.conf.unset(GraphArtifact.Key)
   }
 
+  test("two concurrent appenders: the loser fails fast, the artifact untouched") {
+    val items = GraphArtifact.itemsInline(spark, sf)
+    val base = items.filter(col("o") % 5 =!= 0)
+    val batch = items.filter(col("o") % 5 === 0)
+    val d = tmp("graph-lease")
+    GraphArtifact.buildFrom(spark, base, noClicks, d)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(d + ".lease")
+    // a LIVE appender in another session: fresh lease, foreign owner
+    graft.common.WriterLease.acquire(fs, lease, owner = "other-pid@elsewhere")
+    val before = snapshotAll(d)
+    val ex = intercept[IllegalStateException] {
+      GraphArtifact.append(spark, batch, noClicks, d)
+    }
+    assert(ex.getMessage.contains("writer lease"))
+    assert(snapshotAll(d) === before,
+      "a fenced-out appender must not have touched a single file")
+    assert(fs.exists(lease), "the loser must not release the holder's lease")
+    // holder finishes -> the retried append proceeds and commits
+    graft.common.WriterLease.release(fs, lease)
+    GraphArtifact.append(spark, batch, noClicks, d)
+    assert(!fs.exists(lease), "the winner's lease releases on exit")
+    val full = tmp("graph-lease-full")
+    GraphArtifact.buildFrom(spark, items, noClicks, full)
+    val a = spark.read.parquet(s"$d/copurchase_support").collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(s"$full/copurchase_support").collect().map(_.toSeq).toSet
+    assert(a === b)
+    // a CRASHED holder (stale lease past its TTL) is reclaimed
+    graft.common.WriterLease.acquire(fs, lease, owner = "dead@elsewhere", ttlMs = -1)
+    GraphArtifact.repair(spark, d) // acquires by breaking the stale lease
+    assert(!fs.exists(lease))
+  }
+
   test("the append law is bucket-count agnostic (8 buckets vs default 32)") {
     // bucket count is a LAYOUT knob: base+append must equal a full
     // rebuild at ANY count, and the logical content must not depend on
