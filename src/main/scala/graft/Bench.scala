@@ -218,9 +218,14 @@ object Bench {
     // machine ran ~25% slower; a gate that cries wolf under load masks
     // real regressions. Emitted to BENCH_DIFF.md + stderr only: stdout
     // stays one driver-parseable JSON line.
+    // A run at a different scale than the committed baseline (e.g. the
+    // round-10 BENCH_sf1 pass, redirected via SPARK_GRAFT_BENCH_OUT)
+    // must neither diff against it (a 10x corpus "regresses" every
+    // query) nor overwrite it.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     if (nameFilter.isEmpty) try {
       val priorPath = java.nio.file.Paths.get("BENCH_FULL.json")
-      if (java.nio.file.Files.exists(priorPath)) {
+      if (java.nio.file.Files.exists(priorPath) && benchOut == "BENCH_FULL.json") {
         val m = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = m.readTree(java.nio.file.Files.readString(priorPath))
         val node = root.path("queries")
@@ -277,7 +282,7 @@ object Bench {
     // a dev-filtered run would clobber it with a partial query map
     if (nameFilter.isEmpty) try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL.json"),
+        java.nio.file.Paths.get(benchOut),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort; cwd may be read-only
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"scan":$scan,"sf":"$sfDir"}""")

@@ -61,8 +61,9 @@ object ScaleProbe {
       * isolates MACHINE drift from data growth: (single-task CPU,
       * 32-task shuffle). Min-of-5 steady state after one warmup each. */
     def machineProbes(): (Double, Double) = {
+      // modulo keeps the running SUM far from long overflow (ANSI mode)
       val st = spark.range(0, 200000000L, 1, 1)
-        .selectExpr("sum(id * 2654435761)")
+        .selectExpr("sum((id * 2654435761) % 1000003)")
       val mt = spark.range(0, 200000000L, 1, 32)
         .selectExpr("id % 9973 AS k", "id AS v")
         .groupBy("k").sum("v")
