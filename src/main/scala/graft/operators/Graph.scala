@@ -153,8 +153,16 @@ object Graph {
       aCol: String = "a", bCol: String = "b"): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // fixed edge set joined on dst every round: pin an explicit
+    // HashPartitioning(dst) the checkpoint's LogicalRDD carries, so the
+    // per-round join never re-exchanges the edge side (the q116
+    // IterProbe finding — distinct()'s (src,dst) partitioning does not
+    // satisfy dst-clustering, and an AQE-cached plan exposes
+    // UnknownPartitioning anyway)
+    val shuffleN = pairs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().repartition(shuffleN, col("dst")).localCheckpoint(true)
     val nodes = und.select(col("src").as("n")).distinct()
     val h = md5(col("n").cast("string"))
     val v = conv(substring(h, 5, 6), 16, 10).cast("long")

@@ -452,20 +452,30 @@ object Analytics {
     val clicks = graft.operators.GraphArtifact.clickEdges(s, dir)
     val edges = clicks.union(clicks.select(col("v").as("u"), col("u").as("v")))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, "u").persist()
+    // FIXED edge set, STABLE partitioning (round-10 IterProbe finding):
+    // a persist()ed AQE plan exposes UnknownPartitioning, so every
+    // iteration's initial SMJ plan re-exchanged the FULL edge side even
+    // after AQE downgraded the join to broadcast — five corpus-sized
+    // shuffles per run. An explicit user repartition on the join key
+    // (AQE must not coalesce it) captured by localCheckpoint's
+    // LogicalRDD pins HashPartitioning(u, N) across all five joins:
+    // measured 7.15 → 3.67 s for the 5-iteration loop on the 100×
+    // corpus (graft.IterProbe A/B/C). At cluster scale this is the
+    // Pregel shape — edges partitioned once, only rank messages move.
+    val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.join(deg, "u")
+      .repartition(shuffleN, col("u")).localCheckpoint(true)
     var ranks = deg.select(col("u").as("id"), lit(1000000L).as("r"))
     for (_ <- 1 to 5) {
       // eager localCheckpoint per iteration (the connected-components
       // pattern, llm/Dedup.scala): keeps the plan flat instead of a
-      // 5-deep join lineage, and leaves the final frame independent of
-      // the cached edge set so it can be released here
+      // 5-deep join lineage
       ranks = e.join(ranks, col("u") === col("id"))
         .groupBy(col("v"))
         .agg(sum(expr("(r * 85) div (100 * deg)")).as("contrib"))
         .select(col("v").as("id"), (col("contrib") + 150000L).as("r"))
         .localCheckpoint(true)
     }
-    e.unpersist()
     ranks.orderBy("id")
   }
 
@@ -2950,7 +2960,12 @@ object Analytics {
     val clicks = graft.operators.GraphArtifact.clickEdges(s, dir)
     val edges = clicks.union(clicks.select(col("v").as("u"), col("u").as("v")))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, "u").persist()
+    // stable explicit partitioning on the fixed edge set — the q116
+    // IterProbe finding (see pagerank above): without it every
+    // iteration re-exchanges the full edge side
+    val e = edges.join(deg, "u")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("u"))
+      .localCheckpoint(true)
     val nodes = deg.select(col("u").as("id"))
       .withColumn("seed", col("id") >= 0 && col("id") % 7 === 0)
     val counts = nodes.agg(count(lit(1)).as("nn"),
@@ -2970,7 +2985,6 @@ object Analytics {
           (coalesce(col("c"), lit(0L)) + col("t")).as("r"))
         .localCheckpoint(true)
     }
-    e.unpersist()
     ranks.orderBy("id")
   }
 

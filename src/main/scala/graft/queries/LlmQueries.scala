@@ -1947,7 +1947,10 @@ object LlmQueries {
         Window.orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
       .select("doc_id", "r_lex", "r_vec")
       .localCheckpoint(true)
-    val pairs = both.as("x").join(both.as("y"),
+    // the checkpointed frame is ≤ 50 rows but its LogicalRDD carries no
+    // size stats — broadcast the inner side explicitly so the non-equi
+    // pair join plans as BroadcastNestedLoopJoin, never CartesianProduct
+    val pairs = both.as("x").join(broadcast(both.as("y")),
         col("x.doc_id") < col("y.doc_id"))
       .select(
         ((col("x.r_lex") < col("y.r_lex")) === (col("x.r_vec") < col("y.r_vec")))
