@@ -189,7 +189,18 @@ object Bench {
       drain(mtDf)
       (System.nanoTime() - t0) / 1e9
     }.min
-    val bytes = new java.io.File(s"$sfDir/lineitem.parquet").length()
+    // lineitem may be a single file (driver fixtures) or a Spark-written
+    // directory (SfGen corpora) — sum the parts so MB/s is real either
+    // way (a dir's File.length() is the inode size, ~4 KB). The
+    // throughput is still only baseline-comparable on the single-file
+    // fixtures, where the scan is genuinely one task.
+    val bytes = {
+      val f = new java.io.File(s"$sfDir/lineitem.parquet")
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.filter(_.isFile).map(_.length()).sum)
+          .getOrElse(0L)
+      else f.length()
+    }
     // Locale.ROOT like the query map — the f interpolator would emit
     // comma decimals on comma-decimal locales and break the JSON parse
     def f4(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))

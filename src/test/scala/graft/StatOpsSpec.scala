@@ -1102,18 +1102,33 @@ class StatOpsSpec extends AnyFunSuite {
     assert(expect._2 >= 0.0 && expect._2 <= 1.0)
   }
 
-  test("q256 Kendall tau matches a pairwise concordance replay") {
-    val (rl, rv) = collectedLegs()
-    val common = (rl.keySet & rv.keySet).toSeq.sorted
+  test("q256 Kendall tau matches a pool-ranked pairwise concordance replay") {
+    // round-10 pool semantics: the lexical top-50 is the SHARED
+    // candidate pool, ranked by both measures — the two-leg
+    // intersection form went vacuous at sf1 (0 common docs)
+    val (rl, _) = collectedLegs()
+    val e = Tables.t(spark, sf, "embeddings")
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).as[Seq[Double]].head()
+    // cosine rank WITHIN the pool (members without an embedding drop
+    // from both sides, exactly as the operator's join does)
+    val cos = e.filter(col("vec_id").isin(rl.keySet.toSeq: _*))
+      .select(col("vec_id"), round(graft.llm.Similarity.cosine(
+        col("embedding").cast("array<double>"), typedLit(qv)), 4).as("cos"))
+      .as[(Long, Double)].collect()
+    val rv = cos.sortBy(r => (-r._2, r._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val members = rv.keySet.toSeq.sorted
     val pairs = for {
-      i <- common.indices; j <- (i + 1) until common.length
-    } yield (rl(common(i)) < rl(common(j))) == (rv(common(i)) < rv(common(j)))
+      i <- members.indices; j <- (i + 1) until members.length
+    } yield (rl(members(i)) < rl(members(j))) == (rv(members(i)) < rv(members(j)))
     val np = pairs.length.toLong
     val nc = pairs.count(identity).toLong
     val expect = (np, round6((2 * nc - np).toDouble / np.toDouble))
     val got = graft.queries.LlmQueries.kendallTau(spark, sf)
       .as[(Long, Double)].collect()
     assert(got.toSeq === Seq(expect))
+    assert(np >= 1000L, "the pool design must compare a full pair set")
   }
 
   // ------------------------------------------------------------ q222
