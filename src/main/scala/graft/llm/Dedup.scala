@@ -229,8 +229,17 @@ object Dedup {
     * cluster_id is the smallest doc_id reachable from the node. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    // FIXED edge set joined on v every round: pin an explicit
+    // HashPartitioning(v) that the checkpoint's LogicalRDD carries, so
+    // label propagation never re-exchanges the edge side (the round-10
+    // q116 IterProbe finding — a checkpointed AQE plan without the
+    // explicit repartition exposes a partitioning the per-round join
+    // can't reuse)
+    val shuffleN = pairs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .repartition(shuffleN, col("v"))
       .localCheckpoint(true)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("c", col("id"))
