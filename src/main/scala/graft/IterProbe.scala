@@ -72,10 +72,12 @@ object IterProbe {
     // so every iteration's initial SMJ plan re-exchanges the edge side
     // even when AQE later downgrades the join to broadcast.
     val tA = runIters("persist", e, showPlan = false)
+    println(s"[iterprobe] persist partitions=${e.rdd.getNumPartitions}")
     // B: localCheckpoint(true) — LogicalRDD CARRIES the final executed
     // outputPartitioning/ordering, so the per-iteration join sees the
     // edge side already hash-partitioned by u.
     val eCk = edges.join(deg, "u").localCheckpoint(true)
+    println(s"[iterprobe] checkpoint partitions=${eCk.rdd.getNumPartitions}")
     val tB = runIters("checkpoint", eCk, showPlan = false)
     // C: explicit user repartition pins an exact HashPartitioning(u, 32)
     // that AQE must not coalesce, captured by the checkpoint's
@@ -84,6 +86,7 @@ object IterProbe {
     val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val eRep = edges.join(deg, "u")
       .repartition(shuffleN, col("u")).localCheckpoint(true)
+    println(s"[iterprobe] repartition+ckpt partitions=${eRep.rdd.getNumPartitions}")
     val tC = runIters("repartition+ckpt", eRep, showPlan = true)
     println(f"[iterprobe] totals: persist=${tA}%.2f s checkpoint=${tB}%.2f s " +
       f"repartition+ckpt=${tC}%.2f s")

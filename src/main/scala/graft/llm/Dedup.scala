@@ -229,12 +229,11 @@ object Dedup {
     * cluster_id is the smallest doc_id reachable from the node. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
-    // FIXED edge set joined on v every round: pin an explicit
-    // HashPartitioning(v) that the checkpoint's LogicalRDD carries, so
-    // label propagation never re-exchanges the edge side (the round-10
-    // q116 IterProbe finding — a checkpointed AQE plan without the
-    // explicit repartition exposes a partitioning the per-round join
-    // can't reuse)
+    // FIXED edge set joined on v every round: an explicit full-width
+    // repartition before the checkpoint (the round-10 q116 IterProbe
+    // finding — a bare checkpointed shuffle output gets AQE-coalesced,
+    // at fixture scale to ONE partition, so every propagation round
+    // scanned and shuffle-wrote its biggest input single-threaded)
     val shuffleN = pairs.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))

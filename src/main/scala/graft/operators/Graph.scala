@@ -153,12 +153,10 @@ object Graph {
       aCol: String = "a", bCol: String = "b"): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    // fixed edge set joined on dst every round: pin an explicit
-    // HashPartitioning(dst) the checkpoint's LogicalRDD carries, so the
-    // per-round join never re-exchanges the edge side (the q116
-    // IterProbe finding — distinct()'s (src,dst) partitioning does not
-    // satisfy dst-clustering, and an AQE-cached plan exposes
-    // UnknownPartitioning anyway)
+    // fixed edge set joined on dst every round: an explicit full-width
+    // repartition before the checkpoint (the q116 IterProbe finding —
+    // a bare checkpointed shuffle output gets AQE-coalesced, at fixture
+    // scale to ONE partition, serializing every round's biggest input)
     val shuffleN = pairs.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))

@@ -452,16 +452,16 @@ object Analytics {
     val clicks = graft.operators.GraphArtifact.clickEdges(s, dir)
     val edges = clicks.union(clicks.select(col("v").as("u"), col("u").as("v")))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-    // FIXED edge set, STABLE partitioning (round-10 IterProbe finding):
-    // a persist()ed AQE plan exposes UnknownPartitioning, so every
-    // iteration's initial SMJ plan re-exchanged the FULL edge side even
-    // after AQE downgraded the join to broadcast — five corpus-sized
-    // shuffles per run. An explicit user repartition on the join key
-    // (AQE must not coalesce it) captured by localCheckpoint's
-    // LogicalRDD pins HashPartitioning(u, N) across all five joins:
-    // measured 7.15 → 3.67 s for the 5-iteration loop on the 100×
-    // corpus (graft.IterProbe A/B/C). At cluster scale this is the
-    // Pregel shape — edges partitioned once, only rank messages move.
+    // FIXED edge set at FULL WIDTH (round-10 IterProbe finding): a
+    // bare persist/localCheckpoint of this frame gets AQE-coalesced —
+    // at fixture scale all the way to ONE partition — so every
+    // iteration scanned and shuffle-wrote its biggest input
+    // single-threaded (the round-9 one-task-per-bucket degeneracy
+    // class). An explicit user repartition is a width AQE must not
+    // coalesce, and localCheckpoint materializes row-format at exactly
+    // that width for all five iterations to reuse: measured
+    // 7.15 → 3.67 s for the loop on the 100× corpus (graft.IterProbe
+    // A/B/C; PlanSpec pins both halves of the width behavior).
     val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
     val e = edges.join(deg, "u")
       .repartition(shuffleN, col("u")).localCheckpoint(true)
@@ -2960,9 +2960,9 @@ object Analytics {
     val clicks = graft.operators.GraphArtifact.clickEdges(s, dir)
     val edges = clicks.union(clicks.select(col("v").as("u"), col("u").as("v")))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-    // stable explicit partitioning on the fixed edge set — the q116
-    // IterProbe finding (see pagerank above): without it every
-    // iteration re-exchanges the full edge side
+    // full-width explicit repartition on the fixed edge set — the q116
+    // IterProbe finding (see pagerank above): a bare checkpoint
+    // AQE-coalesces the loop's biggest input down to one partition
     val e = edges.join(deg, "u")
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("u"))
       .localCheckpoint(true)

@@ -563,6 +563,34 @@ class PlanSpec extends AnyFunSuite {
       "the 640-row centroid table must broadcast:\n" + p.take(800))
   }
 
+  test("explicit repartition survives localCheckpoint; a bare one AQE-coalesces to 1 (IterProbe discipline)") {
+    // The round-10 iterative-family finding, pinned at its ROOT: a
+    // checkpointed shuffle output gets AQE-coalesced — for the graph
+    // family's fixture-scale edge frame, all the way down to ONE
+    // partition — so every iteration of a loop joining that fixed frame
+    // scanned and re-exchanged its biggest input single-threaded. An
+    // explicit user repartition(N, key) is a width AQE must not
+    // coalesce, and localCheckpoint materializes exactly that width for
+    // every iteration to reuse (q116/q242/hyperBall/CC all measured ~2×
+    // on the 100× corpus from this alone; graft.IterProbe dissects it).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val base = s2.range(0, 10000)
+      .select(col("id").as("u"), (col("id") % 97).as("payload"))
+    val other = s2.range(0, 10000).select(col("id").as("u"), lit(1L).as("one"))
+    // a small shuffle output checkpointed bare: AQE's coalesce collapses
+    // the loop input's width (the degeneracy the graph family hit)
+    val bare = base.join(other, "u").localCheckpoint(true)
+    assert(bare.rdd.getNumPartitions < 8,
+      "expected AQE to coalesce the tiny shuffle output (the hazard this pins)")
+    // the fix: an explicit width the optimizer must respect
+    val pinned = base.join(other, "u")
+      .repartition(8, col("u")).localCheckpoint(true)
+    assert(pinned.rdd.getNumPartitions === 8,
+      "a user repartition's width must survive localCheckpoint for the loop to reuse")
+  }
+
   test("no CartesianProduct node anywhere in the full query registry") {
     // every cross join in the registry pairs a data-scale side with a
     // bounded/single-row side wrapped in broadcast(...) — a Cartesian
