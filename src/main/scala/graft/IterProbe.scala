@@ -88,8 +88,19 @@ object IterProbe {
       .repartition(shuffleN, col("u")).localCheckpoint(true)
     println(s"[iterprobe] repartition+ckpt partitions=${eRep.rdd.getNumPartitions}")
     val tC = runIters("repartition+ckpt", eRep, showPlan = true)
+    // D: a BUCKETED TABLE — the only in-Spark shape whose scan exposes
+    // a join-consumable HashPartitioning(u, N), so the per-iteration
+    // edge exchange itself should disappear (the SCALE.md future-work
+    // claim, measured here rather than assumed)
+    spark.sql("DROP TABLE IF EXISTS iterprobe_e")
+    edges.join(deg, "u").write
+      .bucketBy(shuffleN, "u").sortBy("u")
+      .mode("overwrite").saveAsTable("iterprobe_e")
+    val eTab = spark.table("iterprobe_e")
+    val tD = runIters("bucketed-table", eTab, showPlan = true)
+    spark.sql("DROP TABLE IF EXISTS iterprobe_e")
     println(f"[iterprobe] totals: persist=${tA}%.2f s checkpoint=${tB}%.2f s " +
-      f"repartition+ckpt=${tC}%.2f s")
+      f"repartition+ckpt=${tC}%.2f s bucketed=${tD}%.2f s")
     e.unpersist()
     spark.stop()
   }
