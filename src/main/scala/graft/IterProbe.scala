@@ -99,8 +99,18 @@ object IterProbe {
     val eTab = spark.table("iterprobe_e")
     val tD = runIters("bucketed-table", eTab, showPlan = true)
     spark.sql("DROP TABLE IF EXISTS iterprobe_e")
+    // E: the DEPLOYED form of D (round 11): the artifact's own
+    // iteration-shaped bucketed serving state behind
+    // spark.graft.graph.bucketedServe — what a cluster actually flips
+    // on. Should match D's plan shape (no per-iteration edge exchange)
+    // from persisted state, no ad-hoc table build.
+    spark.conf.set(graft.operators.GraphArtifact.BucketedServeKey, "true")
+    val eArt = graft.operators.GraphArtifact.clickIterEdges(spark, dir)
+    println(s"[iterprobe] artifact-bucketed partitions=${eArt.rdd.getNumPartitions}")
+    val tE = runIters("artifact-bucketed", eArt, showPlan = false)
+    spark.conf.unset(graft.operators.GraphArtifact.BucketedServeKey)
     println(f"[iterprobe] totals: persist=${tA}%.2f s checkpoint=${tB}%.2f s " +
-      f"repartition+ckpt=${tC}%.2f s bucketed=${tD}%.2f s")
+      f"repartition+ckpt=${tC}%.2f s bucketed=${tD}%.2f s artifact-bucketed=${tE}%.2f s")
     e.unpersist()
     spark.stop()
   }

@@ -225,6 +225,16 @@ object Dedup {
     * NOT converge; use [[connectedComponentsAlternating]] when the
     * diameter is unknown or potentially large.
     *
+    * Deliberately NOT routed through the bucketed serving shape
+    * (`spark.graft.graph.bucketedServe`, operators/GraphArtifact): its
+    * edge set is a TRANSIENT pair frame produced by the same job
+    * (MinHash/SimHash candidates), so materializing a bucketed table
+    * first would pay the very exchange the shape saves, plus a parquet
+    * encode/decode per round — strictly worse than the checkpointed
+    * full-width frame on every deployment. The bucketed path exists for
+    * PERSISTED edge state (q116/q242/q211), where the write is already
+    * amortized across runs.
+    *
     * Returns (doc_id, cluster_id) for every node that appears in a pair;
     * cluster_id is the smallest doc_id reachable from the node. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",

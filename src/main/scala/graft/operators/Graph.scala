@@ -150,16 +150,23 @@ object Graph {
     * Returns (node, r, est_ball) for r = 1..rounds, where est_ball
     * estimates |B(node, r)| (self included). */
   def hyperBall(pairs: DataFrame, rounds: Int = 3,
-      aCol: String = "a", bCol: String = "b"): DataFrame = {
+      aCol: String = "a", bCol: String = "b",
+      preMirrored: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     // fixed edge set joined on dst every round: an explicit full-width
     // repartition before the checkpoint (the q116 IterProbe finding —
     // a bare checkpointed shuffle output gets AQE-coalesced, at fixture
-    // scale to ONE partition, serializing every round's biggest input)
+    // scale to ONE partition, serializing every round's biggest input).
+    // preMirrored: the caller hands an ALREADY canonical+mirrored frame
+    // whose scan carries a dst-keyed partitioning — the GraphArtifact
+    // bucketedServe shape (copurchase_iter) — so re-mirroring or
+    // re-distributing it here would only destroy the exchange-free
+    // iteration that shape exists for; use it as-is.
     val shuffleN = pairs.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val und = if (preMirrored) e
+    else e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().repartition(shuffleN, col("dst")).localCheckpoint(true)
     val nodes = und.select(col("src").as("n")).distinct()
     val h = md5(col("n").cast("string"))

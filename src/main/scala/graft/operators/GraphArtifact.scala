@@ -101,7 +101,60 @@ object GraphArtifact {
     * the build-time count persisted in `_meta/state.json`. */
   val BucketsKey = "spark.graft.graphArtifact.buckets"
 
+  /** Session conf key: when `true` (and [[Key]] is set), the iterative
+    * graph family consumes the ITERATION-SHAPED bucketed serving state
+    * ([[clickIterEdges]]/[[coPurchaseIterServed]]) — a real Spark
+    * bucketed-table scan whose `HashPartitioning(joinKey, n)` feeds the
+    * per-iteration join with NO edge-side exchange (IterProbe variant D:
+    * shuffles per iteration 6 → 4). Default OFF: on a single node the
+    * in-memory checkpointed frame wins (re-decoding parquet every
+    * iteration costs more than process-local exchanges save — measured
+    * 4.21 vs 3.49 s); the bucketed shape wins when the saved exchange is
+    * NETWORK-bound, i.e. on a real cluster. */
+  val BucketedServeKey = "spark.graft.graph.bucketedServe"
+
   private val Subs = Seq("copurchase_support", "copurchase", "click", "orders")
+
+  /** The iteration-shaped serving subs — stored as Spark BUCKETED
+    * layouts (bucket id embedded in the file NAME, no `bkt=` dirs),
+    * because only a catalog-registered bucketed table exposes a
+    * join-consumable `HashPartitioning` to the planner:
+    *
+    *  - `click_iter/`      — the MIRRORED click edge list with each
+    *    source's degree denormalized on, (u, v, deg), bucketed by `u`
+    *    (PageRank/PPR join ranks on u every iteration; deg is
+    *    bucket-local because every row of a key lives in its bucket);
+    *  - `copurchase_iter/` — the mirrored thresholded co-purchase edge
+    *    list, (src, dst), bucketed by `dst` (HyperBall max-merges
+    *    registers along dst every round).
+    *
+    * Mirroring is part of the stored shape on purpose: a union of the
+    * directed list with its swap destroys any scan partitioning, so the
+    * exchange-free iteration NEEDS the mirror persisted. */
+  private val IterSubs = Seq("click_iter", "copurchase_iter")
+
+  private val clickIterSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("deg", org.apache.spark.sql.types.LongType)))
+  private val coPurchaseIterSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("src", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dst", org.apache.spark.sql.types.LongType)))
+
+  private def iterSchema(sub: String) =
+    if (sub == "click_iter") clickIterSchema else coPurchaseIterSchema
+  private def iterKey(sub: String) = if (sub == "click_iter") "u" else "dst"
+
+  /** Bucket id embedded in a bucketed-layout file name — Spark's own
+    * convention (`part-00000-<uuid>_00003.c000.snappy.parquet` → 3),
+    * the same pattern `BucketingUtils.getBucketId` parses, so files we
+    * stage per-bucket are exactly what a bucketed scan trusts. */
+  private val BucketedFileRe = """.*_(\d+)(?:\..*)?$""".r
+
+  private def bucketIdOf(name: String): Option[Int] = name match {
+    case BucketedFileRe(id) => Some(id.toInt)
+    case _                  => None
+  }
 
   private def bktCol(n: Int, cols: Column*): Column = pmod(hash(cols: _*), lit(n))
 
@@ -178,6 +231,50 @@ object GraphArtifact {
       node.path("batches").elements().asScala.map(_.asText()).toSeq)
   }
 
+  /** Write `df` as a Spark BUCKETED layout at `path`. `bucketBy` is
+    * only reachable through `saveAsTable`, so this registers a
+    * throwaway EXTERNAL table (explicit path ⇒ `DROP` keeps the files,
+    * whose names carry the bucket ids) and drops it immediately — the
+    * catalog entry at serve time is a separate, stable registration
+    * ([[serveBucketed]]). The `repartition(n, key)` first: its
+    * `HashPartitioning(key, n)` task layout coincides with the bucket
+    * function, so each bucket is exactly ONE file (which keeps the
+    * per-bucket append swap an O(1) rename, and lets the scan trust
+    * the SORTED BY order — Spark only does for ≤1 file per bucket). */
+  private def writeBucketed(s: SparkSession, df: DataFrame, path: String,
+                            key: String, n: Int): Unit = {
+    val tmp = "graft_bucketed_write_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    df.repartition(n, col(key))
+      .write.bucketBy(n, key).sortBy(key)
+      .option("path", path).format("parquet").saveAsTable(tmp)
+    s.sql(s"DROP TABLE `$tmp`")
+    // an EMPTY frame writes no files and may not even create the dir;
+    // serve probes existence to distinguish "empty" from "pre-iter-sub
+    // artifact", so pin the dir
+    fsOf(s, path).mkdirs(new Path(path))
+  }
+
+  /** Read the rows of the `touched` buckets of an iteration-shaped sub
+    * by FILE selection (bucket id parsed from the name) — the
+    * bucketed-layout analog of the `bkt=` partition-pruned [[serve]]
+    * reads: an append's cost stays O(touched buckets' rows). */
+  private def readIterBucketRows(s: SparkSession, fs: FileSystem, root: String,
+                                 sub: String, touched: Seq[Int]): DataFrame = {
+    val p = new Path(root, sub)
+    val files =
+      if (!fs.exists(p)) Array.empty[Path]
+      else fs.listStatus(p)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .filter(st => bucketIdOf(st.getPath.getName).exists(touched.contains))
+        .map(_.getPath)
+    if (files.isEmpty)
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        iterSchema(sub))
+    else s.read.schema(iterSchema(sub)).parquet(files.map(_.toString): _*)
+  }
+
   /** Promote a new state.json — the append COMMIT POINT. The dest may
     * exist, and Hadoop rename refuses to clobber, so the replacement is
     * write-next → delete-current → rename-next; [[recover]] rolls the
@@ -243,16 +340,43 @@ object GraphArtifact {
           e.getValue.elements().asScala.foreach { b =>
             val k = b.path("bkt").asInt()
             val hadBase = b.path("hadBase").asBoolean()
-            val liveB = new Path(root, s"$sub/bkt=$k")
-            val backB = new Path(root, s"_backup/$sub/bkt=$k")
-            if (hadBase) {
-              if (fs.exists(backB)) {
-                fs.delete(liveB, true)
-                if (!fs.rename(backB, liveB))
-                  throw new IllegalStateException(
-                    s"append rollback failed: $backB -> $liveB")
-              } // else: the swap never reached this bucket — base intact
-            } else fs.delete(liveB, true) // new bucket: staged-in or absent
+            if (IterSubs.contains(sub)) {
+              // bucketed layout: per-bucket FILE rollback. Backup
+              // presence distinguishes the crash windows exactly as for
+              // the dir subs: no backup ⇒ the swap never reached this
+              // bucket (base file still live — touch nothing); backup
+              // present ⇒ whatever is live for this bucket is staged-in,
+              // drop it and restore the backup
+              val liveDir = new Path(root, sub)
+              val backDir = new Path(root, s"_backup/$sub")
+              def filesOf(dir: Path): Seq[Path] =
+                if (!fs.exists(dir)) Nil
+                else fs.listStatus(dir).toSeq
+                  .filter(st => st.isFile && bucketIdOf(st.getPath.getName).contains(k))
+                  .map(_.getPath)
+              if (hadBase) {
+                val backed = filesOf(backDir)
+                if (backed.nonEmpty) {
+                  filesOf(liveDir).foreach(f => fs.delete(f, false))
+                  backed.foreach { f =>
+                    if (!fs.rename(f, new Path(liveDir, f.getName)))
+                      throw new IllegalStateException(
+                        s"append rollback failed: $f -> $liveDir")
+                  }
+                }
+              } else filesOf(liveDir).foreach(f => fs.delete(f, false))
+            } else {
+              val liveB = new Path(root, s"$sub/bkt=$k")
+              val backB = new Path(root, s"_backup/$sub/bkt=$k")
+              if (hadBase) {
+                if (fs.exists(backB)) {
+                  fs.delete(liveB, true)
+                  if (!fs.rename(backB, liveB))
+                    throw new IllegalStateException(
+                      s"append rollback failed: $backB -> $liveB")
+                } // else: the swap never reached this bucket — base intact
+              } else fs.delete(liveB, true) // new bucket: staged-in or absent
+            }
           }
         }
       }
@@ -341,6 +465,25 @@ object GraphArtifact {
     ordersStaged.repartition(col("bkt"))
       .write.partitionBy("bkt").parquet(stagePath("orders"))
     ensureReadableSchema(stagePath("orders"), ordersStaged.schema)
+    // Iteration-shaped serving state (see IterSubs): mirrored edge
+    // frames as real bucketed layouts, keyed on the per-iteration join
+    // key. NO distinct after the mirror — the queries' inline recipe
+    // mirrors without one (a frame carrying both directions of an edge
+    // double-counts deg identically under both paths), so the stored
+    // shape must reproduce the multiset exactly. Types pinned to BIGINT
+    // so a custom buildFrom frame can't write a schema the serve DDL
+    // contradicts.
+    val cDir = s.read.parquet(stagePath("click"))
+      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val cMir = cDir.union(cDir.select(col("v").as("u"), col("u").as("v")))
+    writeBucketed(s,
+      cMir.join(cMir.groupBy("u").agg(count(lit(1)).as("deg")), "u"),
+      stagePath("click_iter"), "u", n)
+    val eDir = s.read.parquet(stagePath("copurchase"))
+      .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+    writeBucketed(s,
+      eDir.union(eDir.select(col("dst").as("src"), col("src").as("dst"))),
+      stagePath("copurchase_iter"), "dst", n)
     // state.json LAST: its presence marks the staging as complete
     writeSmall(fs, new Path(staging, "_meta/state.json"), metaJson(Meta(n, Nil)))
     val old = new Path(outPath + ".old")
@@ -454,19 +597,82 @@ object GraphArtifact {
     if (touchedCB.nonEmpty) stage("click", mergedClicks)
     if (touchedOB.nonEmpty) stage("orders", mergedOrders)
 
+    // ---- iteration-shaped subs (see IterSubs) — maintained iff the
+    // artifact carries them (one built before they existed keeps
+    // serving its dir-partitioned subs; bucketedServe then fails
+    // loudly instructing a rebuild, never serves stale data) ----
+    if (touchedCB.nonEmpty && fs.exists(new Path(artPath, "click_iter"))) {
+      // the click sub dedups DIRECTED edges before the mirror, so the
+      // iter delta is the mirror of the directed rows NOT already in
+      // the base (all possible duplicates of a batch row live in the
+      // batch row's own (u,v)-hashed buckets, already read above) —
+      // a plain multiset union then reproduces mirror(base ∪ batch)
+      // exactly, including the both-directions-clicked case a distinct
+      // after the mirror would silently collapse
+      val newClicks = cB.select(col("u").cast("long").as("u"),
+          col("v").cast("long").as("v"))
+        .join(readSub("click", touchedCB).select("u", "v"), Seq("u", "v"), "left_anti")
+      val mNew = newClicks.union(newClicks.select(col("v").as("u"), col("u").as("v")))
+        .withColumn("bkt", bktCol(n, col("u")))
+        .localCheckpoint(true)
+      val tci = buckets(mNew)
+      if (tci.nonEmpty) {
+        val mergedRows = readIterBucketRows(s, fs, artPath, "click_iter", tci)
+          .select("u", "v").unionByName(mNew.select("u", "v"))
+        // deg is bucket-local (every row of a key lives in its bucket),
+        // so recomputing it over the touched buckets alone is exact
+        writeBucketed(s,
+          mergedRows.join(mergedRows.groupBy("u").agg(count(lit(1)).as("deg")), "u"),
+          new Path(stagedRoot, "click_iter").toString, "u", n)
+      }
+    }
+    if (touchedPB.nonEmpty && fs.exists(new Path(artPath, "copurchase_iter"))) {
+      // support is monotone under order-disjoint appends, so edges are
+      // only ever ADDED: the delta is staged-thresholded minus base
+      // edges over the touched (a,b)-hashed buckets, and its mirrored
+      // rows are disjoint from the base iter rows by construction
+      val stagedEdges = s.read
+        .parquet(new Path(stagedRoot, "copurchase").toString).select("a", "b")
+      val delta = stagedEdges
+        .join(readSub("copurchase", touchedPB).select("a", "b"), Seq("a", "b"), "left_anti")
+        .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+      val mDelta = delta.union(delta.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumn("bkt", bktCol(n, col("dst")))
+        .localCheckpoint(true)
+      val tpi = buckets(mDelta)
+      if (tpi.nonEmpty) {
+        writeBucketed(s,
+          readIterBucketRows(s, fs, artPath, "copurchase_iter", tpi)
+            .unionByName(mDelta.select("src", "dst")),
+          new Path(stagedRoot, "copurchase_iter").toString, "dst", n)
+      }
+    }
+
     // staged bucket inventory: support monotonicity means a touched
     // bucket never loses all its rows, so "buckets present in the
-    // staged output" is exactly the swap set per sub
+    // staged output" is exactly the swap set per sub (iteration-shaped
+    // subs carry the bucket id in the file NAME instead of a bkt= dir)
     def stagedBuckets(sub: String): Seq[Int] = {
       val p = new Path(stagedRoot, sub)
       if (!fs.exists(p)) Nil
+      else if (IterSubs.contains(sub))
+        fs.listStatus(p).toSeq.filter(_.isFile)
+          .flatMap(st => bucketIdOf(st.getPath.getName)).distinct
       else fs.listStatus(p).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("bkt="))
         .map(_.getPath.getName.stripPrefix("bkt=").toInt)
     }
-    val plan: Seq[(String, Seq[(Int, Boolean)])] = Subs.map { sub =>
+    def liveIterFiles(sub: String, k: Int): Seq[Path] = {
+      val p = new Path(artPath, sub)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isFile && bucketIdOf(st.getPath.getName).contains(k))
+        .map(_.getPath)
+    }
+    val plan: Seq[(String, Seq[(Int, Boolean)])] = (Subs ++ IterSubs).map { sub =>
       sub -> stagedBuckets(sub).map { k =>
-        k -> fs.exists(new Path(artPath, s"$sub/bkt=$k"))
+        k -> (if (IterSubs.contains(sub)) liveIterFiles(sub, k).nonEmpty
+              else fs.exists(new Path(artPath, s"$sub/bkt=$k")))
       }
     }
 
@@ -484,13 +690,33 @@ object GraphArtifact {
     plan.foreach { case (sub, ks) =>
       if (ks.nonEmpty) fs.mkdirs(new Path(artPath, s"_backup/$sub"))
       ks.foreach { case (k, hadBase) =>
-        val liveB = new Path(artPath, s"$sub/bkt=$k")
-        val backB = new Path(artPath, s"_backup/$sub/bkt=$k")
-        val stagB = new Path(stagedRoot, s"$sub/bkt=$k")
-        if (hadBase && !fs.rename(liveB, backB))
-          throw new IllegalStateException(s"backup rename failed: $liveB")
-        if (!fs.rename(stagB, liveB))
-          throw new IllegalStateException(s"swap rename failed: $stagB -> $liveB")
+        if (IterSubs.contains(sub)) {
+          // bucketed layout: the swap unit is the bucket's FILE(s); the
+          // same backup-then-swap-in discipline, same recover windows
+          // (rollback keys off backup presence, exactly like hadBase
+          // does for the dir-partitioned subs)
+          val liveDir = new Path(artPath, sub)
+          if (hadBase) liveIterFiles(sub, k).foreach { f =>
+            if (!fs.rename(f, new Path(artPath, s"_backup/$sub/${f.getName}")))
+              throw new IllegalStateException(s"backup rename failed: $f")
+          }
+          val stagDir = new Path(stagedRoot, sub)
+          fs.listStatus(stagDir)
+            .filter(st => st.isFile && bucketIdOf(st.getPath.getName).contains(k))
+            .foreach { st =>
+              if (!fs.rename(st.getPath, new Path(liveDir, st.getPath.getName)))
+                throw new IllegalStateException(
+                  s"swap rename failed: ${st.getPath} -> $liveDir")
+            }
+        } else {
+          val liveB = new Path(artPath, s"$sub/bkt=$k")
+          val backB = new Path(artPath, s"_backup/$sub/bkt=$k")
+          val stagB = new Path(stagedRoot, s"$sub/bkt=$k")
+          if (hadBase && !fs.rename(liveB, backB))
+            throw new IllegalStateException(s"backup rename failed: $liveB")
+          if (!fs.rename(stagB, liveB))
+            throw new IllegalStateException(s"swap rename failed: $stagB -> $liveB")
+        }
       }
     }
 
@@ -535,36 +761,41 @@ object GraphArtifact {
     *
     * GraphArtifactSpec pins that serving a crashed-uncommitted artifact
     * throws without modifying a single file. */
+  private def resolveServeBase(s: SparkSession, fs: FileSystem, root: String): String = {
+    val live = new Path(root)
+    val staging = new Path(root + ".staging")
+    val base =
+      if (!fs.exists(live) && fs.exists(new Path(staging, "_meta/state.json")))
+        staging.toString
+      else root
+    val pendP = new Path(base, "_meta/pending.json")
+    if (fs.exists(pendP)) {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val batchId = m.readTree(readSmall(fs, pendP)).path("batchId").asText()
+      // the state promote window (delete-current → rename-next) makes
+      // state.json.next the committed content when state.json is gone
+      val stateP = new Path(base, "_meta/state.json")
+      val metaP = if (fs.exists(stateP)) stateP
+                  else new Path(base, "_meta/state.json.next")
+      val committed = try {
+        m.readTree(readSmall(fs, metaP)).path("batches")
+          .elements().asScala.exists(_.asText == batchId)
+      } catch { case _: java.io.IOException => false }
+      if (!committed)
+        throw new IllegalStateException(
+          s"artifact at $base has an uncommitted append (batch $batchId): " +
+            "either an append is in flight in another session (retry the " +
+            "read after it commits) or a crashed append needs rollback " +
+            "(retry the append, or run GraphArtifact.repair with no " +
+            "concurrent writer) — serving now could observe a torn batch")
+    }
+    base
+  }
+
   private def serve(s: SparkSession, sub: String): Option[DataFrame] =
     s.conf.getOption(Key).map { root =>
       val fs = fsOf(s, root)
-      val live = new Path(root)
-      val staging = new Path(root + ".staging")
-      val base =
-        if (!fs.exists(live) && fs.exists(new Path(staging, "_meta/state.json")))
-          staging.toString
-        else root
-      val pendP = new Path(base, "_meta/pending.json")
-      if (fs.exists(pendP)) {
-        val m = new com.fasterxml.jackson.databind.ObjectMapper()
-        val batchId = m.readTree(readSmall(fs, pendP)).path("batchId").asText()
-        // the state promote window (delete-current → rename-next) makes
-        // state.json.next the committed content when state.json is gone
-        val stateP = new Path(base, "_meta/state.json")
-        val metaP = if (fs.exists(stateP)) stateP
-                    else new Path(base, "_meta/state.json.next")
-        val committed = try {
-          m.readTree(readSmall(fs, metaP)).path("batches")
-            .elements().asScala.exists(_.asText == batchId)
-        } catch { case _: java.io.IOException => false }
-        if (!committed)
-          throw new IllegalStateException(
-            s"artifact at $base has an uncommitted append (batch $batchId): " +
-              "either an append is in flight in another session (retry the " +
-              "read after it commits) or a crashed append needs rollback " +
-              "(retry the append, or run GraphArtifact.repair with no " +
-              "concurrent writer) — serving now could observe a torn batch")
-      }
+      val base = resolveServeBase(s, fs, root)
       val p = new Path(base, sub)
       if (!fs.exists(p))
         throw new IllegalStateException(
@@ -594,4 +825,83 @@ object GraphArtifact {
   /** Directed click edge list (u, v): artifact-served or inline. */
   def clickEdges(s: SparkSession, dir: String): DataFrame =
     serve(s, "click").getOrElse(clickEdgesInline(s, dir))
+
+  // ------------------------------------------------------------------
+  // Bucketed (iteration-shaped) serving — the [[BucketedServeKey]] path
+  // ------------------------------------------------------------------
+
+  /** Register (once per session) and scan an iteration-shaped sub as a
+    * bucketed CATALOG table — the only in-Spark shape whose scan
+    * exposes a join-consumable `HashPartitioning(key, n)`, so the
+    * per-iteration edge-side Exchange disappears (IterProbe variant D,
+    * SCALE.md: shuffles 6 → 4 per iteration). Same committed-state
+    * read-only discipline as [[serve]]; the table name keys on the
+    * resolved location and bucket count, so a rebuilt artifact with a
+    * different bucket count never aliases a stale registration, and
+    * `refreshTable` drops the listing cache so a same-session append is
+    * visible immediately. NO small-file repacking here, deliberately:
+    * coalescing would erase the partitioning this path exists for —
+    * the n-task floor is the price of the exchange-free scan. */
+  private def serveBucketed(s: SparkSession, sub: String): Option[DataFrame] = {
+    val on = s.conf.getOption(BucketedServeKey).exists(_.toBoolean)
+    s.conf.getOption(Key).filter(_ => on).map { root =>
+      val fs = fsOf(s, root)
+      val base = resolveServeBase(s, fs, root)
+      val p = new Path(base, sub)
+      if (!fs.exists(p))
+        throw new IllegalStateException(
+          s"$BucketedServeKey=true but '$sub' is missing under $base — the " +
+            "artifact predates the iteration-shaped serving state; rebuild " +
+            "with GraphArtifact.build (or unset the conf)")
+      val n = readMeta(fs, base).buckets
+      val name = s"graft_${sub}_" +
+        (scala.util.hashing.MurmurHash3.stringHash(p.toString) & 0x7fffffff) + s"_b$n"
+      if (!s.catalog.tableExists(name)) {
+        val key = iterKey(sub)
+        s.sql(s"CREATE TABLE `$name` (${iterSchema(sub).toDDL}) USING PARQUET " +
+          s"CLUSTERED BY ($key) SORTED BY ($key) INTO $n BUCKETS " +
+          s"LOCATION '${p.toString}'")
+      }
+      s.catalog.refreshTable(name)
+      s.table(name)
+    }
+  }
+
+  /** The iteration-shaped click frame (u, v, deg) under the bucketed
+    * serving conf — `Some` iff [[Key]] AND [[BucketedServeKey]] are
+    * set. Callers that have their own in-memory recipe match on this
+    * ([[clickIterEdges]] bundles the default). */
+  def clickIterServed(s: SparkSession): Option[DataFrame] =
+    serveBucketed(s, "click_iter")
+
+  /** The iteration-shaped co-purchase frame (src, dst) — mirrored,
+    * bucketed by `dst` — under the bucketed serving conf (q211
+    * HyperBall's per-round join key). */
+  def coPurchaseIterServed(s: SparkSession): Option[DataFrame] =
+    serveBucketed(s, "copurchase_iter")
+
+  /** The PageRank-family iteration frame (u, v, deg): the bucketed
+    * catalog scan when [[BucketedServeKey]] is on (exchange-free
+    * per-iteration join input — the real-cluster shape), else the
+    * explicit-full-width checkpointed frame (the IterProbe C recipe —
+    * fastest single-node, where the saved exchange is process-local
+    * and re-decoding parquet per iteration would cost more). Both
+    * produce the same multiset: mirror of the distinct directed click
+    * edges with the source's degree on every row. */
+  def clickIterEdges(s: SparkSession, dir: String): DataFrame =
+    clickIterServed(s).getOrElse {
+      val clicks = clickEdges(s, dir)
+      val edges = clicks.union(clicks.select(col("v").as("u"), col("u").as("v")))
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      // FIXED edge set at FULL WIDTH (round-10 IterProbe finding): a
+      // bare persist/localCheckpoint of this frame gets AQE-coalesced —
+      // at fixture scale all the way to ONE partition — so every
+      // iteration scanned and shuffle-wrote its biggest input
+      // single-threaded. An explicit user repartition is a width AQE
+      // must not coalesce, and localCheckpoint materializes row-format
+      // at exactly that width for all iterations to reuse (measured
+      // 7.15 → 3.67 s for the 100× loop; PlanSpec pins both halves).
+      val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
+      edges.join(deg, "u").repartition(shuffleN, col("u")).localCheckpoint(true)
+    }
 }

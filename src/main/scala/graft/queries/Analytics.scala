@@ -447,25 +447,17 @@ object Analytics {
     // key nodes live in the negative id space (-1-k): disjoint from
     // any non-negative user_id at ANY scale, unlike an additive
     // offset a large corpus's user ids would eventually collide with.
-    // Edge list is artifact-served when one is configured
-    // (operators/GraphArtifact) — built once, shared with q242.
-    val clicks = graft.operators.GraphArtifact.clickEdges(s, dir)
-    val edges = clicks.union(clicks.select(col("v").as("u"), col("u").as("v")))
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-    // FIXED edge set at FULL WIDTH (round-10 IterProbe finding): a
-    // bare persist/localCheckpoint of this frame gets AQE-coalesced —
-    // at fixture scale all the way to ONE partition — so every
-    // iteration scanned and shuffle-wrote its biggest input
-    // single-threaded (the round-9 one-task-per-bucket degeneracy
-    // class). An explicit user repartition is a width AQE must not
-    // coalesce, and localCheckpoint materializes row-format at exactly
-    // that width for all five iterations to reuse: measured
-    // 7.15 → 3.67 s for the loop on the 100× corpus (graft.IterProbe
-    // A/B/C; PlanSpec pins both halves of the width behavior).
-    val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = edges.join(deg, "u")
-      .repartition(shuffleN, col("u")).localCheckpoint(true)
-    var ranks = deg.select(col("u").as("id"), lit(1000000L).as("r"))
+    // The iteration frame (u, v, deg) comes from GraphArtifact
+    // (shared with q242): the explicit-full-width checkpointed frame
+    // by default (the round-10 IterProbe width fix), or the bucketed
+    // catalog scan under spark.graft.graph.bucketedServe=true — the
+    // real-cluster shape whose per-iteration join consumes the scan's
+    // HashPartitioning(u) with NO edge-side exchange.
+    val e = graft.operators.GraphArtifact.clickIterEdges(s, dir)
+    // distinct over the u-clustered frame adds no exchange under
+    // either serving shape (both report/carry HashPartitioning(u))
+    var ranks = e.select(col("u").as("id")).distinct()
+      .select(col("id"), lit(1000000L).as("r"))
     for (_ <- 1 to 5) {
       // eager localCheckpoint per iteration (the connected-components
       // pattern, llm/Dedup.scala): keeps the plan flat instead of a
@@ -1502,8 +1494,14 @@ object Analytics {
     * md5 registers from them, so the estimator is replayed bit for bit
     * — raw Flajolet form, no ln() anywhere (see the operator doc). */
   val hyperBall: Q = (s, dir) =>
-    graft.operators.Graph.hyperBall(coPurchaseEdges(s, dir), rounds = 3)
-      .orderBy("node", "r")
+    // bucketedServe: the artifact's mirrored dst-bucketed frame feeds
+    // every round's register merge with no edge-side exchange; the
+    // default keeps the in-memory checkpointed mirror (wins single-node)
+    (graft.operators.GraphArtifact.coPurchaseIterServed(s) match {
+      case Some(m) => graft.operators.Graph.hyperBall(
+        m, rounds = 3, aCol = "src", bCol = "dst", preMirrored = true)
+      case None => graft.operators.Graph.hyperBall(coPurchaseEdges(s, dir), rounds = 3)
+    }).orderBy("node", "r")
 
   val hyperBallSql: String = {
     def reach(i: Int): String =
@@ -2957,16 +2955,11 @@ object Analytics {
     * at plan time, per-iteration plans kept flat by the same eager
     * localCheckpoint discipline. */
   val personalizedPagerank: Q = (s, dir) => {
-    val clicks = graft.operators.GraphArtifact.clickEdges(s, dir)
-    val edges = clicks.union(clicks.select(col("v").as("u"), col("u").as("v")))
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-    // full-width explicit repartition on the fixed edge set — the q116
-    // IterProbe finding (see pagerank above): a bare checkpoint
-    // AQE-coalesces the loop's biggest input down to one partition
-    val e = edges.join(deg, "u")
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("u"))
-      .localCheckpoint(true)
-    val nodes = deg.select(col("u").as("id"))
+    // same iteration frame as q116 (checkpointed full-width by
+    // default, bucketed catalog scan under bucketedServe — see
+    // pagerank above and operators/GraphArtifact.clickIterEdges)
+    val e = graft.operators.GraphArtifact.clickIterEdges(s, dir)
+    val nodes = e.select(col("u").as("id")).distinct()
       .withColumn("seed", col("id") >= 0 && col("id") % 7 === 0)
     val counts = nodes.agg(count(lit(1)).as("nn"),
       sum(when(col("seed"), 1L).otherwise(0L)).as("ns"))

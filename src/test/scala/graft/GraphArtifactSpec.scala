@@ -507,4 +507,170 @@ class GraphArtifactSpec extends AnyFunSuite {
     assert(snapshot(d) === before)
     assert(new java.io.File(s"$d/_meta/pending.json").exists())
   }
+
+  // ------------------------------------------------------------------
+  // bucketedServe — the iteration-shaped serving state (round 11)
+  // ------------------------------------------------------------------
+
+  private def bucketedServed[A](artDir: String)(body: => A): A = {
+    spark.conf.set(GraphArtifact.Key, artDir)
+    spark.conf.set(GraphArtifact.BucketedServeKey, "true")
+    try body finally {
+      spark.conf.unset(GraphArtifact.BucketedServeKey)
+      spark.conf.unset(GraphArtifact.Key)
+    }
+  }
+
+  test("bucketedServe: iteration frames equal the default recipe (multiset)") {
+    // click frame (u, v, deg): MULTISET equality — the stored shape must
+    // reproduce mirror-without-distinct exactly, deg included
+    val defClick = GraphArtifact.clickIterEdges(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val bktClick = bucketedServed(dir) {
+      GraphArtifact.clickIterEdges(spark, sf)
+        .select("u", "v", "deg").as[(Long, Long, Long)].collect().toSeq.sorted
+    }
+    assert(defClick.nonEmpty)
+    assert(bktClick === defClick)
+    // co-purchase frame (src, dst) = exact mirror of the served edges
+    val mirrorInline = {
+      val e = GraphArtifact.coPurchaseInline(spark, sf)
+        .as[(Long, Long)].collect().toSeq
+      (e ++ e.map(_.swap)).sorted
+    }
+    val bktCo = bucketedServed(dir) {
+      GraphArtifact.coPurchaseIterServed(spark).get
+        .as[(Long, Long)].collect().toSeq.sorted
+    }
+    assert(bktCo === mirrorInline)
+    // conf off ⇒ no bucketed frame offered (default path untouched)
+    assert(served { GraphArtifact.coPurchaseIterServed(spark) }.isEmpty)
+  }
+
+  test("graph queries are row-equal under bucketedServe (q116, q242, q211)") {
+    for (name <- Seq("q116_pagerank", "q242_ppr", "q211_hyperball")) {
+      val q = SparkEntry.queries(name)
+      val inline = q(spark, sf).collect().map(_.toSeq).toSeq
+      val bucketed = bucketedServed(dir) { q(spark, sf).collect().map(_.toSeq).toSeq }
+      assert(inline.nonEmpty, name)
+      assert(bucketed === inline, name)
+    }
+  }
+
+  test("append maintains the iteration-shaped subs bucket-locally") {
+    // handcrafted corpus so the delta is fully controlled: base has one
+    // qualifying co-purchase edge (10,20) and one sub-threshold pair
+    // (30,40); the batch's order pushes (30,40) over the threshold and
+    // adds one new click — so the iter deltas are exactly known
+    val baseItems = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 30L), (3L, 40L)).toDF("o", "p")
+    val baseClicks = Seq((100L, -1L), (101L, -1L)).toDF("u", "v")
+    val batchItems = Seq((4L, 30L), (4L, 40L)).toDF("o", "p")
+    val batchClicks = Seq((100L, -2L)).toDF("u", "v")
+    val d = tmp("graph-iter-append")
+    GraphArtifact.buildFrom(spark, baseItems, baseClicks, d)
+    val before = Seq("click_iter", "copurchase_iter")
+      .map(sub => sub -> snapshot(s"$d/$sub")).toMap
+    GraphArtifact.append(spark, batchItems, batchClicks, d)
+    val after = Seq("click_iter", "copurchase_iter")
+      .map(sub => sub -> snapshot(s"$d/$sub")).toMap
+    // content equals a from-scratch build over the union
+    val full = tmp("graph-iter-full")
+    GraphArtifact.buildFrom(spark, baseItems.union(batchItems),
+      baseClicks.union(batchClicks), full)
+    for (sub <- Seq("click_iter", "copurchase_iter")) {
+      val a = spark.read.parquet(s"$d/$sub").collect().map(_.toSeq)
+        .sortBy(_.toString)
+      val b = spark.read.parquet(s"$full/$sub").collect().map(_.toSeq)
+        .sortBy(_.toString)
+      assert(a.nonEmpty, sub)
+      assert(a === b, sub)
+    }
+    // the appended click's deg took effect: u=100 now has degree 2
+    assert(spark.read.parquet(s"$d/click_iter").where(col("u") === 100L)
+      .select("deg").as[Long].collect().toSet === Set(2L))
+    // LOCALITY: only files of the expected bucket ids changed — mirror
+    // of the new click touches hash(100)/hash(-2); mirror of the newly
+    // qualified edge (30,40) touches hash(30)/hash(40)
+    def bucketsOf(vals: Long*): Set[Int] = vals.map { v =>
+      spark.range(1).select(pmod(hash(lit(v)), lit(32))).collect()(0).getInt(0)
+    }.toSet
+    def changed(sub: String): Set[Int] = {
+      val b = before(sub); val a = after(sub)
+      (b.keySet ++ a.keySet).filter(k => b.get(k) != a.get(k))
+        .flatMap(n => """_(\d+)(?:\..*)?$""".r.findFirstMatchIn(n).map(_.group(1).toInt))
+    }
+    assert(changed("click_iter") === bucketsOf(100L, -2L))
+    assert(changed("copurchase_iter") === bucketsOf(30L, 40L))
+    // and the bucketed serve over the appended artifact matches a
+    // bucketed serve over the full rebuild (same catalog path semantics)
+    val servedAppended = bucketedServed(d) {
+      GraphArtifact.coPurchaseIterServed(spark).get
+        .as[(Long, Long)].collect().toSeq.sorted
+    }
+    assert(servedAppended === Seq((10L, 20L), (20L, 10L), (30L, 40L), (40L, 30L)))
+  }
+
+  test("bucketedServe on an artifact without iteration subs fails loudly") {
+    val d = tmp("graph-pre-iter")
+    GraphArtifact.buildFrom(spark,
+      Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)).toDF("o", "p"),
+      noClicks, d)
+    // simulate a pre-round-11 artifact: iteration subs absent
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete()
+    }
+    rmrf(new java.io.File(s"$d/click_iter"))
+    rmrf(new java.io.File(s"$d/copurchase_iter"))
+    val ex = intercept[IllegalStateException] {
+      bucketedServed(d) { GraphArtifact.clickIterEdges(spark, sf).collect() }
+    }
+    assert(ex.getMessage.contains("rebuild"))
+    // the dir-partitioned serving state is unaffected
+    val stillServed = served {
+      GraphArtifact.coPurchase(spark, sf).collect()
+    }
+    assert(stillServed.nonEmpty)
+  }
+
+  test("recover() rolls back an UNcommitted iteration-sub file swap") {
+    val d = tmp("graph-iter-rollback")
+    GraphArtifact.buildFrom(spark,
+      GraphArtifact.itemsInline(spark, sf),
+      GraphArtifact.clickEdgesInline(spark, sf), d)
+    val original = spark.read.parquet(s"$d/click_iter")
+      .collect().map(_.toSeq).toSet
+    // crash window: one bucket's base FILE moved to backup, a staged-in
+    // impostor file for the same bucket landed live, pending written
+    // with the batch uncommitted
+    val files = new java.io.File(s"$d/click_iter").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val victim = files.head
+    val k = """_(\d+)(?:\..*)?$""".r.findFirstMatchIn(victim.getName)
+      .get.group(1).toInt
+    new java.io.File(s"$d/_backup/click_iter").mkdirs()
+    assert(victim.renameTo(
+      new java.io.File(s"$d/_backup/click_iter/${victim.getName}")))
+    val impostor = new java.io.File(
+      s"$d/click_iter/part-00000-deadbeef_${"%05d".format(k)}.c000.snappy.parquet")
+    java.nio.file.Files.writeString(impostor.toPath, "not parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/_meta/pending.json"),
+      s"""{"batchId":"deadbeef","subs":{"click_iter":[{"bkt":$k,"hadBase":true}]}}""")
+    GraphArtifact.recover(spark, d)
+    assert(!new java.io.File(s"$d/_meta/pending.json").exists())
+    assert(!new java.io.File(s"$d/_backup").exists())
+    assert(!impostor.exists(), "the staged-in impostor must be dropped")
+    val recovered = spark.read.parquet(s"$d/click_iter")
+      .collect().map(_.toSeq).toSet
+    assert(recovered === original)
+    // the OTHER window — crash BEFORE the backup rename (no backup file
+    // for the bucket) — must leave the live base file untouched
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/_meta/pending.json"),
+      s"""{"batchId":"cafebabe","subs":{"click_iter":[{"bkt":$k,"hadBase":true}]}}""")
+    GraphArtifact.recover(spark, d)
+    assert(spark.read.parquet(s"$d/click_iter")
+      .collect().map(_.toSeq).toSet === original)
+  }
 }

@@ -591,6 +591,45 @@ class PlanSpec extends AnyFunSuite {
       "a user repartition's width must survive localCheckpoint for the loop to reuse")
   }
 
+  test("bucketedServe: the per-iteration join consumes the bucketed scan with no edge-side exchange") {
+    // Round-11 deployment of the IterProbe variant-D finding: under
+    // spark.graft.graph.bucketedServe the iteration frame is a bucketed
+    // CATALOG table whose scan exposes HashPartitioning(u, n), so one
+    // PageRank iteration needs strictly fewer hash exchanges than the
+    // default checkpointed frame (whose edge side re-exchanges every
+    // iteration — localCheckpoint under AQE does not republish a
+    // partitioning the join can consume). Broadcast disabled so the
+    // join shape is deterministic SMJ at fixture scale.
+    val art = java.nio.file.Files
+      .createTempDirectory("plan-bktserve").resolve("graph").toString
+    graft.operators.GraphArtifact.build(spark, sf, art)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def iteration(): String = {
+      val e = graft.operators.GraphArtifact.clickIterEdges(s2, sf)
+      val ranks = e.select(col("u").as("id")).distinct()
+        .select(col("id"), lit(1000000L).as("r"))
+      val next = e.join(ranks, col("u") === col("id"))
+        .groupBy(col("v")).agg(sum(expr("(r * 85) div (100 * deg)")).as("contrib"))
+      next.collect()
+      next.queryExecution.executedPlan.toString // post-execution: AQE final
+    }
+    val defPlan = iteration()
+    s2.conf.set(graft.operators.GraphArtifact.Key, art)
+    s2.conf.set(graft.operators.GraphArtifact.BucketedServeKey, "true")
+    val bktPlan = try iteration() finally {
+      s2.conf.unset(graft.operators.GraphArtifact.BucketedServeKey)
+      s2.conf.unset(graft.operators.GraphArtifact.Key)
+    }
+    def exchanges(p: String) = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(bktPlan.contains("SelectedBucketsCount"),
+      "the served frame must scan as a BUCKETED table:\n" + bktPlan.take(900))
+    assert(!defPlan.contains("SelectedBucketsCount"))
+    assert(exchanges(bktPlan) < exchanges(defPlan),
+      s"bucketed iteration should need fewer hash exchanges " +
+        s"(${exchanges(bktPlan)} vs ${exchanges(defPlan)}):\n" + bktPlan.take(900))
+  }
+
   test("no CartesianProduct node anywhere in the full query registry") {
     // every cross join in the registry pairs a data-scale side with a
     // bounded/single-row side wrapped in broadcast(...) — a Cartesian
