@@ -12,15 +12,54 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * create-without-overwrite of a marker file (atomic on HDFS-like
   * stores; the local FS's exists+create window is accepted for dev use),
   * the loser FAILS FAST with the holder's identity, and the file
-  * carries `{owner, acquired_ms, ttl_ms}` so a crashed holder's lease
-  * is reclaimable:
+  * carries `{owner, acquired_ms, ttl_ms, nonce}` so a crashed holder's
+  * lease is reclaimable:
   *
-  *  - the SAME owner re-acquires immediately (a retried append in the
-  *    same process — the documented repair path — is never blocked);
+  *  - the SAME owner re-acquires immediately (a retried append after a
+  *    PROCESS death — the documented repair path — is never blocked);
   *  - a DIFFERENT owner breaks the lease only once `ttl_ms` has
   *    elapsed (default 10 min), then acquires;
   *  - otherwise acquisition throws; the caller retries after the TTL,
   *    or the operator's `repair()` runs once no writer is live.
+  *
+  * == Atomic break (round-11 fix) ==
+  *
+  * Breaking an expired lease first CLAIMS a TOMBSTONE whose name is
+  * derived from the observed lease CONTENT (owner + timestamps + a
+  * per-acquisition nonce, so it names that lease INSTANCE): the claim
+  * is an atomic create-no-overwrite, so exactly one contender per
+  * instance wins it, and only the claim winner may delete the expired
+  * file and create its own. The tombstone is RETAINED: a laggard whose
+  * staleness evidence is the consumed instance finds its tombstone
+  * occupied and fails, instead of destroying the winner's FRESH lease
+  * — the delete-then-create reclaim this replaces let two contenders
+  * that both observed the same stale lease interleave so that BOTH
+  * believed they held it (the exact double-writer scenario the lease
+  * exists to prevent, and one that, unlike the create window, also
+  * existed on HDFS-like stores; an intermediate rename-to-tombstone
+  * design failed the two-contender stress spec on the local FS, whose
+  * rename clobbers an existing destination). Every exclusive create —
+  * lease and tombstone alike — goes through NIO `CREATE_NEW`
+  * (O_CREAT|O_EXCL, atomic on POSIX) when the store is the local FS,
+  * which also closes the historically-accepted local exists+create
+  * window; HDFS-like stores use their already-atomic
+  * `create(overwrite=false)`. Tombstones older than the default TTL
+  * are garbage-collected by the next break ATTEMPT (before its claim):
+  * by then the lease the tombstone's instance was broken for has
+  * itself aged past the TTL — and a breaker that crashed between claim
+  * and create therefore blocks successors only until its tombstone
+  * lapses, the same wait its own crashed LEASE would have imposed. An
+  * UNREADABLE lease is never treated as stale: the read is retried
+  * once (a transient error must not break a live holder), a lease that
+  * VANISHED between create-attempt and read means the holder released
+  * (acquisition retries the create), and one that stays
+  * unreadable-but-present fails the acquire loudly.
+  *
+  * Acquisition is NOT reentrant, and that is enforced: a nested
+  * acquire of a path this process already holds throws immediately
+  * instead of riding the same-owner reclaim (which would let the inner
+  * `finally` release the lease out from under the still-running outer
+  * section).
   *
   * The lease file lives OUTSIDE the renamed trees (a sibling `.lease`
   * for GraphArtifact, whose live dir itself is swapped; a `_writer.
@@ -45,35 +84,129 @@ object WriterLease {
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
       "#" + Thread.currentThread().getId
 
+  /** Leases held by THIS process (lease path → owner), so a nested
+    * acquire on a held path fails fast instead of silently reclaiming
+    * itself and letting the inner release unlock the outer section. */
+  private val heldInProcess =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Atomic create-no-overwrite of a small file, the primitive every
+    * exclusive claim here rests on. HDFS-like stores: the Hadoop
+    * `create(overwrite=false)` is atomic. The LOCAL store's is
+    * check-then-create, so `file://` routes through NIO `CREATE_NEW`
+    * (O_CREAT|O_EXCL — atomic on POSIX); the two-stale-contenders
+    * stress spec demonstrably hits the Hadoop-local window without
+    * this. */
+  private def createExclusive(fs: FileSystem, path: Path,
+                              content: Array[Byte]): Boolean =
+    if ("file" == fs.getUri.getScheme) {
+      val p = java.nio.file.Paths.get(path.toUri.getPath)
+      def attempt(): Boolean =
+        try {
+          java.nio.file.Files.write(p, content,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      try attempt()
+      catch { case _: java.nio.file.NoSuchFileException =>
+        // fs.create would have made the parent dirs; NIO does not
+        java.nio.file.Files.createDirectories(p.getParent)
+        try attempt() catch { case _: java.io.IOException => false }
+      }
+    } else
+      try {
+        val out = fs.create(path, false)
+        try out.write(content) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+
   private def tryCreate(fs: FileSystem, path: Path, owner: String,
-                        ttlMs: Long): Boolean =
-    try {
-      val out = fs.create(path, false) // atomic create-no-overwrite
-      try out.write(
-        s"""{"owner":"$owner","acquired_ms":${System.currentTimeMillis()},"ttl_ms":$ttlMs}"""
-          .getBytes("UTF-8"))
-      finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+                        ttlMs: Long): Boolean = {
+    val created = createExclusive(fs, path,
+      (s"""{"owner":"$owner","acquired_ms":${System.currentTimeMillis()},""" +
+        s""""ttl_ms":$ttlMs,"nonce":"${java.util.UUID.randomUUID()}"}""")
+        .getBytes("UTF-8"))
+    if (created) heldInProcess.put(path.toString, owner)
+    created
+  }
+
+  /** The tombstone naming a lease INSTANCE: md5 of the raw content
+    * (instance-unique through the nonce), so every contender holding
+    * the same staleness evidence computes the SAME name — and only the
+    * first rename to it can succeed. */
+  private def tombstoneOf(path: Path, rawContent: String): Path = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(rawContent.getBytes("UTF-8"))
+    new Path(path.getParent,
+      path.getName + ".tomb." + md.map("%02x".format(_)).mkString)
+  }
+
+  private def parseLease(raw: String): (String, Boolean) = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+    val acq = node.path("acquired_ms").asLong(0L)
+    val ttl = node.path("ttl_ms").asLong(DefaultTtlMs)
+    (node.path("owner").asText(""),
+      System.currentTimeMillis() - acq > ttl)
+  }
 
   /** Acquire the lease at `path` or throw. See object doc for the
     * reclaim rules. */
   def acquire(fs: FileSystem, path: Path, owner: String = processOwner,
               ttlMs: Long = DefaultTtlMs): Unit = {
+    if (owner == heldInProcess.get(path.toString))
+      throw new IllegalStateException(
+        s"nested writer-lease acquire at $path by its own holder '$owner' — " +
+          "withLease is not reentrant (the inner release would unlock the " +
+          "still-running outer section); restructure the caller so leased " +
+          "entry points do not call each other on the same state dir")
     if (tryCreate(fs, path, owner, ttlMs)) return
-    // held: readable content decides reclaim; an unreadable/vanished
-    // lease (holder released between our create and read) → one retry
-    val (holder, stale) = try {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(readFully(fs, path))
-      val acq = node.path("acquired_ms").asLong(0L)
-      val ttl = node.path("ttl_ms").asLong(DefaultTtlMs)
-      (node.path("owner").asText(""),
-        System.currentTimeMillis() - acq > ttl)
-    } catch { case _: java.io.IOException => ("", true) }
+    // held: readable content decides reclaim. A transient read failure
+    // must NOT break a live holder's lease — retry once; a lease that
+    // VANISHED (holder released between our create and read) retries the
+    // create; unreadable-but-present fails loudly.
+    val raw =
+      try Some(readFully(fs, path))
+      catch { case _: java.io.IOException =>
+        try Some(readFully(fs, path))
+        catch { case _: java.io.IOException => None }
+      }
+    def unreadable(): Nothing = throw new IllegalStateException(
+      s"writer lease at $path exists but is unreadable — refusing to " +
+        "treat it as stale (that would break a live holder); inspect " +
+        "and delete the file manually if it is corrupt")
+    val (holder, stale) = raw match {
+      case Some(r) =>
+        try parseLease(r)
+        catch { case _: java.io.IOException => unreadable() } // corrupt JSON
+      case None =>
+        if (!fs.exists(path)) {
+          if (tryCreate(fs, path, owner, ttlMs)) return
+          ("", false) // re-held by someone else in the window
+        } else unreadable()
+    }
     if (holder == owner || stale) {
-      fs.delete(path, false)
-      if (tryCreate(fs, path, owner, ttlMs)) return
+      // GC lapsed tombstones BEFORE claiming (not after winning): a
+      // breaker that crashed between claim and create must not block
+      // successors beyond its tombstone's TTL — with GC gated on
+      // winning, nobody could ever win again
+      gcTombstones(fs, path)
+      // one break per lease instance: the tombstone CLAIM (atomic
+      // create-no-overwrite, instance-named) admits exactly one
+      // breaker; an occupied tombstone means this evidence was already
+      // consumed — whatever sits at `path` now is the claim winner's
+      // FRESH lease, which must not be touched
+      val tomb = tombstoneOf(path, raw.get)
+      if (createExclusive(fs, tomb, raw.get.getBytes("UTF-8"))) {
+        fs.delete(path, false) // the consumed expired instance
+        if (tryCreate(fs, path, owner, ttlMs)) return
+        // a fresh contender slipped into the delete→create gap and
+        // acquired legitimately (the lease was absent) — we lost
+      }
+      // a claim LOSER throws (below) rather than retrying the create:
+      // the winner's delete may still be in flight, and a create that
+      // raced it could be destroyed by it — the loser's retry comes
+      // from its caller, against a then-fresh lease
     }
     throw new IllegalStateException(
       s"writer lease at $path is held by '$holder' — the artifact is " +
@@ -82,7 +215,26 @@ object WriterLease {
         "its TTL if it crashed).")
   }
 
-  def release(fs: FileSystem, path: Path): Unit = { fs.delete(path, false); () }
+  /** Drop tombstones old enough that their consumed instance's
+    * SUCCESSOR lease has itself aged past the default TTL — evidence
+    * that old may legitimately break the current lease anyway, so the
+    * fence they provided has lapsed. Run only by a break winner (the
+    * one moment a contender provably owns the transition). */
+  private def gcTombstones(fs: FileSystem, path: Path): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - DefaultTtlMs
+      fs.listStatus(path.getParent)
+        .filter(st => st.isFile &&
+          st.getPath.getName.startsWith(path.getName + ".tomb.") &&
+          st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, false))
+    } catch { case _: java.io.IOException => () } // best-effort housekeeping
+
+  def release(fs: FileSystem, path: Path): Unit = {
+    fs.delete(path, false)
+    heldInProcess.remove(path.toString)
+    ()
+  }
 
   /** Run `body` under the lease, releasing it on every in-process exit. */
   def withLease[T](fs: FileSystem, path: Path, owner: String = processOwner,

@@ -130,7 +130,16 @@ class CommonSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("a@host"), "the loser learns the holder")
     assert(fs.exists(lease), "a failed acquire must not break a live lease")
-    // same-owner reclaim: a retried writer in the same process proceeds
+    WriterLease.release(fs, lease)
+    // same-owner reclaim: the holder DIED and its retry (fresh process,
+    // same owner string) proceeds — simulated by planting the dead
+    // process's leftover file directly, so no in-process held entry
+    // exists (an in-process re-acquire is NESTING and throws, below)
+    def plantLease(owner: String, acquiredMs: Long, ttlMs: Long = 600000L): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(lease.toUri.getPath),
+        s"""{"owner":"$owner","acquired_ms":$acquiredMs,"ttl_ms":$ttlMs}""")
+    plantLease("a@host", System.currentTimeMillis())
     WriterLease.acquire(fs, lease, owner = "a@host")
     WriterLease.release(fs, lease)
     // TTL break: an expired lease (crashed holder) yields to anyone
@@ -145,5 +154,98 @@ class CommonSpec extends AnyFunSuite {
       WriterLease.withLease(fs, lease)(throw new RuntimeException("boom"))
     }
     assert(!fs.exists(lease), "an in-process failure must release the lease")
+    // NESTED acquire on a held path throws instead of self-reclaiming
+    // (the inner finally-release would unlock the running outer section)
+    WriterLease.withLease(fs, lease) {
+      val exN = intercept[IllegalStateException] {
+        WriterLease.acquire(fs, lease)
+      }
+      assert(exN.getMessage.contains("not reentrant"))
+      assert(fs.exists(lease), "the refused nested acquire must not release")
+    }
+    assert(!fs.exists(lease))
+    // UNREADABLE lease is never treated as stale: garbage content blocks
+    // the acquire loudly instead of breaking a possibly-live holder
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(lease.toUri.getPath), "not json {{{")
+    val exU = intercept[IllegalStateException] {
+      WriterLease.acquire(fs, lease, owner = "c@host")
+    }
+    assert(exU.getMessage.contains("unreadable"))
+    assert(fs.exists(lease))
+    fs.delete(lease, false)
+  }
+
+  test("WriterLease: two stale contenders — the tombstone rename admits exactly one") {
+    import graft.common.WriterLease
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files.createTempDirectory("lease-race")
+    // the round-10 hazard: delete-then-create reclaim let two contenders
+    // that both observed the same expired lease BOTH acquire (B's delete
+    // removes A's fresh lease). The tombstone rename is the fix: rename
+    // succeeds for exactly one contender, and only the winner creates.
+    // Race N threads over many rounds; every round must admit exactly 1.
+    for (round <- 1 to 20) {
+      val lease = new org.apache.hadoop.fs.Path(dir.toString, s"w$round.lease")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(lease.toUri.getPath),
+        s"""{"owner":"dead@host","acquired_ms":0,"ttl_ms":1}""")
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (1 to 8).map { i =>
+        new Thread(() => {
+          gate.await()
+          try {
+            WriterLease.acquire(fs, lease, owner = s"c$i@host")
+            wins.incrementAndGet()
+          } catch { case _: IllegalStateException => () }
+        })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      assert(wins.get() === 1, s"round $round admitted ${wins.get()} writers")
+      assert(fs.exists(lease), "the winner's lease must be live")
+      // the tombstone is RETAINED as the per-instance fence: a laggard
+      // still holding the consumed evidence must find it occupied
+      val tombs = new java.io.File(dir.toString).listFiles()
+        .filter(_.getName.startsWith(s"w$round.lease.tomb"))
+      assert(tombs.length === 1, tombs.mkString(","))
+      fs.delete(lease, false)
+    }
+    // the tombstone name is CONTENT-derived: breaking the identical
+    // planted instance twice (fresh dirs) yields the identical name —
+    // what guarantees all contenders race for the SAME fence
+    val names = (1 to 2).map { i =>
+      val d2 = java.nio.file.Files.createTempDirectory(s"lease-tomb$i")
+      val l2 = new org.apache.hadoop.fs.Path(d2.toString, "w.lease")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(l2.toUri.getPath),
+        s"""{"owner":"dead@host","acquired_ms":0,"ttl_ms":1,"nonce":"n0"}""")
+      WriterLease.acquire(fs, l2, owner = "x@host")
+      WriterLease.release(fs, l2)
+      new java.io.File(d2.toString).listFiles()
+        .map(_.getName).filter(_.startsWith("w.lease.tomb.")).toSeq
+    }
+    assert(names(0).size === 1 && names(0) === names(1))
+    // tombstones older than the default TTL are GC'd by the next break
+    // ATTEMPT (their fence has lapsed: evidence that old could break
+    // the successor lease legitimately anyway — and a breaker that
+    // crashed between claim and create must not fence forever)
+    val d3 = java.nio.file.Files.createTempDirectory("lease-gc")
+    val l3 = new org.apache.hadoop.fs.Path(d3.toString, "w.lease")
+    val oldTomb = java.nio.file.Paths.get(d3.toString, "w.lease.tomb.ffff")
+    java.nio.file.Files.writeString(oldTomb, "old")
+    java.nio.file.Files.setLastModifiedTime(oldTomb,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - WriterLease.DefaultTtlMs - 60000))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(l3.toUri.getPath),
+      s"""{"owner":"dead@host","acquired_ms":0,"ttl_ms":1,"nonce":"n1"}""")
+    WriterLease.acquire(fs, l3, owner = "y@host")
+    WriterLease.release(fs, l3)
+    assert(!java.nio.file.Files.exists(oldTomb), "lapsed tombstone GC'd")
+    assert(new java.io.File(d3.toString).listFiles()
+      .count(_.getName.startsWith("w.lease.tomb.")) === 1,
+      "the fresh break's own tombstone is retained")
   }
 }
