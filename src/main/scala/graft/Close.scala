@@ -44,6 +44,32 @@ object Close {
     }.getOrElse(n)
   }
 
+  /** The sf1 evidence tier must not silently go stale (round-11 gate):
+    * TRUTHCHECK_sf1.json and BENCH_sf1.json are manual mains, so without
+    * a check the round ritual would happily close on artifacts produced
+    * against last round's code. Returns the reason when either artifact
+    * is missing or older than the newest file under `src/main/scala` —
+    * i.e. not produced at (or after) the last source change. Checked by
+    * the `commit` ritual only: plain doc regeneration mid-round must
+    * stay cheap. */
+  private[graft] def sf1Staleness(root: java.nio.file.Path = Paths.get(".")): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val srcRoot = root.resolve("src/main/scala")
+    val latestSrc = scala.util.Using.resource(Files.walk(srcRoot)) { s =>
+      s.iterator().asScala.filter(p => Files.isRegularFile(p))
+        .map(p => Files.getLastModifiedTime(p).toMillis)
+        .maxOption.getOrElse(0L)
+    }
+    val stale = Seq("TRUTHCHECK_sf1.json", "BENCH_sf1.json").flatMap { a =>
+      val p = root.resolve(a)
+      if (!Files.exists(p)) Some(s"$a is missing")
+      else if (Files.getLastModifiedTime(p).toMillis < latestSrc)
+        Some(s"$a predates the newest src/main change")
+      else None
+    }
+    if (stale.isEmpty) None else Some(stale.mkString("; "))
+  }
+
   private[graft] def fixCounts(content: String, n: Int, passes: Int): String = content
     .replaceAll("""all \d+ quer""", s"all $n quer")
     .replaceAll("""for all \d+ registered quer""", s"for all $n registered quer")
@@ -107,6 +133,18 @@ object Close {
 
     // 5. clean-tree close: commit the regenerated artifacts, then gate
     if (args.contains("commit")) {
+      // the sf1 evidence tier rides the same ritual: a close against
+      // artifacts produced on older code is a silent downgrade of the
+      // round's strongest out-of-sample claims
+      sf1Staleness().foreach { why =>
+        throw new IllegalStateException(
+          s"sf1 evidence tier is STALE ($why) — refresh it on HEAD before " +
+            "closing: SfGen sf0.1 -> /tmp/sf1 x10; Verify + check_oracle " +
+            "(quadratic-oracle exclusions) -> CORRECTNESS_sf1.json; " +
+            "runMain graft.TruthCheckSf1 -> TRUTHCHECK_sf1.json; " +
+            "SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_BENCH_OUT=" +
+            "BENCH_sf1.json runMain graft.Bench")
+      }
       def git(cmd: String*): (Int, String) = {
         val pb = new ProcessBuilder(("git" +: cmd): _*).redirectErrorStream(true)
         val p = pb.start()
@@ -120,7 +158,8 @@ object Close {
           .filter(_.matches("(CORRECTNESS|BENCH)_r\\d+\\.json")).toSeq
       }
       val targets = (Seq("QUERIES.md", "SCALE.md", "README.md",
-        "BENCH_FULL.json", "BENCH_DIFF.md", "LEAKCHECK.json") ++ roundArts)
+        "BENCH_FULL.json", "BENCH_DIFF.md", "LEAKCHECK.json",
+        "CORRECTNESS_sf1.json", "TRUTHCHECK_sf1.json", "BENCH_sf1.json") ++ roundArts)
         .filter(f => Files.exists(Paths.get(f)))
       require(git(("add" +: targets): _*)._1 == 0, "git add failed")
       val (_, staged) = git("diff", "--cached", "--name-only")

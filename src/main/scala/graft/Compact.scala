@@ -56,7 +56,18 @@ object Compact {
     * overwrite — observe `_SUCCESS` an instant before the overwrite
     * deletes it, then rename a partially rewritten staging dir into
     * live. The roll-forward rename belongs to the single writer
-    * ([[run]] recovers at entry). Returns None when no state exists. */
+    * ([[run]] recovers at entry). Returns None when no state exists.
+    *
+    * CONCURRENT-RECOVERY CAVEAT: a read that resolves base = staging
+    * just before the writer's entry recovery renames staging → live
+    * fails at (lazy) SCAN time with a missing-path error — Spark
+    * resolves parquet files at execution, after this method returned,
+    * so the window cannot be intercepted here without materializing
+    * the frame. The committed direction is live: a caller whose scan
+    * of a staging-resolved frame fails should retry [[readIndex]]
+    * once (it then resolves the renamed live copy). The window exists
+    * only while a crashed compactor is being recovered by its retry —
+    * steady-state reads always resolve live directly. */
   def readIndex(spark: SparkSession, stateDir: String): Option[DataFrame] = {
     val f = fs(spark, stateDir)
     val l = live(stateDir)

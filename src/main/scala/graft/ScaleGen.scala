@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * collocation/n-gram tops exist), planted near-duplicate documents
   * every 37th row (so the MinHash/set-sim candidate structure is
   * non-trivial), and 16-cluster embeddings (so IVF cells are
-  * meaningful). Only the four tables the 15 slowest queries read are
-  * generated. */
+  * meaningful). Generates the five tables the slow families read
+  * (`part` since round 11 — FK-closed against lineitem's part keys, so
+  * q292's triple itemsets joins the probe ladder too). */
 object ScaleGen {
 
   def mix(x0: Long): Long = {
@@ -132,6 +133,32 @@ object ScaleGen {
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate")
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    // part: one row per part key the lineitem generator can draw
+    // (FK-closed), fixture-shaped columns. Brand cardinality stays
+    // corpus-INDEPENDENT (25, the TPC-H shape) on purpose: q292's
+    // basket self-join keys on the order and projects to brands, so
+    // its honest growth axis is order count × basket size — a brand
+    // space that grew with the corpus would deflate the triple
+    // supports and understate the family's true scaling
+    val partNames = Array("cold", "small", "large", "fresh", "dark",
+      "plain", "quick", "round")
+    val partKinds = Array("widget", "bolt", "gear", "spring", "valve")
+    val partTypes = Array("ECONOMY", "PROMO", "STANDARD", "SMALL", "LARGE")
+    spark.range(0, nParts, 1, parts).map { p =>
+      (p,
+        partNames((h(seed, p, 30) % partNames.length).toInt) + " " +
+          partKinds((h(seed, p, 31) % partKinds.length).toInt),
+        "Brand#" + (1 + (h(seed, p, 32) % 25).toInt),
+        partTypes((h(seed, p, 33) % partTypes.length).toInt),
+        1 + (h(seed, p, 34) % 50).toInt,
+        900.0 + (p % 1000).toDouble / 10.0)
+    }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size").cast("int").as("p_size"),
+        col("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
 
     // events: 30 days, 5 types, JSON props {"k": 0..99}
     val nUsers = rows(1500)

@@ -246,7 +246,11 @@ object AnnIndex {
     * the whole index ([[append]] is an in-place dynamic partition
     * overwrite bracketed by the pending marker), so this branch is
     * purely defensive — but defensive code must still obey the
-    * readers-never-mutate contract. */
+    * readers-never-mutate contract. Like [[graft.Compact.readIndex]],
+    * a staging-resolved frame can fail at lazy SCAN time if a writer's
+    * entry recovery renames staging → live in the window — the caller
+    * retries once and resolves the committed live copy (the window
+    * cannot be intercepted here without materializing the frame). */
   private def indexDf(spark: SparkSession, dir: String,
                       allowPending: Boolean = false): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(

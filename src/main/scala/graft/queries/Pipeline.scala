@@ -196,12 +196,22 @@ object Pipeline {
     * is vacuous for k = 0.65·64 ≈ 41 edits, so any prefix-filter
     * routing of oversized blocks would silently change semantics —
     * bounded-subset-with-accounting is the honest contract.) */
-  val fuzzyPairs: Q = (s, dir) => {
+  val fuzzyPairs: Q = (s, dir) =>
+    fuzzyPairsWith(s, dir, s.conf.getOption(FuzzyMaxBlockConf))
+
+  /** The shared implementation, cap mode THREADED AS A PARAMETER (the
+    * conf's value semantics, verbatim): [[fuzzyPairsExact]] used to pin
+    * exactness by set-conf/run/unset-conf, which a concurrent
+    * [[fuzzyPairs]] caller on the same session could observe mid-window
+    * (and whose finally-unset could clobber an interleaved set). Only
+    * [[fuzzyPairs]] reads the session conf now, once, at entry. */
+  private def fuzzyPairsWith(s: org.apache.spark.sql.SparkSession, dir: String,
+                             capMode: Option[String]): org.apache.spark.sql.DataFrame = {
     val dAll = Tables.t(s, dir, "documents").select(
       col("doc_id"), col("lang"), col("source"),
       floor(col("n_chars") / 64).as("band"),
       substring(TextOps.normalized(col("text")), 1, 64).as("p"))
-    val cap = s.conf.getOption(FuzzyMaxBlockConf) match {
+    val cap = capMode match {
       case Some(v) if v != "auto" && v.toInt > 0 => v.toInt // explicit fixed cap
       case Some(v) if v != "auto" => Int.MaxValue // explicit 0/negative: exact
       case _ => // DEFAULT (unset or literal "auto"): derive from the distribution
@@ -249,13 +259,11 @@ object Pipeline {
     * explicitly set conf passes through untouched, so ScaleProbe's
     * `@cap`/`@auto` suffixes still steer the registry query. */
   val fuzzyPairsExact: Q = (s, dir) =>
-    if (s.conf.getOption(FuzzyMaxBlockConf).isDefined) fuzzyPairs(s, dir)
-    else {
-      s.conf.set(FuzzyMaxBlockConf, "0")
-      // the cap conf is read eagerly at plan-construction time, so the
-      // unset cannot race the (lazy) execution of the returned frame
-      try fuzzyPairs(s, dir) finally s.conf.unset(FuzzyMaxBlockConf)
-    }
+    // exactness pinned by PARAMETER, not by mutating the shared session
+    // conf (see fuzzyPairsWith): unset conf ⇒ exact ("0"); an explicitly
+    // set conf passes through untouched
+    fuzzyPairsWith(s, dir,
+      Some(s.conf.getOption(FuzzyMaxBlockConf).getOrElse("0")))
 
   val fuzzyPairsSql: String =
     s"""WITH d AS (

@@ -70,4 +70,33 @@ class CloseSpec extends AnyFunSuite {
     val d = java.nio.file.Files.createTempDirectory("close-empty")
     assert(Close.latestPassCount(7, d) === 7)
   }
+
+  test("sf1Staleness flags missing or src-predating sf1 artifacts; fresh passes") {
+    import java.nio.file.{Files => F}
+    import java.nio.file.attribute.FileTime
+    val d = F.createTempDirectory("close-sf1")
+    F.createDirectories(d.resolve("src/main/scala/graft"))
+    val src = d.resolve("src/main/scala/graft/X.scala")
+    F.writeString(src, "object X")
+    // both artifacts missing
+    val whyMissing = Close.sf1Staleness(d)
+    assert(whyMissing.exists(w => w.contains("TRUTHCHECK_sf1.json is missing")
+      && w.contains("BENCH_sf1.json is missing")))
+    // artifacts OLDER than the newest src file → stale
+    F.writeString(d.resolve("TRUTHCHECK_sf1.json"), "{}")
+    F.writeString(d.resolve("BENCH_sf1.json"), "{}")
+    val t0 = System.currentTimeMillis()
+    F.setLastModifiedTime(d.resolve("TRUTHCHECK_sf1.json"),
+      FileTime.fromMillis(t0 - 60000))
+    F.setLastModifiedTime(d.resolve("BENCH_sf1.json"),
+      FileTime.fromMillis(t0 + 60000))
+    F.setLastModifiedTime(src, FileTime.fromMillis(t0))
+    val whyOld = Close.sf1Staleness(d)
+    assert(whyOld.exists(_.contains("TRUTHCHECK_sf1.json predates")))
+    assert(whyOld.forall(!_.contains("BENCH_sf1.json")))
+    // both at-or-after the newest src change → fresh
+    F.setLastModifiedTime(d.resolve("TRUTHCHECK_sf1.json"),
+      FileTime.fromMillis(t0 + 60000))
+    assert(Close.sf1Staleness(d).isEmpty)
+  }
 }
