@@ -239,17 +239,16 @@ object Dedup {
     * cluster_id is the smallest doc_id reachable from the node. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
-    // FIXED edge set joined on v every round: an explicit full-width
-    // repartition before the checkpoint (the round-10 q116 IterProbe
-    // finding — a bare checkpointed shuffle output gets AQE-coalesced,
-    // at fixture scale to ONE partition, so every propagation round
-    // scanned and shuffle-wrote its biggest input single-threaded)
-    val shuffleN = pairs.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .repartition(shuffleN, col("v"))
-      .localCheckpoint(true)
+    // FIXED edge set joined on v every round, materialized through the
+    // audited width guard (graft.common.IterFrame — the round-10 q116
+    // IterProbe finding: a bare checkpointed shuffle output gets
+    // AQE-coalesced, at fixture scale to ONE partition, so every
+    // propagation round scanned and shuffle-wrote its biggest input
+    // single-threaded)
+    val edges = graft.common.IterFrame.keyed(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .union(pairs.select(col(bCol).as("u"), col(aCol).as("v"))),
+      col("v"))
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("c", col("id"))
       .localCheckpoint(true)

@@ -163,11 +163,10 @@ object Graph {
     // bucketedServe shape (copurchase_iter) — so re-mirroring or
     // re-distributing it here would only destroy the exchange-free
     // iteration that shape exists for; use it as-is.
-    val shuffleN = pairs.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
     val und = if (preMirrored) e
-    else e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(shuffleN, col("dst")).localCheckpoint(true)
+    else graft.common.IterFrame.keyed(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+      col("dst"))
     val nodes = und.select(col("src").as("n")).distinct()
     val h = md5(col("n").cast("string"))
     val v = conv(substring(h, 5, 6), 16, 10).cast("long")

@@ -893,15 +893,10 @@ object GraphArtifact {
       val clicks = clickEdges(s, dir)
       val edges = clicks.union(clicks.select(col("v").as("u"), col("u").as("v")))
       val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-      // FIXED edge set at FULL WIDTH (round-10 IterProbe finding): a
-      // bare persist/localCheckpoint of this frame gets AQE-coalesced —
-      // at fixture scale all the way to ONE partition — so every
-      // iteration scanned and shuffle-wrote its biggest input
-      // single-threaded. An explicit user repartition is a width AQE
-      // must not coalesce, and localCheckpoint materializes row-format
-      // at exactly that width for all iterations to reuse (measured
-      // 7.15 → 3.67 s for the 100× loop; PlanSpec pins both halves).
-      val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
-      edges.join(deg, "u").repartition(shuffleN, col("u")).localCheckpoint(true)
+      // FIXED edge set at FULL WIDTH — the round-10 IterProbe finding,
+      // enforced by the audited helper (graft.common.IterFrame: a bare
+      // checkpoint of this frame gets AQE-coalesced to one partition,
+      // serializing every iteration; measured 7.15 → 3.67 s at 100×)
+      graft.common.IterFrame.keyed(edges.join(deg, "u"), col("u"))
     }
 }

@@ -176,6 +176,28 @@ class CommonSpec extends AnyFunSuite {
     fs.delete(lease, false)
   }
 
+  test("IterFrame.keyed pins a loop input at full shuffle width (bare checkpoint collapses)") {
+    // the round-10 IterProbe class promoted to an enforced invariant:
+    // the SAME tiny frame that a bare localCheckpoint lets AQE coalesce
+    // (PlanSpec pins the collapse) comes out of the audited helper at
+    // exactly the session's shuffle width, keyed for the loop's join
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val base = s2.range(0, 10000)
+      .select(org.apache.spark.sql.functions.col("id").as("u"),
+        (org.apache.spark.sql.functions.col("id") % 97).as("payload"))
+    val other = s2.range(0, 10000)
+      .select(org.apache.spark.sql.functions.col("id").as("u"),
+        org.apache.spark.sql.functions.lit(1L).as("one"))
+    val joined = base.join(other, "u")
+    assert(joined.localCheckpoint(true).rdd.getNumPartitions < 8,
+      "precondition: AQE coalesces the bare checkpoint (the hazard)")
+    val guarded = graft.common.IterFrame.keyed(joined,
+      org.apache.spark.sql.functions.col("u"))
+    assert(guarded.rdd.getNumPartitions === 8)
+  }
+
   test("WriterLease: two stale contenders — the tombstone rename admits exactly one") {
     import graft.common.WriterLease
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
