@@ -1288,12 +1288,15 @@ object Advanced {
     * corpus-quadratic; marginals broadcast. Top-20 by support with a
     * full lexical tiebreak. */
   val tripleItemsets: Q = (s, dir) => {
-    val baskets = Tables.t(s, dir, "lineitem")
-      .join(Tables.t(s, dir, "part"),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-      .distinct()
-      .localCheckpoint(true)
+    // IterFrame keyed on o — see assocRules: the width guard plus
+    // exchange-free double self-join for the triple fan-out
+    val baskets = graft.common.IterFrame.keyed(
+      Tables.t(s, dir, "lineitem")
+        .join(Tables.t(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct(),
+      col("o"))
     val marg = baskets.groupBy("b").agg(count(lit(1)).as("nb"))
     val tot = baskets.agg(countDistinct("o").as("nn"))
     baskets.as("x").join(baskets.as("y"), "o")
@@ -1345,14 +1348,21 @@ object Advanced {
       |ORDER BY support DESC, ba, bb, bc LIMIT 20""".stripMargin
 
   val assocRules: Q = (s, dir) => {
-    // eager localCheckpoint: the basket table feeds marginals, the
-    // grand total, and both self-join sides — one scan+join, not four
-    val baskets = Tables.t(s, dir, "lineitem")
-      .join(Tables.t(s, dir, "part"),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-      .distinct()
-      .localCheckpoint(true)
+    // the basket table feeds marginals, the grand total, and both
+    // self-join sides — one scan+join, not four. Materialized through
+    // the IterFrame width guard KEYED ON o (round-11: the sf10 probe
+    // caught the bare-checkpoint version AQE-coalesced at 100×, its
+    // basket self-join fanning out near-single-threaded — the same
+    // class as the q116 loop); keying on o also hands both self-join
+    // sides the same HashPartitioning, so the pair stage adds no
+    // exchange at all
+    val baskets = graft.common.IterFrame.keyed(
+      Tables.t(s, dir, "lineitem")
+        .join(Tables.t(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct(),
+      col("o"))
     val marg = baskets.groupBy("b").agg(count(lit(1)).as("nb"))
     val tot = baskets.agg(countDistinct("o").as("nn"))
     baskets.as("x").join(baskets.as("y"), "o")

@@ -890,7 +890,10 @@ object Analytics {
         "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS nxt))"))
         .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.nxt").as("nxt"))
-      .localCheckpoint(true)
+      // IterFrame (round-11 sweep): token-scale frame, re-read by the
+      // count and the per-doc scoring join — keyed on the shared
+      // (w1, nxt) so both consume its partitioning
+      .transform(df => graft.common.IterFrame.keyed(df, col("w1"), col("nxt")))
     val c = bg.groupBy("w1", "nxt").agg(count(lit(1)).as("cnt"))
     val tot = c.groupBy("w1").agg(sum("cnt").as("total"))
     val lm = c.join(tot, "w1")
@@ -1900,8 +1903,11 @@ object Analytics {
     * compare proves merge(base, batch) ≡ full derivation end to end,
     * through the downstream operator, not just on the edge set. */
   val incrementalGraphMerge: Q = (s, dir) => {
-    val items = graft.operators.GraphArtifact.itemsInline(s, dir)
-      .localCheckpoint(true)
+    // IterFrame keyed on o (round-11 sweep): the incidence table is a
+    // distinct (shuffle) output consumed by TWO supportFromItems
+    // self-joins on o — keyed, both derivations run co-partitioned
+    val items = graft.common.IterFrame.keyed(
+      graft.operators.GraphArtifact.itemsInline(s, dir), col("o"))
     val base = graft.operators.GraphArtifact
       .supportFromItems(items.filter(col("o") % 5 =!= 0))
     val batch = graft.operators.GraphArtifact
@@ -1934,8 +1940,13 @@ object Analytics {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct().localCheckpoint(true)
-    val und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
+    // IterFrame keyed on a (round-11 sweep): the undirected view feeds
+    // the degree aggregate AND both wedge-join legs on c (= a renamed) —
+    // keyed, the quadratic wedge enumeration adds no exchange and never
+    // runs at a collapsed width
+    val und = graft.common.IterFrame.keyed(
+      edges.union(edges.select(col("b").as("a"), col("a").as("b"))),
+      col("a"))
     val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
       .select(col("a").as("n"), col("d")).localCheckpoint(true)
     val w = und.select(col("a").as("c"), col("b").as("x"))
@@ -2264,10 +2275,11 @@ object Analytics {
     * 4 dp. Pairs with an empty intersection never materialize (the
     * join IS the sparsity filter). */
   val vocabJaccard: Q = (s, dir) => {
-    val ts = Tables.t(s, dir, "documents")
-      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .filter(col("tok") =!= "").distinct()
-      .localCheckpoint(true)
+    val ts = graft.common.IterFrame.keyed(
+      Tables.t(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "").distinct(),
+      col("tok")) // token-scale + self-join on tok (round-11 sweep)
     val sizes = ts.groupBy("source").agg(count(lit(1)).as("nv"))
     ts.as("a").join(ts.as("b"), Seq("tok"))
       .filter(col("a.source") < col("b.source"))
@@ -2963,11 +2975,16 @@ object Analytics {
       .withColumn("seed", col("id") >= 0 && col("id") % 7 === 0)
     val counts = nodes.agg(count(lit(1)).as("nn"),
       sum(when(col("seed"), 1L).otherwise(0L)).as("ns"))
-    val tele = nodes.crossJoin(broadcast(counts))
-      .select(col("id"),
-        when(col("seed"), expr("(150000 * nn) DIV ns")).otherwise(0L)
-          .as("t"))
-      .localCheckpoint(true)
+    // IterFrame keyed on id (round-11 sweep): the teleport table is a
+    // FIXED loop input — every iteration left-joins it on id; keyed,
+    // each round's join consumes its partitioning instead of rescanning
+    // a collapsed frame single-threaded
+    val tele = graft.common.IterFrame.keyed(
+      nodes.crossJoin(broadcast(counts))
+        .select(col("id"),
+          when(col("seed"), expr("(150000 * nn) DIV ns")).otherwise(0L)
+            .as("t")),
+      col("id"))
     var ranks = tele.select(col("id"), lit(1000000L).as("r"))
     for (_ <- 1 to 5) {
       val contrib = e.join(ranks, col("u") === col("id"))
@@ -3024,8 +3041,11 @@ object Analytics {
     * graph family's. */
   val assortativity: Q = (s, dir) => {
     val e = coPurchaseEdges(s, dir)
-    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
+    // IterFrame keyed on a (round-11 sweep): both downstream degree
+    // joins BROADCAST, so nothing after this frame inserts an exchange —
+    // a collapsed width here would run the whole moment pass in one task
+    val und = graft.common.IterFrame.keyed(
+      e.union(e.select(col("b").as("a"), col("a").as("b"))), col("a"))
     val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
     val pairs = und
       .join(broadcast(deg.select(col("a"), col("d").as("x"))), "a")

@@ -670,13 +670,19 @@ object Curation {
           .otherwise(-1L).as("y"),
         col("text"))
     val uni = filter(array_distinct(TextOps.tokens(col("text"))), f => f =!= "")
-    val fb = train
-      .select(col("doc_id"), col("y"),
-        explode(concat(uni, TextOps.wordShingles(col("text"), 2))).as("f"))
-      .groupBy(col("doc_id"), col("y"),
-        Fragments.hashBucket(col("f"), B).as("b"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // reused thrice: step-1 sum, scoring, step-2 sum
+    // reused thrice (step-1 sum, scoring, step-2 sum) — through the
+    // IterFrame width guard keyed on b (round-11 sweep): the scoring
+    // pass joins a BROADCAST model table, so a collapsed width here
+    // would run it single-threaded; keying on b also feeds both
+    // bucket-keyed weight sums their partitioning
+    val fb = graft.common.IterFrame.keyed(
+      train
+        .select(col("doc_id"), col("y"),
+          explode(concat(uni, TextOps.wordShingles(col("text"), 2))).as("f"))
+        .groupBy(col("doc_id"), col("y"),
+          Fragments.hashBucket(col("f"), B).as("b"))
+        .agg(count(lit(1)).as("cnt")),
+      col("b"))
     val w1 = fb.groupBy("b").agg(sum(col("y") * col("cnt")).as("u"))
       .select(col("b"),
         greatest(lit(-1000L), least(lit(1000L), col("u"))).as("w1"))
@@ -863,9 +869,15 @@ object Curation {
     * production swaps in a hash-bucket partner with the same plan
     * shape). */
   val contrastivePairs: Q = (s, dir) => {
-    val d = Tables.t(s, dir, "documents")
-      .select(col("doc_id"), TextOps.bagFingerprint(col("text")).as("fp"))
-      .localCheckpoint(true)
+    // IterFrame keyed on fp (round-11 sweep): the frame is data-scale
+    // (a row per document) and feeds a self-join — a bare checkpoint
+    // would let AQE coalesce it and serialize the positive-pair stage
+    // (the q231/q292 probe-caught class); keying on fp co-partitions
+    // both self-join sides
+    val d = graft.common.IterFrame.keyed(
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.bagFingerprint(col("text")).as("fp")),
+      col("fp"))
     val pos = d.as("x").join(d.as("y"), Seq("fp"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -1238,9 +1250,13 @@ object Curation {
     * actually collides; containment is a half-away 4-dp integer DIV.
     * Pairs with zero overlap never materialize. */
   val sourceLeakage: Q = (s, dir) => {
-    val d = Tables.t(s, dir, "documents")
-      .select(col("source"), TextOps.bagFingerprint(col("text")).as("fp"))
-      .distinct().localCheckpoint(true)
+    // IterFrame keyed on fp (round-11 sweep): distinct output feeding a
+    // self-join on fp — keyed, both sides co-partition with no exchange
+    val d = graft.common.IterFrame.keyed(
+      Tables.t(s, dir, "documents")
+        .select(col("source"), TextOps.bagFingerprint(col("text")).as("fp"))
+        .distinct(),
+      col("fp"))
     val sizes = d.groupBy("source").agg(count(lit(1)).as("nv"))
     d.as("a").join(d.as("b"), Seq("fp"))
       .filter(col("a.source") < col("b.source"))
@@ -2546,7 +2562,11 @@ object Curation {
           .when(Fragments.splitBucket(col("doc_id")) < 90, "val")
           .otherwise("test").as("split"))
       .localCheckpoint(true)
-    val fps = docs.select("split", "fp").distinct().localCheckpoint(true)
+    // IterFrame keyed on fp (round-11 sweep): the distinct fingerprint
+    // table feeds its own self-join AND the per-doc leakage join, both
+    // fp-keyed
+    val fps = graft.common.IterFrame.keyed(
+      docs.select("split", "fp").distinct(), col("fp"))
     val leakedFp = fps.as("a").join(fps.as("b"), "fp")
       .filter(col("a.split") < col("b.split"))
       .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))

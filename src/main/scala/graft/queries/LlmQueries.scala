@@ -1542,13 +1542,18 @@ object LlmQueries {
     * doc join), and cosine is one division by two correctly-rounded
     * sqrts. Data-scale work: the single token-explode aggregate. */
   val sourceProfileSim: Q = (s, dir) => {
-    // eager localCheckpoint: the profile table is read by the norms
-    // aggregate and BOTH self-join sides — one token explode, not three
-    val tf = Tables.t(s, dir, "documents")
-      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy("source", "term").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+    // the profile table is read by the norms aggregate and BOTH
+    // self-join sides — one token explode, not three. Materialized via
+    // the IterFrame width guard keyed on term (round-11 sweep: a bare
+    // checkpoint of this shuffle output AQE-collapses and every
+    // consumer rescans it single-threaded); keying on term also
+    // co-partitions both self-join sides
+    val tf = graft.common.IterFrame.keyed(
+      Tables.t(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("source", "term").agg(count(lit(1)).as("c")),
+      col("term"))
     val norms = tf.groupBy("source").agg(sum(col("c") * col("c")).as("n2"))
     val dots = tf.as("a").join(tf.as("b"), "term")
       .filter(col("a.source") < col("b.source"))
@@ -2104,8 +2109,11 @@ object LlmQueries {
     val toks = Tables.t(s, dir, "documents")
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
-    val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+    // IterFrame keyed on tok (round-11 sweep): the (source, tok) table
+    // feeds the token totals, the source totals, and the scoring join —
+    // keying on tok co-partitions the tok-keyed consumers
+    val st = graft.common.IterFrame.keyed(
+      toks.groupBy("source", "tok").agg(count(lit(1)).as("c")), col("tok"))
     val tot = st.groupBy("tok").agg(sum("c").as("t"))
     val ns = st.groupBy("source").agg(sum("c").as("n_s"))
     val nAll = ns.agg(sum("n_s").as("n_all"))

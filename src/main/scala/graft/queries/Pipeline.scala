@@ -1186,20 +1186,24 @@ object Pipeline {
   val rfmSegments: Q = (s, dir) => {
     val ev = Tables.t(s, dir, "events")
     val maxT = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
-    // eager localCheckpoint: the per-user table feeds the cut spines AND
-    // the final bucketing — without it every branch re-runs the events
-    // scan + aggregate (the unchecked plan held 28 scans)
-    val users = ev
-      .groupBy("user_id")
-      .agg(max(unix_micros(col("ts"))).as("last_us"),
-        count(lit(1)).as("f"),
-        sum(round(col("value") * 100).cast("long")).as("m_cents"))
-      .crossJoin(broadcast(maxT))
-      // whole-hour recency: day granularity degenerates on dense activity
-      .select(col("user_id"),
-        expr("(max_us - last_us) DIV 3600000000").as("r"),
-        col("f"), expr("m_cents DIV 100").as("m"))
-      .localCheckpoint(true)
+    // the per-user table feeds the cut spines AND the final bucketing —
+    // without materialization every branch re-runs the events scan +
+    // aggregate (the unchecked plan held 28 scans). Through the
+    // IterFrame width guard keyed on user_id (round-11 sweep): the melt
+    // explode and spine joins otherwise rescan a collapsed frame
+    // single-threaded
+    val users = graft.common.IterFrame.keyed(
+      ev
+        .groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("f"),
+          sum(round(col("value") * 100).cast("long")).as("m_cents"))
+        .crossJoin(broadcast(maxT))
+        // whole-hour recency: day granularity degenerates on dense activity
+        .select(col("user_id"),
+          expr("(max_us - last_us) DIV 3600000000").as("r"),
+          col("f"), expr("m_cents DIV 100").as("m")),
+      col("user_id"))
     // all three cut spines melt out of ONE pass over the users table
     val melt = users.select(explode(array(
       struct(lit("r").as("dim"), col("r").cast("long").as("v")),
@@ -1292,10 +1296,13 @@ object Pipeline {
     * bounded fan-out — and Jaccard is exact-integer
     * |A∩B| / (|A|+|B|−|A∩B|) with one final division. */
   val audienceOverlap: Q = (s, dir) => {
-    // eager localCheckpoint: audience pairs feed totals + both join legs
-    val p = Tables.t(s, dir, "events")
-      .select(col("event_type"), col("user_id")).distinct()
-      .localCheckpoint(true)
+    // audience pairs feed totals + both self-join legs — through the
+    // IterFrame width guard keyed on user_id (round-11 sweep), which
+    // also hands the user-keyed self-join both sides' partitioning
+    val p = graft.common.IterFrame.keyed(
+      Tables.t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct(),
+      col("user_id"))
     val tot = p.groupBy("event_type").agg(count(lit(1)).as("t"))
     p.as("a").join(p.as("b"), "user_id")
       .filter(col("a.event_type") < col("b.event_type"))
@@ -1472,8 +1479,13 @@ object Pipeline {
     // law at 8 vs the default 32) — and at proof scale 4 sub-tables × 32
     // partitioned writes are pure small-file overhead
     val gDir = tmp.resolve("graph").toString
-    val items = graft.operators.GraphArtifact.itemsInline(s, dir)
-      .localCheckpoint(true)
+    // items rides the IterFrame width guard keyed on o (round-11
+    // sweep): both build and append derive pair support via an o-keyed
+    // self-join — the q231-class collapse would serialize it. clicks
+    // stays a bare checkpoint: its consumers are linear bucket writes
+    // that repartition internally.
+    val items = graft.common.IterFrame.keyed(
+      graft.operators.GraphArtifact.itemsInline(s, dir), col("o"))
     val clicks = graft.operators.GraphArtifact.clickEdgesInline(s, dir)
       .localCheckpoint(true)
     val Bk = graft.operators.GraphArtifact.BucketsKey
