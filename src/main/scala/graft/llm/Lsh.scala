@@ -81,6 +81,7 @@ object Lsh {
           struct(x.as(aName), y.as(bName)))))).as("p"))
       .select(col(s"p.$aName"), col(s"p.$bName"))
       .dropDuplicates(aName, bName)
+      .transform(pinShuffleJoin)
 
   /** Ordered pairs with their SHARED-KEY counts: like [[bucketPairs]]
     * but each (a, b) row carries how many buckets the two ids
@@ -97,6 +98,7 @@ object Lsh {
           struct(x.as(aName), y.as(bName)))))).as("p"))
       .groupBy(col(s"p.$aName").as(aName), col(s"p.$bName").as(bName))
       .agg(count(lit(1)).as(countName))
+      .transform(pinShuffleJoin)
 
   /** Cross-corpus candidate pairs: `banded` rows carry the bucket keys,
     * an `id`, and a boolean `isBatch` side flag; emits distinct
@@ -132,7 +134,27 @@ object Lsh {
           struct(x.as(aName), y.as(bName)))))).as("p"))
       .select(col(s"p.$aName"), col(s"p.$bName"))
       .dropDuplicates(aName, bName)
+      .transform(pinShuffleJoin)
   }
+
+  /** Pin every downstream equi-join AGAINST a candidate-pair table to a
+    * shuffle (sort-merge) join. The pair table's STATIC size estimate is
+    * garbage — explode-of-collect_set followed by a distinct propagates
+    * a near-zero sizeInBytes — so without the hint the static planner
+    * happily plans `BroadcastExchange` over the pair table for the
+    * verification joins. That is invisibly fine at fixture scale (the
+    * pairs really are small) and fatal at data scale: the round-11 sf10
+    * probe measured q33's verification join building a 1.18 GB
+    * driver-side broadcast of ~25 M candidate pairs and dying on
+    * `spark.driver.maxResultSize` — AQE did NOT demote the
+    * statically-planned broadcast before the build executed. Candidates
+    * are data-scale BY DEFINITION (they grow with corpus duplication),
+    * so the shuffle join is the only 100 TB-safe shape; a downstream
+    * caller joining a genuinely bounded side can still say
+    * `broadcast(dim)` explicitly — an explicit broadcast hint on the
+    * OTHER side outranks this merge hint in join selection. */
+  private def pinShuffleJoin(pairs: DataFrame): DataFrame =
+    pairs.hint("merge")
 
   /** conf values <= 0 mean "uncapped", mirroring the parameter
     * convention — otherwise setting the conf to "0" to disable the cap

@@ -309,11 +309,15 @@ class PlanSpec extends AnyFunSuite {
   test("q177 incremental near-dup plans no products and no base self-join") {
     // candidates come from the grouped cross-bucket expansion: the only
     // joins in the plan are the candidate→shingle verify joins, never a
-    // sort-merge or cartesian of corpus sides
+    // cartesian of corpus sides. Round 11: the verify join AGAINST the
+    // pair table must be a SHUFFLE join — the pair frame's static size
+    // estimate is garbage-small and the un-hinted plan broadcast 25 M
+    // pairs at sf10 into a driver maxResultSize crash (Lsh.pinShuffleJoin)
     val p = plan("q177_incremental_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(800))
-    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("SortMergeJoin"),
+      "the pair-side verify join must plan as a shuffle join:\n" + p.take(800))
     assert(p.contains("collect_set"), "grouped bucket expansion expected")
   }
 
