@@ -10,11 +10,13 @@ import org.apache.spark.util.LongAccumulator
   * A naive bucket self-join re-evaluates the whole upstream pipeline
   * (scan → shingle/signature → banding) once per join leg; profiled at
   * sf0.1 that recomputation dominated (12s of 16s). Instead: group ids
-  * per bucket and expand in-bucket pairs — upstream runs ONCE and the
-  * only exchange is the groupBy on the bucket key. Bucket sizes are
-  * bounded by LSH design (that's the point of banding), so the per-group
-  * pair expansion is small; at 100 TB the shuffle carries (key, id)
-  * pairs only, never signatures or shingle sets. */
+  * per bucket (upstream runs ONCE; the groupBy exchange carries
+  * (key, id) pairs only, never signatures or shingle sets — and it is
+  * REUSED across both expansion legs), then expand in-bucket pairs by
+  * a STREAMED bucket-keyed self-join of the compact bucket table
+  * ([[pairLegs]] — constant memory per bucket regardless of its size;
+  * see its scaladoc for the measured sf10 failure of the in-row array
+  * expansion this replaced). */
 object Lsh {
 
   /** Recommended degenerate-bucket guard for production pipelines: a
@@ -74,14 +76,12 @@ object Lsh {
     * otherwise every bucket expands (exact candidate generation). */
   def bucketPairs(banded: DataFrame, keys: Seq[String],
                   aName: String, bName: String,
-                  maxBucket: Int = 0): DataFrame =
-    cappedGroups(banded, keys, maxBucket)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-          struct(x.as(aName), y.as(bName)))))).as("p"))
-      .select(col(s"p.$aName"), col(s"p.$bName"))
+                  maxBucket: Int = 0): DataFrame = {
+    val g = cappedGroups(banded, keys, maxBucket)
+    pairLegs(g, "ids", "ids", keys, aName, bName)
       .dropDuplicates(aName, bName)
       .transform(pinShuffleJoin)
+  }
 
   /** Ordered pairs with their SHARED-KEY counts: like [[bucketPairs]]
     * but each (a, b) row carries how many buckets the two ids
@@ -92,11 +92,9 @@ object Lsh {
   def sharedKeyCounts(banded: DataFrame, keys: Seq[String],
                       aName: String, bName: String, countName: String,
                       maxBucket: Int = 0): DataFrame =
-    cappedGroups(banded, keys, maxBucket)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-          struct(x.as(aName), y.as(bName)))))).as("p"))
-      .groupBy(col(s"p.$aName").as(aName), col(s"p.$bName").as(bName))
+    pairLegs(cappedGroups(banded, keys, maxBucket), "ids", "ids",
+      keys, aName, bName)
+      .groupBy(aName, bName)
       .agg(count(lit(1)).as(countName))
       .transform(pinShuffleJoin)
 
@@ -128,13 +126,44 @@ object Lsh {
         }
         grouped.filter(keep(size(col("aIds")) + size(col("bIds"))))
       }
-    capped
-      .select(explode(flatten(transform(col("aIds"), x =>
-        transform(col("bIds"), y =>
-          struct(x.as(aName), y.as(bName)))))).as("p"))
-      .select(col(s"p.$aName"), col(s"p.$bName"))
+    pairLegs(capped, "aIds", "bIds", keys, aName, bName)
       .dropDuplicates(aName, bName)
       .transform(pinShuffleJoin)
+  }
+
+  /** STREAMED per-bucket pair expansion: explode each id array back to
+    * (bucket key, id) rows and self-join the two legs on the bucket key
+    * (pinned to a sort-merge join — both legs carry the same
+    * garbage-small post-aggregate estimate the pinShuffleJoin scaladoc
+    * describes). SMJ streams the left leg and spills the right leg's
+    * per-key buffer, so a bucket's pair fan-out costs O(|bucket|) MEMORY
+    * and O(|bucket|²) streamed rows. The previous formulation —
+    * `explode(flatten(transform(ids, …)))` building each bucket's whole
+    * pair array inside one row — was measured DEAD at 10× bench scale:
+    * SfGen sf10's largest simhash bucket holds 27 900 ids (LshProbe;
+    * 100 verbatim copies merge copy-families into shared buckets), so a
+    * single task had to materialize C(27 900, 2) ≈ 3.9·10⁸ structs
+    * in memory and the executor heartbeat-starved into suicide inside
+    * q33's candidate stage. Total candidate mass there is 1.98 G pairs —
+    * legitimate output for that corpus, and streaming is the only shape
+    * that pays for it in time rather than heap. The exchange under the
+    * bucket aggregate is REUSED across the two legs (same canonical
+    * subtree), so upstream decode/signature lineage still runs once;
+    * when the two legs explode the SAME array the a<b predicate keeps
+    * the ordered-pair semantics of the old sorted-array slice. The
+    * opt-in bucket cap's drop accumulator now fires once per LEG (the
+    * filter sits above the reused exchange) — a systematic ≤2×
+    * over-count on top of the documented task-retry caveat; it remains
+    * a diagnostic, not data. */
+  private def pairLegs(grouped: DataFrame, aArr: String, bArr: String,
+                       keys: Seq[String], aName: String,
+                       bName: String): DataFrame = {
+    val legA = grouped.select(keys.map(col) :+ explode(col(aArr)).as(aName): _*)
+    val legB = grouped.select(keys.map(col) :+ explode(col(bArr)).as(bName): _*)
+    val joined = legA.hint("merge").join(legB, keys)
+    val ordered =
+      if (aArr == bArr) joined.where(col(aName) < col(bName)) else joined
+    ordered.select(col(aName), col(bName))
   }
 
   /** Pin every downstream equi-join AGAINST a candidate-pair table to a
