@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch adjudication probe for the round-11 exact-copy collapse
+  * (llm/Dedup minhashLsh / simhashPairs / minhashClusters): interleaved
+  * A/B of the UNCOLLAPSED pipeline bodies (reconstructed inline below,
+  * exactly as they stood before the collapse) against the shipped
+  * collapsed operators, min-of-N inside ONE process so host-level
+  * throughput drift cancels out (the FlagProbe methodology). Dev-only;
+  * not part of the library. */
+object CollapseProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rounds = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def drain(df: DataFrame): Long = df.queryExecution.toRdd.count()
+    def t1(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val docs = Tables.t(spark, dir, "documents")
+    drain(docs.select("doc_id", "text")) // warm the scan
+
+    // ---- the pre-collapse minhashLsh body, verbatim ----
+    def oldMinhash(): DataFrame = {
+      val sh = docs
+        .select(col("doc_id").as("id"),
+          graft.llm.TextOps.wordShingles(col("text"), 3).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = sh
+        .select(col("id"),
+          posexplode(graft.functions.Hashing.minhashBands(
+            col("shingles"), 32, 4)))
+        .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+      val cand = graft.llm.Lsh.bucketPairs(banded, Seq("band", "bh"), "doc_a", "doc_b")
+      val sa = sh.select(col("id").as("doc_a"), col("shingles").as("sh_a"))
+      val sb = sh.select(col("id").as("doc_b"), col("shingles").as("sh_b"))
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(graft.llm.TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    }
+
+    // ---- the pre-collapse simhashPairs body, verbatim ----
+    def oldSimhash(): DataFrame = {
+      val fp = docs.select(col("doc_id").as("id"),
+        graft.llm.Dedup.md5SimhashBlocks(col("text")).as("blocks"))
+      val banded = fp.select(col("id"),
+        explode(transform(sequence(lit(0), lit(3)),
+          b => struct(b.as("band"), element_at(col("blocks"), b + 1).as("bv")))).as("bb"))
+        .select(col("id"), col("bb.band"), col("bb.bv"))
+      val cand = graft.llm.Lsh.bucketPairs(banded, Seq("band", "bv"), "doc_a", "doc_b")
+      val fa = fp.select(col("id").as("doc_a"), col("blocks").as("bl_a"))
+      val fb = fp.select(col("id").as("doc_b"), col("blocks").as("bl_b"))
+      val ham = (1 to 4).map(i =>
+        bit_count(element_at(col("bl_a"), i).bitwiseXOR(element_at(col("bl_b"), i))))
+        .reduce(_ + _)
+      cand.join(fa, "doc_a").join(fb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+    }
+
+    val legs: Seq[(String, () => Unit)] = Seq(
+      "minhash_old" -> (() => { drain(oldMinhash()); graft.llm.Dedup.clearShingleCache() }),
+      "minhash_new" -> (() => { drain(graft.llm.Dedup.minhashLsh(docs)); graft.llm.Dedup.clearShingleCache() }),
+      "simhash_old" -> (() => { drain(oldSimhash()); () }),
+      "simhash_new" -> (() => { drain(graft.llm.Dedup.simhashPairs(docs, tokenHash = "md5")); () }),
+      "clusters_old" -> (() => { drain(graft.llm.Dedup.connectedComponents(oldMinhash())); graft.llm.Dedup.clearShingleCache() }),
+      "clusters_new" -> (() => { drain(graft.llm.Dedup.minhashClusters(docs)); graft.llm.Dedup.clearShingleCache() })
+    )
+    // sub-stage breakdown of the new minhash path (one shot, warm scan)
+    if (args.lift(2).contains("breakdown")) {
+      val c = graft.llm.Dedup.minhashCollapse(docs, "text", "doc_id", 3, 32, 4, 0.8)
+      println(f"[collapse-probe] members  ${t1(drain(c.members))}%6.2f s")
+      println(f"[collapse-probe] multiReps ${t1(drain(c.multiReps))}%6.2f s")
+      println(f"[collapse-probe] repPairs ${t1(drain(c.repPairs))}%6.2f s")
+      println(f"[collapse-probe] expandFull ${t1(drain(graft.llm.Dedup.minhashLsh(docs)))}%6.2f s")
+      graft.llm.Dedup.clearShingleCache()
+    }
+
+    val best = scala.collection.mutable.Map[String, Double]().withDefaultValue(Double.MaxValue)
+    for (r <- 1 to rounds; (name, body) <- legs) {
+      val s = t1(body())
+      best(name) = math.min(best(name), s)
+      println(f"[collapse-probe] round $r $name%-13s $s%6.2f s")
+      System.gc()
+    }
+    println("[collapse-probe] ---- min of " + rounds + " ----")
+    for ((name, _) <- legs)
+      println(f"[collapse-probe] $name%-13s ${best(name)}%6.2f s")
+    spark.stop()
+  }
+}

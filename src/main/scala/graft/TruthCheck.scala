@@ -74,7 +74,10 @@ object TruthCheck {
     // cluster truth: connected components of the brute-force pair graph,
     // canonicalized as (member -> min id of its component)
     val truthComp = components(truth)
-    val got = graft.llm.Dedup.connectedComponents(lshDf)
+    // the REGISTRY path (exact-copy-collapsed CC, Dedup.minhashClusters),
+    // not CC over the expanded pair frame — the truth tier gates what
+    // q56/q178 actually serve
+    val got = graft.llm.Dedup.minhashClusters(docs)
       .as[(Long, Long)].collect().toMap
     // compare only docs that appear in some pair (singletons are trivial)
     val diff = truthComp.keySet.filter(k => got.get(k) != truthComp.get(k))
@@ -84,7 +87,7 @@ object TruthCheck {
 
     // q178: the alternating large-star/small-star CC must land on the
     // same truth clusters (served from the still-persisted LSH pairs)
-    val gotAlt = graft.llm.Dedup.connectedComponentsAlternating(lshDf)
+    val gotAlt = graft.llm.Dedup.minhashClusters(docs, alternating = true)
       .as[(Long, Long)].collect().toMap
     val diffAlt = truthComp.keySet.filter(k => gotAlt.get(k) != truthComp.get(k))
     println(s"TRUTH|q178|members=${truthComp.size}|rounds=${graft.llm.Dedup.lastAlternatingRounds}|" +
@@ -106,8 +109,6 @@ object TruthCheck {
       (if (got59 == truth59) "PASS"
        else s"FAIL missing=${(truth59 -- got59).take(5)} extra=${(got59 -- truth59).take(5)}"))
 
-    // corpusFilter re-plans the same minhashLsh subtree — keep lshDf
-    // persisted until after got59 so its cache serves that re-plan
     lshDf.unpersist()
 
     // q177 incremental near-dup: truth is the brute-force batch×base

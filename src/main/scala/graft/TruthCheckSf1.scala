@@ -151,10 +151,12 @@ object TruthCheckSf1 {
       val missed = truthComp.keySet.count(k => got.get(k) != truthComp.get(k))
       report(q, truthComp.size, got.size, missed, (got.keySet -- truthComp.keySet).size)
     }
+    // the REGISTRY path (exact-copy-collapsed CC) — see TruthCheck
     compareComp("q56_dedup_clusters",
-      graft.llm.Dedup.connectedComponents(lshDf).as[(Long, Long)].collect().toMap)
+      graft.llm.Dedup.minhashClusters(docs1).as[(Long, Long)].collect().toMap)
     compareComp("q178_cc_alternating",
-      graft.llm.Dedup.connectedComponentsAlternating(lshDf).as[(Long, Long)].collect().toMap)
+      graft.llm.Dedup.minhashClusters(docs1, alternating = true)
+        .as[(Long, Long)].collect().toMap)
 
     // ---- q59: replay the non-quadratic gates over the lifted drop set ----
     val dropsTruth = truthComp.collect { case (k, r) if k != r => k }.toSeq

@@ -15,17 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** The one live shingle cache (see minhashLsh); bounded to a single
-    * table per session. */
-  @volatile private var lastShingleCache: Option[DataFrame] = None
+  /** The live shingle-stage caches (see minhashLsh): at most one CALL's
+    * caches per session — the shingle table and its collapsed
+    * representative table. Each new call evicts the previous call's
+    * pair, so a session holds one bounded working set. */
+  @volatile private var lastShingleCaches: Seq[DataFrame] = Nil
 
-  /** Release the cached shingle table — call when a dedup workload is
+  /** Release the cached shingle tables — call when a dedup workload is
     * done with a table (driver mains call it on exit; long-lived
     * services should call it between corpora). */
   def clearShingleCache(): Unit = Dedup.synchronized {
-    lastShingleCache.foreach(_.unpersist(blocking = false))
-    lastShingleCache = None
+    lastShingleCaches.foreach(_.unpersist(blocking = false))
+    lastShingleCaches = Nil
   }
+
+  private def swapShingleCaches(next: Seq[DataFrame]): Unit =
+    Dedup.synchronized {
+      lastShingleCaches.foreach(_.unpersist(blocking = false))
+      lastShingleCaches = next
+    }
 
   /** LSH buckets dropped so far this session by the opt-in size cap
     * ([[Lsh.MaxBucketConf]]). Nonzero means a corpus had degenerate
@@ -50,40 +58,146 @@ object Dedup {
   def minhashSignature(shingles: Column, numPerms: Int): Column =
     graft.functions.Hashing.minhashSignature(shingles, numPerms)
 
+  /** The exact-copy collapse behind [[minhashLsh]] / [[simhashPairs]] /
+    * [[minhashClusters]]: `members` is (id, rep, grp_n) for every doc
+    * that reached the pipeline (rep = min id of the doc's content
+    * class, grp_n = class size — computed in ONE slim window pass, no
+    * join), `multiReps` is (id, grp_n) for classes with ≥ 2 members,
+    * and `repPairs` is the verified near-dup pair set over
+    * REPRESENTATIVES only. */
+  private[graft] case class NearDupCollapse(members: DataFrame,
+                                            multiReps: DataFrame,
+                                            repPairs: DataFrame)
+
   /** MinHash + LSH near-duplicate pairs.
     *
-    * Pipeline: shingle → 128-perm signature → `bands` bands of
-    * `rowsPerBand` hashes → explode to (band, bandHash, id) → self-join on
-    * the band bucket (candidate generation) → exact-Jaccard verification
-    * of candidates only. With b=32, r=4 the LSH catch probability at
-    * j=0.8 is 1-(1-0.8^4)^32 ≈ 1-1e-7, so post-verification output equals
-    * the brute-force truth with near certainty (the DuckDB oracle computes
-    * the brute-force version).
+    * Pipeline: shingle → EXACT-COPY COLLAPSE (group docs by canonical
+    * shingle set, keep min-id representative) → 128-perm signature of
+    * each representative → `bands` bands of `rowsPerBand` hashes →
+    * explode to (band, bandHash, id) → self-join on the band bucket
+    * (candidate generation) → exact-Jaccard verification of candidates
+    * only → expand pairs back through the copy groups. With b=32, r=4
+    * the LSH catch probability at j=0.8 is 1-(1-0.8^4)^32 ≈ 1-1e-7, so
+    * post-verification output equals the brute-force truth with near
+    * certainty (the DuckDB oracle computes the brute-force version).
+    *
+    * The collapse is BIT-EXACT, not an approximation — every
+    * downstream value is a function of the shingle SET alone: the
+    * minhash signature (min over the set), hence every band key, hence
+    * bucket membership, hence the candidate set; and the verification
+    * Jaccard. So for docs a, b with equal canonical shingle sets:
+    * (1) a shares every bucket with its representative, so the raw
+    * candidate set equals the expansion of the representative-level
+    * candidate set through the groups; (2) verified Jaccard of any
+    * cross-group member pair equals the representatives' Jaccard;
+    * (3) any within-group pair is a raw candidate (all 32 buckets
+    * shared) verified at exactly round(1.0, 4) = 1.0 ≥ any threshold
+    * ≤ 1. Expansion therefore reproduces the uncollapsed output
+    * row-for-row — the q32/q56 oracle rows and the sf0.1/sf1
+    * TruthCheck tiers gate this equality against brute force.
+    *
+    * Why it matters at scale: a corpus that is N copies of U uniques
+    * costs the raw pipeline O(N) banding + O(N²/U) candidate pairs —
+    * the round-11 sf10 probe measured 1.98 G candidates and a spill
+    * wall on a 100×-copy corpus. Collapsed, candidate generation runs
+    * at O(U), and the copy mass is paid only where it is genuinely
+    * output (the expanded pair rows), streamed through merge joins.
+    * Under the opt-in degenerate cap ([[Lsh.MaxBucketConf]]) copy
+    * groups larger than the cap are dropped from PAIR expansion with
+    * the same accounting as dropped buckets (their representative
+    * still pairs normally), so capped output is bounded exactly as
+    * before while recovering the cross-group pairs the bucket cap
+    * used to lose.
     *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. */
   def minhashLsh(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                  shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
-                 threshold: Double = 0.8): DataFrame = {
-    // The shingle table is consumed three times (banding + both verify
-    // legs); persist it so the scan+shingle work runs once. MEMORY_AND_DISK
-    // keeps this safe at corpus scale (spills instead of OOM) — in a real
-    // pipeline the shingle table is the reusable asset. Each call evicts
-    // the previous call's cache so a session holds at most one.
+                 threshold: Double = 0.8): DataFrame =
+    expandCollapsed(
+      minhashCollapse(docs, textCol, idCol, shingleK, bands, rowsPerBand, threshold),
+      "jaccard", lit(1.0), withinQualifies = threshold <= 1.0)
+
+  /** Near-duplicate CLUSTERS (doc_id, cluster_id = min reachable id),
+    * computed on the COLLAPSED graph: connected components run over
+    * representative-level pairs only, then every doc inherits its
+    * representative's component. Same output as
+    * `connectedComponents(minhashLsh(docs))` — contracting an
+    * exact-copy clique to its representative changes no reachability
+    * and the component min is always a representative (each rep is the
+    * min of its own group) — but the component computation never sees
+    * the copy-clique edge mass: a corpus of 100× verbatim copies runs
+    * CC on the 1× graph (the round-11 sf10 probe measured the expanded
+    * clique set at ~25 M edges vs ~250 k collapsed). Docs in a
+    * multi-member group cluster even when their representative has no
+    * near-dup partner (they ARE duplicates of each other), matching
+    * the uncollapsed semantics where such pairs verify at 1.0.
+    *
+    * `alternating = true` uses the large-star/small-star algorithm
+    * ([[connectedComponentsAlternating]]) — diameter-independent round
+    * count — instead of min-label propagation. */
+  def minhashClusters(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                      shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
+                      threshold: Double = 0.8, alternating: Boolean = false): DataFrame = {
+    val c = minhashCollapse(docs, textCol, idCol, shingleK, bands, rowsPerBand, threshold)
+    val cc = if (alternating) connectedComponentsAlternating(c.repPairs)
+             else connectedComponents(c.repPairs)
+    val labels = cc.select(col("doc_id").as("rep"), col("cluster_id"))
+    c.members.hint("merge").join(labels, Seq("rep"), "left")
+      .filter(col("cluster_id").isNotNull || col("grp_n") > 1)
+      .select(col("id").as("doc_id"),
+        coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+  }
+
+  /** Shared collapse + representative-level MinHash-LSH pipeline. */
+  private[graft] def minhashCollapse(docs: DataFrame, textCol: String, idCol: String,
+                                     shingleK: Int, bands: Int, rowsPerBand: Int,
+                                     threshold: Double): NearDupCollapse = {
+    // The shingle table feeds the collapse groupBy and the membership
+    // join; the representative table feeds banding and both verify
+    // legs. Persist both so the scan+shingle work runs once and the
+    // collapse aggregation once. MEMORY_AND_DISK keeps this safe at
+    // corpus scale (spills instead of OOM) — in a real pipeline the
+    // shingle table is the reusable asset. Each call evicts the
+    // previous call's caches so a session holds at most one pair.
+    //
+    // ck is the canonical content class: md5 over the SORTED distinct
+    // shingle array (wordShingles already emits distinct shingles;
+    // tokens are normalized alphanumeric words, so the  separator
+    // cannot occur inside a shingle and the encoding is injective).
+    // Keying on the shingle SET — not the raw text — also merges docs
+    // whose texts differ in ways the pipeline provably cannot
+    // distinguish (shingle multiplicity, shingle order).
     val sh = docs
       .select(col(idCol).as("id"), TextOps.wordShingles(col(textCol), shingleK).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .withColumn("ck", md5(concat_ws("\u0001", array_sort(col("shingles")))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.synchronized {
-      lastShingleCache.foreach(_.unpersist(blocking = false))
-      lastShingleCache = Some(sh)
-    }
+    // min/first/count all combine map-side, so the collapse exchange
+    // carries one (ck, shingles) row per PARTITION-LOCAL distinct class,
+    // not per doc; `first(shingles)` is value-deterministic because every
+    // row under one ck carries the same shingle set and all consumers are
+    // set-functions of it.
+    val reps = sh.groupBy("ck")
+      .agg(min("id").as("id"), first("shingles").as("shingles"),
+        count(lit(1)).as("grp_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // membership in ONE slim window pass over (id, ck) — no join; the
+    // window's exchange+sort move two columns, and its two consumers in
+    // the pair expansion share the same canonicalized subtree, so the
+    // exchange is reused rather than recomputed (no persist needed).
+    val w = Window.partitionBy("ck")
+    val members = sh.select(col("id"), col("ck"))
+      .select(col("id"), min("id").over(w).as("rep"),
+        count(lit(1)).over(w).as("grp_n"))
+    swapShingleCaches(Seq(sh, reps))
+    val multiReps = reps.filter(col("grp_n") > 1).select("id", "grp_n")
 
     // Band keys travel WITHOUT the shingle arrays: the banded shuffle
     // moves (id, band, hash64) triples only — at corpus scale replicating
     // each document's shingle set bands× through the exchange is the
     // dominant cost, not the hashing. Signature + banding are fused in
     // one kernel pass (the per-band slice copies dominated otherwise).
-    val banded = sh
+    val banded = reps
       .select(col("id"),
         posexplode(graft.functions.Hashing.minhashBands(
           col("shingles"), bands, rowsPerBand)))
@@ -93,12 +207,61 @@ object Dedup {
 
     // fetch shingle sets only for surviving candidate pairs (few), then
     // verify with exact Jaccard
-    val sa = sh.select(col("id").as("doc_a"), col("shingles").as("sh_a"))
-    val sb = sh.select(col("id").as("doc_b"), col("shingles").as("sh_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    val sa = reps.select(col("id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = reps.select(col("id").as("doc_b"), col("shingles").as("sh_b"))
+    val repPairs = cand.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    NearDupCollapse(members, multiReps, repPairs)
+  }
+
+  /** Expand representative-level pairs back through the copy groups:
+    * cross-group pairs inherit the representatives' verified value;
+    * within-group cliques ride the SAME two joins as degenerate
+    * "self pairs" (rep, rep, `withinValue` — an identity by
+    * construction: Jaccard 1.0 / Hamming 0), with `ia < ib` keeping
+    * the ordered-pair semantics on the self legs. Both joins are
+    * streamed merge joins — a group's pair fan-out costs O(|group|)
+    * memory and O(|group|²) streamed OUTPUT rows, the
+    * [[Lsh.bucketPairs]] shape. Under a cap ([[Lsh.MaxBucketConf]])
+    * groups larger than the cap are excluded from expansion — their
+    * self pair is dropped WITH accounting in the shared accumulator
+    * (fires once per oversized group per join leg, the documented ≤2×
+    * diagnostic over-count) and only their representative row survives
+    * into the member legs, so neither their within-clique nor their
+    * member-level cross fan-out is materialized. */
+  private def expandCollapsed(c: NearDupCollapse, valueName: String,
+                              withinValue: Column,
+                              withinQualifies: Boolean): DataFrame = {
+    val spark = c.members.sparkSession
+    val cap = Lsh.capInForce(spark)
+    val selfPairs0 =
+      if (cap == Int.MaxValue) c.multiReps
+      else {
+        val acc = Lsh.dropAccumulator(spark)
+        val keep = udf { (n: Long) =>
+          val ok = n <= cap
+          if (!ok) acc.add(1L)
+          ok
+        }
+        c.multiReps.filter(keep(col("grp_n")))
+      }
+    val selfPairs = selfPairs0
+      .select(col("id").as("ra"), col("id").as("rb"), withinValue.as(valueName))
+    val p = c.repPairs
+      .select(col("doc_a").as("ra"), col("doc_b").as("rb"), col(valueName))
+    val pAll = if (withinQualifies) p.unionByName(selfPairs) else p
+    val xm =
+      if (cap == Int.MaxValue) c.members
+      else c.members.filter(col("grp_n") <= cap || col("id") === col("rep"))
+    val ma = xm.select(col("rep").as("ra"), col("id").as("ia"))
+    val mb = xm.select(col("rep").as("rb"), col("id").as("ib"))
+    pAll.hint("merge").join(ma, "ra")
+      .hint("merge").join(mb, "rb")
+      .where(col("ra") =!= col("rb") || col("ia") < col("ib"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col(valueName))
   }
 
   /** Incremental (cross-corpus) MinHash-LSH near-dup: candidates are
@@ -130,10 +293,7 @@ object Dedup {
     val sh = shingled(base, isBatch = false)
       .union(shingled(batch, isBatch = true))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.synchronized {
-      lastShingleCache.foreach(_.unpersist(blocking = false))
-      lastShingleCache = Some(sh)
-    }
+    swapShingleCaches(Seq(sh))
     val banded = sh
       .select(col("id"), col("isBatch"),
         posexplode(graft.functions.Hashing.minhashBands(
@@ -208,10 +368,6 @@ object Dedup {
   def md5SimhashBlocks(text: Column): Column =
     graft.functions.Hashing.md5SimhashBlocks(TextOps.tokens(text))
 
-  /** SimHash near-duplicate pairs: candidates share at least one of the 4
-    * 16-bit blocks (catches all pairs with Hamming distance ≤ 3 by
-    * pigeonhole); verified by exact Hamming distance over the 64 bits.
-    * Returns (doc_a, doc_b, hamming) with doc_a < doc_b, hamming ≤ maxHamming. */
   /** Duplicate-cluster assignment: connected components over a near-dup
     * pair graph by iterative min-label propagation (each node adopts the
     * smallest label among itself and its neighbors until fixpoint —
@@ -458,24 +614,61 @@ object Dedup {
       case "md5"   => md5SimhashBlocks _
       case other   => throw new IllegalArgumentException(s"unknown tokenHash: $other")
     }
+    // Exact-copy collapse, keyed on the 64-bit fingerprint ITSELF
+    // (reassembled from the four 16-bit blocks — injective, so no hash
+    // collision risk at all): every output value is a function of the
+    // fingerprint alone (bucket membership = the blocks; verification =
+    // Hamming over the blocks), so docs with equal fingerprints are
+    // interchangeable and pairing runs over one representative per
+    // fingerprint. Within-group pairs carry Hamming 0; cross-group
+    // pairs inherit the representatives' Hamming. Same bit-exactness
+    // argument as [[minhashLsh]] — here even stronger, since the
+    // collapse key IS the entire downstream input. The collapse
+    // groupBy replaces nothing: the raw pipeline evaluated the
+    // fingerprint kernel three times (banding + two verify legs);
+    // collapsed, those consumers share the grouped exchange.
+    // bit ops, not arithmetic: block 4 shifted 48 bits may set the sign
+    // bit, which is fine for a KEY but overflows a signed multiply
+    val fpk = (1 to 4).map(i =>
+      shiftleft(element_at(col("blocks"), i).cast("long")
+        .bitwiseAND(lit(0xFFFFL)), 16 * (i - 1)))
+      .reduce(_ bitwiseOR _)
     val fp = docs.select(col(idCol).as("id"), blocksOf(col(textCol)).as("blocks"))
+      .withColumn("fpk", fpk)
+    // the representative frame is slim (ids + a long + 4 small blocks)
+    // and multiply consumed (banding + two verify legs + multiReps) —
+    // persist it; the fingerprint kernel then runs twice total (reps +
+    // members) vs three times pre-collapse, and the members window's
+    // two expansion consumers share one reused exchange
+    val reps = fp.groupBy("fpk")
+      .agg(min("id").as("id"), first("blocks").as("blocks"),
+        count(lit(1)).as("grp_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wf = Window.partitionBy("fpk")
+    val members = fp.select(col("id"), col("fpk"))
+      .select(col("id"), min("id").over(wf).as("rep"),
+        count(lit(1)).over(wf).as("grp_n"))
+    swapShingleCaches(Seq(reps))
+    val multiReps = reps.filter(col("grp_n") > 1).select("id", "grp_n")
 
-    val banded = fp.select(col("id"),
+    val banded = reps.select(col("id"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"), element_at(col("blocks"), b + 1).as("bv")))).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bv"))
 
     val cand = Lsh.bucketPairs(banded, Seq("band", "bv"), "doc_a", "doc_b")
 
-    val fa = fp.select(col("id").as("doc_a"), col("blocks").as("bl_a"))
-    val fb = fp.select(col("id").as("doc_b"), col("blocks").as("bl_b"))
+    val fa = reps.select(col("id").as("doc_a"), col("blocks").as("bl_a"))
+    val fb = reps.select(col("id").as("doc_b"), col("blocks").as("bl_b"))
     val ham = (1 to 4).map(i =>
       bit_count(element_at(col("bl_a"), i).bitwiseXOR(element_at(col("bl_b"), i))))
       .reduce(_ + _)
 
-    cand.join(fa, "doc_a").join(fb, "doc_b")
+    val repPairs = cand.join(fa, "doc_a").join(fb, "doc_b")
       .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    expandCollapsed(NearDupCollapse(members, multiReps, repPairs),
+      "hamming", lit(0), withinQualifies = maxHamming >= 0)
   }
 
   /** Exact duplicated-substring spans (the substring-granular dedup of

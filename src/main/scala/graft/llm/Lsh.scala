@@ -185,6 +185,20 @@ object Lsh {
   private def pinShuffleJoin(pairs: DataFrame): DataFrame =
     pairs.hint("merge")
 
+  /** The session's drop accumulator, for the exact-copy collapse in
+    * [[Dedup]]: oversized COPY GROUPS dropped from pair expansion count
+    * in the same place oversized buckets do — one accumulator, one
+    * "degenerate mass was bounded here" signal. */
+  private[llm] def dropAccumulator(spark: SparkSession): LongAccumulator =
+    accFor(spark)
+
+  /** The cap currently in force (param beats conf; `Int.MaxValue` means
+    * uncapped), for callers outside this object that must apply the
+    * SAME cap to a non-bucket quadratic expansion (the exact-copy
+    * groups in [[Dedup]]). */
+  private[llm] def capInForce(spark: SparkSession, maxBucket: Int = 0): Int =
+    effectiveCap(spark, maxBucket)
+
   /** conf values <= 0 mean "uncapped", mirroring the parameter
     * convention — otherwise setting the conf to "0" to disable the cap
     * would drop every bucket. */

@@ -210,11 +210,15 @@ object LlmQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Duplicate clusters: MinHash-LSH pairs → connected components
-    * (min-label propagation). Oracle: recursive-CTE transitive closure
-    * over the brute-force pair truth. */
+    * (min-label propagation), on the exact-copy-COLLAPSED graph
+    * ([[Dedup.minhashClusters]]): CC runs over representative-level
+    * pairs and members inherit their representative's component, so a
+    * copy-heavy corpus never materializes its copy-clique edge mass.
+    * Oracle: recursive-CTE transitive closure over the brute-force
+    * pair truth — the green row is the equivalence proof that the
+    * collapsed clustering equals the uncollapsed one. */
   val dedupClusters: Q = (s, dir) =>
-    Dedup.connectedComponents(
-        Dedup.minhashLsh(Tables.t(s, dir, "documents")))
+    Dedup.minhashClusters(Tables.t(s, dir, "documents"))
       .orderBy("doc_id")
 
   val dedupClustersSql: String =
@@ -245,8 +249,7 @@ object LlmQueries {
     * oracle is the identical recursive-CTE transitive closure, so the
     * driver independently proves the two algorithms agree with truth. */
   val dedupClustersAlt: Q = (s, dir) =>
-    Dedup.connectedComponentsAlternating(
-        Dedup.minhashLsh(Tables.t(s, dir, "documents")))
+    Dedup.minhashClusters(Tables.t(s, dir, "documents"), alternating = true)
       .orderBy("doc_id")
 
   /** Partial-duplicate pairs by ALIGNED fixed-size blocks: md5 of each
@@ -282,7 +285,7 @@ object LlmQueries {
     * this composes them under one oracle. */
   val corpusFilter: Q = (s, dir) => {
     val docs = Tables.t(s, dir, "documents")
-    val clusters = Dedup.connectedComponents(Dedup.minhashLsh(docs))
+    val clusters = Dedup.minhashClusters(docs)
     val drops = clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     docs.join(drops, Seq("doc_id"), "left_anti")
       .filter(TextOps.langId(col("text")) === "en")

@@ -209,4 +209,112 @@ class DedupAdversarialSpec extends AnyFunSuite {
     val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((9001L, 2000L), (9001L, 2001L)), got.toString)
   }
+
+  // ------------------------------------------------ exact-copy collapse
+
+  /** A copy-heavy corpus with known structure: a sliding-window chain of
+    * 12 near-dup docs (consecutive Jaccard exactly 16/20 = 0.8), copy
+    * families grafted onto chain docs 3 and 7, and one ISOLATED 3-copy
+    * family whose representative has no near-dup partner. */
+  private def copyHeavyCorpus() = {
+    val toks = (0 until 50).map(i => s"w$i")
+    val chain = (0L until 12L).map(i =>
+      (i, toks.slice(2 * i.toInt, 2 * i.toInt + 20).mkString(" ")))
+    val copies =
+      (100L to 103L).map(id => (id, chain(3)._2)) ++
+      (200L to 202L).map(id => (id, chain(7)._2)) ++
+      (300L to 302L).map(id =>
+        (id, "isolated family text completely unlike anything else present"))
+    (chain ++ copies).toDF("doc_id", "text")
+  }
+
+  test("exact-copy collapse is bit-exact: pairs, values, clusters equal brute force") {
+    val docs = copyHeavyCorpus()
+
+    // brute-force truth WITH values, via the same kernels
+    val sh = docs.select(col("doc_id"),
+        TextOps.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val truth = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("j"))
+      .filter(col("j") >= 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+
+    val pairs = Dedup.minhashLsh(docs).as[(Long, Long, Double)].collect()
+    assert(pairs.length === pairs.toSet.size, "no duplicate pair rows")
+    assert(pairs.toSet === truth,
+      "collapsed pair output must equal brute force, values included")
+
+    // the collapse demonstrably FIRED: three multi-member families
+    val c = Dedup.minhashCollapse(docs, "text", "doc_id", 3, 32, 4, 0.8)
+    assert(c.members.select("rep").distinct().count() === 13L,
+      "12 chain classes + the isolated family; grafted copies join classes 3 and 7")
+    assert(c.multiReps.count() === 3L)
+    assert(c.repPairs.filter(col("doc_a") >= 100L).count() === 0L,
+      "rep pairs live entirely in representative (min-id) space")
+
+    // clusters: both CC algorithms equal union-find truth over the
+    // brute-force pair graph — including the isolated copy family,
+    // whose representative has no rep-level pair at all
+    val comp = TruthCheck.components(truth.map(t => (t._1, t._2)))
+    assert(comp.keySet.contains(302L), "isolated copies must cluster (premise)")
+    val lp = Dedup.minhashClusters(docs).as[(Long, Long)].collect().toMap
+    assert(lp === comp)
+    val alt = Dedup.minhashClusters(docs, alternating = true)
+      .as[(Long, Long)].collect().toMap
+    assert(alt === comp)
+
+    // simhash: same collapse, same bit-exactness (output is a pure
+    // function of the 64-bit fingerprint the collapse keys on)
+    val fps = docs.select(col("doc_id"), Dedup.simhashBlocks(col("text")).as("bl"))
+    val ham = (1 to 4).map(i => bit_count(
+      element_at(col("bl_a"), i).bitwiseXOR(element_at(col("bl_b"), i))))
+      .reduce(_ + _)
+    val simTruth = fps.select(col("doc_id").as("doc_a"), col("bl").as("bl_a"))
+      .crossJoin(fps.select(col("doc_id").as("doc_b"), col("bl").as("bl_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val simGot = Dedup.simhashPairs(docs).as[(Long, Long, Int)].collect()
+    assert(simGot.length === simGot.toSet.size)
+    assert(simGot.toSet === simTruth)
+    Dedup.clearShingleCache()
+  }
+
+  test("capped collapse: oversized copy groups drop from pair expansion, clusters stay exact") {
+    // 40 verbatim copies plus one DISTINCT near-dup partner of the copy
+    // text (22 tokens; the single changed trailing token flips exactly
+    // one of 20 shingles → Jaccard 19/21 ≈ 0.9048 ≥ 0.8)
+    val cloneText = "the quick brown fox jumps over the lazy dog again and " +
+      "again in the same meadow every single morning before dawn breaks"
+    val partner = cloneText.replace("breaks", "arrives")
+    val docs = ((0L until 40L).map(i => (i, cloneText)) :+ (100L, partner))
+      .toDF("doc_id", "text")
+
+    val before = Lsh.droppedBuckets(spark)
+    spark.conf.set(Lsh.MaxBucketConf, "10")
+    try {
+      // pair expansion: the 40-copy group exceeds the cap → its
+      // within-clique (780 pairs) is dropped WITH accounting, but its
+      // representative still pairs with the partner — the bucket-cap
+      // regime used to lose that cross pair too (the shared bucket held
+      // all 41 docs)
+      val pairs = Dedup.minhashLsh(docs).as[(Long, Long, Double)].collect()
+      assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((0L, 100L)),
+        pairs.mkString(","))
+      assert(Lsh.droppedBuckets(spark) - before >= 1,
+        "dropped copy groups must be counted, not silent")
+
+      // cluster path: membership is linear, so NO cap applies — all 41
+      // docs land in one exact cluster even while the pair expansion
+      // above is capped (the old bucket-cap path returned nothing here)
+      val cl = Dedup.minhashClusters(docs).as[(Long, Long)].collect()
+      assert(cl.length === 41 && cl.forall(_._2 === 0L), cl.take(5).mkString(","))
+    } finally spark.conf.unset(Lsh.MaxBucketConf)
+    Dedup.clearShingleCache()
+  }
 }
