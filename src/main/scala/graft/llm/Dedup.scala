@@ -115,7 +115,7 @@ object Dedup {
                  threshold: Double = 0.8): DataFrame =
     expandCollapsed(
       minhashCollapse(docs, textCol, idCol, shingleK, bands, rowsPerBand, threshold),
-      "jaccard", lit(1.0), withinQualifies = threshold <= 1.0)
+      Seq("jaccard"), Seq(lit(1.0)), withinQualifies = threshold <= 1.0)
 
   /** Near-duplicate CLUSTERS (doc_id, cluster_id = min reachable id),
     * computed on the COLLAPSED graph: connected components run over
@@ -231,9 +231,9 @@ object Dedup {
     * diagnostic over-count) and only their representative row survives
     * into the member legs, so neither their within-clique nor their
     * member-level cross fan-out is materialized. */
-  private def expandCollapsed(c: NearDupCollapse, valueName: String,
-                              withinValue: Column,
-                              withinQualifies: Boolean): DataFrame = {
+  private[llm] def expandCollapsed(c: NearDupCollapse, values: Seq[String],
+                                   withinValues: Seq[Column],
+                                   withinQualifies: Boolean): DataFrame = {
     val spark = c.members.sparkSession
     val cap = Lsh.capInForce(spark)
     val selfPairs0 =
@@ -247,10 +247,14 @@ object Dedup {
         }
         c.multiReps.filter(keep(col("grp_n")))
       }
+    // withinValues may reference multiReps columns (e.g. the set size
+    // for q136's inter/uni identities), not just literals
     val selfPairs = selfPairs0
-      .select(col("id").as("ra"), col("id").as("rb"), withinValue.as(valueName))
+      .select(col("id").as("ra") +: col("id").as("rb") +:
+        values.zip(withinValues).map { case (n, v) => v.as(n) }: _*)
     val p = c.repPairs
-      .select(col("doc_a").as("ra"), col("doc_b").as("rb"), col(valueName))
+      .select(col("doc_a").as("ra") +: col("doc_b").as("rb") +:
+        values.map(col): _*)
     val pAll = if (withinQualifies) p.unionByName(selfPairs) else p
     val xm =
       if (cap == Int.MaxValue) c.members
@@ -260,8 +264,9 @@ object Dedup {
     pAll.hint("merge").join(ma, "ra")
       .hint("merge").join(mb, "rb")
       .where(col("ra") =!= col("rb") || col("ia") < col("ib"))
-      .select(least(col("ia"), col("ib")).as("doc_a"),
-        greatest(col("ia"), col("ib")).as("doc_b"), col(valueName))
+      .select(least(col("ia"), col("ib")).as("doc_a") +:
+        greatest(col("ia"), col("ib")).as("doc_b") +:
+        values.map(col): _*)
   }
 
   /** Incremental (cross-corpus) MinHash-LSH near-dup: candidates are
@@ -668,7 +673,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
     expandCollapsed(NearDupCollapse(members, multiReps, repPairs),
-      "hamming", lit(0), withinQualifies = maxHamming >= 0)
+      Seq("hamming"), Seq(lit(0)), withinQualifies = maxHamming >= 0)
   }
 
   /** Exact duplicated-substring spans (the substring-granular dedup of

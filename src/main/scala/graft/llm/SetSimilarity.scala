@@ -38,10 +38,35 @@ object SetSimilarity {
     */
   def selfJoinPairs(sets: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && num <= den, s"threshold $num/$den must be in (0,1]")
-    val sorted = rankedSets(sets, num, den)
+    // Exact-copy collapse (the [[Dedup.minhashLsh]] discipline): the
+    // output (inter, uni) is a pure function of the two token SETS, so
+    // sets with equal canonical form are interchangeable — the prefix
+    // pipeline runs over one min-id representative per class and pairs
+    // expand back through the copy groups, within-class pairs carrying
+    // the identity (inter = uni = n). Correctness does NOT depend on
+    // the document frequencies staying per-doc: prefix filtering is
+    // lossless under ANY fixed global token order, so computing df over
+    // classes (each class counted once) still yields the exact pair
+    // set — it only changes which non-qualifying candidates get pruned
+    // earliest. A 100×-copy corpus therefore pays the quadratic prefix
+    // candidate mass at 1× and streams the copy mass as output only.
+    val base = sets.select(col("id"), col("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("ck", md5(concat_ws("\u0001", array_sort(col("toks")))))
+    val reps = base.groupBy("ck")
+      .agg(min("id").as("id"), first("toks").as("toks"),
+        count(lit(1)).as("grp_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ck")
+    val members = base.select(col("id"), col("ck"))
+      .select(col("id"), min("id").over(w).as("rep"),
+        count(lit(1)).over(w).as("grp_n"))
+    val multiReps = reps.filter(col("grp_n") > 1)
+      .select(col("id"), col("grp_n"), size(col("toks")).as("n"))
+
+    val sorted = rankedSets(reps.select("id", "toks"), num, den)
     val cand = candidatePairs(sorted, num, den)
     val payload = sorted.select(col("id"), col("toks"), col("n"))
-    cand
+    val repPairs = cand
       .join(payload.select(col("id").as("doc_a"), col("toks").as("ta"),
         col("n").as("na")), "doc_a")
       .join(payload.select(col("id").as("doc_b"), col("toks").as("tb"),
@@ -50,6 +75,9 @@ object SetSimilarity {
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * den >= col("uni") * num)
       .select("doc_a", "doc_b", "inter", "uni")
+    Dedup.expandCollapsed(Dedup.NearDupCollapse(members, multiReps, repPairs),
+      Seq("inter", "uni"), Seq(col("n"), col("n")),
+      withinQualifies = true) // n·den ≥ n·num holds by the require above
   }
 
   /** Each set re-sorted rarest-token-first under the global (df, token)

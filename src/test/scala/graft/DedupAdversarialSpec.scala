@@ -285,6 +285,31 @@ class DedupAdversarialSpec extends AnyFunSuite {
     Dedup.clearShingleCache()
   }
 
+  test("setsim collapse is exact: pairs and counts equal brute force on the copy-heavy corpus") {
+    // same corpus, same shingle space as q136; the collapse changes the
+    // global df basis (classes, not docs) — output must not move
+    val docs = copyHeavyCorpus()
+    val sh = docs.select(col("doc_id").as("id"),
+      TextOps.wordShingles(col("text"), 3).as("toks"))
+    val got = SetSimilarity.selfJoinPairs(sh, 4, 5)
+      .as[(Long, Long, Int, Int)].collect()
+    assert(got.length === got.toSet.size, "no duplicate pair rows")
+
+    val nz = sh.filter(size(col("toks")) > 0)
+    val truth = nz.select(col("id").as("doc_a"), col("toks").as("ta"))
+      .crossJoin(nz.select(col("id").as("doc_b"), col("toks").as("tb")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).as("inter"),
+        (size(col("ta")) + size(col("tb")) -
+          size(array_intersect(col("ta"), col("tb")))).as("uni"))
+      .filter(col("inter") * 5 >= col("uni") * 4)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(truth.exists(t => t._1 < 100 && t._2 >= 100),
+      "copies must participate in qualifying pairs (premise)")
+    assert(got.toSet === truth)
+  }
+
   test("capped collapse: oversized copy groups drop from pair expansion, clusters stay exact") {
     // 40 verbatim copies plus one DISTINCT near-dup partner of the copy
     // text (22 tokens; the single changed trailing token flips exactly
