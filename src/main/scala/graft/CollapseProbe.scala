@@ -27,6 +27,10 @@ object CollapseProbe {
     }
     val docs = Tables.t(spark, dir, "documents")
     drain(docs.select("doc_id", "text")) // warm the scan
+    // the old-pipeline legs persist their own shingle table (outside
+    // the Dedup cache registry) — track and evict it per call so later
+    // legs in a round never run with less block-manager memory
+    var lastOldCache: Option[org.apache.spark.sql.DataFrame] = None
 
     // ---- the pre-collapse minhashLsh body, verbatim ----
     def oldMinhash(): DataFrame = {
@@ -35,6 +39,8 @@ object CollapseProbe {
           graft.llm.TextOps.wordShingles(col("text"), 3).as("shingles"))
         .filter(size(col("shingles")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lastOldCache.foreach(_.unpersist(blocking = false))
+      lastOldCache = Some(sh)
       val banded = sh
         .select(col("id"),
           posexplode(graft.functions.Hashing.minhashBands(
@@ -72,7 +78,7 @@ object CollapseProbe {
       "minhash_old" -> (() => { drain(oldMinhash()); graft.llm.Dedup.clearShingleCache() }),
       "minhash_new" -> (() => { drain(graft.llm.Dedup.minhashLsh(docs)); graft.llm.Dedup.clearShingleCache() }),
       "simhash_old" -> (() => { drain(oldSimhash()); () }),
-      "simhash_new" -> (() => { drain(graft.llm.Dedup.simhashPairs(docs, tokenHash = "md5")); () }),
+      "simhash_new" -> (() => { drain(graft.llm.Dedup.simhashPairs(docs, tokenHash = "md5")); graft.llm.Dedup.clearShingleCache() }),
       "clusters_old" -> (() => { drain(graft.llm.Dedup.connectedComponents(oldMinhash())); graft.llm.Dedup.clearShingleCache() }),
       "clusters_new" -> (() => { drain(graft.llm.Dedup.minhashClusters(docs)); graft.llm.Dedup.clearShingleCache() })
     )
@@ -91,6 +97,8 @@ object CollapseProbe {
       val s = t1(body())
       best(name) = math.min(best(name), s)
       println(f"[collapse-probe] round $r $name%-13s $s%6.2f s")
+      lastOldCache.foreach(_.unpersist(blocking = false))
+      lastOldCache = None
       System.gc()
     }
     println("[collapse-probe] ---- min of " + rounds + " ----")

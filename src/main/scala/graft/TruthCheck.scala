@@ -66,6 +66,10 @@ object TruthCheck {
     val lshDf = graft.llm.Dedup.minhashLsh(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lsh = lshDf.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // nothing downstream reads the pair frame anymore (the cluster and
+    // corpus-filter legs run the collapsed REGISTRY operators, which
+    // build their own state) — release it before those sections
+    lshDf.unpersist()
     val missed = truth -- lsh
     val extra = lsh -- truth
     println(s"TRUTH|q32|truth=${truth.size}|lsh=${lsh.size}|missed=${missed.size}|extra=${extra.size}|" +
@@ -86,7 +90,7 @@ object TruthCheck {
        else s"FAIL diff=${diff.take(5)} extraMembers=${(got.keySet -- truthComp.keySet).take(5)}"))
 
     // q178: the alternating large-star/small-star CC must land on the
-    // same truth clusters (served from the still-persisted LSH pairs)
+    // same truth clusters, through the same collapsed registry path
     val gotAlt = graft.llm.Dedup.minhashClusters(docs, alternating = true)
       .as[(Long, Long)].collect().toMap
     val diffAlt = truthComp.keySet.filter(k => gotAlt.get(k) != truthComp.get(k))
@@ -108,8 +112,6 @@ object TruthCheck {
     println(s"TRUTH|q59|truth=${truth59.size}|got=${got59.size}|" +
       (if (got59 == truth59) "PASS"
        else s"FAIL missing=${(truth59 -- got59).take(5)} extra=${(got59 -- truth59).take(5)}"))
-
-    lshDf.unpersist()
 
     // q177 incremental near-dup: truth is the brute-force batch×base
     // cross product (quadratic ACROSS the split only) with the same

@@ -142,6 +142,9 @@ object TruthCheckSf1 {
     val lshDf = graft.llm.Dedup.minhashLsh(docs1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lsh = lshDf.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // released immediately: the cluster/corpus-filter legs run the
+    // collapsed registry operators, which never read this pair frame
+    lshDf.unpersist()
     report("q32_dedup_minhash_lsh", truthPairs.size, lsh.size,
       (truthPairs -- lsh).size, (lsh -- truthPairs).size)
 
@@ -169,7 +172,6 @@ object TruthCheckSf1 {
       .select("doc_id").as[Long].collect().toSet
     report("q59_corpus_filter", truth59.size, got59.size,
       (truth59 -- got59).size, (got59 -- truth59).size)
-    lshDf.unpersist()
 
     // ---- q177/q209: from-scratch and index-served incremental near-dup ----
     val got177 = graft.queries.LlmQueries.incrementalNearDup(spark, sf1)

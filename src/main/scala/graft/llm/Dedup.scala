@@ -29,7 +29,7 @@ object Dedup {
     lastShingleCaches = Nil
   }
 
-  private def swapShingleCaches(next: Seq[DataFrame]): Unit =
+  private[llm] def swapShingleCaches(next: Seq[DataFrame]): Unit =
     Dedup.synchronized {
       lastShingleCaches.foreach(_.unpersist(blocking = false))
       lastShingleCaches = next
@@ -102,12 +102,17 @@ object Dedup {
     * wall on a 100×-copy corpus. Collapsed, candidate generation runs
     * at O(U), and the copy mass is paid only where it is genuinely
     * output (the expanded pair rows), streamed through merge joins.
-    * Under the opt-in degenerate cap ([[Lsh.MaxBucketConf]]) copy
-    * groups larger than the cap are dropped from PAIR expansion with
-    * the same accounting as dropped buckets (their representative
-    * still pairs normally), so capped output is bounded exactly as
-    * before while recovering the cross-group pairs the bucket cap
-    * used to lose.
+    * Under the opt-in degenerate cap ([[Lsh.MaxBucketConf]]) the
+    * guard's strength is preserved: band rows carry the class size as
+    * a weight, so bucket drop decisions are keyed on the bucket's RAW
+    * population — identical to the uncollapsed pipeline, bounding each
+    * bucket's emission at C(cap, 2) — and copy groups larger than the
+    * cap are additionally dropped from PAIR expansion with the same
+    * accounting. The one (bounded) superset vs the old capped output:
+    * a small group's within-clique survives even when bucket
+    * co-occupancy pushed every one of its raw buckets over the cap —
+    * ≤ C(cap, 2) rows per group, pairs the cheaper exact pass finds
+    * anyway.
     *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. */
   def minhashLsh(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
@@ -120,8 +125,8 @@ object Dedup {
   /** Near-duplicate CLUSTERS (doc_id, cluster_id = min reachable id),
     * computed on the COLLAPSED graph: connected components run over
     * representative-level pairs only, then every doc inherits its
-    * representative's component. Same output as
-    * `connectedComponents(minhashLsh(docs))` — contracting an
+    * representative's component. With no bucket cap in force this
+    * equals `connectedComponents(minhashLsh(docs))` — contracting an
     * exact-copy clique to its representative changes no reachability
     * and the component min is always a representative (each rep is the
     * min of its own group) — but the component computation never sees
@@ -131,6 +136,14 @@ object Dedup {
     * multi-member group cluster even when their representative has no
     * near-dup partner (they ARE duplicates of each other), matching
     * the uncollapsed semantics where such pairs verify at 1.0.
+    *
+    * Under a cap ([[Lsh.MaxBucketConf]]) the two DELIBERATELY diverge:
+    * the pair path must bound its quadratic output, but cluster
+    * membership is linear, so this path applies no group cap at all —
+    * every exact-copy family still clusters (the capped pair path
+    * would have dropped the oversized clique), which is strictly
+    * closer to the uncapped truth. Rep-level edge discovery still
+    * honors the bucket cap like every LSH consumer.
     *
     * `alternating = true` uses the large-star/small-star algorithm
     * ([[connectedComponentsAlternating]]) — diameter-independent round
@@ -153,9 +166,12 @@ object Dedup {
                                      shingleK: Int, bands: Int, rowsPerBand: Int,
                                      threshold: Double): NearDupCollapse = {
     // The shingle table feeds the collapse groupBy and the membership
-    // join; the representative table feeds banding and both verify
+    // window; the representative table feeds banding and both verify
     // legs. Persist both so the scan+shingle work runs once and the
-    // collapse aggregation once. MEMORY_AND_DISK keeps this safe at
+    // collapse aggregation once — a deliberate ≤2× cached-footprint
+    // trade (spill-safe): the alternative, persisting only a slim
+    // (id, ck) projection, re-runs the scan+shingle pass that profiling
+    // pinned as the pipeline's dominant cost. MEMORY_AND_DISK keeps this safe at
     // corpus scale (spills instead of OOM) — in a real pipeline the
     // shingle table is the reusable asset. Each call evicts the
     // previous call's caches so a session holds at most one pair.
@@ -170,7 +186,10 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("id"), TextOps.wordShingles(col(textCol), shingleK).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("ck", md5(concat_ws("\u0001", array_sort(col("shingles")))))
+      .withColumn("ck", struct(
+        md5(concat_ws("\u0001", array_sort(col("shingles")))),
+        xxhash64(concat_ws("\u0001", array_sort(col("shingles")))),
+        size(col("shingles"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // min/first/count all combine map-side, so the collapse exchange
     // carries one (ck, shingles) row per PARTITION-LOCAL distinct class,
@@ -198,12 +217,15 @@ object Dedup {
     // dominant cost, not the hashing. Signature + banding are fused in
     // one kernel pass (the per-band slice copies dominated otherwise).
     val banded = reps
-      .select(col("id"),
+      .select(col("id"), col("grp_n"),
         posexplode(graft.functions.Hashing.minhashBands(
           col("shingles"), bands, rowsPerBand)))
-      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+      .select(col("id"), col("grp_n"), col("pos").as("band"), col("col").as("bh"))
 
-    val cand = Lsh.bucketPairs(banded, Seq("band", "bh"), "doc_a", "doc_b")
+    // grp_n is the bucket-cap weight: drop decisions stay keyed on the
+    // bucket's RAW population, identical to the uncollapsed pipeline
+    val cand = Lsh.bucketPairs(banded, Seq("band", "bh"), "doc_a", "doc_b",
+      weightCol = "grp_n")
 
     // fetch shingle sets only for surviving candidate pairs (few), then
     // verify with exact Jaccard
@@ -656,12 +678,13 @@ object Dedup {
     swapShingleCaches(Seq(reps))
     val multiReps = reps.filter(col("grp_n") > 1).select("id", "grp_n")
 
-    val banded = reps.select(col("id"),
+    val banded = reps.select(col("id"), col("grp_n"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"), element_at(col("blocks"), b + 1).as("bv")))).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bv"))
+      .select(col("id"), col("grp_n"), col("bb.band"), col("bb.bv"))
 
-    val cand = Lsh.bucketPairs(banded, Seq("band", "bv"), "doc_a", "doc_b")
+    val cand = Lsh.bucketPairs(banded, Seq("band", "bv"), "doc_a", "doc_b",
+      weightCol = "grp_n")
 
     val fa = reps.select(col("id").as("doc_a"), col("blocks").as("bl_a"))
     val fb = reps.select(col("id").as("doc_b"), col("blocks").as("bl_b"))

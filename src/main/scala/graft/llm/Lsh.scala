@@ -73,11 +73,21 @@ object Lsh {
     * an explicit positive `maxBucket`, else the [[MaxBucketConf]]
     * session conf — buckets larger than it are dropped (see
     * [[RecommendedMaxBucket]]) and counted in [[droppedBuckets]];
-    * otherwise every bucket expands (exact candidate generation). */
+    * otherwise every bucket expands (exact candidate generation).
+    *
+    * `weightCol` (optional) names a per-row population weight: an
+    * exact-copy-collapsed caller ([[Dedup.minhashCollapse]]) bands one
+    * representative per content class, so the cap must test the
+    * bucket's RAW population (Σ class sizes), not its representative
+    * count — otherwise a degenerate corpus of many mid-size copy
+    * classes sharing one bucket would re-expand through the groups to
+    * O(cap⁴) pairs where the documented guard promises O(cap²). With
+    * the weight, drop decisions are identical to the uncollapsed
+    * pipeline's. */
   def bucketPairs(banded: DataFrame, keys: Seq[String],
                   aName: String, bName: String,
-                  maxBucket: Int = 0): DataFrame = {
-    val g = cappedGroups(banded, keys, maxBucket)
+                  maxBucket: Int = 0, weightCol: String = ""): DataFrame = {
+    val g = cappedGroups(banded, keys, maxBucket, weightCol)
     pairLegs(g, "ids", "ids", keys, aName, bName)
       .dropDuplicates(aName, bName)
       .transform(pinShuffleJoin)
@@ -208,22 +218,33 @@ object Lsh {
       .map(_.toInt).filter(_ > 0).getOrElse(Int.MaxValue)
 
   /** Shared grouped-bucket stage: ids per bucket, multi-member buckets
-    * only, cap + accumulator applied when in force. */
+    * only, cap + accumulator applied when in force. The cap tests the
+    * bucket's population — `size(ids)` raw, or `sum(weightCol)` when
+    * the caller bands collapsed representatives (see [[bucketPairs]]). */
   private def cappedGroups(banded: DataFrame, keys: Seq[String],
-                           maxBucket: Int): DataFrame = {
+                           maxBucket: Int,
+                           weightCol: String = ""): DataFrame = {
     val cap = effectiveCap(banded.sparkSession, maxBucket)
+    val weighted = weightCol.nonEmpty
+    val aggs =
+      if (weighted) Seq(sort_array(collect_set(col("id"))).as("ids"),
+        sum(col(weightCol)).as("pop"))
+      else Seq(sort_array(collect_set(col("id"))).as("ids"))
     val grouped = banded.groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .agg(aggs.head, aggs.tail: _*)
       .filter(size(col("ids")) > 1)
-    if (cap == Int.MaxValue) grouped
-    else {
-      val acc = accFor(banded.sparkSession)
-      val keep = udf { (n: Int) =>
-        val ok = n <= cap
-        if (!ok) acc.add(1L)
-        ok
+    val capped =
+      if (cap == Int.MaxValue) grouped
+      else {
+        val acc = accFor(banded.sparkSession)
+        val keep = udf { (n: Long) =>
+          val ok = n <= cap
+          if (!ok) acc.add(1L)
+          ok
+        }
+        val pop = if (weighted) col("pop") else size(col("ids")).cast("long")
+        grouped.filter(keep(pop))
       }
-      grouped.filter(keep(size(col("ids"))))
-    }
+    if (weighted) capped.drop("pop") else capped
   }
 }

@@ -52,10 +52,19 @@ object SetSimilarity {
     // candidate mass at 1× and streams the copy mass as output only.
     val base = sets.select(col("id"), col("toks"))
       .filter(size(col("toks")) > 0)
-      .withColumn("ck", md5(concat_ws("\u0001", array_sort(col("toks")))))
+      .withColumn("ck", struct(
+        md5(concat_ws("\u0001", array_sort(col("toks")))),
+        xxhash64(concat_ws("\u0001", array_sort(col("toks")))),
+        size(col("toks"))))
+    // reps feeds rankedSets (whose output is itself consumed by the
+    // candidate legs and both payload legs) plus multiReps — persist it
+    // under the dedup family's single-working-set cache discipline so
+    // the tokenize + canonicalize + collapse work runs once per call
     val reps = base.groupBy("ck")
       .agg(min("id").as("id"), first("toks").as("toks"),
         count(lit(1)).as("grp_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.swapShingleCaches(Seq(reps))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("ck")
     val members = base.select(col("id"), col("ck"))
       .select(col("id"), min("id").over(w).as("rep"),

@@ -323,22 +323,29 @@ class DedupAdversarialSpec extends AnyFunSuite {
     val before = Lsh.droppedBuckets(spark)
     spark.conf.set(Lsh.MaxBucketConf, "10")
     try {
-      // pair expansion: the 40-copy group exceeds the cap → its
-      // within-clique (780 pairs) is dropped WITH accounting, but its
-      // representative still pairs with the partner — the bucket-cap
-      // regime used to lose that cross pair too (the shared bucket held
-      // all 41 docs)
+      // pair expansion honors the cap on RAW population: band rows
+      // carry the class size as a weight, so every bucket containing
+      // the clone representative weighs ≥ 41 > 10 and is dropped — the
+      // identical drop decision the uncollapsed pipeline made — and the
+      // 40-copy group's within-clique (780 pairs) is dropped by the
+      // group cap with the same accounting. Capped output: empty.
       val pairs = Dedup.minhashLsh(docs).as[(Long, Long, Double)].collect()
-      assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((0L, 100L)),
-        pairs.mkString(","))
+      assert(pairs.isEmpty, pairs.take(5).mkString(","))
       assert(Lsh.droppedBuckets(spark) - before >= 1,
-        "dropped copy groups must be counted, not silent")
+        "dropped buckets/groups must be counted, not silent")
 
-      // cluster path: membership is linear, so NO cap applies — all 41
-      // docs land in one exact cluster even while the pair expansion
-      // above is capped (the old bucket-cap path returned nothing here)
+      // cluster path: membership is linear, so NO group cap applies —
+      // the 40-copy family still clusters exactly (the old bucket-cap
+      // path returned nothing here); the partner needs a rep-level
+      // edge, which the capped buckets dropped, so it stays out
       val cl = Dedup.minhashClusters(docs).as[(Long, Long)].collect()
-      assert(cl.length === 41 && cl.forall(_._2 === 0L), cl.take(5).mkString(","))
+      assert(cl.length === 40 && cl.forall(_._2 === 0L), cl.take(5).mkString(","))
+
+      // a cap the raw population fits under keeps EVERYTHING: full
+      // clone clique + the cross pairs to the partner
+      spark.conf.set(Lsh.MaxBucketConf, "100")
+      val loose = Dedup.minhashLsh(docs).as[(Long, Long, Double)].collect()
+      assert(loose.length === 40 * 39 / 2 + 40, loose.length.toString)
     } finally spark.conf.unset(Lsh.MaxBucketConf)
     Dedup.clearShingleCache()
   }
