@@ -35,13 +35,42 @@ object Dedup {
       lastShingleCaches = next
     }
 
-  /** LSH buckets dropped so far this session by the opt-in size cap
-    * ([[Lsh.MaxBucketConf]]). Nonzero means a corpus had degenerate
-    * buckets (usually mass-duplicate documents — run [[exact]] first);
-    * also visible in the Spark UI as accumulator
-    * "graft.lsh.droppedBuckets". */
+  /** Degenerate mass dropped so far this session by the opt-in size cap
+    * ([[Lsh.MaxBucketConf]]): oversized LSH BUCKETS and, since the
+    * exact-copy collapse, oversized COPY GROUPS excluded from pair
+    * expansion (each group can bump the counter up to twice — once per
+    * expansion join leg — the documented ≤2× diagnostic over-count).
+    * Nonzero means a corpus had degenerate buckets or copy cliques
+    * (usually mass-duplicate documents — run [[exact]] first); also
+    * visible in the Spark UI as accumulator "graft.lsh.droppedBuckets".
+    * A diagnostic, not data (task retries may also over-count). */
   def droppedLshBuckets(spark: org.apache.spark.sql.SparkSession): Long =
     Lsh.droppedBuckets(spark)
+
+  /** Dual-hash content-class key of a string-array column (the
+    * exact-copy collapse key for [[minhashCollapse]] /
+    * [[SetSimilarity.selfJoinPairs]] / the cross-corpus forms):
+    * md5 over a LENGTH-PREFIXED canonical encoding — each sorted
+    * element renders as `<len>:<element>` before the U+0001 join, so
+    * the encoding is injective even when an element CONTAINS the
+    * separator byte: normalization only lowercases and collapses
+    * WHITESPACE, so arbitrary non-space bytes survive into tokens and
+    * shingles, and the bare U+0001 join this replaces aliased the
+    * distinct sets {"x<U+0001>y","z"} and {"x","y<U+0001>z"} — same
+    * joined string, hence same md5 AND same xxhash64 — wrongly
+    * merging unrelated content classes. The second hash is Spark's
+    * STRUCTURAL xxhash64 over the sorted array itself (per-element
+    * hashing, no string encoding involved at all), plus the set size;
+    * distinct classes merge only if both hashes collide
+    * simultaneously. */
+  private[llm] def classKey(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    struct(
+      md5(concat_ws("\u0001",
+        transform(sorted, s => concat(length(s).cast("string"), lit(":"), s)))),
+      xxhash64(sorted),
+      size(sorted))
+  }
 
   /** Exact dedup: group by content fingerprint, keep the smallest doc_id
     * as canonical. One map-side-combinable shuffle on the 128-bit hash. */
@@ -176,20 +205,17 @@ object Dedup {
     // shingle table is the reusable asset. Each call evicts the
     // previous call's caches so a session holds at most one pair.
     //
-    // ck is the canonical content class: md5 over the SORTED distinct
-    // shingle array (wordShingles already emits distinct shingles;
-    // tokens are normalized alphanumeric words, so the  separator
-    // cannot occur inside a shingle and the encoding is injective).
-    // Keying on the shingle SET — not the raw text — also merges docs
-    // whose texts differ in ways the pipeline provably cannot
-    // distinguish (shingle multiplicity, shingle order).
+    // ck is the canonical content class over the SORTED distinct
+    // shingle array ([[classKey]]: injective length-prefixed encoding
+    // under a dual hash — normalization does NOT strip the separator
+    // byte from tokens, so a bare separator join would alias distinct
+    // shingle sets). Keying on the shingle SET — not the raw text —
+    // also merges docs whose texts differ in ways the pipeline
+    // provably cannot distinguish (shingle multiplicity, order).
     val sh = docs
       .select(col(idCol).as("id"), TextOps.wordShingles(col(textCol), shingleK).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("ck", struct(
-        md5(concat_ws("\u0001", array_sort(col("shingles")))),
-        xxhash64(concat_ws("\u0001", array_sort(col("shingles")))),
-        size(col("shingles"))))
+      .withColumn("ck", classKey(col("shingles")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // min/first/count all combine map-side, so the collapse exchange
     // carries one (ck, shingles) row per PARTITION-LOCAL distinct class,

@@ -35,6 +35,18 @@ object SetSimilarity {
     * (rare-first minimizes candidate fan-out). The Jaccard length
     * filter num*max(na,nb) <= den*min(na,nb) is applied in exact
     * integers at candidate time.
+    *
+    * The all-pairs output is exact — prefix filtering provably loses no
+    * qualifying pair — UNLESS the session-wide degenerate-mass cap
+    * ([[Lsh.MaxBucketConf]]) is set: since the exact-copy collapse,
+    * this operator rides the same pair expansion as
+    * [[Dedup.minhashLsh]], so under that opt-in cap exact-copy groups
+    * larger than the cap are dropped from expansion (their
+    * within-clique AND their member-level cross fan-out), with every
+    * drop counted in [[Dedup.droppedLshBuckets]] — the same bounded
+    * production semantics, and the same exact-dedup escape hatch for
+    * the dropped mass. Leave the conf unset for the exact contract
+    * (the q136 oracle replays it uncapped).
     */
   def selfJoinPairs(sets: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && num <= den, s"threshold $num/$den must be in (0,1]")
@@ -52,10 +64,7 @@ object SetSimilarity {
     // candidate mass at 1× and streams the copy mass as output only.
     val base = sets.select(col("id"), col("toks"))
       .filter(size(col("toks")) > 0)
-      .withColumn("ck", struct(
-        md5(concat_ws("\u0001", array_sort(col("toks")))),
-        xxhash64(concat_ws("\u0001", array_sort(col("toks")))),
-        size(col("toks"))))
+      .withColumn("ck", Dedup.classKey(col("toks")))
     // reps feeds rankedSets (whose output is itself consumed by the
     // candidate legs and both payload legs) plus multiReps — persist it
     // under the dedup family's single-working-set cache discipline so

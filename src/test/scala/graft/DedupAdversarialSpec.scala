@@ -285,6 +285,35 @@ class DedupAdversarialSpec extends AnyFunSuite {
     Dedup.clearShingleCache()
   }
 
+  test("collapse key is injective: a U+0001 inside a token cannot alias distinct classes") {
+    // Normalization strips only WHITESPACE, so a raw U+0001 survives
+    // inside a token. The bare U+0001-joined class encoding this
+    // round replaced aliased the disjoint shingle sets {"x<U+0001>y",
+    // "z"} and {"x", "y<U+0001>z"} — identical joined string, hence
+    // identical md5 AND xxhash64 — wrongly merging two unrelated
+    // documents into one content class (reported as a jaccard-1.0
+    // pair). The length-prefixed encoding + structural array hash
+    // must keep them apart.
+    val docs = Seq((1L, "x\u0001y z"), (2L, "x y\u0001z")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, shingleK = 1).collect()
+    assert(pairs.isEmpty,
+      s"disjoint shingle sets must not merge: ${pairs.mkString(",")}")
+
+    // same adversarial shape through the set-similarity path, where
+    // toks are CALLER-supplied (no normalization at all)
+    val sets = Seq((1L, Seq("x\u0001y", "z")), (2L, Seq("x", "y\u0001z")))
+      .toDF("id", "toks")
+    assert(SetSimilarity.selfJoinPairs(sets, 4, 5).collect().isEmpty)
+
+    // positive control: genuinely equal token SETS (order differs,
+    // U+0001 present) still land in one class and pair at 1.0
+    val same = Seq((10L, "x\u0001y z"), (11L, "z x\u0001y")).toDF("doc_id", "text")
+    val got = Dedup.minhashLsh(same, shingleK = 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((10L, 11L, 1.0)), got.toString)
+    Dedup.clearShingleCache()
+  }
+
   test("setsim collapse is exact: pairs and counts equal brute force on the copy-heavy corpus") {
     // same corpus, same shingle space as q136; the collapse changes the
     // global df basis (classes, not docs) — output must not move
