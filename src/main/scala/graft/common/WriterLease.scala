@@ -68,6 +68,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * under its holder. Released in `finally` — an in-process failure
   * (including the crash-injection failpoints) releases immediately;
   * only a process death leaves the lease for TTL reclamation.
+  *
+  * == Nonce-matched release (round-12 fix) ==
+  *
+  * Release is as guarded as acquisition: [[acquire]] returns its
+  * per-acquisition nonce and [[release]] deletes the lease file ONLY
+  * when the live content still carries that nonce. A holder that
+  * stalls past its TTL while still alive (long GC pause, suspended VM)
+  * can have its lease legitimately broken; under the old unconditional
+  * delete its late `finally` release destroyed the breaker's FRESH
+  * lease and admitted a third writer. Now the stale holder's release
+  * is a no-op and the breaker stays fenced.
   */
 object WriterLease {
 
@@ -84,11 +95,19 @@ object WriterLease {
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
       "#" + Thread.currentThread().getId
 
-  /** Leases held by THIS process (lease path → owner), so a nested
-    * acquire on a held path fails fast instead of silently reclaiming
-    * itself and letting the inner release unlock the outer section. */
+  /** One acquisition's identity: the owner string plus the
+    * per-acquisition nonce written into the lease file — the nonce is
+    * what [[release]] matches against the file before deleting, so a
+    * release can only ever delete the lease instance its own acquire
+    * created. */
+  private final case class Held(owner: String, nonce: String)
+
+  /** Leases held by THIS process (lease path → acquisition), so a
+    * nested acquire on a held path fails fast instead of silently
+    * reclaiming itself and letting the inner release unlock the outer
+    * section — and so [[release]] knows which INSTANCE it may delete. */
   private val heldInProcess =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Held]()
 
   /** Atomic create-no-overwrite of a small file, the primitive every
     * exclusive claim here rests on. HDFS-like stores: the Hadoop
@@ -122,13 +141,16 @@ object WriterLease {
       } catch { case _: java.io.IOException => false }
 
   private def tryCreate(fs: FileSystem, path: Path, owner: String,
-                        ttlMs: Long): Boolean = {
+                        ttlMs: Long): Option[String] = {
+    val nonce = java.util.UUID.randomUUID().toString
     val created = createExclusive(fs, path,
       (s"""{"owner":"$owner","acquired_ms":${System.currentTimeMillis()},""" +
-        s""""ttl_ms":$ttlMs,"nonce":"${java.util.UUID.randomUUID()}"}""")
+        s""""ttl_ms":$ttlMs,"nonce":"$nonce"}""")
         .getBytes("UTF-8"))
-    if (created) heldInProcess.put(path.toString, owner)
-    created
+    if (created) {
+      heldInProcess.put(path.toString, Held(owner, nonce))
+      Some(nonce)
+    } else None
   }
 
   /** The tombstone naming a lease INSTANCE: md5 of the raw content
@@ -150,17 +172,30 @@ object WriterLease {
       System.currentTimeMillis() - acq > ttl)
   }
 
-  /** Acquire the lease at `path` or throw. See object doc for the
-    * reclaim rules. */
+  private def parseNonce(raw: String): Option[String] =
+    try {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(raw).path("nonce").asText("")
+      if (n.isEmpty) None else Some(n)
+    } catch { case _: java.io.IOException => None }
+
+  /** Acquire the lease at `path` or throw; returns the acquisition
+    * NONCE, which [[release]] matches against the live file so a
+    * holder can only ever delete its own lease instance. See object
+    * doc for the reclaim rules. */
   def acquire(fs: FileSystem, path: Path, owner: String = processOwner,
-              ttlMs: Long = DefaultTtlMs): Unit = {
-    if (owner == heldInProcess.get(path.toString))
+              ttlMs: Long = DefaultTtlMs): String = {
+    val held = heldInProcess.get(path.toString)
+    if (held != null && owner == held.owner)
       throw new IllegalStateException(
         s"nested writer-lease acquire at $path by its own holder '$owner' — " +
           "withLease is not reentrant (the inner release would unlock the " +
           "still-running outer section); restructure the caller so leased " +
           "entry points do not call each other on the same state dir")
-    if (tryCreate(fs, path, owner, ttlMs)) return
+    tryCreate(fs, path, owner, ttlMs) match {
+      case Some(n) => return n
+      case None => ()
+    }
     // held: readable content decides reclaim. A transient read failure
     // must NOT break a live holder's lease — retry once; a lease that
     // VANISHED (holder released between our create and read) retries the
@@ -181,7 +216,10 @@ object WriterLease {
         catch { case _: java.io.IOException => unreadable() } // corrupt JSON
       case None =>
         if (!fs.exists(path)) {
-          if (tryCreate(fs, path, owner, ttlMs)) return
+          tryCreate(fs, path, owner, ttlMs) match {
+            case Some(n) => return n
+            case None => ()
+          }
           ("", false) // re-held by someone else in the window
         } else unreadable()
     }
@@ -199,9 +237,12 @@ object WriterLease {
       val tomb = tombstoneOf(path, raw.get)
       if (createExclusive(fs, tomb, raw.get.getBytes("UTF-8"))) {
         fs.delete(path, false) // the consumed expired instance
-        if (tryCreate(fs, path, owner, ttlMs)) return
-        // a fresh contender slipped into the delete→create gap and
-        // acquired legitimately (the lease was absent) — we lost
+        tryCreate(fs, path, owner, ttlMs) match {
+          case Some(n) => return n
+          case None => ()
+          // a fresh contender slipped into the delete→create gap and
+          // acquired legitimately (the lease was absent) — we lost
+        }
       }
       // a claim LOSER throws (below) rather than retrying the create:
       // the winner's delete may still be in flight, and a create that
@@ -230,17 +271,49 @@ object WriterLease {
         .foreach(st => fs.delete(st.getPath, false))
     } catch { case _: java.io.IOException => () } // best-effort housekeeping
 
+  /** Release this process's most recent acquisition of `path`
+    * (delegates to the nonce form using the in-process record; a path
+    * this process never acquired is left untouched). */
   def release(fs: FileSystem, path: Path): Unit = {
-    fs.delete(path, false)
-    heldInProcess.remove(path.toString)
+    val held = heldInProcess.get(path.toString)
+    if (held != null) release(fs, path, held.nonce)
+  }
+
+  /** Release ONE acquisition, named by the nonce [[acquire]] returned:
+    * the lease file is deleted only when its live content still carries
+    * that nonce. Unconditional delete (what this replaces) re-opened
+    * the double-writer door one hop removed from the reclaim race: a
+    * holder that stalls past its TTL while still ALIVE (long GC pause,
+    * suspended VM) can have its lease legitimately broken, and its
+    * `finally` release would then delete the BREAKER's fresh lease,
+    * letting a third writer acquire against a live second. With the
+    * nonce match the stalled holder's late release is a no-op — the
+    * breaker's instance survives and keeps fencing. A lease that
+    * vanished, or whose read stays failing after one retry, is left
+    * alone (deleting on uncertain evidence is exactly the hazard; an
+    * orphaned own-lease then self-heals through the TTL break). The
+    * in-process record is cleared only when it names this same
+    * acquisition, so a breaker in the SAME process keeps its
+    * nested-acquire fence. */
+  def release(fs: FileSystem, path: Path, nonce: String): Unit = {
+    val matches =
+      (try Some(readFully(fs, path))
+       catch { case _: java.io.IOException =>
+         try Some(readFully(fs, path))
+         catch { case _: java.io.IOException => None }
+       }).flatMap(parseNonce).contains(nonce)
+    if (matches) fs.delete(path, false)
+    heldInProcess.computeIfPresent(path.toString,
+      (_, h) => if (h.nonce == nonce) null else h)
     ()
   }
 
-  /** Run `body` under the lease, releasing it on every in-process exit. */
+  /** Run `body` under the lease, releasing THAT acquisition (by nonce)
+    * on every in-process exit. */
   def withLease[T](fs: FileSystem, path: Path, owner: String = processOwner,
                    ttlMs: Long = DefaultTtlMs)(body: => T): T = {
-    acquire(fs, path, owner, ttlMs)
-    try body finally release(fs, path)
+    val nonce = acquire(fs, path, owner, ttlMs)
+    try body finally release(fs, path, nonce)
   }
 
   private def readFully(fs: FileSystem, path: Path): String = {

@@ -198,6 +198,42 @@ class CommonSpec extends AnyFunSuite {
     assert(guarded.rdd.getNumPartitions === 8)
   }
 
+  test("WriterLease: a stalled holder's late release cannot delete the breaker's fresh lease") {
+    import graft.common.WriterLease
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("lease-stall").toString, "w.lease")
+    // A acquires with an instantly-expiring TTL — the stand-in for a
+    // holder that stalls past its TTL while still ALIVE (GC pause,
+    // suspended VM): its lease is legitimately breakable while its
+    // eventual finally-release is still pending
+    val nonceA = WriterLease.acquire(fs, lease, owner = "a@host", ttlMs = -1)
+    // B breaks the expired lease and acquires
+    val nonceB = WriterLease.acquire(fs, lease, owner = "b@host")
+    assert(nonceA !== nonceB)
+    // A wakes up and releases: the nonce no longer matches the live
+    // file, so the release must be a no-op — B's lease survives...
+    WriterLease.release(fs, lease, nonceA)
+    assert(fs.exists(lease),
+      "the stalled holder's release must not delete the breaker's lease")
+    // ...and keeps fencing: a third writer is still excluded (under the
+    // old unconditional delete this acquire SUCCEEDED — double writer)
+    val ex = intercept[IllegalStateException] {
+      WriterLease.acquire(fs, lease, owner = "c@host")
+    }
+    assert(ex.getMessage.contains("b@host"))
+    // B's in-process record survived A's release too: a nested
+    // re-acquire by B itself still fails fast
+    val exN = intercept[IllegalStateException] {
+      WriterLease.acquire(fs, lease, owner = "b@host")
+    }
+    assert(exN.getMessage.contains("not reentrant"))
+    // B's own release (matching nonce) does delete
+    WriterLease.release(fs, lease, nonceB)
+    assert(!fs.exists(lease))
+  }
+
   test("WriterLease: two stale contenders — the tombstone rename admits exactly one") {
     import graft.common.WriterLease
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
