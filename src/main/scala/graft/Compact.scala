@@ -7,29 +7,48 @@ import graft.llm.TextOps
 
 /** Incremental-base compaction for the dedup family: folds a batch of
   * documents into the PERSISTED base-corpus index that
-  * [[graft.llm.Dedup.minhashLshAgainstIndex]] (q177's serving shape) and
-  * the q110 fingerprint anti-join probe — so daily re-ingestion reads a
-  * ready-made index instead of re-shingling the whole accumulated base.
+  * [[graft.llm.Dedup.minhashLshAgainstIndex]] (q209's serving shape) and
+  * the q110 fingerprint anti-join probe read — so daily re-ingestion
+  * reads a ready-made index instead of re-shingling the whole
+  * accumulated base.
   *
-  * State layout: `<stateDir>/index` parquet of
-  * `(id, fp, shingles, bands)` — the bag fingerprint (q110's identity),
-  * the shingle set (the LSH verify leg), and the fused band keys (the
-  * LSH candidate leg), all pure functions of the text.
+  * State layout (CLASS-LEVEL since round 12 — the exact-copy collapse
+  * applied to the asset itself):
+  *  - `<stateDir>/index/classes`: ONE row per content class —
+  *    `(ck, rep, grp_n, fp, shingles, bands)` where ck is the class key
+  *    (the bag fingerprint + the dual-hash shingle-set key,
+  *    [[graft.llm.Dedup.classKey]]), rep the min member id, grp_n the
+  *    member count, and fp/shingles/bands the indexed payload — all
+  *    pure functions of the class's text content;
+  *  - `<stateDir>/index/members`: one SLIM `(id, ck)` row per document.
+  *
+  * Why class-level: the payload columns (shingle sets + 32 band keys)
+  * dominate the index's bytes, and a duplication-heavy corpus stores
+  * them once per CLASS instead of once per document — at 100 TB the
+  * asset shrinks by the corpus's duplication factor, and the LSH serve
+  * path ([[graft.llm.Dedup.minhashLshAgainstIndex]]) generates
+  * candidates at class scale (off the copies² law the round-11 sf10
+  * probe measured) while the membership sidecar restores per-document
+  * answers as pure output expansion. The identity rows (id, ck) are the
+  * irreducible per-document residue.
   *
   * Write protocol (the S15 two-phase-commit discipline, batch-side): the
-  * merged index is fully materialized into `_staging` FIRST (the live
-  * dir is still being read lazily at that point), then the swap
+  * merged index is fully materialized into `_staging` FIRST — both
+  * sub-tables, then an explicit top-level `_SUCCESS` marker AFTER both
+  * writes complete (the per-table parquet markers only cover their own
+  * table) — while the live dir is still being read lazily; the swap
   * delete(live) → rename(staging, live) is the commit point. A crash
-  * between the two steps loses nothing: [[readIndex]] serves the
-  * complete staging copy in place READ-ONLY, and the next [[run]]
-  * (the single writer) rolls the swap forward at entry.
-  * Re-running the same batch is a no-op by construction:
-  * merging is an id-keyed upsert (new rows replace, absent ids survive),
+  * between the two steps loses nothing: [[readIndex]]/[[readClassIndex]]
+  * serve the complete staging copy in place READ-ONLY, and the next
+  * [[run]] (the single writer) rolls the swap forward at entry.
+  * Re-running the same batch is a no-op by construction: membership is
+  * an id-keyed upsert (new rows replace, absent ids survive), class
+  * stats recompute from the merged membership, the class payload is
+  * picked by a deterministic min-rep rule over old ∪ fresh class rows,
   * and every indexed column is a deterministic function of the text.
   *
-  * Scale shape: the merge is one anti-join of the existing index against
-  * the batch ids plus a union — O(index + batch) with the only exchange
-  * keyed on id; nothing re-shingles the base.
+  * Scale shape: the merge is keyed joins/aggregates on id and ck only —
+  * O(index + batch) — and nothing re-shingles the base.
   */
 object Compact {
 
@@ -39,7 +58,12 @@ object Compact {
   private def fs(spark: SparkSession, stateDir: String) =
     new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The index rows for `batch` (id, fp, shingles, bands). */
+  /** Per-document index rows for `batch`: (id, fp, shingles, bands, ck).
+    * ck carries the bag fingerprint ALONGSIDE the shingle-set key
+    * because fp is an index payload that is NOT a shingle-set function
+    * (it hashes the token set; distinct token sequences can share a
+    * k-shingle set) — including it in the key keeps every stored class
+    * column a pure class function. */
   private[graft] def indexRows(batch: DataFrame, shingleK: Int, bands: Int,
                                rowsPerBand: Int, textCol: String,
                                idCol: String): DataFrame =
@@ -48,15 +72,45 @@ object Compact {
       TextOps.wordShingles(col(textCol), shingleK).as("shingles"))
       .withColumn("bands",
         graft.functions.Hashing.minhashBands(col("shingles"), bands, rowsPerBand))
+      .withColumn("ck", struct(col("fp").as("fp"),
+        graft.llm.Dedup.classKey(col("shingles")).as("sk")))
 
-  /** Read the live index — STRICTLY read-only (the GraphArtifact serve
-    * discipline): an interrupted swap (live missing + complete staging)
-    * is served FROM the staging copy in place, never renamed here. A
-    * reader that renamed could race a re-running compactor's staging
-    * overwrite — observe `_SUCCESS` an instant before the overwrite
-    * deletes it, then rename a partially rewritten staging dir into
-    * live. The roll-forward rename belongs to the single writer
-    * ([[run]] recovers at entry). Returns None when no state exists.
+  /** Collapse per-document rows to class rows (ck, rep, grp_n, fp,
+    * shingles, bands). The payload is taken from the MIN-ID member via
+    * one struct-min aggregate — deterministic, so idempotent re-runs
+    * write byte-identical class rows (the raw `shingles` ARRAY order
+    * can differ between members of one class even though the set
+    * cannot; every consumer is a set function, but the stored bytes
+    * must not wobble across runs). */
+  private[graft] def classRowsOf(docRows: DataFrame): DataFrame =
+    docRows
+      .groupBy("ck")
+      .agg(min(struct(col("id"), col("fp"), col("shingles"), col("bands")))
+          .as("m"),
+        count(lit(1)).as("grp_n"))
+      .select(col("ck"), col("m.id").as("rep"), col("grp_n"),
+        col("m.fp").as("fp"), col("m.shingles").as("shingles"),
+        col("m.bands").as("bands"))
+
+  /** Derive an in-memory class index (classes, members) for a corpus —
+    * the same shape [[run]] persists, for callers that serve without
+    * state on disk (the q209 registry derivation). */
+  def classIndexOf(batch: DataFrame, shingleK: Int = 3, bands: Int = 32,
+                   rowsPerBand: Int = 4, textCol: String = "text",
+                   idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val rows = indexRows(batch, shingleK, bands, rowsPerBand, textCol, idCol)
+    (classRowsOf(rows), rows.select("id", "ck"))
+  }
+
+  /** Resolve the committed state root — live, else a COMPLETE staging
+    * copy (interrupted swap), else None. Strictly read-only (the
+    * GraphArtifact serve discipline): an interrupted swap is served
+    * FROM the staging copy in place, never renamed here. A reader that
+    * renamed could race a re-running compactor's staging overwrite —
+    * observe `_SUCCESS` an instant before the overwrite deletes it,
+    * then rename a partially rewritten staging dir into live. The
+    * roll-forward rename belongs to the single writer ([[run]]
+    * recovers at entry).
     *
     * CONCURRENT-RECOVERY CAVEAT: a read that resolves base = staging
     * just before the writer's entry recovery renames staging → live
@@ -64,19 +118,41 @@ object Compact {
     * resolves parquet files at execution, after this method returned,
     * so the window cannot be intercepted here without materializing
     * the frame. The committed direction is live: a caller whose scan
-    * of a staging-resolved frame fails should retry [[readIndex]]
-    * once (it then resolves the renamed live copy). The window exists
-    * only while a crashed compactor is being recovered by its retry —
+    * of a staging-resolved frame fails should retry the read once (it
+    * then resolves the renamed live copy). The window exists only
+    * while a crashed compactor is being recovered by its retry —
     * steady-state reads always resolve live directly. */
-  def readIndex(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+  private def resolveRoot(spark: SparkSession, stateDir: String): Option[Path] = {
     val f = fs(spark, stateDir)
     val l = live(stateDir)
     val s = staging(stateDir)
-    if (f.exists(l)) Some(spark.read.parquet(l.toString))
-    else if (f.exists(new Path(s, "_SUCCESS")))
-      Some(spark.read.parquet(s.toString))
+    if (f.exists(l)) Some(l)
+    else if (f.exists(new Path(s, "_SUCCESS"))) Some(s)
     else None
   }
+
+  /** Read the live CLASS index as (classes, members) — the serving
+    * shape for [[graft.llm.Dedup.minhashLshAgainstIndex]]. Read-only;
+    * see [[resolveRoot]] for the interrupted-swap and concurrent-
+    * recovery contract. Returns None when no state exists. */
+  def readClassIndex(spark: SparkSession,
+                     stateDir: String): Option[(DataFrame, DataFrame)] =
+    resolveRoot(spark, stateDir).map { root =>
+      (spark.read.parquet(new Path(root, "classes").toString),
+        spark.read.parquet(new Path(root, "members").toString))
+    }
+
+  /** Read the live index as the PER-DOCUMENT view
+    * `(id, fp, shingles, bands)` — membership joined back through the
+    * classes, one keyed join on ck. The compatibility face for
+    * per-document consumers (q110's fingerprint set, q302's dup-rate
+    * census, the streaming alert monitor); the LSH serve path should
+    * use [[readClassIndex]] and stay at class scale. */
+  def readIndex(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    readClassIndex(spark, stateDir).map { case (classes, members) =>
+      members.join(classes, "ck")
+        .select(col("id"), col("fp"), col("shingles"), col("bands"))
+    }
 
   /** Writer-side crash recovery: roll an interrupted swap forward
     * (staging complete + live missing ⇒ rename). Called only from the
@@ -91,7 +167,8 @@ object Compact {
     }
   }
 
-  /** Fold `batch` into the persisted index (id-keyed upsert). */
+  /** Fold `batch` into the persisted index (id-keyed membership upsert;
+    * class rows recomputed from the merged membership). */
   def run(spark: SparkSession, stateDir: String, batch: DataFrame,
           shingleK: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
           textCol: String = "text", idCol: String = "doc_id"): Unit = {
@@ -112,23 +189,55 @@ object Compact {
           textCol: String, idCol: String): Unit = {
     recover(spark, stateDir) // writer entry: finish any interrupted swap
     val fresh = indexRows(batch, shingleK, bands, rowsPerBand, textCol, idCol)
-    val merged = readIndex(spark, stateDir) match {
-      case Some(existing) =>
-        existing.join(fresh.select("id"), Seq("id"), "left_anti")
-          .unionByName(fresh)
-      case None => fresh
-    }
-    // phase 1: materialize the merged index completely (the live dir is
-    // only READ here; overwrite of staging is safe on retry)
-    merged.write.mode("overwrite").parquet(staging(stateDir).toString)
+    val (mergedClasses, mergedMembers) =
+      readClassIndex(spark, stateDir) match {
+        case Some((oldClasses, oldMembers)) =>
+          // id-keyed membership upsert: re-indexed ids move to their
+          // fresh class (or keep it — a no-op row), absent ids survive
+          val survivors = oldMembers
+            .join(fresh.select("id"), Seq("id"), "left_anti")
+          val members = survivors.unionByName(fresh.select("id", "ck"))
+          // rep + grp_n recompute from the merged membership (a class
+          // whose members all got re-ingested elsewhere disappears via
+          // the inner payload join)
+          val stats = members.groupBy("ck")
+            .agg(min("id").as("rep"), count(lit(1)).as("grp_n"))
+          // payload by the deterministic min-rep rule over old ∪ fresh
+          // class rows: both carry the same class functions (fp is part
+          // of ck; shingles/bands are set functions), so the rule only
+          // pins WHICH member's array ordering is stored
+          val payload = oldClasses
+            .select("ck", "rep", "fp", "shingles", "bands")
+            .unionByName(classRowsOf(fresh)
+              .select("ck", "rep", "fp", "shingles", "bands"))
+            .groupBy("ck")
+            .agg(min(struct(col("rep"), col("fp"), col("shingles"),
+              col("bands"))).as("m"))
+            .select(col("ck"), col("m.fp").as("fp"),
+              col("m.shingles").as("shingles"), col("m.bands").as("bands"))
+          (stats.join(payload, "ck")
+            .select("ck", "rep", "grp_n", "fp", "shingles", "bands"),
+            members)
+        case None =>
+          (classRowsOf(fresh), fresh.select("id", "ck"))
+      }
+    // phase 1: materialize the merged index completely into staging
+    // (the live dir is only READ here; both sub-tables are written
+    // before the top-level _SUCCESS marker, which is what readers and
+    // recovery test for completeness)
+    val s = staging(stateDir)
+    f.delete(s, true)
+    mergedClasses.write.parquet(new Path(s, "classes").toString)
+    mergedMembers.write.parquet(new Path(s, "members").toString)
+    f.create(new Path(s, "_SUCCESS"), true).close()
     // phase 2 (commit point): swap. Readers are strictly read-only now,
     // but keep the rename tolerant: under the single-writer contract a
     // crashed-then-retried compactor's own recover() may have finished
     // the identical rename — losing it is success iff live exists and
     // staging is gone
     f.delete(live(stateDir), true)
-    if (!f.rename(staging(stateDir), live(stateDir)) &&
-        !(f.exists(live(stateDir)) && !f.exists(staging(stateDir))))
+    if (!f.rename(s, live(stateDir)) &&
+        !(f.exists(live(stateDir)) && !f.exists(s)))
       throw new IllegalStateException(s"commit rename failed for $stateDir")
     ()
   }
@@ -150,8 +259,10 @@ object Compact {
     val docs = Tables.t(spark, sfDir, "documents")
       .filter(col("source").isin(sources: _*))
     run(spark, stateDir, docs)
-    val n = readIndex(spark, stateDir).map(_.count()).getOrElse(0L)
-    println(s"""{"state":"$stateDir","indexed_docs":$n}""")
+    val (nDocs, nClasses) = readClassIndex(spark, stateDir)
+      .map { case (c, m) => (m.count(), c.count()) }
+      .getOrElse((0L, 0L))
+    println(s"""{"state":"$stateDir","indexed_docs":$nDocs,"classes":$nClasses}""")
     spark.stop()
   }
 }

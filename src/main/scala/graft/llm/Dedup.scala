@@ -63,7 +63,7 @@ object Dedup {
     * hashing, no string encoding involved at all), plus the set size;
     * distinct classes merge only if both hashes collide
     * simultaneously. */
-  private[llm] def classKey(arr: Column): Column = {
+  private[graft] def classKey(arr: Column): Column = {
     val sorted = array_sort(arr)
     struct(
       md5(concat_ws("\u0001",
@@ -317,6 +317,33 @@ object Dedup {
         values.map(col): _*)
   }
 
+  /** Expand cross-side representative pairs through BOTH sides' copy
+    * groups: every (batch member, base member) combination inherits its
+    * representatives' verified value. Same streamed merge-join shape as
+    * [[expandCollapsed]] (O(|group|) memory per side; the copy mass is
+    * paid only as output rows). Two structural simplifications vs the
+    * self-join expansion: (1) there are NO self pairs — same-class
+    * cross-SIDE pairs arrive as ordinary rep pairs from the bucket
+    * join, because the two side-representatives share every bucket and
+    * verify at exactly 1.0; (2) no group cap is needed — under a cap,
+    * a rep pair only survives candidate generation if some bucket
+    * holding both reps passed the RAW-population test, and that
+    * bucket's population is ≥ grp_a + grp_b, so the pair's fan-out is
+    * already bounded at (cap/2)² ≤ the uncollapsed capped semantics'
+    * own bound (the self path needs the extra cap only because
+    * within-clique pairs bypass the bucket join entirely). */
+  private def expandCross(repPairs: DataFrame, batchMembers: DataFrame,
+                          baseMembers: DataFrame, aName: String,
+                          bName: String, values: Seq[String]): DataFrame = {
+    val ma = batchMembers.select(col("rep").as("ra"), col("id").as("ia"))
+    val mb = baseMembers.select(col("rep").as("rb"), col("id").as("ib"))
+    repPairs
+      .select(col(aName).as("ra") +: col(bName).as("rb") +: values.map(col): _*)
+      .hint("merge").join(ma, "ra")
+      .hint("merge").join(mb, "rb")
+      .select(col("ia").as(aName) +: col("ib").as(bName) +: values.map(col): _*)
+  }
+
   /** Incremental (cross-corpus) MinHash-LSH near-dup: candidates are
     * generated by joining the NEW BATCH's band keys against the BASE
     * corpus's band keys — the base is never self-joined, so daily
@@ -325,9 +352,26 @@ object Dedup {
     * [[minhashLsh]]; the streaming twin is
     * [[graft.streaming.StreamOps.nearDupAlerts]], which probes a
     * PERSISTED copy of the base band index — at 100 TB that index
-    * (id, band, hash64 triples, written once, bucketed by band hash) is
-    * the asset this operator's base side reads, so the per-batch cost
-    * is one keyed join of slim triples plus candidate verification.
+    * ([[graft.Compact]]'s class-level state) is the asset this
+    * operator's base side reads, so the per-batch cost is one keyed
+    * join of slim triples plus candidate verification.
+    *
+    * EXACT-COPY COLLAPSE, per (content class, SIDE) — the round-12
+    * closure of the round-11 collapse asymmetry: the batch path used
+    * to band every raw document, so a 100×-copies batch (or base)
+    * paid the same copies² candidate mass that killed the self-join
+    * forms at sf10 before their collapse. Now each side's exact
+    * copies collapse to a min-id representative before banding, and
+    * verified rep pairs expand through both sides' groups
+    * ([[expandCross]]). Bit-exactness is the [[minhashLsh]] argument
+    * verbatim (every downstream value is a function of the shingle
+    * set; copies share every bucket with their side's representative);
+    * cross-side pairs between equal-content classes need no special
+    * case — the two reps share all buckets and verify at 1.0. Under
+    * the opt-in cap ([[Lsh.MaxBucketConf]]) band rows carry class
+    * size as a weight, so bucket drops stay keyed on RAW population —
+    * identical decisions to the uncollapsed pipeline, with no
+    * additional group cap needed (see [[expandCross]]).
     *
     * Returns (batch_id, base_id, jaccard ≥ threshold). */
   def minhashLshAgainst(base: DataFrame, batch: DataFrame,
@@ -342,41 +386,62 @@ object Dedup {
     // one shingle table for both sides, persisted under the same
     // single-live-cache discipline as minhashLsh: the scan+shingle work
     // (the profiled dominant cost) runs once per input and serves the
-    // banding pass plus both verify legs
+    // collapse, the banding pass, and both verify legs
     val sh = shingled(base, isBatch = false)
       .union(shingled(batch, isBatch = true))
+      .withColumn("ck", classKey(col("shingles")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    swapShingleCaches(Seq(sh))
-    val banded = sh
-      .select(col("id"), col("isBatch"),
+    // collapse per (class, side): reps get banded + verified, members
+    // only expand. The slim membership window mirrors minhashCollapse.
+    val reps = sh.groupBy("ck", "isBatch")
+      .agg(min("id").as("id"), first("shingles").as("shingles"),
+        count(lit(1)).as("grp_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    swapShingleCaches(Seq(sh, reps))
+    val w = Window.partitionBy("ck", "isBatch")
+    val members = sh.select(col("id"), col("ck"), col("isBatch"))
+      .select(col("id"), col("isBatch"), min("id").over(w).as("rep"))
+    val banded = reps
+      .select(col("id"), col("isBatch"), col("grp_n"),
         posexplode(graft.functions.Hashing.minhashBands(
           col("shingles"), bands, rowsPerBand)))
-      .select(col("id"), col("isBatch"),
+      .select(col("id"), col("isBatch"), col("grp_n"),
         col("pos").as("band"), col("col").as("bh"))
-    // grouped cross-bucket candidates: base never self-joins, the cap +
-    // droppedBuckets accumulator apply exactly as on the self-join path
+    // grouped cross-bucket candidates: base never self-joins; grp_n is
+    // the weight keeping cap decisions on the bucket's RAW population
     val cand = Lsh.crossBucketPairs(banded, Seq("band", "bh"),
-      "batch_id", "base_id")
-    cand
-      .join(sh.filter(col("isBatch"))
+      "batch_id", "base_id", weightCol = "grp_n")
+    val repPairs = cand
+      .join(reps.filter(col("isBatch"))
         .select(col("id").as("batch_id"), col("shingles").as("sh_a")), "batch_id")
-      .join(sh.filter(!col("isBatch"))
+      .join(reps.filter(!col("isBatch"))
         .select(col("id").as("base_id"), col("shingles").as("sh_b")), "base_id")
       .select(col("batch_id"), col("base_id"),
         round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    expandCross(repPairs,
+      members.filter(col("isBatch")), members.filter(!col("isBatch")),
+      "batch_id", "base_id", Seq("jaccard"))
   }
 
   /** [[minhashLshAgainst]] served from a PERSISTED base index
-    * ([[graft.Compact]]'s `(id, fp, shingles, bands)` state) instead of
+    * ([[graft.Compact]]'s CLASS-LEVEL state: `classes` = one row per
+    * content class carrying (ck, rep, grp_n, fp, shingles, bands),
+    * `members` = one slim (id, ck) row per document) instead of
     * re-deriving the base side from raw text: candidates come from the
-    * batch's band keys joined against the index's stored band keys, and
-    * the Jaccard verify leg reads the index's stored shingle sets. Same
-    * output contract as [[minhashLshAgainst]] (spec-pinned equal); at
-    * 100 TB this is the difference between re-shingling the accumulated
-    * corpus every batch and one keyed join against state that
-    * [[graft.Compact]] maintains incrementally. */
-  def minhashLshAgainstIndex(index: DataFrame, batch: DataFrame,
+    * batch's band keys joined against the index's STORED band keys —
+    * one stored band set per class, not per document, so both the
+    * 100 TB index asset and the per-batch candidate mass shrink by the
+    * base's duplication factor — and the Jaccard verify leg reads the
+    * stored class shingle sets. The batch side collapses exactly like
+    * [[minhashLshAgainst]]'s. Same output contract (spec-pinned
+    * equal). The stored class key additionally carries the bag
+    * fingerprint (q110's identity, not a shingle-set function), which
+    * only makes base classes FINER than pure shingle classes — a batch
+    * rep then pairs with each matching base class separately and
+    * expansion still covers every member combination. */
+  def minhashLshAgainstIndex(classes: DataFrame, members: DataFrame,
+                             batch: DataFrame,
                              textCol: String = "text", idCol: String = "doc_id",
                              shingleK: Int = 3, bands: Int = 32,
                              rowsPerBand: Int = 4,
@@ -385,25 +450,45 @@ object Dedup {
       .select(col(idCol).cast("long").as("id"),
         TextOps.wordShingles(col(textCol), shingleK).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val batchBanded = batchSh
-      .select(col("id"), lit(true).as("isBatch"),
+      .withColumn("ck", classKey(col("shingles")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchReps = batchSh.groupBy("ck")
+      .agg(min("id").as("id"), first("shingles").as("shingles"),
+        count(lit(1)).as("grp_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    swapShingleCaches(Seq(batchSh, batchReps))
+    val wb = Window.partitionBy("ck")
+    val batchMembers = batchSh.select(col("id"), col("ck"))
+      .select(col("id"), min("id").over(wb).as("rep"))
+    val baseClasses = classes.filter(size(col("shingles")) > 0)
+    val batchBanded = batchReps
+      .select(col("id"), lit(true).as("isBatch"), col("grp_n"),
         posexplode(graft.functions.Hashing.minhashBands(
           col("shingles"), bands, rowsPerBand)))
-      .select(col("id"), col("isBatch"), col("pos").as("band"), col("col").as("bh"))
-    val baseBanded = index
-      .filter(size(col("shingles")) > 0)
-      .select(col("id"), lit(false).as("isBatch"), posexplode(col("bands")))
-      .select(col("id"), col("isBatch"), col("pos").as("band"), col("col").as("bh"))
+      .select(col("id"), col("isBatch"), col("grp_n"),
+        col("pos").as("band"), col("col").as("bh"))
+    val baseBanded = baseClasses
+      .select(col("rep").as("id"), lit(false).as("isBatch"), col("grp_n"),
+        posexplode(col("bands")))
+      .select(col("id"), col("isBatch"), col("grp_n"),
+        col("pos").as("band"), col("col").as("bh"))
     val cand = Lsh.crossBucketPairs(batchBanded.unionByName(baseBanded),
-      Seq("band", "bh"), "batch_id", "base_id")
-    cand
-      .join(batchSh.select(col("id").as("batch_id"), col("shingles").as("sh_a")),
+      Seq("band", "bh"), "batch_id", "base_id", weightCol = "grp_n")
+    val repPairs = cand
+      .join(batchReps.select(col("id").as("batch_id"), col("shingles").as("sh_a")),
         "batch_id")
-      .join(index.select(col("id").as("base_id"), col("shingles").as("sh_b")),
+      .join(baseClasses.select(col("rep").as("base_id"), col("shingles").as("sh_b")),
         "base_id")
       .select(col("batch_id"), col("base_id"),
         round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // base membership: the stored slim (id, ck) sidecar keyed back to
+    // each class's representative
+    val baseMembers = members
+      .join(baseClasses.select(col("ck"), col("rep")), "ck")
+      .select(col("id"), col("rep"))
+    expandCross(repPairs, batchMembers, baseMembers,
+      "batch_id", "base_id", Seq("jaccard"))
   }
 
   /** 64-bit SimHash fingerprint of the token multiset: bit k of the

@@ -115,28 +115,49 @@ object Lsh {
     * pipeline once. Buckets are capped on their TOTAL population (both
     * sides) under the same opt-in cap + accumulator as [[bucketPairs]].
     * Sides are assumed disjoint id sets (a caller-defined corpus
-    * split). */
+    * split).
+    *
+    * `weightCol` (optional) is the exact-copy-collapse hook, mirroring
+    * [[bucketPairs]]: a collapsed caller
+    * ([[Dedup.minhashLshAgainst]]/[[Dedup.minhashLshAgainstIndex]])
+    * bands one representative per (content class, side), so the cap
+    * must test Σ class sizes over BOTH sides — the bucket's RAW
+    * population — not its representative count. With the weight, drop
+    * decisions are identical to the uncollapsed cross pipeline's, and
+    * the surviving expansion is bounded exactly as before: a bucket
+    * that survives has grp_a + grp_b ≤ cap for every cross pair it
+    * emits, so each expanded rep pair fans out to at most
+    * (cap/2)² member pairs — no separate group cap is needed on the
+    * cross path (unlike the self-join path, whose within-clique pairs
+    * bypass the bucket join entirely). */
   def crossBucketPairs(banded: DataFrame, keys: Seq[String],
                        aName: String, bName: String,
-                       maxBucket: Int = 0): DataFrame = {
+                       maxBucket: Int = 0, weightCol: String = ""): DataFrame = {
     val cap = effectiveCap(banded.sparkSession, maxBucket)
+    val weighted = weightCol.nonEmpty
+    val aggs = Seq(
+      sort_array(collect_set(when(col("isBatch"), col("id")))).as("aIds"),
+      sort_array(collect_set(when(!col("isBatch"), col("id")))).as("bIds")) ++
+      (if (weighted) Seq(sum(col(weightCol)).as("pop")) else Nil)
     val grouped = banded.groupBy(keys.map(col): _*)
-      .agg(
-        sort_array(collect_set(when(col("isBatch"), col("id")))).as("aIds"),
-        sort_array(collect_set(when(!col("isBatch"), col("id")))).as("bIds"))
+      .agg(aggs.head, aggs.tail: _*)
       .filter(size(col("aIds")) > 0 && size(col("bIds")) > 0)
     val capped =
       if (cap == Int.MaxValue) grouped
       else {
         val acc = accFor(banded.sparkSession)
-        val keep = udf { (n: Int) =>
+        val keep = udf { (n: Long) =>
           val ok = n <= cap
           if (!ok) acc.add(1L)
           ok
         }
-        grouped.filter(keep(size(col("aIds")) + size(col("bIds"))))
+        val pop =
+          if (weighted) col("pop")
+          else (size(col("aIds")) + size(col("bIds"))).cast("long")
+        grouped.filter(keep(pop))
       }
-    pairLegs(capped, "aIds", "bIds", keys, aName, bName)
+    pairLegs(if (weighted) capped.drop("pop") else capped,
+        "aIds", "bIds", keys, aName, bName)
       .dropDuplicates(aName, bName)
       .transform(pinShuffleJoin)
   }

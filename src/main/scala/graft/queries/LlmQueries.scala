@@ -82,19 +82,19 @@ object LlmQueries {
        |ORDER BY batch_id, base_id""".stripMargin
 
   /** q177's incremental near-dup SERVED FROM THE INDEX SHAPE
-    * ([[Dedup.minhashLshAgainstIndex]] over [[graft.Compact.indexRows]]):
-    * the base side is the compacted `(id, fp, shingles, bands)` state —
-    * stored band keys and stored shingle sets, nothing re-derived from
-    * base text. Must produce exactly q177's answer (same oracle), which
-    * is the cross-engine proof that the persisted-index serving path and
-    * the from-scratch path cannot drift. */
+    * ([[Dedup.minhashLshAgainstIndex]] over
+    * [[graft.Compact.classIndexOf]]): the base side is the compacted
+    * CLASS-LEVEL state — one stored band set + shingle set per content
+    * class plus the slim (id, ck) membership sidecar, nothing
+    * re-derived from base text, candidates generated at class scale.
+    * Must produce exactly q177's answer (same oracle), which is the
+    * cross-engine proof that the persisted-index serving path and the
+    * from-scratch path cannot drift. */
   val indexedNearDup: Q = (s, dir) => {
     val docs = Tables.t(s, dir, "documents")
     val isBatch = col("source").isin("src15", "src16", "src17", "src18", "src19")
-    val index = graft.Compact.indexRows(docs.filter(!isBatch),
-      shingleK = 3, bands = 32, rowsPerBand = 4,
-      textCol = "text", idCol = "doc_id")
-    Dedup.minhashLshAgainstIndex(index, docs.filter(isBatch))
+    val (classes, members) = graft.Compact.classIndexOf(docs.filter(!isBatch))
+    Dedup.minhashLshAgainstIndex(classes, members, docs.filter(isBatch))
       .orderBy("batch_id", "base_id")
   }
 

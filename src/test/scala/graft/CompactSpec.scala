@@ -95,13 +95,43 @@ class CompactSpec extends AnyFunSuite {
     val state = tmpState()
     try {
       Compact.run(spark, state, base)
-      val fromIndex = Dedup.minhashLshAgainstIndex(
-        Compact.readIndex(spark, state).get, batch)
+      val (classes, members) = Compact.readClassIndex(spark, state).get
+      val fromIndex = Dedup.minhashLshAgainstIndex(classes, members, batch)
         .as[(Long, Long, Double)].collect().toSet
       val fromScratch = Dedup.minhashLshAgainst(base, batch)
         .as[(Long, Long, Double)].collect().toSet
       assert(fromScratch.nonEmpty, "fixture should contain cross-split near-dups")
       assert(fromIndex === fromScratch)
+    } finally rm(state)
+  }
+
+  test("class-level state: one payload row per content class, slim membership covers every doc") {
+    val state = tmpState()
+    try {
+      // plant verbatim copies so classes < docs (the asset-shrink claim)
+      val withCopies = base.select("doc_id", "text").unionByName(
+        base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Compact.run(spark, state, withCopies)
+      val (classes, members) = Compact.readClassIndex(spark, state).get
+      val nDocs = withCopies.count()
+      assert(members.count() === nDocs, "one member row per document")
+      val nClasses = classes.count()
+      assert(nClasses * 2 <= nDocs,
+        s"verbatim copies must collapse: $nClasses classes for $nDocs docs")
+      assert(classes.agg(sum("grp_n")).as[Long].head() === nDocs,
+        "class sizes partition the membership")
+      // every class's rep is its min member id
+      val repTruth = members.groupBy("ck").agg(min("id").as("want"))
+      assert(classes.join(repTruth, "ck")
+        .filter(col("rep") =!= col("want")).count() === 0L)
+      // the per-doc compatibility view reconstructs exactly
+      val viaView = Compact.readIndex(spark, state).get
+        .select("id", "fp").as[(Long, String)].collect().toSet
+      val direct = withCopies
+        .select(col("doc_id"),
+          graft.llm.TextOps.bagFingerprint(col("text"))).as[(Long, String)]
+        .collect().toSet
+      assert(viaView === direct)
     } finally rm(state)
   }
 

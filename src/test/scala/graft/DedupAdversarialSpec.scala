@@ -339,6 +339,47 @@ class DedupAdversarialSpec extends AnyFunSuite {
     assert(got.toSet === truth)
   }
 
+  test("cross-corpus collapse is bit-exact: from-scratch and index-served equal brute force") {
+    // the copy-heavy corpus split across the base/batch boundary so
+    // copy families straddle it: the batch carries verbatim copies of
+    // a base chain doc (cross-side same-class pairs must verify at
+    // 1.0 through the ordinary bucket join — reps share all buckets)
+    // and one member of the isolated family whose other two copies
+    // stay in the base
+    val docs = copyHeavyCorpus()
+    val isBatch = col("doc_id").isin(200L, 201L, 202L, 300L)
+    val base = docs.filter(!isBatch)
+    val batch = docs.filter(isBatch)
+
+    val sh = docs.select(col("doc_id"),
+        TextOps.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val truth = sh.filter(isBatch)
+      .select(col("doc_id").as("batch_id"), col("sh").as("sh_a"))
+      .crossJoin(sh.filter(!isBatch)
+        .select(col("doc_id").as("base_id"), col("sh").as("sh_b")))
+      .select(col("batch_id"), col("base_id"),
+        round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("j"))
+      .filter(col("j") >= 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(truth.exists(t => t._1 == 300L && t._3 == 1.0),
+      "cross-side same-class pairs must exist (premise)")
+    assert(truth.exists(t => t._1 >= 200L && t._1 <= 202L && t._2 == 7L),
+      "batch copies must pair with their base original (premise)")
+
+    val fromScratch = Dedup.minhashLshAgainst(base, batch)
+      .as[(Long, Long, Double)].collect()
+    assert(fromScratch.length === fromScratch.toSet.size, "no duplicate rows")
+    assert(fromScratch.toSet === truth,
+      "collapsed cross-corpus output must equal brute force, values included")
+
+    val (classes, members) = graft.Compact.classIndexOf(base)
+    val fromIndex = Dedup.minhashLshAgainstIndex(classes, members, batch)
+      .as[(Long, Long, Double)].collect()
+    assert(fromIndex.toSet === truth, "index-served path must agree")
+    Dedup.clearShingleCache()
+  }
+
   test("capped collapse: oversized copy groups drop from pair expansion, clusters stay exact") {
     // 40 verbatim copies plus one DISTINCT near-dup partner of the copy
     // text (22 tokens; the single changed trailing token flips exactly
