@@ -519,6 +519,110 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** [[planeSrpPairs]] with a QUANTIZE-THEN-COLLAPSE pre-pass — the
+    * designed answer to the round-11 sf10 wall where SRP over a
+    * copy-heavy embedding corpus followed the copies² candidate law
+    * (perturbed copies have no EXACT vector copies for the dedup-style
+    * collapse to merge). Pipeline: snap every coordinate to an integer
+    * grid (`gv_i = round(v_i · scale)`, i.e. grid step h = 1/scale) →
+    * collapse vectors with IDENTICAL grid coordinates to a min-id
+    * representative (the grid array itself is the collapse key —
+    * injective by construction, no hashing) → run the explicit-plane
+    * SRP pipeline over representatives using the QUANTIZED vectors
+    * (`qv = gv/scale`) → expand verified pairs through the grid-copy
+    * groups, within-cell pairs carrying sim 1.0.
+    *
+    * The semantics contract has two layers, both testable:
+    *  - relative to the QUANTIZED corpus the output is EXACT collapse
+    *    algebra: every SRP bucket bit, every verified cosine, and
+    *    every expansion value is a pure function of the grid cell, so
+    *    the result equals [[planeSrpPairs]] run over (id, qv) row for
+    *    row (spec-pinned) — the LSH recall profile is unchanged;
+    *  - relative to the RAW corpus the only divergence is the
+    *    quantization itself, with the stated bound: per-coordinate
+    *    error ≤ h/2 gives ‖v̂−v‖ ≤ h√d/2, and via the normalized-chord
+    *    bound ‖u(v̂)−u(v)‖ ≤ 2‖v̂−v‖/‖v‖ the cosine moves by at most
+    *    ε(a,b) = (h·√d)·(1/‖a‖ + 1/‖b‖). Every reported pair has true
+    *    cosine ≥ threshold − ε, every missed pair (that SRP would have
+    *    caught) has true cosine < threshold + ε; pairs outside the
+    *    ±ε band around the threshold are classified exactly as the
+    *    raw pipeline classifies them. At the fixture's unit-ish norms
+    *    and d = 64, scale = 100 gives ε ≈ 0.16; production corpora
+    *    pick `scale` to taste (ε shrinks linearly).
+    *
+    * Zero-after-quantization vectors are excluded (cosine undefined —
+    * same contract as the raw form's zero-vector caveat). Under the
+    * opt-in cap ([[Lsh.MaxBucketConf]]) bucket rows carry grid-cell
+    * population as the weight and oversized cells drop from expansion
+    * with accounting — the [[Dedup.minhashLsh]] guard verbatim, since
+    * the expansion IS [[Dedup.expandCollapsed]]. */
+  def planeSrpPairsQuantized(corpus: DataFrame, planes: Array[Array[Double]],
+                             bits: Int, threshold: Double, scale: Int = 100,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    require(planes.length % bits == 0, s"planes (${planes.length}) must be tables*bits")
+    require(scale > 0, s"scale must be positive: $scale")
+    val tables = planes.length / bits
+    // integer grid coordinates: the injective collapse key; qv is the
+    // engine-portable quantized vector every downstream value reads
+    val g = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("gv", transform(col("v"), x => round(x * scale).cast("long")))
+      .filter(exists(col("gv"), x => x =!= lit(0L)))
+      .withColumn("qv", transform(col("gv"), x => x.cast("double") / scale))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one representative per grid cell; qv/grp_n are cell functions
+    val reps = g.groupBy("gv")
+      .agg(min("id").as("id"), first("qv").as("qv"), count(lit(1)).as("grp_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.swapShingleCaches(Seq(g, reps))
+    // membership by grid-cell join (not a window: both engines replay
+    // a keyed join on the grid array without window-over-list support)
+    val members = g.select(col("id"), col("gv"))
+      .join(reps.select(col("gv"), col("id").as("rep"), col("grp_n")), "gv")
+      .select(col("id"), col("rep"), col("grp_n"))
+    val multiReps = reps.filter(col("grp_n") > 1).select("id", "grp_n")
+
+    // explicit-plane SRP over representatives' QUANTIZED vectors
+    val tabbed = reps.select(col("id"), col("grp_n"),
+      explode(array((0 until tables).map { t =>
+        val bucket = (0 until bits).map { j =>
+          val dot = graft.functions.VectorOps.dotProduct(col("qv"),
+            typedLit(planes(t * bits + j).toSeq))
+          when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(t).as("tab"), bucket.as("bucket"))
+      }.toIndexedSeq: _*)).as("tb"))
+      .select(col("id"), col("grp_n"), col("tb.tab"), col("tb.bucket"))
+    val cand = Lsh.bucketPairs(tabbed, Seq("tab", "bucket"), "doc_a", "doc_b",
+      weightCol = "grp_n")
+    val pa = reps.select(col("id").as("doc_a"), col("qv").as("v_a"))
+    val pb = reps.select(col("id").as("doc_b"), col("qv").as("v_b"))
+    val repPairs = cand.join(pa, "doc_a").join(pb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(cosine(col("v_a"), col("v_b")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+    Dedup.expandCollapsed(
+      Dedup.NearDupCollapse(members, multiReps, repPairs),
+      Seq("sim"), Seq(lit(1.0)), withinQualifies = threshold <= 1.0)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("sim"))
+  }
+
+  /** Deterministic plane set for [[planeSrpPairsQuantized]]: the
+    * QUANTIZED embedding vectors of the `n` smallest ids with a
+    * nonzero grid image — the same first-N discipline as
+    * [[firstNPlanes]], expressed on the grid so an external engine
+    * derives bit-identical planes from the raw table. */
+  def firstNQuantizedPlanes(corpus: DataFrame, n: Int, scale: Int = 100,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): Array[Array[Double]] =
+    corpus.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("gv", transform(col("v"), x => round(x * scale).cast("long")))
+      .filter(exists(col("gv"), x => x =!= lit(0L)))
+      .select(col("id"), transform(col("gv"), x => x.cast("double") / scale).as("qv"))
+      .orderBy("id").limit(n).collect()
+      .map(_.getSeq[Double](1).toArray)
+
   /** Deterministic plane set for [[planeSrpPairs]]: the embedding vectors
     * of the `n` smallest ids (position in id order = plane index). */
   def firstNPlanes(corpus: DataFrame, n: Int, idCol: String = "vec_id",

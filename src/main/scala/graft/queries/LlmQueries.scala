@@ -501,6 +501,64 @@ object LlmQueries {
       |WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= 0.3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q36's SRP pairs under the QUANTIZE-THEN-COLLAPSE pre-pass
+    * ([[Similarity.planeSrpPairsQuantized]]): coordinates snap to the
+    * 1/100 grid, exact grid-copies collapse to one representative
+    * before bucketing, and pairs expand back through the grid cells —
+    * the designed answer to the sf10 embedding wall, where perturbed
+    * copies gave the dedup-style collapse nothing exact to merge. The
+    * oracle replays the WHOLE pipeline — grid snap, cell collapse,
+    * explicit-plane bucketing over quantized representatives,
+    * quantized-cosine verification, membership expansion — so the
+    * hash-compare pins the collapse algebra, not just the output
+    * shape; the ±ε(h) recall band vs RAW cosine is the documented,
+    * spec-tested contract (LlmOpsSpec). */
+  val annLshQuantized: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+    Similarity.planeSrpPairsQuantized(emb,
+        Similarity.firstNQuantizedPlanes(emb, 32), bits = 8, threshold = 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val annLshQuantizedSql: String =
+    """WITH raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |g AS (SELECT id, [round(x * 100)::BIGINT for x in v] AS gv FROM raw),
+      |q AS (
+      |  SELECT id, gv, [x / 100.0 for x in gv] AS qv FROM g
+      |  WHERE len(list_filter(gv, x -> x <> 0)) > 0),
+      |reps AS (SELECT min(id) AS rid, gv, count(*) AS grp_n FROM q GROUP BY gv),
+      |rv AS (SELECT rid AS id, [x / 100.0 for x in gv] AS qv, grp_n FROM reps),
+      |members AS (SELECT q.id, r.rid AS rep FROM q JOIN reps r ON q.gv = r.gv),
+      |planes AS (
+      |  SELECT (row_number() OVER (ORDER BY id) - 1)::INTEGER AS pid, qv AS pv
+      |  FROM (SELECT id, qv FROM q ORDER BY id LIMIT 32)),
+      |bucketed AS (
+      |  SELECT rv.id, (p.pid // 8)::INTEGER AS tab,
+      |    sum(CASE WHEN list_dot_product(rv.qv, p.pv) >= 0
+      |             THEN (1::BIGINT << (p.pid % 8)) ELSE 0 END)::BIGINT AS bucket
+      |  FROM rv CROSS JOIN planes p
+      |  GROUP BY rv.id, p.pid // 8),
+      |cand AS (
+      |  SELECT a.id AS ra, b.id AS rb
+      |  FROM bucketed a JOIN bucketed b
+      |    ON a.tab = b.tab AND a.bucket = b.bucket AND a.id < b.id
+      |  GROUP BY 1, 2),
+      |rp AS (
+      |  SELECT c.ra, c.rb,
+      |    round(list_cosine_similarity(va.qv, vb.qv), 4) AS sim
+      |  FROM cand c JOIN rv va ON va.id = c.ra JOIN rv vb ON vb.id = c.rb
+      |  WHERE round(list_cosine_similarity(va.qv, vb.qv), 4) >= 0.3),
+      |allp AS (
+      |  SELECT ra, rb, sim FROM rp
+      |  UNION ALL
+      |  SELECT rid, rid, 1.0::DOUBLE FROM reps WHERE grp_n > 1)
+      |SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b, p.sim
+      |FROM allp p
+      |JOIN members ma ON ma.rep = p.ra
+      |JOIN members mb ON mb.rep = p.rb
+      |WHERE p.ra <> p.rb OR ma.id < mb.id
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Dimension-truncation rerank cascade
     * ([[Similarity.truncRerankTopK]]): first-16-dim cosine prefilter to
     * 20 candidates per query (WindowGroupLimit map-side pruning), then
@@ -2760,6 +2818,7 @@ object LlmQueries {
     "q181_semdedup" -> semDedup,
     "q183_semantic_decontam" -> semanticDecontam,
     "q36_ann_lsh" -> annLsh,
+    "q304_srp_quantized" -> annLshQuantized,
     "q50_ann_ivf" -> annIvf,
     "q78_ann_pq" -> annPq,
     "q79_ann_ivfpq" -> annIvfPq,
@@ -2814,6 +2873,7 @@ object LlmQueries {
     "q182_dup_spans" -> dupSpansSql,
     "q190_ngram_novelty" -> ngramNoveltySql,
     "q36_ann_lsh" -> annLshSql,
+    "q304_srp_quantized" -> annLshQuantizedSql,
     "q50_ann_ivf" -> annIvfSql,
     "q78_ann_pq" -> annPqSql,
     "q79_ann_ivfpq" -> annIvfPqSql,

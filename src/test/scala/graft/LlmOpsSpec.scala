@@ -388,6 +388,94 @@ class LlmOpsSpec extends AnyFunSuite {
       s"planted pair missing from ${got.toSeq}")
   }
 
+  test("quantized SRP: collapse algebra is exact and the epsilon recall band holds") {
+    // ---- planted corpus, d = 4, grid h = 0.01 (scale 100) ----
+    // one grid cell with three members (base on exact grid centers, two
+    // perturbations < h/2 per coordinate), one qualifying partner, one
+    // sub-threshold vector; every vector is all-positive so the chosen
+    // planes put EVERYTHING in one bucket — candidates are all pairs
+    // and verification alone decides, keeping the test deterministic
+    val u = Seq(1.0, 0.8, 0.6, 0.4)
+    val u2 = Seq(1.002, 0.799, 0.601, 0.398) // same cell as u
+    val u3 = Seq(0.998, 0.804, 0.596, 0.404) // same cell as u
+    val w = Seq(0.9, 0.85, 0.65, 0.35)       // cos(u,w) ≈ 0.9960 — in
+    val z = Seq(0.4, 0.6, 0.8, 1.0)          // cos(u,z) ≈ 0.8148 — out
+    val df = Seq((1L, u), (2L, u2), (3L, u3), (10L, w), (20L, z))
+      .toDF("vec_id", "embedding")
+    val planes = Array(
+      Array(1.0, 0, 0, 0), Array(0.0, 1, 0, 0),
+      Array(0.0, 0, 1, 0), Array(0.0, 0, 0, 1),
+      Array(1.0, 1, 1, 1), Array(1.0, 1, 0, 0),
+      Array(0.0, 0, 1, 1), Array(1.0, 0, 0, 1))
+    val thr = 0.9
+    val got = Similarity.planeSrpPairsQuantized(df, planes, bits = 4,
+        threshold = thr)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === got.toSet.size, "no duplicate pair rows")
+
+    // (1) exactness law: output equals the brute-force all-pairs truth
+    // over the QUANTIZED vectors (candidates are all pairs here)
+    def quant(v: Seq[Double]) = v.map(x => math.round(x * 100) / 100.0)
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val all = Seq((1L, u), (2L, u2), (3L, u3), (10L, w), (20L, z))
+    val truth = (for {
+      (ia, va) <- all; (ib, vb) <- all if ia < ib
+      s = cos(quant(va), quant(vb)) if s >= thr
+    } yield (ia, ib, s)).toSet
+    assert(truth.exists(_._3 == 1.0), "grid-copy clique must exist (premise)")
+    assert(got.toSet === truth,
+      s"quantized pipeline must equal quantized brute force: ${got.toSeq}")
+
+    // (2) the grid cell collapsed: within-cell pairs at exactly 1.0 and
+    // every member inherits the SAME cross sim as its representative
+    assert(Seq((1L, 2L), (1L, 3L), (2L, 3L))
+      .forall(p => got.exists(g => (g._1, g._2) == p && g._3 == 1.0)))
+    val crossSims = got.filter(g => g._2 == 10L).map(_._3).distinct
+    assert(crossSims.length === 1, s"members must inherit one sim: ${got.toSeq}")
+
+    // (3) the ε band: |cos(quantized) − cos(raw)| ≤ (h√d)(1/‖a‖+1/‖b‖)
+    // for every pair, and the planted in/out pairs sit OUTSIDE the band
+    def norm(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val eps = (a: Seq[Double], b: Seq[Double]) =>
+      0.01 * math.sqrt(4.0) * (1.0 / norm(a) + 1.0 / norm(b))
+    for { (ia, va) <- all; (ib, vb) <- all if ia < ib } {
+      assert(math.abs(cos(quant(va), quant(vb)) - cos(va, vb)) <=
+        eps(va, vb) + 1e-4, s"ε bound violated for ($ia,$ib)")
+    }
+    assert(cos(u, w) >= thr + eps(u, w), "in-pair must clear threshold+ε (premise)")
+    assert(cos(u, z) < thr - eps(u, z), "out-pair must clear threshold−ε (premise)")
+    assert(got.exists(g => (g._1, g._2) == (1L, 10L)), "guaranteed catch missing")
+    assert(!got.exists(g => g._2 == 20L), "guaranteed exclusion violated")
+    graft.llm.Dedup.clearShingleCache()
+  }
+
+  test("quantized SRP equals the uncollapsed plane-SRP over the quantized fixture corpus") {
+    // the collapse is pure optimization w.r.t. the quantized corpus:
+    // running planeSrpPairs directly over (id, quantized embedding)
+    // must give row-identical output — pinned on the real fixture table
+    val emb = Tables.t(spark, sf, "embeddings")
+    val planes = Similarity.firstNQuantizedPlanes(emb, 32)
+    val got = Similarity.planeSrpPairsQuantized(emb, planes, bits = 8,
+        threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    val qemb = emb.select(col("vec_id"),
+      expr("transform(cast(embedding AS array<double>), " +
+        "x -> cast(round(x * 100) AS double) / 100)").as("embedding"))
+      .filter(expr("exists(embedding, x -> x <> 0.0)"))
+    val raw = Similarity.planeSrpPairs(qemb, planes, bits = 8, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .as[(Long, Long, Double)].collect()
+    assert(raw.nonEmpty, "fixture must contain SRP pairs (premise)")
+    assert(got.toSet === raw.toSet)
+    assert(got.length === raw.length)
+    graft.llm.Dedup.clearShingleCache()
+  }
+
   test("trainCentroids is deterministic and drives ivfTopK end to end") {
     val emb = Tables.t(spark, sf, "embeddings")
     val c1 = Similarity.trainCentroids(emb, nlist = 8, sampleN = 256, iters = 3)
