@@ -74,7 +74,50 @@ object CollapseProbe {
         .filter(col("hamming") <= 3)
     }
 
-    val legs: Seq[(String, () => Unit)] = Seq(
+    // ---- the pre-collapse minhashLshAgainst body, verbatim (round-12
+    // cross-path adjudication: run mode `cross-old` / `cross-new` in
+    // SEPARATE invocations — the old body is expected to die on the
+    // candidate disk wall at sf10, which must not taint the new leg) ----
+    val isBatchCol = col("source")
+      .isin("src15", "src16", "src17", "src18", "src19")
+    def oldIncr(): DataFrame = {
+      def shingled(d: DataFrame, b: Boolean) = d
+        .select(col("doc_id").as("id"),
+          graft.llm.TextOps.wordShingles(col("text"), 3).as("shingles"),
+          lit(b).as("isBatch"))
+        .filter(size(col("shingles")) > 0)
+      val sh = shingled(docs.filter(!isBatchCol), b = false)
+        .union(shingled(docs.filter(isBatchCol), b = true))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lastOldCache.foreach(_.unpersist(blocking = false))
+      lastOldCache = Some(sh)
+      val banded = sh
+        .select(col("id"), col("isBatch"),
+          posexplode(graft.functions.Hashing.minhashBands(
+            col("shingles"), 32, 4)))
+        .select(col("id"), col("isBatch"),
+          col("pos").as("band"), col("col").as("bh"))
+      val cand = graft.llm.Lsh.crossBucketPairs(banded, Seq("band", "bh"),
+        "batch_id", "base_id")
+      cand
+        .join(sh.filter(col("isBatch"))
+          .select(col("id").as("batch_id"), col("shingles").as("sh_a")), "batch_id")
+        .join(sh.filter(!col("isBatch"))
+          .select(col("id").as("base_id"), col("shingles").as("sh_b")), "base_id")
+        .select(col("batch_id"), col("base_id"),
+          round(graft.llm.TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    }
+    val crossLegs: Seq[(String, () => Unit)] = Seq(
+      "incr_old" -> (() => { drain(oldIncr()); () }),
+      "incr_new" -> (() => {
+        drain(graft.llm.Dedup.minhashLshAgainst(
+          docs.filter(!isBatchCol), docs.filter(isBatchCol)))
+        graft.llm.Dedup.clearShingleCache()
+      })
+    )
+
+    val allLegs: Seq[(String, () => Unit)] = Seq(
       "minhash_old" -> (() => { drain(oldMinhash()); graft.llm.Dedup.clearShingleCache() }),
       "minhash_new" -> (() => { drain(graft.llm.Dedup.minhashLsh(docs)); graft.llm.Dedup.clearShingleCache() }),
       "simhash_old" -> (() => { drain(oldSimhash()); () }),
@@ -82,6 +125,13 @@ object CollapseProbe {
       "clusters_old" -> (() => { drain(graft.llm.Dedup.connectedComponents(oldMinhash())); graft.llm.Dedup.clearShingleCache() }),
       "clusters_new" -> (() => { drain(graft.llm.Dedup.minhashClusters(docs)); graft.llm.Dedup.clearShingleCache() })
     )
+    val legs: Seq[(String, () => Unit)] = args.lift(2) match {
+      case Some("cross")     => crossLegs
+      case Some("cross-old") => crossLegs.filter(_._1 == "incr_old")
+      case Some("cross-new") => crossLegs.filter(_._1 == "incr_new")
+      case _                 => allLegs
+    }
+
     // sub-stage breakdown of the new minhash path (one shot, warm scan)
     if (args.lift(2).contains("breakdown")) {
       val c = graft.llm.Dedup.minhashCollapse(docs, "text", "doc_id", 3, 32, 4, 0.8)

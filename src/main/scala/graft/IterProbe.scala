@@ -15,14 +15,37 @@ import org.apache.spark.sql.functions._
   * counts plus wall time — direct evidence of which side moves.
   *
   * Usage: `sbt "runMain graft.IterProbe <corpusDir>"` (builds the graph
-  * artifact for the corpus first, like ScaleProbe).
+  * artifact for the corpus first, like ScaleProbe). A second arg
+  * `cluster` runs the NETWORK-BOUNDARY variant (round-12 stretch):
+  * master `local-cluster[2,16,6144]` — two separate executor JVMs, so
+  * every exchange serializes across a process boundary instead of
+  * being an in-heap array handoff. This is the shape whose win
+  * condition the bucketedServe deployment rule claims ("the exchange
+  * is network-bound"); cluster mode runs the checkpoint leg (the
+  * exchange-per-iteration shape) against the artifact-bucketed leg
+  * (exchange-free) and prints both, turning the rule from argued to
+  * measured. Requires SPARK_HOME=/opt/spark in the environment (the
+  * in-process Worker launches executor JVMs through the
+  * distribution's launcher, which injects the Java-17 module opens).
   */
 object IterProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val clusterMode = args.length > 1 && args(1) == "cluster"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val builder =
+      if (clusterMode) {
+        // executors are fresh JVMs: they need the repo classes (custom
+        // kernels referenced from codegen) on their own classpath
+        val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+        SparkSession.builder().master("local-cluster[2,16,6144]")
+          .config("spark.executor.memory", "5g")
+          .config("spark.executor.extraClassPath", classes)
+          .config("spark.sql.shuffle.partitions", cpus)
+      } else
+        SparkSession.builder().master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+    val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -66,6 +89,24 @@ object IterProbe {
         if (i == 1 && showPlan) println(plan.linesIterator.take(40).mkString("\n"))
       }
       total
+    }
+
+    if (clusterMode) {
+      // the deployment decision reduced to its two contenders, across a
+      // real process boundary: B (checkpointed frame — the exchange
+      // happens every iteration and now moves bytes between JVMs) vs E
+      // (artifact bucketed serving — scan-partitioned, no exchange)
+      val eCk0 = edges.join(deg, "u").localCheckpoint(true)
+      val tCk = runIters("cluster-checkpoint", eCk0, showPlan = false)
+      spark.conf.set(graft.operators.GraphArtifact.BucketedServeKey, "true")
+      val eArt0 = graft.operators.GraphArtifact.clickIterEdges(spark, dir)
+      val tArt = runIters("cluster-artifact-bucketed", eArt0, showPlan = false)
+      spark.conf.unset(graft.operators.GraphArtifact.BucketedServeKey)
+      println(f"[iterprobe] cluster totals: checkpoint=${tCk}%.2f s " +
+        f"artifact-bucketed=${tArt}%.2f s")
+      e.unpersist()
+      spark.stop()
+      return
     }
 
     // A: persist() — an AQE-cached relation exposes UnknownPartitioning,
