@@ -188,6 +188,16 @@ object Compact {
           batch: DataFrame, shingleK: Int, bands: Int, rowsPerBand: Int,
           textCol: String, idCol: String): Unit = {
     recover(spark, stateDir) // writer entry: finish any interrupted swap
+    // `fresh` feeds three merge subtrees (id anti-join, membership
+    // union, class payload) UNCACHED — deliberately. Persisting it was
+    // measured (round 12, focused min-of-N A/B at matched scan
+    // throughput) and LOST at both sf0.1 and sf1 (q302 22.8 → 32.5 s,
+    // q209 3.3 → 4.2 s): materializing wide array rows through the
+    // block manager costs more than re-running the codegen'd
+    // scan+shingle+band pass, and the cache barrier breaks write
+    // pipelining. The minhashCollapse persists are the opposite case —
+    // profiled WINS with many heavy consumers — so "persist the
+    // shingle work" is not a blanket rule; measure per shape.
     val fresh = indexRows(batch, shingleK, bands, rowsPerBand, textCol, idCol)
     val (mergedClasses, mergedMembers) =
       readClassIndex(spark, stateDir) match {
