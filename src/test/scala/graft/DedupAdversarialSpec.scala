@@ -210,6 +210,39 @@ class DedupAdversarialSpec extends AnyFunSuite {
     assert(got === Set((9001L, 2000L), (9001L, 2001L)), got.toString)
   }
 
+  test("index-served cross path honors the bucket cap on RAW population") {
+    // same shape as the from-scratch cap test, but the base side comes
+    // from the CLASS-LEVEL index: the 1000-clone base family is ONE
+    // stored class whose grp_n weights every bucket it occupies, so the
+    // weighted cap must drop those buckets (raw population 1001 > 100)
+    // while the ordinary-sized planted buckets still pair
+    val base = degenerateCorpus()
+    val cloneText = base.filter(col("doc_id") === 0L)
+      .select("text").collect().head.getString(0)
+    val plantedNear = "completely different subject matter about distributed query " +
+      "engines shuffling partitioned columnar data across executor pools"
+    val batch = Seq((9000L, cloneText), (9001L, plantedNear))
+      .toDF("doc_id", "text")
+
+    val (classes, members) = graft.Compact.classIndexOf(base)
+    val dropsBefore = Lsh.droppedBuckets(spark)
+    spark.conf.set(Lsh.MaxBucketConf, "100")
+    val pairs =
+      try Dedup.minhashLshAgainstIndex(classes, members, batch).collect()
+      finally spark.conf.unset(Lsh.MaxBucketConf)
+    assert(Lsh.droppedBuckets(spark) - dropsBefore >= 1,
+      "weighted class buckets must be counted when dropped")
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((9001L, 2000L), (9001L, 2001L)), got.toString)
+
+    // and uncapped on the same index, the clone family expands fully:
+    // batch clone 9000 pairs with every one of the 1000 base members
+    val full = Dedup.minhashLshAgainstIndex(classes, members, batch)
+      .filter(col("batch_id") === 9000L).count()
+    assert(full === 1000L, s"expected the full 1000-member expansion, got $full")
+    Dedup.clearShingleCache()
+  }
+
   // ------------------------------------------------ exact-copy collapse
 
   /** A copy-heavy corpus with known structure: a sliding-window chain of
