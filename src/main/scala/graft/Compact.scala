@@ -94,7 +94,10 @@ object Compact {
 
   /** Derive an in-memory class index (classes, members) for a corpus —
     * the same shape [[run]] persists, for callers that serve without
-    * state on disk (the q209 registry derivation). */
+    * state on disk (the q209 registry derivation). The two returned
+    * frames deliberately re-evaluate the scan+shingle+band pass rather
+    * than caching it — same measured verdict as the merge path (see
+    * the [[run]] body comment: persisting lost at sf0.1 AND sf1). */
   def classIndexOf(batch: DataFrame, shingleK: Int = 3, bands: Int = 32,
                    rowsPerBand: Int = 4, textCol: String = "text",
                    idCol: String = "doc_id"): (DataFrame, DataFrame) = {
