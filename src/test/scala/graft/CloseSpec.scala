@@ -71,6 +71,40 @@ class CloseSpec extends AnyFunSuite {
     assert(Close.latestPassCount(7, d) === 7)
   }
 
+  test("latestPassCount ignores an UNTRACKED artifact in a git tree (post-close driver drop)") {
+    // the round-12 judge window: Close regenerates the README against
+    // the artifacts committed at close time, then the driver drops a
+    // NEWER untracked CORRECTNESS_r*.json into the tree — the pin and
+    // Close must keep reading the same (tracked) set or the suite
+    // reddens between every driver gate and the next Close run
+    val d = java.nio.file.Files.createTempDirectory("close-git")
+    def sh(cmd: String*): Unit = {
+      val p = new ProcessBuilder(cmd: _*).directory(d.toFile)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() == 0, s"${cmd.mkString(" ")} failed:\n$out")
+    }
+    def w(name: String, body: String) =
+      java.nio.file.Files.writeString(d.resolve(name), body)
+    sh("git", "init", "-q")
+    sh("git", "-c", "user.email=t@t", "-c", "user.name=t", "commit",
+      "-q", "--allow-empty", "-m", "root")
+    w("CORRECTNESS_r05.json",
+      """{"a":{"hash_match":true},"b":{"hash_match":true}}""")
+    sh("git", "add", "CORRECTNESS_r05.json")
+    sh("git", "-c", "user.email=t@t", "-c", "user.name=t", "commit",
+      "-q", "-m", "close artifacts")
+    w("CORRECTNESS_r06.json", // newer, but untracked — the driver drop
+      """{"a":{"hash_match":true},"b":{"hash_match":true},"c":{"hash_match":true}}""")
+    assert(Close.latestPassCount(99, d) === 2,
+      "must read the newest TRACKED artifact, not the driver's drop")
+    // once the next round-open commits it, the fresh artifact governs
+    sh("git", "add", "CORRECTNESS_r06.json")
+    sh("git", "-c", "user.email=t@t", "-c", "user.name=t", "commit",
+      "-q", "-m", "round open: track driver artifacts")
+    assert(Close.latestPassCount(99, d) === 3)
+  }
+
   test("sf1Staleness flags missing or src-predating sf1 artifacts; fresh passes") {
     import java.nio.file.{Files => F}
     import java.nio.file.attribute.FileTime
