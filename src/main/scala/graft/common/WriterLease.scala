@@ -69,16 +69,22 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * (including the crash-injection failpoints) releases immediately;
   * only a process death leaves the lease for TTL reclamation.
   *
-  * == Nonce-matched release (round-12 fix) ==
+  * == Nonce-matched release (round-12 fix, round-13 tightening) ==
   *
   * Release is as guarded as acquisition: [[acquire]] returns its
-  * per-acquisition nonce and [[release]] deletes the lease file ONLY
-  * when the live content still carries that nonce. A holder that
-  * stalls past its TTL while still alive (long GC pause, suspended VM)
-  * can have its lease legitimately broken; under the old unconditional
+  * per-acquisition nonce and [[release]] removes the lease file ONLY
+  * when its content still carries that nonce. A holder that stalls
+  * past its TTL while still alive (long GC pause, suspended VM) can
+  * have its lease legitimately broken; under the old unconditional
   * delete its late `finally` release destroyed the breaker's FRESH
-  * lease and admitted a third writer. Now the stale holder's release
-  * is a no-op and the breaker stays fenced.
+  * lease and admitted a third writer. Since round 13 the match is
+  * claim-by-rename rather than read-then-delete: the instance is
+  * atomically renamed to a nonce-derived scratch path, inspected
+  * there, and either dropped (ours) or restored via exclusive create
+  * (not ours — yielding to any lease acquired during the inspection
+  * window). The residual double-writer window is a few filesystem ops
+  * wide and documented at the method. Cross-process cleanup is a
+  * separate, deliberately-named [[forceRelease]].
   */
 object WriterLease {
 
@@ -266,17 +272,45 @@ object WriterLease {
       val cutoff = System.currentTimeMillis() - DefaultTtlMs
       fs.listStatus(path.getParent)
         .filter(st => st.isFile &&
-          st.getPath.getName.startsWith(path.getName + ".tomb.") &&
+          (st.getPath.getName.startsWith(path.getName + ".tomb.") ||
+            // a release that died between its rename-claim and the
+            // drop/restore leaves its scratch instance behind; past
+            // the TTL it is garbage by the same argument as a lapsed
+            // tombstone (the lease it came from is breakable anyway)
+            st.getPath.getName.startsWith(path.getName + ".rel.")) &&
           st.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, false))
     } catch { case _: java.io.IOException => () } // best-effort housekeeping
 
   /** Release this process's most recent acquisition of `path`
-    * (delegates to the nonce form using the in-process record; a path
-    * this process never acquired is left untouched). */
+    * (delegates to the nonce form using the in-process record).
+    *
+    * DELIBERATE NO-OP when this process holds no record for `path` —
+    * this form releases OWN acquisitions only. Until round 12 it
+    * deleted unconditionally, and out-of-band callers (ops tooling
+    * clearing a stuck lease from another process) may have relied on
+    * that; they now do nothing here and must call [[forceRelease]],
+    * whose doc states the hazard they are accepting (round-12 ADVICE:
+    * the silent behavior change needed a named, documented
+    * destination). */
   def release(fs: FileSystem, path: Path): Unit = {
     val held = heldInProcess.get(path.toString)
     if (held != null) release(fs, path, held.nonce)
+  }
+
+  /** Cross-process CLEANUP: delete the lease at `path` regardless of
+    * owner or nonce — for ops tooling clearing a lease whose holder is
+    * known dead when waiting out the TTL is not an option. This is the
+    * unconditional delete [[release]] used to be, under its true name:
+    * it carries none of the lease's fencing guarantees, and running it
+    * while the holder is actually ALIVE re-opens the double-writer
+    * door the lease exists to close. Prefer the TTL break (just call
+    * the operator again after `ttl_ms`); reach for this only with the
+    * holder provably gone. */
+  def forceRelease(fs: FileSystem, path: Path): Unit = {
+    fs.delete(path, false)
+    heldInProcess.remove(path.toString)
+    ()
   }
 
   /** Release ONE acquisition, named by the nonce [[acquire]] returned:
@@ -296,13 +330,69 @@ object WriterLease {
     * acquisition, so a breaker in the SAME process keeps its
     * nested-acquire fence. */
   def release(fs: FileSystem, path: Path, nonce: String): Unit = {
-    val matches =
-      (try Some(readFully(fs, path))
-       catch { case _: java.io.IOException =>
-         try Some(readFully(fs, path))
-         catch { case _: java.io.IOException => None }
-       }).flatMap(parseNonce).contains(nonce)
-    if (matches) fs.delete(path, false)
+    // Claim-by-rename, then inspect (round-13 tightening of the
+    // round-12 read-then-delete): renaming the live file to a
+    // nonce-derived scratch path atomically claims THAT instance, so
+    // the nonce match and the removal act on the same bytes. The form
+    // this replaces could read its own still-valid nonce, stall across
+    // a TTL break, and then delete the BREAKER's fresh lease — the
+    // decision and the delete were separated by unbounded time. Now a
+    // mismatching instance is restored via EXCLUSIVE create (never a
+    // clobbering rename): if a contender acquired during the
+    // inspection window, the restore yields and the contender's lease
+    // keeps fencing — the restored-over instance belonged to a holder
+    // already stalled past its TTL.
+    //
+    // RESIDUAL RACE, documented and accepted: between the rename-away
+    // and the restore the path is briefly ABSENT, so a fresh contender
+    // can acquire inside that window; on mismatch the restore then
+    // yields, leaving the renamed-away breaker believing it still
+    // holds — two writers. Reaching it requires a holder stalled past
+    // its TTL (minutes) releasing at the exact moment a contender
+    // races a window of three filesystem ops (milliseconds), versus
+    // the unbounded read→delete gap this replaces. A release that
+    // crashes between rename and restore likewise drops the in-flight
+    // instance (path absent → the next acquire is fresh); that
+    // exposure is the same process-death-mid-release shape the old
+    // form had.
+    val scratch = new Path(path.getParent, path.getName + ".rel." +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(nonce.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    val renamed =
+      try fs.rename(path, scratch)
+      catch { case _: java.io.IOException => false }
+    if (renamed) {
+      val content =
+        try Some(readFully(fs, scratch))
+        catch { case _: java.io.IOException =>
+          try Some(readFully(fs, scratch))
+          catch { case _: java.io.IOException => None }
+        }
+      if (content.flatMap(parseNonce).contains(nonce)) {
+        // our own instance: the release completes by dropping it
+        try fs.delete(scratch, false)
+        catch { case _: java.io.IOException => () }
+      } else
+        try {
+          content match {
+            case Some(c) =>
+              // someone else's live instance: put it back without
+              // clobbering whatever may have been created meanwhile;
+              // either way the path ends fenced, so drop the scratch
+              createExclusive(fs, path, c.getBytes("UTF-8"))
+              fs.delete(scratch, false)
+              ()
+            case None =>
+              // claimed but unreadable (pathological store state): if
+              // nothing re-acquired, restore the original bytes by
+              // rename; if something did, its fresh lease fences and
+              // the superseded instance is dropped
+              if (!fs.exists(path)) fs.rename(scratch, path)
+              else fs.delete(scratch, false)
+              ()
+          }
+        } catch { case _: java.io.IOException => () }
+    }
     heldInProcess.computeIfPresent(path.toString,
       (_, h) => if (h.nonce == nonce) null else h)
     ()

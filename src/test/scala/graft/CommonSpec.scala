@@ -232,6 +232,33 @@ class CommonSpec extends AnyFunSuite {
     // B's own release (matching nonce) does delete
     WriterLease.release(fs, lease, nonceB)
     assert(!fs.exists(lease))
+    // the claim-by-rename release must clean up after itself: neither
+    // A's mismatching release nor B's matching one may leave a .rel.
+    // scratch instance behind (a leak would accrete one file per
+    // stalled release until the tombstone GC's TTL sweep)
+    val leftovers = Option(new java.io.File(lease.getParent.toUri.getPath)
+      .listFiles).toSeq.flatten.map(_.getName).filter(_.contains(".rel."))
+    assert(leftovers.isEmpty, s"scratch leftovers: $leftovers")
+  }
+
+  test("WriterLease.forceRelease: the named cross-process cleanup deletes unconditionally") {
+    import graft.common.WriterLease
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("lease-force").toString, "w.lease")
+    // a live foreign lease (another process — no in-process record):
+    // the guarded no-nonce release is a documented NO-OP for it...
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(lease.toUri.getPath),
+      s"""{"owner":"other@host","acquired_ms":${System.currentTimeMillis()},""" +
+        """"ttl_ms":600000,"nonce":"their-nonce"}""")
+    WriterLease.release(fs, lease)
+    assert(fs.exists(lease),
+      "release(fs, path) must not touch a lease this process never acquired")
+    // ...and forceRelease is the explicit ops-tooling override
+    WriterLease.forceRelease(fs, lease)
+    assert(!fs.exists(lease))
   }
 
   test("WriterLease: two stale contenders — the tombstone rename admits exactly one") {
