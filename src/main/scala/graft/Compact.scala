@@ -55,6 +55,34 @@ object Compact {
   private def live(stateDir: String) = new Path(stateDir, "index")
   private def staging(stateDir: String) = new Path(stateDir, "_staging")
 
+  /** Persisted-state format version, written as `_FORMAT` next to the
+    * sub-tables (inside staging BEFORE `_SUCCESS`, so it commits with
+    * the data it describes). History: v1 = flat per-document
+    * `(id, fp, shingles, bands)` rows (rounds ≤ 11); v2 = classes/ +
+    * members/ split keyed on [[graft.llm.Dedup.classKey]]. The version
+    * matters twice over: the round-12 layout change left a v1 live dir
+    * throwing a path-not-found AnalysisException inside the writer
+    * lease (the round-12 ADVICE finding this closes), and `ck` is
+    * STORED — any future key-encoding change would silently split
+    * every content class joined across versions. So readers REFUSE
+    * unknown formats with an actionable error and the single writer
+    * MIGRATES known older ones in place. */
+  private[graft] val FormatVersion = 2
+
+  /** Detect the format of a committed state root. No marker means the
+    * dir predates the marker itself: classes/ present ⇒ v2 (the
+    * marker-less round-12 build wrote the same layout and key
+    * encoding, so it is current), else the flat v1 layout. */
+  private[graft] def detectFormat(f: org.apache.hadoop.fs.FileSystem,
+                                  root: Path): Int = {
+    val marker = new Path(root, "_FORMAT")
+    if (f.exists(marker)) {
+      val in = f.open(marker)
+      try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+    } else if (f.exists(new Path(root, "classes"))) 2
+    else 1
+  }
+
   private def fs(spark: SparkSession, stateDir: String) =
     new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -141,6 +169,12 @@ object Compact {
   def readClassIndex(spark: SparkSession,
                      stateDir: String): Option[(DataFrame, DataFrame)] =
     resolveRoot(spark, stateDir).map { root =>
+      val v = detectFormat(fs(spark, stateDir), root)
+      if (v != FormatVersion) throw new IllegalStateException(
+        s"dedup index at $stateDir is format v$v but this build serves " +
+          s"v$FormatVersion (the layouts are incompatible): run " +
+          "Compact.run with any batch — the writer migrates the state in " +
+          s"place — or delete $stateDir and rebuild")
       (spark.read.parquet(new Path(root, "classes").toString),
         spark.read.parquet(new Path(root, "members").toString))
     }
@@ -191,6 +225,13 @@ object Compact {
           batch: DataFrame, shingleK: Int, bands: Int, rowsPerBand: Int,
           textCol: String, idCol: String): Unit = {
     recover(spark, stateDir) // writer entry: finish any interrupted swap
+    // writer entry, step 2: an older-format live dir migrates via its
+    // own staged swap before the merge reads it (readers only REFUSE —
+    // migration mutates, so it belongs to the lease holder)
+    resolveRoot(spark, stateDir).foreach { root =>
+      val v = detectFormat(f, root)
+      if (v != FormatVersion) migrate(spark, f, stateDir, root, v)
+    }
     // `fresh` feeds three merge subtrees (id anti-join, membership
     // union, class payload) UNCACHED — deliberately. Persisting it was
     // measured (round 12, focused min-of-N A/B at matched scan
@@ -234,25 +275,58 @@ object Compact {
         case None =>
           (classRowsOf(fresh), fresh.select("id", "ck"))
       }
-    // phase 1: materialize the merged index completely into staging
-    // (the live dir is only READ here; both sub-tables are written
-    // before the top-level _SUCCESS marker, which is what readers and
-    // recovery test for completeness)
+    commitStaged(f, stateDir, mergedClasses, mergedMembers)
+  }
+
+  /** Phase 1: materialize an index completely into staging (the live
+    * dir is only READ here; both sub-tables, then the `_FORMAT` version
+    * marker, are written before the top-level `_SUCCESS` marker, which
+    * is what readers and recovery test for completeness). Phase 2 (the
+    * commit point): swap. Readers are strictly read-only, but the
+    * rename stays tolerant: under the single-writer contract a
+    * crashed-then-retried compactor's own recover() may have finished
+    * the identical rename — losing it is success iff live exists and
+    * staging is gone. */
+  private def commitStaged(f: org.apache.hadoop.fs.FileSystem,
+                           stateDir: String, classes: DataFrame,
+                           members: DataFrame): Unit = {
     val s = staging(stateDir)
     f.delete(s, true)
-    mergedClasses.write.parquet(new Path(s, "classes").toString)
-    mergedMembers.write.parquet(new Path(s, "members").toString)
+    classes.write.parquet(new Path(s, "classes").toString)
+    members.write.parquet(new Path(s, "members").toString)
+    val m = f.create(new Path(s, "_FORMAT"), true)
+    m.write(FormatVersion.toString.getBytes("UTF-8")); m.close()
     f.create(new Path(s, "_SUCCESS"), true).close()
-    // phase 2 (commit point): swap. Readers are strictly read-only now,
-    // but keep the rename tolerant: under the single-writer contract a
-    // crashed-then-retried compactor's own recover() may have finished
-    // the identical rename — losing it is success iff live exists and
-    // staging is gone
     f.delete(live(stateDir), true)
     if (!f.rename(s, live(stateDir)) &&
         !(f.exists(live(stateDir)) && !f.exists(s)))
       throw new IllegalStateException(s"commit rename failed for $stateDir")
     ()
+  }
+
+  /** Writer-path format migration (called under the lease, after crash
+    * recovery): rewrite a committed older-format state as current via its
+    * own staged swap, so the merge that follows reads a current-format
+    * live dir. v1 → v2 recomputes `ck` from STORED columns — fp is
+    * stored and the shingle-set key is a pure function of the stored
+    * shingle array — so no text is re-read and no re-shingling
+    * happens; the flat rows then collapse to class rows plus the
+    * membership sidecar, exactly as a fresh build would. */
+  private def migrate(spark: SparkSession,
+                      f: org.apache.hadoop.fs.FileSystem,
+                      stateDir: String, root: Path, from: Int): Unit = {
+    val freshCk = struct(col("fp").as("fp"),
+      graft.llm.Dedup.classKey(col("shingles")).as("sk"))
+    val (classes, members) = from match {
+      case 1 =>
+        val rows = spark.read.parquet(root.toString).withColumn("ck", freshCk)
+        (classRowsOf(rows), rows.select("id", "ck"))
+      case other => throw new IllegalStateException(
+        s"dedup index at $stateDir reports format v$other, which this " +
+          s"build (v$FormatVersion) does not know how to migrate — " +
+          s"delete $stateDir and rebuild")
+    }
+    commitStaged(f, stateDir, classes, members)
   }
 
   /** CLI: `Compact <stateDir> <sfDir> <sourcesCsv>` — index the fixture

@@ -135,6 +135,69 @@ class CompactSpec extends AnyFunSuite {
     } finally rm(state)
   }
 
+  test("format versioning: a v1 flat dir migrates on the writer path; readers refuse it") {
+    val state = tmpState()
+    try {
+      val v1docs = Seq((1L, "alpha beta gamma delta"),
+        (2L, "epsilon zeta eta theta"),
+        (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      // plant the rounds-≤11 layout: flat (id, fp, shingles, bands)
+      // parquet rows directly at <state>/index, no sub-dirs, no marker
+      Compact.indexRows(v1docs, 3, 32, 4, "text", "doc_id")
+        .drop("ck")
+        .write.parquet(new java.io.File(state, "index").toString)
+      // readers refuse with the actionable message instead of the
+      // round-12 path-not-found AnalysisException (ADVICE finding)
+      val ex = intercept[IllegalStateException] {
+        Compact.readClassIndex(spark, state)
+      }
+      assert(ex.getMessage.contains("format v1") &&
+        ex.getMessage.contains("migrates"), ex.getMessage)
+      // the writer migrates in place, then folds the batch as usual
+      Compact.run(spark, state, Seq((4L, "iota kappa lambda mu"))
+        .toDF("doc_id", "text"))
+      val fresh = tmpState()
+      try {
+        Compact.run(spark, fresh, v1docs.unionByName(
+          Seq((4L, "iota kappa lambda mu")).toDF("doc_id", "text")))
+        assert(indexRows(state) === indexRows(fresh),
+          "migrated-then-merged state must equal a from-scratch build")
+      } finally rm(fresh)
+      // the migrated dir carries the marker, so the next writer skips
+      val marker = new java.io.File(new java.io.File(state, "index"), "_FORMAT")
+      assert(marker.exists)
+      assert(new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8").trim === Compact.FormatVersion.toString)
+    } finally rm(state)
+  }
+
+  test("format versioning: an unknown FUTURE format is refused by readers AND the writer") {
+    val state = tmpState()
+    try {
+      Compact.run(spark, state, Seq((1L, "alpha beta gamma delta"))
+        .toDF("doc_id", "text"))
+      val marker = java.nio.file.Paths.get(state, "index", "_FORMAT")
+      // drop the Hadoop local-FS checksum sibling: planting the marker
+      // via NIO bypasses it and the stale crc would fail the next open
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(state, "index", "._FORMAT.crc"))
+      java.nio.file.Files.writeString(marker, "99")
+      val exR = intercept[IllegalStateException] {
+        Compact.readClassIndex(spark, state)
+      }
+      assert(exR.getMessage.contains("format v99"))
+      val exW = intercept[IllegalStateException] {
+        Compact.run(spark, state, Seq((2L, "epsilon zeta eta theta"))
+          .toDF("doc_id", "text"))
+      }
+      assert(exW.getMessage.contains("does not know how to migrate"))
+      // refusal must not have clobbered the state: restoring the true
+      // marker restores service
+      java.nio.file.Files.writeString(marker, Compact.FormatVersion.toString)
+      assert(Compact.readIndex(spark, state).get.count() === 1L)
+    } finally rm(state)
+  }
+
   test("q110 parity: the index's fingerprint set drives the same incremental exact dedup") {
     val state = tmpState()
     try {
