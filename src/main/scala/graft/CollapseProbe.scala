@@ -125,11 +125,64 @@ object CollapseProbe {
       "clusters_old" -> (() => { drain(graft.llm.Dedup.connectedComponents(oldMinhash())); graft.llm.Dedup.clearShingleCache() }),
       "clusters_new" -> (() => { drain(graft.llm.Dedup.minhashClusters(docs)); graft.llm.Dedup.clearShingleCache() })
     )
+    // generic registry-query legs: `queries:qA,qB,...` runs each named
+    // registry body interleaved (round-13 bench-flag adjudication), and
+    // `classkey:qA,qB,...` runs each under BOTH classKey encodings —
+    // legacy (round-12 length-prefixed string) vs shipped (per-element
+    // hash) — in one process, the q59/q136 regression A/B.
+    def registryLeg(nm: String): () => Unit = () => {
+      drain(SparkEntry.queries(nm)(spark, dir))
+      graft.llm.Dedup.clearShingleCache()
+    }
+    def encodedLeg(nm: String, variant: String): (String, () => Unit) =
+      (s"${nm}_$variant", () => {
+        graft.llm.Dedup.classKeyVariant = variant
+        try registryLeg(nm)() finally
+          graft.llm.Dedup.classKeyVariant = "legacy12"
+      })
     val legs: Seq[(String, () => Unit)] = args.lift(2) match {
       case Some("cross")     => crossLegs
       case Some("cross-old") => crossLegs.filter(_._1 == "incr_old")
       case Some("cross-new") => crossLegs.filter(_._1 == "incr_new")
+      case Some(m) if m.startsWith("queries:") =>
+        m.stripPrefix("queries:").split(',').toSeq.map(q => q -> registryLeg(q))
+      case Some(m) if m.startsWith("classkey:") =>
+        m.stripPrefix("classkey:").split(',').toSeq
+          .flatMap(q => Seq("r11", "legacy12", "cheap").map(encodedLeg(q, _)))
       case _                 => allLegs
+    }
+
+    // class-level index size at 1x vs Nx verbatim copies — the measured
+    // back for Compact's dup-factor asset-shrink claim (round-12
+    // verdict #6): expect ~flat classes bytes, linear members sidecar
+    if (args.lift(2).exists(_.startsWith("indexsize"))) {
+      val copies = args(2).split(':').lift(1).map(_.toInt).getOrElse(20)
+      def buildAndMeasure(tag: String, corpus: DataFrame): Unit = {
+        val state = java.nio.file.Files
+          .createTempDirectory("graft-indexsize").toString
+        val t0 = System.nanoTime()
+        Compact.run(spark, state, corpus)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val f = new org.apache.hadoop.fs.Path(state)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def du(sub: String) = f.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"$state/index/$sub")).getLength
+        val (classes, members) = Compact.readClassIndex(spark, state).get
+        println(f"[collapse-probe] indexsize $tag%-8s classes=${classes.count()}%8d " +
+          f"(${du("classes") / 1e6}%8.2f MB)  members=${members.count()}%9d " +
+          f"(${du("members") / 1e6}%8.2f MB)  build ${sec}%6.1f s")
+        def rm(d: java.io.File): Unit = {
+          Option(d.listFiles).foreach(_.foreach(rm)); d.delete(); ()
+        }
+        rm(new java.io.File(state))
+      }
+      val base = docs.select("doc_id", "text")
+      buildAndMeasure("1x", base)
+      val many = (0 until copies).map(c =>
+        base.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          col("text"))).reduce(_ unionByName _)
+      buildAndMeasure(s"${copies}x", many)
+      spark.stop(); return
     }
 
     // sub-stage breakdown of the new minhash path (one shot, warm scan)

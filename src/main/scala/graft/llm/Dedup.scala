@@ -65,12 +65,40 @@ object Dedup {
     * simultaneously. */
   private[graft] def classKey(arr: Column): Column = {
     val sorted = array_sort(arr)
-    struct(
-      md5(concat_ws("\u0001",
-        transform(sorted, s => concat(length(s).cast("string"), lit(":"), s)))),
-      xxhash64(sorted),
-      size(sorted))
+    if (classKeyVariant == "r11")
+      // probe-only reconstruction of the PRE-injectivity round-11 key
+      // (bare separator join, aliasable -- never ship)
+      return struct(md5(concat_ws("\u0001", sorted)),
+        xxhash64(concat_ws("\u0001", sorted)), size(sorted))
+    val h1 =
+      if (classKeyVariant == "cheap")
+        // probe-only alternative: md5 over comma-joined DECIMAL
+        // renderings of per-element xxhash64 values (injective in the
+        // per-element hash sequence; aliasing needs a simultaneous
+        // collision of a fixed-seed element hash AND the chained
+        // structural hash). Built as the round-13 candidate fix for
+        // the q59/q136 close regressions; the interleaved min-of-4
+        // A/B measured it EQUAL to the shipped encoding (and to the
+        // r11 bare form) at sf0.1 -- the regression was box load, not
+        // the encoding -- so the shipped key keeps the strictly
+        // stronger unconditional-injectivity encoding below and the
+        // persisted index format stays v2 (SCALE.md round-13).
+        md5(concat_ws(",", transform(sorted, s => xxhash64(s).cast("string"))))
+      else
+        md5(concat_ws("\u0001",
+          transform(sorted, s => concat(length(s).cast("string"), lit(":"), s))))
+    struct(h1, xxhash64(sorted), size(sorted))
   }
+
+  /** Probe-only switch to alternative [[classKey]] encodings ("r11" =
+    * the pre-injectivity bare-separator form, "cheap" = per-element
+    * hashes), so [[graft.CollapseProbe]]'s `classkey` mode can
+    * interleave the variants inside ONE process (min-of-N,
+    * load-cancelling). NOT a tuning knob: the default is the only
+    * supported encoding -- [[graft.Compact]] state is keyed on it
+    * (format v2), flipping it against a live index would split every
+    * persisted content class in two, and "r11" is outright aliasable. */
+  @volatile private[graft] var classKeyVariant: String = "legacy12"
 
   /** Exact dedup: group by content fingerprint, keep the smallest doc_id
     * as canonical. One map-side-combinable shuffle on the 128-bit hash. */
