@@ -608,6 +608,208 @@ object Similarity {
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("sim"))
   }
 
+  /** Tolerant near-duplicate pairs over embeddings under COHERENT
+    * drift — the round-13 answer to the corpus shape that
+    * [[planeSrpPairsQuantized]]'s grid collapse provably cannot touch
+    * (SCALE.md: a uniform per-copy shift crosses one grid boundary per
+    * coordinate, fragmenting a 100-copy family into ~65 cells at any
+    * usable step). Instead of collapsing on coordinates, this
+    * collapses on SRP SIGNATURE CLASSES with radius-bounded leader
+    * groups and classifies whole GROUP pairs through a Lipschitz
+    * interval, descending to member-exact verification only inside
+    * the boundary band. Published roots: sign-random-projection LSH
+    * (Charikar 2002) for the class key; the triangle-inequality
+    * pruning is the classic metric-space ball-bound (e.g. AESA/LAESA
+    * family); see PAPERS.md.
+    *
+    * Pipeline (three levels, coarse to fine):
+    *  1. EXACT cells: group by the raw embedding array (bit-identical
+    *     vectors — the re-encode/verbatim-copy mass). Zero radius, so
+    *     within-cell pairs are sim 1.0 exactly and the cell expansion
+    *     is [[Dedup.expandCollapsed]] verbatim.
+    *  2. SIGNATURE classes: each distinct vector's full explicit-plane
+    *     SRP signature (every table's bucket word). Sign bits are
+    *     FLIP-stable under small coherent shifts (a drifted copy
+    *     changes `sign(v·p)` only where v·p sits near zero), so a
+    *     drift ladder spans a handful of classes where the coordinate
+    *     grid shattered into one cell per boundary crossing. All
+    *     within-class pairs are verified EXACTLY — the class self-join
+    *     that assigns leaders (below) already computes their cosines.
+    *  3. Radius-bounded LEADER groups inside each class: member m's
+    *     leader is the MIN-id class member within chord radius
+    *     `maxChord` of m (m itself qualifies, so the rule is total; it
+    *     is a pure function of the class SET, so it is deterministic
+    *     and engine-replayable with one self-join — no sequential
+    *     scan). Every group therefore sits inside a ball of chord
+    *     `maxChord` around its leader's REAL vector, with the group's
+    *     measured radius R = √(2 − 2·min cos(member, leader)) ≤
+    *     maxChord stored alongside.
+    *
+    * Cross-class candidate GROUP pairs come from the bucket join over
+    * leaders' signatures — an EXACT lift of the raw pipeline's
+    * candidate generation, because every member carries its leader's
+    * signature: member pair (x, y) shares table t's bucket iff their
+    * leaders do. Each candidate pair is classified by the dot-product
+    * ball bound: for unit vectors, x ∈ ball(a, Ra), y ∈ ball(b, Rb)
+    * implies |cos(x,y) − cos(a,b)| ≤ Δ with Δ = Ra + Rb + Ra·Rb
+    * (expand (a+δx)·(b+δy) and bound the three cross terms by
+    * Cauchy–Schwarz). So with c = cos(leader_a, leader_b):
+    *  - c − Δ ≥ threshold: EVERY member pair qualifies — emitted with
+    *    the rep-attributed sim round(c, 4) (each true cosine is within
+    *    Δ of it and provably ≥ threshold);
+    *  - c + Δ < threshold: NO member pair qualifies — dropped, no
+    *    member work at all;
+    *  - otherwise (the boundary band): member-exact verification,
+    *    exact sims.
+    *
+    * Output contract: the PAIR SET equals [[planeSrpPairs]] on the
+    * same planes/bits/threshold (candidate lift is exact and the band
+    * guarantees cover the rest) up to the 4-dp rounding razor edge;
+    * sims are exact within signature classes and inside the band, and
+    * rep-attributed (true value within Δ, qualification guaranteed)
+    * above it. Classification inputs are rounded to 6 dp in BOTH
+    * engines (the [[truncRerankTopK]] precedent) so the branch taken
+    * is replay-stable.
+    *
+    * Scale shape: candidate generation runs at GROUP granularity (a
+    * 100-copy drifted family is a handful of groups, off the copies²
+    * candidate law that killed raw SRP and the grid collapse at sf10);
+    * the within-class self-join is quadratic in DISTINCT vectors per
+    * signature class (bounded by flip stability for natural corpora;
+    * the opt-in [[Lsh.MaxBucketConf]] cap applies to the bucket join
+    * and the cell expansion as everywhere else in the family);
+    * member-exact work materializes only for band pairs and output.
+    * Everything else is keyed joins and map-side arithmetic. */
+  def srpTolerantPairs(corpus: DataFrame, planes: Array[Array[Double]],
+                       bits: Int, threshold: Double, maxChord: Double = 0.1,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(planes.length % bits == 0, s"planes (${planes.length}) must be tables*bits")
+    require(maxChord > 0 && maxChord < math.sqrt(2.0),
+      s"maxChord $maxChord must be in (0, sqrt(2)): at sqrt(2) the ball " +
+        "covers the whole orthogonal cap and the bound classifies nothing")
+    val tables = planes.length / bits
+    // leader admission in cosine terms: chord(u,v) <= maxChord
+    // <=> cos(u,v) >= 1 - maxChord^2/2 (unit vectors)
+    val cosMinAdmit = 1.0 - maxChord * maxChord / 2.0
+    val c6 = (a: Column, b: Column) => round(cosine(a, b), 6)
+
+    // level 1: exact cells keyed on the RAW array (no computed floats
+    // in the key — verbatim copies are bit-identical by definition)
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .filter(exists(col("v"), x => x =!= lit(0.0)))
+    val cells = v.groupBy("v")
+      .agg(min("id").as("id"), count(lit(1)).as("ex_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cellMembers = v.select(col("id"), col("v"))
+      .join(cells.select(col("v"), col("id").as("rep"), col("ex_n").as("grp_n")), "v")
+      .select(col("id"), col("rep"), col("grp_n"))
+
+    // level 2: full SRP signature per exemplar — array of per-table
+    // bucket words, all map-side against broadcast literal planes
+    val sig = array((0 until tables).map { t =>
+      (0 until bits).map { j =>
+        val dot = graft.functions.VectorOps.dotProduct(col("v"),
+          typedLit(planes(t * bits + j).toSeq))
+        when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }.toIndexedSeq: _*)
+    val ex = cells.select(col("id"), col("v"), col("ex_n"))
+      .withColumn("sig", sig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // one self-join per signature class: ordered exemplar pairs with
+    // their 6-dp cosine — reused for (a) exact within-class output and
+    // (b) leader assignment
+    val exA = ex.select(col("sig"), col("id").as("ia"), col("v").as("va"))
+    val exB = ex.select(col("sig"), col("id").as("ib"), col("v").as("vb"))
+    val classPairs = exA.join(exB, Seq("sig"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("cos6", c6(col("va"), col("vb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withinClass = classPairs
+      .filter(round(col("cos6"), 4) >= threshold)
+      .select(col("ia").as("doc_a"), col("ib").as("doc_b"),
+        round(col("cos6"), 4).as("sim"))
+
+    // level 3: leader(m) = min id within the admission ball (m itself
+    // qualifies) — a pure set function, one aggregate over the pair
+    // rows in both directions
+    val admitted = classPairs.filter(col("cos6") >= cosMinAdmit)
+    val neighborMin = admitted
+      .select(col("ia").as("id"), col("ib").as("nb"))
+      .unionByName(admitted.select(col("ib").as("id"), col("ia").as("nb")))
+      .groupBy("id").agg(min("nb").as("min_nb"))
+    val assign = ex.select(col("id"), col("ex_n"))
+      .join(neighborMin, Seq("id"), "left")
+      .select(col("id"), col("ex_n"),
+        least(col("id"), coalesce(col("min_nb"), col("id"))).as("leader"))
+    // measured group radius from the SAME 6-dp cosines the admission
+    // used: R = sqrt(2 - 2*minCos) over members, 0 for the leader row
+    val memberCos = assign.filter(col("id") =!= col("leader"))
+      .join(classPairs.select(
+          least(col("ia"), col("ib")).as("lo"),
+          greatest(col("ia"), col("ib")).as("hi"), col("cos6")),
+        least(col("id"), col("leader")) === col("lo") &&
+          greatest(col("id"), col("leader")) === col("hi"))
+      .select(col("leader"), col("cos6"))
+    val groups = assign.groupBy("leader")
+      .agg(sum("ex_n").as("pop"), collect_list(col("id")).as("mem_ids"))
+      .join(memberCos.groupBy("leader").agg(min("cos6").as("min_cos")),
+        Seq("leader"), "left")
+      .withColumn("radius",
+        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * coalesce(col("min_cos"), lit(1.0)))))
+      .join(ex.select(col("id").as("leader"), col("v").as("lv"), col("sig")), "leader")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.llm.Dedup.swapShingleCaches(Seq(cells, ex, classPairs, groups))
+
+    // cross-class candidates at GROUP granularity: leaders sharing any
+    // (table, bucket); same-class pairs are already answered exactly
+    val banded = groups.select(col("leader").as("id"), col("pop"),
+        posexplode(col("sig")))
+      .select(col("id"), col("pop"), col("pos").as("tab"), col("col").as("bucket"))
+    val cand = Lsh.bucketPairs(banded, Seq("tab", "bucket"), "la", "lb",
+      weightCol = "pop")
+    val ga = groups.select(col("leader").as("la"), col("lv").as("va"),
+      col("radius").as("ra"), col("mem_ids").as("mem_a"), col("sig").as("sig_a"))
+    val gb = groups.select(col("leader").as("lb"), col("lv").as("vb"),
+      col("radius").as("rb"), col("mem_ids").as("mem_b"), col("sig").as("sig_b"))
+    val classified = cand.join(ga, "la").join(gb, "lb")
+      .filter(col("sig_a") =!= col("sig_b"))
+      .withColumn("c", c6(col("va"), col("vb")))
+      .withColumn("delta",
+        col("ra") + col("rb") + col("ra") * col("rb"))
+
+    // above the band: every member pair qualifies — rep-attributed sim
+    val above = classified.filter(col("c") - col("delta") >= threshold)
+      .select(explode(col("mem_a")).as("ea"), col("mem_b"),
+        round(col("c"), 4).as("sim"))
+      .select(col("ea"), explode(col("mem_b")).as("eb"), col("sim"))
+      .select(least(col("ea"), col("eb")).as("doc_a"),
+        greatest(col("ea"), col("eb")).as("doc_b"), col("sim"))
+    // inside the band: member-exact verification, exact sims
+    val band = classified
+      .filter(col("c") - col("delta") < threshold &&
+        col("c") + col("delta") >= threshold)
+      .select(explode(col("mem_a")).as("ea"), col("mem_b"))
+      .select(col("ea"), explode(col("mem_b")).as("eb"))
+      .join(ex.select(col("id").as("ea"), col("v").as("xva")), "ea")
+      .join(ex.select(col("id").as("eb"), col("v").as("xvb")), "eb")
+      .withColumn("sim", round(c6(col("xva"), col("xvb")), 4))
+      .filter(col("sim") >= threshold)
+      .select(least(col("ea"), col("eb")).as("doc_a"),
+        greatest(col("ea"), col("eb")).as("doc_b"), col("sim"))
+    // below the band: provably no qualifying member pair — dropped
+
+    val exemplarPairs = withinClass.unionByName(above).unionByName(band)
+    val multiReps = cells.filter(col("ex_n") > 1)
+      .select(col("id"), col("ex_n").as("grp_n"))
+    Dedup.expandCollapsed(
+      Dedup.NearDupCollapse(cellMembers, multiReps, exemplarPairs),
+      Seq("sim"), Seq(lit(1.0)), withinQualifies = threshold <= 1.0)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("sim"))
+  }
+
   /** Deterministic plane set for [[planeSrpPairsQuantized]]: the
     * QUANTIZED embedding vectors of the `n` smallest ids with a
     * nonzero grid image — the same first-N discipline as

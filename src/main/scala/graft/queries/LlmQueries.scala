@@ -559,6 +559,108 @@ object LlmQueries {
       |WHERE p.ra <> p.rb OR ma.id < mb.id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Tolerant SRP near-dup pairs ([[Similarity.srpTolerantPairs]]):
+    * the round-13 answer to COHERENT embedding drift — exact-vector
+    * cells, SRP-signature classes, radius-bounded min-id leader
+    * groups, and Lipschitz-interval classification of whole group
+    * pairs (rep-attributed above the band, member-exact inside it,
+    * provably-empty drops below). The oracle replays the ENTIRE
+    * pipeline — cell collapse, plane signatures, the set-functional
+    * leader rule, measured radii, the group-level bucket join, the
+    * three-way classification, and both expansions — so the
+    * hash-compare pins the collapse algebra and the band logic, not
+    * just output shape. */
+  val annLshTolerant: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+    Similarity.srpTolerantPairs(emb,
+        Similarity.firstNPlanes(emb, 32), bits = 8, threshold = 0.3)
+      .orderBy("id_a", "id_b", "sim")
+  }
+
+  val annLshTolerantSql: String =
+    """WITH raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |nz AS (SELECT id, v FROM raw WHERE len(list_filter(v, x -> x <> 0)) > 0),
+      |cells AS (SELECT min(id) AS eid, v, count(*) AS ex_n FROM nz GROUP BY v),
+      |cmem AS (SELECT nz.id, c.eid AS rep FROM nz JOIN cells c ON nz.v = c.v),
+      |planes AS (
+      |  SELECT (row_number() OVER (ORDER BY id) - 1)::INTEGER AS pid, v AS pv
+      |  FROM (SELECT id, v FROM raw ORDER BY id LIMIT 32)),
+      |sigs AS (
+      |  SELECT c.eid AS id, (p.pid // 8)::INTEGER AS tab,
+      |    sum(CASE WHEN list_dot_product(c.v, p.pv) >= 0
+      |             THEN (1::BIGINT << (p.pid % 8)) ELSE 0 END)::BIGINT AS bucket
+      |  FROM cells c CROSS JOIN planes p
+      |  GROUP BY c.eid, p.pid // 8),
+      |sigv AS (SELECT id, list(bucket ORDER BY tab) AS sig FROM sigs GROUP BY id),
+      |cpair AS (
+      |  SELECT a.id AS ia, b.id AS ib,
+      |    round(list_cosine_similarity(va.v, vb.v), 6) AS cos6
+      |  FROM sigv a JOIN sigv b ON a.sig = b.sig AND a.id < b.id
+      |  JOIN cells va ON va.eid = a.id JOIN cells vb ON vb.eid = b.id),
+      |withinc AS (SELECT ia AS ea, ib AS eb, round(cos6, 4) AS sim
+      |            FROM cpair WHERE round(cos6, 4) >= 0.3),
+      |adm AS (SELECT ia, ib FROM cpair WHERE cos6 >= 0.995),
+      |nbmin AS (
+      |  SELECT id, min(nb) AS min_nb FROM (
+      |    SELECT ia AS id, ib AS nb FROM adm
+      |    UNION ALL SELECT ib, ia FROM adm) GROUP BY id),
+      |assign AS (
+      |  SELECT c.eid AS id, c.ex_n,
+      |    least(c.eid, coalesce(n.min_nb, c.eid)) AS leader
+      |  FROM cells c LEFT JOIN nbmin n ON n.id = c.eid),
+      |mcos AS (
+      |  SELECT a.leader, p.cos6 FROM assign a JOIN cpair p
+      |    ON least(a.id, a.leader) = p.ia AND greatest(a.id, a.leader) = p.ib
+      |  WHERE a.id <> a.leader),
+      |grp AS (SELECT leader, sum(ex_n) AS pop, list(id) AS mem
+      |        FROM assign GROUP BY leader),
+      |grps AS (
+      |  SELECT g.leader, g.pop, g.mem,
+      |    sqrt(greatest(0, 2 - 2 * coalesce(m.min_cos, 1))) AS radius,
+      |    s.sig, c.v AS lv
+      |  FROM grp g
+      |  LEFT JOIN (SELECT leader, min(cos6) AS min_cos FROM mcos GROUP BY leader) m
+      |    ON m.leader = g.leader
+      |  JOIN sigv s ON s.id = g.leader
+      |  JOIN cells c ON c.eid = g.leader),
+      |gb AS (
+      |  SELECT leader, t.tab, sig[t.tab + 1] AS bucket
+      |  FROM grps CROSS JOIN (SELECT unnest(range(4)) AS tab) t),
+      |cand AS (
+      |  SELECT DISTINCT a.leader AS la, b.leader AS lb
+      |  FROM gb a JOIN gb b
+      |    ON a.tab = b.tab AND a.bucket = b.bucket AND a.leader < b.leader),
+      |cls AS (
+      |  SELECT c.la, c.lb, ga.mem AS mem_a, g2.mem AS mem_b,
+      |    round(list_cosine_similarity(ga.lv, g2.lv), 6) AS cc,
+      |    ga.radius + g2.radius + ga.radius * g2.radius AS delta
+      |  FROM cand c
+      |  JOIN grps ga ON ga.leader = c.la
+      |  JOIN grps g2 ON g2.leader = c.lb
+      |  WHERE ga.sig <> g2.sig),
+      |above0 AS (SELECT unnest(mem_a) AS ea, mem_b, round(cc, 4) AS sim
+      |           FROM cls WHERE cc - delta >= 0.3),
+      |above AS (SELECT ea, unnest(mem_b) AS eb, sim FROM above0),
+      |band0 AS (SELECT unnest(mem_a) AS ea, mem_b FROM cls
+      |          WHERE cc - delta < 0.3 AND cc + delta >= 0.3),
+      |band1 AS (SELECT ea, unnest(mem_b) AS eb FROM band0),
+      |band AS (
+      |  SELECT b.ea, b.eb,
+      |    round(round(list_cosine_similarity(va.v, vb.v), 6), 4) AS sim
+      |  FROM band1 b JOIN cells va ON va.eid = b.ea JOIN cells vb ON vb.eid = b.eb
+      |  WHERE round(round(list_cosine_similarity(va.v, vb.v), 6), 4) >= 0.3),
+      |allex AS (
+      |  SELECT least(ea, eb) AS ra, greatest(ea, eb) AS rb, sim FROM withinc
+      |  UNION ALL SELECT least(ea, eb), greatest(ea, eb), sim FROM above
+      |  UNION ALL SELECT least(ea, eb), greatest(ea, eb), sim FROM band
+      |  UNION ALL SELECT eid, eid, 1.0::DOUBLE FROM cells WHERE ex_n > 1)
+      |SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b, p.sim
+      |FROM allex p
+      |JOIN cmem ma ON ma.rep = p.ra
+      |JOIN cmem mb ON mb.rep = p.rb
+      |WHERE p.ra <> p.rb OR ma.id < mb.id
+      |ORDER BY id_a, id_b, sim""".stripMargin
+
   /** Dimension-truncation rerank cascade
     * ([[Similarity.truncRerankTopK]]): first-16-dim cosine prefilter to
     * 20 candidates per query (WindowGroupLimit map-side pruning), then
@@ -2819,6 +2921,7 @@ object LlmQueries {
     "q183_semantic_decontam" -> semanticDecontam,
     "q36_ann_lsh" -> annLsh,
     "q304_srp_quantized" -> annLshQuantized,
+    "q305_srp_tolerant" -> annLshTolerant,
     "q50_ann_ivf" -> annIvf,
     "q78_ann_pq" -> annPq,
     "q79_ann_ivfpq" -> annIvfPq,
@@ -2874,6 +2977,7 @@ object LlmQueries {
     "q190_ngram_novelty" -> ngramNoveltySql,
     "q36_ann_lsh" -> annLshSql,
     "q304_srp_quantized" -> annLshQuantizedSql,
+    "q305_srp_tolerant" -> annLshTolerantSql,
     "q50_ann_ivf" -> annIvfSql,
     "q78_ann_pq" -> annPqSql,
     "q79_ann_ivfpq" -> annIvfPqSql,

@@ -476,6 +476,140 @@ class LlmOpsSpec extends AnyFunSuite {
     graft.llm.Dedup.clearShingleCache()
   }
 
+  test("tolerant SRP: band classification is exact, attribution is rep-bound, drops are provable") {
+    // ---- planted corpus, d = 4, 2 tables x 2 bits (axis planes) ----
+    // signature(v) = ((v0>=0) + 2(v1>=0), (v2>=0) + 2(v3>=0)); all
+    // vectors below share table-0 word 3, so every cross-class pair is
+    // a candidate through table 0 and CLASSIFICATION alone decides.
+    val a1 = Seq(1.0, 0.8, 0.6, 0.02)   // class (3,3), leader of G1
+    val a2 = a1                          // verbatim duplicate -> same CELL
+    val a4 = Seq(1.0, 0.8, 0.52, 0.02)  // cos(a1,a4)~0.9986 >= 0.995 -> G1
+    val a6 = Seq(1.0, 0.8, 0.35, 0.3)   // class (3,3), own group (cos<0.995)
+    val a5 = Seq(0.3, 0.9, 0.1, 0.6)    // class (3,3), own group, sub-thr
+    val x  = Seq(0.95, 0.45, 0.85, -0.05) // class (3,1): BAND partner of G1
+    val x2 = Seq(0.9, 0.2, 0.9, -0.1)     // class (3,1): band, no survivor
+    val y  = Seq(1.0, 0.8, 0.6, -0.02)    // class (3,1): ABOVE-band partner
+    val w  = Seq(0.9, 0.75, -0.9, 0.5)    // class (3,2): BELOW-band partner
+    val ids = Seq(1L -> a1, 2L -> a2, 3L -> a4, 4L -> a6, 5L -> a5,
+      10L -> x, 11L -> x2, 20L -> y, 30L -> w)
+    val df = ids.toDF("vec_id", "embedding")
+    val planes = Array(Array(1.0, 0, 0, 0), Array(0.0, 1, 0, 0),
+      Array(0.0, 0, 1, 0), Array(0.0, 0, 0, 1))
+    val thr = 0.9
+    val rho = 0.1 // cosMinAdmit = 0.995
+
+    def cosR(a: Seq[Double], b: Seq[Double], dp: Int) = {
+      val dot = a.zip(b).map { case (p, q) => p * q }.sum
+      val r = dot / (math.sqrt(a.map(t => t * t).sum) *
+        math.sqrt(b.map(t => t * t).sum))
+      BigDecimal(r).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // premises, computed not assumed: the admission, radius, and all
+    // three classification positions hold with the 6-dp inputs the
+    // operator itself uses
+    val c14 = cosR(a1, a4, 6)
+    assert(c14 >= 0.995, s"G1 admission premise: $c14")
+    assert(cosR(a1, a6, 6) < 0.995 && cosR(a4, a6, 6) < 0.995 &&
+      cosR(a1, a5, 6) < 0.995, "a6/a5 must form their own groups")
+    val delta = math.sqrt(math.max(0.0, 2 - 2 * c14)) // R(G1); partners singleton
+    assert(cosR(a1, y, 6) - delta >= thr, "ABOVE premise (G1 vs y)")
+    assert(cosR(a1, x, 6) - delta < thr && cosR(a1, x, 6) + delta >= thr,
+      "BAND premise (G1 vs x)")
+    assert(cosR(a1, x2, 6) - delta < thr && cosR(a1, x2, 6) + delta >= thr,
+      "BAND premise (G1 vs x2)")
+    assert(cosR(a1, w, 6) + delta < thr, "BELOW premise (G1 vs w)")
+    assert(cosR(a4, y, 4) >= thr, "above-band guarantee must be true for a4 too")
+    assert(cosR(a4, x, 4) >= thr && cosR(a1, x, 4) >= thr,
+      "band survivors premise")
+    assert(cosR(a1, x2, 4) < thr && cosR(a4, x2, 4) < thr,
+      "band-no-survivor premise")
+
+    val got = Similarity.srpTolerantPairs(df, planes, bits = 2,
+        threshold = thr, maxChord = rho)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === got.toSet.size, "no duplicate pair rows")
+    val gotMap = got.map(g => (g._1, g._2) -> g._3).toMap
+
+    // (1) pair-set parity with the raw pipeline on the same planes
+    val raw = Similarity.planeSrpPairs(df, planes, bits = 2, threshold = thr)
+      .as[(Long, Long, Double)].collect()
+    assert(raw.map(r => (r._1, r._2)).toSet === gotMap.keySet,
+      s"pair-set parity: raw=${raw.toSeq} got=${got.toSeq}")
+
+    // (2) the verbatim duplicate collapsed at cell level: sim exactly 1
+    assert(gotMap((1L, 2L)) === 1.0)
+    // (3) ABOVE the band: every G1 member inherits the LEADER pair's
+    // sim — (3,20) carries round(cos(a1,y),4), provably >= thr but NOT
+    // its own exact cosine (rep attribution, the operator's contract)
+    assert(gotMap((3L, 20L)) === cosR(a1, y, 4))
+    assert(gotMap((3L, 20L)) !== cosR(a4, y, 4), "premise: attribution observable")
+    assert(gotMap((1L, 20L)) === cosR(a1, y, 4))
+    assert(gotMap((2L, 20L)) === cosR(a1, y, 4), "cell copy inherits too")
+    // (4) INSIDE the band: member-exact sims, each member its own value
+    assert(gotMap((1L, 10L)) === cosR(a1, x, 4))
+    assert(gotMap((3L, 10L)) === cosR(a4, x, 4))
+    assert(!gotMap.contains((1L, 11L)) && !gotMap.contains((3L, 11L)),
+      "band pair with no qualifying members emits nothing")
+    // (5) BELOW the band: dropped without member work
+    assert(!got.exists(g => g._1 == 30L || g._2 == 30L))
+    // (6) within-class pairs are exact (same signature, cross-group)
+    assert(gotMap((1L, 4L)) === cosR(a1, a6, 4))
+    assert(gotMap((3L, 4L)) === cosR(a4, a6, 4))
+    assert(gotMap((10L, 20L)) === cosR(x, y, 4))
+    assert(!gotMap.contains((1L, 5L)), "sub-threshold within-class pair absent")
+    graft.llm.Dedup.clearShingleCache()
+  }
+
+  test("tolerant SRP equals raw plane-SRP's pair set on the fixture, sims within the stated bound") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val planes = Similarity.firstNPlanes(emb, 32)
+    val rho = 0.1
+    val got = Similarity.srpTolerantPairs(emb, planes, bits = 8,
+        threshold = 0.3, maxChord = rho)
+      .as[(Long, Long, Double)].collect()
+    val nz = emb.filter(expr(
+      "exists(cast(embedding as array<double>), x -> x <> 0.0)"))
+    val raw = Similarity.planeSrpPairs(nz, planes, bits = 8, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(raw.nonEmpty, "fixture must contain SRP pairs (premise)")
+    assert(got.map(g => (g._1, g._2)).toSet === raw.map(r => (r._1, r._2)).toSet,
+      "the contract: pair set equals the raw pipeline's")
+    // attributed sims sit within Delta_max = 2*rho + rho^2 of exact
+    val rawMap = raw.map(r => (r._1, r._2) -> r._3).toMap
+    val dmax = 2 * rho + rho * rho + 1e-4
+    got.foreach { g =>
+      assert(math.abs(g._3 - rawMap((g._1, g._2))) <= dmax,
+        s"attribution bound violated for $g vs ${rawMap((g._1, g._2))}")
+    }
+    graft.llm.Dedup.clearShingleCache()
+  }
+
+  test("tolerant SRP on a coherent-drift ladder: output equals raw truth (the q304-DIED shape)") {
+    // the SfGen drift shape in miniature: copy c = base + c*eps*ones —
+    // the uniform per-copy shift that provably fragments the grid
+    // collapse (one boundary crossing per coordinate) but flips an SRP
+    // sign only where a dot product sits near zero
+    val base = Seq(0.8, -0.6, 0.5, -0.3, 0.9, -0.2, 0.4, -0.7)
+    val ladder = (0 until 40).map { c =>
+      (100L + c, base.map(_ + c * 0.004))
+    }
+    val df = ladder.toDF("vec_id", "embedding")
+    val planes = Array(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0), Array(0.0, 1, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 0, 1, 0, 0, 0, 0, 0), Array(0.0, 0, 0, 1, 0, 0, 0, 0),
+      Array(1.0, 1, 1, 1, 1, 1, 1, 1), Array(1.0, -1, 1, -1, 1, -1, 1, -1),
+      Array(0.0, 0, 0, 0, 1, 1, 1, 1), Array(1.0, 0, 1, 0, 1, 0, 1, 0))
+    val got = Similarity.srpTolerantPairs(df, planes, bits = 4,
+        threshold = 0.995, maxChord = 0.05)
+      .as[(Long, Long, Double)].collect()
+    val raw = Similarity.planeSrpPairs(df, planes, bits = 4, threshold = 0.995)
+      .as[(Long, Long, Double)].collect()
+    assert(raw.nonEmpty && raw.length < ladder.length * (ladder.length - 1) / 2,
+      "premise: the ladder's ends must NOT all qualify (a real decision boundary)")
+    assert(got.map(g => (g._1, g._2)).toSet === raw.map(r => (r._1, r._2)).toSet)
+    graft.llm.Dedup.clearShingleCache()
+  }
+
   test("trainCentroids is deterministic and drives ivfTopK end to end") {
     val emb = Tables.t(spark, sf, "embeddings")
     val c1 = Similarity.trainCentroids(emb, nlist = 8, sampleN = 256, iters = 3)
