@@ -720,12 +720,17 @@ object Similarity {
 
     // one self-join per signature class: ordered exemplar pairs with
     // their 6-dp cosine — reused for (a) exact within-class output and
-    // (b) leader assignment
+    // (b) leader assignment. Persisted SLIM (ids + cosine only): the
+    // heavy vector payloads are consumed inside the join's projection
+    // and must not ride the persist — at 100× the pair rows number in
+    // the tens of millions, and carrying two 64-double arrays per row
+    // is the difference between a 240 MB working set and a 10 GB one
+    // (the round-13 sf10 OOM, fixed here).
     val exA = ex.select(col("sig"), col("id").as("ia"), col("v").as("va"))
     val exB = ex.select(col("sig"), col("id").as("ib"), col("v").as("vb"))
     val classPairs = exA.join(exB, Seq("sig"))
       .filter(col("ia") < col("ib"))
-      .withColumn("cos6", c6(col("va"), col("vb")))
+      .select(col("ia"), col("ib"), c6(col("va"), col("vb")).as("cos6"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withinClass = classPairs
       .filter(round(col("cos6"), 4) >= threshold)
@@ -740,10 +745,13 @@ object Similarity {
       .select(col("ia").as("id"), col("ib").as("nb"))
       .unionByName(admitted.select(col("ib").as("id"), col("ia").as("nb")))
       .groupBy("id").agg(min("nb").as("min_nb"))
+    // the slim membership table (exemplar id -> its leader), the
+    // expansion spine for both cross-class legs below
     val assign = ex.select(col("id"), col("ex_n"))
       .join(neighborMin, Seq("id"), "left")
       .select(col("id"), col("ex_n"),
         least(col("id"), coalesce(col("min_nb"), col("id"))).as("leader"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // measured group radius from the SAME 6-dp cosines the admission
     // used: R = sqrt(2 - 2*minCos) over members, 0 for the leader row
     val memberCos = assign.filter(col("id") =!= col("leader"))
@@ -754,14 +762,14 @@ object Similarity {
           greatest(col("id"), col("leader")) === col("hi"))
       .select(col("leader"), col("cos6"))
     val groups = assign.groupBy("leader")
-      .agg(sum("ex_n").as("pop"), collect_list(col("id")).as("mem_ids"))
+      .agg(sum("ex_n").as("pop"))
       .join(memberCos.groupBy("leader").agg(min("cos6").as("min_cos")),
         Seq("leader"), "left")
       .withColumn("radius",
         sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * coalesce(col("min_cos"), lit(1.0)))))
       .join(ex.select(col("id").as("leader"), col("v").as("lv"), col("sig")), "leader")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.llm.Dedup.swapShingleCaches(Seq(cells, ex, classPairs, groups))
+    graft.llm.Dedup.swapShingleCaches(Seq(cells, ex, classPairs, assign, groups))
 
     // cross-class candidates at GROUP granularity: leaders sharing any
     // (table, bucket); same-class pairs are already answered exactly
@@ -770,32 +778,38 @@ object Similarity {
       .select(col("id"), col("pop"), col("pos").as("tab"), col("col").as("bucket"))
     val cand = Lsh.bucketPairs(banded, Seq("tab", "bucket"), "la", "lb",
       weightCol = "pop")
+    // classification on SCALARS only (leader vector, radius, signature
+    // equality) — member expansion joins happen strictly AFTER the
+    // band filter, so below-band candidates (the bulk at scale) cost
+    // one slim row each and zero member work
     val ga = groups.select(col("leader").as("la"), col("lv").as("va"),
-      col("radius").as("ra"), col("mem_ids").as("mem_a"), col("sig").as("sig_a"))
+      col("radius").as("ra"), col("sig").as("sig_a"))
     val gb = groups.select(col("leader").as("lb"), col("lv").as("vb"),
-      col("radius").as("rb"), col("mem_ids").as("mem_b"), col("sig").as("sig_b"))
+      col("radius").as("rb"), col("sig").as("sig_b"))
     val classified = cand.join(ga, "la").join(gb, "lb")
       .filter(col("sig_a") =!= col("sig_b"))
-      .withColumn("c", c6(col("va"), col("vb")))
-      .withColumn("delta",
-        col("ra") + col("rb") + col("ra") * col("rb"))
+      .select(col("la"), col("lb"), c6(col("va"), col("vb")).as("c"),
+        (col("ra") + col("rb") + col("ra") * col("rb")).as("delta"))
+    val memA = assign.select(col("leader").as("la"), col("id").as("ea"))
+    val memB = assign.select(col("leader").as("lb"), col("id").as("eb"))
 
-    // above the band: every member pair qualifies — rep-attributed sim
+    // above the band: every member pair qualifies — rep-attributed sim,
+    // expanded through the assignment spine (streamed keyed joins)
     val above = classified.filter(col("c") - col("delta") >= threshold)
-      .select(explode(col("mem_a")).as("ea"), col("mem_b"),
-        round(col("c"), 4).as("sim"))
-      .select(col("ea"), explode(col("mem_b")).as("eb"), col("sim"))
+      .select(col("la"), col("lb"), round(col("c"), 4).as("sim"))
+      .join(memA, "la").join(memB, "lb")
       .select(least(col("ea"), col("eb")).as("doc_a"),
         greatest(col("ea"), col("eb")).as("doc_b"), col("sim"))
     // inside the band: member-exact verification, exact sims
     val band = classified
       .filter(col("c") - col("delta") < threshold &&
         col("c") + col("delta") >= threshold)
-      .select(explode(col("mem_a")).as("ea"), col("mem_b"))
-      .select(col("ea"), explode(col("mem_b")).as("eb"))
+      .select(col("la"), col("lb"))
+      .join(memA, "la").join(memB, "lb")
       .join(ex.select(col("id").as("ea"), col("v").as("xva")), "ea")
       .join(ex.select(col("id").as("eb"), col("v").as("xvb")), "eb")
-      .withColumn("sim", round(c6(col("xva"), col("xvb")), 4))
+      .select(col("ea"), col("eb"),
+        round(c6(col("xva"), col("xvb")), 4).as("sim"))
       .filter(col("sim") >= threshold)
       .select(least(col("ea"), col("eb")).as("doc_a"),
         greatest(col("ea"), col("eb")).as("doc_b"), col("sim"))
