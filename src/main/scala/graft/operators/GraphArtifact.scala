@@ -110,7 +110,13 @@ object GraphArtifact {
     * in-memory checkpointed frame wins (re-decoding parquet every
     * iteration costs more than process-local exchanges save — measured
     * 4.21 vs 3.49 s); the bucketed shape wins when the saved exchange is
-    * NETWORK-bound, i.e. on a real cluster. */
+    * NETWORK-bound, i.e. on a real cluster. `auto` (round 13) encodes
+    * the measured deployment rule's BOTH halves (IterProbe cluster,
+    * SCALE.md round-12: ~2× steady-state iteration above the broadcast
+    * threshold, no separation below it): serve bucketed iff the stored
+    * sub's bytes exceed `spark.sql.autoBroadcastJoinThreshold` (with
+    * threshold −1 ⇒ always bucketed, since the edge side can then
+    * never broadcast). */
   val BucketedServeKey = "spark.graft.graph.bucketedServe"
 
   private val Subs = Seq("copurchase_support", "copurchase", "click", "orders")
@@ -843,27 +849,50 @@ object GraphArtifact {
     * coalescing would erase the partitioning this path exists for —
     * the n-task floor is the price of the exchange-free scan. */
   private def serveBucketed(s: SparkSession, sub: String): Option[DataFrame] = {
-    val on = s.conf.getOption(BucketedServeKey).exists(_.toBoolean)
-    s.conf.getOption(Key).filter(_ => on).map { root =>
+    val mode = s.conf.getOption(BucketedServeKey)
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT)).getOrElse("false")
+    val on = mode == "true" || mode == "auto"
+    s.conf.getOption(Key).filter(_ => on).flatMap { root =>
       val fs = fsOf(s, root)
       val base = resolveServeBase(s, fs, root)
       val p = new Path(base, sub)
       if (!fs.exists(p))
         throw new IllegalStateException(
-          s"$BucketedServeKey=true but '$sub' is missing under $base — the " +
+          s"$BucketedServeKey=$mode but '$sub' is missing under $base — the " +
             "artifact predates the iteration-shaped serving state; rebuild " +
             "with GraphArtifact.build (or unset the conf)")
-      val n = readMeta(fs, base).buckets
-      val name = s"graft_${sub}_" +
-        (scala.util.hashing.MurmurHash3.stringHash(p.toString) & 0x7fffffff) + s"_b$n"
-      if (!s.catalog.tableExists(name)) {
-        val key = iterKey(sub)
-        s.sql(s"CREATE TABLE `$name` (${iterSchema(sub).toDDL}) USING PARQUET " +
-          s"CLUSTERED BY ($key) SORTED BY ($key) INTO $n BUCKETS " +
-          s"LOCATION '${p.toString}'")
+      // auto: encode the MEASURED deployment rule (IterProbe cluster,
+      // SCALE.md round-12) — the exchange-free bucketed scan wins iff
+      // the edge side is too big to broadcast; below the threshold
+      // both legs broadcast and the bucketed path's n-task floor only
+      // costs. The size compared is the stored sub's parquet bytes —
+      // exactly the `sizeInBytes` a statless file relation reports to
+      // the planner (× the default compression factor 1.0), so the
+      // flip agrees with the broadcast decision the inline path gets.
+      // Threshold −1 (broadcast disabled) means the edge side can
+      // never broadcast: always serve bucketed.
+      val autoDeclines = mode == "auto" && {
+        val raw = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        // plain integers (including the disable value -1) are bytes;
+        // only suffixed forms need the byte-string parser
+        val thr = raw.toLongOption.getOrElse(
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+        thr >= 0 && fs.getContentSummary(p).getLength <= thr
       }
-      s.catalog.refreshTable(name)
-      s.table(name)
+      if (autoDeclines) None
+      else {
+        val n = readMeta(fs, base).buckets
+        val name = s"graft_${sub}_" +
+          (scala.util.hashing.MurmurHash3.stringHash(p.toString) & 0x7fffffff) + s"_b$n"
+        if (!s.catalog.tableExists(name)) {
+          val key = iterKey(sub)
+          s.sql(s"CREATE TABLE `$name` (${iterSchema(sub).toDDL}) USING PARQUET " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO $n BUCKETS " +
+            s"LOCATION '${p.toString}'")
+        }
+        s.catalog.refreshTable(name)
+        Some(s.table(name))
+      }
     }
   }
 

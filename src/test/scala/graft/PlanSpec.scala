@@ -634,6 +634,47 @@ class PlanSpec extends AnyFunSuite {
         s"(${exchanges(bktPlan)} vs ${exchanges(defPlan)}):\n" + bktPlan.take(900))
   }
 
+  test("bucketedServe=auto flips on the broadcast threshold (the measured deployment rule, encoded)") {
+    // IterProbe cluster (SCALE.md round-12) measured both halves:
+    // bucketed wins above the broadcast threshold (~2x steady-state
+    // iteration, 6 -> 4 shuffles), loses below it (both legs broadcast
+    // and the n-task floor only costs). `auto` consults the stored
+    // sub's bytes against spark.sql.autoBroadcastJoinThreshold.
+    val art = java.nio.file.Files
+      .createTempDirectory("plan-bktauto").resolve("graph").toString
+    graft.operators.GraphArtifact.build(spark, sf, art)
+    val s2 = spark.newSession()
+    s2.conf.set(graft.operators.GraphArtifact.Key, art)
+    s2.conf.set(graft.operators.GraphArtifact.BucketedServeKey, "auto")
+    try {
+      // sf10-shaped stats stand-in: a threshold BELOW the stored sub's
+      // bytes means the edge side cannot broadcast -> bucketed scan
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val above = graft.operators.GraphArtifact.clickIterServed(s2)
+      assert(above.isDefined, "auto must serve bucketed above the threshold")
+      assert(above.get.queryExecution.analyzed.toString
+        .contains("graft_click_iter"),
+        "the served frame must come from the bucketed catalog table")
+      // broadcast disabled entirely: the edge side can never broadcast
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(graft.operators.GraphArtifact.clickIterServed(s2).isDefined)
+      // fixture-shaped stats: sub bytes far below the threshold -> the
+      // inline checkpointed frame (the measured single-node winner)
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "1GB")
+      assert(graft.operators.GraphArtifact.clickIterServed(s2).isEmpty,
+        "auto must decline below the threshold")
+      // the existing explicit modes are unchanged by auto's existence
+      s2.conf.set(graft.operators.GraphArtifact.BucketedServeKey, "true")
+      assert(graft.operators.GraphArtifact.clickIterServed(s2).isDefined)
+      s2.conf.set(graft.operators.GraphArtifact.BucketedServeKey, "false")
+      assert(graft.operators.GraphArtifact.clickIterServed(s2).isEmpty)
+    } finally {
+      s2.conf.unset(graft.operators.GraphArtifact.BucketedServeKey)
+      s2.conf.unset(graft.operators.GraphArtifact.Key)
+      s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("no CartesianProduct node anywhere in the full query registry") {
     // every cross join in the registry pairs a data-scale side with a
     // bounded/single-row side wrapped in broadcast(...) — a Cartesian
