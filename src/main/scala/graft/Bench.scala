@@ -84,6 +84,30 @@ object Bench {
       }
     }
 
+  /** The TOTAL-drift flag (round-12 verdict: the clean-close series
+    * crept 184 → 199.8 → 254.2 s across two rounds while every step
+    * stayed under the per-query 2× gate — slow accretion at
+    * ~0.1 s/query is invisible to a gate that only looks at queries
+    * one at a time). Fires when the load-deflated total exceeds the
+    * prior total by more than 15%, with the offset for registry GROWTH
+    * handled by comparing only the queries present in BOTH runs:
+    * a new query's own cost must not read as drift. Returns the
+    * human-readable flag line, or None. */
+  private[graft] def totalDriftFlag(prior: Map[String, Double],
+                                    current: Map[String, Double],
+                                    load: Double): Option[String] = {
+    val shared = prior.keySet.intersect(current.keySet)
+    if (shared.isEmpty) return None
+    val p = shared.toSeq.map(prior).sum
+    val t = shared.toSeq.map(current).sum / load
+    if (p > 0 && t > 1.15 * p)
+      Some(f"TOTAL drift: shared-query total $p%.1f s -> $t%.1f s " +
+        f"load-normalized (${t / p}%.2fx, gate 1.15x) - no single query " +
+        "need have tripped 2x; attribute before closing (SCALE.md " +
+        "family budget)")
+    else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -258,11 +282,13 @@ object Bench {
         val hdr = f"Load factor (worst of single-task scan and multi-task probe): ${load}%.2f " +
           f"(scan prior ${priorMb}%.1f vs current ${curMb}%.1f MB/s; " +
           f"mt probe prior ${priorMt}%.3f vs current ${mtSec}%.3f s).%n%n"
+        val drift = totalDriftFlag(priorQ, results, load)
+          .map(d => s"\n**$d**\n").getOrElse("")
         val body =
-          if (flags.isEmpty) hdr +
+          (if (flags.isEmpty) hdr +
             "No per-query regressions (load-normalized >2x and >0.5 s) vs prior BENCH_FULL.json.\n"
           else (hdr + "| query | prior s | now s | raw ratio | load-norm ratio |\n|---|---|---|---|---|\n"
-            + flags.mkString("\n") + "\n")
+            + flags.mkString("\n") + "\n")) + drift
         java.nio.file.Files.write(
           java.nio.file.Paths.get("BENCH_DIFF.md"),
           ("# Bench regression gate\n\n" + body).getBytes("UTF-8"))

@@ -44,4 +44,25 @@ class BenchGateSpec extends AnyFunSuite {
   test("gateFlags ignores non-positive priors (crashed prior run rows)") {
     assert(Bench.gateFlags(Map("a" -> -1.0), Map("a" -> 9.0), 1.0).isEmpty)
   }
+
+  test("totalDriftFlag fires past 15% shared-query drift, load-deflated, growth-blind") {
+    val prior = Map("a" -> 10.0, "b" -> 10.0)
+    // +10% -> quiet (inside the gate)
+    assert(Bench.totalDriftFlag(prior, Map("a" -> 11.0, "b" -> 11.0), 1.0).isEmpty)
+    // +20% with no single query past 2x -> FIRES (the round-12 creep
+    // shape: ~0.1 s/query accretion invisible to the per-query gate)
+    assert(Bench.totalDriftFlag(prior, Map("a" -> 12.0, "b" -> 12.0), 1.0).nonEmpty)
+    // the same +20% under measured load 1.2 -> quiet (box, not code)
+    assert(Bench.totalDriftFlag(prior, Map("a" -> 12.0, "b" -> 12.0), 1.2).isEmpty)
+    // registry growth: a NEW query's own cost is not drift
+    assert(Bench.totalDriftFlag(prior,
+      Map("a" -> 10.0, "b" -> 10.0, "new" -> 50.0), 1.0).isEmpty)
+    // a REMOVED query's prior cost is not negative drift cover either:
+    // only the shared set is compared, so the remaining queries' 20%
+    // creep still fires
+    assert(Bench.totalDriftFlag(prior + ("gone" -> 100.0),
+      Map("a" -> 12.0, "b" -> 12.0), 1.0).nonEmpty)
+    // empty intersection -> None, not a divide-by-zero
+    assert(Bench.totalDriftFlag(Map("x" -> 1.0), Map("y" -> 1.0), 1.0).isEmpty)
+  }
 }
