@@ -152,6 +152,49 @@ object CollapseProbe {
       case _                 => allLegs
     }
 
+    // parameterized tolerant-SRP leg: `tolerant:<bits>:<rho>[:<thr>]`
+    // drains srpTolerantPairs over the dir's embeddings — the sf10
+    // drift-ladder instrument, because the REGISTRY body pins the
+    // sf0.01-oracle-friendly bits=8 while a 200k-group corpus needs
+    // bucket cardinality ~ group count (the standard LSH bits tuning);
+    // the SCALE.md row states the parameters it measured
+    if (args.lift(2).exists(_.startsWith("tolerant:"))) {
+      val ps = args(2).split(':')
+      val bits = ps(1).toInt
+      val rho = ps(2).toDouble
+      val thr = ps.lift(3).filter(_ != "parity").map(_.toDouble).getOrElse(0.3)
+      val emb = Tables.t(spark, dir, "embeddings")
+      val planes = graft.llm.Similarity.firstNPlanes(emb, 32)
+      for (r <- 1 to rounds) {
+        val s = t1 {
+          drain(graft.llm.Similarity.srpTolerantPairs(
+            emb, planes, bits = bits, threshold = thr, maxChord = rho))
+          graft.llm.Dedup.clearShingleCache()
+        }
+        println(f"[collapse-probe] tolerant bits=$bits rho=$rho thr=$thr round $r $s%7.2f s")
+      }
+      // pass a 4th segment "parity" to ALSO set-compare the pair set
+      // against the raw pipeline at the same planes/bits (out-of-sample
+      // contract check at probe scale — the spec pins it at sf0.001)
+      if (ps.lift(4).contains("parity") || ps.lift(3).contains("parity")) {
+        val tol = graft.llm.Similarity.srpTolerantPairs(
+            emb, planes, bits = bits, threshold = thr, maxChord = rho)
+          .select("id_a", "id_b")
+        val nzEmb = emb.filter(exists(
+          col("embedding").cast("array<double>"), x => x =!= lit(0.0)))
+        val raw = graft.llm.Similarity.planeSrpPairs(
+            nzEmb, planes, bits = bits, threshold = thr)
+          .select("id_a", "id_b")
+        val onlyTol = tol.exceptAll(raw).count()
+        val onlyRaw = raw.exceptAll(tol).count()
+        val n = tol.count()
+        graft.llm.Dedup.clearShingleCache()
+        println(s"[collapse-probe] tolerant parity: pairs=$n onlyTolerant=$onlyTol onlyRaw=$onlyRaw" +
+          (if (onlyTol == 0 && onlyRaw == 0) " PASS" else " FAIL"))
+      }
+      spark.stop(); return
+    }
+
     // class-level index size at 1x vs Nx verbatim copies — the measured
     // back for Compact's dup-factor asset-shrink claim (round-12
     // verdict #6): expect ~flat classes bytes, linear members sidecar
