@@ -231,6 +231,31 @@ object TruthCheckSf1 {
     val diff181 = sampleIds.count(id => truthClusters(id) != gotSampled(id))
     report("q181_semdedup", truthClusters.size, gotSampled.size, diff181, 0)
 
+    // ---- q305 tolerant SRP: pair-set parity against the raw pipeline
+    // at the REGISTRY parameters, on the full sf1 corpus. The raw
+    // explicit-plane pipeline IS the truth here (q305's contract is
+    // pair-set equality with it; sims may be rep-attributed, which is
+    // why the DuckDB hash tier excludes it at sf1 — a single 4-dp
+    // rounding-razor sim at 20k-vector scale — and this SET compare
+    // replaces it). Feasible at sf1: raw candidates are bounded by the
+    // 10-copy families, unlike the 100-copy sf10 corpus where raw DIED.
+    val emb1 = Tables.t(spark, sf1, "embeddings")
+    val planes305 = graft.llm.Similarity.firstNPlanes(emb1, 32)
+    val tol305 = graft.llm.Similarity.srpTolerantPairs(
+        emb1, planes305, bits = 8, threshold = 0.3)
+      .select("id_a", "id_b")
+    val nzEmb1 = emb1.filter(exists(
+      col("embedding").cast("array<double>"), x => x =!= lit(0.0)))
+    val raw305 = graft.llm.Similarity.planeSrpPairs(
+        nzEmb1, planes305, bits = 8, threshold = 0.3)
+      .select("id_a", "id_b")
+    val miss305 = raw305.exceptAll(tol305).count()
+    val extra305 = tol305.exceptAll(raw305).count()
+    val rawN305 = raw305.count()
+    val tolN305 = tol305.count()
+    graft.llm.Dedup.clearShingleCache()
+    report("q305_srp_tolerant", rawN305, tolN305, miss305, extra305)
+
     // ---- artifact ----
     val json = results.map { case (q, (t, g, m, e)) =>
       s"""  "$q": {"truth": $t, "got": $g, "missed": $m, "extra": $e, "pass": ${m == 0 && e == 0}}"""

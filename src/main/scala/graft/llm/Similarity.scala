@@ -730,12 +730,20 @@ object Similarity {
     val exB = ex.select(col("sig"), col("id").as("ib"), col("v").as("vb"))
     val classPairs = exA.join(exB, Seq("sig"))
       .filter(col("ia") < col("ib"))
-      .select(col("ia"), col("ib"), c6(col("va"), col("vb")).as("cos6"))
+      .select(col("ia"), col("ib"), cosine(col("va"), col("vb")).as("cosr"))
+      .withColumn("cos6", round(col("cosr"), 6))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact legs round the RAW cosine ONCE, exactly as planeSrpPairs
+    // does: rounding the 6-dp intermediate again would promote pairs
+    // whose raw cosine sits in [x.xxxx4949.., x.xxxx5) past the 4-dp
+    // threshold boundary (the sf1 truth gate caught 2 such extras in
+    // 207k pairs) — cos6 serves only the INTERNAL classification
+    // decisions, where replay stability matters and a 1e-6 slack is
+    // absorbed by the rounding granularity of the output filter
     val withinClass = classPairs
-      .filter(round(col("cos6"), 4) >= threshold)
+      .filter(round(col("cosr"), 4) >= threshold)
       .select(col("ia").as("doc_a"), col("ib").as("doc_b"),
-        round(col("cos6"), 4).as("sim"))
+        round(col("cosr"), 4).as("sim"))
 
     // level 3: leader(m) = min id within the admission ball (m itself
     // qualifies) — a pure set function, one aggregate over the pair
@@ -788,15 +796,16 @@ object Similarity {
       col("radius").as("rb"), col("sig").as("sig_b"))
     val classified = cand.join(ga, "la").join(gb, "lb")
       .filter(col("sig_a") =!= col("sig_b"))
-      .select(col("la"), col("lb"), c6(col("va"), col("vb")).as("c"),
+      .select(col("la"), col("lb"), cosine(col("va"), col("vb")).as("cr"),
         (col("ra") + col("rb") + col("ra") * col("rb")).as("delta"))
+      .withColumn("c", round(col("cr"), 6))
     val memA = assign.select(col("leader").as("la"), col("id").as("ea"))
     val memB = assign.select(col("leader").as("lb"), col("id").as("eb"))
 
     // above the band: every member pair qualifies — rep-attributed sim,
     // expanded through the assignment spine (streamed keyed joins)
     val above = classified.filter(col("c") - col("delta") >= threshold)
-      .select(col("la"), col("lb"), round(col("c"), 4).as("sim"))
+      .select(col("la"), col("lb"), round(col("cr"), 4).as("sim"))
       .join(memA, "la").join(memB, "lb")
       .select(least(col("ea"), col("eb")).as("doc_a"),
         greatest(col("ea"), col("eb")).as("doc_b"), col("sim"))
@@ -809,7 +818,7 @@ object Similarity {
       .join(ex.select(col("id").as("ea"), col("v").as("xva")), "ea")
       .join(ex.select(col("id").as("eb"), col("v").as("xvb")), "eb")
       .select(col("ea"), col("eb"),
-        round(c6(col("xva"), col("xvb")), 4).as("sim"))
+        round(cosine(col("xva"), col("xvb")), 4).as("sim"))
       .filter(col("sim") >= threshold)
       .select(least(col("ea"), col("eb")).as("doc_a"),
         greatest(col("ea"), col("eb")).as("doc_b"), col("sim"))

@@ -594,11 +594,12 @@ object LlmQueries {
       |sigv AS (SELECT id, list(bucket ORDER BY tab) AS sig FROM sigs GROUP BY id),
       |cpair AS (
       |  SELECT a.id AS ia, b.id AS ib,
+      |    list_cosine_similarity(va.v, vb.v) AS cosr,
       |    round(list_cosine_similarity(va.v, vb.v), 6) AS cos6
       |  FROM sigv a JOIN sigv b ON a.sig = b.sig AND a.id < b.id
       |  JOIN cells va ON va.eid = a.id JOIN cells vb ON vb.eid = b.id),
-      |withinc AS (SELECT ia AS ea, ib AS eb, round(cos6, 4) AS sim
-      |            FROM cpair WHERE round(cos6, 4) >= 0.3),
+      |withinc AS (SELECT ia AS ea, ib AS eb, round(cosr, 4) AS sim
+      |            FROM cpair WHERE round(cosr, 4) >= 0.3),
       |adm AS (SELECT ia, ib FROM cpair WHERE cos6 >= 0.995),
       |nbmin AS (
       |  SELECT id, min(nb) AS min_nb FROM (
@@ -632,13 +633,14 @@ object LlmQueries {
       |    ON a.tab = b.tab AND a.bucket = b.bucket AND a.leader < b.leader),
       |cls AS (
       |  SELECT c.la, c.lb, ga.mem AS mem_a, g2.mem AS mem_b,
+      |    list_cosine_similarity(ga.lv, g2.lv) AS ccr,
       |    round(list_cosine_similarity(ga.lv, g2.lv), 6) AS cc,
       |    ga.radius + g2.radius + ga.radius * g2.radius AS delta
       |  FROM cand c
       |  JOIN grps ga ON ga.leader = c.la
       |  JOIN grps g2 ON g2.leader = c.lb
       |  WHERE ga.sig <> g2.sig),
-      |above0 AS (SELECT unnest(mem_a) AS ea, mem_b, round(cc, 4) AS sim
+      |above0 AS (SELECT unnest(mem_a) AS ea, mem_b, round(ccr, 4) AS sim
       |           FROM cls WHERE cc - delta >= 0.3),
       |above AS (SELECT ea, unnest(mem_b) AS eb, sim FROM above0),
       |band0 AS (SELECT unnest(mem_a) AS ea, mem_b FROM cls
@@ -646,9 +648,9 @@ object LlmQueries {
       |band1 AS (SELECT ea, unnest(mem_b) AS eb FROM band0),
       |band AS (
       |  SELECT b.ea, b.eb,
-      |    round(round(list_cosine_similarity(va.v, vb.v), 6), 4) AS sim
+      |    round(list_cosine_similarity(va.v, vb.v), 4) AS sim
       |  FROM band1 b JOIN cells va ON va.eid = b.ea JOIN cells vb ON vb.eid = b.eb
-      |  WHERE round(round(list_cosine_similarity(va.v, vb.v), 6), 4) >= 0.3),
+      |  WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= 0.3),
       |allex AS (
       |  SELECT least(ea, eb) AS ra, greatest(ea, eb) AS rb, sim FROM withinc
       |  UNION ALL SELECT least(ea, eb), greatest(ea, eb), sim FROM above
