@@ -154,13 +154,13 @@ object CollapseProbe {
 
     // parameterized tolerant-SRP leg: `tolerant:<bits>:<rho>[:<thr>]`
     // drains srpTolerantPairs over the dir's embeddings — the sf10
-    // drift-ladder instrument, because the REGISTRY body pins the
-    // sf0.01-oracle-friendly bits=8 while a 200k-group corpus needs
-    // bucket cardinality ~ group count (the standard LSH bits tuning);
-    // the SCALE.md row states the parameters it measured
+    // drift-ladder instrument. `<bits>` may be the literal `auto`
+    // (bits=0): the round-14 width rule, whose derived value the leg
+    // prints so a ladder row can show auto matching the hand-tuned
+    // width's time; the SCALE.md row states the parameters it measured
     if (args.lift(2).exists(_.startsWith("tolerant:"))) {
       val ps = args(2).split(':')
-      val bits = ps(1).toInt
+      val bits = if (ps(1) == "auto") 0 else ps(1).toInt
       val rho = ps(2).toDouble
       val thr = ps.lift(3).filter(_ != "parity").map(_.toDouble).getOrElse(0.3)
       val emb = Tables.t(spark, dir, "embeddings")
@@ -171,7 +171,11 @@ object CollapseProbe {
             emb, planes, bits = bits, threshold = thr, maxChord = rho))
           graft.llm.Dedup.clearShingleCache()
         }
-        println(f"[collapse-probe] tolerant bits=$bits rho=$rho thr=$thr round $r $s%7.2f s")
+        val shown =
+          if (bits > 0) bits.toString
+          else "auto=" + spark.conf
+            .get(graft.llm.Similarity.TolerantAutoBitsConf, "?")
+        println(f"[collapse-probe] tolerant bits=$shown rho=$rho thr=$thr round $r $s%7.2f s")
       }
       // pass a 4th segment "parity" to ALSO set-compare the pair set
       // against the raw pipeline at the same planes/bits (out-of-sample
@@ -180,10 +184,15 @@ object CollapseProbe {
         val tol = graft.llm.Similarity.srpTolerantPairs(
             emb, planes, bits = bits, threshold = thr, maxChord = rho)
           .select("id_a", "id_b")
+        // parity is per-parameter: with auto, the raw side must run at
+        // the width the tolerant side just derived (conf is populated
+        // eagerly — the auto count executes at construction)
+        val rawBits = if (bits > 0) bits else spark.conf
+          .get(graft.llm.Similarity.TolerantAutoBitsConf).toInt
         val nzEmb = emb.filter(exists(
           col("embedding").cast("array<double>"), x => x =!= lit(0.0)))
         val raw = graft.llm.Similarity.planeSrpPairs(
-            nzEmb, planes, bits = bits, threshold = thr)
+            nzEmb, planes, bits = rawBits, threshold = thr)
           .select("id_a", "id_b")
         val onlyTol = tol.exceptAll(raw).count()
         val onlyRaw = raw.exceptAll(tol).count()

@@ -241,13 +241,19 @@ object TruthCheckSf1 {
     // 10-copy families, unlike the 100-copy sf10 corpus where raw DIED.
     val emb1 = Tables.t(spark, sf1, "embeddings")
     val planes305 = graft.llm.Similarity.firstNPlanes(emb1, 32)
+    // bits = 0: the registry's round-14 auto width — the raw truth
+    // side then reads the derived value back (parity is per-parameter,
+    // so the comparison must run at the width the engine CHOSE)
     val tol305 = graft.llm.Similarity.srpTolerantPairs(
-        emb1, planes305, bits = 8, threshold = 0.3)
+        emb1, planes305, bits = 0, threshold = 0.3)
       .select("id_a", "id_b")
+    val bits305 = spark.conf
+      .get(graft.llm.Similarity.TolerantAutoBitsConf).toInt
+    println(s"[truth-sf1] q305 auto width: bits=$bits305")
     val nzEmb1 = emb1.filter(exists(
       col("embedding").cast("array<double>"), x => x =!= lit(0.0)))
     val raw305 = graft.llm.Similarity.planeSrpPairs(
-        nzEmb1, planes305, bits = 8, threshold = 0.3)
+        nzEmb1, planes305, bits = bits305, threshold = 0.3)
       .select("id_a", "id_b")
     val miss305 = raw305.exceptAll(tol305).count()
     val extra305 = tol305.exceptAll(raw305).count()

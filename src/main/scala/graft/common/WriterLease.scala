@@ -330,31 +330,55 @@ object WriterLease {
     * acquisition, so a breaker in the SAME process keeps its
     * nested-acquire fence. */
   def release(fs: FileSystem, path: Path, nonce: String): Unit = {
-    // Claim-by-rename, then inspect (round-13 tightening of the
-    // round-12 read-then-delete): renaming the live file to a
+    // Read, THEN claim-by-rename, then re-verify (round-14 tightening
+    // of the round-13 rename-first form): renaming the live file to a
     // nonce-derived scratch path atomically claims THAT instance, so
     // the nonce match and the removal act on the same bytes. The form
     // this replaces could read its own still-valid nonce, stall across
     // a TTL break, and then delete the BREAKER's fresh lease — the
-    // decision and the delete were separated by unbounded time. Now a
-    // mismatching instance is restored via EXCLUSIVE create (never a
+    // decision and the delete were separated by unbounded time.
+    //
+    // The PRELIMINARY read gates the rename: a stale holder whose
+    // lease was already broken sees a foreign nonce and returns
+    // without touching the filesystem at all — the round-13 form
+    // renamed EVERY live instance away for inspection, so every late
+    // release by a stale holder briefly removed the breaker's valid
+    // fresh lease, and a contender acquiring in that absence window
+    // left the breaker unfenced (round-13 ADVICE). Now the only way a
+    // foreign instance gets renamed is the instant where the content
+    // changed BETWEEN the preliminary match and the rename (a TTL
+    // break racing milliseconds of this release) — and the post-rename
+    // re-verification then restores it via EXCLUSIVE create (never a
     // clobbering rename): if a contender acquired during the
     // inspection window, the restore yields and the contender's lease
     // keeps fencing — the restored-over instance belonged to a holder
     // already stalled past its TTL.
     //
-    // RESIDUAL RACE, documented and accepted: between the rename-away
-    // and the restore the path is briefly ABSENT, so a fresh contender
-    // can acquire inside that window; on mismatch the restore then
-    // yields, leaving the renamed-away breaker believing it still
-    // holds — two writers. Reaching it requires a holder stalled past
-    // its TTL (minutes) releasing at the exact moment a contender
-    // races a window of three filesystem ops (milliseconds), versus
-    // the unbounded read→delete gap this replaces. A release that
-    // crashes between rename and restore likewise drops the in-flight
+    // RESIDUAL RACE, narrowed but still documented: between the
+    // rename-away and the restore the path is briefly ABSENT, so a
+    // fresh contender can acquire inside that window. Reaching it now
+    // requires a TTL break to land inside the microseconds between
+    // the preliminary read (which matched OUR nonce) and the rename —
+    // versus the round-13 exposure on EVERY stale release and the
+    // round-12 unbounded read→delete gap. A release that crashes
+    // between rename and restore likewise drops the in-flight
     // instance (path absent → the next acquire is fresh); that
     // exposure is the same process-death-mid-release shape the old
     // form had.
+    val pre =
+      try Some(readFully(fs, path))
+      catch { case _: java.io.IOException =>
+        try Some(readFully(fs, path))
+        catch { case _: java.io.IOException => None }
+      }
+    if (!pre.flatMap(parseNonce).contains(nonce)) {
+      // foreign, vanished, or unreadable instance: not ours to touch —
+      // clear only our own in-process record and leave the live lease
+      // (if any) fencing; an orphaned own-lease self-heals via TTL
+      heldInProcess.computeIfPresent(path.toString,
+        (_, h) => if (h.nonce == nonce) null else h)
+      return
+    }
     val scratch = new Path(path.getParent, path.getName + ".rel." +
       java.security.MessageDigest.getInstance("MD5")
         .digest(nonce.getBytes("UTF-8")).map("%02x".format(_)).mkString)

@@ -608,6 +608,55 @@ object Similarity {
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("sim"))
   }
 
+  /** Where [[srpTolerantPairs]] publishes the signature width its
+    * `bits = 0` auto mode chose (runtime conf, value = the integer
+    * width) — so probes, specs, and a deployment reading the run's
+    * parameters see the derived value without re-deriving it. */
+  val TolerantAutoBitsConf = "spark.graft.srp.tolerant.autoBits"
+
+  /** The [[srpTolerantPairs]] auto bit-width rule — the round-13 drift
+    * ladder's finding encoded the way `bucketedServe=auto` encoded its
+    * deployment rule: bucket cardinality (2^bits per table) must track
+    * the number of distinct units being bucketed, or same-bucket
+    * populations go quadratic (bits=8 → 256 buckets for ~20 k groups
+    * at the 100× drift point exceeded 600 s; bits=16 ran 31.8 s —
+    * SCALE.md round-13). What actually goes quadratic is same-bucket
+    * POPULATION: candidate pairs per table ≈ Σ pop²/2, and with
+    * average population p = n/2^bits that is ≈ n·p/2 — linear in n
+    * exactly while p stays bounded. The rule bounds the average at 16
+    * (2^bits ≥ n/16 ⇒ candidate mass ≤ 8n per table), and the
+    * resulting widths reproduce every measured ladder point: 8 at the
+    * 500-cell oracle fixture and the 2 k-cell pinned-constant fixture
+    * (where r13's hand choice was 8), 16 at 20 k cells (sf1) and at
+    * the 200 k-cell 100× drift point (where the hand-tuned 16 ran
+    * 31.8 s and 8 died past 600 s — avg population 78 at 200 k cells,
+    * vs 78 at 20 k cells/bits=8 which completed: death needs a large
+    * avg AND a large n, and the 16× bound keeps both margins).
+    * Constraints: at least 4 bits (below that table count explodes
+    * for no selectivity), divides the plane count so every table gets
+    * a full complement, and leaves AT LEAST TWO tables — one table of
+    * all planes would make "shares any bucket" mean "identical full
+    * signature", emptying the cross-class candidate set and silently
+    * degenerating the operator to within-class-only; past every such
+    * width the rule saturates at planeCount/2. `n` is the EXACT
+    * distinct-cell count (an upper bound on leader-group count,
+    * conservative in the safe direction — more buckets than groups
+    * costs nothing but table count). ceil(log2) is computed on the
+    * Long (no floating log), so the engine and the DuckDB oracle —
+    * which replays this rule as `2^(b+4) ≥ n` off the same
+    * `count(*)` — agree exactly. */
+  private[graft] def autoSrpBits(n: Long, planeCount: Int,
+                                 avgPopBits: Int = 4): Int = {
+    require(planeCount >= 2, s"auto bits needs >= 2 planes, got $planeCount")
+    val widths = (1 to planeCount / 2).filter(planeCount % _ == 0)
+    val m = math.max(1L, n)
+    // ceil(log2(m)): position of the highest set bit of m-1, plus one
+    // (m=1 -> 0); exact integer arithmetic
+    val ceilLog2 = if (m == 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    val target = math.max(4, ceilLog2 - avgPopBits)
+    widths.find(_ >= target).getOrElse(widths.max)
+  }
+
   /** Tolerant near-duplicate pairs over embeddings under COHERENT
     * drift — the round-13 answer to the corpus shape that
     * [[planeSrpPairsQuantized]]'s grid collapse provably cannot touch
@@ -657,14 +706,21 @@ object Similarity {
     *  - c − Δ ≥ threshold: EVERY member pair qualifies — emitted with
     *    the rep-attributed sim round(c, 4) (each true cosine is within
     *    Δ of it and provably ≥ threshold);
-    *  - c + Δ < threshold: NO member pair qualifies — dropped, no
-    *    member work at all;
+    *  - c + Δ < threshold − 5·10⁻⁵: NO member pair qualifies even
+    *    after the output's 4-dp rounding (a true cosine at the
+    *    half-step threshold − 5·10⁻⁵ is the smallest value that
+    *    rounds up past the gate) — dropped, no member work at all;
     *  - otherwise (the boundary band): member-exact verification,
     *    exact sims.
     *
     * Output contract: the PAIR SET equals [[planeSrpPairs]] on the
-    * same planes/bits/threshold (candidate lift is exact and the band
-    * guarantees cover the rest) up to the 4-dp rounding razor edge;
+    * same planes/bits/threshold — EXACTLY, by construction: the
+    * candidate lift is exact, the band's lower edge is widened by the
+    * 4-dp rounding half-step above so the razor pairs (true cosine in
+    * [threshold − 5·10⁻⁵, threshold), emitted by the raw pipeline
+    * after rounding) always reach member-exact verification instead
+    * of the drop leg (round-13 ADVICE; sf1 had measured 0/0 but the
+    * old bound was not exact by construction);
     * sims are exact within signature classes and inside the band, and
     * rep-attributed (true value within Δ, qualification guaranteed)
     * above it. Classification inputs are rounded to 6 dp in BOTH
@@ -679,20 +735,23 @@ object Similarity {
     * the opt-in [[Lsh.MaxBucketConf]] cap applies to the bucket join
     * and the cell expansion as everywhere else in the family);
     * member-exact work materializes only for band pairs and output.
-    * Everything else is keyed joins and map-side arithmetic. */
+    * Everything else is keyed joins and map-side arithmetic.
+    *
+    * `bits = 0` derives the signature width automatically from the
+    * corpus's distinct-vector count (see [[autoSrpBits]]); the chosen
+    * width is published under [[TolerantAutoBitsConf]]. */
   def srpTolerantPairs(corpus: DataFrame, planes: Array[Array[Double]],
                        bits: Int, threshold: Double, maxChord: Double = 0.1,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
-    require(planes.length % bits == 0, s"planes (${planes.length}) must be tables*bits")
+    require(bits == 0 || planes.length % bits == 0,
+      s"planes (${planes.length}) must be tables*bits (or bits=0 for auto)")
     require(maxChord > 0 && maxChord < math.sqrt(2.0),
       s"maxChord $maxChord must be in (0, sqrt(2)): at sqrt(2) the ball " +
         "covers the whole orthogonal cap and the bound classifies nothing")
-    val tables = planes.length / bits
     // leader admission in cosine terms: chord(u,v) <= maxChord
     // <=> cos(u,v) >= 1 - maxChord^2/2 (unit vectors)
     val cosMinAdmit = 1.0 - maxChord * maxChord / 2.0
-    val c6 = (a: Column, b: Column) => round(cosine(a, b), 6)
 
     // level 1: exact cells keyed on the RAW array (no computed floats
     // in the key — verbatim copies are bit-identical by definition)
@@ -705,12 +764,30 @@ object Similarity {
       .join(cells.select(col("v"), col("id").as("rep"), col("ex_n").as("grp_n")), "v")
       .select(col("id"), col("rep"), col("grp_n"))
 
+    // bits=0: derive the signature width from the corpus — the
+    // measured deployment rule (SCALE.md round-13 drift ladder: bits
+    // must track group count; bits=8 exceeded 600 s at the 100× point
+    // where bits=16 ran 31.8 s — an LSH parameter error users should
+    // not be able to make). The estimate is the EXACT distinct-cell
+    // count off the already-persisted exemplar table — one cheap count
+    // over data the pipeline materializes anyway, deterministic, so
+    // the DuckDB oracle replays the same rule off the same count. The
+    // chosen width lands in [[TolerantAutoBitsConf]] for probes/specs.
+    val width =
+      if (bits > 0) bits
+      else {
+        val w = autoSrpBits(cells.count(), planes.length)
+        corpus.sparkSession.conf.set(TolerantAutoBitsConf, w.toString)
+        w
+      }
+    val tables = planes.length / width
+
     // level 2: full SRP signature per exemplar — array of per-table
     // bucket words, all map-side against broadcast literal planes
     val sig = array((0 until tables).map { t =>
-      (0 until bits).map { j =>
+      (0 until width).map { j =>
         val dot = graft.functions.VectorOps.dotProduct(col("v"),
-          typedLit(planes(t * bits + j).toSeq))
+          typedLit(planes(t * width + j).toSeq))
         when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
     }.toIndexedSeq: _*)
@@ -747,32 +824,38 @@ object Similarity {
 
     // level 3: leader(m) = min id within the admission ball (m itself
     // qualifies) — a pure set function, one aggregate over the pair
-    // rows in both directions
+    // rows in both directions. The aggregate carries the cosine OF the
+    // winning neighbor alongside the min (one struct-min: nb is unique
+    // per (id, pair), so ordering by nb picks the leader's own cos6) —
+    // the round-13 form re-joined classPairs afterwards to look that
+    // same value up, a whole extra join + aggregate over the hottest
+    // intermediate (round-13 verdict: the fixture constant's fusion
+    // room, 229 exchanges at sf0.001). The VALUES are unchanged: the
+    // leader's cos6 here is the identical classPairs row the lookup
+    // join returned, so the measured radii — and the DuckDB oracle's
+    // replay of them — are bit-identical.
     val admitted = classPairs.filter(col("cos6") >= cosMinAdmit)
     val neighborMin = admitted
-      .select(col("ia").as("id"), col("ib").as("nb"))
-      .unionByName(admitted.select(col("ib").as("id"), col("ia").as("nb")))
-      .groupBy("id").agg(min("nb").as("min_nb"))
+      .select(col("ia").as("id"), col("ib").as("nb"), col("cos6"))
+      .unionByName(admitted.select(
+        col("ib").as("id"), col("ia").as("nb"), col("cos6")))
+      .groupBy("id").agg(min(struct(col("nb"), col("cos6"))).as("mn"))
     // the slim membership table (exemplar id -> its leader), the
-    // expansion spine for both cross-class legs below
+    // expansion spine for both cross-class legs below; lead_cos is the
+    // member→leader cosine when the row HAS a foreign leader (mn.nb <
+    // id means the min admitted neighbor wins), null for self-leaders
     val assign = ex.select(col("id"), col("ex_n"))
       .join(neighborMin, Seq("id"), "left")
       .select(col("id"), col("ex_n"),
-        least(col("id"), coalesce(col("min_nb"), col("id"))).as("leader"))
+        least(col("id"), coalesce(col("mn.nb"), col("id"))).as("leader"),
+        when(col("mn.nb") < col("id"), col("mn.cos6")).as("lead_cos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // measured group radius from the SAME 6-dp cosines the admission
     // used: R = sqrt(2 - 2*minCos) over members, 0 for the leader row
-    val memberCos = assign.filter(col("id") =!= col("leader"))
-      .join(classPairs.select(
-          least(col("ia"), col("ib")).as("lo"),
-          greatest(col("ia"), col("ib")).as("hi"), col("cos6")),
-        least(col("id"), col("leader")) === col("lo") &&
-          greatest(col("id"), col("leader")) === col("hi"))
-      .select(col("leader"), col("cos6"))
+    // (null lead_cos rows — self-leaders — vanish under min, and a
+    // singleton group's null min_cos coalesces to cos 1 ⇒ radius 0)
     val groups = assign.groupBy("leader")
-      .agg(sum("ex_n").as("pop"))
-      .join(memberCos.groupBy("leader").agg(min("cos6").as("min_cos")),
-        Seq("leader"), "left")
+      .agg(sum("ex_n").as("pop"), min("lead_cos").as("min_cos"))
       .withColumn("radius",
         sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * coalesce(col("min_cos"), lit(1.0)))))
       .join(ex.select(col("id").as("leader"), col("v").as("lv"), col("sig")), "leader")
@@ -809,10 +892,16 @@ object Similarity {
       .join(memA, "la").join(memB, "lb")
       .select(least(col("ea"), col("eb")).as("doc_a"),
         greatest(col("ea"), col("eb")).as("doc_b"), col("sim"))
-    // inside the band: member-exact verification, exact sims
+    // inside the band: member-exact verification, exact sims. The
+    // lower edge carries the 4-dp rounding half-step (5e-5): a member
+    // pair whose true cosine sits in [threshold - 5e-5, threshold)
+    // rounds UP to the gate in the raw pipeline's output filter, so
+    // dropping at c + delta < threshold would lose it — widening the
+    // band here makes the pair-set parity exact by construction at
+    // the cost of member-verifying a sliver more candidates
     val band = classified
       .filter(col("c") - col("delta") < threshold &&
-        col("c") + col("delta") >= threshold)
+        col("c") + col("delta") >= threshold - 5e-5)
       .select(col("la"), col("lb"))
       .join(memA, "la").join(memB, "lb")
       .join(ex.select(col("id").as("ea"), col("v").as("xva")), "ea")

@@ -856,11 +856,27 @@ object GraphArtifact {
       val fs = fsOf(s, root)
       val base = resolveServeBase(s, fs, root)
       val p = new Path(base, sub)
-      if (!fs.exists(p))
-        throw new IllegalStateException(
-          s"$BucketedServeKey=$mode but '$sub' is missing under $base — the " +
-            "artifact predates the iteration-shaped serving state; rebuild " +
-            "with GraphArtifact.build (or unset the conf)")
+      if (!fs.exists(p)) {
+        // mode=true is an explicit operator demand — a missing sub is
+        // a deployment error and stays a hard throw. auto is a
+        // data-dependent OPTIMIZATION rule, and its other leg (too
+        // small to matter) already declines to the inline recipe — a
+        // pre-iteration-sub artifact declines the same way, with a
+        // warning, instead of failing a read that has a correct
+        // fallback (round-13 ADVICE)
+        if (mode == "auto") {
+          System.err.println(
+            s"[graft] $BucketedServeKey=auto: '$sub' missing under $base " +
+              "(artifact predates the iteration-shaped serving state) — " +
+              "falling back to the inline recipe; rebuild with " +
+              "GraphArtifact.build to enable bucketed serving")
+          None
+        } else
+          throw new IllegalStateException(
+            s"$BucketedServeKey=$mode but '$sub' is missing under $base — the " +
+              "artifact predates the iteration-shaped serving state; rebuild " +
+              "with GraphArtifact.build (or unset the conf)")
+      } else {
       // auto: encode the MEASURED deployment rule (IterProbe cluster,
       // SCALE.md round-12) — the exchange-free bucketed scan wins iff
       // the edge side is too big to broadcast; below the threshold
@@ -877,7 +893,7 @@ object GraphArtifact {
         // only suffixed forms need the byte-string parser
         val thr = raw.toLongOption.getOrElse(
           org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
-        thr >= 0 && fs.getContentSummary(p).getLength <= thr
+        thr >= 0 && storedBytes(fs, base, p) <= thr
       }
       if (autoDeclines) None
       else {
@@ -893,7 +909,31 @@ object GraphArtifact {
         s.catalog.refreshTable(name)
         Some(s.table(name))
       }
+      }
     }
+  }
+
+  /** Stored parquet bytes of a serving sub, cached per (sub path,
+    * committed-state mtime): `getContentSummary` is a RECURSIVE
+    * directory scan, and auto-mode serving would otherwise pay it on
+    * every call of every iterative query (round-13 ADVICE). The cache
+    * key carries `_meta/state.json`'s modification time — every
+    * build/append/migration rewrites the state file, so a committed
+    * mutation (which can change the sub's size) always misses the
+    * cache, while steady-state serves hit it with one file stat. */
+  private val subSizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def storedBytes(fs: FileSystem, base: String, p: Path): Long = {
+    val stateP = new Path(base, "_meta/state.json")
+    val metaP = if (fs.exists(stateP)) stateP
+                else new Path(base, "_meta/state.json.next")
+    val epoch =
+      try fs.getFileStatus(metaP).getModificationTime
+      catch { case _: java.io.IOException => -1L }
+    val key = p.toString + "#" + epoch
+    subSizeCache.computeIfAbsent(key,
+      _ => java.lang.Long.valueOf(fs.getContentSummary(p).getLength)).longValue()
   }
 
   /** The iteration-shaped click frame (u, v, deg) under the bucketed

@@ -569,11 +569,17 @@ object LlmQueries {
     * leader rule, measured radii, the group-level bucket join, the
     * three-way classification, and both expansions — so the
     * hash-compare pins the collapse algebra and the band logic, not
-    * just output shape. */
+    * just output shape. Round 14: `bits = 0` — the AUTO width rule
+    * ([[Similarity.autoSrpBits]]: smallest plane-count divisor whose
+    * bucket space covers the distinct-cell count with 2 bits of
+    * slack), and the oracle's `bsel` CTE replays the rule in the same
+    * pure integer arithmetic off the same `count(*)`, so the
+    * hash-compare now pins the DEPLOYMENT RULE too — a drifted-width
+    * disagreement between the engines fails the row. */
   val annLshTolerant: Q = (s, dir) => {
     val emb = Tables.t(s, dir, "embeddings")
     Similarity.srpTolerantPairs(emb,
-        Similarity.firstNPlanes(emb, 32), bits = 8, threshold = 0.3)
+        Similarity.firstNPlanes(emb, 32), bits = 0, threshold = 0.3)
       .orderBy("id_a", "id_b", "sim")
   }
 
@@ -585,12 +591,16 @@ object LlmQueries {
       |planes AS (
       |  SELECT (row_number() OVER (ORDER BY id) - 1)::INTEGER AS pid, v AS pv
       |  FROM (SELECT id, v FROM raw ORDER BY id LIMIT 32)),
+      |bsel AS (
+      |  SELECT coalesce(min(b), 16)::INTEGER AS bits
+      |  FROM range(1, 17) t(b), (SELECT count(*)::BIGINT AS n FROM cells) c
+      |  WHERE 32 % b = 0 AND b >= 4 AND (1::BIGINT << (b + 4)) >= c.n),
       |sigs AS (
-      |  SELECT c.eid AS id, (p.pid // 8)::INTEGER AS tab,
+      |  SELECT c.eid AS id, (p.pid // s.bits)::INTEGER AS tab,
       |    sum(CASE WHEN list_dot_product(c.v, p.pv) >= 0
-      |             THEN (1::BIGINT << (p.pid % 8)) ELSE 0 END)::BIGINT AS bucket
-      |  FROM cells c CROSS JOIN planes p
-      |  GROUP BY c.eid, p.pid // 8),
+      |             THEN (1::BIGINT << (p.pid % s.bits)) ELSE 0 END)::BIGINT AS bucket
+      |  FROM cells c CROSS JOIN planes p CROSS JOIN bsel s
+      |  GROUP BY c.eid, p.pid // s.bits),
       |sigv AS (SELECT id, list(bucket ORDER BY tab) AS sig FROM sigs GROUP BY id),
       |cpair AS (
       |  SELECT a.id AS ia, b.id AS ib,
@@ -626,7 +636,9 @@ object LlmQueries {
       |  JOIN cells c ON c.eid = g.leader),
       |gb AS (
       |  SELECT leader, t.tab, sig[t.tab + 1] AS bucket
-      |  FROM grps CROSS JOIN (SELECT unnest(range(4)) AS tab) t),
+      |  FROM grps CROSS JOIN bsel s
+      |  CROSS JOIN (SELECT unnest(range(32)) AS tab) t
+      |  WHERE t.tab < 32 // s.bits),
       |cand AS (
       |  SELECT DISTINCT a.leader AS la, b.leader AS lb
       |  FROM gb a JOIN gb b
@@ -644,7 +656,7 @@ object LlmQueries {
       |           FROM cls WHERE cc - delta >= 0.3),
       |above AS (SELECT ea, unnest(mem_b) AS eb, sim FROM above0),
       |band0 AS (SELECT unnest(mem_a) AS ea, mem_b FROM cls
-      |          WHERE cc - delta < 0.3 AND cc + delta >= 0.3),
+      |          WHERE cc - delta < 0.3 AND cc + delta >= 0.3 - 0.00005),
       |band1 AS (SELECT ea, unnest(mem_b) AS eb FROM band0),
       |band AS (
       |  SELECT b.ea, b.eb,

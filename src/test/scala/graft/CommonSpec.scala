@@ -241,6 +241,37 @@ class CommonSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"scratch leftovers: $leftovers")
   }
 
+  test("WriterLease: a mismatching release is read-only — the live instance is never disturbed") {
+    import graft.common.WriterLease
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("lease-ro").toString, "w.lease")
+    val nonceA = WriterLease.acquire(fs, lease, owner = "a@host", ttlMs = -1)
+    Thread.sleep(20) // separate mtimes: the breaker's write vs the release
+    val nonceB = WriterLease.acquire(fs, lease, owner = "b@host")
+    assert(nonceA !== nonceB)
+    val stBefore = fs.getFileStatus(lease)
+    Thread.sleep(20)
+    // round-14 tightening (ADVICE): the round-13 form renamed EVERY
+    // live instance away for inspection, so a stale release briefly
+    // removed the breaker's valid lease — an absence window a fresh
+    // contender could acquire into. With the preliminary read gating
+    // the claim, a mismatch returns before ANY filesystem mutation:
+    // same path, same bytes, same modification time (a rename+restore
+    // would have re-created the file and bumped it).
+    WriterLease.release(fs, lease, nonceA)
+    val stAfter = fs.getFileStatus(lease)
+    assert(stAfter.getModificationTime === stBefore.getModificationTime,
+      "a mismatching release must not recreate (rename away + restore) the live lease")
+    assert(stAfter.getLen === stBefore.getLen)
+    val leftovers = Option(new java.io.File(lease.getParent.toUri.getPath)
+      .listFiles).toSeq.flatten.map(_.getName).filter(_.contains(".rel."))
+    assert(leftovers.isEmpty, s"a mismatching release must not shed scratch: $leftovers")
+    WriterLease.release(fs, lease, nonceB)
+    assert(!fs.exists(lease))
+  }
+
   test("WriterLease.forceRelease: the named cross-process cleanup deletes unconditionally") {
     import graft.common.WriterLease
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(

@@ -46,6 +46,38 @@ class CompactSpec extends AnyFunSuite {
     } finally rm(state)
   }
 
+  test("probe classKey variants are refused at every persisted-state entry point") {
+    // classKeyVariant is a process-global PROBE switch and the v2
+    // index is keyed on the default encoding — a CollapseProbe
+    // `classkey:` leg naming a Compact-backed query would otherwise
+    // merge state under a foreign key and silently split every
+    // content class (round-13 ADVICE). Both the writer and the reader
+    // refuse before touching disk; the in-memory derivation stays
+    // legal (the probe's actual use).
+    val state = tmpState()
+    try {
+      Compact.run(spark, state, base)
+      for (variant <- Seq("r11", "cheap")) {
+        Dedup.classKeyVariant = variant
+        try {
+          val exR = intercept[IllegalStateException] {
+            Compact.readClassIndex(spark, state)
+          }
+          assert(exR.getMessage.contains(variant))
+          val exW = intercept[IllegalStateException] {
+            Compact.run(spark, state, batch)
+          }
+          assert(exW.getMessage.contains(variant))
+          // stateless in-memory path stays legal under the probe key
+          val (classes, _) = Compact.classIndexOf(batch)
+          assert(classes.count() > 0)
+        } finally Dedup.classKeyVariant = "legacy12"
+      }
+      // back at the default, the state is intact and serves
+      assert(Compact.readClassIndex(spark, state).isDefined)
+    } finally rm(state)
+  }
+
   test("compaction upserts: a re-indexed id's row is replaced, others survive") {
     val state = tmpState()
     try {

@@ -633,6 +633,37 @@ class GraphArtifactSpec extends AnyFunSuite {
     assert(stillServed.nonEmpty)
   }
 
+  test("bucketedServe=auto declines to inline when the iteration subs are missing") {
+    val d = tmp("graph-pre-iter-auto")
+    GraphArtifact.buildFrom(spark,
+      Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)).toDF("o", "p"),
+      noClicks, d)
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete()
+    }
+    rmrf(new java.io.File(s"$d/click_iter"))
+    rmrf(new java.io.File(s"$d/copurchase_iter"))
+    // mode=true demands the sub (pinned above: hard throw); auto is an
+    // optimization rule with a correct fallback, so a pre-round-11
+    // artifact serves INLINE instead of failing the read (round-13
+    // ADVICE) — same multiset as the no-conf recipe
+    spark.conf.set(GraphArtifact.Key, d)
+    spark.conf.set(GraphArtifact.BucketedServeKey, "auto")
+    try {
+      assert(GraphArtifact.coPurchaseIterServed(spark).isEmpty,
+        "auto + missing sub must decline, not throw")
+      assert(GraphArtifact.clickIterServed(spark).isEmpty)
+      // the bundled-default entry point completes through the inline
+      // recipe (under mode=true the same call is pinned to THROW above)
+      GraphArtifact.clickIterEdges(spark, sf).collect()
+      // and the dir-partitioned serving state is unaffected
+      assert(GraphArtifact.coPurchase(spark, sf).collect().nonEmpty)
+    } finally {
+      spark.conf.unset(GraphArtifact.Key)
+      spark.conf.unset(GraphArtifact.BucketedServeKey)
+    }
+  }
+
   test("recover() rolls back an UNcommitted iteration-sub file swap") {
     val d = tmp("graph-iter-rollback")
     GraphArtifact.buildFrom(spark,

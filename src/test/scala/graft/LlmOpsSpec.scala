@@ -610,6 +610,78 @@ class LlmOpsSpec extends AnyFunSuite {
     graft.llm.Dedup.clearShingleCache()
   }
 
+  test("autoSrpBits: the measured ladder points, the constraints, and saturation") {
+    // the four measured shapes (SCALE.md rounds 13-14): oracle fixture
+    // 500 cells -> 8; pinned-constant fixture 2k -> 8 (r13's hand
+    // choice at sf0.1); sf1 20k -> 16; the 100x drift point 200k -> 16
+    // (the hand-tuned ladder width; 8 died past 600 s there)
+    assert(Similarity.autoSrpBits(500L, 32) === 8)
+    assert(Similarity.autoSrpBits(2000L, 32) === 8)
+    assert(Similarity.autoSrpBits(20000L, 32) === 16)
+    assert(Similarity.autoSrpBits(200000L, 32) === 16)
+    // tiny corpora floor at 4 bits; the width always divides the plane
+    // count and always leaves >= 2 tables (one table would reduce
+    // "shares any bucket" to "identical signature" -- no cross-class
+    // candidates at all), so giant corpora SATURATE at planeCount/2
+    // rather than degenerate
+    assert(Similarity.autoSrpBits(1L, 32) === 4)
+    assert(Similarity.autoSrpBits(0L, 32) === 4)
+    assert(Similarity.autoSrpBits(Long.MaxValue / 4, 32) === 16)
+    for (n <- Seq(1L, 100L, 10000L, 1000000L); p <- Seq(8, 16, 32, 64)) {
+      val b = Similarity.autoSrpBits(n, p)
+      assert(p % b === 0, s"width $b must divide plane count $p")
+      assert(p / b >= 2, s"width $b must leave >= 2 tables of $p planes")
+      assert(b >= 4 || b === p / 2, s"floor: $b (n=$n, p=$p)")
+    }
+    // the ladder spec's 8-plane shape: 40 cells -> the hand-picked 4
+    assert(Similarity.autoSrpBits(40L, 8) === 4)
+  }
+
+  test("tolerant SRP bits=0 derives the fixture width, publishes it, and matches the explicit run") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val planes = Similarity.firstNPlanes(emb, 32)
+    val auto = Similarity.srpTolerantPairs(emb, planes, bits = 0,
+        threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    // the derived width is published eagerly (the auto count runs at
+    // construction), and at the fixture's cell count the rule lands on
+    // 8 -- the width the r13 registry hand-pinned here
+    val chosen = spark.conf.get(Similarity.TolerantAutoBitsConf).toInt
+    val nCells = emb.filter(expr(
+        "exists(cast(embedding as array<double>), x -> x <> 0.0)"))
+      .select(col("embedding").cast("array<double>")).distinct().count()
+    assert(chosen === Similarity.autoSrpBits(nCells, 32))
+    assert(chosen === 8, s"fixture cell count $nCells should derive 8")
+    val explicit = Similarity.srpTolerantPairs(emb, planes, bits = chosen,
+        threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto === explicit, "auto must be exactly the derived explicit run")
+    graft.llm.Dedup.clearShingleCache()
+  }
+
+  test("tolerant SRP bits=0 on the drift-ladder shape reproduces the hand-tuned width") {
+    // the planted coherent-drift ladder from the explicit-width spec
+    // above: 40 distinct cells over 8 planes -> auto must land on the
+    // hand-picked 4 and produce the identical pair set
+    val base = Seq(0.8, -0.6, 0.5, -0.3, 0.9, -0.2, 0.4, -0.7)
+    val ladder = (0 until 40).map { c => (100L + c, base.map(_ + c * 0.004)) }
+    val df = ladder.toDF("vec_id", "embedding")
+    val planes = Array(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0), Array(0.0, 1, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 0, 1, 0, 0, 0, 0, 0), Array(0.0, 0, 0, 1, 0, 0, 0, 0),
+      Array(1.0, 1, 1, 1, 1, 1, 1, 1), Array(1.0, -1, 1, -1, 1, -1, 1, -1),
+      Array(0.0, 0, 0, 0, 1, 1, 1, 1), Array(1.0, 0, 1, 0, 1, 0, 1, 0))
+    val auto = Similarity.srpTolerantPairs(df, planes, bits = 0,
+        threshold = 0.995, maxChord = 0.05)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(spark.conf.get(Similarity.TolerantAutoBitsConf).toInt === 4)
+    val hand = Similarity.srpTolerantPairs(df, planes, bits = 4,
+        threshold = 0.995, maxChord = 0.05)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto === hand)
+    graft.llm.Dedup.clearShingleCache()
+  }
+
   test("trainCentroids is deterministic and drives ivfTopK end to end") {
     val emb = Tables.t(spark, sf, "embeddings")
     val c1 = Similarity.trainCentroids(emb, nlist = 8, sampleN = 256, iters = 3)
