@@ -84,6 +84,30 @@ object Bench {
       }
     }
 
+  /** In-process adjudication of a gate flag (round-13 verdict #3: the
+    * protocol rounds 12–13 ran BY HAND — CollapseProbe min-of-N after
+    * the fact — folded into the bench itself). A flagged query is
+    * re-run several more times in the same process right after the
+    * sweep and judged on the MIN: the measured noise floor (SCALE.md
+    * round-13 — 13 same-code queries tripped the 2× gate between two
+    * clean runs thirty minutes apart, single readings swing up to
+    * 3.25× on sub-2 s queries) makes one reading uninformative below
+    * ~3×, while min-of-N back-to-back cancels the box epoch the way
+    * the interleaved probe does. The verdict re-applies the gate's OWN
+    * rule (load-deflated > 2× prior AND > 0.5 s) to that min: still
+    * past it ⇒ `CONFIRMED code drift`; inside it ⇒ `box-noise`.
+    * Annotation only — the reported times stay the sweep's, so the
+    * committed BENCH_DIFF carries the evidence AND the verdict. */
+  private[graft] def adjudicate(prior: Double, load: Double,
+                                rerunSec: Seq[Double]): String = {
+    val mn = rerunSec.min
+    val ratio = mn / load / prior
+    if (ratio > 2 && mn / load > 0.5)
+      f"CONFIRMED code drift (min-of-${rerunSec.size} ${ratio}%.1fx)"
+    else
+      f"box-noise (min-of-${rerunSec.size} ${ratio}%.1fx)"
+  }
+
   /** The TOTAL-drift flag (round-12 verdict: the clean-close series
     * crept 184 → 199.8 → 254.2 s across two rounds while every step
     * stayed under the per-query 2× gate — slow accretion at
@@ -276,8 +300,22 @@ object Bench {
         import scala.jdk.CollectionConverters._
         val priorQ = node.properties().asScala
           .map(e => e.getKey -> e.getValue.asDouble(0)).toMap
+        // every flag row is adjudicated IN-PROCESS before the diff is
+        // written: min-of-4 re-execution, verdict column appended (see
+        // [[adjudicate]]); q000_graph_build has no registry body to
+        // re-run — its row says so instead of guessing
         val flags = gateFlags(priorQ, results, load).map { case (name, p, t) =>
-          f"| $name | $p%.2f | $t%.2f | ${t / p}%.1fx | ${t / load / p}%.1fx |"
+          val verdict = SparkEntry.queries.get(name) match {
+            case Some(fn) =>
+              val times = (1 to 4).map { _ =>
+                val t0 = System.nanoTime()
+                try { drain(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+                catch { case _: Throwable => Double.MaxValue }
+              }
+              adjudicate(p, load, times)
+            case None => "unadjudicated (no registry body)"
+          }
+          f"| $name | $p%.2f | $t%.2f | ${t / p}%.1fx | ${t / load / p}%.1fx | $verdict |"
         }
         val hdr = f"Load factor (worst of single-task scan and multi-task probe): ${load}%.2f " +
           f"(scan prior ${priorMb}%.1f vs current ${curMb}%.1f MB/s; " +
@@ -287,7 +325,7 @@ object Bench {
         val body =
           (if (flags.isEmpty) hdr +
             "No per-query regressions (load-normalized >2x and >0.5 s) vs prior BENCH_FULL.json.\n"
-          else (hdr + "| query | prior s | now s | raw ratio | load-norm ratio |\n|---|---|---|---|---|\n"
+          else (hdr + "| query | prior s | now s | raw ratio | load-norm ratio | verdict |\n|---|---|---|---|---|---|\n"
             + flags.mkString("\n") + "\n")) + drift
         java.nio.file.Files.write(
           java.nio.file.Paths.get("BENCH_DIFF.md"),

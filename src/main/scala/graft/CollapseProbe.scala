@@ -204,6 +204,134 @@ object CollapseProbe {
       spark.stop(); return
     }
 
+    // cross-corpus tolerant A/B: `tolerantcross:<bits|auto>:<rho>[:<thr>]`
+    // times the incremental form (batch = vec_id % 5 = 0 against the
+    // rest) AGAINST re-running the self form over the union — the
+    // round-13 verdict's question: what does a batch arrival cost when
+    // it does NOT re-collapse the whole corpus vs when it does
+    if (args.lift(2).exists(_.startsWith("tolerantcross:"))) {
+      val ps = args(2).split(':')
+      val bits = if (ps(1) == "auto") 0 else ps(1).toInt
+      val rho = ps(2).toDouble
+      val thr = ps.lift(3).map(_.toDouble).getOrElse(0.3)
+      val emb = Tables.t(spark, dir, "embeddings")
+      val planes = graft.llm.Similarity.firstNPlanes(emb, 32)
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      for (r <- 1 to rounds) {
+        val sc = t1 {
+          drain(graft.llm.Similarity.srpTolerantPairsAgainst(
+            base, batch, planes, bits = bits, threshold = thr, maxChord = rho))
+          graft.llm.Dedup.clearShingleCache()
+        }
+        val ss = t1 {
+          drain(graft.llm.Similarity.srpTolerantPairs(
+            emb, planes, bits = bits, threshold = thr, maxChord = rho))
+          graft.llm.Dedup.clearShingleCache()
+        }
+        println(f"[collapse-probe] tolerantcross bits=${ps(1)} rho=$rho " +
+          f"round $r cross $sc%7.2f s  self-union $ss%7.2f s")
+      }
+      spark.stop(); return
+    }
+
+    // tolerant-SRP state size at 1x vs Nx DRIFT copies — the would-be
+    // persisted asset for the q305/q306 family (round-13 verdict #6):
+    // `groups` (leader vector + signature + radius + pop — what a
+    // rep-attributed serve needs) should stay ~FLAT in the copy factor
+    // (drift copies join existing leader groups), while `exemplars`
+    // (distinct vectors + their leader, the exact-band-verify payload)
+    // and `members` (doc -> cell) grow linearly — drift copies are all
+    // DISTINCT vectors, so unlike the MinHash text index the linear
+    // tier here carries the vectors themselves; the flat tier is the
+    // part a cross-corpus serve (q306's base side) must scan per batch
+    if (args.lift(2).exists(_.startsWith("tolerantindexsize"))) {
+      val copies = args(2).split(':').lift(1).map(_.toInt).getOrElse(20)
+      val bits = 8
+      val emb0 = Tables.t(spark, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val planes = graft.llm.Similarity.firstNPlanes(emb0, 32)
+      val maxId = emb0.agg(max("vec_id")).head.getLong(0) + 1
+      def driftCorpus(n: Int): DataFrame =
+        (0 until n).map { c =>
+          emb0.select((col("vec_id") + lit(c * maxId)).as("vec_id"),
+            transform(col("embedding"), x => x + lit(c * 0.001)).as("embedding"))
+        }.reduce(_ unionByName _)
+      def buildAndMeasure(tag: String, corpus: DataFrame): Unit = {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-tolstate").toString
+        // levels 1-3 of srpTolerantPairs, persisted as the state shape
+        val v = corpus.select(col("vec_id").as("id"),
+            col("embedding").as("v"))
+          .filter(exists(col("v"), x => x =!= lit(0.0)))
+        val cells = v.groupBy("v")
+          .agg(min("id").as("id"), count(lit(1)).as("ex_n"))
+        cells.write.parquet(s"$out/cells")
+        val cellsR = spark.read.parquet(s"$out/cells")
+        val members = v.select(col("id"), col("v"))
+          .join(cellsR.select(col("v"), col("id").as("rep")), "v")
+          .select("id", "rep")
+        val tables = planes.length / bits
+        val sig = array((0 until tables).map { t =>
+          (0 until bits).map { j =>
+            val dot = graft.functions.VectorOps.dotProduct(col("v"),
+              typedLit(planes(t * bits + j).toSeq))
+            when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+          }.reduce(_ + _)
+        }.toIndexedSeq: _*)
+        val ex = cellsR.select(col("id"), col("v"), col("ex_n"))
+          .withColumn("sig", sig)
+        ex.write.parquet(s"$out/ex0")
+        val exR = spark.read.parquet(s"$out/ex0")
+        val exA = exR.select(col("sig"), col("id").as("ia"), col("v").as("va"))
+        val exB = exR.select(col("sig"), col("id").as("ib"), col("v").as("vb"))
+        val classPairs = exA.join(exB, Seq("sig"))
+          .filter(col("ia") < col("ib"))
+          .select(col("ia"), col("ib"),
+            round(graft.llm.Similarity.cosine(col("va"), col("vb")), 6).as("cos6"))
+        val admitted = classPairs.filter(col("cos6") >= 0.995)
+        val neighborMin = admitted
+          .select(col("ia").as("id"), col("ib").as("nb"), col("cos6"))
+          .unionByName(admitted.select(
+            col("ib").as("id"), col("ia").as("nb"), col("cos6")))
+          .groupBy("id").agg(min(struct(col("nb"), col("cos6"))).as("mn"))
+        val assign = exR.select(col("id"), col("ex_n"))
+          .join(neighborMin, Seq("id"), "left")
+          .select(col("id"), col("ex_n"),
+            least(col("id"), coalesce(col("mn.nb"), col("id"))).as("leader"),
+            when(col("mn.nb") < col("id"), col("mn.cos6")).as("lead_cos"))
+        // the persisted EXEMPLAR tier: vector + signature + leader
+        exR.select(col("id"), col("v"), col("sig"))
+          .join(assign.select("id", "leader"), "id")
+          .write.parquet(s"$out/exemplars")
+        assign.groupBy("leader")
+          .agg(sum("ex_n").as("pop"), min("lead_cos").as("min_cos"))
+          .withColumn("radius", sqrt(greatest(lit(0.0),
+            lit(2.0) - lit(2.0) * coalesce(col("min_cos"), lit(1.0)))))
+          .join(exR.select(col("id").as("leader"), col("v").as("lv"),
+            col("sig")), "leader")
+          .write.parquet(s"$out/groups")
+        members.write.parquet(s"$out/members")
+        val f = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def du(sub: String) = f.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"$out/$sub")).getLength
+        def n(sub: String) = spark.read.parquet(s"$out/$sub").count()
+        println(f"[collapse-probe] tolstate $tag%-8s groups=${n("groups")}%7d " +
+          f"(${du("groups") / 1e6}%8.2f MB)  exemplars=${n("exemplars")}%8d " +
+          f"(${du("exemplars") / 1e6}%8.2f MB)  members=${n("members")}%9d " +
+          f"(${du("members") / 1e6}%8.2f MB)")
+        def rmr(d: java.io.File): Unit = {
+          Option(d.listFiles).foreach(_.foreach(rmr)); d.delete(); ()
+        }
+        rmr(new java.io.File(out))
+      }
+      buildAndMeasure("1x", emb0)
+      buildAndMeasure(s"${copies}x", driftCorpus(copies))
+      spark.stop(); return
+    }
+
     // class-level index size at 1x vs Nx verbatim copies — the measured
     // back for Compact's dup-factor asset-shrink claim (round-12
     // verdict #6): expect ~flat classes bytes, linear members sidecar

@@ -262,6 +262,35 @@ object TruthCheckSf1 {
     graft.llm.Dedup.clearShingleCache()
     report("q305_srp_tolerant", rawN305, tolN305, miss305, extra305)
 
+    // ---- q306 cross-corpus tolerant SRP: the (batch, base) pair set
+    // must equal the cross-side subset of the raw union pipeline at
+    // the registry split (vec_id % 5) and the auto width — the same
+    // per-parameter parity contract as q305, now with the per-side
+    // collapse and the never-self-join base discipline under test
+    val batch306 = emb1.filter(col("vec_id") % 5 === 0)
+    val base306 = emb1.filter(col("vec_id") % 5 =!= 0)
+    val tol306 = graft.llm.Similarity.srpTolerantPairsAgainst(
+        base306, batch306, planes305, bits = 0, threshold = 0.3)
+      .select("batch_id", "base_id")
+    val bits306 = spark.conf
+      .get(graft.llm.Similarity.TolerantAutoBitsConf).toInt
+    println(s"[truth-sf1] q306 auto width: bits=$bits306")
+    val raw306 = graft.llm.Similarity.planeSrpPairs(
+        nzEmb1, planes305, bits = bits306, threshold = 0.3)
+      .select("id_a", "id_b")
+    val rawCross306 = raw306
+      .select(when(col("id_a") % 5 === 0, col("id_a")).otherwise(col("id_b"))
+          .as("batch_id"),
+        when(col("id_a") % 5 === 0, col("id_b")).otherwise(col("id_a"))
+          .as("base_id"))
+      .filter(col("batch_id") % 5 === 0 && col("base_id") % 5 =!= 0)
+    val miss306 = rawCross306.exceptAll(tol306).count()
+    val extra306 = tol306.exceptAll(rawCross306).count()
+    val rawN306 = rawCross306.count()
+    val tolN306 = tol306.count()
+    graft.llm.Dedup.clearShingleCache()
+    report("q306_srp_tolerant_cross", rawN306, tolN306, miss306, extra306)
+
     // ---- artifact ----
     val json = results.map { case (q, (t, g, m, e)) =>
       s"""  "$q": {"truth": $t, "got": $g, "missed": $m, "extra": $e, "pass": ${m == 0 && e == 0}}"""

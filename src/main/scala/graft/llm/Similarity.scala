@@ -791,6 +791,11 @@ object Similarity {
         when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
     }.toIndexedSeq: _*)
+    // ex's own persist looks redundant (sig is a map-side projection
+    // over the already-persisted cells), but dropping it MEASURED
+    // SLOWER — fixture min-of-4 6.49 → 7.04 s with the q304 anchor
+    // identical at 3.01 s (round 14): six consumers × 32 dot products
+    // per row beats one materialize. Kept deliberately.
     val ex = cells.select(col("id"), col("v"), col("ex_n"))
       .withColumn("sig", sig)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -920,6 +925,172 @@ object Similarity {
       Dedup.NearDupCollapse(cellMembers, multiReps, exemplarPairs),
       Seq("sim"), Seq(lit(1.0)), withinQualifies = threshold <= 1.0)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("sim"))
+  }
+
+  /** Incremental (cross-corpus) tolerant SRP near-dup: the
+    * [[srpTolerantPairs]] collapse applied per (signature class,
+    * SIDE) — the design that closed the MinHash collapse asymmetry in
+    * round 12 ([[Dedup.minhashLshAgainst]]), transferred to drifted
+    * embeddings so a corpus arriving in batches stops re-running the
+    * self form from scratch (round-13 verdict #2). Each side collapses
+    * independently: exact-vector cells → per-side signature classes →
+    * per-side radius-bounded min-id leader groups with measured radii.
+    * Cross-side candidates come from the leader bucket join
+    * ([[Lsh.crossBucketPairs]] — the base side is NEVER self-joined,
+    * so a daily batch pays O(batch groups ⋈ base groups), not
+    * O(base²)), and every candidate GROUP pair is classified through
+    * the same Lipschitz ball bound with the same 4-dp-half-step band
+    * edge: above the band all member pairs qualify with the
+    * rep-attributed sim, inside it members verify exactly, below it
+    * the pair drops with zero member work.
+    *
+    * The candidate lift is exact BY THE SELF FORM'S OWN ARGUMENT,
+    * applied per side: a member carries its side-leader's full
+    * signature (leaders are assigned within a (signature class, side)),
+    * so batch member x and base member y share a raw bucket iff their
+    * leaders do. There is no within-class output leg — same-signature
+    * cross-side pairs arrive as ordinary candidates (the two leaders
+    * share every bucket) and classify through the ball bound like any
+    * other; the per-side class self-join exists only to assign leaders
+    * and measure radii. Output PAIR SET therefore equals the
+    * cross-side subset of [[planeSrpPairs]] over the union corpus at
+    * the same planes/width — exact by construction, razor edge
+    * included.
+    *
+    * `bits = 0` derives the width from the SUMMED per-side cell count
+    * (one count over the already-persisted cell table; a vector
+    * present on both sides counts twice, which is the right load
+    * proxy — the bucket join's row count is per (cell, side));
+    * published under [[TolerantAutoBitsConf]] like the self form.
+    *
+    * Sides are assumed disjoint id sets (a caller-defined corpus
+    * split — the [[Lsh.crossBucketPairs]] contract).
+    * Returns (batch_id, base_id, sim ≥ threshold). */
+  def srpTolerantPairsAgainst(base: DataFrame, batch: DataFrame,
+                              planes: Array[Array[Double]],
+                              bits: Int, threshold: Double,
+                              maxChord: Double = 0.1,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    require(bits == 0 || planes.length % bits == 0,
+      s"planes (${planes.length}) must be tables*bits (or bits=0 for auto)")
+    require(maxChord > 0 && maxChord < math.sqrt(2.0),
+      s"maxChord $maxChord must be in (0, sqrt(2))")
+    val cosMinAdmit = 1.0 - maxChord * maxChord / 2.0
+
+    def sided(df: DataFrame, isBatch: Boolean) = df
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+        lit(isBatch).as("isBatch"))
+      .filter(exists(col("v"), x => x =!= lit(0.0)))
+    val v = sided(batch, isBatch = true).unionByName(sided(base, isBatch = false))
+    // exact cells per (vector, SIDE); ids are globally unique across
+    // the split, so cell representatives are side-disjoint too
+    val cells = v.groupBy("v", "isBatch")
+      .agg(min("id").as("id"), count(lit(1)).as("ex_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cellMembers = v.select(col("id"), col("v"), col("isBatch"))
+      .join(cells.select(col("v"), col("isBatch"), col("id").as("rep")),
+        Seq("v", "isBatch"))
+      .select(col("id"), col("rep"), col("isBatch"))
+
+    val width =
+      if (bits > 0) bits
+      else {
+        val w = autoSrpBits(cells.count(), planes.length)
+        base.sparkSession.conf.set(TolerantAutoBitsConf, w.toString)
+        w
+      }
+    val tables = planes.length / width
+    val sig = array((0 until tables).map { t =>
+      (0 until width).map { j =>
+        val dot = graft.functions.VectorOps.dotProduct(col("v"),
+          typedLit(planes(t * width + j).toSeq))
+        when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }.toIndexedSeq: _*)
+    val ex = cells.select(col("id"), col("v"), col("ex_n"), col("isBatch"))
+      .withColumn("sig", sig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // per-(class, side) self-join, persisted SLIM (the self form's
+    // sf10 lesson) — consumed only by leader assignment + radii here
+    val exA = ex.select(col("sig"), col("isBatch"),
+      col("id").as("ia"), col("v").as("va"))
+    val exB = ex.select(col("sig"), col("isBatch"),
+      col("id").as("ib"), col("v").as("vb"))
+    val classPairs = exA.join(exB, Seq("sig", "isBatch"))
+      .filter(col("ia") < col("ib"))
+      .select(col("isBatch"), col("ia"), col("ib"),
+        round(cosine(col("va"), col("vb")), 6).as("cos6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val admitted = classPairs.filter(col("cos6") >= cosMinAdmit)
+    val neighborMin = admitted
+      .select(col("isBatch"), col("ia").as("id"), col("ib").as("nb"), col("cos6"))
+      .unionByName(admitted.select(
+        col("isBatch"), col("ib").as("id"), col("ia").as("nb"), col("cos6")))
+      .groupBy("isBatch", "id").agg(min(struct(col("nb"), col("cos6"))).as("mn"))
+    val assign = ex.select(col("isBatch"), col("id"), col("ex_n"))
+      .join(neighborMin, Seq("isBatch", "id"), "left")
+      .select(col("isBatch"), col("id"), col("ex_n"),
+        least(col("id"), coalesce(col("mn.nb"), col("id"))).as("leader"),
+        when(col("mn.nb") < col("id"), col("mn.cos6")).as("lead_cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groups = assign.groupBy("isBatch", "leader")
+      .agg(sum("ex_n").as("pop"), min("lead_cos").as("min_cos"))
+      .withColumn("radius",
+        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * coalesce(col("min_cos"), lit(1.0)))))
+      .join(ex.select(col("isBatch"), col("id").as("leader"),
+        col("v").as("lv"), col("sig")), Seq("isBatch", "leader"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.swapShingleCaches(Seq(cells, ex, classPairs, assign, groups))
+
+    // cross-side candidates at GROUP granularity; pop keeps the opt-in
+    // bucket cap keyed on RAW population across both sides
+    val banded = groups.select(col("leader").as("id"), col("isBatch"),
+        col("pop"), posexplode(col("sig")))
+      .select(col("id"), col("isBatch"), col("pop"),
+        col("pos").as("tab"), col("col").as("bucket"))
+    val cand = Lsh.crossBucketPairs(banded, Seq("tab", "bucket"), "la", "lb",
+      weightCol = "pop")
+    val ga = groups.filter(col("isBatch")).select(col("leader").as("la"),
+      col("lv").as("va"), col("radius").as("ra"))
+    val gb = groups.filter(!col("isBatch")).select(col("leader").as("lb"),
+      col("lv").as("vb"), col("radius").as("rb"))
+    val classified = cand.join(ga, "la").join(gb, "lb")
+      .select(col("la"), col("lb"), cosine(col("va"), col("vb")).as("cr"),
+        (col("ra") + col("rb") + col("ra") * col("rb")).as("delta"))
+      .withColumn("c", round(col("cr"), 6))
+    val memA = assign.filter(col("isBatch"))
+      .select(col("leader").as("la"), col("id").as("ea"))
+    val memB = assign.filter(!col("isBatch"))
+      .select(col("leader").as("lb"), col("id").as("eb"))
+
+    val above = classified.filter(col("c") - col("delta") >= threshold)
+      .select(col("la"), col("lb"), round(col("cr"), 4).as("sim"))
+      .join(memA, "la").join(memB, "lb")
+      .select(col("ea"), col("eb"), col("sim"))
+    val band = classified
+      .filter(col("c") - col("delta") < threshold &&
+        col("c") + col("delta") >= threshold - 5e-5)
+      .select(col("la"), col("lb"))
+      .join(memA, "la").join(memB, "lb")
+      .join(ex.filter(col("isBatch"))
+        .select(col("id").as("ea"), col("v").as("xva")), "ea")
+      .join(ex.filter(!col("isBatch"))
+        .select(col("id").as("eb"), col("v").as("xvb")), "eb")
+      .select(col("ea"), col("eb"),
+        round(cosine(col("xva"), col("xvb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+
+    // expand through both sides' cell groups (no self pairs, no
+    // ordering fixup — the sides are id-disjoint)
+    val ma = cellMembers.filter(col("isBatch"))
+      .select(col("rep").as("ea"), col("id").as("ia"))
+    val mb = cellMembers.filter(!col("isBatch"))
+      .select(col("rep").as("eb"), col("id").as("ib"))
+    above.unionByName(band)
+      .join(ma, "ea").join(mb, "eb")
+      .select(col("ia").as("batch_id"), col("ib").as("base_id"), col("sim"))
   }
 
   /** Deterministic plane set for [[planeSrpPairsQuantized]]: the

@@ -45,6 +45,32 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.gateFlags(Map("a" -> -1.0), Map("a" -> 9.0), 1.0).isEmpty)
   }
 
+  test("adjudicate: a planted persistent slowdown CONFIRMS, a transient one reads box-noise") {
+    // the planted slow query: prior 1.0 s, every min-of-4 re-execution
+    // still ~3x -> the gate's own rule holds on the min -> CONFIRMED
+    val confirmed = Bench.adjudicate(prior = 1.0, load = 1.0,
+      rerunSec = Seq(3.2, 3.0, 3.1, 3.3))
+    assert(confirmed.startsWith("CONFIRMED code drift"), confirmed)
+    assert(confirmed.contains("min-of-4"))
+    // the box epoch: the sweep read 3x but back-to-back re-runs settle
+    // at 1.2x -> the flag was machine state, not code
+    val noise = Bench.adjudicate(1.0, 1.0, Seq(3.0, 1.3, 1.2, 1.25))
+    assert(noise.startsWith("box-noise"), noise)
+    // the 0.5 s and-guard carries over: a sub-second query at 4x its
+    // prior is inside the measured noise floor, never CONFIRMED
+    assert(Bench.adjudicate(0.1, 1.0, Seq(0.4, 0.42, 0.4, 0.41))
+      .startsWith("box-noise"))
+    // load deflation applies to the min exactly as the gate applies it
+    assert(Bench.adjudicate(1.0, 1.6, Seq(3.2, 3.1, 3.0, 3.3))
+      .startsWith("box-noise"), "3x raw under load 1.6 deflates inside 2x")
+    // a re-run that crashes every time (Double.MaxValue sentinel) must
+    // read CONFIRMED, not vanish: a query that stopped completing IS
+    // code drift
+    assert(Bench.adjudicate(1.0, 1.0,
+        Seq(Double.MaxValue, Double.MaxValue, Double.MaxValue, Double.MaxValue))
+      .startsWith("CONFIRMED"))
+  }
+
   test("totalDriftFlag fires past 15% shared-query drift, load-deflated, growth-blind") {
     val prior = Map("a" -> 10.0, "b" -> 10.0)
     // +10% -> quiet (inside the gate)

@@ -682,6 +682,93 @@ class LlmOpsSpec extends AnyFunSuite {
     graft.llm.Dedup.clearShingleCache()
   }
 
+  test("cross-corpus tolerant SRP equals the cross-side subset of raw SRP on the union") {
+    // the q177-for-embeddings contract: collapse per (class, side),
+    // candidates from the cross-side leader bucket join, and the pair
+    // set must equal raw plane-SRP over the UNION restricted to
+    // (batch, base) pairs — at the same planes and the auto width
+    val emb = Tables.t(spark, sf, "embeddings")
+    val planes = Similarity.firstNPlanes(emb, 32)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val got = Similarity.srpTolerantPairsAgainst(base, batch, planes,
+        bits = 0, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty, "fixture must contain cross-side pairs (premise)")
+    val bitsUsed = spark.conf.get(Similarity.TolerantAutoBitsConf).toInt
+    val nz = emb.filter(expr(
+      "exists(cast(embedding as array<double>), x -> x <> 0.0)"))
+    val raw = Similarity.planeSrpPairs(nz, planes, bits = bitsUsed,
+        threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    val rawCross = raw.flatMap { r =>
+      // orient to (batch, base); drop same-side pairs
+      if (batchIds(r._1) && !batchIds(r._2)) Some((r._1, r._2))
+      else if (batchIds(r._2) && !batchIds(r._1)) Some((r._2, r._1))
+      else None
+    }.toSet
+    assert(got.map(g => (g._1, g._2)).toSet === rawCross,
+      "cross pair set must equal the union raw pipeline's cross subset")
+    // attributed sims within the ball bound of the exact value
+    val rawMap = raw.flatMap(r =>
+      Seq((r._1, r._2) -> r._3, (r._2, r._1) -> r._3)).toMap
+    val dmax = 2 * 0.1 + 0.1 * 0.1 + 1e-4
+    got.foreach { g =>
+      assert(math.abs(g._3 - rawMap((g._1, g._2))) <= dmax,
+        s"attribution bound violated for $g vs ${rawMap((g._1, g._2))}")
+    }
+    graft.llm.Dedup.clearShingleCache()
+  }
+
+  test("cross-corpus tolerant SRP: base never pairs with itself, batch never with itself") {
+    // a planted drift corpus where SAME-side near-dups abound: the
+    // operator must emit only (batch, base) pairs, and every planted
+    // cross-side drift pair must surface despite living in distinct
+    // per-side leader groups
+    val base0 = Seq(0.8, -0.6, 0.5, -0.3, 0.9, -0.2, 0.4, -0.7)
+    // ids 0,5,10,15 are batch (id % 5 == 0) drift copies; 1,2,3,4,6
+    // are base drift copies of the SAME family; 101/102 base-only
+    // near-identical pair (a same-side near-dup that must NOT appear)
+    val rows = Seq(
+      0L -> base0, 5L -> base0.map(_ + 0.004), 10L -> base0.map(_ + 0.008),
+      15L -> base0.map(_ + 0.012),
+      1L -> base0.map(_ + 0.002), 2L -> base0.map(_ + 0.006),
+      3L -> base0.map(_ + 0.010), 4L -> base0.map(_ + 0.014),
+      6L -> base0.map(_ + 0.016),
+      101L -> Seq(-0.5, 0.7, -0.8, 0.2, -0.4, 0.6, -0.9, 0.1),
+      102L -> Seq(-0.5, 0.7, -0.8, 0.2, -0.4, 0.6, -0.9, 0.1).map(_ + 0.001))
+    val df = rows.toDF("vec_id", "embedding")
+    val planes = Array(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0), Array(0.0, 1, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 0, 1, 0, 0, 0, 0, 0), Array(0.0, 0, 0, 1, 0, 0, 0, 0),
+      Array(1.0, 1, 1, 1, 1, 1, 1, 1), Array(1.0, -1, 1, -1, 1, -1, 1, -1),
+      Array(0.0, 0, 0, 0, 1, 1, 1, 1), Array(1.0, 0, 1, 0, 1, 0, 1, 0))
+    val batch = df.filter(col("vec_id") % 5 === 0)
+    val base = df.filter(col("vec_id") % 5 =!= 0)
+    val got = Similarity.srpTolerantPairsAgainst(base, batch, planes,
+        bits = 4, threshold = 0.995)
+      .as[(Long, Long, Double)].collect()
+    val batchIds = Set(0L, 5L, 10L, 15L)
+    got.foreach { g =>
+      assert(batchIds(g._1) && !batchIds(g._2),
+        s"output must be (batch, base) only: $g")
+    }
+    assert(!got.exists(g => g._2 == 101L || g._2 == 102L),
+      "the base-only near-dup family must not leak into the output")
+    // parity with the raw union's cross subset on this planted shape
+    val raw = Similarity.planeSrpPairs(df, planes, bits = 4, threshold = 0.995)
+      .as[(Long, Long, Double)].collect()
+    val rawCross = raw.flatMap { r =>
+      if (batchIds(r._1) && !batchIds(r._2)) Some((r._1, r._2))
+      else if (batchIds(r._2) && !batchIds(r._1)) Some((r._2, r._1))
+      else None
+    }.toSet
+    assert(rawCross.nonEmpty, "premise: the drift family must span the split")
+    assert(got.map(g => (g._1, g._2)).toSet === rawCross)
+    graft.llm.Dedup.clearShingleCache()
+  }
+
   test("trainCentroids is deterministic and drives ivfTopK end to end") {
     val emb = Tables.t(spark, sf, "embeddings")
     val c1 = Similarity.trainCentroids(emb, nlist = 8, sampleN = 256, iters = 3)
