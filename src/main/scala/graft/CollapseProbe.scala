@@ -131,7 +131,12 @@ object CollapseProbe {
     // legacy (round-12 length-prefixed string) vs shipped (per-element
     // hash) — in one process, the q59/q136 regression A/B.
     def registryLeg(nm: String): () => Unit = () => {
-      drain(SparkEntry.queries(nm)(spark, dir))
+      val rows = drain(SparkEntry.queries(nm)(spark, dir))
+      // output row count alongside the time: the three-decade ladder's
+      // third point is OUTPUT-MASS-bound (the true answer grows ~copies²
+      // under verbatim duplication), and the row count is what makes
+      // that reading auditable instead of asserted
+      println(s"[collapse-probe] $nm rows=$rows")
       graft.llm.Dedup.clearShingleCache()
     }
     def encodedLeg(nm: String, variant: String): (String, () => Unit) =
@@ -232,6 +237,47 @@ object CollapseProbe {
         println(f"[collapse-probe] tolerantcross bits=${ps(1)} rho=$rho " +
           f"round $r cross $sc%7.2f s  self-union $ss%7.2f s")
       }
+      spark.stop(); return
+    }
+
+    // persisted-state serve A/B: `tolerantserve:<bits|auto>:<rho>[:<thr>]`
+    // builds the REAL TolerantCompact asset for the base side once
+    // (timed), then per round times a batch arrival answered from the
+    // DISK state (TolerantCompact.serve — batch collapse + cross join,
+    // zero base re-collapse) against the from-scratch cross form that
+    // re-collapses the base every arrival — the round-14 question: what
+    // does the persisted asset actually buy per arrival?
+    if (args.lift(2).exists(_.startsWith("tolerantserve:"))) {
+      val ps = args(2).split(':')
+      val bits = if (ps(1) == "auto") 0 else ps(1).toInt
+      val rho = ps(2).toDouble
+      val thr = ps.lift(3).map(_.toDouble).getOrElse(0.3)
+      val emb = Tables.t(spark, dir, "embeddings")
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      val planes = graft.llm.Similarity.firstNPlanes(base, 32)
+      val state = java.nio.file.Files
+        .createTempDirectory("graft-tolserve").toString
+      val tb = t1 { TolerantCompact.run(spark, state, base, planes,
+        bits = bits, maxChord = rho) }
+      println(f"[collapse-probe] tolerantserve build $tb%7.2f s")
+      for (r <- 1 to rounds) {
+        val sv = t1 {
+          drain(TolerantCompact.serve(spark, state, batch, thr))
+          graft.llm.Dedup.clearShingleCache()
+        }
+        val sc = t1 {
+          drain(graft.llm.Similarity.srpTolerantPairsAgainst(
+            base, batch, planes, bits = bits, threshold = thr, maxChord = rho))
+          graft.llm.Dedup.clearShingleCache()
+        }
+        println(f"[collapse-probe] tolerantserve bits=${ps(1)} rho=$rho " +
+          f"round $r serve $sv%7.2f s  cross-scratch $sc%7.2f s")
+      }
+      def rmr(d: java.io.File): Unit = {
+        Option(d.listFiles).foreach(_.foreach(rmr)); d.delete(); ()
+      }
+      rmr(new java.io.File(state))
       spark.stop(); return
     }
 

@@ -48,6 +48,17 @@ object SfGen {
     def off(df: DataFrame, o: Long, keys: String*): DataFrame =
       keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(o)))
 
+    // `embeddings-verbatim` mode writes ONLY the embeddings table, with
+    // NO per-copy perturbation — bit-identical vectors under offset ids,
+    // the re-encode/duplication shape the collapse ladders measure
+    // (round-13's /tmp/sf10e was this corpus built by hand; the flag
+    // makes the construction reproducible). Symlink the other tables
+    // from a same-mult drift corpus when a probe needs a full dir.
+    if (args.lift(3).contains("embeddings-verbatim")) {
+      write("embeddings", copies(t("embeddings"))(off(_, _, "vec_id")))
+      spark.stop(); return
+    }
+
     write("region", t("region"))
     write("nation", t("nation"))
     // c_name/s_name are key-derived in the fixture (Customer#%09d) —

@@ -291,6 +291,35 @@ object TruthCheckSf1 {
     graft.llm.Dedup.clearShingleCache()
     report("q306_srp_tolerant_cross", rawN306, tolN306, miss306, extra306)
 
+    // ---- q307 indexed tolerant serve: the persisted-state path's
+    // answer must equal the same cross-side subset, now at ITS
+    // deployment rules — planes AND width derived from the base side
+    // only (a state is built before future batches exist), the batch
+    // collapsed alone at the state's width. TolerantCompactSpec pins
+    // disk == in-memory, so the in-memory serve here covers the
+    // persisted path's algebra at sf1 scale.
+    val planes307 = graft.llm.Similarity.firstNPlanes(base306, 32)
+    val st307 = graft.llm.Similarity.tolerantStateOf(base306, planes307)
+    val tol307 = graft.llm.Similarity
+      .srpTolerantServe(st307, batch306, planes307, threshold = 0.3)
+      .select("batch_id", "base_id")
+    println(s"[truth-sf1] q307 state width: bits=${st307.width}")
+    val raw307 = graft.llm.Similarity.planeSrpPairs(
+        nzEmb1, planes307, bits = st307.width, threshold = 0.3)
+      .select("id_a", "id_b")
+    val rawCross307 = raw307
+      .select(when(col("id_a") % 5 === 0, col("id_a")).otherwise(col("id_b"))
+          .as("batch_id"),
+        when(col("id_a") % 5 === 0, col("id_b")).otherwise(col("id_a"))
+          .as("base_id"))
+      .filter(col("batch_id") % 5 === 0 && col("base_id") % 5 =!= 0)
+    val miss307 = rawCross307.exceptAll(tol307).count()
+    val extra307 = tol307.exceptAll(rawCross307).count()
+    val rawN307 = rawCross307.count()
+    val tolN307 = tol307.count()
+    graft.llm.Dedup.clearShingleCache()
+    report("q307_srp_tolerant_indexed", rawN307, tolN307, miss307, extra307)
+
     // ---- artifact ----
     val json = results.map { case (q, (t, g, m, e)) =>
       s"""  "$q": {"truth": $t, "got": $g, "missed": $m, "extra": $e, "pass": ${m == 0 && e == 0}}"""

@@ -1093,6 +1093,202 @@ object Similarity {
       .select(col("ia").as("batch_id"), col("ib").as("base_id"), col("sim"))
   }
 
+  /** One corpus's tolerant-SRP collapse as a VALUE — the
+    * [[srpTolerantPairs]] levels 1–3 (exact cells → signature classes →
+    * radius-bounded min-id leader groups) with no cross-class legs, in
+    * the three-tier shape the round-14 byte measurement established
+    * (SCALE.md `tolerantindexsize`): `groups` is the serve tier
+    * (leader, pop, radius, leader vector, full signature — what a
+    * cross-corpus candidate join scans), `exemplars` the exact-verify
+    * tier (one row per DISTINCT vector: id, v, sig, leader), `members`
+    * the slim id → cell-rep spine. [[graft.TolerantCompact]] persists
+    * exactly these frames; [[srpTolerantServe]] consumes them. `width`
+    * is pinned at build time (the [[autoSrpBits]] rule over THIS
+    * corpus's cell count when `bits = 0`) because every stored
+    * signature is a function of it. `caches` carries the builder's
+    * persisted intermediates so a same-session consumer can register
+    * them for cleanup ([[Dedup.swapShingleCaches]]); empty when the
+    * state was read back from disk. */
+  case class TolerantState(groups: DataFrame, exemplars: DataFrame,
+                           members: DataFrame, width: Int, maxChord: Double,
+                           private[graft] val caches: Seq[DataFrame] = Nil)
+
+  /** The per-table SRP signature word array for a vector column at a
+    * given width — the exact expression [[srpTolerantPairs]] computes
+    * inline; shared by the state builder so persisted signatures are
+    * bit-identical to the self form's. */
+  private[graft] def tolerantSig(planes: Array[Array[Double]], width: Int,
+                               vCol: Column): Column = {
+    val tables = planes.length / width
+    array((0 until tables).map { t =>
+      (0 until width).map { j =>
+        val dot = graft.functions.VectorOps.dotProduct(vCol,
+          typedLit(planes(t * width + j).toSeq))
+        when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Levels 2–3 over an already-built cell table (id, v, ex_n):
+    * signatures, per-class slim pair cosines, min-id leader assignment
+    * with the fused struct-min cosine carry, measured radii. Returns
+    * (ex, assign, groups, caches) — the same frames, persisted the same
+    * way, as the inline blocks in [[srpTolerantPairs]] /
+    * [[srpTolerantPairsAgainst]]; factored for the state builder and
+    * the serve path's batch side (the shipped pair operators keep their
+    * measured inline forms untouched). */
+  private[graft] def collapseCellsTolerant(cells: DataFrame,
+      planes: Array[Array[Double]], width: Int, cosMinAdmit: Double)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
+    val ex = cells.select(col("id"), col("v"), col("ex_n"))
+      .withColumn("sig", tolerantSig(planes, width, col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exA = ex.select(col("sig"), col("id").as("ia"), col("v").as("va"))
+    val exB = ex.select(col("sig"), col("id").as("ib"), col("v").as("vb"))
+    val classPairs = exA.join(exB, Seq("sig"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        round(cosine(col("va"), col("vb")), 6).as("cos6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val admitted = classPairs.filter(col("cos6") >= cosMinAdmit)
+    val neighborMin = admitted
+      .select(col("ia").as("id"), col("ib").as("nb"), col("cos6"))
+      .unionByName(admitted.select(
+        col("ib").as("id"), col("ia").as("nb"), col("cos6")))
+      .groupBy("id").agg(min(struct(col("nb"), col("cos6"))).as("mn"))
+    val assign = ex.select(col("id"), col("ex_n"))
+      .join(neighborMin, Seq("id"), "left")
+      .select(col("id"), col("ex_n"),
+        least(col("id"), coalesce(col("mn.nb"), col("id"))).as("leader"),
+        when(col("mn.nb") < col("id"), col("mn.cos6")).as("lead_cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groups = assign.groupBy("leader")
+      .agg(sum("ex_n").as("pop"), min("lead_cos").as("min_cos"))
+      .withColumn("radius",
+        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * coalesce(col("min_cos"), lit(1.0)))))
+      .join(ex.select(col("id").as("leader"), col("v").as("lv"), col("sig")), "leader")
+      .select(col("leader"), col("pop"), col("radius"), col("lv"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (ex, assign, groups, Seq(ex, classPairs, assign, groups))
+  }
+
+  /** Build a [[TolerantState]] for `corpus` — the persistable base side
+    * of the q306 family. `bits = 0` derives the width from THIS
+    * corpus's distinct-cell count ([[autoSrpBits]], published under
+    * [[TolerantAutoBitsConf]]): unlike [[srpTolerantPairsAgainst]]'s
+    * summed-side rule, a state's width must be a pure function of the
+    * state's own corpus — it is pinned into every stored signature and
+    * future batches have not arrived yet. */
+  def tolerantStateOf(corpus: DataFrame, planes: Array[Array[Double]],
+                      bits: Int = 0, maxChord: Double = 0.1,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): TolerantState = {
+    require(bits == 0 || planes.length % bits == 0,
+      s"planes (${planes.length}) must be tables*bits (or bits=0 for auto)")
+    require(maxChord > 0 && maxChord < math.sqrt(2.0),
+      s"maxChord $maxChord must be in (0, sqrt(2))")
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .filter(exists(col("v"), x => x =!= lit(0.0)))
+    val cells = v.groupBy("v")
+      .agg(min("id").as("id"), count(lit(1)).as("ex_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = v.select(col("id"), col("v"))
+      .join(cells.select(col("v"), col("id").as("rep")), "v")
+      .select(col("id"), col("rep"))
+    val width =
+      if (bits > 0) bits
+      else {
+        val w = autoSrpBits(cells.count(), planes.length)
+        corpus.sparkSession.conf.set(TolerantAutoBitsConf, w.toString)
+        w
+      }
+    val (ex, assign, groups, caches) = collapseCellsTolerant(
+      cells, planes, width, 1.0 - maxChord * maxChord / 2.0)
+    val exemplars = ex.select(col("id"), col("v"), col("sig"))
+      .join(assign.select(col("id"), col("leader")), "id")
+    TolerantState(groups, exemplars, members, width, maxChord,
+      cells +: caches)
+  }
+
+  /** Serve a batch against a built/persisted [[TolerantState]] — the
+    * [[srpTolerantPairsAgainst]] answer where the base side comes from
+    * the state instead of a re-collapse (the
+    * [[Dedup.minhashLshAgainstIndex]] analog for drifted embeddings).
+    * The batch collapses alone AT THE STATE'S WIDTH (the stored
+    * signatures pin it; a width mismatch would empty the candidate
+    * join), candidates come from the cross-side leader bucket join over
+    * the state's serve tier — the base is never self-joined and nothing
+    * re-reads or re-signs base vectors — and classification is the same
+    * ball bound with the same 4-dp-half-step band edge, band pairs
+    * verifying member-exactly against the state's exemplar tier.
+    * Output PAIR SET equals `srpTolerantPairsAgainst(base, batch,
+    * bits = state.width)` — same per-side collapse algebra, same
+    * candidate lift, same classification — and therefore equals the
+    * cross-side subset of [[planeSrpPairs]] over the union at that
+    * width (spec-pinned both ways). `planes` must be the set the state
+    * was built with ([[graft.TolerantCompact]] stores them).
+    * Returns (batch_id, base_id, sim ≥ threshold). */
+  def srpTolerantServe(state: TolerantState, batch: DataFrame,
+                       planes: Array[Array[Double]], threshold: Double,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(planes.length % state.width == 0 &&
+      planes.length / state.width >= 2,
+      s"planes (${planes.length}) incompatible with state width ${state.width}")
+    val cosMinAdmit = 1.0 - state.maxChord * state.maxChord / 2.0
+    val vb = batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .filter(exists(col("v"), x => x =!= lit(0.0)))
+    val cellsB = vb.groupBy("v")
+      .agg(min("id").as("id"), count(lit(1)).as("ex_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val membersB = vb.select(col("id"), col("v"))
+      .join(cellsB.select(col("v"), col("id").as("rep")), "v")
+      .select(col("id"), col("rep"))
+    val (exB, assignB, groupsB, cachesB) = collapseCellsTolerant(
+      cellsB, planes, state.width, cosMinAdmit)
+
+    val banded = groupsB.select(col("leader").as("id"), lit(true).as("isBatch"),
+        col("pop"), posexplode(col("sig")))
+      .unionByName(state.groups.select(col("leader").as("id"),
+        lit(false).as("isBatch"), col("pop"), posexplode(col("sig"))))
+      .select(col("id"), col("isBatch"), col("pop"),
+        col("pos").as("tab"), col("col").as("bucket"))
+    val cand = Lsh.crossBucketPairs(banded, Seq("tab", "bucket"), "la", "lb",
+      weightCol = "pop")
+    val ga = groupsB.select(col("leader").as("la"),
+      col("lv").as("va"), col("radius").as("ra"))
+    val gb = state.groups.select(col("leader").as("lb"),
+      col("lv").as("vb"), col("radius").as("rb"))
+    val classified = cand.join(ga, "la").join(gb, "lb")
+      .select(col("la"), col("lb"), cosine(col("va"), col("vb")).as("cr"),
+        (col("ra") + col("rb") + col("ra") * col("rb")).as("delta"))
+      .withColumn("c", round(col("cr"), 6))
+    val memA = assignB.select(col("leader").as("la"), col("id").as("ea"))
+    val memB = state.exemplars.select(col("leader").as("lb"), col("id").as("eb"))
+
+    val above = classified.filter(col("c") - col("delta") >= threshold)
+      .select(col("la"), col("lb"), round(col("cr"), 4).as("sim"))
+      .join(memA, "la").join(memB, "lb")
+      .select(col("ea"), col("eb"), col("sim"))
+    val band = classified
+      .filter(col("c") - col("delta") < threshold &&
+        col("c") + col("delta") >= threshold - 5e-5)
+      .select(col("la"), col("lb"))
+      .join(memA, "la").join(memB, "lb")
+      .join(exB.select(col("id").as("ea"), col("v").as("xva")), "ea")
+      .join(state.exemplars.select(col("id").as("eb"), col("v").as("xvb")), "eb")
+      .select(col("ea"), col("eb"),
+        round(cosine(col("xva"), col("xvb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+
+    val ma = membersB.select(col("rep").as("ea"), col("id").as("ia"))
+    val mb = state.members.select(col("rep").as("eb"), col("id").as("ib"))
+    Dedup.swapShingleCaches(state.caches ++ (cellsB +: cachesB))
+    above.unionByName(band)
+      .join(ma, "ea").join(mb, "eb")
+      .select(col("ia").as("batch_id"), col("ib").as("base_id"), col("sim"))
+  }
+
   /** Deterministic plane set for [[planeSrpPairsQuantized]]: the
     * QUANTIZED embedding vectors of the `n` smallest ids with a
     * nonzero grid image — the same first-N discipline as

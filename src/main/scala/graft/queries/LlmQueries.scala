@@ -784,6 +784,119 @@ object LlmQueries {
       |JOIN cmem mb ON mb.rep = p.eb
       |ORDER BY batch_id, base_id, sim""".stripMargin
 
+  /** q306's answer served from the PERSISTED-STATE shape
+    * ([[Similarity.srpTolerantServe]] over
+    * [[Similarity.tolerantStateOf]]) — the q209 analog for drifted
+    * embeddings: the base side is the three-tier tolerant state
+    * (groups / exemplars / members), nothing re-collapses or re-signs
+    * base vectors at serve time, and the batch collapses alone AT THE
+    * STATE'S WIDTH. Two deployment rules differ from q306 and the
+    * oracle replays both: the SRP planes and the auto width are pure
+    * functions of the BASE corpus (a state is built before future
+    * batches exist), so `planes` ranks base ids only and `bsel` counts
+    * base-side cells only. [[graft.TolerantCompact]] persists exactly
+    * this derivation; TolerantCompactSpec pins disk == in-memory, so
+    * this oracle covers the disk path too. */
+  val annLshTolerantIndexed: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val planes = Similarity.firstNPlanes(base, 32)
+    val state = Similarity.tolerantStateOf(base, planes)
+    Similarity.srpTolerantServe(state, batch, planes, threshold = 0.3)
+      .orderBy("batch_id", "base_id", "sim")
+  }
+
+  val annLshTolerantIndexedSql: String =
+    """WITH raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |nzu AS (SELECT id, v, (id % 5 = 0) AS isb FROM raw
+      |        WHERE len(list_filter(v, x -> x <> 0)) > 0),
+      |cells AS (SELECT isb, min(id) AS eid, v, count(*) AS ex_n
+      |          FROM nzu GROUP BY isb, v),
+      |cmem AS (SELECT n.id, c.eid AS rep, n.isb
+      |         FROM nzu n JOIN cells c ON n.v = c.v AND n.isb = c.isb),
+      |planes AS (
+      |  SELECT (row_number() OVER (ORDER BY id) - 1)::INTEGER AS pid, v AS pv
+      |  FROM (SELECT id, v FROM raw WHERE id % 5 <> 0 ORDER BY id LIMIT 32)),
+      |bsel AS (
+      |  SELECT coalesce(min(b), 16)::INTEGER AS bits
+      |  FROM range(1, 17) t(b),
+      |    (SELECT count(*)::BIGINT AS n FROM cells WHERE NOT isb) c
+      |  WHERE 32 % b = 0 AND b >= 4 AND (1::BIGINT << (b + 4)) >= c.n),
+      |sigs AS (
+      |  SELECT c.isb, c.eid AS id, (p.pid // s.bits)::INTEGER AS tab,
+      |    sum(CASE WHEN list_dot_product(c.v, p.pv) >= 0
+      |             THEN (1::BIGINT << (p.pid % s.bits)) ELSE 0 END)::BIGINT AS bucket
+      |  FROM cells c CROSS JOIN planes p CROSS JOIN bsel s
+      |  GROUP BY c.isb, c.eid, p.pid // s.bits),
+      |sigv AS (SELECT isb, id, list(bucket ORDER BY tab) AS sig
+      |         FROM sigs GROUP BY isb, id),
+      |cpair AS (
+      |  SELECT a.isb, a.id AS ia, b.id AS ib,
+      |    round(list_cosine_similarity(va.v, vb.v), 6) AS cos6
+      |  FROM sigv a JOIN sigv b ON a.sig = b.sig AND a.isb = b.isb AND a.id < b.id
+      |  JOIN cells va ON va.eid = a.id JOIN cells vb ON vb.eid = b.id),
+      |adm AS (SELECT isb, ia, ib FROM cpair WHERE cos6 >= 0.995),
+      |nbmin AS (
+      |  SELECT isb, id, min(nb) AS min_nb FROM (
+      |    SELECT isb, ia AS id, ib AS nb FROM adm
+      |    UNION ALL SELECT isb, ib, ia FROM adm) GROUP BY isb, id),
+      |assign AS (
+      |  SELECT c.isb, c.eid AS id, c.ex_n,
+      |    least(c.eid, coalesce(n.min_nb, c.eid)) AS leader
+      |  FROM cells c LEFT JOIN nbmin n ON n.id = c.eid AND n.isb = c.isb),
+      |mcos AS (
+      |  SELECT a.isb, a.leader, p.cos6 FROM assign a JOIN cpair p
+      |    ON least(a.id, a.leader) = p.ia AND greatest(a.id, a.leader) = p.ib
+      |  WHERE a.id <> a.leader),
+      |grp AS (SELECT isb, leader, sum(ex_n) AS pop, list(id) AS mem
+      |        FROM assign GROUP BY isb, leader),
+      |grps AS (
+      |  SELECT g.isb, g.leader, g.pop, g.mem,
+      |    sqrt(greatest(0, 2 - 2 * coalesce(m.min_cos, 1))) AS radius,
+      |    s.sig, c.v AS lv
+      |  FROM grp g
+      |  LEFT JOIN (SELECT isb, leader, min(cos6) AS min_cos
+      |             FROM mcos GROUP BY isb, leader) m
+      |    ON m.leader = g.leader AND m.isb = g.isb
+      |  JOIN sigv s ON s.id = g.leader
+      |  JOIN cells c ON c.eid = g.leader),
+      |gb AS (
+      |  SELECT isb, leader, t.tab, sig[t.tab + 1] AS bucket
+      |  FROM grps CROSS JOIN bsel s
+      |  CROSS JOIN (SELECT unnest(range(32)) AS tab) t
+      |  WHERE t.tab < 32 // s.bits),
+      |cand AS (
+      |  SELECT DISTINCT a.leader AS la, b.leader AS lb
+      |  FROM gb a JOIN gb b ON a.tab = b.tab AND a.bucket = b.bucket
+      |  WHERE a.isb AND NOT b.isb),
+      |cls AS (
+      |  SELECT c.la, c.lb, ga.mem AS mem_a, g2.mem AS mem_b,
+      |    list_cosine_similarity(ga.lv, g2.lv) AS ccr,
+      |    round(list_cosine_similarity(ga.lv, g2.lv), 6) AS cc,
+      |    ga.radius + g2.radius + ga.radius * g2.radius AS delta
+      |  FROM cand c
+      |  JOIN grps ga ON ga.leader = c.la
+      |  JOIN grps g2 ON g2.leader = c.lb),
+      |above0 AS (SELECT unnest(mem_a) AS ea, mem_b, round(ccr, 4) AS sim
+      |           FROM cls WHERE cc - delta >= 0.3),
+      |above AS (SELECT ea, unnest(mem_b) AS eb, sim FROM above0),
+      |band0 AS (SELECT unnest(mem_a) AS ea, mem_b FROM cls
+      |          WHERE cc - delta < 0.3 AND cc + delta >= 0.3 - 0.00005),
+      |band1 AS (SELECT ea, unnest(mem_b) AS eb FROM band0),
+      |band AS (
+      |  SELECT b.ea, b.eb,
+      |    round(list_cosine_similarity(va.v, vb.v), 4) AS sim
+      |  FROM band1 b JOIN cells va ON va.eid = b.ea JOIN cells vb ON vb.eid = b.eb
+      |  WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= 0.3),
+      |allex AS (SELECT ea, eb, sim FROM above
+      |          UNION ALL SELECT ea, eb, sim FROM band)
+      |SELECT ma.id AS batch_id, mb.id AS base_id, p.sim
+      |FROM allex p
+      |JOIN cmem ma ON ma.rep = p.ea
+      |JOIN cmem mb ON mb.rep = p.eb
+      |ORDER BY batch_id, base_id, sim""".stripMargin
+
   /** Dimension-truncation rerank cascade
     * ([[Similarity.truncRerankTopK]]): first-16-dim cosine prefilter to
     * 20 candidates per query (WindowGroupLimit map-side pruning), then
@@ -3046,6 +3159,7 @@ object LlmQueries {
     "q304_srp_quantized" -> annLshQuantized,
     "q305_srp_tolerant" -> annLshTolerant,
     "q306_srp_tolerant_cross" -> annLshTolerantCross,
+    "q307_srp_tolerant_indexed" -> annLshTolerantIndexed,
     "q50_ann_ivf" -> annIvf,
     "q78_ann_pq" -> annPq,
     "q79_ann_ivfpq" -> annIvfPq,
@@ -3103,6 +3217,7 @@ object LlmQueries {
     "q304_srp_quantized" -> annLshQuantizedSql,
     "q305_srp_tolerant" -> annLshTolerantSql,
     "q306_srp_tolerant_cross" -> annLshTolerantCrossSql,
+    "q307_srp_tolerant_indexed" -> annLshTolerantIndexedSql,
     "q50_ann_ivf" -> annIvfSql,
     "q78_ann_pq" -> annPqSql,
     "q79_ann_ivfpq" -> annIvfPqSql,
