@@ -314,10 +314,13 @@ object TolerantCompact {
     ()
   }
 
-  /** CLI: `TolerantCompact <stateDir> <sfDir> build|append|serve` over
-    * the q306 fixture split (base = vec_id % 5 != 0, batch = the rest)
-    * — the process-boundary instrument: `build` indexes the base,
-    * `serve` (a separate process) answers the batch from disk alone. */
+  /** CLI: `TolerantCompact <stateDir> <sfDir> build|append[:N]|serve`
+    * over the q306 fixture split (base = vec_id % 5 != 0, batch = the
+    * rest) — the process-boundary instrument: `build` indexes the
+    * base, `serve` (a separate process) answers the batch from disk
+    * alone. `append:N` folds only every Nth batch vector (a 1/N-sized
+    * arrival) — the surgery's cost tracks the AFFECTED-CLASS count,
+    * so arrival size is the variable worth sweeping. */
   def main(args: Array[String]): Unit = {
     val Array(stateDir, sfDir, mode) = args.take(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -336,6 +339,9 @@ object TolerantCompact {
       case "build"  => run(spark, stateDir, base,
         Similarity.firstNPlanes(base, 32))
       case "append" => run(spark, stateDir, batch)
+      case m if m.startsWith("append:") =>
+        val n = m.stripPrefix("append:").toInt
+        run(spark, stateDir, batch.filter(col("vec_id") % (5L * n) === 0))
       case "serve"  =>
         val n = serve(spark, stateDir, batch, 0.3)
           .queryExecution.toRdd.count()
