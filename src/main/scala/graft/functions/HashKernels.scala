@@ -202,6 +202,68 @@ object ShingleKernel {
   }
 }
 
+object PositionalShingleMd5Kernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Hex = "0123456789abcdef".toCharArray
+
+  /** md5 hex of EVERY positional k-shingle (tokens i..i+k−1 joined by
+    * one space), position order preserved — the codegen'd twin of
+    * `transform(sequence(1, n−k+1), i -> md5(concat_ws(' ', slice(toks, i, k))))`,
+    * whose lambda ran interpreted with a k-element array copy and a
+    * string rebuild per position. The digest is fed the token bytes and
+    * separator directly (no shingle string is ever materialized), and
+    * the hex encoding matches Spark's `md5` (lowercase hex over UTF-8
+    * bytes) exactly — the DuckDB oracle replays the same md5. Empty
+    * array when the input has fewer than k tokens. */
+  def compute(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(toks(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      val cs = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        cs(2 * b) = Hex((d(b) >> 4) & 0xf).toByte
+        cs(2 * b + 1) = Hex(d(b) & 0xf).toByte
+        b += 1
+      }
+      out(i) = UTF8String.fromBytes(cs)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** array<string> tokens → array<string> positional k-shingle md5 hexes
+  * (see [[PositionalShingleMd5Kernel]]). */
+case class PositionalShingleMd5Expr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = GraftTypeCheck.expect(
+    prettyName, GraftTypeCheck.isStringArray(child.dataType), "ARRAY<STRING>", child.dataType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "positional_shingle_md5"
+  override protected def nullSafeEval(input: Any): Any =
+    PositionalShingleMd5Kernel.compute(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PositionalShingleMd5Kernel.compute($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object CharNgramKernel {
   import org.apache.spark.unsafe.types.UTF8String
 
@@ -523,6 +585,8 @@ object Hashing {
     GraftBridge.column(Md5SimHashBlocksExpr(GraftBridge.expression(c)))
   def wordShingles(c: Column, k: Int): Column =
     GraftBridge.column(WordShinglesExpr(GraftBridge.expression(c), k))
+  def positionalShingleMd5(c: Column, k: Int): Column =
+    GraftBridge.column(PositionalShingleMd5Expr(GraftBridge.expression(c), k))
   def charNgrams(c: Column, n: Int): Column =
     GraftBridge.column(CharNgramsExpr(GraftBridge.expression(c), n))
   def jaccardSim(a: Column, b: Column): Column =

@@ -927,8 +927,11 @@ object Dedup {
       .select(col("doc_id"), size(col("toks")).as("n_tokens"), col("toks"))
       .filter(col("n_tokens") >= k)
       .select(col("doc_id"), col("n_tokens"),
-        posexplode(expr(
-          s"transform(sequence(1, size(toks) - ${k - 1}), i -> md5(concat_ws(' ', slice(toks, i, $k))))")))
+        // single-pass codegen kernel; the equivalent
+        // transform∘slice∘concat_ws∘md5 chain ran its lambda interpreted
+        // with a k-token copy per position (identical md5 hex output —
+        // PositionalShingleMd5Kernel feeds the digest the same bytes)
+        posexplode(graft.functions.Hashing.positionalShingleMd5(col("toks"), k)))
       .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("p"), col("col").as("h"))
   }
 }

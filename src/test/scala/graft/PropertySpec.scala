@@ -65,6 +65,30 @@ class PropertySpec extends AnyFunSuite {
     }, cases = 25)
   }
 
+  test("positional shingle md5 kernel equals the transform/slice/md5 chain") {
+    // the kernel replaced an interpreted HOF chain inside
+    // Dedup.positionalShingles (q182/q190) — same md5 hex per position,
+    // including the fewer-than-k empty case and multi-byte UTF-8 tokens
+    val tok: Gen[String] = Gen.oneOf(word, Gen.const("ü§"), Gen.const("é"))
+    val toksGen: Gen[List[String]] = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tok))
+    val kGen = Gen.choose(1, 6)
+    check(Prop.forAll(toksGen, kGen) { (toks, k) =>
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val kernel = df.select(
+        graft.functions.Hashing.positionalShingleMd5(col("toks"), k).as("h"))
+        .as[Seq[String]].collect().head
+      // the production site filters n >= k before the expression, so the
+      // chain is only defined there (sequence(1, 0) would run DESCENDING)
+      val chain =
+        if (toks.size < k) Seq.empty[String]
+        else df.select(expr(
+          s"transform(sequence(1, size(toks) - ${k - 1}), " +
+            s"i -> md5(concat_ws(' ', slice(toks, i, $k))))").as("h"))
+          .as[Seq[String]].collect().head
+      kernel == chain
+    }, cases = 25)
+  }
+
   test("jaccard kernel: bounded, symmetric, self-similarity 1") {
     check(Prop.forAll(Gen.listOfN(8, doc)) { docs =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
