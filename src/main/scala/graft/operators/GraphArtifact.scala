@@ -588,18 +588,33 @@ object GraphArtifact {
         "rebuild with build() to reset")
 
     // ---- merged buckets (computed BEFORE any live file moves) ----
-    val bSup = supportFromItems(itemsBatch)
-      .withColumn("bkt", bktCol(n, col("a"), col("b")))
-      .localCheckpoint(true)
+    // the two batch materializations are independent eager checkpoints —
+    // run them concurrently (guide §2.6, the buildUnlocked discipline)
+    // so the pair-support aggregation's task tail back-fills with the
+    // click distinct
+    val batchPool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val batchEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(batchPool)
+    val fBSup = scala.concurrent.Future {
+      supportFromItems(itemsBatch)
+        .withColumn("bkt", bktCol(n, col("a"), col("b")))
+        .localCheckpoint(true)
+    }(batchEc)
+    val fCB = scala.concurrent.Future {
+      clicksBatch.distinct()
+        .withColumn("bkt", bktCol(n, col("u"), col("v")))
+        .localCheckpoint(true)
+    }(batchEc)
+    val (bSup, cB) =
+      try scala.concurrent.Await.result(
+        fBSup.zipWith(fCB)((_, _))(batchEc), scala.concurrent.duration.Duration.Inf)
+      finally batchPool.shutdown()
     val touchedPB = buckets(bSup)
     val mergedSup = readSub("copurchase_support", touchedPB)
       .select("a", "b", "support")
       .unionByName(bSup.select("a", "b", "support"))
       .groupBy("a", "b").agg(sum("support").as("support"))
       .withColumn("bkt", bktCol(n, col("a"), col("b")))
-    val cB = clicksBatch.distinct()
-      .withColumn("bkt", bktCol(n, col("u"), col("v")))
-      .localCheckpoint(true)
     val touchedCB = buckets(cB)
     val mergedClicks = readSub("click", touchedCB).select("u", "v")
       .unionByName(cB.select("u", "v")).distinct()
@@ -617,67 +632,92 @@ object GraphArtifact {
     def stage(sub: String, df: DataFrame): Unit =
       df.repartition(col("bkt")) // one file per staged bucket (see buildFrom)
         .write.partitionBy("bkt").parquet(new Path(stagedRoot, sub).toString)
-    if (touchedPB.nonEmpty) {
-      stage("copurchase_support", mergedSup)
-      // project edges from the STAGED support (one merge computation,
-      // and the bkt column is exactly the support table's — build's rule)
-      stage("copurchase",
-        s.read.parquet(new Path(stagedRoot, "copurchase_support").toString)
-          .where(col("support") >= 2).select("a", "b", "bkt"))
-    }
-    if (touchedCB.nonEmpty) stage("click", mergedClicks)
-    if (touchedOB.nonEmpty) stage("orders", mergedOrders)
-
-    // ---- iteration-shaped subs (see IterSubs) — maintained iff the
+    // Staging + the iteration-shaped sub maintenance form the same three
+    // independent chains as buildUnlocked (co-purchase, click, orders) —
+    // every write lands in its own _staged subdir and the live-file
+    // moves all happen after the join point below, so running the
+    // chains from a 3-thread pool changes nothing about the staged
+    // bytes or the swap (guide §2.6).
+    //
+    // iteration-shaped subs (see IterSubs) — maintained iff the
     // artifact carries them (one built before they existed keeps
     // serving its dir-partitioned subs; bucketedServe then fails
-    // loudly instructing a rebuild, never serves stale data) ----
-    if (touchedCB.nonEmpty && fs.exists(new Path(artPath, "click_iter"))) {
-      // the click sub dedups DIRECTED edges before the mirror, so the
-      // iter delta is the mirror of the directed rows NOT already in
-      // the base (all possible duplicates of a batch row live in the
-      // batch row's own (u,v)-hashed buckets, already read above) —
-      // a plain multiset union then reproduces mirror(base ∪ batch)
-      // exactly, including the both-directions-clicked case a distinct
-      // after the mirror would silently collapse
-      val newClicks = cB.select(col("u").cast("long").as("u"),
-          col("v").cast("long").as("v"))
-        .join(readSub("click", touchedCB).select("u", "v"), Seq("u", "v"), "left_anti")
-      val mNew = newClicks.union(newClicks.select(col("v").as("u"), col("u").as("v")))
-        .withColumn("bkt", bktCol(n, col("u")))
-        .localCheckpoint(true)
-      val tci = buckets(mNew)
-      if (tci.nonEmpty) {
-        val mergedRows = readIterBucketRows(s, fs, artPath, "click_iter", tci)
-          .select("u", "v").unionByName(mNew.select("u", "v"))
-        // deg is bucket-local (every row of a key lives in its bucket),
-        // so recomputing it over the touched buckets alone is exact
-        writeBucketed(s,
-          mergedRows.join(mergedRows.groupBy("u").agg(count(lit(1)).as("deg")), "u"),
-          new Path(stagedRoot, "click_iter").toString, "u", n)
+    // loudly instructing a rebuild, never serves stale data)
+    val stagePool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val stageEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(stagePool)
+    val fCoPurchase = scala.concurrent.Future {
+      if (touchedPB.nonEmpty) {
+        stage("copurchase_support", mergedSup)
+        // project edges from the STAGED support (one merge computation,
+        // and the bkt column is exactly the support table's — build's rule)
+        stage("copurchase",
+          s.read.parquet(new Path(stagedRoot, "copurchase_support").toString)
+            .where(col("support") >= 2).select("a", "b", "bkt"))
+        if (fs.exists(new Path(artPath, "copurchase_iter"))) {
+          // support is monotone under order-disjoint appends, so edges
+          // are only ever ADDED: the delta is staged-thresholded minus
+          // base edges over the touched (a,b)-hashed buckets, and its
+          // mirrored rows are disjoint from the base iter rows by
+          // construction
+          val stagedEdges = s.read
+            .parquet(new Path(stagedRoot, "copurchase").toString).select("a", "b")
+          val delta = stagedEdges
+            .join(readSub("copurchase", touchedPB).select("a", "b"), Seq("a", "b"), "left_anti")
+            .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+          val mDelta = delta.union(delta.select(col("dst").as("src"), col("src").as("dst")))
+            .withColumn("bkt", bktCol(n, col("dst")))
+            .localCheckpoint(true)
+          val tpi = buckets(mDelta)
+          if (tpi.nonEmpty) {
+            writeBucketed(s,
+              readIterBucketRows(s, fs, artPath, "copurchase_iter", tpi)
+                .unionByName(mDelta.select("src", "dst")),
+              new Path(stagedRoot, "copurchase_iter").toString, "dst", n)
+          }
+        }
       }
     }
-    if (touchedPB.nonEmpty && fs.exists(new Path(artPath, "copurchase_iter"))) {
-      // support is monotone under order-disjoint appends, so edges are
-      // only ever ADDED: the delta is staged-thresholded minus base
-      // edges over the touched (a,b)-hashed buckets, and its mirrored
-      // rows are disjoint from the base iter rows by construction
-      val stagedEdges = s.read
-        .parquet(new Path(stagedRoot, "copurchase").toString).select("a", "b")
-      val delta = stagedEdges
-        .join(readSub("copurchase", touchedPB).select("a", "b"), Seq("a", "b"), "left_anti")
-        .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
-      val mDelta = delta.union(delta.select(col("dst").as("src"), col("src").as("dst")))
-        .withColumn("bkt", bktCol(n, col("dst")))
-        .localCheckpoint(true)
-      val tpi = buckets(mDelta)
-      if (tpi.nonEmpty) {
-        writeBucketed(s,
-          readIterBucketRows(s, fs, artPath, "copurchase_iter", tpi)
-            .unionByName(mDelta.select("src", "dst")),
-          new Path(stagedRoot, "copurchase_iter").toString, "dst", n)
+    val fClick = scala.concurrent.Future {
+      if (touchedCB.nonEmpty) {
+        stage("click", mergedClicks)
+        if (fs.exists(new Path(artPath, "click_iter"))) {
+          // the click sub dedups DIRECTED edges before the mirror, so
+          // the iter delta is the mirror of the directed rows NOT
+          // already in the base (all possible duplicates of a batch row
+          // live in the batch row's own (u,v)-hashed buckets, already
+          // read above) — a plain multiset union then reproduces
+          // mirror(base ∪ batch) exactly, including the
+          // both-directions-clicked case a distinct after the mirror
+          // would silently collapse
+          val newClicks = cB.select(col("u").cast("long").as("u"),
+              col("v").cast("long").as("v"))
+            .join(readSub("click", touchedCB).select("u", "v"), Seq("u", "v"), "left_anti")
+          val mNew = newClicks.union(newClicks.select(col("v").as("u"), col("u").as("v")))
+            .withColumn("bkt", bktCol(n, col("u")))
+            .localCheckpoint(true)
+          val tci = buckets(mNew)
+          if (tci.nonEmpty) {
+            val mergedRows = readIterBucketRows(s, fs, artPath, "click_iter", tci)
+              .select("u", "v").unionByName(mNew.select("u", "v"))
+            // deg is bucket-local (every row of a key lives in its
+            // bucket), so recomputing it over the touched buckets alone
+            // is exact
+            writeBucketed(s,
+              mergedRows.join(mergedRows.groupBy("u").agg(count(lit(1)).as("deg")), "u"),
+              new Path(stagedRoot, "click_iter").toString, "u", n)
+          }
+        }
       }
     }
+    val fOrders = scala.concurrent.Future {
+      if (touchedOB.nonEmpty) stage("orders", mergedOrders)
+    }
+    try
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(Seq(fCoPurchase, fClick, fOrders)),
+        scala.concurrent.duration.Duration.Inf)
+    finally stagePool.shutdown()
 
     // staged bucket inventory: support monotonicity means a touched
     // bucket never loses all its rows, so "buckets present in the
