@@ -312,8 +312,22 @@ object Compact {
                            members: DataFrame): Unit = {
     val s = staging(stateDir)
     f.delete(s, true)
-    classes.write.parquet(new Path(s, "classes").toString)
-    members.write.parquet(new Path(s, "members").toString)
+    // the two sub-table writes are independent (separate staging
+    // subdirs, both only READ the live dir) — overlap them on a
+    // 2-thread pool (guide §2.6, the GraphArtifact build/append
+    // discipline) so one write's task tail back-fills with the other's
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val fc = scala.concurrent.Future {
+      classes.write.parquet(new Path(s, "classes").toString)
+    }(ec)
+    val fm = scala.concurrent.Future {
+      members.write.parquet(new Path(s, "members").toString)
+    }(ec)
+    try scala.concurrent.Await.result(
+      fc.zipWith(fm)((_, _))(ec), scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
     val m = f.create(new Path(s, "_FORMAT"), true)
     m.write(FormatVersion.toString.getBytes("UTF-8")); m.close()
     f.create(new Path(s, "_SUCCESS"), true).close()
