@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch adjudication probe for the round-15 anti-scaling cluster
+  * (q117/q190/q231/q301/q209 run ~3x faster at 8 cores than 32 in the
+  * round-14 driver measurements): run a list of registry queries
+  * interleaved min-of-N inside ONE process, at an ARBITRARY core count
+  * (`local[cpus]`, shuffle.partitions=cpus — the bench's own session
+  * shape), so 8-vs-32 A/B legs are two back-to-back invocations whose
+  * within-run epochs cancel. Dev-only; not part of the library.
+  *
+  * Usage: runMain graft.QProbe <dir> <cpus> <rounds> <q1,q2,...>
+  */
+object QProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = args.lift(1).getOrElse("32")
+    val rounds = args.lift(2).map(_.toInt).getOrElse(4)
+    val names = args.lift(3).map(_.split(',').toSeq).getOrElse(Seq())
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
+    def drain(df: DataFrame): Long = df.queryExecution.toRdd.count()
+    val li = Tables.t(spark, dir, "lineitem")
+    drain(li.select("l_orderkey", "l_partkey", "l_quantity"))
+    drain(li.groupBy("l_returnflag").agg(sum("l_quantity")))
+
+    val legs = names.map { n =>
+      val hits = SparkEntry.queries.keys.filter(_.contains(n)).toSeq
+      require(hits.size == 1, s"filter $n matched ${hits.mkString(",")}")
+      hits.head -> SparkEntry.queries(hits.head)
+    }
+    val best = scala.collection.mutable.Map[String, Double]()
+      .withDefaultValue(Double.MaxValue)
+    for (r <- 1 to rounds; (name, fn) <- legs) {
+      val t0 = System.nanoTime()
+      drain(fn(spark, dir))
+      val s = (System.nanoTime() - t0) / 1e9
+      best(name) = math.min(best(name), s)
+      println(f"[qprobe] cpus=$cpus round $r $name%-28s $s%6.2f s")
+      System.gc()
+    }
+    println(s"[qprobe] ---- cpus=$cpus min of $rounds ----")
+    for ((name, _) <- legs)
+      println(f"[qprobe] $name%-28s ${best(name)}%6.2f s")
+    graft.llm.Dedup.clearShingleCache()
+    spark.stop()
+  }
+}

@@ -896,16 +896,26 @@ object Dedup {
     * — the shuffle carries DISTINCT (doc, h) pairs, not the token
     * stream), corpus totals are one further count per h, and the flag
     * join + per-doc rollup are keyed on h / doc_id. Linear at 100 TB,
-    * no unbounded per-key state. */
+    * no unbounded per-key state.
+    *
+    * Round 15: the flag join carries only the DUPLICATED-shingle set
+    * (tot ≥ minOccurs, projected to h) instead of the vocabulary-wide
+    * (h, tot) table — `sum(when(tot ≥ k, c))` over a full join equals
+    * `sum(c where h ∈ dupset)` over a left join, bit for bit, while
+    * the join's build side shrinks from every distinct shingle to the
+    * duplicated subset (the [[duplicatedSpans]] discipline; at 100 TB
+    * the difference between broadcasting a vocabulary and a dup set). */
   def shingleNovelty(docs: DataFrame, k: Int = 5, minOccurs: Int = 2,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val dh = positionalShingles(docs, k, idCol, textCol)
       .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
-    val tot = dh.groupBy("h").agg(sum("c").as("tot"))
-    dh.join(tot, "h")
+    val dup = dh.groupBy("h").agg(sum("c").as("tot"))
+      .filter(col("tot") >= minOccurs)
+      .select(col("h"), lit(true).as("isdup"))
+    dh.join(dup, Seq("h"), "left")
       .groupBy("doc_id")
       .agg(sum("c").cast("long").as("n_shingles"),
-        sum(when(col("tot") >= minOccurs, col("c")).otherwise(lit(0)))
+        sum(when(col("isdup"), col("c")).otherwise(lit(0)))
           .cast("long").as("n_dup"))
       .select(col("doc_id"), col("n_shingles"), col("n_dup"),
         round((col("n_shingles") - col("n_dup")).cast("double") /
