@@ -35,6 +35,35 @@ object QProbe {
     drain(li.select("l_orderkey", "l_partkey", "l_quantity"))
     drain(li.groupBy("l_returnflag").agg(sum("l_quantity")))
 
+    // sub-stage breakdown of the q136 prefix-filter pipeline (one shot,
+    // warm scan): which leg owns the time — the df rank regroup, the
+    // prefix candidate join, or the verify/expand tail
+    if (names.contains("breakdown136")) {
+      def t1(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      for (r <- 1 to rounds) {
+        val sh = Tables.t(spark, dir, "documents").select(col("doc_id").as("id"),
+          graft.llm.TextOps.wordShingles(col("text"), 3).as("toks"))
+        val base = sh.filter(size(col("toks")) > 0)
+          .withColumn("ck", graft.llm.Dedup.classKey(col("toks")))
+        val reps = base.groupBy("ck")
+          .agg(min("id").as("id"), first("toks").as("toks"),
+            count(lit(1)).as("grp_n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(f"[qprobe] reps       ${t1(drain(reps.select("id")))}%6.2f s")
+        val sorted = graft.llm.SetSimilarity.rankedSets(
+          reps.select("id", "toks"), 4, 5)
+        println(f"[qprobe] rankedSets ${t1(drain(sorted))}%6.2f s")
+        val cand = graft.llm.SetSimilarity.candidatePairs(sorted, 4, 5)
+        println(f"[qprobe] candidates ${t1(drain(cand))}%6.2f s")
+        println(f"[qprobe] full       ${t1(drain(SparkEntry.queries("q136_setsim_join")(spark, dir)))}%6.2f s")
+        reps.unpersist(blocking = false)
+        graft.llm.Dedup.clearShingleCache()
+        System.gc()
+      }
+      spark.stop(); return
+    }
     val legs = names.map { n =>
       val hits = SparkEntry.queries.keys.filter(_.contains(n)).toSeq
       require(hits.size == 1, s"filter $n matched ${hits.mkString(",")}")

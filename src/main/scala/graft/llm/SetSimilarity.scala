@@ -65,25 +65,41 @@ object SetSimilarity {
     val base = sets.select(col("id"), col("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("ck", Dedup.classKey(col("toks")))
+    // the slim (id, ck) projection feeds the member expansion spine —
+    // persisted so the tokenize + canonicalize pass (the md5-keyed
+    // classKey over every document) runs once per call instead of once
+    // per consumer (round 15; the window this replaces re-derived it)
+    val baseSlim = base.select(col("id"), col("ck"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // reps feeds rankedSets (whose output is itself consumed by the
-    // candidate legs and both payload legs) plus multiReps — persist it
-    // under the dedup family's single-working-set cache discipline so
-    // the tokenize + canonicalize + collapse work runs once per call
+    // candidate legs) plus both payload legs, multiReps and the member
+    // spine — persist it under the dedup family's single-working-set
+    // cache discipline so the collapse work runs once per call
     val reps = base.groupBy("ck")
       .agg(min("id").as("id"), first("toks").as("toks"),
         count(lit(1)).as("grp_n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.swapShingleCaches(Seq(reps))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("ck")
-    val members = base.select(col("id"), col("ck"))
-      .select(col("id"), min("id").over(w).as("rep"),
-        count(lit(1)).over(w).as("grp_n"))
+    Dedup.swapShingleCaches(Seq(baseSlim, reps))
+    // members = (id, min id of its class, class size): exactly reps'
+    // per-class aggregates fanned back over the class members — a keyed
+    // join against the persisted reps, replacing the window pass that
+    // re-sorted the recomputed corpus by ck (identical values: rep =
+    // min(id) over ck = reps.id, grp_n = count over ck = reps.grp_n)
+    val members = baseSlim
+      .join(reps.select(col("ck"), col("id").as("rep"), col("grp_n")), "ck")
+      .select(col("id"), col("rep"), col("grp_n"))
     val multiReps = reps.filter(col("grp_n") > 1)
       .select(col("id"), col("grp_n"), size(col("toks")).as("n"))
 
     val sorted = rankedSets(reps.select("id", "toks"), num, den)
     val cand = candidatePairs(sorted, num, den)
-    val payload = sorted.select(col("id"), col("toks"), col("n"))
+    // verification payload straight from the persisted reps: inter/uni
+    // are SET-level integers (array_intersect cardinality and sizes are
+    // order-independent), so the rare-first reordering rankedSets adds
+    // for the prefix legs is irrelevant here — reading reps instead
+    // spares two full recomputes of the rank regroup (round 15)
+    val payload = reps.select(col("id"), col("toks"),
+      size(col("toks")).as("n"))
     val repPairs = cand
       .join(payload.select(col("id").as("doc_a"), col("toks").as("ta"),
         col("n").as("na")), "doc_a")
