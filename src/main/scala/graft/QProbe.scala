@@ -64,6 +64,79 @@ object QProbe {
       }
       spark.stop(); return
     }
+    // interleaved A/B of the tolerant family's materialization mode
+    // (persist vs eager localCheckpoint): `tolab:<q1,q2,...>`
+    names.find(_.startsWith("tolab:")).foreach { m =>
+      val qs = m.stripPrefix("tolab:").split(',').toSeq.map { q =>
+        val hits = SparkEntry.queries.keys.filter(_.contains(q)).toSeq
+        require(hits.size == 1, s"filter $q matched ${hits.mkString(",")}")
+        hits.head
+      }
+      val best = scala.collection.mutable.Map[String, Double]()
+        .withDefaultValue(Double.MaxValue)
+      for (r <- 1 to rounds; q <- qs; ck <- Seq(false, true)) {
+        graft.llm.Similarity.tolerantCheckpoint = ck
+        graft.llm.Dedup.dedupCheckpoint = ck
+        val t0 = System.nanoTime()
+        drain(SparkEntry.queries(q)(spark, dir))
+        val s = (System.nanoTime() - t0) / 1e9
+        val key = s"$q ckpt=$ck"
+        best(key) = math.min(best(key), s)
+        println(f"[qprobe] round $r $key%-42s $s%6.2f s")
+        graft.llm.Dedup.clearShingleCache()
+        System.gc()
+      }
+      graft.llm.Similarity.tolerantCheckpoint = true
+      graft.llm.Dedup.dedupCheckpoint = true
+      println(s"[qprobe] ---- min of $rounds ----")
+      best.toSeq.sorted.foreach { case (k, v) =>
+        println(f"[qprobe] $k%-42s $v%6.2f s") }
+      spark.stop(); return
+    }
+    // per-job wall-clock breakdown of one registry query: attach a
+    // listener, run the query `rounds` times, print every job's span
+    // (the gaps between jobs are driver-side planning/collect time)
+    names.find(_.startsWith("jobs:")).foreach { m =>
+      val q = m.stripPrefix("jobs:")
+      val hits = SparkEntry.queries.keys.filter(_.contains(q)).toSeq
+      require(hits.size == 1, s"filter $q matched ${hits.mkString(",")}")
+      val fn = SparkEntry.queries(hits.head)
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+      val ends = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.put(js.jobId, (js.time,
+              Option(js.properties)
+                .flatMap(p => Option(p.getProperty("spark.job.description")))
+                .getOrElse(""), js.stageInfos.size))
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            ends.put(je.jobId, je.time)
+        })
+      for (r <- 1 to rounds) {
+        jobs.clear(); ends.clear()
+        val t0 = System.nanoTime()
+        drain(fn(spark, dir))
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        import scala.jdk.CollectionConverters._
+        val rows = jobs.asScala.toSeq.sortBy(_._1)
+        var prevEnd = 0L
+        var sumJobs = 0.0
+        for ((id, (st, desc, nstages)) <- rows; en <- ends.asScala.get(id)) {
+          val gap = if (prevEnd == 0) 0.0 else (st - prevEnd) / 1e3
+          prevEnd = math.max(prevEnd, en)
+          sumJobs += (en - st) / 1e3
+          println(f"[qprobe] job $id%3d ${(en - st) / 1e3}%7.2f s  gap $gap%6.2f s  stages=$nstages%2d  ${desc.take(60)}")
+        }
+        println(f"[qprobe] round $r wall $wall%.2f s, sum(jobs) $sumJobs%.2f s, n_jobs=${rows.size}")
+        graft.llm.Dedup.clearShingleCache()
+        System.gc()
+      }
+      spark.stop(); return
+    }
     val legs = names.map { n =>
       val hits = SparkEntry.queries.keys.filter(_.contains(n)).toSeq
       require(hits.size == 1, s"filter $n matched ${hits.mkString(",")}")

@@ -614,6 +614,27 @@ object Similarity {
     * parameters see the derived value without re-deriving it. */
   val TolerantAutoBitsConf = "spark.graft.srp.tolerant.autoBits"
 
+  /** Switch for the tolerant family's intermediate materialization:
+    * eager `localCheckpoint` (the round-15 default — row blocks +
+    * lineage truncation, so every consumer replans against a tiny
+    * `Scan ExistingRDD` instead of the full cached subtree) vs
+    * `persist` (MEMORY_AND_DISK columnar cache, the round-13/14 form,
+    * kept so [[graft.QProbe]] can interleave the two in one process).
+    * Measured interleaved min-of-N at sf0.1/local[32] (round 15):
+    * q305 5.71 → 2.62 s, q306 4.98 → 2.53 s, q307 6.45 → 2.83 s — the
+    * persist form spent the time in cache-manager planning of the
+    * ~3600-line cached subtrees plus per-consumer InMemoryTableScan
+    * jobs (54 jobs per q305 execution). Same storage class
+    * (MEMORY_AND_DISK), same recompute-from-parquet-per-execution
+    * contract; the trade is losing recompute-on-eviction (a lost block
+    * fails the job instead of recomputing), the trade [[graft.common
+    * .IterFrame]] and the CC/census family already accepted. */
+  @volatile private[graft] var tolerantCheckpoint = true
+
+  private def mat(df: DataFrame): DataFrame =
+    if (tolerantCheckpoint) df.localCheckpoint(true)
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** The [[srpTolerantPairs]] auto bit-width rule — the round-13 drift
     * ladder's finding encoded the way `bucketedServe=auto` encoded its
     * deployment rule: bucket cardinality (2^bits per table) must track
@@ -757,9 +778,8 @@ object Similarity {
     // in the key — verbatim copies are bit-identical by definition)
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .filter(exists(col("v"), x => x =!= lit(0.0)))
-    val cells = v.groupBy("v")
-      .agg(min("id").as("id"), count(lit(1)).as("ex_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = mat(v.groupBy("v")
+      .agg(min("id").as("id"), count(lit(1)).as("ex_n")))
     val cellMembers = v.select(col("id"), col("v"))
       .join(cells.select(col("v"), col("id").as("rep"), col("ex_n").as("grp_n")), "v")
       .select(col("id"), col("rep"), col("grp_n"))
@@ -796,9 +816,8 @@ object Similarity {
     // SLOWER — fixture min-of-4 6.49 → 7.04 s with the q304 anchor
     // identical at 3.01 s (round 14): six consumers × 32 dot products
     // per row beats one materialize. Kept deliberately.
-    val ex = cells.select(col("id"), col("v"), col("ex_n"))
-      .withColumn("sig", sig)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = mat(cells.select(col("id"), col("v"), col("ex_n"))
+      .withColumn("sig", sig))
 
     // one self-join per signature class: ordered exemplar pairs with
     // their 6-dp cosine — reused for (a) exact within-class output and
@@ -810,11 +829,10 @@ object Similarity {
     // (the round-13 sf10 OOM, fixed here).
     val exA = ex.select(col("sig"), col("id").as("ia"), col("v").as("va"))
     val exB = ex.select(col("sig"), col("id").as("ib"), col("v").as("vb"))
-    val classPairs = exA.join(exB, Seq("sig"))
+    val classPairs = mat(exA.join(exB, Seq("sig"))
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib"), cosine(col("va"), col("vb")).as("cosr"))
-      .withColumn("cos6", round(col("cosr"), 6))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("cos6", round(col("cosr"), 6)))
     // exact legs round the RAW cosine ONCE, exactly as planeSrpPairs
     // does: rounding the 6-dp intermediate again would promote pairs
     // whose raw cosine sits in [x.xxxx4949.., x.xxxx5) past the 4-dp
@@ -849,22 +867,20 @@ object Similarity {
     // expansion spine for both cross-class legs below; lead_cos is the
     // member→leader cosine when the row HAS a foreign leader (mn.nb <
     // id means the min admitted neighbor wins), null for self-leaders
-    val assign = ex.select(col("id"), col("ex_n"))
+    val assign = mat(ex.select(col("id"), col("ex_n"))
       .join(neighborMin, Seq("id"), "left")
       .select(col("id"), col("ex_n"),
         least(col("id"), coalesce(col("mn.nb"), col("id"))).as("leader"),
-        when(col("mn.nb") < col("id"), col("mn.cos6")).as("lead_cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        when(col("mn.nb") < col("id"), col("mn.cos6")).as("lead_cos")))
     // measured group radius from the SAME 6-dp cosines the admission
     // used: R = sqrt(2 - 2*minCos) over members, 0 for the leader row
     // (null lead_cos rows — self-leaders — vanish under min, and a
     // singleton group's null min_cos coalesces to cos 1 ⇒ radius 0)
-    val groups = assign.groupBy("leader")
+    val groups = mat(assign.groupBy("leader")
       .agg(sum("ex_n").as("pop"), min("lead_cos").as("min_cos"))
       .withColumn("radius",
         sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * coalesce(col("min_cos"), lit(1.0)))))
-      .join(ex.select(col("id").as("leader"), col("v").as("lv"), col("sig")), "leader")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .join(ex.select(col("id").as("leader"), col("v").as("lv"), col("sig")), "leader"))
     graft.llm.Dedup.swapShingleCaches(Seq(cells, ex, classPairs, assign, groups))
 
     // cross-class candidates at GROUP granularity: leaders sharing any
@@ -985,9 +1001,8 @@ object Similarity {
     val v = sided(batch, isBatch = true).unionByName(sided(base, isBatch = false))
     // exact cells per (vector, SIDE); ids are globally unique across
     // the split, so cell representatives are side-disjoint too
-    val cells = v.groupBy("v", "isBatch")
-      .agg(min("id").as("id"), count(lit(1)).as("ex_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = mat(v.groupBy("v", "isBatch")
+      .agg(min("id").as("id"), count(lit(1)).as("ex_n")))
     val cellMembers = v.select(col("id"), col("v"), col("isBatch"))
       .join(cells.select(col("v"), col("isBatch"), col("id").as("rep")),
         Seq("v", "isBatch"))
@@ -1008,9 +1023,8 @@ object Similarity {
         when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
     }.toIndexedSeq: _*)
-    val ex = cells.select(col("id"), col("v"), col("ex_n"), col("isBatch"))
-      .withColumn("sig", sig)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = mat(cells.select(col("id"), col("v"), col("ex_n"), col("isBatch"))
+      .withColumn("sig", sig))
 
     // per-(class, side) self-join, persisted SLIM (the self form's
     // sf10 lesson) — consumed only by leader assignment + radii here
@@ -1018,30 +1032,27 @@ object Similarity {
       col("id").as("ia"), col("v").as("va"))
     val exB = ex.select(col("sig"), col("isBatch"),
       col("id").as("ib"), col("v").as("vb"))
-    val classPairs = exA.join(exB, Seq("sig", "isBatch"))
+    val classPairs = mat(exA.join(exB, Seq("sig", "isBatch"))
       .filter(col("ia") < col("ib"))
       .select(col("isBatch"), col("ia"), col("ib"),
-        round(cosine(col("va"), col("vb")), 6).as("cos6"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        round(cosine(col("va"), col("vb")), 6).as("cos6")))
     val admitted = classPairs.filter(col("cos6") >= cosMinAdmit)
     val neighborMin = admitted
       .select(col("isBatch"), col("ia").as("id"), col("ib").as("nb"), col("cos6"))
       .unionByName(admitted.select(
         col("isBatch"), col("ib").as("id"), col("ia").as("nb"), col("cos6")))
       .groupBy("isBatch", "id").agg(min(struct(col("nb"), col("cos6"))).as("mn"))
-    val assign = ex.select(col("isBatch"), col("id"), col("ex_n"))
+    val assign = mat(ex.select(col("isBatch"), col("id"), col("ex_n"))
       .join(neighborMin, Seq("isBatch", "id"), "left")
       .select(col("isBatch"), col("id"), col("ex_n"),
         least(col("id"), coalesce(col("mn.nb"), col("id"))).as("leader"),
-        when(col("mn.nb") < col("id"), col("mn.cos6")).as("lead_cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val groups = assign.groupBy("isBatch", "leader")
+        when(col("mn.nb") < col("id"), col("mn.cos6")).as("lead_cos")))
+    val groups = mat(assign.groupBy("isBatch", "leader")
       .agg(sum("ex_n").as("pop"), min("lead_cos").as("min_cos"))
       .withColumn("radius",
         sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * coalesce(col("min_cos"), lit(1.0)))))
       .join(ex.select(col("isBatch"), col("id").as("leader"),
-        col("v").as("lv"), col("sig")), Seq("isBatch", "leader"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        col("v").as("lv"), col("sig")), Seq("isBatch", "leader")))
     Dedup.swapShingleCaches(Seq(cells, ex, classPairs, assign, groups))
 
     // cross-side candidates at GROUP granularity; pop keeps the opt-in
@@ -1140,35 +1151,31 @@ object Similarity {
   private[graft] def collapseCellsTolerant(cells: DataFrame,
       planes: Array[Array[Double]], width: Int, cosMinAdmit: Double)
       : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
-    val ex = cells.select(col("id"), col("v"), col("ex_n"))
-      .withColumn("sig", tolerantSig(planes, width, col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = mat(cells.select(col("id"), col("v"), col("ex_n"))
+      .withColumn("sig", tolerantSig(planes, width, col("v"))))
     val exA = ex.select(col("sig"), col("id").as("ia"), col("v").as("va"))
     val exB = ex.select(col("sig"), col("id").as("ib"), col("v").as("vb"))
-    val classPairs = exA.join(exB, Seq("sig"))
+    val classPairs = mat(exA.join(exB, Seq("sig"))
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib"),
-        round(cosine(col("va"), col("vb")), 6).as("cos6"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        round(cosine(col("va"), col("vb")), 6).as("cos6")))
     val admitted = classPairs.filter(col("cos6") >= cosMinAdmit)
     val neighborMin = admitted
       .select(col("ia").as("id"), col("ib").as("nb"), col("cos6"))
       .unionByName(admitted.select(
         col("ib").as("id"), col("ia").as("nb"), col("cos6")))
       .groupBy("id").agg(min(struct(col("nb"), col("cos6"))).as("mn"))
-    val assign = ex.select(col("id"), col("ex_n"))
+    val assign = mat(ex.select(col("id"), col("ex_n"))
       .join(neighborMin, Seq("id"), "left")
       .select(col("id"), col("ex_n"),
         least(col("id"), coalesce(col("mn.nb"), col("id"))).as("leader"),
-        when(col("mn.nb") < col("id"), col("mn.cos6")).as("lead_cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val groups = assign.groupBy("leader")
+        when(col("mn.nb") < col("id"), col("mn.cos6")).as("lead_cos")))
+    val groups = mat(assign.groupBy("leader")
       .agg(sum("ex_n").as("pop"), min("lead_cos").as("min_cos"))
       .withColumn("radius",
         sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * coalesce(col("min_cos"), lit(1.0)))))
       .join(ex.select(col("id").as("leader"), col("v").as("lv"), col("sig")), "leader")
-      .select(col("leader"), col("pop"), col("radius"), col("lv"), col("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("leader"), col("pop"), col("radius"), col("lv"), col("sig")))
     (ex, assign, groups, Seq(ex, classPairs, assign, groups))
   }
 
@@ -1189,9 +1196,8 @@ object Similarity {
       s"maxChord $maxChord must be in (0, sqrt(2))")
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .filter(exists(col("v"), x => x =!= lit(0.0)))
-    val cells = v.groupBy("v")
-      .agg(min("id").as("id"), count(lit(1)).as("ex_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = mat(v.groupBy("v")
+      .agg(min("id").as("id"), count(lit(1)).as("ex_n")))
     val members = v.select(col("id"), col("v"))
       .join(cells.select(col("v"), col("id").as("rep")), "v")
       .select(col("id"), col("rep"))
@@ -1238,9 +1244,8 @@ object Similarity {
     val cosMinAdmit = 1.0 - state.maxChord * state.maxChord / 2.0
     val vb = batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .filter(exists(col("v"), x => x =!= lit(0.0)))
-    val cellsB = vb.groupBy("v")
-      .agg(min("id").as("id"), count(lit(1)).as("ex_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cellsB = mat(vb.groupBy("v")
+      .agg(min("id").as("id"), count(lit(1)).as("ex_n")))
     val membersB = vb.select(col("id"), col("v"))
       .join(cellsB.select(col("v"), col("id").as("rep")), "v")
       .select(col("id"), col("rep"))
