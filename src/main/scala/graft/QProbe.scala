@@ -67,7 +67,7 @@ object QProbe {
     // interleaved A/B of the tolerant family's materialization mode
     // (persist vs eager localCheckpoint): `tolab:<q1,q2,...>`
     names.find(_.startsWith("tolab:")).foreach { m =>
-      val qs = m.stripPrefix("tolab:").split(',').toSeq.map { q =>
+      val qs = m.stripPrefix("tolab:").split('+').toSeq.map { q =>
         val hits = SparkEntry.queries.keys.filter(_.contains(q)).toSeq
         require(hits.size == 1, s"filter $q matched ${hits.mkString(",")}")
         hits.head

@@ -35,6 +35,20 @@ object Dedup {
       lastShingleCaches = next
     }
 
+  /** Switch for the dedup family's working-set materialization: eager
+    * `localCheckpoint` vs the pre-round-15 MEMORY_AND_DISK `persist`
+    * (kept so [[graft.QProbe]] can interleave the two in one process —
+    * the [[graft.llm.Similarity.tolerantCheckpoint]] instrument).
+    * Checkpointed working sets are freed by the ContextCleaner after
+    * driver GC rather than by [[swapShingleCaches]]' unpersist — the
+    * bench's 30 s periodic GC + per-16-queries System.gc bound the
+    * lingering blocks (the IterFrame / CC-loop discipline). */
+  @volatile private[graft] var dedupCheckpoint = true
+
+  private[llm] def matD(df: DataFrame): DataFrame =
+    if (dedupCheckpoint) df.localCheckpoint(true)
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Degenerate mass dropped so far this session by the opt-in size cap
     * ([[Lsh.MaxBucketConf]]): oversized LSH BUCKETS and, since the
     * exact-copy collapse, oversized COPY GROUPS excluded from pair
@@ -240,20 +254,18 @@ object Dedup {
     // shingle sets). Keying on the shingle SET — not the raw text —
     // also merges docs whose texts differ in ways the pipeline
     // provably cannot distinguish (shingle multiplicity, order).
-    val sh = docs
+    val sh = matD(docs
       .select(col(idCol).as("id"), TextOps.wordShingles(col(textCol), shingleK).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("ck", classKey(col("shingles")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("ck", classKey(col("shingles"))))
     // min/first/count all combine map-side, so the collapse exchange
     // carries one (ck, shingles) row per PARTITION-LOCAL distinct class,
     // not per doc; `first(shingles)` is value-deterministic because every
     // row under one ck carries the same shingle set and all consumers are
     // set-functions of it.
-    val reps = sh.groupBy("ck")
+    val reps = matD(sh.groupBy("ck")
       .agg(min("id").as("id"), first("shingles").as("shingles"),
-        count(lit(1)).as("grp_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        count(lit(1)).as("grp_n")))
     // membership in ONE slim window pass over (id, ck) — no join; the
     // window's exchange+sort move two columns, and its two consumers in
     // the pair expansion share the same canonicalized subtree, so the
@@ -415,16 +427,14 @@ object Dedup {
     // single-live-cache discipline as minhashLsh: the scan+shingle work
     // (the profiled dominant cost) runs once per input and serves the
     // collapse, the banding pass, and both verify legs
-    val sh = shingled(base, isBatch = false)
+    val sh = matD(shingled(base, isBatch = false)
       .union(shingled(batch, isBatch = true))
-      .withColumn("ck", classKey(col("shingles")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("ck", classKey(col("shingles"))))
     // collapse per (class, side): reps get banded + verified, members
     // only expand. The slim membership window mirrors minhashCollapse.
-    val reps = sh.groupBy("ck", "isBatch")
+    val reps = matD(sh.groupBy("ck", "isBatch")
       .agg(min("id").as("id"), first("shingles").as("shingles"),
-        count(lit(1)).as("grp_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        count(lit(1)).as("grp_n")))
     swapShingleCaches(Seq(sh, reps))
     val w = Window.partitionBy("ck", "isBatch")
     val members = sh.select(col("id"), col("ck"), col("isBatch"))
@@ -474,16 +484,14 @@ object Dedup {
                              shingleK: Int = 3, bands: Int = 32,
                              rowsPerBand: Int = 4,
                              threshold: Double = 0.8): DataFrame = {
-    val batchSh = batch
+    val batchSh = matD(batch
       .select(col(idCol).cast("long").as("id"),
         TextOps.wordShingles(col(textCol), shingleK).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("ck", classKey(col("shingles")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batchReps = batchSh.groupBy("ck")
+      .withColumn("ck", classKey(col("shingles"))))
+    val batchReps = matD(batchSh.groupBy("ck")
       .agg(min("id").as("id"), first("shingles").as("shingles"),
-        count(lit(1)).as("grp_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        count(lit(1)).as("grp_n")))
     swapShingleCaches(Seq(batchSh, batchReps))
     val wb = Window.partitionBy("ck")
     val batchMembers = batchSh.select(col("id"), col("ck"))
@@ -806,10 +814,9 @@ object Dedup {
     // persist it; the fingerprint kernel then runs twice total (reps +
     // members) vs three times pre-collapse, and the members window's
     // two expansion consumers share one reused exchange
-    val reps = fp.groupBy("fpk")
+    val reps = matD(fp.groupBy("fpk")
       .agg(min("id").as("id"), first("blocks").as("blocks"),
-        count(lit(1)).as("grp_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        count(lit(1)).as("grp_n")))
     val wf = Window.partitionBy("fpk")
     val members = fp.select(col("id"), col("fpk"))
       .select(col("id"), min("id").over(wf).as("rep"),

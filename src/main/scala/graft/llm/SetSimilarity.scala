@@ -69,16 +69,14 @@ object SetSimilarity {
     // persisted so the tokenize + canonicalize pass (the md5-keyed
     // classKey over every document) runs once per call instead of once
     // per consumer (round 15; the window this replaces re-derived it)
-    val baseSlim = base.select(col("id"), col("ck"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val baseSlim = Dedup.matD(base.select(col("id"), col("ck")))
     // reps feeds rankedSets (whose output is itself consumed by the
     // candidate legs) plus both payload legs, multiReps and the member
     // spine — persist it under the dedup family's single-working-set
     // cache discipline so the collapse work runs once per call
-    val reps = base.groupBy("ck")
+    val reps = Dedup.matD(base.groupBy("ck")
       .agg(min("id").as("id"), first("toks").as("toks"),
-        count(lit(1)).as("grp_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        count(lit(1)).as("grp_n")))
     Dedup.swapShingleCaches(Seq(baseSlim, reps))
     // members = (id, min id of its class, class size): exactly reps'
     // per-class aggregates fanned back over the class members — a keyed

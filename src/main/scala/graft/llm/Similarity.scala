@@ -565,16 +565,14 @@ object Similarity {
     val tables = planes.length / bits
     // integer grid coordinates: the injective collapse key; qv is the
     // engine-portable quantized vector every downstream value reads
-    val g = corpus
+    val g = mat(corpus
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("gv", transform(col("v"), x => round(x * scale).cast("long")))
       .filter(exists(col("gv"), x => x =!= lit(0L)))
-      .withColumn("qv", transform(col("gv"), x => x.cast("double") / scale))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("qv", transform(col("gv"), x => x.cast("double") / scale)))
     // one representative per grid cell; qv/grp_n are cell functions
-    val reps = g.groupBy("gv")
-      .agg(min("id").as("id"), first("qv").as("qv"), count(lit(1)).as("grp_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = mat(g.groupBy("gv")
+      .agg(min("id").as("id"), first("qv").as("qv"), count(lit(1)).as("grp_n")))
     Dedup.swapShingleCaches(Seq(g, reps))
     // membership by grid-cell join (not a window: both engines replay
     // a keyed join on the grid array without window-over-list support)
