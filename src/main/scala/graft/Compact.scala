@@ -325,8 +325,13 @@ object Compact {
     val fm = scala.concurrent.Future {
       members.write.parquet(new Path(s, "members").toString)
     }(ec)
-    try scala.concurrent.Await.result(
-      fc.zipWith(fm)((_, _))(ec), scala.concurrent.duration.Duration.Inf)
+    try
+      // drain both writes to completion before rethrowing (round-14
+      // advice): staging must be quiescent when the exception escapes
+      Seq(fc, fm).map(f =>
+        scala.concurrent.Await.ready(
+          f, scala.concurrent.duration.Duration.Inf).value.get)
+        .foreach(_.get)
     finally pool.shutdown()
     val m = f.create(new Path(s, "_FORMAT"), true)
     m.write(FormatVersion.toString.getBytes("UTF-8")); m.close()

@@ -64,6 +64,52 @@ object QProbe {
       }
       spark.stop(); return
     }
+    // interleaved A/B of GraphArtifact.build at different bucket counts
+    // (q000 position): `graphab:<n1+n2+...>`; 0 = conf unset (default)
+    names.find(_.startsWith("graphab:")).foreach { m =>
+      val ns = m.stripPrefix("graphab:").split('+').toSeq.map(_.toInt)
+      val best = scala.collection.mutable.Map[Int, Double]()
+        .withDefaultValue(Double.MaxValue)
+      for (r <- 1 to rounds; n <- ns) {
+        if (n > 0) spark.conf.set(graft.operators.GraphArtifact.BucketsKey, n.toString)
+        else spark.conf.unset(graft.operators.GraphArtifact.BucketsKey)
+        val art = java.nio.file.Files
+          .createTempDirectory("graft-qprobe-art").resolve("graph").toString
+        val t0 = System.nanoTime()
+        graft.operators.GraphArtifact.build(spark, dir, art)
+        val s = (System.nanoTime() - t0) / 1e9
+        best(n) = math.min(best(n), s)
+        // serve leg: one full pass over the artifact's co-purchase edges
+        spark.conf.set(graft.operators.GraphArtifact.Key, art)
+        val t1 = System.nanoTime()
+        drain(graft.operators.GraphArtifact.coPurchase(spark, dir))
+        val sv = (System.nanoTime() - t1) / 1e9
+        spark.conf.unset(graft.operators.GraphArtifact.Key)
+        println(f"[qprobe] round $r graph build n=$n%4d ${s}%6.2f s  serve $sv%5.2f s")
+        def rmr(d: java.io.File): Unit = {
+          Option(d.listFiles).foreach(_.foreach(rmr)); d.delete(); ()
+        }
+        rmr(new java.io.File(art).getParentFile)
+        System.gc()
+      }
+      spark.conf.unset(graft.operators.GraphArtifact.BucketsKey)
+      println(s"[qprobe] ---- min of $rounds ----")
+      best.toSeq.sorted.foreach { case (n, v) =>
+        println(f"[qprobe] graph build n=$n%4d $v%6.2f s") }
+      spark.stop(); return
+    }
+    // microcost of Tables.t construction (file listing + parquet footer
+    // schema inference, no action): is the per-query fixed cost real?
+    if (names.contains("tcost")) {
+      for (r <- 1 to rounds) {
+        val t0 = System.nanoTime()
+        var n = 0L
+        for (_ <- 1 to 50; tbl <- Seq("lineitem", "documents", "embeddings", "orders"))
+          n += Tables.t(spark, dir, tbl).schema.size
+        println(f"[qprobe] tcost round $r: 200 constructions ${(System.nanoTime() - t0) / 1e9}%6.2f s (cols=$n)")
+      }
+      spark.stop(); return
+    }
     // interleaved A/B of the tolerant family's materialization mode
     // (persist vs eager localCheckpoint): `tolab:<q1,q2,...>`
     names.find(_.startsWith("tolab:")).foreach { m =>

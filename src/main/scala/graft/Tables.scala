@@ -29,12 +29,37 @@ object Tables {
     * normalize to the same session-zone TIMESTAMP the queries and the
     * DuckDB oracle agree on, decided by the file's actual schema. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      normalizeTs(raw, raw.schema("ts").dataType)
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    // Memoize the ANALYZED frame per (session, path, file mtime+size) —
+    // metadata only: `spark.read.parquet` costs ~50 ms per call (driver
+    // file listing + footer schema inference), and the bench constructs
+    // every query body per rep — ~40 s of pure metadata work across a
+    // 308-query sweep (round-15 `tcost` probe: 200 constructions ≈
+    // 10-12 s). The cached value is an immutable lazy plan; every
+    // action still reads the parquet bytes, so nothing about "compute
+    // from the inputs per run" changes — this is the register-once
+    // catalog-table pattern, keyed on the file stat so a rewritten
+    // fixture (ScaleGen/SfGen re-runs, test temp dirs) invalidates.
+    val path = s"$dir/$name.parquet"
+    val f = new java.io.File(path)
+    val key = (spark, path, f.lastModified(), f.length())
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val df =
+        if (name == "events") {
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val raw = spark.read.parquet(path)
+          normalizeTs(raw, raw.schema("ts").dataType)
+        } else spark.read.parquet(path)
+      if (cache.size > 256) cache.clear() // bound stale-session entries
+      cache.put(key, df)
+      df
+    }
   }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Long, Long), DataFrame]()
 
   /** The single definition of the events `ts` fixup, shared with the
     * streaming reader so batch and stream can never desynchronize on a

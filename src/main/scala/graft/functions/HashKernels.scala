@@ -221,16 +221,28 @@ object PositionalShingleMd5Kernel {
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val toks = new Array[Array[Byte]](n)
     var i = 0
-    while (i < n) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    // null elements stay null and are SKIPPED below — concat_ws
+    // semantics (no token bytes, no separator), so the kernel matches
+    // its expression twin even on ARRAY<STRING> with containsNull
+    // (round-14 advice; unreachable from split()-fed call sites)
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Any](n - k + 1)
     i = 0
     while (i <= n - k) {
       md.reset()
       var j = 0
+      var emitted = false
       while (j < k) {
-        if (j > 0) md.update(' '.toByte)
-        md.update(toks(i + j))
+        val t = toks(i + j)
+        if (t != null) {
+          if (emitted) md.update(' '.toByte)
+          md.update(t)
+          emitted = true
+        }
         j += 1
       }
       val d = md.digest()

@@ -511,9 +511,13 @@ object GraphArtifact {
       ensureReadableSchema(stagePath("orders"), ordersStaged.schema)
     }
     try
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(Seq(fCoPurchase, fClick, fOrders)),
-        scala.concurrent.duration.Duration.Inf)
+      // drain ALL chains to completion before rethrowing (round-14
+      // advice): fast-fail would leave sibling chains writing into
+      // staging while the caller retries or recovers
+      Seq(fCoPurchase, fClick, fOrders).map(f =>
+        scala.concurrent.Await.ready(
+          f, scala.concurrent.duration.Duration.Inf).value.get)
+        .foreach(_.get)
     finally pool.shutdown()
     // state.json LAST: its presence marks the staging as complete
     writeSmall(fs, new Path(staging, "_meta/state.json"), metaJson(Meta(n, Nil)))
@@ -606,9 +610,13 @@ object GraphArtifact {
         .localCheckpoint(true)
     }(batchEc)
     val (bSup, cB) =
-      try scala.concurrent.Await.result(
-        fBSup.zipWith(fCB)((_, _))(batchEc), scala.concurrent.duration.Duration.Inf)
-      finally batchPool.shutdown()
+      try {
+        val rs = scala.concurrent.Await.ready(fBSup,
+          scala.concurrent.duration.Duration.Inf).value.get
+        val rc = scala.concurrent.Await.ready(fCB,
+          scala.concurrent.duration.Duration.Inf).value.get
+        (rs.get, rc.get) // both drained; first failure rethrows here
+      } finally batchPool.shutdown()
     val touchedPB = buckets(bSup)
     val mergedSup = readSub("copurchase_support", touchedPB)
       .select("a", "b", "support")
@@ -714,9 +722,10 @@ object GraphArtifact {
       if (touchedOB.nonEmpty) stage("orders", mergedOrders)
     }
     try
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(Seq(fCoPurchase, fClick, fOrders)),
-        scala.concurrent.duration.Duration.Inf)
+      Seq(fCoPurchase, fClick, fOrders).map(f =>
+        scala.concurrent.Await.ready(
+          f, scala.concurrent.duration.Duration.Inf).value.get)
+        .foreach(_.get)
     finally stagePool.shutdown()
 
     // staged bucket inventory: support monotonicity means a touched

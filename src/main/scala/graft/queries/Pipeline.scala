@@ -1514,11 +1514,16 @@ object Pipeline {
         items.filter(col("o") % 5 === 0),
         clicks.filter(col("u") % 5 === 0), gDir)
     }
-    try
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(Seq(fDedup, fAnn, fGraph)),
-        scala.concurrent.duration.Duration.Inf)
-    finally {
+    try {
+      // drain ALL chains to completion before rethrowing (round-14
+      // advice): a fast-fail Await.result(Future.sequence) would
+      // restore the bucket conf and rmrf the temp dir while sibling
+      // chains still run Spark jobs against both
+      Seq(fDedup, fAnn, fGraph).map(f =>
+        scala.concurrent.Await.ready(
+          f, scala.concurrent.duration.Duration.Inf).value.get)
+        .foreach(_.get)
+    } finally {
       pool.shutdown()
       prevBk match {
         case Some(v) => s.conf.set(Bk, v)

@@ -68,8 +68,11 @@ class PropertySpec extends AnyFunSuite {
   test("positional shingle md5 kernel equals the transform/slice/md5 chain") {
     // the kernel replaced an interpreted HOF chain inside
     // Dedup.positionalShingles (q182/q190) — same md5 hex per position,
-    // including the fewer-than-k empty case and multi-byte UTF-8 tokens
-    val tok: Gen[String] = Gen.oneOf(word, Gen.const("ü§"), Gen.const("é"))
+    // including the fewer-than-k empty case, multi-byte UTF-8 tokens,
+    // and NULL elements (concat_ws skips them: no bytes, no separator —
+    // round-14 advice pinned into the contract)
+    val tok: Gen[String] =
+      Gen.oneOf(word, Gen.const("ü§"), Gen.const("é"), Gen.const(null: String))
     val toksGen: Gen[List[String]] = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tok))
     val kGen = Gen.choose(1, 6)
     check(Prop.forAll(toksGen, kGen) { (toks, k) =>
