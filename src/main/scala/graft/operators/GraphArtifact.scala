@@ -416,7 +416,23 @@ object GraphArtifact {
 
   private def buildUnlocked(s: SparkSession, items: DataFrame,
                             clicks: DataFrame, outPath: String): Unit = {
-    val n = s.conf.getOption(BucketsKey).map(_.toInt).getOrElse(32)
+    // Bucket count: conf wins; otherwise SIZE-ADAPTIVE — one bucket per
+    // ~32 MB of the incidence frame's Catalyst size estimate, power of
+    // two, clamped to [8, 4096] (round 15; previously a flat 32 tuned
+    // to neither the fixtures nor a cluster). The count is a LAYOUT
+    // property recorded in _meta/state.json: append and serve read it
+    // from the meta, and the base+append ≡ full law is bucket-agnostic
+    // (GraphArtifactSpec runs it at 8 vs 32), so the rule only moves
+    // file counts — small fixtures stop paying 32-way small-file
+    // overhead per sub-table, 100 TB corpora get enough buckets that a
+    // batch append's touched-bucket reads stay a small fraction.
+    val n = s.conf.getOption(BucketsKey).map(_.toInt).getOrElse {
+      val bytes = items.queryExecution.optimizedPlan.stats.sizeInBytes
+      val target = (bytes / (32L << 20)).toLong
+      val clamped = math.min(4096L, math.max(8L, target))
+      Integer.highestOneBit(clamped.toInt) *
+        (if (Integer.bitCount(clamped.toInt) == 1) 1 else 2)
+    }
     val fs = fsOf(s, outPath)
     val live = new Path(outPath)
     val staging = new Path(outPath + ".staging")

@@ -165,8 +165,13 @@ class GraphArtifactSpec extends AnyFunSuite {
   test("append rewrites ONLY the touched buckets; replay fails loudly") {
     val items = GraphArtifact.itemsInline(spark, sf)
     val d = tmp("graph-local")
-    GraphArtifact.buildFrom(spark, items,
+    // pin the layout width: this test asserts WHICH bucket ids change,
+    // so it must build at a known count (the round-15 size-adaptive
+    // default would pick a small width on the spec fixture)
+    spark.conf.set(GraphArtifact.BucketsKey, "32")
+    try GraphArtifact.buildFrom(spark, items,
       GraphArtifact.clickEdgesInline(spark, sf), d)
+    finally spark.conf.unset(GraphArtifact.BucketsKey)
     val before = snapshotAll(d)
     // one new order with two parts ⇒ one support pair ⇒ one touched
     // support bucket, one touched order bucket, zero click buckets
@@ -568,7 +573,10 @@ class GraphArtifactSpec extends AnyFunSuite {
     val batchItems = Seq((4L, 30L), (4L, 40L)).toDF("o", "p")
     val batchClicks = Seq((100L, -2L)).toDF("u", "v")
     val d = tmp("graph-iter-append")
-    GraphArtifact.buildFrom(spark, baseItems, baseClicks, d)
+    // pinned width for the same reason as the touched-buckets test
+    spark.conf.set(GraphArtifact.BucketsKey, "32")
+    try GraphArtifact.buildFrom(spark, baseItems, baseClicks, d)
+    finally spark.conf.unset(GraphArtifact.BucketsKey)
     val before = Seq("click_iter", "copurchase_iter")
       .map(sub => sub -> snapshot(s"$d/$sub")).toMap
     GraphArtifact.append(spark, batchItems, batchClicks, d)
