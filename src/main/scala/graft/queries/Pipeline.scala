@@ -1466,6 +1466,16 @@ object Pipeline {
     // order is preserved, and the oracle row still proves base+append ≡
     // full for all three states. Measured 23.6 → 17.6 s solo at sf0.1
     // (min-of-2, local[32]); the graph chain dominates the critical path.
+    //
+    // POOL SIZE = CHAIN COUNT, not a cluster knob (round-15 rule, fixed
+    // here and in GraphArtifact/Compact): the threads only SUBMIT jobs —
+    // execution parallelism is governed by the scheduler's task slots,
+    // which back-fill whatever is free regardless of executor count. More
+    // threads than independent chains is impossible (there is nothing
+    // more to submit); fewer would serialize chains for no reason. The
+    // guide's "2-3 jobs in flight is plenty" is the same observation from
+    // the cluster side. Scale-safe by construction: the number is a
+    // property of the DAG, not of the machine.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
